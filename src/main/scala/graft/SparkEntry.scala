@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries._
+
+/** Driver contract — see SURVEY.md §2c.
+  *
+  * The reference's whole public surface is one entry point,
+  * `Engine::evaluate(Expression) -> Expression`
+  * (`/root/reference/Source/BOSSArrowStorageEngine.hpp:28`); our declared
+  * analogue is this registry: each named query is a (SparkSession, sfDir)
+  * => DataFrame, i.e. a declarative Catalyst plan the engine evaluates.
+  * Each `queries` entry has, where SQL-expressible, a DuckDB oracle in
+  * `oracleSql` with IDENTICAL output column names and total ordering.
+  */
 object SparkEntry {
+  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
+    Map[String, String])] = Seq(
+    (AggQueries.defs, AggQueries.sql))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    AggQueries.q1PricingSummary(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.iterator.flatMap(_._1).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  val oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2).toMap
 }

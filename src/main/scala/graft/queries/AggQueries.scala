@@ -1,0 +1,159 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Grouped / global / distinct / hierarchical aggregation surface
+  * (SURVEY.md §2b "Aggregations"). All shapes plan to partial+final
+  * HashAggregate with map-side combine — at 100 TB the shuffle carries
+  * only one row per (partition, group), never raw rows.
+  */
+object AggQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Flagship: TPC-H Q1-style pricing summary. Scan → filter → hash-agg
+    * (8 aggregates) → sort. Catalyst pushes the shipdate filter into the
+    * parquet scan and prunes to the 7 referenced columns. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Global (no grouping) aggregate over orders. */
+  def globalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("n_orders"),
+      dsum(col("o_totalprice")).as("sum_price"),
+      min(col("o_orderdate")).as("min_date"),
+      max(col("o_orderdate")).as("max_date"))
+
+  /** Distinct aggregates (count distinct + sum distinct). */
+  def distinctAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** Rollup over (returnflag, linestatus): subtotals + grand total.
+    * GROUPING() disambiguates NULL-as-subtotal from data NULLs. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("int").as("lvl_rf"),
+        grouping(col("l_linestatus")).cast("int").as("lvl_ls"))
+      .orderBy(col("lvl_rf"), col("lvl_ls"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Cube over (orderstatus, orderpriority). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(dsum(col("o_totalprice")).as("sum_price"), count(lit(1)).as("n"),
+        grouping(col("o_orderstatus")).cast("int").as("lvl_st"),
+        grouping(col("o_orderpriority")).cast("int").as("lvl_pr"))
+      .orderBy(col("lvl_st"), col("lvl_pr"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Approximate distinct (HyperLogLog++). Not DuckDB-hash-comparable
+    * (different sketch) → no oracle entry; rows-only check + ScalaTest
+    * bounds it against exact countDistinct. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** Vector re-assembly: per-order sorted list of line numbers as CSV
+    * string (string form is hash-stable across engines; Spark
+    * collect_list order is nondeterministic so we sort before joining). */
+  def collectAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 100)
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(col("l_linenumber"))),
+            _.cast("string")), ",").as("line_numbers"),
+        size(collect_set(col("l_returnflag"))).as("n_flags"))
+      .orderBy(col("l_orderkey"))
+
+  val defs: Map[String, Q] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "agg_global" -> (globalAgg _),
+    "agg_distinct" -> (distinctAgg _),
+    "agg_rollup" -> (rollupAgg _),
+    "agg_cube" -> (cubeAgg _),
+    "agg_approx_distinct" -> (approxDistinct _),
+    "agg_collect" -> (collectAgg _))
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)/COUNT(*) AS avg_price,
+      | CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*) AS avg_disc,
+      | COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "agg_global" ->
+      """SELECT COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
+    "agg_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_suppkey) AS n_supp,
+        | COUNT(DISTINCT l_partkey) AS n_part,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(l_returnflag) AS INT) AS lvl_rf,
+        | CAST(GROUPING(l_linestatus) AS INT) AS lvl_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY lvl_rf, lvl_ls, l_returnflag ASC NULLS FIRST,
+        | l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS lvl_st,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS lvl_pr
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY lvl_st, lvl_pr, o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_collect" ->
+      """SELECT l_orderkey,
+        | STRING_AGG(CAST(l_linenumber AS VARCHAR), ',' ORDER BY l_linenumber) AS line_numbers,
+        | CAST(COUNT(DISTINCT l_returnflag) AS INT) AS n_flags
+        |FROM lineitem WHERE l_orderkey <= 100
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
+}

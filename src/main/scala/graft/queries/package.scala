@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Oracle-parity helpers shared by all declared queries.
+  *
+  * The driver hash-compares Spark results against DuckDB running the same
+  * SQL on the same parquet (BASELINE.md). Double summation is not
+  * associative, so `sum(double)` can differ in the last ulp between engines
+  * (and between Spark partitionings). The fix used throughout: cast each
+  * addend to an exact DECIMAL first, sum exactly, then cast the final
+  * result back to double. Both engines round the *same* IEEE double to the
+  * same decimal (a double never falls exactly on a half-ulp decimal
+  * boundary, so half-up vs half-even tie rules never diverge), and the
+  * exact-decimal → double conversion is deterministic. Every money/measure
+  * aggregate below uses these helpers, mirrored literally in the oracle
+  * SQL strings.
+  */
+package object queries {
+  /** Exact sum: SUM(CAST(c AS DECIMAL(18,scale))) cast back to double.
+    * SQL mirror: CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE). */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+
+  /** Exact mean via exact sum / count. SQL mirror:
+    * CAST(SUM(CAST(c AS DECIMAL(18,s))) AS DOUBLE) / COUNT(*). */
+  def davg(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType) / count(lit(1))
+
+  /** Round a double column for hash-stable output of genuinely
+    * floating-point math (cosine similarity etc.). */
+  def r(c: Column, s: Int = 4): Column = round(c, s)
+}
