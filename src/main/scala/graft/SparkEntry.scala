@@ -16,7 +16,11 @@ import graft.queries._
 object SparkEntry {
   private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
     Map[String, String])] = Seq(
-    (AggQueries.defs, AggQueries.sql))
+    (AggQueries.defs, AggQueries.sql),
+    (JoinQueries.defs, JoinQueries.sql),
+    (WindowQueries.defs, WindowQueries.sql),
+    (RelationalQueries.defs, RelationalQueries.sql),
+    (ScalarQueries.defs, ScalarQueries.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver fixtures (TESTDATA.md / FIXTURES.md).
   *
@@ -26,7 +28,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true (set by
+    * [[Engine.sessionBuilder]]) it arrives as a long of epoch nanos.
+    * The fixture generator only produces microsecond precision, so
+    * integer-dividing to micros is lossless; `ts DIV 1000` stays in
+    * long arithmetic (a double division would lose precision above
+    * 2^53 ns). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 

@@ -1,0 +1,248 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2b "Joins"): equi inner/outer/semi/anti,
+  * broadcast, theta, cross, interval, as-of.
+  *
+  * Scale notes (100 TB): the big fact-fact equi joins shuffle both sides
+  * on the key and let AQE pick SMJ vs shuffled-hash; dimension joins are
+  * explicitly `broadcast()` so the fact side never shuffles. The interval
+  * and as-of shapes keep the build side small (filtered/broadcastable) or
+  * key-partitioned so the range/window work happens within a partition.
+  */
+object JoinQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fact-fact equi inner join: revenue by order priority.
+    * lineitem⋈orders both shuffle on orderkey; agg is partial+final. */
+  def innerJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "inner")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Snowflake dimension join, dims explicitly broadcast: customers per
+    * region. No shuffle of customer — both dims ship to every task. */
+  def broadcastJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Left outer with an extra non-equi conjunct: orders and their
+    * high-quantity lines; unmatched orders survive with zeros. */
+  def leftOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    o.join(li, o("o_orderkey") === li("l_orderkey") && li("l_quantity") >= 45,
+        "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(col("l_orderkey")).as("n_big"),
+        coalesce(dsum(col("l_quantity")), lit(0.0)).as("qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Right outer: every part, with its heavy lines counted from the left
+    * side. */
+  def rightOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(p, li("l_partkey") === p("p_partkey") && li("l_quantity") >= 48,
+        "right_outer")
+      .groupBy(col("p_partkey"))
+      .agg(count(col("l_partkey")).as("n_heavy"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Full outer of two pre-aggregated sides keyed by nation: customer
+    * counts vs supplier counts (aggregate-then-join keeps the shuffled
+    * data one row per key — at scale, never full-outer raw fact tables
+    * when a pre-agg expresses the question). */
+  def fullOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ca = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    val sa = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    ca.join(sa, ca("c_nationkey") === sa("s_nationkey"), "full_outer")
+      .select(
+        coalesce(ca("c_nationkey"), sa("s_nationkey")).as("nationkey"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Left semi (EXISTS): customers that placed at least one urgent order. */
+  def semiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left anti (NOT EXISTS): customers with no urgent orders. */
+  def antiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Theta: equi prefix (same nation) + inequality residual — for each
+    * supplier, how many same-nation suppliers hold a larger balance.
+    * Equi part keeps it a hash join; the residual filters post-probe. */
+  def thetaJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s1 = Tables.supplier(spark, dir).as("s1")
+    val s2 = Tables.supplier(spark, dir).as("s2")
+    s1.join(s2,
+        col("s1.s_nationkey") === col("s2.s_nationkey") &&
+          col("s1.s_acctbal") < col("s2.s_acctbal"), "left_outer")
+      .groupBy(col("s1.s_suppkey").as("s_suppkey"))
+      .agg(count(col("s2.s_suppkey")).as("n_richer"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Cross join: full region × nation grid. */
+  def crossJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir)
+    val n = Tables.nation(spark, dir)
+    r.crossJoin(n)
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Interval join: events within [signup, signup+1h) for the same user.
+    * Equi on user_id keeps the shuffle keyed; the time range is a
+    * residual predicate evaluated inside each hash bucket. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .filter(col("event_type") === "signup").as("s")
+    val e = Tables.events(spark, dir).as("e")
+    s.join(e,
+        col("e.user_id") === col("s.user_id") &&
+          col("e.ts") >= col("s.ts") &&
+          col("e.ts") < col("s.ts") + expr("INTERVAL 1 HOUR"), "left_outer")
+      .groupBy(col("s.event_id").as("signup_id"))
+      .agg(count(col("e.event_id")).as("n_events_1h"))
+      .orderBy(col("signup_id"))
+  }
+
+  /** As-of join: for each purchase, the latest click by the same user at
+    * or before the purchase. Composed Spark-first: keyed equi join with
+    * time bound, then a per-purchase window keeps the newest match
+    * (rn = 1). The oracle states the same thing as MAX(ts) under a
+    * LEFT JOIN. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").as("p")
+    val c = Tables.events(spark, dir)
+      .filter(col("event_type") === "click").as("c")
+    val joined = p.join(c,
+      col("c.user_id") === col("p.user_id") && col("c.ts") <= col("p.ts"),
+      "left_outer")
+    val w = Window.partitionBy(col("p.event_id"))
+      .orderBy(col("c.ts").desc_nulls_last)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p.event_id").as("purchase_id"),
+        col("c.ts").as("asof_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "join_inner" -> (innerJoin _),
+    "join_broadcast" -> (broadcastJoin _),
+    "join_left_outer" -> (leftOuterJoin _),
+    "join_right_outer" -> (rightOuterJoin _),
+    "join_full_outer" -> (fullOuterJoin _),
+    "join_semi" -> (semiJoin _),
+    "join_anti" -> (antiJoin _),
+    "join_theta" -> (thetaJoin _),
+    "join_cross" -> (crossJoinQ _),
+    "join_interval" -> (intervalJoin _),
+    "join_asof" -> (asofJoin _))
+
+  val sql: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderpriority,
+        | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        | CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_outer" ->
+      """SELECT o_orderkey, COUNT(l_orderkey) AS n_big,
+        | COALESCE(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS qty
+        |FROM orders LEFT JOIN lineitem
+        | ON o_orderkey = l_orderkey AND l_quantity >= 45
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
+    "join_right_outer" ->
+      """SELECT p_partkey, COUNT(l_partkey) AS n_heavy
+        |FROM lineitem RIGHT JOIN part
+        | ON l_partkey = p_partkey AND l_quantity >= 48
+        |GROUP BY p_partkey ORDER BY p_partkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT COALESCE(ca.c_nationkey, sa.s_nationkey) AS nationkey,
+        | COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY c_nationkey) ca
+        |FULL OUTER JOIN (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY s_nationkey) sa
+        | ON ca.c_nationkey = sa.s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_theta" ->
+      """SELECT s1.s_suppkey AS s_suppkey, COUNT(s2.s_suppkey) AS n_richer
+        |FROM supplier s1 LEFT JOIN supplier s2
+        | ON s1.s_nationkey = s2.s_nationkey AND s1.s_acctbal < s2.s_acctbal
+        |GROUP BY s1.s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_interval" ->
+      """SELECT s.event_id AS signup_id, COUNT(e.event_id) AS n_events_1h
+        |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN events e
+        | ON e.user_id = s.user_id AND e.ts >= s.ts
+        | AND e.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.event_id ORDER BY signup_id""".stripMargin,
+    "join_asof" ->
+      """SELECT p.event_id AS purchase_id, CAST(MAX(c.ts) AS TIMESTAMP) AS asof_click_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id AND c.ts <= p.ts
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)
+}

@@ -5,13 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev smoke for the driver's `SparkEntry.entry` contract (rows > 0). */
 object EntrySmoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.Engine.local(4)
     val df = graft.SparkEntry.entry(spark)
     df.show(20, truncate = false)
     println(s"ENTRY_ROWS=${df.count()}")
