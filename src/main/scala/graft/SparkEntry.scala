@@ -20,7 +20,11 @@ object SparkEntry {
     (JoinQueries.defs, JoinQueries.sql),
     (WindowQueries.defs, WindowQueries.sql),
     (RelationalQueries.defs, RelationalQueries.sql),
-    (ScalarQueries.defs, ScalarQueries.sql))
+    (ScalarQueries.defs, ScalarQueries.sql),
+    (TextQueries.defs, TextQueries.sql),
+    (DedupQueries.defs, DedupQueries.sql),
+    (VectorQueries.defs, VectorQueries.sql),
+    (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over documents (SURVEY.md §2b LLM-pipeline):
+  * exact (hash-groupBy), exact n-gram Jaccard (inverted-index join),
+  * MinHash+LSH, SimHash banding.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup groups on a 256-bit digest, never on raw text — the
+  *    shuffle carries 32 bytes + doc_id per row;
+  *  - the Jaccard/LSH paths shuffle (shingle|band-signature, doc_id)
+  *    pairs — candidate generation is an equi-join Catalyst plans as a
+  *    shuffled hash join, and only *candidate pairs* (not the n²
+  *    cartesian) reach verification;
+  *  - hot shingles/buckets are the skew hazard at scale: AQE skew-join
+  *    handles moderate skew, and a document-frequency cut (drop shingles
+  *    appearing in > df_max docs, standard in web-scale dedup) bounds it;
+  *    kept out of the declared queries so the oracle stays exact.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact dedup: one representative (min doc_id) per identical text.
+    * Groups on sha2-256 so the shuffle key is fixed-width; the oracle
+    * groups on raw text — identical output absent a SHA-256 collision. */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy(col("keep_id"))
+
+  /** Distinct (doc_id, 3-word-shingle) pairs — the inverted index both
+    * near-dup paths share. */
+  private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+
+  /** Exact Jaccard ≥ 0.5 pairs via inverted-index self-join: doc pairs
+    * sharing a shingle → common counts → |A∪B| from per-doc set sizes.
+    * common/union is a small-int ratio — bit-exact in any engine. */
+  def jaccardDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("s1.n_sh") + col("s2.n_sh") - col("common")).cast("double"))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val NumHashes = 32
+  private val Bands = 8
+  private val RowsPerBand = NumHashes / Bands
+
+  /** MinHash signature columns mh0..mh31: min over shingles of
+    * xxhash64(perm_index, shingle). */
+  private def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup: band signatures → bucket join → candidate
+    * pairs → exact-Jaccard verification ≥ 0.5. Approximate candidate
+    * generation (an LSH miss is possible) → no SQL oracle; ScalaTest
+    * checks recall against [[jaccardDedup]]. */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sigs = minhashSignatures(sh)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until RowsPerBand)
+          .map(j => col(s"mh${b * RowsPerBand + j}")): _*).as("sig"))
+    }
+    val bands = sigs
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val candidates = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(candidates, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** Exact Jaccard for an explicit candidate-pair set. */
+  private def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = pairs
+      .join(sh.as("sa"), col("d1") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("d2") === col("sb.doc_id") &&
+          col("sa.shingle") === col("sb.shingle"))
+      .groupBy(col("d1"), col("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("z1"), col("d1") === col("z1.doc_id"))
+      .join(sizes.as("z2"), col("d2") === col("z2.doc_id"))
+      .select(col("d1"), col("d2"),
+        (col("common").cast("double") /
+          (col("z1.n_sh") + col("z2.n_sh") - col("common")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** 64-bit SimHash: per-word xxhash64, signed bit votes weighted by
+    * term frequency, bit i set iff vote ≥ 0. */
+  private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L,
+        col("tf")).otherwise(-col("tf"))).as(s"v$i")
+    }
+    val voted = tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val sig: Column = (0 until 64).map { i =>
+      when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup: pigeonhole banding (4 × 16-bit bands — any pair
+    * at Hamming distance ≤ 3 shares at least one exact band) → candidate
+    * pairs → exact Hamming ≤ 3 via bit_count(xor). No SQL oracle
+    * (engine-specific 64-bit hashing); ScalaTest pins the invariants. */
+  def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash(spark, dir)
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("simhash"), b * 16)
+              .bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bs"))
+      .select(col("doc_id"), col("simhash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "dedup_exact" -> (exactDedup _),
+    "dedup_jaccard" -> (jaccardDedup _),
+    "dedup_minhash" -> (minhashDedup _),
+    "dedup_simhash" -> (simhashDedup _))
+
+  val sql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "dedup_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT d1, d2,
+        |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+        |FROM common
+        |JOIN sizes s1 ON d1 = s1.doc_id
+        |JOIN sizes s2 ON d2 = s2.doc_id
+        |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+        |ORDER BY d1, d2""".stripMargin)
+}

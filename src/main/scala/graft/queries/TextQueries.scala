@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over the documents corpus (SURVEY.md §2b
+  * LLM-data-pipeline extensions): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. Every query is a
+  * narrow map + final sort — no shuffle except the output ordering, so
+  * throughput scales linearly with executors at 100 TB.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Per-document stats: chars, words, tokens (BPE-ish regex), stopword
+    * ratio, punctuation ratio, composite quality score. Ratios are exact
+    * int/int double divisions — deterministic across engines. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val w = words(col("text"))
+    val nWords = size(w).cast("int")
+    val nStop = size(filter(w, x => x.isin(Stopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("int")
+    val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9\\s]")).cast("int")
+    val nChars = length(col("text")).cast("int")
+    val stopRatio = nStop.cast("double") / nWords.cast("double")
+    val punctRatio = nPunct.cast("double") / nChars.cast("double")
+    val lenScore = least(nWords.cast("double") / lit(100.0), lit(1.0))
+    d.select(
+        col("doc_id"), col("lang"), col("source"),
+        nChars.as("n_chars_txt"),
+        nWords.as("n_words"),
+        tokenCount(col("text")).cast("int").as("n_tokens"),
+        round(stopRatio, 6).as("stopword_ratio"),
+        round(punctRatio, 6).as("punct_ratio"),
+        round(lit(0.5) * stopRatio + lit(0.3) * lenScore
+          + lit(0.2) * (lit(1.0) - punctRatio), 6).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: score marker n-grams per candidate language,
+    * pick the argmax (deterministic tie order). A real model would be a
+    * trained n-gram profile; the *operator shape* — per-doc scoring +
+    * argmax, no shuffle — is identical. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val en = markerScore(col("text"), Seq("the ", "th", "er", "on"))
+    val de = markerScore(col("text"), Seq("ch", "ei", "der ", "un"))
+    val es = markerScore(col("text"), Seq("os", "ar", "el ", "la "))
+    d.select(
+        col("doc_id"), col("lang"),
+        en.cast("int").as("score_en"),
+        de.cast("int").as("score_de"),
+        es.cast("int").as("score_es"),
+        when(en >= de && en >= es, "en")
+          .when(de >= es, "de")
+          .otherwise("es").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling polynomial hash fingerprint per document. */
+  def fingerprintQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, Q] = Map(
+    "text_stats" -> (textStats _),
+    "text_langid" -> (langId _),
+    "text_fingerprint" -> (fingerprintQ _))
+
+  private val statsSql =
+    """SELECT doc_id, lang, source,
+      | CAST(length(text) AS INT) AS n_chars_txt,
+      | CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tokens,
+      | round(CAST(len(list_filter(string_split(text, ' '),
+      |   w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |  / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+      | round(CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |  / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+      | round(0.5 * (CAST(len(list_filter(string_split(text, ' '),
+      |   w -> w IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+      |  / CAST(len(string_split(text, ' ')) AS DOUBLE))
+      |  + 0.3 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+      |  + 0.2 * (1.0 - CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+      |  / CAST(length(text) AS DOUBLE)), 6) AS quality_score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  private val langIdSql =
+    """WITH scored AS (SELECT doc_id, lang,
+      | CAST(len(regexp_extract_all(text, 'the ')) + len(regexp_extract_all(text, 'th'))
+      |  + len(regexp_extract_all(text, 'er')) + len(regexp_extract_all(text, 'on')) AS INT) AS score_en,
+      | CAST(len(regexp_extract_all(text, 'ch')) + len(regexp_extract_all(text, 'ei'))
+      |  + len(regexp_extract_all(text, 'der ')) + len(regexp_extract_all(text, 'un')) AS INT) AS score_de,
+      | CAST(len(regexp_extract_all(text, 'os')) + len(regexp_extract_all(text, 'ar'))
+      |  + len(regexp_extract_all(text, 'el ')) + len(regexp_extract_all(text, 'la ')) AS INT) AS score_es
+      |FROM documents)
+      |SELECT doc_id, lang, score_en, score_de, score_es,
+      | CASE WHEN score_en >= score_de AND score_en >= score_es THEN 'en'
+      |      WHEN score_de >= score_es THEN 'de' ELSE 'es' END AS lang_pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+
+  private val fpSql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(7 AS BIGINT),
+      |     [CAST(unicode(x) AS BIGINT) for x in string_split(text, '')]),
+      |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "text_stats" -> statsSql,
+    "text_langid" -> langIdSql,
+    "text_fingerprint" -> fpSql)
+}

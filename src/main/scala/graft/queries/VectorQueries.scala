@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Similarity search over the embeddings table (SURVEY.md §2b):
+  * brute-force cosine top-k (the exactness baseline), hyperplane-LSH
+  * bucketed ANN (the scale path), cosine near-dup pairs, per-label
+  * centroids.
+  *
+  * Scale design (100 TB): brute force is O(Q·N) — fine when the query
+  * set is small and broadcastable (the shape below broadcasts Q against
+  * a partitioned corpus, so the corpus never shuffles). For N×N the LSH
+  * bucket join bounds candidates to same-bucket pairs (one shuffle on
+  * bucket id); IVF (k-means cells) drops in the same pipeline shape.
+  * Cosine ranks on round(·,6) so ordering never depends on last-ulp
+  * float noise.
+  */
+object VectorQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Brute-force cosine top-5 per query (queries = vec_id < 20).
+    * The query side is tiny → broadcast; corpus side stays partitioned;
+    * ranking is a per-query-key window, no global sort. */
+  def topK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"))
+    val scored = t.join(broadcast(q), col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** All-pairs cosine ≥ 0.4 (embedding near-dup shape). Brute force is
+    * the oracle-checkable baseline; the LSH query below is the scale
+    * path for the same question. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"))
+    val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** ANN via random-hyperplane LSH: 8 sign bits → 256 buckets; nearest
+    * neighbor searched within the bucket only. Approximate (no oracle);
+    * ScalaTest measures recall against [[topK]]. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val ps = planes(8, 64)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        hyperplaneBucket(col("embedding"), ps).as("bucket"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("bucket"))
+    val scored = t.join(broadcast(q),
+        t("bucket") === q("bucket") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Per-label, per-dimension centroid, mean rounded to 6 decimals.
+    * (Float→decimal casts disagree between engines — Spark rounds the
+    * shortest double repr — so the sum runs in plain double; with ~100s
+    * of ~0.2-magnitude addends the association error is ~1e-14, far
+    * inside the 5e-7 rounding granularity. The typed Aggregator in
+    * graft.functions is the single-pass scale path for the same
+    * computation; ScalaTest proves them equal.) */
+  def centroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(sum(col("x").cast(DoubleType)) / count(lit(1)), 6)
+        .as("mean"))
+      .orderBy(col("label"), col("pos"))
+
+  val defs: Map[String, Q] = Map(
+    "sim_topk" -> (topK _),
+    "sim_cosine_neardup" -> (cosineNearDup _),
+    "sim_ann_lsh" -> (annLsh _),
+    "sim_centroids" -> (centroids _))
+
+  private val cosExpr =
+    """SUM(CAST(q.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)) /
+      |   sqrt(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
+      |       * SUM(CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "sim_topk" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+         |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE tid <> qid GROUP BY qid, tid),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "sim_cosine_neardup" ->
+      s"""WITH q AS (SELECT vec_id AS d1, embedding AS qv FROM embeddings),
+         |t AS (SELECT vec_id AS d2, embedding AS tv FROM embeddings),
+         |scored AS (
+         | SELECT d1, d2, round(${cosExpr.replace("q.qv", "q.qv").replace("t.tv", "t.tv")}, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE d1 < d2 GROUP BY d1, d2)
+         |SELECT d1, d2, cos FROM scored WHERE cos >= 0.4
+         |ORDER BY d1, d2""".stripMargin,
+    "sim_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS pos,
+        | round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS mean
+        |FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS r(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin)
+}
