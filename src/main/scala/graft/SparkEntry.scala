@@ -21,6 +21,7 @@ object SparkEntry {
     (WindowQueries.defs, WindowQueries.sql),
     (RelationalQueries.defs, RelationalQueries.sql),
     (ScalarQueries.defs, ScalarQueries.sql),
+    (SourceQueries.defs, SourceQueries.sql),
     (TextQueries.defs, TextQueries.sql),
     (DedupQueries.defs, DedupQueries.sql),
     (VectorQueries.defs, VectorQueries.sql),

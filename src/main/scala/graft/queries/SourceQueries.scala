@@ -1,0 +1,79 @@
+package graft.queries
+
+import java.nio.file.Paths
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source/sink surface (SURVEY.md §2b "Scans / sources / sinks"): the
+  * custom Arrow IPC DSv2, CSV with schema inference, and JSON parsing —
+  * each exercised end-to-end by routing fixture data *through* the
+  * source and aggregating, with the oracle computing the same aggregate
+  * straight from parquet. A hash match proves the source round-trips
+  * losslessly, not just that it "reads something".
+  */
+object SourceQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def tmp(kind: String, sfDir: String): String =
+    Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_rt_${kind}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+
+  /** parquet → Arrow IPC (zstd) → read back through the DSv2 → aggregate. */
+  def arrowRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrow", dir)
+    Tables.lineitem(spark, dir).write.format("arrow")
+      .option("codec", "zstd").mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .filter(col("l_quantity") >= 10.0) // pushed into the arrow reader
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** parquet → headered CSV → read back with schema inference → aggregate
+    * (the classic storage-engine `Load` with inferred schema). */
+  def csvInferAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("csv", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.option("header", "true").mode("overwrite").csv(out)
+    spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** JSON parsing with an explicit schema: events.props → struct → agg. */
+  def jsonKvAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"), "k INT", Map.empty[String, String])
+          .getField("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
+  val defs: Map[String, Q] = Map(
+    "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
+    "csv_infer_agg" -> (csvInferAgg _),
+    "json_kv_agg" -> (jsonKvAgg _))
+
+  val sql: Map[String, String] = Map(
+    "arrow_roundtrip_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "csv_infer_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "json_kv_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

@@ -1,0 +1,164 @@
+package graft.sources.arrow
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.vector.ipc.ArrowFileReader
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
+
+/** Scan pipeline for the Arrow IPC source.
+  *
+  * Column pruning (`SupportsPushDownRequiredColumns`) is the essence of
+  * a columnar storage engine: only requested fields are materialized —
+  * Arrow IPC lays each column in separate buffers, so unrequested
+  * columns are never even wrapped (the loaded record batch is shared,
+  * but Spark only sees pruned vectors, and the filter/projection work
+  * never touches them).
+  *
+  * Filter pushdown (`SupportsPushDownFilters`) claims the predicates
+  * [[FilterEval]] can evaluate and applies them inside the reader; when
+  * no filters are pushed the scan stays fully columnar
+  * (PartitionReader[ColumnarBatch] of zero-copy ArrowColumnVectors).
+  */
+class ArrowScanBuilder(path: String, schema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var readSchema: StructType = schema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(required: StructType): Unit = {
+    // Preserve file field order for stable reader ordinals.
+    val requested = required.fieldNames.toSet
+    readSchema = StructType(schema.fields.filter(f => requested(f.name)))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (claimed, residual) =
+      filters.partition(f => FilterEval.supported(schema, f))
+    pushed = claimed
+    residual // Catalyst keeps evaluating these above the scan.
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = {
+    // The reader must see every column a pushed filter references even
+    // when the projection pruned it away (e.g. count(*) over a filter).
+    val filterRefs = pushed.flatMap(_.references).toSet
+    val have = readSchema.fieldNames.toSet
+    val withRefs = StructType(readSchema.fields ++
+      schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
+    new ArrowScan(path, withRefs, pushed)
+  }
+}
+
+class ArrowScan(path: String, schema: StructType, filters: Array[Filter])
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
+      s"pushed=[${filters.mkString(",")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ArrowDataSource.listIpcFiles(path)
+      .map(p => ArrowFilePartition(p.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(schema, filters)
+}
+
+case class ArrowFilePartition(file: String) extends InputPartition
+
+class ArrowReaderFactory(schema: StructType, filters: Array[Filter])
+    extends PartitionReaderFactory {
+
+  // Columnar only when nothing needs row-at-a-time filtering.
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    filters.isEmpty
+
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val file = partition.asInstanceOf[ArrowFilePartition].file
+    new ArrowRowReader(file, schema, filters)
+  }
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val file = partition.asInstanceOf[ArrowFilePartition].file
+    new ArrowBatchReader(file, schema)
+  }
+}
+
+/** Shared reader mechanics: iterate IPC record batches, exposing each as
+  * a ColumnarBatch of the pruned columns. */
+private[arrow] abstract class ArrowReaderBase(file: String, schema: StructType) {
+  protected val channel: FileChannel =
+    FileChannel.open(Paths.get(file), StandardOpenOption.READ)
+  protected val reader: ArrowFileReader =
+    new ArrowFileReader(channel, ArrowDataSource.allocator,
+      CommonsCompressionFactory.INSTANCE)
+  protected val root = reader.getVectorSchemaRoot
+  private val ordinals: Array[Int] = {
+    val fileFields = root.getSchema.getFields.asScala.map(_.getName)
+    schema.fieldNames.map(n => fileFields.indexOf(n))
+  }
+
+  protected def nextBatch(): Option[ColumnarBatch] =
+    if (!reader.loadNextBatch()) None
+    else {
+      val vectors: Array[ColumnVector] = ordinals.map(i =>
+        new ArrowColumnVector(root.getVector(i)): ColumnVector)
+      Some(new ColumnarBatch(vectors, root.getRowCount))
+    }
+
+  def closeAll(): Unit = { reader.close(); channel.close() }
+}
+
+class ArrowBatchReader(file: String, schema: StructType)
+    extends ArrowReaderBase(file, schema) with PartitionReader[ColumnarBatch] {
+  private var current: ColumnarBatch = _
+  override def next(): Boolean = nextBatch() match {
+    case Some(b) => current = b; true
+    case None => false
+  }
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = closeAll()
+}
+
+class ArrowRowReader(file: String, schema: StructType, filters: Array[Filter])
+    extends ArrowReaderBase(file, schema) with PartitionReader[InternalRow] {
+  private val predicate: InternalRow => Boolean =
+    if (filters.isEmpty) _ => true
+    else {
+      val compiled = filters.map(FilterEval.compile(schema, _))
+      row => compiled.forall(_(row))
+    }
+  private var rows: java.util.Iterator[InternalRow] =
+    java.util.Collections.emptyIterator()
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (true) {
+      while (rows.hasNext) {
+        val r = rows.next()
+        if (predicate(r)) { current = r; return true }
+      }
+      nextBatch() match {
+        case Some(b) => rows = b.rowIterator()
+        case None => return false
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = closeAll()
+}

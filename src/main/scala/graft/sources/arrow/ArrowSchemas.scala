@@ -1,0 +1,92 @@
+package graft.sources.arrow
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.types._
+
+/** Spark `StructType` ↔ Arrow `Schema` conversion for the graft Arrow
+  * IPC source — the type surface the reference's storage engine intends
+  * to hold (Arrow columnar tables, `/root/reference/CMakeLists.txt:103`)
+  * plus what the fixtures need (`timestamp`, `list<float>`).
+  *
+  * Deliberately self-contained: Spark's own ArrowUtils is private[sql],
+  * and coding against the public Arrow 18 API keeps this source
+  * independent of Spark internals.
+  */
+object ArrowSchemas {
+
+  def toArrowType(dt: DataType): ArrowType = dt match {
+    case BooleanType => ArrowType.Bool.INSTANCE
+    case ByteType => new ArrowType.Int(8, true)
+    case ShortType => new ArrowType.Int(16, true)
+    case IntegerType => new ArrowType.Int(32, true)
+    case LongType => new ArrowType.Int(64, true)
+    case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+    case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+    case StringType => ArrowType.Utf8.INSTANCE
+    case BinaryType => ArrowType.Binary.INSTANCE
+    case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
+    case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+    case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case other => throw new UnsupportedOperationException(
+      s"graft arrow source: unsupported Spark type $other")
+  }
+
+  def toArrowField(name: String, dt: DataType, nullable: Boolean): Field =
+    dt match {
+      case ArrayType(elem, containsNull) =>
+        new Field(name, new FieldType(nullable, ArrowType.List.INSTANCE, null),
+          List(toArrowField("element", elem, containsNull)).asJava)
+      case StructType(fields) =>
+        new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
+          fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
+      case simple =>
+        new Field(name, new FieldType(nullable, toArrowType(simple), null),
+          List.empty[Field].asJava)
+    }
+
+  def toArrowSchema(schema: StructType): ArrowSchema =
+    new ArrowSchema(
+      schema.fields.map(f => toArrowField(f.name, f.dataType, f.nullable))
+        .toList.asJava)
+
+  def fromArrowType(t: ArrowType): DataType = t match {
+    case _: ArrowType.Bool => BooleanType
+    case i: ArrowType.Int if i.getIsSigned => i.getBitWidth match {
+      case 8 => ByteType
+      case 16 => ShortType
+      case 32 => IntegerType
+      case 64 => LongType
+      case w => throw new UnsupportedOperationException(s"int width $w")
+    }
+    case f: ArrowType.FloatingPoint => f.getPrecision match {
+      case FloatingPointPrecision.SINGLE => FloatType
+      case FloatingPointPrecision.DOUBLE => DoubleType
+      case p => throw new UnsupportedOperationException(s"fp precision $p")
+    }
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Date => DateType
+    case ts: ArrowType.Timestamp =>
+      if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case other => throw new UnsupportedOperationException(
+      s"graft arrow source: unsupported Arrow type $other")
+  }
+
+  def fromArrowField(f: Field): StructField = f.getType match {
+    case _: ArrowType.List =>
+      val elem = fromArrowField(f.getChildren.get(0))
+      StructField(f.getName, ArrayType(elem.dataType, elem.nullable),
+        f.isNullable)
+    case _: ArrowType.Struct =>
+      StructField(f.getName,
+        StructType(f.getChildren.asScala.map(fromArrowField).toArray),
+        f.isNullable)
+    case t => StructField(f.getName, fromArrowType(t), f.isNullable)
+  }
+
+  def fromArrowSchema(schema: ArrowSchema): StructType =
+    StructType(schema.getFields.asScala.map(fromArrowField).toArray)
+}

@@ -1,0 +1,204 @@
+package graft.sources.arrow
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.complex.ListVector
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.dictionary.DictionaryProvider
+import org.apache.arrow.vector.ipc.ArrowFileWriter
+import org.apache.arrow.vector.ipc.message.IpcOption
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types._
+
+/** Write path: one Arrow IPC file per task, record batches of
+  * `BatchRows` rows, optional lz4/zstd buffer compression
+  * (`option("codec", "lz4"|"zstd")` — the reference's declared
+  * "custom compression" surface, BASELINE.json:6).
+  *
+  * Commit protocol: tasks write `part-<pid>-<tid>-<uuid>.arrow` straight
+  * into the target directory and report the file in their commit
+  * message; task abort deletes the partial file. Truncate-on-overwrite
+  * clears pre-existing `.arrow` files on the driver before tasks launch.
+  */
+class ArrowWriteBuilder(path: String, schema: StructType,
+    codec: Option[String]) extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ArrowBatchWrite(path, schema, codec, doTruncate)
+  }
+}
+
+case class ArrowCommitMessage(file: String) extends WriterCommitMessage
+
+class ArrowBatchWrite(path: String, schema: StructType,
+    codec: Option[String], doTruncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (doTruncate) {
+      ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
+    }
+    new ArrowWriterFactory(path, schema, codec)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ArrowCommitMessage(f) =>
+      Files.deleteIfExists(Paths.get(f))
+    }
+}
+
+class ArrowWriterFactory(path: String, schema: StructType,
+    codec: Option[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] =
+    new ArrowDataWriter(path, schema, codec, partitionId, taskId)
+}
+
+class ArrowDataWriter(path: String, schema: StructType,
+    codec: Option[String], partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val BatchRows = 8192
+
+  private val file: Path = Paths.get(path,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.arrow")
+  private val allocator = ArrowDataSource.allocator
+    .newChildAllocator(s"arrow-writer-$partitionId-$taskId", 0, Long.MaxValue)
+  private val root = VectorSchemaRoot.create(
+    ArrowSchemas.toArrowSchema(schema), allocator)
+  private val channel: FileChannel = FileChannel.open(file,
+    StandardOpenOption.CREATE, StandardOpenOption.WRITE,
+    StandardOpenOption.TRUNCATE_EXISTING)
+  private val writer: ArrowFileWriter = codec.map(_.toLowerCase) match {
+    case None =>
+      new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
+        channel)
+    case Some(c) =>
+      val codecType = c match {
+        case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+        case "zstd" => CompressionUtil.CodecType.ZSTD
+        case other => throw new IllegalArgumentException(
+          s"arrow codec must be lz4 or zstd, got $other")
+      }
+      new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
+        channel, new java.util.HashMap[String, String](), new IpcOption(),
+        CommonsCompressionFactory.INSTANCE, codecType)
+  }
+  writer.start()
+
+  private val fields = schema.fields
+  private var rowIdx = 0
+
+  override def write(row: InternalRow): Unit = {
+    var i = 0
+    while (i < fields.length) {
+      writeValue(root.getVector(i), fields(i).dataType, row, i, rowIdx)
+      i += 1
+    }
+    rowIdx += 1
+    if (rowIdx >= BatchRows) flush()
+  }
+
+  private def writeValue(vector: FieldVector, dt: DataType, row: InternalRow,
+      col: Int, idx: Int): Unit = {
+    if (row.isNullAt(col)) {
+      vector match {
+        case v: BaseFixedWidthVector => v.setNull(idx)
+        case v: BaseVariableWidthVector => v.setNull(idx)
+        case v: ListVector => v.setNull(idx)
+        case v => throw new UnsupportedOperationException(s"null for $v")
+      }
+      return
+    }
+    (vector, dt) match {
+      case (v: BigIntVector, LongType) => v.setSafe(idx, row.getLong(col))
+      case (v: IntVector, IntegerType) => v.setSafe(idx, row.getInt(col))
+      case (v: SmallIntVector, ShortType) => v.setSafe(idx, row.getShort(col))
+      case (v: TinyIntVector, ByteType) => v.setSafe(idx, row.getByte(col))
+      case (v: Float8Vector, DoubleType) => v.setSafe(idx, row.getDouble(col))
+      case (v: Float4Vector, FloatType) => v.setSafe(idx, row.getFloat(col))
+      case (v: BitVector, BooleanType) =>
+        v.setSafe(idx, if (row.getBoolean(col)) 1 else 0)
+      case (v: VarCharVector, StringType) =>
+        v.setSafe(idx, row.getUTF8String(col).getBytes)
+      case (v: VarBinaryVector, BinaryType) =>
+        v.setSafe(idx, row.getBinary(col))
+      case (v: TimeStampMicroTZVector, TimestampType) =>
+        v.setSafe(idx, row.getLong(col))
+      case (v: TimeStampMicroVector, TimestampNTZType) =>
+        v.setSafe(idx, row.getLong(col))
+      case (v: DateDayVector, DateType) => v.setSafe(idx, row.getInt(col))
+      case (v: ListVector, ArrayType(elem, _)) =>
+        writeList(v, elem, row.getArray(col), idx)
+      case (v, t) => throw new UnsupportedOperationException(
+        s"graft arrow writer: $t into ${v.getClass.getSimpleName}")
+    }
+  }
+
+  private def writeList(v: ListVector, elem: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, idx: Int): Unit = {
+    val w = v.getWriter
+    w.setPosition(idx)
+    w.startList()
+    var j = 0
+    val n = arr.numElements()
+    while (j < n) {
+      elem match {
+        case FloatType => w.float4().writeFloat4(arr.getFloat(j))
+        case DoubleType => w.float8().writeFloat8(arr.getDouble(j))
+        case LongType => w.bigInt().writeBigInt(arr.getLong(j))
+        case IntegerType => w.integer().writeInt(arr.getInt(j))
+        case StringType =>
+          val bytes = arr.getUTF8String(j).getBytes
+          val buf = allocator.buffer(bytes.length)
+          try {
+            buf.writeBytes(bytes)
+            w.varChar().writeVarChar(0, bytes.length, buf)
+          } finally buf.close()
+        case other => throw new UnsupportedOperationException(
+          s"graft arrow writer: list<$other>")
+      }
+      j += 1
+    }
+    w.endList()
+  }
+
+  private def flush(): Unit = {
+    if (rowIdx > 0) {
+      root.setRowCount(rowIdx)
+      writer.writeBatch()
+      root.allocateNew() // reset vectors for the next batch
+      rowIdx = 0
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flush()
+    writer.end(); writer.close(); channel.close()
+    root.close(); allocator.close()
+    ArrowCommitMessage(file.toString)
+  }
+
+  override def abort(): Unit = {
+    try { writer.close(); channel.close(); root.close(); allocator.close() }
+    catch { case _: Throwable => () }
+    Files.deleteIfExists(file)
+  }
+
+  override def close(): Unit = ()
+}
