@@ -25,6 +25,7 @@ object SparkEntry {
     (TextQueries.defs, TextQueries.sql),
     (DedupQueries.defs, DedupQueries.sql),
     (VectorQueries.defs, VectorQueries.sql),
+    (StreamQueries.defs, StreamQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-mode declarations of the streaming windows (Spark guarantees
+  * batch/stream semantic parity for time-window aggregations, so the
+  * DuckDB oracle checks the streaming semantics; the readStream
+  * execution of the same transforms is exercised in StreamingSpec).
+  */
+object StreamQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** Sliding 1-hour window, 15-minute slide, per event type. */
+  def sliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+      .orderBy(col("w_start"), col("event_type"))
+
+  /** 30-minute-gap session windows per user (oracle: gaps-and-islands —
+    * a new session starts when the gap to the previous event is ≥ the
+    * timeout, matching session_window's [ts, ts+gap) merge rule). */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"),
+        col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val defs: Map[String, Q] = Map(
+    "stream_tumbling" -> (tumbling _),
+    "stream_sliding" -> (sliding _),
+    "stream_sessions" -> (sessions _))
+
+  val sql: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
+        | event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """SELECT CAST(time_bucket(INTERVAL 15 MINUTE, ts)
+        |   - k.i * INTERVAL 15 MINUTE AS TIMESTAMP) AS w_start,
+        | event_type, COUNT(*) AS n
+        |FROM events, UNNEST(range(0, 4)) AS k(i)
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "stream_sessions" ->
+      """WITH marked AS (
+        | SELECT user_id, ts, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |        OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+        |       THEN 1 ELSE 0 END AS new_s
+        | FROM events
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        | SELECT user_id, ts, value,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM marked)
+        |SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start, user_id,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)
+}

@@ -23,17 +23,30 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object VectorQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Embeddings extended with their squared norm, computed ONCE per
+    * vector by the codegen'd [[graft.functions.DotProduct]] — the N²
+    * similarity scans below then do a single fused dot per pair instead
+    * of three lambda folds. */
+  private def withNorm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    Tables.embeddings(spark, dir)
+      .withColumn("nsq", expr("graft_dot(embedding, embedding)"))
+  }
+
   /** Brute-force cosine top-5 per query (queries = vec_id < 20).
     * The query side is tiny → broadcast; corpus side stays partitioned;
     * ranking is a per-query-key window, no global sort. */
   def topK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
+    val e = withNorm(spark, dir)
     val q = e.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("nsq").as("t_nsq"))
     val scored = t.join(broadcast(q), col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"),
-        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("tid").asc)
     scored.withColumn("rn", row_number().over(w))
@@ -46,12 +59,15 @@ object VectorQueries {
     * the oracle-checkable baseline; the LSH query below is the scale
     * path for the same question. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"))
-    val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"))
+    val e = withNorm(spark, dir)
+    val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+      col("nsq").as("nsq1"))
+    val b = e.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+      col("nsq").as("nsq2"))
     a.join(b, col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(cosine(col("v1"), col("v2")), 6).as("cos"))
+        round(expr("graft_dot(v1, v2)") /
+          sqrt(col("nsq1") * col("nsq2")), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy(col("d1"), col("d2"))
   }
@@ -61,18 +77,19 @@ object VectorQueries {
     * ScalaTest measures recall against [[topK]]. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val ps = planes(8, 64)
-    val e = Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"),
+    val e = withNorm(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nsq"),
         hyperplaneBucket(col("embedding"), ps).as("bucket"))
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
-        col("bucket"))
+        col("nsq").as("q_nsq"), col("bucket").as("q_bucket"))
     val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
-      col("bucket"))
+      col("nsq").as("t_nsq"), col("bucket").as("t_bucket"))
     val scored = t.join(broadcast(q),
-        t("bucket") === q("bucket") && col("tid") =!= col("qid"))
+        col("t_bucket") === col("q_bucket") && col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"),
-        round(cosine(col("qv"), col("tv")), 6).as("cos"))
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("tid").asc)
     scored.withColumn("rn", row_number().over(w))

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming surface (SURVEY.md §2b "Streaming"): the same transforms
+  * run on a batch DataFrame (oracle-checkable; Spark guarantees
+  * batch/stream semantic parity for these operators) and on
+  * `readStream` sources (exercised in ScalaTest with file-backed
+  * micro-batches).
+  *
+  * Scale notes: every aggregation below keys on (window/user) so state
+  * is hash-partitioned across executors; watermarks bound state size —
+  * without one, 100 TB of stream history accumulates in the state
+  * store. `transformWithState`-style custom logic is shown with
+  * `flatMapGroupsWithState` + explicit timeout so sessions get evicted.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumblingCounts(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes")
+    else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  /** Sliding 1-hour windows every 15 minutes, per event type. */
+  def slidingCounts(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes")
+    else events
+    src.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+  }
+
+  /** Session windows with a 30-minute gap, per user. */
+  def sessionCounts(events: DataFrame, withWatermark: Boolean): DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes")
+    else events
+    src.groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"))
+  }
+
+  /** Stateful dedup by event_id within the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class SessState(n_events: Int, total_value: Double,
+      last_ts_ms: Long)
+  final case class SessionSummary(user_id: Long, n_events: Int,
+      total_value: Double)
+
+  /** Gap between a user's last event and session eviction. */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Arbitrary stateful processing: per-user session summaries via
+    * flatMapGroupsWithState with an event-time timeout — the session
+    * closes (and its state is evicted) once the watermark passes
+    * last-event + gap. Event-time timeout + watermark is what keeps
+    * state bounded when replaying 100 TB of history: eviction tracks
+    * data time, not wall-clock. Input must carry a watermark on `ts`. */
+  def statefulSessions(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionSummary](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption
+              .map(s => SessionSummary(userId, s.n_events, s.total_value))
+              .iterator
+            state.remove()
+            out
+          } else {
+            val prev = state.getOption.getOrElse(SessState(0, 0.0, 0L))
+            var n = prev.n_events
+            var v = prev.total_value
+            var last = prev.last_ts_ms
+            rows.foreach { e =>
+              n += 1; v += e.value; last = math.max(last, e.ts.getTime)
+            }
+            state.update(SessState(n, v, last))
+            state.setTimeoutTimestamp(last + SessionGapMs)
+            Iterator.empty
+          }
+      }
+  }
+}

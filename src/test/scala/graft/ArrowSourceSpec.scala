@@ -1,0 +1,111 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arrow IPC DSv2: round-trip equality (the storage contract,
+  * SURVEY.md §5), compression codecs, column pruning, filter pushdown
+  * correctness, overwrite truncation, and a ScalaCheck round-trip
+  * property over generated typed rows. */
+class ArrowSourceSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private def tmpDir(): String =
+    Files.createTempDirectory("arrow_spec").toString
+
+  private def bagEqual(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  for (codec <- Seq(None, Some("lz4"), Some("zstd"))) {
+    test(s"round-trip lineitem + embeddings + events, codec=$codec") {
+      for (t <- Seq("lineitem", "embeddings", "events")) {
+        val src = if (t == "events") Tables.events(spark, TestSession.Sf)
+        else Tables.load(spark, TestSession.Sf, t)
+        val dir = tmpDir()
+        val w = src.write.format("arrow").mode("overwrite")
+        codec.fold(w)(c => w.option("codec", c)).save(dir)
+        val back = spark.read.format("arrow").load(dir)
+        assert(back.schema == src.schema, s"$t schema")
+        assert(bagEqual(src, back), s"$t data")
+      }
+    }
+  }
+
+  test("column pruning reaches the arrow scan") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "lineitem")
+      .write.format("arrow").mode("overwrite").save(dir)
+    val pruned = spark.read.format("arrow").load(dir)
+      .select("l_orderkey", "l_quantity")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("pruned=[l_orderkey,l_quantity]"),
+      s"scan not pruned:\n$scanDesc")
+  }
+
+  test("filter pushdown filters correctly inside the reader") {
+    val dir = tmpDir()
+    val src = Tables.load(spark, TestSession.Sf, "orders")
+    src.write.format("arrow").mode("overwrite").save(dir)
+    val arrow = spark.read.format("arrow").load(dir)
+    val conds = Seq(
+      col("o_totalprice") > 150000.0,
+      col("o_orderstatus") === "F" && col("o_custkey") < 50,
+      col("o_orderpriority").isin("1-URGENT", "5-LOW"),
+      col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+    for (c <- conds) {
+      val viaArrow = arrow.filter(c)
+      assert(viaArrow.queryExecution.executedPlan.toString.contains("pushed=["))
+      assert(bagEqual(viaArrow, src.filter(c)), s"filter $c")
+    }
+  }
+
+  test("count over pushed filter (zero projected columns) works") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "orders")
+      .write.format("arrow").mode("overwrite").save(dir)
+    val n = spark.read.format("arrow").load(dir)
+      .filter(col("o_totalprice") > 150000.0).count()
+    val expected = Tables.load(spark, TestSession.Sf, "orders")
+      .filter(col("o_totalprice") > 150000.0).count()
+    assert(n == expected)
+  }
+
+  test("overwrite truncates previous files") {
+    val dir = tmpDir()
+    val src = Tables.load(spark, TestSession.Sf, "region")
+    src.write.format("arrow").mode("append").save(dir)
+    src.write.format("arrow").mode("overwrite").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == src.count())
+  }
+
+  private val genRow = for {
+    a <- Gen.choose(Long.MinValue + 1, Long.MaxValue)
+    b <- Gen.option(Gen.choose(-1e12, 1e12))
+    s <- Gen.alphaNumStr.map(_.take(40))
+    f <- Gen.choose(-1e6f, 1e6f)
+  } yield ArrowSourceSpec.Row4(a, b, s, f)
+
+  test("property: generated typed rows round-trip exactly") {
+    import spark.implicits._
+    val listGen = Gen.listOfN(50, genRow)
+    for (trial <- 0 until 10) {
+      val rows = listGen.pureApply(Gen.Parameters.default,
+        Seed(42L + trial))
+      val dir = tmpDir()
+      val src = spark.createDataset(rows).toDF()
+      src.write.format("arrow").mode("overwrite").save(dir)
+      val back = spark.read.format("arrow").load(dir)
+      assert(bagEqual(src, back), s"trial $trial")
+    }
+  }
+}
+
+object ArrowSourceSpec {
+  /** Top-level so Spark can synthesize an encoder. */
+  case class Row4(a: Long, b: Option[Double], s: String, f: Float)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.queries.{DedupQueries, VectorQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Approximate-operator guarantees that the SQL oracle cannot check:
+  * MinHash recall vs exact Jaccard, SimHash finds the near-identical
+  * pairs, ANN recall vs brute force, typed Aggregator == declarative
+  * centroid. */
+class DedupSimSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("minhash LSH candidates recover every exact-Jaccard>=0.5 pair") {
+    val exact = DedupQueries.jaccardDedup(spark, TestSession.Sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = DedupQueries.minhashDedup(spark, TestSession.Sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall; missed ${exact -- lsh}")
+    // verification step guarantees no false positives
+    assert((lsh -- exact).isEmpty)
+  }
+
+  test("simhash flags pairs that exact Jaccard also flags") {
+    val sim = DedupQueries.simhashDedup(spark, TestSession.Sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = DedupQueries.jaccardDedup(spark, TestSession.Sf)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sim.nonEmpty)
+    // SimHash is the weakest signal of the three on tiny word-soup docs
+    // (64 bits over ≤ 31-word vocabularies collide easily) — require
+    // "mostly right", not parity with exact Jaccard.
+    val precision = (sim & exact).size.toDouble / sim.size
+    assert(precision >= 0.7, s"simhash precision $precision vs exact")
+  }
+
+  test("ANN results are true neighbors within their bucket (subset of "
+      + "brute-force ranking by construction)") {
+    val ann = VectorQueries.annLsh(spark, TestSession.Sf)
+    val brute = VectorQueries.topK(spark, TestSession.Sf)
+    // Every (qid,tid) ANN returns must score identically under the
+    // brute-force cosine (same scoring function).
+    val annPairs = ann.select("qid", "tid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brutePairs = brute.select("qid", "tid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val overlap = annPairs.keySet & brutePairs.keySet
+    overlap.foreach { k => assert(annPairs(k) == brutePairs(k)) }
+    assert(ann.count() > 0)
+  }
+
+  test("codegen'd graft_dot equals the built-in zip_with/aggregate fold") {
+    graft.functions.DotProduct.register(spark)
+    val diffs = Tables.embeddings(spark, TestSession.Sf).as("a")
+      .crossJoin(Tables.embeddings(spark, TestSession.Sf)
+        .limit(3).select(col("embedding").as("probe")))
+      .select(
+        expr("graft_dot(embedding, probe)").as("fast"),
+        graft.functions.VectorFunctions.dotD(col("embedding"), col("probe"))
+          .as("composed"))
+      .filter(col("fast") =!= col("composed"))
+      .count()
+    assert(diffs == 0, "graft_dot must be bit-identical to the composition")
+  }
+
+  test("typed VectorMeanAgg equals the declarative centroid query") {
+    import spark.implicits._
+    val agg = Tables.embeddings(spark, TestSession.Sf)
+      .select(col("label"), col("embedding"))
+      .as[(Int, Seq[Float])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(graft.functions.VectorMeanAgg.toColumn.name("centroid"))
+      .collect().toMap
+    val declared = VectorQueries.centroids(spark, TestSession.Sf)
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (label, rows) =>
+        label -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(agg.keySet == declared.keySet)
+    // declared means are round(·,6); aggregator means are raw doubles
+    // with a different (single-pass) summation order — compare within
+    // the rounding granularity.
+    for ((label, vec) <- declared; (g, v) <- agg(label).zip(vec)) {
+      assert(math.abs(g - v) < 6e-7, s"label $label: $g vs $v")
+    }
+  }
+}

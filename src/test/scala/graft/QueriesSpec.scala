@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke-level invariants for every declared query: runs on sf0.001,
+  * returns rows, and its oracle entry (if any) references only fixture
+  * tables. The deep correctness gate is the driver's DuckDB compare
+  * (tools/parity.py locally). */
+class QueriesSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val unknown = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(unknown.isEmpty, s"oracle entries without queries: $unknown")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name returns rows on sf0.001") {
+      val df = fn(spark, TestSession.Sf)
+      val n = df.count()
+      // set_intersect legitimately can be small; everything must be >= 0
+      // and the bulk of queries must produce data.
+      assert(n >= 0)
+      if (!Set("set_intersect", "dedup_jaccard", "dedup_minhash",
+        "dedup_simhash", "sim_cosine_neardup").contains(name)) {
+        assert(n > 0, s"$name returned no rows")
+      }
+    }
+  }
+
+  test("q1 aggregates match a hand-computed slice") {
+    import org.apache.spark.sql.functions._
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, TestSession.Sf)
+    val li = Tables.lineitem(spark, TestSession.Sf)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val expected = li.count()
+    val got = df.agg(sum(col("count_order"))).head.getLong(0)
+    assert(got == expected)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.{Event, SessionSummary}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming execution of the streaming surface: file-backed
+  * and MemoryStream micro-batches driven synchronously
+  * (processAllAvailable), checked against the batch run of the same
+  * transform — Spark's batch/stream parity makes the batch result the
+  * oracle. */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def eventsBatch = Tables.events(spark, TestSession.Sf)
+
+  /** The file stream source needs a directory; the fixture is a single
+    * parquet file, so stage it into a temp dir once. */
+  private lazy val eventsStreamDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${TestSession.Sf}/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toString
+  }
+
+  private def eventsStream = spark.readStream
+    .schema(Tables.load(spark, TestSession.Sf, "events").schema)
+    .parquet(eventsStreamDir)
+    .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+
+  test("streamed tumbling window (complete mode) equals batch") {
+    val stream = eventsStream
+    val agg = StreamingOps.tumblingCounts(stream, withWatermark = false)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling_out")
+    val batch = StreamingOps.tumblingCounts(eventsBatch, withWatermark = false)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty)
+    assert(streamed.count() > 0)
+  }
+
+  test("watermarked session windows emit finalized sessions (append)") {
+    val agg = StreamingOps.sessionCounts(eventsStream, withWatermark = true)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions_out")
+    // append mode only emits sessions sealed by the final watermark —
+    // every emitted session must match the batch computation exactly.
+    val batch = StreamingOps.sessionCounts(eventsBatch, withWatermark = false)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed sessions must be a subset of batch sessions")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups a re-delivered stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val base = Seq(
+      Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2L, Timestamp.valueOf("2024-01-01 10:01:00"), 1L, "view", 2.0),
+      Event(3L, Timestamp.valueOf("2024-01-01 10:02:00"), 2L, "click", 3.0))
+    mem.addData(base: _*)
+    mem.addData(base: _*) // exact re-delivery (at-least-once duplicate)
+    val dedup = StreamingOps.dedupWithinWatermark(mem.toDF())
+    val q = dedup.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("dedup_out").select("event_id").distinct().count() == 3)
+    assert(spark.table("dedup_out").count() == 3)
+  }
+
+  test("flatMapGroupsWithState sessions emit on event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.5),
+      Event(2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view", 2.5),
+      Event(3L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "click", 4.0))
+    val withWm = mem.toDS()
+      .withWatermark("ts", "1 minute")
+      .as[Event]
+    val out = StreamingOps.statefulSessions(withWm)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("stateful_out").start()
+    try {
+      q.processAllAvailable()
+      // advance the watermark far past both sessions → timeout fires
+      mem.addData(Event(99L,
+        Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(100L,
+        Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val results = spark.table("stateful_out").as[SessionSummary]
+      .collect().map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+    assert(results.get(1L).contains((2, 4.0)), s"got $results")
+    assert(results.get(2L).contains((1, 4.0)), s"got $results")
+  }
+}
