@@ -26,6 +26,7 @@ object SparkEntry {
     (DedupQueries.defs, DedupQueries.sql),
     (VectorQueries.defs, VectorQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
+    (SqlQueries.defs, SqlQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

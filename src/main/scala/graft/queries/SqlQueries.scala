@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** SQL-API surface (SURVEY.md §3/§4): queries declared as SQL text over
+  * registered views, exercising Catalyst's subquery decorrelation
+  * (correlated scalar + EXISTS rewrites to joins — free via the SQL
+  * API), explicit GROUPING SETS, plus a hand-salted two-phase
+  * aggregation — the standard skew-defeating shape at 100 TB, with the
+  * plain GROUP BY as its oracle (identical results by construction).
+  */
+object SqlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(spark: SparkSession, dir: String,
+      names: String*): Unit =
+    names.foreach {
+      case "events" =>
+        Tables.events(spark, dir).createOrReplaceTempView("events")
+      case n => Tables.load(spark, dir, n).createOrReplaceTempView(n)
+    }
+
+  /** Correlated scalar subquery: customers above their nation's mean
+    * balance. Catalyst decorrelates to an aggregate + join. */
+  def scalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "customer")
+    spark.sql(
+      """SELECT c_custkey, c_nationkey FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Correlated EXISTS: parts that ship in quantity ≥ 49 somewhere. */
+  def existsSubquery(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "part", "lineitem")
+    spark.sql(
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Explicit GROUPING SETS (beyond rollup/cube). */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "orders")
+    spark.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Salted two-phase aggregation: partials on (key, salt) spread a hot
+    * key over 16 reducers; the final combine groups the 16 partials.
+    * Decimal partials keep it bit-equal to the one-phase oracle. */
+  def saltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("pq"),
+        count(lit(1)).as("pn"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pq")).cast(DoubleType).as("sum_qty"),
+        sum(col("pn")).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val defs: Map[String, Q] = Map(
+    "sql_scalar_subquery" -> (scalarSubquery _),
+    "sql_exists_subquery" -> (existsSubquery _),
+    "sql_grouping_sets" -> (groupingSets _),
+    "skew_salted_agg" -> (saltedAgg _))
+
+  val sql: Map[String, String] = Map(
+    "sql_scalar_subquery" ->
+      """SELECT c_custkey, c_nationkey FROM customer c1
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c1.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_exists_subquery" ->
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        |ORDER BY p_partkey""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(*) AS n,
+        | CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+        | CAST(GROUPING(o_orderpriority) AS INT) AS g_pr
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_st, g_pr, o_orderstatus ASC NULLS FIRST,
+        | o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
