@@ -48,7 +48,10 @@ object AggQueries {
       .agg(
         countDistinct(col("l_suppkey")).as("n_supp"),
         countDistinct(col("l_partkey")).as("n_part"),
-        dsum(col("l_quantity")).as("sum_qty"))
+        dsum(col("l_quantity")).as("sum_qty"),
+        sum_distinct(col("l_quantity")
+          .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_dist_qty"))
       .orderBy(col("l_returnflag"))
 
   /** Rollup over (returnflag, linestatus): subtotals + grand total.
@@ -130,7 +133,8 @@ object AggQueries {
       """SELECT l_returnflag,
         | COUNT(DISTINCT l_suppkey) AS n_supp,
         | COUNT(DISTINCT l_partkey) AS n_part,
-        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus,

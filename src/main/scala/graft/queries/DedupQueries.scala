@@ -34,13 +34,22 @@ object DedupQueries {
       .select(col("keep_id"), col("n_copies"))
       .orderBy(col("keep_id"))
 
+  private val shCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** Distinct (doc_id, 3-word-shingle) pairs — the inverted index both
-    * near-dup paths share. */
+    * near-dup paths share. Persisted once per (session, dataset): the
+    * Jaccard and MinHash pipelines each reference it several times
+    * (sizes + two join sides), and at corpus scale you materialize the
+    * inverted index exactly once, not per consumer. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+    shCache.getOrElseUpdate((spark, dir),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+        .persist())
 
   /** Exact Jaccard ≥ 0.5 pairs via inverted-index self-join: doc pairs
     * sharing a shingle → common counts → |A∪B| from per-doc set sizes.

@@ -100,7 +100,28 @@ object ScalarQueries {
         array_min(col("embedding")).as("min_elem"))
       .orderBy(col("vec_id"))
 
+  /** Map family: construction (from arrays / from entries), key/value
+    * extraction, cardinality. Output is scalars only — map columns
+    * themselves stringify differently across engines. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") <= 50)
+      .withColumn("m", map_from_arrays(
+        array(lit("qty"), lit("price")),
+        array(col("l_quantity"), col("l_extendedprice"))))
+      .withColumn("me", map_from_entries(
+        array(struct(lit("t").as("k"), col("l_tax").as("v")))))
+      .select(
+        col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+        element_at(col("m"), "qty").as("qty_v"),
+        concat_ws(",", map_keys(col("m"))).as("m_keys"),
+        element_at(map_values(col("m")), 2).as("second_v"),
+        size(col("m")).cast("int").as("m_size"),
+        element_at(col("me"), "t").as("tax_v"))
+      .orderBy(col("okey"), col("line"))
+
   val defs: Map[String, Q] = Map(
+    "scalar_map" -> (mapFuncs _),
     "scalar_string" -> (stringFuncs _),
     "scalar_date" -> (dateFuncs _),
     "scalar_math" -> (mathFuncs _),
@@ -109,6 +130,16 @@ object ScalarQueries {
     "scalar_array" -> (arrayFuncs _))
 
   val sql: Map[String, String] = Map(
+    "scalar_map" ->
+      """SELECT l_orderkey AS okey, l_linenumber AS line,
+        | m['qty'][1] AS qty_v,
+        | array_to_string(map_keys(m), ',') AS m_keys,
+        | map_values(m)[2] AS second_v,
+        | CAST(cardinality(m) AS INT) AS m_size,
+        | map_from_entries([('t', l_tax)])['t'][1] AS tax_v
+        |FROM (SELECT *, map(['qty','price'], [l_quantity, l_extendedprice]) AS m
+        |      FROM lineitem WHERE l_orderkey <= 50)
+        |ORDER BY okey, line""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey,
         | substr(p_name, 1, 5) AS name5,
