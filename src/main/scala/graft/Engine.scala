@@ -27,6 +27,7 @@ object Engine {
     * microsecond timestamp losslessly. */
   def sessionBuilder(master: String, shufflePartitions: Int): SparkSession.Builder =
     SparkSession.builder()
+      .withExtensions(new GraftExtensions)
       .master(master)
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
