@@ -113,10 +113,95 @@ object VectorQueries {
         .as("mean"))
       .orderBy(col("label"), col("pos"))
 
+  private val ivfCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
+
+  /** Fit IVF cells: a few Lloyd iterations of k-means over the corpus.
+    * Centroids are index *metadata* (k × dim doubles — bytes, not
+    * data), so collecting them to the driver and re-broadcasting per
+    * iteration is the legitimate pattern: every heavy step (assignment,
+    * per-cell means) is a distributed scan + hash aggregation. */
+  private def ivfFit(spark: SparkSession, dir: String, k: Int = 16,
+      iters: Int = 4): Seq[(Int, Seq[Double])] =
+    ivfCache.getOrElseUpdate((spark, dir), {
+      graft.functions.DotProduct.register(spark)
+      import spark.implicits._
+      val e = Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      var cents: Seq[(Int, Seq[Double])] = e.filter(col("vec_id") < k)
+        .orderBy(col("vec_id")).collect()
+        .zipWithIndex
+        .map { case (r, i) =>
+          i -> r.getSeq[Float](1).map(_.toDouble).toSeq
+        }.toSeq
+      for (_ <- 0 until iters) {
+        val cdf = cents.toDF("cell", "centroid")
+        // assignment: argmin over cells of ||x-c||² = |x|² - 2x·c + |c|²
+        // (|x|² constant per vector → rank by |c|² - 2x·c)
+        val assigned = e.crossJoin(broadcast(cdf))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            (expr("graft_dot(centroid, centroid)")
+              - lit(2.0) * expr("graft_dot(embedding, centroid)"))
+              .as("score"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cell"), col("score")).as("cell"),
+            first(col("embedding")).as("embedding"))
+        cents = assigned
+          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("x").cast(DoubleType)).as("m"))
+          .groupBy(col("cell"))
+          .agg(collect_list(struct(col("pos"), col("m"))).as("pm"))
+          .select(col("cell"),
+            expr("transform(array_sort(pm, (a, b) -> a.pos - b.pos), p -> p.m)")
+              .as("centroid"))
+          .as[(Int, Seq[Double])].collect().toSeq
+      }
+      cents
+    })
+
+  /** ANN via IVF: assign every vector to its nearest k-means cell, then
+    * search only within the query's cell. Same pipeline shape as the
+    * LSH variant — one shuffle on cell id — but with data-adaptive
+    * partitions (survey's "IVF ... as the scale path"). Approximate →
+    * no oracle; ScalaTest checks scores and recall vs brute force. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = ivfFit(spark, dir)
+    val cdf = broadcast(cents.toDF("cell", "centroid"))
+    val e = withNorm(spark, dir)
+    val assigned = e.crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"),
+        (expr("graft_dot(centroid, centroid)")
+          - lit(2.0) * expr("graft_dot(embedding, centroid)")).as("score"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), col("score")).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("nsq")).as("nsq"))
+    val q = assigned.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"), col("cell").as("q_cell"))
+    val t = assigned.select(col("vec_id").as("tid"),
+      col("embedding").as("tv"), col("nsq").as("t_nsq"),
+      col("cell").as("t_cell"))
+    val scored = t.join(broadcast(q),
+        col("t_cell") === col("q_cell") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_ivf" -> (annIvf _),
     "sim_centroids" -> (centroids _))
 
   private val cosExpr =

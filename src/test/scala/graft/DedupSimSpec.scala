@@ -51,6 +51,19 @@ class DedupSimSpec extends AnyFunSuite {
     assert(ann.count() > 0)
   }
 
+  test("IVF ANN returns true in-cell neighbors with brute-force-identical scores") {
+    val ivf = VectorQueries.annIvf(spark, TestSession.Sf)
+    val brute = VectorQueries.topK(spark, TestSession.Sf)
+    val ivfPairs = ivf.select("qid", "tid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val brutePairs = brute.select("qid", "tid", "cos").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(ivfPairs.nonEmpty)
+    (ivfPairs.keySet & brutePairs.keySet).foreach { k =>
+      assert(ivfPairs(k) == brutePairs(k))
+    }
+  }
+
   test("codegen'd graft_dot equals the built-in zip_with/aggregate fold") {
     graft.functions.DotProduct.register(spark)
     val diffs = Tables.embeddings(spark, TestSession.Sf).as("a")
