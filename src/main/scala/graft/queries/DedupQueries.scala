@@ -131,18 +131,19 @@ object DedupQueries {
           .as("jaccard"))
   }
 
-  /** 64-bit SimHash: per-word xxhash64, signed bit votes weighted by
-    * term frequency, bit i set iff vote ≥ 0. */
+  /** 64-bit SimHash: per-word xxhash64, signed bit votes (one vote per
+    * occurrence — identical to tf-weighted votes per distinct word, but
+    * needs no (doc, word) pre-aggregation, saving a full shuffle), bit
+    * i set iff vote ≥ 0. */
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
+    val occ = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
       .withColumn("h", xxhash64(col("word")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L,
-        col("tf")).otherwise(-col("tf"))).as(s"v$i")
+        lit(1L)).otherwise(lit(-1L))).as(s"v$i")
     }
-    val voted = tf.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val voted = occ.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val sig: Column = (0 until 64).map { i =>
       when(col(s"v$i") >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
