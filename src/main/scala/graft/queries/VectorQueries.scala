@@ -197,12 +197,30 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** The typed [[graft.functions.VectorMeanAgg]] Aggregator on the
+    * declared (oracle-checked) surface: single-pass per-label centroid,
+    * first three dimensions exposed as scalars. The oracle recomputes
+    * the same means positionally — a hash match proves the custom
+    * aggregation (partial buffers + merge) is correct. */
+  def vectorMeanUdaf(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_vec_mean", udaf(graft.functions.VectorMeanAgg))
+    Tables.embeddings(spark, dir)
+      .groupBy(col("label"))
+      .agg(expr("graft_vec_mean(embedding)").as("c"))
+      .select(col("label"),
+        round(element_at(col("c"), 1), 6).as("m0"),
+        round(element_at(col("c"), 2), 6).as("m1"),
+        round(element_at(col("c"), 3), 6).as("m2"))
+      .orderBy(col("label"))
+  }
+
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_ivf" -> (annIvf _),
-    "sim_centroids" -> (centroids _))
+    "sim_centroids" -> (centroids _),
+    "agg_vector_mean_udaf" -> (vectorMeanUdaf _))
 
   private val cosExpr =
     """SUM(CAST(q.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)) /
@@ -231,6 +249,12 @@ object VectorQueries {
          | WHERE d1 < d2 GROUP BY d1, d2)
          |SELECT d1, d2, cos FROM scored WHERE cos >= 0.4
          |ORDER BY d1, d2""".stripMargin,
+    "agg_vector_mean_udaf" ->
+      """SELECT label,
+        | round(SUM(CAST(embedding[1] AS DOUBLE)) / COUNT(*), 6) AS m0,
+        | round(SUM(CAST(embedding[2] AS DOUBLE)) / COUNT(*), 6) AS m1,
+        | round(SUM(CAST(embedding[3] AS DOUBLE)) / COUNT(*), 6) AS m2
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
     "sim_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS pos,
         | round(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS mean
