@@ -97,7 +97,10 @@ object ScalarQueries {
         element_at(col("embedding"), 1).as("first_elem"),
         element_at(col("embedding"), -1).as("last_elem"),
         array_max(col("embedding")).as("max_elem"),
-        array_min(col("embedding")).as("min_elem"))
+        array_min(col("embedding")).as("min_elem"),
+        element_at(slice(col("embedding"), 5, 3), 2).as("slice_mid"),
+        element_at(sort_array(col("embedding"), asc = false), 2)
+          .as("second_largest"))
       .orderBy(col("vec_id"))
 
   /** Map family: construction (from arrays / from entries), key/value
@@ -195,6 +198,8 @@ object ScalarQueries {
         | embedding[1] AS first_elem,
         | embedding[-1] AS last_elem,
         | list_max(embedding) AS max_elem,
-        | list_min(embedding) AS min_elem
+        | list_min(embedding) AS min_elem,
+        | embedding[5:7][2] AS slice_mid,
+        | list_reverse_sort(embedding)[2] AS second_largest
         |FROM embeddings ORDER BY vec_id""".stripMargin)
 }
