@@ -146,26 +146,27 @@ object JoinQueries {
       .orderBy(col("signup_id"))
   }
 
-  /** As-of join: for each purchase, the latest click by the same user at
-    * or before the purchase. Composed Spark-first: keyed equi join with
-    * time bound, then a per-purchase window keeps the newest match
-    * (rn = 1). The oracle states the same thing as MAX(ts) under a
-    * LEFT JOIN. */
+  /** As-of join: for each purchase, the latest click by the same user
+    * at or before the purchase. Union-and-carry formulation — tag both
+    * streams, sort once per user (clicks before purchases on ts ties so
+    * `click.ts <= purchase.ts` is inclusive), and carry the running max
+    * click-ts forward. Linear in events per user, versus the quadratic
+    * join-then-rank shape (every purchase × every earlier click) that
+    * melts at 100 TB. The oracle states the same thing as MAX(ts)
+    * under a LEFT JOIN. */
   def asofJoin(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables.events(spark, dir)
-      .filter(col("event_type") === "purchase").as("p")
-    val c = Tables.events(spark, dir)
-      .filter(col("event_type") === "click").as("c")
-    val joined = p.join(c,
-      col("c.user_id") === col("p.user_id") && col("c.ts") <= col("p.ts"),
-      "left_outer")
-    val w = Window.partitionBy(col("p.event_id"))
-      .orderBy(col("c.ts").desc_nulls_last)
-    joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("p.event_id").as("purchase_id"),
-        col("c.ts").as("asof_click_ts"))
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("last_click_ts",
+        max(when(col("tag") === 0, col("ts"))).over(w))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"),
+        col("last_click_ts").as("asof_click_ts"))
       .orderBy(col("purchase_id"))
   }
 
