@@ -70,7 +70,9 @@ class ArrowTable(schema: StructType, properties: Map[String, String])
     val path = Option(options.get("path"))
       .orElse(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
-    new ArrowScanBuilder(path, schema)
+    val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    new ArrowScanBuilder(path, schema, maxSplitBytes)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -78,7 +80,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String])
       .orElse(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
     new ArrowWriteBuilder(path, info.schema(),
-      Option(info.options.get("codec")))
+      Option(info.options.get("codec")),
+      Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192))
   }
 }
 
@@ -102,5 +105,18 @@ object ArrowDataSource {
       CommonsCompressionFactory.INSTANCE)
     try ArrowSchemas.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
     finally { reader.close(); ch.close() }
+  }
+
+  /** Per-record-batch on-disk sizes (metadata+body) from the IPC footer
+    * — the split planner's input; reads only the footer, no batch data. */
+  def recordBlockSizes(file: Path): Seq[Long] = {
+    val ch = FileChannel.open(file, StandardOpenOption.READ)
+    val reader = new ArrowFileReader(ch, allocator,
+      CommonsCompressionFactory.INSTANCE)
+    try {
+      reader.getVectorSchemaRoot // forces footer read
+      reader.getRecordBlocks.asScala
+        .map(b => b.getMetadataLength.toLong + b.getBodyLength).toSeq
+    } finally { reader.close(); ch.close() }
   }
 }

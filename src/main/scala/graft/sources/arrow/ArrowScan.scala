@@ -27,7 +27,8 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * no filters are pushed the scan stays fully columnar
   * (PartitionReader[ColumnarBatch] of zero-copy ArrowColumnVectors).
   */
-class ArrowScanBuilder(path: String, schema: StructType)
+class ArrowScanBuilder(path: String, schema: StructType,
+    maxSplitBytes: Long = 128L * 1024 * 1024)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
 
@@ -56,11 +57,12 @@ class ArrowScanBuilder(path: String, schema: StructType)
     val have = readSchema.fieldNames.toSet
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
-    new ArrowScan(path, withRefs, pushed)
+    new ArrowScan(path, withRefs, pushed, maxSplitBytes)
   }
 }
 
-class ArrowScan(path: String, schema: StructType, filters: Array[Filter])
+class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
+    maxSplitBytes: Long = 128L * 1024 * 1024)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -68,15 +70,42 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter])
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}]"
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ArrowDataSource.listIpcFiles(path)
-      .map(p => ArrowFilePartition(p.toString): InputPartition).toArray
+  /** Split every IPC file at record-batch boundaries using the footer's
+    * block metadata, packing consecutive batches up to ~128 MB per
+    * split. Scan parallelism therefore tracks data volume (as with
+    * parquet row groups), not file count — one huge file no longer
+    * serializes onto one task. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    ArrowDataSource.listIpcFiles(path).flatMap { p =>
+      val blocks = ArrowDataSource.recordBlockSizes(p)
+      if (blocks.isEmpty) Seq(ArrowFilePartition(p.toString, Array.empty))
+      else {
+        val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        var current = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var bytes = 0L
+        for ((size, idx) <- blocks.zipWithIndex) {
+          if (current.nonEmpty && bytes + size > maxSplitBytes) {
+            splits += current.toArray
+            current = scala.collection.mutable.ArrayBuffer.empty[Int]
+            bytes = 0L
+          }
+          current += idx
+          bytes += size
+        }
+        if (current.nonEmpty) splits += current.toArray
+        splits.map(idxs => ArrowFilePartition(p.toString, idxs))
+      }
+    }.map(p => p: InputPartition).toArray
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArrowReaderFactory(schema, filters)
 }
 
-case class ArrowFilePartition(file: String) extends InputPartition
+/** One scan split: a file plus the footer indices of the record batches
+  * it covers (empty = whole file, used for block-less empty files). */
+case class ArrowFilePartition(file: String, blockIdxs: Array[Int])
+  extends InputPartition
 
 class ArrowReaderFactory(schema: StructType, filters: Array[Filter])
     extends PartitionReaderFactory {
@@ -87,22 +116,23 @@ class ArrowReaderFactory(schema: StructType, filters: Array[Filter])
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
-    val file = partition.asInstanceOf[ArrowFilePartition].file
-    new ArrowRowReader(file, schema, filters)
+    val p = partition.asInstanceOf[ArrowFilePartition]
+    new ArrowRowReader(p, schema, filters)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
-    val file = partition.asInstanceOf[ArrowFilePartition].file
-    new ArrowBatchReader(file, schema)
+    val p = partition.asInstanceOf[ArrowFilePartition]
+    new ArrowBatchReader(p, schema)
   }
 }
 
-/** Shared reader mechanics: iterate IPC record batches, exposing each as
-  * a ColumnarBatch of the pruned columns. */
-private[arrow] abstract class ArrowReaderBase(file: String, schema: StructType) {
+/** Shared reader mechanics: iterate this split's record batches,
+  * exposing each as a ColumnarBatch of the pruned columns. */
+private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
+    schema: StructType) {
   protected val channel: FileChannel =
-    FileChannel.open(Paths.get(file), StandardOpenOption.READ)
+    FileChannel.open(Paths.get(partition.file), StandardOpenOption.READ)
   protected val reader: ArrowFileReader =
     new ArrowFileReader(channel, ArrowDataSource.allocator,
       CommonsCompressionFactory.INSTANCE)
@@ -111,9 +141,19 @@ private[arrow] abstract class ArrowReaderBase(file: String, schema: StructType) 
     val fileFields = root.getSchema.getFields.asScala.map(_.getName)
     schema.fieldNames.map(n => fileFields.indexOf(n))
   }
+  private val blocks = reader.getRecordBlocks
+  private var cursor = 0
+
+  private def loadNext(): Boolean =
+    if (cursor >= partition.blockIdxs.length) false
+    else {
+      val ok = reader.loadRecordBatch(blocks.get(partition.blockIdxs(cursor)))
+      cursor += 1
+      ok
+    }
 
   protected def nextBatch(): Option[ColumnarBatch] =
-    if (!reader.loadNextBatch()) None
+    if (!loadNext()) None
     else {
       val vectors: Array[ColumnVector] = ordinals.map(i =>
         new ArrowColumnVector(root.getVector(i)): ColumnVector)
@@ -123,8 +163,9 @@ private[arrow] abstract class ArrowReaderBase(file: String, schema: StructType) 
   def closeAll(): Unit = { reader.close(); channel.close() }
 }
 
-class ArrowBatchReader(file: String, schema: StructType)
-    extends ArrowReaderBase(file, schema) with PartitionReader[ColumnarBatch] {
+class ArrowBatchReader(partition: ArrowFilePartition, schema: StructType)
+    extends ArrowReaderBase(partition, schema)
+    with PartitionReader[ColumnarBatch] {
   private var current: ColumnarBatch = _
   override def next(): Boolean = nextBatch() match {
     case Some(b) => current = b; true
@@ -134,8 +175,10 @@ class ArrowBatchReader(file: String, schema: StructType)
   override def close(): Unit = closeAll()
 }
 
-class ArrowRowReader(file: String, schema: StructType, filters: Array[Filter])
-    extends ArrowReaderBase(file, schema) with PartitionReader[InternalRow] {
+class ArrowRowReader(partition: ArrowFilePartition, schema: StructType,
+    filters: Array[Filter])
+    extends ArrowReaderBase(partition, schema)
+    with PartitionReader[InternalRow] {
   private val predicate: InternalRow => Boolean =
     if (filters.isEmpty) _ => true
     else {

@@ -28,21 +28,23 @@ import org.apache.spark.sql.types._
   * clears pre-existing `.arrow` files on the driver before tasks launch.
   */
 class ArrowWriteBuilder(path: String, schema: StructType,
-    codec: Option[String]) extends WriteBuilder with SupportsTruncate {
+    codec: Option[String], batchRows: Int)
+    extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ArrowBatchWrite(path, schema, codec, doTruncate)
+      new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate)
   }
 }
 
 case class ArrowCommitMessage(file: String) extends WriterCommitMessage
 
 class ArrowBatchWrite(path: String, schema: StructType,
-    codec: Option[String], doTruncate: Boolean) extends BatchWrite {
+    codec: Option[String], batchRows: Int, doTruncate: Boolean)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -51,7 +53,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
     if (doTruncate) {
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
     }
-    new ArrowWriterFactory(path, schema, codec)
+    new ArrowWriterFactory(path, schema, codec, batchRows)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -63,17 +65,15 @@ class ArrowBatchWrite(path: String, schema: StructType,
 }
 
 class ArrowWriterFactory(path: String, schema: StructType,
-    codec: Option[String]) extends DataWriterFactory {
+    codec: Option[String], batchRows: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new ArrowDataWriter(path, schema, codec, partitionId, taskId)
+    new ArrowDataWriter(path, schema, codec, batchRows, partitionId, taskId)
 }
 
 class ArrowDataWriter(path: String, schema: StructType,
-    codec: Option[String], partitionId: Int, taskId: Long)
+    codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
-
-  private val BatchRows = 8192
 
   private val file: Path = Paths.get(path,
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.arrow")

@@ -90,6 +90,28 @@ class ArrowSourceSpec extends AnyFunSuite {
     f <- Gen.choose(-1e6f, 1e6f)
   } yield ArrowSourceSpec.Row4(a, b, s, f)
 
+  test("one file with many record batches splits into multiple scan partitions") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "lineitem")
+      .coalesce(1) // one file...
+      .write.format("arrow").option("batchRows", "500") // ...many batches
+      .mode("overwrite").save(dir)
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".arrow")) == 1)
+    val back = spark.read.format("arrow").load(dir)
+    val blocks = graft.sources.arrow.ArrowDataSource.recordBlockSizes(
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".arrow")).head.toPath)
+    assert(blocks.length == 12, s"expected 12 batches, got ${blocks.length}")
+    assert(bagEqual(back, Tables.load(spark, TestSession.Sf, "lineitem")))
+    // with a tiny split cap the single file fans out to many partitions
+    val split = spark.read.format("arrow")
+      .option("maxSplitBytes", "1").load(dir)
+    assert(split.rdd.getNumPartitions == 12,
+      s"got ${split.rdd.getNumPartitions} partitions")
+    assert(bagEqual(split, back))
+  }
+
   test("property: generated typed rows round-trip exactly") {
     import spark.implicits._
     val listGen = Gen.listOfN(50, genRow)
