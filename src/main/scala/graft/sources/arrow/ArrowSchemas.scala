@@ -30,6 +30,7 @@ object ArrowSchemas {
     case DateType => new ArrowType.Date(org.apache.arrow.vector.types.DateUnit.DAY)
     case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
     case TimestampNTZType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, null)
+    case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
     case other => throw new UnsupportedOperationException(
       s"graft arrow source: unsupported Spark type $other")
   }
@@ -71,6 +72,7 @@ object ArrowSchemas {
     case _: ArrowType.Date => DateType
     case ts: ArrowType.Timestamp =>
       if (ts.getTimezone == null) TimestampNTZType else TimestampType
+    case d: ArrowType.Decimal => DecimalType(d.getPrecision, d.getScale)
     case other => throw new UnsupportedOperationException(
       s"graft arrow source: unsupported Arrow type $other")
   }

@@ -143,6 +143,9 @@ class ArrowDataWriter(path: String, schema: StructType,
       case (v: TimeStampMicroVector, TimestampNTZType) =>
         v.setSafe(idx, row.getLong(col))
       case (v: DateDayVector, DateType) => v.setSafe(idx, row.getInt(col))
+      case (v: DecimalVector, d: org.apache.spark.sql.types.DecimalType) =>
+        v.setSafe(idx,
+          row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal)
       case (v: ListVector, ArrayType(elem, _)) =>
         writeList(v, elem, row.getArray(col), idx)
       case (v, t) => throw new UnsupportedOperationException(

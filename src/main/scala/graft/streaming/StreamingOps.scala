@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Streaming surface (SURVEY.md §2b "Streaming"): the same transforms
   * run on a batch DataFrame (oracle-checkable; Spark guarantees
@@ -94,5 +94,58 @@ object StreamingOps {
             Iterator.empty
           }
       }
+  }
+
+  /** The same session summary on Spark 4's transformWithState API
+    * (typed ValueState + explicit event-time timers — the
+    * arbitrary-state surface that supersedes flatMapGroupsWithState;
+    * requires the RocksDB state store provider). A session emits when
+    * the timer registered for last-event + gap fires; stale timers from
+    * earlier batches are recognized and ignored by comparing the expiry
+    * against the current state. */
+  class SessionProcessor
+      extends StatefulProcessor[Long, Event, SessionSummary] {
+    @transient private var state: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessState](
+        "session", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[SessionSummary] = {
+      val prev = if (state.exists()) state.get() else SessState(0, 0.0, 0L)
+      var n = prev.n_events
+      var v = prev.total_value
+      var last = prev.last_ts_ms
+      rows.foreach { e =>
+        n += 1; v += e.value; last = math.max(last, e.ts.getTime)
+      }
+      state.update(SessState(n, v, last))
+      getHandle.registerTimer(last + SessionGapMs)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionSummary] =
+      if (!state.exists()) Iterator.empty
+      else {
+        val s = state.get()
+        // only the timer matching the CURRENT session end closes it;
+        // earlier registrations are stale.
+        if (expiredTimerInfo.getExpiryTimeInMs < s.last_ts_ms + SessionGapMs)
+          Iterator.empty
+        else {
+          state.clear()
+          Iterator(SessionSummary(userId, s.n_events, s.total_value))
+        }
+      }
+  }
+
+  /** transformWithState wiring for [[SessionProcessor]]. */
+  def twsSessions(events: Dataset[Event]): Dataset[SessionSummary] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 }

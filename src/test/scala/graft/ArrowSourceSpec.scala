@@ -112,6 +112,17 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(bagEqual(split, back))
   }
 
+  test("decimal columns round-trip") {
+    val dir = tmpDir()
+    val src = Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("price_dec"))
+    src.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema("price_dec").dataType == DecimalType(18, 2))
+    assert(bagEqual(src, back))
+  }
+
   test("property: generated typed rows round-trip exactly") {
     import spark.implicits._
     val listGen = Gen.listOfN(50, genRow)

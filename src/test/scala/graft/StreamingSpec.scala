@@ -81,6 +81,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup_out").count() == 3)
   }
 
+  test("transformWithState sessions emit on event-time timers (RocksDB store)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      mem.addData(
+        Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 1.5),
+        Event(2L, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "view", 2.5),
+        Event(3L, Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "click", 4.0))
+      val withWm = mem.toDS().withWatermark("ts", "1 minute").as[Event]
+      val out = StreamingOps.twsSessions(withWm)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("tws_out").start()
+      try {
+        q.processAllAvailable()
+        mem.addData(Event(99L,
+          Timestamp.valueOf("2024-01-01 12:00:00"), 9L, "click", 0.0))
+        q.processAllAvailable()
+        mem.addData(Event(100L,
+          Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "click", 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val results = spark.table("tws_out").as[SessionSummary]
+        .collect().map(s => s.user_id -> ((s.n_events, s.total_value))).toMap
+      assert(results.get(1L).contains((2, 4.0)), s"got $results")
+      assert(results.get(2L).contains((1, 4.0)), s"got $results")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessions emit on event-time timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
