@@ -18,6 +18,7 @@ object SparkEntry {
     Map[String, String])] = Seq(
     (AggQueries.defs, AggQueries.sql),
     (JoinQueries.defs, JoinQueries.sql),
+    (TpchQueries.defs, TpchQueries.sql),
     (WindowQueries.defs, WindowQueries.sql),
     (RelationalQueries.defs, RelationalQueries.sql),
     (ScalarQueries.defs, ScalarQueries.sql),

@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite multi-join analytical queries in the classic TPC-H shapes
+  * (Q3 shipping priority, Q5 local-supplier volume, Q10 returned-item
+  * revenue) — the workloads a user of an analytic storage engine
+  * actually runs, combining scans, selective filters, 2-5-way joins,
+  * aggregation, and top-k in one plan.
+  *
+  * Plan shape at scale: dimension sides (customer/nation/region/
+  * supplier) broadcast; lineitem⋈orders shuffles once on orderkey;
+  * every filter sits below its join (visible as PushedFilters on the
+  * parquet scans); Q3's top-10 plans as TakeOrderedAndProject.
+  */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Q3-style: top-10 undelivered orders by potential revenue within a
+    * market segment. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate").asc,
+        col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** Q5-style: revenue by nation for one region and date range, through
+    * a 6-table snowflake (customer and supplier must share the nation). */
+  def q5LocalSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), l("l_suppkey") === s("s_suppkey"))
+      .join(broadcast(c),
+        o("o_custkey") === c("c_custkey") &&
+          c("c_nationkey") === s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  /** Q10-style: top-20 customers by revenue lost to returned items. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val defs: Map[String, Q] = Map(
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q10_returned_items" -> (q10ReturnedItems _))
+
+  private val rev =
+    "CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
+
+  val sql: Map[String, String] = Map(
+    "q3_shipping_priority" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         | AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+         |LIMIT 10""".stripMargin,
+    "q5_local_supplier_volume" ->
+      s"""SELECT n_name, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name ASC""".stripMargin,
+    "q10_returned_items" ->
+      s"""SELECT c_custkey, c_name, n_name, $rev AS revenue,
+         | COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 20""".stripMargin)
+}
