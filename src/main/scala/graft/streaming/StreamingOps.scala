@@ -132,7 +132,7 @@ object StreamingOps {
         val s = state.get()
         // only the timer matching the CURRENT session end closes it;
         // earlier registrations are stale.
-        if (expiredTimerInfo.getExpiryTimeInMs < s.last_ts_ms + SessionGapMs)
+        if (expiredTimerInfo.getExpiryTimeInMs() < s.last_ts_ms + SessionGapMs)
           Iterator.empty
         else {
           state.clear()
