@@ -75,29 +75,33 @@ class ArrowDataWriter(path: String, schema: StructType,
     codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long)
     extends DataWriter[InternalRow] {
 
-  private val file: Path = Paths.get(path,
-    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.arrow")
+  // Validate options and build the in-memory root BEFORE touching the
+  // filesystem — a constructor failure must not leave a partial file
+  // (DataWriter.abort never runs for writers that failed to construct).
+  private val codecType: Option[CompressionUtil.CodecType] =
+    codec.map(_.toLowerCase).map {
+      case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+      case "zstd" => CompressionUtil.CodecType.ZSTD
+      case other => throw new IllegalArgumentException(
+        s"arrow codec must be lz4 or zstd, got $other")
+    }
   private val allocator = ArrowDataSource.allocator
     .newChildAllocator(s"arrow-writer-$partitionId-$taskId", 0, Long.MaxValue)
   private val root = VectorSchemaRoot.create(
     ArrowSchemas.toArrowSchema(schema), allocator)
+  private val file: Path = Paths.get(path,
+    f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.arrow")
   private val channel: FileChannel = FileChannel.open(file,
     StandardOpenOption.CREATE, StandardOpenOption.WRITE,
     StandardOpenOption.TRUNCATE_EXISTING)
-  private val writer: ArrowFileWriter = codec.map(_.toLowerCase) match {
+  private val writer: ArrowFileWriter = codecType match {
     case None =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
         channel)
-    case Some(c) =>
-      val codecType = c match {
-        case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
-        case "zstd" => CompressionUtil.CodecType.ZSTD
-        case other => throw new IllegalArgumentException(
-          s"arrow codec must be lz4 or zstd, got $other")
-      }
+    case Some(ct) =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
         channel, new java.util.HashMap[String, String](), new IpcOption(),
-        CommonsCompressionFactory.INSTANCE, codecType)
+        CommonsCompressionFactory.INSTANCE, ct)
   }
   writer.start()
 

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Arrow source failure modes: bad options and paths fail fast with
+  * clear messages rather than corrupting or half-writing. */
+class ArrowErrorSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("unknown codec fails the write with a naming error") {
+    val dir = java.nio.file.Files.createTempDirectory("arrow_err").toString
+    val e = intercept[Exception] {
+      Tables.load(spark, TestSession.Sf, "region")
+        .write.format("arrow").option("codec", "snappy")
+        .mode("overwrite").save(dir)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("lz4 or zstd")),
+      s"got: ${messages(e)}")
+    // failed tasks must not leave partial files behind
+    assert(graft.sources.arrow.ArrowDataSource.listIpcFiles(dir).isEmpty)
+  }
+
+  test("reading a directory with no arrow files fails schema inference") {
+    val dir = java.nio.file.Files.createTempDirectory("arrow_empty").toString
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir).count()
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("a second append write is read as the union of both writes") {
+    val dir = java.nio.file.Files.createTempDirectory("arrow_app").toString
+    val src = Tables.load(spark, TestSession.Sf, "nation")
+    src.write.format("arrow").mode("append").save(dir)
+    src.write.format("arrow").mode("append").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 2 * src.count())
+    assert(back.select(countDistinct(col("n_nationkey"))).head.getLong(0)
+      == src.count())
+  }
+}
