@@ -98,7 +98,22 @@ object AggQueries {
         size(collect_set(col("l_returnflag"))).as("n_flags"))
       .orderBy(col("l_orderkey"))
 
+  /** Exact percentiles (sort + linear interpolation — identical math
+    * in both engines, so oracle-able unlike the t-digest approximation;
+    * percentile_approx is exercised in ScalaTest against these exact
+    * values). Rounded to 6 decimals to absorb interpolation-arithmetic
+    * ulps. */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
+    "agg_percentile" -> (percentileAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_global" -> (globalAgg _),
     "agg_distinct" -> (distinctAgg _),
@@ -123,6 +138,12 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        | round(quantile_cont(l_quantity, 0.25), 6) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q1_pricing_summary" -> q1Sql,
     "agg_global" ->
       """SELECT COUNT(*) AS n_orders,

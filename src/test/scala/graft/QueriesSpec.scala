@@ -32,6 +32,18 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("percentile_approx lands near the exact percentile") {
+    import org.apache.spark.sql.functions._
+    val both = Tables.lineitem(spark, TestSession.Sf)
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("exact"),
+        expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("approx"))
+      .head
+    val (exact, approx) = (both.getDouble(0), both.getDouble(1))
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+
   test("q1 aggregates match a hand-computed slice") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q1_pricing_summary")(spark, TestSession.Sf)
