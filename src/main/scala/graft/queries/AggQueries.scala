@@ -112,7 +112,24 @@ object AggQueries {
         round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
       .orderBy(col("l_returnflag"))
 
+  /** Statistical aggregates. Both engines use numerically stable
+    * (Welford-style) accumulation; merge order still perturbs the last
+    * few ulps, so outputs are rounded with margins sized to each
+    * statistic's magnitude (stddev ~1e4 → 2dp; corr ∈ [-1,1] → 6dp). */
+  def statsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"),
+        round(stddev_pop(col("l_quantity")), 4).as("sdp_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+          .as("cov_qty_disc"))
+      .orderBy(col("l_returnflag"))
+
   val defs: Map[String, Q] = Map(
+    "agg_stats" -> (statsAgg _),
     "agg_percentile" -> (percentileAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_global" -> (globalAgg _),
@@ -138,6 +155,13 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_extendedprice), 2) AS sd_price,
+        | round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_percentile" ->
       """SELECT l_returnflag,
         | round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
