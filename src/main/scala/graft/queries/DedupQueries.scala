@@ -45,7 +45,7 @@ object DedupQueries {
     * inverted index exactly once, not per consumer. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((spark, dir),
-      Tables.documents(spark, dir)
+      fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
         .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
@@ -136,7 +136,7 @@ object DedupQueries {
     * needs no (doc, word) pre-aggregation, saving a full shuffle), bit
     * i set iff vote ≥ 0. */
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(spark, dir)
+    val occ = fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .withColumn("h", xxhash64(col("word")))
     val votes = (0 until 64).map { i =>

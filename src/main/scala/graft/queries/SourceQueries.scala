@@ -47,7 +47,7 @@ object SourceQueries {
 
   /** JSON parsing with an explicit schema: events.props → struct → agg. */
   def jsonKvAgg(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
+    fanOut(Tables.events(spark, dir))
       .select(col("event_type"),
         from_json(col("props"), "k INT", Map.empty[String, String])
           .getField("k").as("k"))

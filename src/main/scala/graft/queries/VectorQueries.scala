@@ -29,7 +29,7 @@ object VectorQueries {
     * of three lambda folds. */
   private def withNorm(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
-    Tables.embeddings(spark, dir)
+    fanOut(Tables.embeddings(spark, dir))
       .withColumn("nsq", expr("graft_dot(embedding, embedding)"))
   }
 

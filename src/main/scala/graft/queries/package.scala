@@ -32,4 +32,18 @@ package object queries {
   /** Round a double column for hash-stable output of genuinely
     * floating-point math (cosine similarity etc.). */
   def r(c: Column, s: Int = 4): Column = round(c, s)
+
+  /** Spread a compute-heavy stream across all cores before per-row-heavy
+    * work (N² similarity scans, shingle/word explodes, typed-imperative
+    * aggregation buffers). The driver fixtures are single-row-group
+    * parquet files, so their scans arrive as ONE partition and everything
+    * downstream runs single-threaded until the first shuffle; at cluster
+    * scale the scan is naturally thousands of splits and this round-robin
+    * exchange is a cheap rebalance of the same shape Spark's AQE
+    * `REBALANCE` hint performs. Only used where the downstream compute
+    * dominates the exchange and outputs are partitioning-insensitive
+    * (integer counts, per-row arithmetic, rounded decimals). */
+  def fanOut(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 }
