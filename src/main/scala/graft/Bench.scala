@@ -41,7 +41,7 @@ object Bench {
     // from a bounded tail of the process output, so the line must stay
     // compact (70+ full-precision doubles overflow the capture window).
     def fmt(v: Double): String = BigDecimal(v)
-      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+      .setScale(2, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -28,6 +28,8 @@ object SparkEntry {
     (VectorQueries.defs, VectorQueries.sql),
     (StreamQueries.defs, StreamQueries.sql),
     (SqlQueries.defs, SqlQueries.sql),
+    (ReshapeQueries.defs, ReshapeQueries.sql),
+    (PipelineQueries.defs, PipelineQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

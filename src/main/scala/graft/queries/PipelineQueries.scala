@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond per-pair dedup (SURVEY.md §2b
+  * LLM-pipeline extensions): duplicate-cluster resolution (connected
+  * components over the near-dup pair graph), train/benchmark n-gram
+  * decontamination, and a C4-style document quality filter.
+  *
+  * Scale notes (100 TB):
+  *  - Connected components runs min-label propagation: every iteration
+  *    is one shuffle (edges ⋈ labels, then min per vertex), converging in
+  *    O(log diameter) rounds — near-dup components are shallow (pairs /
+  *    small cliques), so 2–3 rounds in practice. The driver holds ONE
+  *    aggregate (the label-sum) per round for the fixpoint test, never
+  *    the vertex set. Lineage is truncated per round (localCheckpoint)
+  *    so plans do not grow with iterations.
+  *  - Decontamination is the shuffle-on-shingle inverted-index join the
+  *    dedup family already uses: the benchmark side is tiny relative to
+  *    the train corpus (and broadcastable at need); only colliding
+  *    shingles cross the network.
+  *  - The quality filter is a pure narrow map — embarrassingly parallel,
+  *    no shuffle, evaluated entirely inside whole-stage codegen.
+  */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the exact-Jaccard ≥ 0.5 graph, each doc labeled
+    * with the minimum doc_id in its component (the canonical keeper).
+    * Exact input pairs → exact components → SQL-oracle-able via a
+    * recursive transitive closure. */
+  def dedupCluster(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.jaccardDedup(spark, dir)
+      .select(col("d1"), col("d2"))
+    val edges = pairs
+      .union(pairs.select(col("d2"), col("d1")))
+      .toDF("src", "dst")
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    // Min-label propagation to fixpoint. Labels only ever decrease, so
+    // the label-sum is a strictly decreasing convergence witness; the
+    // driver never materializes more than that one number.
+    var prevSum = Option.empty[Long]
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 30) {
+      val nbr = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbl"))
+      labels = labels.join(nbr, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("label"))).collect()(0)
+      val cur = if (s.isNullAt(0)) Some(0L) else Some(s.getLong(0))
+      converged = prevSum == cur
+      prevSum = cur
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Train/benchmark decontamination: flag every non-benchmark document
+    * sharing at least one 5-word shingle with the benchmark slice
+    * (source = src0), with how many distinct shingles and benchmark docs
+    * it collides with. */
+  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("source"),
+        explode(shingles(col("w"), 5)).as("shingle"))
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    train.join(bench, "shingle")
+      .groupBy(col("train_id"))
+      .agg(count_distinct(col("shingle")).as("n_shared"),
+        count_distinct(col("bench_id")).as("n_bench_docs"))
+      .select(col("train_id").as("doc_id"), col("n_shared"),
+        col("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val StopPattern = "\\b(the|a|and|of)\\b"
+
+  /** C4-style quality gate: word-count bounds, mean-word-length band,
+    * minimum stopword ratio; emits the metrics, the keep bit, and the
+    * first failing rule. Pure integer/ratio arithmetic → identical in
+    * any engine. */
+  def textQualityFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(expr("replace(text, ' ', '')")).cast("long").as("n_letters"),
+        regexp_count(col("text"), lit(StopPattern)).cast("long")
+          .as("n_stop"))
+      .select(col("doc_id"), col("n_words"),
+        round(col("n_letters") / col("n_words"), 4).as("mean_wlen"),
+        round(col("n_stop") / col("n_words"), 4).as("stop_ratio"))
+      .withColumn("reason",
+        when(col("n_words") < 25 || col("n_words") > 90, "length")
+          .when(col("mean_wlen") < 4.2 || col("mean_wlen") > 4.8, "word_len")
+          .when(col("stop_ratio") < 0.02, "stopwords")
+          .otherwise("ok"))
+      .withColumn("keep", (col("reason") === "ok").cast("int"))
+      .orderBy(col("doc_id"))
+
+  val defs: Map[String, Q] = Map(
+    "dedup_cluster" -> (dedupCluster _),
+    "text_decontam" -> (textDecontam _),
+    "text_quality_filter" -> (textQualityFilter _))
+
+  val sql: Map[String, String] = Map(
+    "dedup_cluster" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (SELECT d1, d2 FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+        |  UNION SELECT d2, d1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "text_decontam" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |sh AS (SELECT DISTINCT doc_id, source,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+        |  FROM w, UNNEST(range(1, len(w) - 3)) AS t(i)),
+        |bench AS (SELECT shingle, doc_id AS bench_id FROM sh WHERE source = 'src0'),
+        |train AS (SELECT doc_id AS train_id, shingle FROM sh WHERE source <> 'src0')
+        |SELECT train_id AS doc_id,
+        | COUNT(DISTINCT t.shingle) AS n_shared,
+        | COUNT(DISTINCT bench_id) AS n_bench_docs
+        |FROM train t JOIN bench b ON t.shingle = b.shingle
+        |GROUP BY train_id ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """WITH m AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of)\b')) AS BIGINT) AS n_stop
+        | FROM documents),
+        |r AS (SELECT doc_id, n_words,
+        |  round(n_letters / n_words, 4) AS mean_wlen,
+        |  round(n_stop / n_words, 4) AS stop_ratio FROM m)
+        |SELECT doc_id, n_words, mean_wlen, stop_ratio,
+        | CASE WHEN n_words < 25 OR n_words > 90 THEN 'length'
+        |      WHEN mean_wlen < 4.2 OR mean_wlen > 4.8 THEN 'word_len'
+        |      WHEN stop_ratio < 0.02 THEN 'stopwords'
+        |      ELSE 'ok' END AS reason,
+        | CAST(CASE WHEN n_words BETWEEN 25 AND 90
+        |      AND mean_wlen BETWEEN 4.2 AND 4.8
+        |      AND stop_ratio >= 0.02 THEN 1 ELSE 0 END AS INT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Reshaping / layout operators (SURVEY.md §2b extensions): pivot
+  * (long→wide), unpivot (wide→long), generator (explode) aggregation,
+  * deterministic sampling, and partition-pruned storage layout.
+  *
+  * Scale notes (100 TB): pivot uses an EXPLICIT value list — without it
+  * Spark runs an extra distinct scan over the fact table just to learn
+  * the columns, and an unbounded value set would build an unbounded-width
+  * row. Unpivot is a generator (no shuffle). The sample is a
+  * multiplicative-hash systematic sample — pushed to the scan as a
+  * deterministic filter, no RNG state per task, reproducible across
+  * retries (Spark's `sample()` is seed+partition dependent and not
+  * portable across engines, so it is exercised in ScalaTest instead).
+  * The partitioned write demonstrates directory-partition pruning: the
+  * read-back filter on the partition column prunes at planning time —
+  * at 100 TB this is the difference between scanning one status
+  * directory and all of them.
+  */
+object ReshapeQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Priorities =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PrioAlias =
+    Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+
+  /** Pivot: order totals long→wide, one column per priority class.
+    * Explicit pivot values; exact decimal sums cast back to double. */
+  def pivotWide(spark: SparkSession, dir: String): DataFrame = {
+    val piv = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"))
+      .pivot("o_orderpriority", Priorities)
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))))
+    piv.select(col("o_orderstatus") +:
+        Priorities.zip(PrioAlias).map { case (v, a) =>
+          col(v).cast("double").as(a)
+        }: _*)
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Unpivot: part metrics wide→long (melt). */
+  def unpivotLong(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .filter(col("p_partkey") <= 2000)
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_size").cast("double").as("p_size"),
+          col("p_retailprice")),
+        "metric", "value")
+      .orderBy(col("p_partkey"), col("metric"))
+
+  /** Generator aggregation: explode the corpus to words, global top-20
+    * by frequency (deterministic tiebreak on the word). */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    fanOut(Tables.documents(spark, dir))
+      .select(explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  /** Deterministic 5% systematic sample via Knuth multiplicative
+    * hashing on the key — pure integer arithmetic, identical in any
+    * engine, pushed down to the scan as a plain filter. */
+  def sampleHash(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter((col("o_orderkey") * 2654435761L) % 4294967296L % 20 === 0)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+
+  /** Hive-style partitioned layout: write orders partitioned by status,
+    * read back with a partition filter (pruned at planning time — only
+    * the o_orderstatus=F directory is listed), aggregate. The oracle
+    * computes the same aggregate from the unpartitioned source, so a
+    * hash match proves the layout round-trip is lossless. */
+  def partitionedWritePrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_po_${math.abs(dir.hashCode)}"
+    Tables.orders(spark, dir)
+      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    spark.read.parquet(out)
+      .filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "pivot_wide" -> (pivotWide _),
+    "unpivot_long" -> (unpivotLong _),
+    "explode_tokens" -> (explodeTokens _),
+    "sample_hash" -> (sampleHash _),
+    "partitioned_write_prune" -> (partitionedWritePrune _))
+
+  private def prioCase(v: String, a: String): String =
+    s"""CAST(SUM(CASE WHEN o_orderpriority = '$v'
+       |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $a""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "pivot_wide" ->
+      s"""SELECT o_orderstatus,
+         | ${Priorities.zip(PrioAlias).map { case (v, a) => prioCase(v, a) }.mkString(",\n ")}
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "unpivot_long" ->
+      """SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        |FROM part WHERE p_partkey <= 2000
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+        |FROM part WHERE p_partkey <= 2000
+        |ORDER BY p_partkey, metric""".stripMargin,
+    "explode_tokens" ->
+      """SELECT word, COUNT(*) AS n
+        |FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word ASC LIMIT 20""".stripMargin,
+    "sample_hash" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_sampled,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE (o_orderkey * 2654435761) % 4294967296 % 20 = 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "partitioned_write_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+}

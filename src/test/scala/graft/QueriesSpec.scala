@@ -26,7 +26,8 @@ class QueriesSpec extends AnyFunSuite {
       // and the bulk of queries must produce data.
       assert(n >= 0)
       if (!Set("set_intersect", "dedup_jaccard", "dedup_minhash",
-        "dedup_simhash", "sim_cosine_neardup").contains(name)) {
+        "dedup_simhash", "sim_cosine_neardup", "dedup_cluster",
+        "text_decontam").contains(name)) {
         assert(n > 0, s"$name returned no rows")
       }
     }

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic invariants for the reshape + pipeline operator families
+  * (ReshapeQueries / PipelineQueries); exact-value parity is the DuckDB
+  * oracle's job. Runs on sf0.01 where the dedup fixtures actually
+  * contain near-duplicate clusters. */
+class ReshapePipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+  private val Sf01 = "/root/testdata/sf0.01"
+
+  test("pivot_wide is one row per status with all five priority columns") {
+    val df = queries.ReshapeQueries.pivotWide(spark, TestSession.Sf)
+    assert(df.columns.toSeq ==
+      Seq("o_orderstatus", "p_urgent", "p_high", "p_medium", "p_notspec",
+        "p_low"))
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).distinct.length == rows.length)
+  }
+
+  test("unpivot_long emits exactly two rows per part") {
+    val nParts = Tables.part(spark, TestSession.Sf)
+      .filter(col("p_partkey") <= 2000).count()
+    val df = queries.ReshapeQueries.unpivotLong(spark, TestSession.Sf)
+    assert(df.count() == 2 * nParts)
+    assert(df.select("metric").distinct().collect().map(_.getString(0))
+      .sorted.toSeq == Seq("p_retailprice", "p_size"))
+  }
+
+  test("sample_hash is deterministic and samples roughly 5%") {
+    val a = queries.ReshapeQueries.sampleHash(spark, Sf01).collect()
+    val b = queries.ReshapeQueries.sampleHash(spark, Sf01).collect()
+    assert(a.toSeq == b.toSeq)
+    val total = Tables.orders(spark, Sf01).count()
+    val sampled = a.map(_.getLong(1)).sum
+    assert(sampled > total / 40 && sampled < total / 10,
+      s"sampled $sampled of $total")
+  }
+
+  test("partitioned write prunes on the partition column") {
+    val df = queries.ReshapeQueries.partitionedWritePrune(spark, TestSession.Sf)
+    df.collect() // runs the write
+    val read = spark.read.parquet(
+      s"${System.getProperty("java.io.tmpdir")}/graft_po_${math.abs(TestSession.Sf.hashCode)}")
+      .filter(col("o_orderstatus") === "F")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("o_orderstatus"), s"no partition pruning in:\n$plan")
+  }
+
+  test("dedup_cluster labels both ends of every near-dup pair identically") {
+    val pairs = queries.DedupQueries.jaccardDedup(spark, Sf01)
+      .select(col("d1"), col("d2"))
+    val labels = queries.PipelineQueries.dedupCluster(spark, Sf01)
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture has no near-dup pairs at sf0.01")
+    ps.foreach { case (a, b) =>
+      assert(lab(a) == lab(b), s"pair ($a,$b) split across clusters")
+    }
+    // every representative is the min of its component
+    lab.groupBy(_._2).foreach { case (rep, members) =>
+      assert(rep == members.keys.min)
+    }
+  }
+
+  test("text_decontam only flags non-benchmark docs with real collisions") {
+    val df = queries.PipelineQueries.textDecontam(spark, Sf01)
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(1) >= 1)) // n_shared >= 1
+    val benchIds = Tables.documents(spark, Sf01)
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall(r => !benchIds.contains(r.getLong(0))))
+  }
+
+  test("text_quality_filter keep bit agrees with the reason ladder") {
+    val rows = queries.PipelineQueries.textQualityFilter(spark, Sf01).collect()
+    rows.foreach { r =>
+      val keep = r.getInt(r.fieldIndex("keep"))
+      val reason = r.getString(r.fieldIndex("reason"))
+      assert((keep == 1) == (reason == "ok"), s"row $r")
+    }
+    // the gate must actually discriminate on this corpus
+    assert(rows.exists(_.getInt(rows.head.fieldIndex("keep")) == 1))
+    assert(rows.exists(_.getInt(rows.head.fieldIndex("keep")) == 0))
+  }
+}
