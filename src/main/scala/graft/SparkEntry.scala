@@ -30,6 +30,7 @@ object SparkEntry {
     (SqlQueries.defs, SqlQueries.sql),
     (ReshapeQueries.defs, ReshapeQueries.sql),
     (PipelineQueries.defs, PipelineQueries.sql),
+    (TimeseriesQueries.defs, TimeseriesQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -165,8 +165,18 @@ object AggQueries {
           .as("cov_qty_disc"))
       .orderBy(col("l_returnflag"))
 
+  /** Equi-width histogram by plain integer arithmetic (floor of the
+    * value over the bin width) — engine-portable unlike width_bucket
+    * variants, and a single hash aggregation at any scale. */
+  def histogramAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("bucket"))
+
   val defs: Map[String, Q] = Map(
     "agg_stats" -> (statsAgg _),
+    "agg_histogram" -> (histogramAgg _),
     "agg_percentile" -> (percentileAgg _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "agg_global" -> (globalAgg _),
@@ -192,6 +202,11 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_extendedprice), 2) AS sd_price,

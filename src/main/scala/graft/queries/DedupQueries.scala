@@ -51,10 +51,21 @@ object DedupQueries {
         .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
         .persist())
 
+  private val jacCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** Exact Jaccard ≥ 0.5 pairs via inverted-index self-join: doc pairs
     * sharing a shingle → common counts → |A∪B| from per-doc set sizes.
-    * common/union is a small-int ratio — bit-exact in any engine. */
-  def jaccardDedup(spark: SparkSession, dir: String): DataFrame = {
+    * common/union is a small-int ratio — bit-exact in any engine.
+    * Persisted once per (session, dataset): the pair set is consumed
+    * again by the connected-components clustering
+    * ([[PipelineQueries.dedupCluster]]) — at corpus scale the scored
+    * pair table is materialized once, not per consumer. */
+  def jaccardDedup(spark: SparkSession, dir: String): DataFrame =
+    jacCache.getOrElseUpdate((spark, dir), jaccardPairs(spark, dir).persist())
+
+  private def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("a")

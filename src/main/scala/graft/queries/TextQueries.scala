@@ -68,9 +68,25 @@ object TextQueries {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Within-document repetition score (training-data quality signal):
+    * share of repeated 3-gram occurrences, 1 − distinct/total. High
+    * ratio = templated / degenerate text. Narrow map, no shuffle. */
+  def repetitionQ(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        (size(col("w")) - 2).cast("long").as("n_grams"),
+        size(shingles(col("w"), 3)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") / col("n_grams"), 4)
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
+    "text_repetition" -> (repetitionQ _),
     "text_fingerprint" -> (fingerprintQ _))
 
   private val statsSql =
@@ -116,5 +132,16 @@ object TextQueries {
   val sql: Map[String, String] = Map(
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (SELECT doc_id,
+        |  CAST(len(w) - 2 AS BIGINT) AS n_grams,
+        |  CAST(count(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS BIGINT) AS n_distinct
+        | FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)
+        | GROUP BY doc_id, len(w))
+        |SELECT doc_id, n_grams, n_distinct,
+        | round(1.0 - n_distinct / n_grams, 4) AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "text_fingerprint" -> fpSql)
 }
