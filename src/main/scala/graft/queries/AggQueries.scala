@@ -116,7 +116,9 @@ object AggQueries {
     * the single-pass alternative, bounded vs these exact values in
     * ScalaTest.) */
   def percentileAgg(spark: SparkSession, dir: String): DataFrame = {
-    val li = fanOut(Tables.lineitem(spark, dir))
+    // No fanOut here: the rank windows shuffle on l_returnflag anyway,
+    // so a pre-repartition is a pure extra exchange.
+    val li = Tables.lineitem(spark, dir)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
 
     // Exact interpolated percentiles of `c` per group, one sorted window

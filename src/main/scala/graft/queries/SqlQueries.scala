@@ -75,10 +75,47 @@ object SqlQueries {
         sum(col("pn")).as("n"))
       .orderBy(col("l_returnflag"))
 
+  private val havingSql =
+    """SELECT l_partkey, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING COUNT(*) >= 40
+      |ORDER BY l_partkey""".stripMargin
+
+  /** HAVING — post-aggregation predicate (Catalyst plans it as a
+    * filter above the final HashAggregate, evaluated before any data
+    * leaves the reducers). */
+  def havingQ(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "lineitem")
+    spark.sql(havingSql)
+  }
+
+  private val cteSql =
+    """WITH nat_bal AS (
+      |  SELECT c_nationkey, COUNT(*) AS n_cust,
+      |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |  FROM customer GROUP BY c_nationkey),
+      |ranked AS (
+      |  SELECT c_nationkey, n_cust, bal,
+      |   CAST(RANK() OVER (ORDER BY bal DESC) AS INT) AS r
+      |  FROM nat_bal)
+      |SELECT c_nationkey, n_cust, bal, r FROM ranked
+      |WHERE r <= 10 ORDER BY r, c_nationkey""".stripMargin
+
+  /** WITH / common table expressions chained through an aggregation and
+    * a ranking window — Catalyst inlines CTEs (or reuses the subplan
+    * when referenced twice), so the shape stays a single pipeline. */
+  def cteQ(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "customer")
+    spark.sql(cteSql)
+  }
+
   val defs: Map[String, Q] = Map(
     "sql_scalar_subquery" -> (scalarSubquery _),
     "sql_exists_subquery" -> (existsSubquery _),
     "sql_grouping_sets" -> (groupingSets _),
+    "sql_having" -> (havingQ _),
+    "sql_cte" -> (cteQ _),
     "skew_salted_agg" -> (saltedAgg _))
 
   val sql: Map[String, String] = Map(
@@ -102,6 +139,8 @@ object SqlQueries {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_st, g_pr, o_orderstatus ASC NULLS FIRST,
         | o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "sql_having" -> havingSql,
+    "sql_cte" -> cteSql,
     "skew_salted_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

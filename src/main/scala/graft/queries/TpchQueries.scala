@@ -80,9 +80,71 @@ object TpchQueries {
       .limit(20)
   }
 
+  /** Q7-style volume shipping: revenue between two nations by ship
+    * year, both directions. Nation filters are applied to the dims
+    * BEFORE the fact joins (two-row broadcasts shrink supplier/customer
+    * first); the only fact-fact shuffle is lineitem⋈orders on
+    * orderkey. */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Seq("NATION_1", "NATION_2")
+    val n = Tables.nation(spark, dir).filter(col("n_name").isin(pair: _*))
+    val s = Tables.supplier(spark, dir)
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val c = Tables.customer(spark, dir)
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(year(col("l_shipdate")).between(1995, 1996))
+    val o = Tables.orders(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** Q8-style market share: NATION_3 suppliers' share of ECONOMY-part
+    * revenue sold into ASIA customers, by order year. The share is
+    * a ratio of two exact decimal sums — hash-stable. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).filter(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(n.join(broadcast(r),
+        col("n_regionkey") === col("r_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"))
+    val supp = Tables.supplier(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+        .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val o = Tables.orders(spark, dir)
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        dsum(when(col("supp_nation") === "NATION_3", vol)
+          .otherwise(lit(0.0)), 4) / dsum(vol, 4), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
+    "q7_volume_shipping" -> (q7VolumeShipping _),
+    "q8_market_share" -> (q8MarketShare _),
     "q10_returned_items" -> (q10ReturnedItems _))
 
   private val rev =
@@ -124,5 +186,37 @@ object TpchQueries {
          | AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          |GROUP BY c_custkey, c_name, n_name
          |ORDER BY revenue DESC, c_custkey ASC
-         |LIMIT 20""".stripMargin)
+         |LIMIT 20""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         | CAST(year(l_shipdate) AS INT) AS l_year, $rev AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |WHERE year(l_shipdate) BETWEEN 1995 AND 1996
+         | AND n1.n_name IN ('NATION_1', 'NATION_2')
+         | AND n2.n_name IN ('NATION_1', 'NATION_2')
+         | AND n1.n_name <> n2.n_name
+         |GROUP BY supp_nation, cust_nation, l_year
+         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        | round(
+        |  CAST(SUM(CAST(CASE WHEN n2.n_name = 'NATION_3'
+        |    THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |GROUP BY o_year ORDER BY o_year""".stripMargin)
 }

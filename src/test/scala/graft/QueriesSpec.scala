@@ -27,7 +27,7 @@ class QueriesSpec extends AnyFunSuite {
       assert(n >= 0)
       if (!Set("set_intersect", "dedup_jaccard", "dedup_minhash",
         "dedup_simhash", "sim_cosine_neardup", "dedup_cluster",
-        "text_decontam").contains(name)) {
+        "text_decontam", "q7_volume_shipping").contains(name)) {
         assert(n > 0, s"$name returned no rows")
       }
     }
