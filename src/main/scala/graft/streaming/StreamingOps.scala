@@ -53,6 +53,28 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase matched to the same
+    * user's clicks in the preceding hour. Both sides carry watermarks
+    * and the join condition time-bounds the match, so Spark can evict
+    * click state once the watermark passes click-ts + 1h — without the
+    * bound, the click side's state grows with the whole stream. Works
+    * identically on batch inputs (the spec's oracle). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessState(n_events: Int, total_value: Double,

@@ -150,4 +150,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.get(1L).contains((2, 4.0)), s"got $results")
     assert(results.get(2L).contains((1, 4.0)), s"got $results")
   }
+
+  test("stream-stream interval join equals the batch join") {
+    val clicksS = eventsStream.filter(col("event_type") === "click")
+    val purchS = eventsStream.filter(col("event_type") === "purchase")
+    val joined = StreamingOps.clickPurchaseJoin(clicksS, purchS)
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssjoin_out")
+    val batch = StreamingOps.clickPurchaseJoin(
+      eventsBatch.filter(col("event_type") === "click"),
+      eventsBatch.filter(col("event_type") === "purchase"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty &&
+      batch.exceptAll(streamed).isEmpty,
+      "stream-stream join must equal the batch interval join")
+  }
+
+  test("foreachBatch sink delivers every row exactly once across batches") {
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = eventsStream.writeStream
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen.addAndGet(df.count()); batches.incrementAndGet(); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.get() == eventsBatch.count())
+    assert(batches.get() >= 1)
+  }
 }
