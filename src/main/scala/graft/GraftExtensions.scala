@@ -33,5 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rolling_hash"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         RollingHash(exprs.head)))
+    // Rule[LogicalPlan] extension point: specialize self-dots into a
+    // single-traversal norm (bit-transparent; see CollapseSelfDot).
+    e.injectOptimizerRule(_ => graft.plans.CollapseSelfDot)
   }
 }

@@ -145,8 +145,23 @@ object DedupQueries {
   /** 64-bit SimHash: per-word xxhash64, signed bit votes (one vote per
     * occurrence — identical to tf-weighted votes per distinct word, but
     * needs no (doc, word) pre-aggregation, saving a full shuffle), bit
-    * i set iff vote ≥ 0. */
+    * i set iff vote ≥ 0. Votes fold in the single-pass typed
+    * [[graft.functions.SimHashAgg]] — one 64-long buffer per group in
+    * the shuffle instead of 64 separate sum-aggregate columns. */
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_simhash", udaf(graft.functions.SimHashAgg))
+    fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_simhash(h)").as("simhash"))
+  }
+
+  /** The 64-conditional-sum DataFrame formulation of the same
+    * signature — kept as the cross-check oracle for the Aggregator
+    * (DedupSimSpec proves them bit-equal). */
+  private[graft] def simhashViaSums(spark: SparkSession, dir: String)
+      : DataFrame = {
     val occ = fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .withColumn("h", xxhash64(col("word")))

@@ -101,4 +101,27 @@ class DedupSimSpec extends AnyFunSuite {
       assert(math.abs(g - v) < 6e-7, s"label $label: $g vs $v")
     }
   }
+
+  test("typed SimHashAgg signatures are bit-equal to the 64-sum formulation") {
+    val viaAgg = DedupQueries.simhashDedup(spark, TestSession.Sf) // warms path
+    viaAgg.collect() // force; result shape irrelevant here
+    val a = {
+      val spark2 = spark
+      import org.apache.spark.sql.functions._
+      spark2.udf.register("graft_simhash",
+        udaf(graft.functions.SimHashAgg))
+      Tables.documents(spark2, TestSession.Sf)
+        .select(col("doc_id"),
+          explode(graft.functions.TextFunctions.words(col("text")))
+            .as("word"))
+        .withColumn("h", xxhash64(col("word")))
+        .groupBy(col("doc_id"))
+        .agg(expr("graft_simhash(h)").as("simhash"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val b = DedupQueries.simhashViaSums(spark, TestSession.Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b, "Aggregator and 64-sum signatures diverge")
+    assert(a.nonEmpty)
+  }
 }

@@ -18,6 +18,23 @@ class ExtensionsSpec extends AnyFunSuite {
         .foldLeft(7L)((a, b) => (a * 31 + (b & 0xFF)) % 1000000007L))
   }
 
+  test("CollapseSelfDot rewrites graft_dot(x,x) to graft_norm_sq with equal values") {
+    import org.apache.spark.sql.functions._
+    val df = Tables.embeddings(spark, TestSession.Sf)
+      .select(col("vec_id"), col("embedding"),
+        expr("graft_dot(embedding, embedding)").as("nsq"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_norm_sq") &&
+      !optimized.contains("graft_dot"),
+      s"self-dot not collapsed:\n$optimized")
+    // bit-transparency: identical to the hand-computed fold
+    df.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      val expected = v.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      assert(r.getDouble(2) == expected, s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("JSON-lines source: write props as text, read back with spark.read.json") {
     val dir = java.nio.file.Files.createTempDirectory("jsonl").toString + "/data"
     Tables.events(spark, TestSession.Sf)
