@@ -36,5 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rule[LogicalPlan] extension point: specialize self-dots into a
     // single-traversal norm (bit-transparent; see CollapseSelfDot).
     e.injectOptimizerRule(_ => graft.plans.CollapseSelfDot)
+    // SparkStrategy extension point: plans the custom TopKPerGroupNode
+    // as bounded-heap partial/final physical operators.
+    e.injectPlannerStrategy(_ => graft.operators.TopKPerGroupStrategy)
   }
 }

@@ -91,12 +91,35 @@ object WindowQueries {
       .orderBy(col("p_brand"), col("rn"))
   }
 
+  /** The same per-group top-k through the CUSTOM whole-operator
+    * (graft.operators.TopKPerGroup: logical node → injected
+    * SparkStrategy → bounded-heap partial/final SparkPlans). The map
+    * side cuts every partition to ≤ k rows per group BEFORE the
+    * shuffle — the window formulation above ships and fully sorts every
+    * group. Tie-free ordering (unique key suffix) makes it
+    * oracle-exact. */
+  def topKCustomExec(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
+    graft.operators.TopKPerGroup(
+      src,
+      Seq(col("l_returnflag")),
+      struct((col("l_extendedprice") * -1).as("neg_price"),
+        col("l_orderkey"), col("l_linenumber")),
+      descending = false, k = 5)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("rn"))
+      .orderBy(col("l_returnflag"), col("rn"))
+  }
+
   val defs: Map[String, Q] = Map(
     "window_rank" -> (rankQ _),
     "window_lag_lead" -> (lagLeadQ _),
     "window_running_sum" -> (runningSumQ _),
     "window_range_frame" -> (rangeFrameQ _),
-    "window_topk_per_group" -> (topKPerGroupQ _))
+    "window_topk_per_group" -> (topKPerGroupQ _),
+    "topk_custom_exec" -> (topKCustomExec _))
 
   val sql: Map[String, String] = Map(
     "window_rank" ->
@@ -140,5 +163,12 @@ object WindowQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
         |   ORDER BY p_retailprice DESC, p_partkey ASC) AS INT) AS rn
         | FROM part)
-        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY p_brand, rn""".stripMargin,
+    "topk_custom_exec" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |   ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS INT) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin)
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.TopKPerGroup
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The custom whole-operator (TopKPerGroupNode → partial/final heap
+  * execs via the injected SparkStrategy): plan shape and exact
+  * agreement with the window row_number formulation under a total
+  * (tie-free) ordering. */
+class TopKOperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  // unique (orderkey, linenumber) tiebreak → deterministic ranking
+  private def src = Tables.lineitem(spark, TestSession.Sf)
+    .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+      col("l_extendedprice"))
+  private def orderStruct = struct(
+    (col("l_extendedprice") * -1).as("neg_price"),
+    col("l_orderkey"), col("l_linenumber"))
+
+  test("strategy plans the custom node as partial + exchange + final") {
+    val df = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
+      descending = false, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerGroupPartial"), s"no partial exec:\n$plan")
+    assert(plan.contains("TopKPerGroupFinal"), s"no final exec:\n$plan")
+    assert(plan.contains("Exchange"), s"no exchange between phases:\n$plan")
+  }
+
+  test("bounded-heap top-k equals the window row_number formulation") {
+    val k = 7
+    val custom = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
+      descending = false, k = k)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("rn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+    val viaWindow = src
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        col("rn"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+      .toSet
+    assert(custom == viaWindow,
+      s"diff: ${(custom diff viaWindow) ++ (viaWindow diff custom)}")
+    assert(custom.nonEmpty)
+  }
+
+  test("partial phase cuts shuffle input to at most k rows per group per partition") {
+    val k = 3
+    val df = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
+      descending = false, k = k)
+    // correctness of the cut is implied by equality above; here assert
+    // the operator yields exactly k rows per group when data suffices
+    val counts = df.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == k), s"got $counts")
+  }
+}
