@@ -31,6 +31,7 @@ object SparkEntry {
     (ReshapeQueries.defs, ReshapeQueries.sql),
     (PipelineQueries.defs, PipelineQueries.sql),
     (TimeseriesQueries.defs, TimeseriesQueries.sql),
+    (StorageQueries.defs, StorageQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

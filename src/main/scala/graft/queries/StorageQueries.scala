@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage-engine mutation semantics (the reference is a STORAGE
+  * engine — upsert/merge and snapshot diff are the operations its
+  * Arrow-table store would serve): MERGE-style upsert and CDC-style
+  * snapshot difference, both expressed as keyed joins so Catalyst
+  * plans them like any other equi-join (broadcast or shuffle by key).
+  *
+  * Scale notes (100 TB): an upsert is one full-outer join keyed on the
+  * primary key — with the base table bucketed/partitioned by that key,
+  * the update side (usually ≪ base) co-partitions and the base never
+  * fully rewrites except matched partitions (the dynamic-overwrite
+  * pattern). The diff is the same join shape emitting only rows whose
+  * value-hash changed, so the output is bounded by churn, not by table
+  * size. Both derive their "update" side deterministically from the
+  * fixtures so the DuckDB oracle states the same transformation.
+  */
+object StorageQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Deterministic update set: every 97th order gets a 10% price bump
+    * and O→P status; every 193rd spawns a brand-new order (key+10M). */
+  private def updates(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    // exact decimal arithmetic (decimal literal × decimal cast), cast
+    // back to double — engine-identical, unlike round(double, 2) whose
+    // nearest-decimal algorithm differs between engines
+    val bumped = o.filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE)")
+          .as("u_totalprice"),
+        lit("P").as("u_orderstatus"))
+    val fresh = o.filter(col("o_orderkey") % 193 === 0)
+      .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5 AS DOUBLE)")
+          .as("u_totalprice"),
+        lit("N").as("u_orderstatus"))
+    bumped.union(fresh)
+  }
+
+  /** MERGE-style upsert: update matched keys, insert unmatched update
+    * rows, keep everything else — one full-outer join on the key. */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val u = updates(spark, dir)
+    base.join(u, Seq("o_orderkey"), "full_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("u_orderstatus"), col("o_orderstatus"))
+          .as("o_orderstatus"),
+        coalesce(col("u_totalprice"), col("o_totalprice"))
+          .as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CDC-style snapshot diff: classify every key as added / changed
+    * between the base snapshot and the upserted one; unchanged rows
+    * (the overwhelming majority at scale) never leave the join. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val next = mergeUpsert(spark, dir)
+    val b = base.select(col("o_orderkey"),
+      col("o_orderstatus").as("b_status"), col("o_totalprice").as("b_price"))
+    val n = next.select(col("o_orderkey"),
+      col("o_orderstatus").as("n_status"), col("o_totalprice").as("n_price"))
+    b.join(n, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("b_status").isNull, "added")
+          .when(col("n_status").isNull, "removed")
+          .when(col("b_status") =!= col("n_status") ||
+            col("b_price") =!= col("n_price"), "changed"))
+      .filter(col("change_type").isNotNull)
+      .select(col("o_orderkey"), col("change_type"),
+        col("n_status").as("o_orderstatus"),
+        col("n_price").as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "merge_upsert" -> (mergeUpsert _),
+    "snapshot_diff" -> (snapshotDiff _))
+
+  private val updatesSql =
+    """SELECT o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1 AS DOUBLE) AS u_totalprice,
+      |  'P' AS u_orderstatus
+      | FROM orders WHERE o_orderkey % 97 = 0
+      |UNION ALL
+      |SELECT o_orderkey + 10000000 AS o_orderkey,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 0.5 AS DOUBLE) AS u_totalprice,
+      |  'N' AS u_orderstatus
+      | FROM orders WHERE o_orderkey % 193 = 0""".stripMargin
+
+  private val mergedSql =
+    s"""SELECT COALESCE(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+       | COALESCE(u.u_orderstatus, b.o_orderstatus) AS o_orderstatus,
+       | COALESCE(u.u_totalprice, b.o_totalprice) AS o_totalprice
+       |FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+       |FULL OUTER JOIN ($updatesSql) u ON b.o_orderkey = u.o_orderkey""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "merge_upsert" ->
+      s"""SELECT o_orderkey, o_orderstatus, o_totalprice
+         |FROM ($mergedSql)
+         |ORDER BY o_orderkey""".stripMargin,
+    "snapshot_diff" ->
+      s"""WITH nxt AS ($mergedSql)
+         |SELECT COALESCE(n.o_orderkey, b.o_orderkey) AS o_orderkey,
+         | CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         |      WHEN n.o_orderkey IS NULL THEN 'removed'
+         |      WHEN b.o_orderstatus <> n.o_orderstatus
+         |        OR b.o_totalprice <> n.o_totalprice THEN 'changed'
+         | END AS change_type,
+         | n.o_orderstatus AS o_orderstatus,
+         | n.o_totalprice AS o_totalprice
+         |FROM (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders) b
+         |FULL OUTER JOIN nxt n ON b.o_orderkey = n.o_orderkey
+         |WHERE CASE WHEN b.o_orderkey IS NULL THEN 'added'
+         |      WHEN n.o_orderkey IS NULL THEN 'removed'
+         |      WHEN b.o_orderstatus <> n.o_orderstatus
+         |        OR b.o_totalprice <> n.o_totalprice THEN 'changed'
+         | END IS NOT NULL
+         |ORDER BY o_orderkey""".stripMargin)
+}
