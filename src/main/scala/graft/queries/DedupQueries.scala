@@ -85,16 +85,24 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
-  private val NumHashes = 32
+  private val NumHashes = graft.functions.MinHashAgg.NumHashes
   private val Bands = 8
   private val RowsPerBand = NumHashes / Bands
 
-  /** MinHash signature columns mh0..mh31: min over shingles of
-    * xxhash64(perm_index, shingle). */
-  private def minhashSignatures(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh$i"))
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  /** MinHash signature columns mh0..mh31 via the single-pass typed
+    * [[graft.functions.MinHashAgg]]: one xxhash64 per shingle + one
+    * 32-long buffer per group in the shuffle, instead of 32 full
+    * string hashes per shingle and 32 separate min-agg columns. */
+  private def minhashSignatures(spark: SparkSession, sh: DataFrame)
+      : DataFrame = {
+    spark.udf.register("graft_minhash", udaf(graft.functions.MinHashAgg))
+    val sigs = sh
+      .withColumn("h", xxhash64(col("shingle")))
+      .groupBy(col("doc_id"))
+      .agg(expr("graft_minhash(h)").as("mh"))
+    sigs.select(col("doc_id") +:
+      (0 until NumHashes).map(i =>
+        element_at(col("mh"), i + 1).as(s"mh$i")): _*)
   }
 
   /** MinHash+LSH near-dup: band signatures → bucket join → candidate
@@ -103,7 +111,7 @@ object DedupQueries {
     * checks recall against [[jaccardDedup]]. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
-    val sigs = minhashSignatures(sh)
+    val sigs = minhashSignatures(spark, sh)
     val bandCols = (0 until Bands).map { b =>
       struct(lit(b).as("band"),
         concat_ws(":", (0 until RowsPerBand)
