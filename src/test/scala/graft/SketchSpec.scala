@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sketch/approximation family beyond HLL (which QueriesSpec bounds via
+  * agg_approx_distinct): count-min frequency estimates and the
+  * frequent-items sketch. Error bounds are probabilistic → spec-checked
+  * against exact counts, not oracle queries. */
+class SketchSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("count_min_sketch estimates every flag count within eps*N") {
+    val li = Tables.lineitem(spark, TestSession.Sf)
+    val exact = li.groupBy(col("l_returnflag")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val eps = 0.01
+    val sketchBytes = li.agg(
+      expr(s"count_min_sketch(l_returnflag, ${eps}d, 0.99d, 42)"))
+      .head.getAs[Array[Byte]](0)
+    val sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    exact.foreach { case (flag, cnt) =>
+      // the SQL aggregate inserts UTF8String payload bytes
+      val est = sketch.estimateCount(flag.getBytes("UTF-8"))
+      assert(est >= cnt, s"CMS under-counted $flag: $est < $cnt")
+      assert(est <= cnt + (eps * n).toLong,
+        s"CMS over-counted $flag beyond bound: $est vs $cnt (N=$n)")
+    }
+  }
+
+  test("freqItems returns a superset of the truly frequent values") {
+    val o = Tables.orders(spark, TestSession.Sf)
+    val support = 0.15
+    val found = o.stat.freqItems(Array("o_orderstatus"), support)
+      .head.getSeq[String](0).toSet
+    val n = o.count()
+    val trulyFrequent = o.groupBy(col("o_orderstatus")).count()
+      .filter(col("count") > n * support)
+      .collect().map(_.getString(0)).toSet
+    assert(trulyFrequent.subsetOf(found),
+      s"missing frequent items: ${trulyFrequent diff found}")
+  }
+}
