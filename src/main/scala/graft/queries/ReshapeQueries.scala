@@ -78,6 +78,22 @@ object ReshapeQueries {
         dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("o_orderstatus"))
 
+  /** Stratified deterministic sample (`sampleBy` analogue): a different
+    * sampling rate per stratum — urgent orders kept at 20%, the rest at
+    * 2% — via the same multiplicative-hash filter, so the stratum rates
+    * are exact-deterministic and the filter still pushes to the scan. */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val h = (col("o_orderkey") * 2654435761L) % 4294967296L % 100
+    Tables.orders(spark, dir)
+      .filter(
+        (col("o_orderpriority") === "1-URGENT" && h < 20) ||
+          (col("o_orderpriority") =!= "1-URGENT" && h < 2))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_sampled"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Hive-style partitioned layout: write orders partitioned by status,
     * read back with a partition filter (pruned at planning time — only
     * the o_orderstatus=F directory is listed), aggregate. The oracle
@@ -100,6 +116,7 @@ object ReshapeQueries {
     "unpivot_long" -> (unpivotLong _),
     "explode_tokens" -> (explodeTokens _),
     "sample_hash" -> (sampleHash _),
+    "sample_stratified" -> (sampleStratified _),
     "partitioned_write_prune" -> (partitionedWritePrune _))
 
   private def prioCase(v: String, a: String): String =
@@ -129,6 +146,15 @@ object ReshapeQueries {
         |FROM orders
         |WHERE (o_orderkey * 2654435761) % 4294967296 % 20 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sample_stratified" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_sampled,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE (o_orderpriority = '1-URGENT'
+        |        AND (o_orderkey * 2654435761) % 4294967296 % 100 < 20)
+        |   OR (o_orderpriority <> '1-URGENT'
+        |        AND (o_orderkey * 2654435761) % 4294967296 % 100 < 2)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "partitioned_write_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
