@@ -85,19 +85,24 @@ private[operators] object TopKHeap {
     while (iter.hasNext) {
       val row = iter.next()
       val key = groupProj(row) // reused buffer: copy only on first sight
+      // null ordering values cannot rank — excluded (the window
+      // formulation would likewise need an explicit nulls-ordering
+      // decision under a <=k filter)
       val v = InternalRow.copyValue(orderExpr.eval(row))
-      val heap = heaps.get(key) match {
-        case Some(h) => h
-        case None =>
-          val h = new scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]()(heapOrd)
-          heaps.put(key.copy(), h)
-          h
-      }
-      if (heap.size < k) {
-        heap.enqueue((v, toUnsafe(row).copy()))
-      } else if (ord.lt(v, heap.head._1)) {
-        heap.dequeue()
-        heap.enqueue((v, toUnsafe(row).copy()))
+      if (v != null) {
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = new scala.collection.mutable.PriorityQueue[(Any, UnsafeRow)]()(heapOrd)
+            heaps.put(key.copy(), h)
+            h
+        }
+        if (heap.size < k) {
+          heap.enqueue((v, toUnsafe(row).copy()))
+        } else if (ord.lt(v, heap.head._1)) {
+          heap.dequeue()
+          heap.enqueue((v, toUnsafe(row).copy()))
+        }
       }
     }
     heaps.iterator.map { case (key, heap) =>
@@ -140,7 +145,11 @@ case class TopKPerGroupFinalExec(
   override def output: Seq[Attribute] = child.output :+ rankAttr
 
   override def requiredChildDistribution: Seq[Distribution] =
-    if (groupExprs.isEmpty) UnspecifiedDistribution :: Nil
+    // empty group = GLOBAL top-k: every candidate must reach one
+    // partition for the final merge (AllTuples), else each partition
+    // would emit its own "global" top-k
+    if (groupExprs.isEmpty)
+      org.apache.spark.sql.catalyst.plans.physical.AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
 
   override def outputPartitioning: Partitioning = child.outputPartitioning

@@ -54,6 +54,32 @@ class TopKOperatorSpec extends AnyFunSuite {
     assert(custom.nonEmpty)
   }
 
+  test("global top-k (empty group list) merges across partitions") {
+    val k = 4
+    val global = TopKPerGroup(src, Seq.empty, orderStruct,
+      descending = false, k = k)
+      .select(col("l_orderkey"), col("l_linenumber"), col("rn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val expected = src
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+        col("l_linenumber").asc)
+      .limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => (r.getLong(1), r.getInt(2), i + 1) }.toSet
+    assert(global == expected, s"global=$global expected=$expected")
+  }
+
+  test("null ordering values are excluded, not ranked") {
+    val withNulls = src.withColumn("o",
+      when(col("l_linenumber") === 1, lit(null).cast("double"))
+        .otherwise(col("l_extendedprice")))
+    val result = TopKPerGroup(withNulls, Seq(col("l_returnflag")),
+      col("o"), descending = true, k = 3)
+    assert(result.filter(col("l_linenumber") === 1).count() == 0)
+    assert(result.count() > 0)
+  }
+
   test("partial phase cuts shuffle input to at most k rows per group per partition") {
     val k = 3
     val df = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
