@@ -98,6 +98,38 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** ANN via multi-probe LSH: each query probes its own bucket PLUS the
+    * 8 Hamming-distance-1 buckets (one sign bit flipped). Standard
+    * recall booster — near neighbors that land just across one
+    * hyperplane are recovered — at a bounded 9× candidate cost, with
+    * no extra index state. Same one-shuffle pipeline shape; ScalaTest
+    * proves recall ≥ the single-probe variant. */
+  def annLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val ps = planes(8, 64)
+    val e = withNorm(spark, dir)
+      .select(col("vec_id"), col("embedding"), col("nsq"),
+        hyperplaneBucket(col("embedding"), ps).as("bucket"))
+    val probes = (0 until 8).foldLeft(array(col("bucket"))) { (acc, i) =>
+      array_union(acc, array(col("bucket").bitwiseXOR(1 << i)))
+    }
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"), explode(probes).as("probe"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("nsq").as("t_nsq"), col("bucket").as("t_bucket"))
+    val scored = t.join(broadcast(q),
+        col("t_bucket") === col("probe") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Per-label, per-dimension centroid, mean rounded to 6 decimals.
     * (Float→decimal casts disagree between engines — Spark rounds the
     * shortest double repr — so the sum runs in plain double; with ~100s
@@ -218,6 +250,7 @@ object VectorQueries {
     "sim_topk" -> (topK _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
+    "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_centroids" -> (centroids _),
     "agg_vector_mean_udaf" -> (vectorMeanUdaf _))

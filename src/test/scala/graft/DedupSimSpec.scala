@@ -102,6 +102,20 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall is at least single-probe recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorQueries.topK(spark, TestSession.Sf))
+    val single = pairs(VectorQueries.annLsh(spark, TestSession.Sf))
+    val multi = pairs(VectorQueries.annLshMultiprobe(spark, TestSession.Sf))
+    assert(brute.nonEmpty)
+    val rSingle = (single intersect brute).size.toDouble / brute.size
+    val rMulti = (multi intersect brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle,
+      s"multi-probe recall $rMulti < single-probe $rSingle")
+    assert(multi.size >= single.size)
+  }
+
   test("typed SimHashAgg signatures are bit-equal to the 64-sum formulation") {
     val viaAgg = DedupQueries.simhashDedup(spark, TestSession.Sf) // warms path
     viaAgg.collect() // force; result shape irrelevant here
