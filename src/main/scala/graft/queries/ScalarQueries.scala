@@ -43,6 +43,29 @@ object ScalarQueries {
         date_trunc("day", col("o_orderdate")).as("day_start"))
       .orderBy(col("o_orderkey"))
 
+  /** Date arithmetic family: month-clamped add_months, last_day,
+    * quarter, fixed-day offsets — semantics agreed by both engines
+    * (month addition clamps to the target month's last day). */
+  def dateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 4000)
+      .select(
+        col("o_orderkey"),
+        // DATE results are re-cast to TIMESTAMP purely for the compare
+        // harness: pandas renders DuckDB DATE as datetime64 but parquet
+        // date32 as datetime.date, so date-typed outputs never
+        // string-match across engines
+        add_months(col("o_orderdate").cast("date"), 2).cast("timestamp")
+          .as("plus2m"),
+        last_day(col("o_orderdate").cast("date")).cast("timestamp")
+          .as("month_end"),
+        quarter(col("o_orderdate")).as("qtr"),
+        date_add(col("o_orderdate").cast("date"), 7).cast("timestamp")
+          .as("plus7d"),
+        date_sub(col("o_orderdate").cast("date"), 30).cast("timestamp")
+          .as("minus30d"))
+      .orderBy(col("o_orderkey"))
+
   /** Math family over lineitem measures. Only libm-exact ops stay
     * unrounded (sqrt is IEEE-correctly-rounded); log is rounded to 6
     * decimals to absorb last-ulp libm differences across engines. */
@@ -127,6 +150,7 @@ object ScalarQueries {
     "scalar_map" -> (mapFuncs _),
     "scalar_string" -> (stringFuncs _),
     "scalar_date" -> (dateFuncs _),
+    "scalar_date_arith" -> (dateArith _),
     "scalar_math" -> (mathFuncs _),
     "scalar_conditional" -> (conditionalFuncs _),
     "scalar_regexp_json" -> (regexpJson _),
@@ -165,6 +189,15 @@ object ScalarQueries {
         | epoch_ms(o_orderdate) // 1000 AS epoch_s,
         | date_trunc('day', o_orderdate) AS day_start
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "scalar_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS TIMESTAMP) AS plus2m,
+        | CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        | CAST(quarter(o_orderdate) AS INT) AS qtr,
+        | CAST(CAST(o_orderdate AS DATE) + 7 AS TIMESTAMP) AS plus7d,
+        | CAST(CAST(o_orderdate AS DATE) - 30 AS TIMESTAMP) AS minus30d
+        |FROM orders WHERE o_orderkey <= 4000
+        |ORDER BY o_orderkey""".stripMargin,
     "scalar_math" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice, 1) AS rounded,

@@ -113,8 +113,25 @@ object WindowQueries {
       .orderBy(col("l_returnflag"), col("rn"))
   }
 
+  /** Distribution window functions: percent_rank / cume_dist (exact
+    * small-int ratios → identical doubles in any engine) and nth_value
+    * over the full partition frame. */
+  def distributionQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal").desc, col("s_suppkey").asc)
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("s_suppkey"), 2).over(wFull).as("second_richest"))
+      .orderBy(col("s_suppkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "window_rank" -> (rankQ _),
+    "window_distribution" -> (distributionQ _),
     "window_lag_lead" -> (lagLeadQ _),
     "window_running_sum" -> (runningSumQ _),
     "window_range_frame" -> (rangeFrameQ _),
@@ -122,6 +139,19 @@ object WindowQueries {
     "topk_custom_exec" -> (topKCustomExec _))
 
   val sql: Map[String, String] = Map(
+    "window_distribution" ->
+      """SELECT s_suppkey, s_nationkey,
+        | round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        | round(CUME_DIST() OVER w, 6) AS cume,
+        | NTH_VALUE(s_suppkey, 2) OVER
+        |  (PARTITION BY s_nationkey
+        |   ORDER BY s_acctbal DESC, s_suppkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |  AS second_richest
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey
+        | ORDER BY s_acctbal DESC, s_suppkey ASC)
+        |ORDER BY s_suppkey""".stripMargin,
     "window_rank" ->
       """SELECT s_suppkey, s_nationkey, s_acctbal,
         | CAST(ROW_NUMBER() OVER w AS INT) AS rn,
