@@ -140,12 +140,62 @@ object TpchQueries {
       .orderBy(col("o_year"))
   }
 
+  /** Q4-style order-priority checking: orders in a quarter with at
+    * least one late line (EXISTS → left-semi join, no row blow-up). */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Q12-style shipmode priority classes: high/low-priority line counts
+    * per return flag in a date window — conditional aggregation over
+    * one fact-fact join. */
+  def q12ShipMode(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val o = Tables.orders(spark, dir)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Q14-style promo revenue share: PROMO parts' percentage of revenue
+    * in a month — ratio of exact decimal sums, broadcast part dim. */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_type"))
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          dsum(when(col("p_type") === "PROMO", vol).otherwise(lit(0.0)), 4) /
+          dsum(vol, 4), 6).as("promo_revenue_pct"))
+  }
+
   val defs: Map[String, Q] = Map(
     "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q4_order_priority" -> (q4OrderPriority _),
     "q5_local_supplier_volume" -> (q5LocalSupplierVolume _),
     "q7_volume_shipping" -> (q7VolumeShipping _),
     "q8_market_share" -> (q8MarketShare _),
-    "q10_returned_items" -> (q10ReturnedItems _))
+    "q10_returned_items" -> (q10ReturnedItems _),
+    "q12_ship_mode" -> (q12ShipMode _),
+    "q14_promo_revenue" -> (q14PromoRevenue _))
 
   private val rev =
     "CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)"
@@ -202,6 +252,33 @@ object TpchQueries {
          | AND n1.n_name <> n2.n_name
          |GROUP BY supp_nation, cust_nation, l_year
          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q12_ship_mode" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT round(100.0 *
+        |  CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+        |  6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
     "q8_market_share" ->
       """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
         | round(
