@@ -33,17 +33,23 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try run(n) catch { case _: Throwable => () })
 
-    // Two timed passes, min per query: single-pass numbers on a shared
-    // container are dominated by co-tenant CPU bursts (observed 2–4×
-    // swings on identical plans); the per-query min across passes
-    // measures the engine, not the neighbors.
-    def timedPass(): Map[String, Double] = names.map { name =>
+    // Timed pass, then a bounded re-timing pass: single-pass numbers on
+    // a shared container are dominated by co-tenant CPU bursts
+    // (observed 2–4× swings on identical plans). Only queries whose
+    // first measurement looks burst-inflated (above 1.5× the median,
+    // and above 1s) are re-run, and the per-query min is reported —
+    // min-of-2 where it matters without doubling total bench wall time.
+    def time(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val (p1, p2) = (timedPass(), timedPass())
-    val results = names.map(n => n -> math.min(p1(n), p2(n)))
+      (System.nanoTime() - t0) / 1e9
+    }
+    val p1 = names.map(n => n -> time(n)).toMap
+    val med = p1.values.toSeq.sorted.apply(p1.size / 2)
+    val results = names.map { n =>
+      val t = p1(n)
+      n -> (if (t > math.max(0.5, 1.5 * med)) math.min(t, time(n)) else t)
+    }
     // The harness reads this JSON from a bounded (2000-char) tail of the
     // process output, so the line must stay compact: rounded values, the
     // sf basename, and — if the declared-query set outgrows the budget —
