@@ -37,7 +37,7 @@ object Bench {
     // a shared container are dominated by co-tenant CPU bursts
     // (observed 2–4× swings on identical plans). Only queries whose
     // first measurement looks burst-inflated (above 1.5× the median,
-    // and above 1s) are re-run, and the per-query min is reported —
+    // and above 0.5 s) are re-run, and the per-query min is reported —
     // min-of-2 where it matters without doubling total bench wall time.
     def time(name: String): Double = {
       val t0 = System.nanoTime()

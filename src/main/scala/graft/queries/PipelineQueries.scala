@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * decontamination, and a C4-style document quality filter.
   *
   * Scale notes (100 TB):
-  *  - Connected components runs min-label propagation: every iteration
-  *    is one shuffle (edges ⋈ labels, then min per vertex), converging in
-  *    O(log diameter) rounds — near-dup components are shallow (pairs /
-  *    small cliques), so 2–3 rounds in practice. The driver holds ONE
-  *    aggregate (the label-sum) per round for the fixpoint test, never
-  *    the vertex set. Lineage is truncated per round (localCheckpoint)
-  *    so plans do not grow with iterations.
+  *  - Connected components runs min-label propagation WITH pointer
+  *    jumping: each iteration is two hash joins (neighbor min over
+  *    edges ⋈ labels, then label := label[label]), which halves chain
+  *    depth per round → O(log diameter) rounds. Near-dup components are
+  *    shallow (pairs / small cliques), so 2–3 rounds in practice. The
+  *    driver holds ONE aggregate (the label-sum) per round for the
+  *    fixpoint test, never the vertex set. Lineage is truncated per
+  *    round (localCheckpoint) so plans do not grow with iterations.
+  *    Hitting the round cap without convergence throws — unconverged
+  *    labels are wrong answers and must never be returned silently.
   *  - Decontamination is the shuffle-on-shingle inverted-index join the
   *    dedup family already uses: the benchmark side is tiny relative to
   *    the train corpus (and broadcastable at need); only colliding
@@ -46,15 +49,26 @@ object PipelineQueries {
     // Min-label propagation to fixpoint. Labels only ever decrease, so
     // the label-sum is a strictly decreasing convergence witness; the
     // driver never materializes more than that one number.
+    val MaxRounds = 30
     var prevSum = Option.empty[Long]
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 30) {
+    while (!converged && rounds < MaxRounds) {
       val nbr = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("label")).as("nbl"))
-      labels = labels.join(nbr, col("id") === col("src"), "left")
+      val propagated = labels.join(nbr, col("id") === col("src"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nbl"), col("label"))).as("label"))
+      // pointer jumping: label := label[label]. Every label value IS a
+      // vertex id (labels start as ids and only take neighbor label
+      // values), so the self-join hits; chain depth halves per round,
+      // making total rounds O(log diameter) instead of O(diameter).
+      val reps = propagated
+        .select(col("id").as("rid"), col("label").as("rlabel"))
+      labels = propagated.join(reps, col("label") === col("rid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("rlabel"), col("label")))
+            .as("label"))
         .localCheckpoint()
       val s = labels.agg(sum(col("label"))).collect()(0)
       val cur = if (s.isNullAt(0)) Some(0L) else Some(s.getLong(0))
@@ -62,6 +76,10 @@ object PipelineQueries {
       prevSum = cur
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_cluster: min-label propagation did not converge within " +
+          s"$MaxRounds rounds — refusing to return unconverged cluster labels")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
       .orderBy(col("doc_id"))
   }

@@ -80,6 +80,42 @@ class TopKOperatorSpec extends AnyFunSuite {
     assert(result.count() > 0)
   }
 
+  test("k < 1 is rejected at construction with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
+        descending = false, k = 0)
+    }
+    assert(e.getMessage.contains("k >= 1"))
+  }
+
+  test("partial flush bound (maxGroups=1) still yields exact top-k") {
+    // force a flush on every group change: the partial side emits more
+    // than k candidates per group, the sorted final pass must re-cut
+    spark.conf.set("graft.topk.partialMaxGroups", "1")
+    try {
+      val k = 4
+      val bounded = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
+        descending = false, k = k)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      val expected = src.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("rn"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+        .toSet
+      assert(bounded == expected)
+      assert(bounded.nonEmpty)
+    } finally spark.conf.unset("graft.topk.partialMaxGroups")
+  }
+
   test("partial phase cuts shuffle input to at most k rows per group per partition") {
     val k = 3
     val df = TopKPerGroup(src, Seq(col("l_returnflag")), orderStruct,
