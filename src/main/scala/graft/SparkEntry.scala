@@ -19,6 +19,7 @@ object SparkEntry {
     (AggQueries.defs, AggQueries.sql),
     (JoinQueries.defs, JoinQueries.sql),
     (TpchQueries.defs, TpchQueries.sql),
+    (TpchDeepQueries.defs, TpchDeepQueries.sql),
     (WindowQueries.defs, WindowQueries.sql),
     (RelationalQueries.defs, RelationalQueries.sql),
     (ScalarQueries.defs, ScalarQueries.sql),
