@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis surface over the documents corpus (SURVEY.md §2b
   * LLM-data-pipeline extensions): token counting, quality scoring,
-  * language-ID heuristic, document fingerprinting. Every query is a
-  * narrow map + final sort — no shuffle except the output ordering, so
-  * throughput scales linearly with executors at 100 TB.
+  * language-ID heuristic, document fingerprinting, TF-IDF / BM25
+  * relevance ranking. The per-document stats are narrow maps — no
+  * shuffle except the output ordering, linear scaling with executors.
+  * The ranking queries add the inverted-index shape: one shuffle to
+  * (doc, term) counts, one to term document-frequencies, then
+  * broadcast-joined scoring — at 100 TB the tf table is the big side
+  * and everything else (df, scalars) broadcasts.
   */
 object TextQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -83,11 +87,71 @@ object TextQueries {
           .as("rep_ratio"))
       .orderBy(col("doc_id"))
 
+  /** TF-IDF: global top-30 (doc, term) pairs by tf·ln((N+1)/(df+1)).
+    * tf/df/N are exact counts; the single ln is rounded at 6 decimals
+    * (the established float-ranking convention), ties broken by
+    * (doc_id, word). */
+  def textTfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val tf = fanOut(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "word")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), col("tf"), col("df"),
+        round(col("tf") *
+          log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0))), 6)
+          .as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("word"))
+      .limit(30)
+  }
+
+  private val Bm25Terms = Seq("hash", "join", "scan")
+
+  /** BM25 (k1=1.2, b=0.75) document ranking for a fixed query-term set.
+    * Per-term scores are combined by FIXED-ORDER conditional sums (one
+    * term per sum, so each group adds exactly one non-zero addend —
+    * order-independent), keeping the double arithmetic engine-exact up
+    * to the final round(6). */
+  def textBm25(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dl = docs.select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("dl"))
+    val avgdl = dl.agg(davg(col("dl"), 4).as("avgdl"))
+    val tf = fanOut(docs)
+      .select(col("doc_id"), explode(words(col("text"))).as("word"))
+      .filter(col("word").isin(Bm25Terms.map(_.asInstanceOf[Any]): _*))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val sc = log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+      (col("tf") * lit(2.2)) /
+      (col("tf") + lit(1.2) *
+        (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val scored = tf.join(dfreq, "word").join(dl, "doc_id")
+      .crossJoin(broadcast(avgdl)).crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("word"), sc.as("sc"))
+    scored.groupBy(col("doc_id"))
+      .agg(round(Bm25Terms.map(t =>
+          sum(when(col("word") === t, col("sc")).otherwise(lit(0.0))))
+        .reduce(_ + _), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val defs: Map[String, Q] = Map(
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
     "text_repetition" -> (repetitionQ _),
-    "text_fingerprint" -> (fingerprintQ _))
+    "text_fingerprint" -> (fingerprintQ _),
+    "text_tfidf" -> (textTfidf _),
+    "text_bm25" -> (textBm25 _))
 
   private val statsSql =
     """SELECT doc_id, lang, source,
@@ -143,5 +207,36 @@ object TextQueries {
         |SELECT doc_id, n_grams, n_distinct,
         | round(1.0 - n_distinct / n_grams, 4) AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
-    "text_fingerprint" -> fpSql)
+    "text_fingerprint" -> fpSql,
+    "text_tfidf" ->
+      """WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t
+        |  WHERE word <> '' GROUP BY 1,2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, word, tf, df,
+        | round(tf * ln((n_docs + 1.0)/(df + 1.0)), 6) AS tfidf
+        |FROM tf JOIN df USING(word), n
+        |ORDER BY tfidf DESC, doc_id, word LIMIT 30""".stripMargin,
+    "text_bm25" ->
+      """WITH dl AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |ad AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)
+        |  AS avgdl FROM dl),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t
+        |  WHERE word IN ('hash','join','scan') GROUP BY 1,2),
+        |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+        |s AS (SELECT doc_id, word,
+        |  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+        |  (tf * 2.2)/(tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)) AS sc
+        | FROM tf JOIN df USING(word) JOIN dl USING(doc_id), ad, n)
+        |SELECT doc_id,
+        | round(SUM(CASE WHEN word='hash' THEN sc ELSE 0.0 END)
+        |  + SUM(CASE WHEN word='join' THEN sc ELSE 0.0 END)
+        |  + SUM(CASE WHEN word='scan' THEN sc ELSE 0.0 END), 6) AS bm25
+        |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
 }
