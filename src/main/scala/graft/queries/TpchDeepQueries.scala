@@ -98,7 +98,7 @@ object TpchDeepQueries {
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val natSupp = Tables.supplier(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
-        .filter(col("n_name") === "NATION_1")),
+        .filter(col("n_name") === "NATION_13")),
         col("s_nationkey") === col("n_nationkey"))
       .select(col("s_suppkey"))
     val base = Tables.lineitem(spark, dir)
@@ -347,12 +347,12 @@ object TpchDeepQueries {
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS part_value
         |FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
         |JOIN nation ON s_nationkey=n_nationkey
-        |WHERE n_name='NATION_1'
+        |WHERE n_name='NATION_13'
         |GROUP BY 1
         |HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) >
         | 0.001*(SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
         |  FROM lineitem JOIN supplier ON l_suppkey=s_suppkey
-        |  JOIN nation ON s_nationkey=n_nationkey WHERE n_name='NATION_1')
+        |  JOIN nation ON s_nationkey=n_nationkey WHERE n_name='NATION_13')
         |ORDER BY part_value DESC, ps_partkey""".stripMargin,
     "q13_customer_distribution" ->
       """SELECT c_count, COUNT(*) AS custdist FROM (
