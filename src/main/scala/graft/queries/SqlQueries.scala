@@ -110,7 +110,68 @@ object SqlQueries {
     spark.sql(cteSql)
   }
 
+  private val recursiveSql =
+    """WITH RECURSIVE spine(m) AS (
+      |  SELECT TIMESTAMP '1995-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT m + INTERVAL 1 MONTH FROM spine
+      |  WHERE m < TIMESTAMP '2001-08-01 00:00:00')
+      |SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+      |FROM spine LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): generate a month spine by
+    * recursion and left-join order counts onto it — months with zero
+    * orders survive with n_orders = 0. The recursion depth (80 months)
+    * sits well under Spark's cteRecursionLevelLimit; the identical SQL
+    * text runs on DuckDB as the oracle. At scale the spine is a tiny
+    * driver-built relation broadcast against the fact aggregation. */
+  def recursiveCte(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "orders")
+    spark.sql(recursiveSql)
+  }
+
+  private val lateralSql =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+      |         WHERE o_custkey = c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+      |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** LATERAL correlated subquery: top-2 orders per customer — the
+    * per-row dependent subquery Catalyst decorrelates into a ranked
+    * join (DuckDB runs the identical text). */
+  def lateralQ(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "customer", "orders")
+    spark.sql(lateralSql)
+  }
+
+  /** Ordered string aggregation (listagg WITHIN GROUP) over the
+    * distinct priority set per status, plus exact median. Spark's
+    * listagg and DuckDB's ordered string_agg differ only in spelling;
+    * the distinct subframe keeps the element list engine-agnostic, and
+    * median interpolation differences are absorbed by round(4). */
+  def listaggMedian(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "orders")
+    spark.sql(
+      """WITH p AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+        |agg AS (SELECT o_orderstatus,
+        |  listagg(o_orderpriority, ',')
+        |    WITHIN GROUP (ORDER BY o_orderpriority) AS prios
+        | FROM p GROUP BY o_orderstatus),
+        |m AS (SELECT o_orderstatus,
+        |  round(median(o_totalprice), 4) AS med_price,
+        |  COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, prios, med_price, n
+        |FROM agg JOIN m USING(o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    "sql_recursive_cte" -> (recursiveCte _),
+    "sql_lateral" -> (lateralQ _),
+    "agg_listagg_median" -> (listaggMedian _),
     "sql_scalar_subquery" -> (scalarSubquery _),
     "sql_exists_subquery" -> (existsSubquery _),
     "sql_grouping_sets" -> (groupingSets _),
@@ -119,6 +180,19 @@ object SqlQueries {
     "skew_salted_agg" -> (saltedAgg _))
 
   val sql: Map[String, String] = Map(
+    "sql_recursive_cte" -> recursiveSql,
+    "sql_lateral" -> lateralSql,
+    "agg_listagg_median" ->
+      """WITH p AS (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders),
+        |agg AS (SELECT o_orderstatus,
+        |  string_agg(o_orderpriority, ',' ORDER BY o_orderpriority) AS prios
+        | FROM p GROUP BY o_orderstatus),
+        |m AS (SELECT o_orderstatus,
+        |  round(median(o_totalprice), 4) AS med_price,
+        |  COUNT(*) AS n FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, prios, med_price, n
+        |FROM agg JOIN m USING(o_orderstatus)
+        |ORDER BY o_orderstatus""".stripMargin,
     "sql_scalar_subquery" ->
       """SELECT c_custkey, c_nationkey FROM customer c1
         |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
