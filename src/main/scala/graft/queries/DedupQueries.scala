@@ -105,21 +105,32 @@ object DedupQueries {
         element_at(col("mh"), i + 1).as(s"mh$i")): _*)
   }
 
+  private val bandCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** MinHash+LSH near-dup: band signatures → bucket join → candidate
     * pairs → exact-Jaccard verification ≥ 0.5. Approximate candidate
     * generation (an LSH miss is possible) → no SQL oracle; ScalaTest
-    * checks recall against [[jaccardDedup]]. */
+    * checks recall against [[jaccardDedup]]. The (doc, band, sig) table
+    * is persisted once per (session, dataset): the bucket self-join
+    * references it on BOTH sides, and without the cache the whole
+    * signature aggregation (the expensive pass over every shingle) runs
+    * twice — at corpus scale you materialize signatures once. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
-    val sigs = minhashSignatures(spark, sh)
-    val bandCols = (0 until Bands).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(":", (0 until RowsPerBand)
-          .map(j => col(s"mh${b * RowsPerBand + j}")): _*).as("sig"))
-    }
-    val bands = sigs
-      .select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val bands = bandCache.getOrElseUpdate((spark, dir), {
+      val sigs = minhashSignatures(spark, sh)
+      val bandCols = (0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws(":", (0 until RowsPerBand)
+            .map(j => col(s"mh${b * RowsPerBand + j}")): _*).as("sig"))
+      }
+      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+        .select(col("doc_id"), col("bs.band").as("band"),
+          col("bs.sig").as("sig"))
+        .persist()
+    })
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -184,19 +195,27 @@ object DedupQueries {
     voted.select(col("doc_id"), sig.as("simhash"))
   }
 
+  private val simBandCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** SimHash near-dup: pigeonhole banding (4 × 16-bit bands — any pair
     * at Hamming distance ≤ 3 shares at least one exact band) → candidate
     * pairs → exact Hamming ≤ 3 via bit_count(xor). No SQL oracle
-    * (engine-specific 64-bit hashing); ScalaTest pins the invariants. */
+    * (engine-specific 64-bit hashing); ScalaTest pins the invariants.
+    * Like the MinHash path, the (doc, band-value) table persists once
+    * per (session, dataset) so the signature fold does not run once per
+    * self-join side. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhash(spark, dir)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftrightunsigned(col("simhash"), b * 16)
-              .bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bs"))
-      .select(col("doc_id"), col("simhash"),
-        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    val bands = simBandCache.getOrElseUpdate((spark, dir),
+      simhash(spark, dir).select(col("doc_id"), col("simhash"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("simhash"), b * 16)
+                .bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bs"))
+        .select(col("doc_id"), col("simhash"),
+          col("bs.band").as("band"), col("bs.bv").as("bv"))
+        .persist())
     bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
