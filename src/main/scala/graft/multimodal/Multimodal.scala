@@ -101,13 +101,31 @@ object Multimodal {
     extractFeatures(mediaTable(spark, dir)).toDF()
       .orderBy(col("media_id"), col("bin"))
 
+  /** Declared query: every-64th-byte frame anchors per media payload,
+    * capped at the first 10 frames per doc. Oracle-checkable because
+    * the fake payload is ASCII text (1 byte per char), so the offsets
+    * are pure integer arithmetic over the text length. */
+  def mediaFramesQ(spark: SparkSession, dir: String): DataFrame =
+    sampleFrames(mediaTable(spark, dir), 64).toDF()
+      .filter(col("frame_idx") < 10)
+      .select(col("media_id"), col("frame_idx"),
+        col("offset").as("byte_offset"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "media_features" -> (mediaFeaturesQ _))
+    "media_features" -> (mediaFeaturesQ _),
+    "media_frames" -> (mediaFramesQ _))
 
   val sql: Map[String, String] = Map(
     "media_features" ->
       """SELECT doc_id AS media_id, CAST(unicode(c) // 16 AS INT) AS bin,
         | COUNT(*) AS cnt
         |FROM (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents)
-        |GROUP BY 1, 2 ORDER BY media_id, bin""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY media_id, bin""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+        | CAST(i * 64 AS BIGINT) AS byte_offset
+        |FROM documents,
+        | UNNEST(range(0, least(10, CAST(ceil(length(text) / 64.0) AS BIGINT)))) AS t(i)
+        |ORDER BY media_id, frame_idx""".stripMargin)
 }
