@@ -170,7 +170,26 @@ object JoinQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** Null-safe equi join (`<=>`): NULL keys match each other instead of
+    * vanishing — Spark still plans a HASH join on the null-safe key (no
+    * nested-loop fallback), which is what makes `<=>` usable at scale
+    * where a `k = k OR (k IS NULL AND k IS NULL)` disjunction would
+    * degrade to BNLJ. Keys are made nullable via NULLIF. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir)
+      .groupBy(nullif(col("l_returnflag"), lit("N")).as("k"),
+        col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    val b = Tables.lineitem(spark, dir)
+      .groupBy(nullif(col("l_returnflag"), lit("N")).as("k2"))
+      .agg(dsum(col("l_quantity")).as("qty"))
+    a.join(b, col("k") <=> col("k2"))
+      .select(col("k"), col("l_linestatus"), col("n"), col("qty"))
+      .orderBy(col("k").asc_nulls_first, col("l_linestatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "join_nullsafe" -> (nullSafeJoin _),
     "join_inner" -> (innerJoin _),
     "join_broadcast" -> (broadcastJoin _),
     "join_left_outer" -> (leftOuterJoin _),
@@ -184,6 +203,15 @@ object JoinQueries {
     "join_asof" -> (asofJoin _))
 
   val sql: Map[String, String] = Map(
+    "join_nullsafe" ->
+      """WITH a AS (SELECT NULLIF(l_returnflag, 'N') AS k, l_linestatus,
+        |  COUNT(*) AS n FROM lineitem GROUP BY 1, 2),
+        |b AS (SELECT NULLIF(l_returnflag, 'N') AS k2,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        | FROM lineitem GROUP BY 1)
+        |SELECT a.k, a.l_linestatus, a.n, b.qty
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k2
+        |ORDER BY a.k NULLS FIRST, a.l_linestatus""".stripMargin,
     "join_inner" ->
       """SELECT o_orderpriority,
         | CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -146,7 +146,23 @@ object ScalarQueries {
         element_at(col("me"), "t").as("tax_v"))
       .orderBy(col("okey"), col("line"))
 
+  /** Bitwise family: and/or/xor, shifts, popcount — pure integer ops,
+    * identical in any engine. */
+  def bitwiseFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") <= 500)
+      .select(
+        col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255L).as("band"),
+        col("o_orderkey").bitwiseOR(15L).as("bor"),
+        col("o_orderkey").bitwiseXOR(255L).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 3).as("shr"),
+        bit_count(col("o_orderkey")).cast("int").as("nbits"))
+      .orderBy(col("o_orderkey"))
+
   val defs: Map[String, Q] = Map(
+    "scalar_bitwise" -> (bitwiseFuncs _),
     "scalar_map" -> (mapFuncs _),
     "scalar_string" -> (stringFuncs _),
     "scalar_date" -> (dateFuncs _),
@@ -157,6 +173,15 @@ object ScalarQueries {
     "scalar_array" -> (arrayFuncs _))
 
   val sql: Map[String, String] = Map(
+    "scalar_bitwise" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey & 255 AS BIGINT) AS band,
+        | CAST(o_orderkey | 15 AS BIGINT) AS bor,
+        | CAST(xor(o_orderkey, 255) AS BIGINT) AS bxor,
+        | CAST(o_orderkey << 2 AS BIGINT) AS shl,
+        | CAST(o_orderkey >> 3 AS BIGINT) AS shr,
+        | CAST(bit_count(o_orderkey) AS INT) AS nbits
+        |FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey""".stripMargin,
     "scalar_map" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line,
         | m['qty'][1] AS qty_v,
