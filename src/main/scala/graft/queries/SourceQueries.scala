@@ -55,10 +55,29 @@ object SourceQueries {
       .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Schemaless JSON via Spark 4's VARIANT type: parse_json into a
+    * variant column, extract typed fields with variant_get — the
+    * open-schema path when props keys are not known up front (from_json
+    * above is the closed-schema path). The oracle recomputes the same
+    * typed extraction with DuckDB's JSON operators. */
+  def jsonVariantAgg(spark: SparkSession, dir: String): DataFrame =
+    fanOut(Tables.events(spark, dir))
+      .select(col("event_type"),
+        parse_json(col("props")).as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"),
+        expr("try_variant_get(v, '$.missing', 'int')").as("missing"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"),
+        count(col("missing")).as("n_missing"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val defs: Map[String, Q] = Map(
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "csv_infer_agg" -> (csvInferAgg _),
-    "json_kv_agg" -> (jsonKvAgg _))
+    "json_kv_agg" -> (jsonKvAgg _),
+    "json_variant_agg" -> (jsonVariantAgg _))
 
   val sql: Map[String, String] = Map(
     "arrow_roundtrip_agg" ->
@@ -74,6 +93,12 @@ object SourceQueries {
     "json_kv_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_variant_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        | COUNT(CAST(json_extract(props, '$.missing') AS INT)) AS n_missing,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
