@@ -42,13 +42,16 @@ object DedupQueries {
     * near-dup paths share. Persisted once per (session, dataset): the
     * Jaccard and MinHash pipelines each reference it several times
     * (sizes + two join sides), and at corpus scale you materialize the
-    * inverted index exactly once, not per consumer. */
+    * inverted index exactly once, not per consumer. Shingling runs
+    * through the native Generator (ShingleGenExpr) — distinct 3-grams
+    * stream out of GenerateExec with no per-doc array materialization. */
   private def shingleIndex(spark: SparkSession, dir: String): DataFrame =
     shCache.getOrElseUpdate((spark, dir),
-      fanOut(Tables.documents(spark, dir))
-        .select(col("doc_id"), words(col("text")).as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(shingles(col("w"), 3)).as("shingle"))
+      graft.functions.ShingleGenExpr(
+        fanOut(Tables.documents(spark, dir))
+          .select(col("doc_id"), words(col("text")).as("w")),
+        col("w"), 3)
+        .select(col("doc_id"), col("shingle"))
         .persist())
 
   private val jacCache =

@@ -89,11 +89,15 @@ object PipelineQueries {
     * (source = src0), with how many distinct shingles and benchmark docs
     * it collides with. */
   def textDecontam(spark: SparkSession, dir: String): DataFrame = {
-    val sh = fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), col("source"), words(col("text")).as("w"))
-      .filter(size(col("w")) >= 5)
-      .select(col("doc_id"), col("source"),
-        explode(shingles(col("w"), 5)).as("shingle"))
+    // native Generator (ShingleGenExpr) instead of explode(shingles()):
+    // distinct 5-grams stream out of GenerateExec per doc with no
+    // intermediate array materialization; < 5-word docs vanish like the
+    // non-outer generate they are
+    val sh = graft.functions.ShingleGenExpr(
+      fanOut(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("source"), words(col("text")).as("w")),
+      col("w"), 5)
+      .select(col("doc_id"), col("source"), col("shingle"))
     val bench = sh.filter(col("source") === "src0")
       .select(col("shingle"), col("doc_id").as("bench_id"))
     val train = sh.filter(col("source") =!= "src0")
