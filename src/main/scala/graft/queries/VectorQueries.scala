@@ -253,7 +253,32 @@ object VectorQueries {
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_centroids" -> (centroids _),
+    "sim_hybrid_search" -> (hybridSearch _),
     "agg_vector_mean_udaf" -> (vectorMeanUdaf _))
+
+  /** Two-stage hybrid retrieval — the canonical RAG-pipeline shape:
+    * BM25 retrieves a candidate set (top-20 lexical matches), then a
+    * dense re-rank scores each candidate's embedding against a fixed
+    * query vector (vec_id 0), and the final order blends both signals
+    * (0.1·bm25 + cosine, both pre-rounded). The lexical stage bounds
+    * the expensive dense stage to 20 vectors — at corpus scale the
+    * candidate set broadcasts and the embedding table is probed by an
+    * equi join, never scanned N×Q. */
+  def hybridSearch(spark: SparkSession, dir: String): DataFrame = {
+    val cand = TextQueries.textBm25(spark, dir)
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nsq").as("q_nsq"))
+    cand.join(e, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), col("bm25"),
+        round(expr("graft_dot(embedding, qv)") /
+          sqrt(col("nsq") * col("q_nsq")), 6).as("cos"))
+      .select(col("doc_id"), col("bm25"), col("cos"),
+        round(lit(0.1) * col("bm25") + col("cos"), 6).as("hybrid"))
+      .orderBy(col("hybrid").desc, col("doc_id"))
+      .limit(10)
+  }
 
   private val cosExpr =
     """SUM(CAST(q.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)) /
@@ -261,6 +286,35 @@ object VectorQueries {
       |       * SUM(CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "sim_hybrid_search" ->
+      s"""WITH dl AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+         |ad AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(18,4))) AS DOUBLE)/COUNT(*)
+         |  AS avgdl FROM dl),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |t0 AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM t0
+         |  WHERE word IN ('hash','join','scan') GROUP BY 1,2),
+         |df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1),
+         |s AS (SELECT doc_id, word,
+         |  ln(1.0 + (n_docs - df + 0.5)/(df + 0.5)) *
+         |  (tf * 2.2)/(tf + 1.2*(1.0 - 0.75 + 0.75*dl/avgdl)) AS sc
+         | FROM tf JOIN df USING(word) JOIN dl USING(doc_id), ad, n),
+         |bm AS (SELECT doc_id,
+         | round(SUM(CASE WHEN word='hash' THEN sc ELSE 0.0 END)
+         |  + SUM(CASE WHEN word='join' THEN sc ELSE 0.0 END)
+         |  + SUM(CASE WHEN word='scan' THEN sc ELSE 0.0 END), 6) AS bm25
+         |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |t AS (SELECT vec_id, embedding AS tv FROM embeddings),
+         |cosd AS (SELECT doc_id, bm25,
+         | round($cosExpr, 6) AS cos
+         | FROM bm JOIN t ON doc_id = vec_id, q,
+         |  UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | GROUP BY doc_id, bm25)
+         |SELECT doc_id, bm25, cos, round(0.1*bm25 + cos, 6) AS hybrid
+         |FROM cosd ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
