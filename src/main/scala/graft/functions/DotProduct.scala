@@ -82,7 +82,8 @@ case class DotProduct(left: Expression, right: Expression)
 object DotProduct {
   /** Register `graft_dot(a, b)` on the session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    Registration.once(spark, "graft_dot")(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in"))
 }

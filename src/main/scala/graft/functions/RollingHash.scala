@@ -72,7 +72,8 @@ object RollingHash {
     * registration is the public route from a custom Expression to a
     * Column.) */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in")
+    Registration.once(spark, "graft_rolling_hash")(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry.createOrReplaceTempFunction(
+          "graft_rolling_hash", exprs => RollingHash(exprs.head), "built-in"))
 }

@@ -98,7 +98,8 @@ object DedupQueries {
     * string hashes per shingle and 32 separate min-agg columns. */
   private def minhashSignatures(spark: SparkSession, sh: DataFrame)
       : DataFrame = {
-    spark.udf.register("graft_minhash", udaf(graft.functions.MinHashAgg))
+    graft.functions.Registration.once(spark, "graft_minhash")(
+      spark.udf.register("graft_minhash", udaf(graft.functions.MinHashAgg)))
     val sigs = sh
       .withColumn("h", xxhash64(col("shingle")))
       .groupBy(col("doc_id"))
@@ -171,7 +172,8 @@ object DedupQueries {
     * [[graft.functions.SimHashAgg]] — one 64-long buffer per group in
     * the shuffle instead of 64 separate sum-aggregate columns. */
   private def simhash(spark: SparkSession, dir: String): DataFrame = {
-    spark.udf.register("graft_simhash", udaf(graft.functions.SimHashAgg))
+    graft.functions.Registration.once(spark, "graft_simhash")(
+      spark.udf.register("graft_simhash", udaf(graft.functions.SimHashAgg)))
     fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
       .withColumn("h", xxhash64(col("word")))

@@ -235,7 +235,8 @@ object VectorQueries {
     * the same means positionally — a hash match proves the custom
     * aggregation (partial buffers + merge) is correct. */
   def vectorMeanUdaf(spark: SparkSession, dir: String): DataFrame = {
-    spark.udf.register("graft_vec_mean", udaf(graft.functions.VectorMeanAgg))
+    graft.functions.Registration.once(spark, "graft_vec_mean")(
+      spark.udf.register("graft_vec_mean", udaf(graft.functions.VectorMeanAgg)))
     Tables.embeddings(spark, dir)
       .groupBy(col("label"))
       .agg(expr("graft_vec_mean(embedding)").as("c"))
