@@ -32,6 +32,30 @@ class GeneratorSpec extends AnyFunSuite {
     assert(df.count() == 0)
   }
 
+  test("property: generator equals sliding-window distinct on random word arrays") {
+    import org.scalacheck.{Gen, rng}
+    val vocab = Gen.oneOf("a", "bb", "ccc", "d", "", "é", "ff")
+    val arrGen = Gen.listOfN(12, vocab)
+    val params = Gen.Parameters.default
+    val rows = (1 to 40).map { i =>
+      val words = arrGen.pureApply(params, rng.Seed(i.toLong))
+      (i.toLong, words)
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    val df = rows.toDF("id", "w")
+    for (k <- Seq(1, 2, 3, 5)) {
+      val got = ShingleGenExpr(df, col("w"), k)
+        .select(col("id"), col("shingle"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = rows.flatMap { case (id, words) =>
+        if (words.size < k) Nil
+        else words.sliding(k).map(s => (id, s.mkString(" "))).toSeq.distinct
+      }.toSet
+      assert(got == expected, s"k=$k mismatch")
+    }
+  }
+
   test("k < 1 is rejected") {
     val e = intercept[IllegalArgumentException] {
       ShingleGenExpr(docs, col("w"), 0)
