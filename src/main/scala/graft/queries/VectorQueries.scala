@@ -255,7 +255,37 @@ object VectorQueries {
     "sim_ann_ivf" -> (annIvf _),
     "sim_centroids" -> (centroids _),
     "sim_hybrid_search" -> (hybridSearch _),
+    "vec_quantize_int8" -> (vectorQuantize _),
     "agg_vector_mean_udaf" -> (vectorMeanUdaf _))
+
+  /** Per-vector int8 (0..255) min/max quantization with reconstruction
+    * error — the storage-side transform that cuts a float32 embedding
+    * corpus 4× at 100 TB. Deterministic floor-based bucketing (no
+    * engine round() semantics in the quantize step); emits the
+    * quantization params, the worst-element reconstruction error, and
+    * the quantized checksum per vector. Pure narrow arithmetic — one
+    * explode + one hash agg back to vector granularity. */
+  def vectorQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val base = fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"), col("embedding"),
+        array_min(col("embedding")).cast("double").as("mn"),
+        array_max(col("embedding")).cast("double").as("mx"))
+      .filter(col("mx") > col("mn"))
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    val xd = col("x").cast("double")
+    val q = floor((xd - col("mn")) / scale + lit(0.5)).cast("long")
+    base.select(col("vec_id"), col("mn"), col("mx"),
+        explode(col("embedding")).as("x"))
+      .select(col("vec_id"), col("mn"), col("mx"), xd.as("xd"), q.as("q"))
+      .groupBy(col("vec_id"), col("mn"), col("mx"))
+      .agg(
+        round(max(abs(col("mn") + col("q") * ((col("mx") - col("mn")) / lit(255.0)) - col("xd"))), 6)
+          .as("max_err"),
+        sum(col("q")).as("q_sum"))
+      .select(col("vec_id"), round(col("mn"), 6).as("qmin"),
+        round(col("mx"), 6).as("qmax"), col("max_err"), col("q_sum"))
+      .orderBy(col("vec_id"))
+  }
 
   /** Two-stage hybrid retrieval — the canonical RAG-pipeline shape:
     * BM25 retrieves a candidate set (top-20 lexical matches), then a
@@ -287,6 +317,21 @@ object VectorQueries {
       |       * SUM(CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "vec_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+        |u AS (SELECT vec_id, mn, mx, CAST(x AS DOUBLE) AS xd,
+        |   CAST(floor((CAST(x AS DOUBLE) - mn)/((mx - mn)/255.0) + 0.5) AS BIGINT) AS q
+        |  FROM s, UNNEST(s.embedding) AS t(x)
+        |  WHERE mx > mn),
+        |r AS (SELECT vec_id, mn, mx,
+        |  round(MAX(abs(mn + q*((mx - mn)/255.0) - xd)), 6) AS max_err,
+        |  CAST(SUM(q) AS BIGINT) AS q_sum
+        | FROM u GROUP BY 1,2,3)
+        |SELECT vec_id, round(mn,6) AS qmin, round(mx,6) AS qmax,
+        | max_err, q_sum
+        |FROM r ORDER BY vec_id""".stripMargin,
     "sim_hybrid_search" ->
       s"""WITH dl AS (SELECT doc_id,
          |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
