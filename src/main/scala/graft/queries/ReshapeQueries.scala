@@ -116,7 +116,32 @@ object ReshapeQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Z-order (Morton) layout key: interleave the low 16 bits of two
+    * scan keys so range filters on EITHER key touch few key ranges —
+    * the multi-dimensional clustering trick behind Delta/Iceberg
+    * Z-ORDER. At 100 TB you sort-write by zkey and data-skip on file
+    * min/max; here the declared query proves the key arithmetic and
+    * shows per-prefix locality (each 10-bit-prefix bucket covers a bounded
+    * slice of BOTH dimensions). Pure bit arithmetic → identical in any
+    * engine; the oracle SQL is generated from the same term template. */
+  def layoutZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ck = col("o_custkey").bitwiseAND(65535L)
+    val ok = col("o_orderkey").bitwiseAND(65535L)
+    val zkey = (0 until 16).map { i =>
+      shiftleft(shiftright(ck, i).bitwiseAND(1L), 2 * i) +
+        shiftleft(shiftright(ok, i).bitwiseAND(1L), 2 * i + 1)
+    }.reduce(_ + _)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), zkey.as("zkey"))
+      .groupBy(shiftright(col("zkey"), 22).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_custkey")).as("min_ck"), max(col("o_custkey")).as("max_ck"),
+        min(col("o_orderkey")).as("min_ok"), max(col("o_orderkey")).as("max_ok"))
+      .orderBy(col("z_bucket"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "layout_zorder" -> (layoutZorder _),
     "pivot_wide" -> (pivotWide _),
     "unpivot_long" -> (unpivotLong _),
     "explode_tokens" -> (explodeTokens _),
@@ -128,7 +153,18 @@ object ReshapeQueries {
     s"""CAST(SUM(CASE WHEN o_orderpriority = '$v'
        |   THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS $a""".stripMargin
 
+  private val zkeySql = (0 until 16).map { i =>
+    s"((((o_custkey & 65535) >> $i) & 1) << ${2 * i}) + " +
+      s"((((o_orderkey & 65535) >> $i) & 1) << ${2 * i + 1})"
+  }.mkString(" + ")
+
   val sql: Map[String, String] = Map(
+    "layout_zorder" ->
+      s"""SELECT CAST(($zkeySql) >> 22 AS BIGINT) AS z_bucket,
+         | COUNT(*) AS n,
+         | MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+         | MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok
+         |FROM orders GROUP BY z_bucket ORDER BY z_bucket""".stripMargin,
     "pivot_wide" ->
       s"""SELECT o_orderstatus,
          | ${Priorities.zip(PrioAlias).map { case (v, a) => prioCase(v, a) }.mkString(",\n ")}
