@@ -33,23 +33,20 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(n => try run(n) catch { case _: Throwable => () })
 
-    // Timed pass, then a bounded re-timing pass: single-pass numbers on
-    // a shared container are dominated by co-tenant CPU bursts
-    // (observed 2–4× swings on identical plans). Only queries whose
-    // first measurement looks burst-inflated (above 1.5× the median,
-    // and above 0.5 s) are re-run, and the per-query min is reported —
-    // min-of-2 where it matters without doubling total bench wall time.
+    // Two full timed passes, per-query MIN reported: single-pass
+    // numbers on a shared container are dominated by co-tenant CPU
+    // bursts (observed 2–4× swings on identical plans, and ±15%
+    // run-to-run drift on the 120-query total with selective
+    // re-timing). Min-of-2 across every query costs one extra timed
+    // pass (~90 s) and pins the total to the machine's quiet-state
+    // throughput, which is the number that tracks plan changes.
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val p1 = names.map(n => n -> time(n)).toMap
-    val med = p1.values.toSeq.sorted.apply(p1.size / 2)
-    val results = names.map { n =>
-      val t = p1(n)
-      n -> (if (t > math.max(0.5, 1.5 * med)) math.min(t, time(n)) else t)
-    }
+    val results = names.map(n => n -> math.min(p1(n), time(n)))
     // The harness reads this JSON from a bounded (2000-char) tail of the
     // process output, so the line must stay compact: rounded values, the
     // sf basename, and — if the declared-query set outgrows the budget —
