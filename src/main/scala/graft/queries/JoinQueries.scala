@@ -188,7 +188,38 @@ object JoinQueries {
       .orderBy(col("k").asc_nulls_first, col("l_linestatus"))
   }
 
+  /** Runtime-filter join: build a Bloom filter over the (filtered) dim
+    * keys, broadcast the sketch, and drop fact rows that cannot join
+    * BEFORE the shuffle — the row-level pruning Spark's own
+    * InjectRuntimeFilter performs for shuffle joins past its size
+    * thresholds (exercised natively in BloomJoinSpec; thresholds target
+    * 10 GB+ scans, so the declared query states the pattern explicitly).
+    * At 100 TB this is the difference between shuffling the whole fact
+    * table and shuffling only the ~segment fraction that can match.
+    * Semantics stay EXACT: the Bloom filter has no false negatives and
+    * the equi join re-checks the key, so false positives only cost
+    * shuffle bytes — the oracle is the plain join. */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    // sizing job first (a Bloom filter needs expected-n; runtime filters
+    // pay the same build pass), then the sketch build
+    val expected = math.max(dim.count(), 64L)
+    val bf = dim.stat.bloomFilter("c_custkey", expected, 0.01)
+    val might = udf((k: java.lang.Long) =>
+      k != null && bf.mightContain(k.longValue()))
+    Tables.orders(spark, dir)
+      .filter(might(col("o_custkey")))
+      .join(dim, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "join_bloom_prefilter" -> (bloomPrefilterJoin _),
     "join_nullsafe" -> (nullSafeJoin _),
     "join_inner" -> (innerJoin _),
     "join_broadcast" -> (broadcastJoin _),
@@ -203,6 +234,12 @@ object JoinQueries {
     "join_asof" -> (asofJoin _))
 
   val sql: Map[String, String] = Map(
+    "join_bloom_prefilter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "join_nullsafe" ->
       """WITH a AS (SELECT NULLIF(l_returnflag, 'N') AS k, l_linestatus,
         |  COUNT(*) AS n FROM lineitem GROUP BY 1, 2),

@@ -81,9 +81,37 @@ object StorageQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** SCD Type-2 dimension build: collapse each customer's order-priority
+    * history to its change points and attach validity intervals —
+    * `valid_from` = first order at the new value, `valid_to` = next
+    * change (NULL ⇒ current version). Two windows over the same
+    * (custkey; orderdate, orderkey) ordering: a `lag` to detect change
+    * points, a `lead` over the surviving rows to close intervals. One
+    * shuffle total — both windows and the change filter share the same
+    * partitioning, so Catalyst plans a single exchange + sort and at
+    * 100 TB the history build streams per key with no rewrite of
+    * unchanged versions. */
+  def scd2Intervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("prev_val", lag(col("o_orderpriority"), 1).over(w))
+      .filter(col("prev_val").isNull ||
+        col("prev_val") =!= col("o_orderpriority"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderpriority").as("dim_value"),
+        col("o_orderdate").as("valid_from"), col("valid_to"),
+        // INT not BOOLEAN: pandas stringifies engine booleans differently
+        col("valid_to").isNull.cast("int").as("is_current"))
+      .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "merge_upsert" -> (mergeUpsert _),
-    "snapshot_diff" -> (snapshotDiff _))
+    "snapshot_diff" -> (snapshotDiff _),
+    "scd2_intervals" -> (scd2Intervals _))
 
   private val updatesSql =
     """SELECT o_orderkey,
@@ -125,5 +153,23 @@ object StorageQueries {
          |      WHEN b.o_orderstatus <> n.o_orderstatus
          |        OR b.o_totalprice <> n.o_totalprice THEN 'changed'
          | END IS NOT NULL
-         |ORDER BY o_orderkey""".stripMargin)
+         |ORDER BY o_orderkey""".stripMargin,
+    "scd2_intervals" ->
+      """WITH chg AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+        |    LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev_val
+        |  FROM orders),
+        |vers AS (
+        |  SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate
+        |  FROM chg
+        |  WHERE prev_val IS NULL OR prev_val <> o_orderpriority)
+        |SELECT o_custkey, o_orderkey, o_orderpriority AS dim_value,
+        |  o_orderdate AS valid_from,
+        |  LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS valid_to,
+        |  CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) IS NULL AS INT) AS is_current
+        |FROM vers
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin)
 }
