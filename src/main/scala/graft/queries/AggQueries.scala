@@ -85,6 +85,28 @@ object AggQueries {
       .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
       .orderBy(col("l_returnflag"))
 
+  /** Mergeable-sketch rollup (Datasketches HLL): build one HLL sketch
+    * of the customer set per (priority, month), then UNION the monthly
+    * sketches per priority and read the estimate off the merged sketch.
+    * The two-level shape is the point — at 100 TB you pre-aggregate
+    * sketches at ingest grain (partition/day) and any coarser distinct
+    * count is a cheap register-max merge of kilobyte sketches, never a
+    * re-scan. Merge is exact w.r.t. the sketch (register-wise max is
+    * associative/commutative: SketchSpec asserts union-of-monthly ==
+    * one-global-sketch bit-for-bit), so pre-aggregation loses nothing.
+    * Estimate is approximate → rows-only driver check; the error bound
+    * vs exact distinct is spec-checked. */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+    monthly.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_months"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_cust"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Vector re-assembly: per-order sorted list of line numbers as CSV
     * string (string form is hash-stable across engines; Spark
     * collect_list order is nondeterministic so we sort before joining). */
@@ -213,6 +235,7 @@ object AggQueries {
     "agg_rollup" -> (rollupAgg _),
     "agg_cube" -> (cubeAgg _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_hll_rollup" -> (hllRollup _),
     "agg_collect" -> (collectAgg _))
 
   private val q1Sql =

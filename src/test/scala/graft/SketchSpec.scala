@@ -30,6 +30,26 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL sketch union of monthly partials equals the global sketch") {
+    val o = Tables.orders(spark, TestSession.Sf)
+    // two-level: per-month sketches merged per priority
+    val merged = queries.AggQueries.hllRollup(spark, TestSession.Sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // one-level: a single sketch straight over the rows
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // register-wise max is associative: pre-aggregation is lossless
+    assert(merged == direct)
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble <= math.max(4.0, 0.05 * n),
+        s"HLL estimate off for $k: ${merged(k)} vs exact $n")
+    }
+  }
+
   test("freqItems returns a superset of the truly frequent values") {
     val o = Tables.orders(spark, TestSession.Sf)
     val support = 0.15
