@@ -34,6 +34,37 @@ class TypedApiSpec extends AnyFunSuite {
     assert(typed == untyped)
   }
 
+  test("cogroup merges two keyed datasets in one pass per key") {
+    import spark.implicits._
+    val orders = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .as[OrderLite]
+      .groupByKey(_.o_orderkey)
+    val lines = Tables.lineitem(spark, TestSession.Sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+    // per order: line count + total quantity, orders with no lines kept
+    // (cogroup is a full outer join shape — both sides stream per key,
+    // co-partitioned on one shuffle each, never materialized whole)
+    val merged = orders.cogroup(lines) { (key, os, ls) =>
+      val hasOrder = os.nonEmpty
+      var n = 0L; var qty = 0.0
+      ls.foreach { l => n += 1; qty += l._2 }
+      if (hasOrder) Iterator.single((key, n, qty)) else Iterator.empty
+    }.collect().map(t => t._1 -> ((t._2, math.round(t._3)))).toMap
+    val expected = Tables.orders(spark, TestSession.Sf)
+      .join(Tables.lineitem(spark, TestSession.Sf),
+        col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n"),
+        coalesce(sum(col("l_quantity")), lit(0.0)).as("qty"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), math.round(r.getDouble(2)))))
+      .toMap
+    assert(merged == expected)
+  }
+
   test("reduceGroups folds to the per-key maximum") {
     import spark.implicits._
     val ds = Tables.orders(spark, TestSession.Sf)
