@@ -147,10 +147,16 @@ object AggQueries {
     // over the column shared by all requested percentiles.
     def pcts(c: String, ps: Seq[(Double, String)]): DataFrame = {
       val w = Window.partitionBy(col("l_returnflag")).orderBy(col(c))
-      val wg = Window.partitionBy(col("l_returnflag"))
+      // group sizes via a tiny pre-aggregate broadcast back onto the
+      // rows, NOT count().over(partitionBy): the unordered whole-group
+      // window frame buffers (and past 4096 rows, spills) every group
+      // just to stamp one number, while row_number's running frame
+      // streams. At 100 TB the count side is still one row per group.
+      val sizes = li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
       val ranked = li.select(col("l_returnflag"), col(c))
         .withColumn("rn", row_number().over(w).cast("long") - 1L)
-        .withColumn("n", count(lit(1)).over(wg))
+        .join(broadcast(sizes), Seq("l_returnflag"))
       val aggs = ps.map { case (p, name) =>
         val pos = lit(p) * (col("n") - 1L).cast("double")
         val lo = floor(pos)

@@ -48,6 +48,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("stream-static dimension join enriches each micro-batch") {
+    // the static side is re-planned per micro-batch and (being tiny)
+    // broadcast — the standard streaming dim-enrichment shape; at scale
+    // the dim is a table the batch planner prunes/broadcasts as usual
+    val users = eventsBatch.select(col("user_id")).distinct()
+      .withColumn("cohort", (col("user_id") % 3).cast("int"))
+    val joined = eventsStream
+      .join(users, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    val q = joined.writeStream.outputMode("complete")
+      .format("memory").queryName("dimjoin_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dimjoin_out")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = eventsBatch.join(users, Seq("user_id"))
+      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+    assert(streamed.values.sum > 0)
+  }
+
   test("watermarked session windows emit finalized sessions (append)") {
     val agg = StreamingOps.sessionCounts(eventsStream, withWatermark = true)
     val q = agg.writeStream.outputMode("append")
