@@ -145,7 +145,31 @@ object TextQueries {
       .limit(20)
   }
 
+  /** RAG-prep chunking: split every document into overlapping word
+    * windows (50 words at stride 40 → 10-word overlap), one output row
+    * per chunk with its index and word count. A generate-only narrow
+    * op — `posexplode(sequence(...))` + `slice` stream inside codegen
+    * with no shuffle until the presentation sort, so at 100 TB
+    * chunking is scan-bound and embarrassingly parallel. Tail chunks
+    * keep whatever words remain (real chunkers keep or merge tails;
+    * keeping them makes the op total and the oracle exact). */
+  def textChunk(spark: SparkSession, dir: String): DataFrame = {
+    val W = 50
+    val S = 40
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words(col("text")).as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
+          lit(S))))
+      .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+        concat_ws(" ", slice(col("w"), col("col") + 1, lit(W)))
+          .as("chunk_text"),
+        size(slice(col("w"), col("col") + 1, lit(W))).as("n_words"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_chunk" -> (textChunk _),
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
     "text_repetition" -> (repetitionQ _),
@@ -194,6 +218,15 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "text_chunk" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |s AS (SELECT doc_id, w, UNNEST(range(0, greatest(len(w), 1), 40)) AS st
+        |  FROM w)
+        |SELECT doc_id, CAST(st // 40 AS INT) AS chunk_idx,
+        | array_to_string(w[st+1:st+50], ' ') AS chunk_text,
+        | CAST(least(50, len(w) - st) AS INT) AS n_words
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
     "text_stats" -> statsSql,
     "text_langid" -> langIdSql,
     "text_repetition" ->
