@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -140,7 +141,32 @@ object ReshapeQueries {
       .orderBy(col("z_bucket"))
   }
 
+  /** Class rebalancing: downsample every language class to the size of
+    * the smallest one — the exact deterministic form of the
+    * majority-class downsampling a training mix needs. Each row gets a
+    * multiplicative-hash rank within its class (a deterministic
+    * shuffle-order, so the kept subset is a uniform, reproducible
+    * pick) and classes keep their first `min(class size)` rows. One
+    * window shuffle on the class key + a 1-row broadcast target; the
+    * per-class selection streams at any scale. Output proves the exact
+    * selection (sum of kept ids), not just the kept counts. */
+  def sampleRebalance(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val target = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("t"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("hk"), col("doc_id"))
+    d.withColumn("hk", (col("doc_id") * 2654435761L) % 4294967296L)
+      .withColumn("rk", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("rk") <= col("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "sample_rebalance" -> (sampleRebalance _),
     "layout_zorder" -> (layoutZorder _),
     "pivot_wide" -> (pivotWide _),
     "unpivot_long" -> (unpivotLong _),
@@ -159,6 +185,18 @@ object ReshapeQueries {
   }.mkString(" + ")
 
   val sql: Map[String, String] = Map(
+    "sample_rebalance" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |  FROM documents),
+        |t AS (SELECT MIN(n) AS t FROM
+        |  (SELECT COUNT(*) AS n FROM documents GROUP BY lang))
+        |SELECT lang, COUNT(*) AS n_kept,
+        | CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM r, t WHERE rk <= t
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "layout_zorder" ->
       s"""SELECT CAST(($zkeySql) >> 22 AS BIGINT) AS z_bucket,
          | COUNT(*) AS n,
