@@ -119,4 +119,17 @@ object ArrowDataSource {
         .map(b => b.getMetadataLength.toLong + b.getBodyLength).toSeq
     } finally { reader.close(); ch.close() }
   }
+
+  /** The file's zone map from the IPC footer custom metadata, if our
+    * writer recorded one (see [[ZoneMaps]]). Footer-only read. */
+  def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = {
+    val ch = FileChannel.open(file, StandardOpenOption.READ)
+    val reader = new ArrowFileReader(ch, allocator,
+      CommonsCompressionFactory.INSTANCE)
+    try {
+      reader.getVectorSchemaRoot // forces footer read
+      Option(reader.getMetaData.get(ZoneMaps.MetaKey))
+        .flatMap(ZoneMaps.decode)
+    } finally { reader.close(); ch.close() }
+  }
 }

@@ -74,16 +74,30 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * block metadata, packing consecutive batches up to ~128 MB per
     * split. Scan parallelism therefore tracks data volume (as with
     * parquet row groups), not file count — one huge file no longer
-    * serializes onto one task. */
+    * serializes onto one task.
+    *
+    * Before packing, pushed filters are tested against the file's zone
+    * map ([[ZoneMaps]], written into the footer by our writer): a
+    * record batch whose per-column [min,max] provably cannot satisfy
+    * the filters never becomes part of any split. Pruning is
+    * conservative and purely an optimization — surviving batches still
+    * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
     ArrowDataSource.listIpcFiles(path).flatMap { p =>
       val blocks = ArrowDataSource.recordBlockSizes(p)
       if (blocks.isEmpty) Seq(ArrowFilePartition(p.toString, Array.empty))
       else {
+        val keep: Int => Boolean =
+          if (filters.isEmpty) _ => true
+          else ArrowDataSource.zoneMap(p) match {
+            case Some(zm) if zm.batches.length == blocks.length =>
+              idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
+            case _ => _ => true
+          }
         val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         var current = scala.collection.mutable.ArrayBuffer.empty[Int]
         var bytes = 0L
-        for ((size, idx) <- blocks.zipWithIndex) {
+        for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
           if (current.nonEmpty && bytes + size > maxSplitBytes) {
             splits += current.toArray
             current = scala.collection.mutable.ArrayBuffer.empty[Int]

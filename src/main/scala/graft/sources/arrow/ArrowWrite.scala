@@ -94,13 +94,17 @@ class ArrowDataWriter(path: String, schema: StructType,
   private val channel: FileChannel = FileChannel.open(file,
     StandardOpenOption.CREATE, StandardOpenOption.WRITE,
     StandardOpenOption.TRUNCATE_EXISTING)
+  // Zone-map stats land in this map; ArrowFileWriter keeps the
+  // REFERENCE and serializes it into the footer at end(), so filling it
+  // during batch writes (footers are written last) is sound.
+  private val metaData = new java.util.HashMap[String, String]()
   private val writer: ArrowFileWriter = codecType match {
     case None =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
-        channel)
+        channel, metaData)
     case Some(ct) =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
-        channel, new java.util.HashMap[String, String](), new IpcOption(),
+        channel, metaData, new IpcOption(),
         CommonsCompressionFactory.INSTANCE, ct)
   }
   writer.start()
@@ -108,12 +112,80 @@ class ArrowDataWriter(path: String, schema: StructType,
   private val fields = schema.fields
   private var rowIdx = 0
 
+  // ---- zone-map accumulation (see ZoneMaps) ------------------------
+  // Per tracked column: running min/max over the CURRENT batch's
+  // non-null values. NaN poisons the batch's stat (recorded as None) so
+  // pruning never reasons over a non-total order.
+  private val zmCols: Array[Int] = fields.indices
+    .filter(i => ZoneMaps.trackable(fields(i).name, fields(i).dataType))
+    .toArray
+  private val zmKind: Array[Int] =
+    zmCols.map(i => ZoneMaps.kindOf(fields(i).dataType))
+  private val zmLongMin = Array.fill(zmCols.length)(Long.MaxValue)
+  private val zmLongMax = Array.fill(zmCols.length)(Long.MinValue)
+  private val zmDblMin = Array.fill(zmCols.length)(Double.MaxValue)
+  private val zmDblMax = Array.fill(zmCols.length)(-Double.MaxValue)
+  private val zmSeen = Array.fill(zmCols.length)(false)
+  private val zmPoisoned = Array.fill(zmCols.length)(false)
+  private val zmBatches =
+    scala.collection.mutable.ArrayBuffer.empty[Seq[ZoneMaps.Range]]
+
+  private def zmUpdate(row: InternalRow): Unit = {
+    var j = 0
+    while (j < zmCols.length) {
+      val col = zmCols(j)
+      if (!row.isNullAt(col)) {
+        if (zmKind(j) == ZoneMaps.KindLong) {
+          val v = fields(col).dataType match {
+            case ByteType => row.getByte(col).toLong
+            case ShortType => row.getShort(col).toLong
+            case IntegerType | DateType => row.getInt(col).toLong
+            case _ => row.getLong(col)
+          }
+          if (v < zmLongMin(j)) zmLongMin(j) = v
+          if (v > zmLongMax(j)) zmLongMax(j) = v
+          zmSeen(j) = true
+        } else {
+          val v = fields(col).dataType match {
+            case FloatType => row.getFloat(col).toDouble
+            case _ => row.getDouble(col)
+          }
+          if (java.lang.Double.isNaN(v)) zmPoisoned(j) = true
+          else {
+            if (v < zmDblMin(j)) zmDblMin(j) = v
+            if (v > zmDblMax(j)) zmDblMax(j) = v
+            zmSeen(j) = true
+          }
+        }
+      }
+      j += 1
+    }
+  }
+
+  private def zmSealBatch(): Unit = {
+    zmBatches += zmCols.indices.map { j =>
+      if (!zmSeen(j) || zmPoisoned(j)) None
+      else if (zmKind(j) == ZoneMaps.KindLong)
+        Some((zmLongMin(j).toString, zmLongMax(j).toString))
+      else
+        Some((zmDblMin(j).toString, zmDblMax(j).toString))
+    }
+    java.util.Arrays.fill(zmLongMin, Long.MaxValue)
+    java.util.Arrays.fill(zmLongMax, Long.MinValue)
+    java.util.Arrays.fill(zmDblMin, Double.MaxValue)
+    java.util.Arrays.fill(zmDblMax, -Double.MaxValue)
+    java.util.Arrays.fill(zmSeen, false)
+    java.util.Arrays.fill(zmPoisoned, false)
+  }
+  // ------------------------------------------------------------------
+
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < fields.length) {
       writeValue(root.getVector(i), fields(i).dataType, row, i, rowIdx)
       i += 1
     }
+    zmUpdate(row)
     rowIdx += 1
     if (rowIdx >= BatchRows) flush()
   }
@@ -189,6 +261,7 @@ class ArrowDataWriter(path: String, schema: StructType,
     if (rowIdx > 0) {
       root.setRowCount(rowIdx)
       writer.writeBatch()
+      zmSealBatch()
       root.allocateNew() // reset vectors for the next batch
       rowIdx = 0
     }
@@ -196,6 +269,10 @@ class ArrowDataWriter(path: String, schema: StructType,
 
   override def commit(): WriterCommitMessage = {
     flush()
+    if (zmCols.nonEmpty && zmBatches.nonEmpty) {
+      metaData.put(ZoneMaps.MetaKey,
+        ZoneMaps.encode(zmCols.map(fields(_).name).toSeq, zmBatches.toSeq))
+    }
     writer.end(); writer.close(); channel.close()
     root.close(); allocator.close()
     ArrowCommitMessage(file.toString)
