@@ -152,11 +152,15 @@ object AggQueries {
       // window frame buffers (and past 4096 rows, spills) every group
       // just to stamp one number, while row_number's running frame
       // streams. At 100 TB the count side is still one row per group.
-      val sizes = li.groupBy(col("l_returnflag"))
+      // null-safe join key: the window formulation (and the oracle's
+      // GROUP BY) keeps a NULL group; a null-unsafe equi join would
+      // silently drop it
+      val sizes = li.groupBy(col("l_returnflag").as("szflag"))
         .agg(count(lit(1)).as("n"))
       val ranked = li.select(col("l_returnflag"), col(c))
         .withColumn("rn", row_number().over(w).cast("long") - 1L)
-        .join(broadcast(sizes), Seq("l_returnflag"))
+        .join(broadcast(sizes), col("l_returnflag") <=> col("szflag"))
+        .drop("szflag")
       val aggs = ps.map { case (p, name) =>
         val pos = lit(p) * (col("n") - 1L).cast("double")
         val lo = floor(pos)

@@ -198,7 +198,15 @@ object JoinQueries {
     * table and shuffling only the ~segment fraction that can match.
     * Semantics stay EXACT: the Bloom filter has no false negatives and
     * the equi join re-checks the key, so false positives only cost
-    * shuffle bytes — the oracle is the plain join. */
+    * shuffle bytes — the oracle is the plain join.
+    *
+    * NOTE this query is deliberately EAGER at construction: the sizing
+    * count and the sketch build are Spark jobs that run before the
+    * returned plan executes — exactly the build pass a native runtime
+    * filter performs, surfaced explicitly. Callers that only want the
+    * plan (PlanAudit) pay two small dim scans; the fully-deferred
+    * alternative is the injected BloomFilterAggregate subquery, which
+    * BloomJoinSpec exercises natively. */
   def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
     val dim = Tables.customer(spark, dir)
       .filter(col("c_mktsegment") === "BUILDING")

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -26,6 +26,14 @@ import org.apache.spark.sql.types.DecimalType
   */
 object ReshapeQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Knuth multiplicative hash of a non-negative long key into
+    * [0, 2^32) — the ONE definition behind every deterministic-sampling
+    * query here, mirrored literally in each oracle SQL string. (The
+    * product overflows Long past keys ~3.5e9; fixture keys are far
+    * below, and at scale you'd widen to DECIMAL first.) */
+  private def knuthHash(c: Column): Column =
+    (c * 2654435761L) % 4294967296L
 
   private val Priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -73,7 +81,7 @@ object ReshapeQueries {
     * engine, pushed down to the scan as a plain filter. */
   def sampleHash(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
-      .filter((col("o_orderkey") * 2654435761L) % 4294967296L % 20 === 0)
+      .filter(knuthHash(col("o_orderkey")) % 20 === 0)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_sampled"),
         dsum(col("o_totalprice")).as("sum_price"))
@@ -84,7 +92,7 @@ object ReshapeQueries {
     * 2% — via the same multiplicative-hash filter, so the stratum rates
     * are exact-deterministic and the filter still pushes to the scan. */
   def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
-    val h = (col("o_orderkey") * 2654435761L) % 4294967296L % 100
+    val h = knuthHash(col("o_orderkey")) % 100
     Tables.orders(spark, dir)
       .filter(
         (col("o_orderpriority") === "1-URGENT" && h < 20) ||
@@ -156,7 +164,7 @@ object ReshapeQueries {
       .agg(min(col("n")).as("t"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("hk"), col("doc_id"))
-    d.withColumn("hk", (col("doc_id") * 2654435761L) % 4294967296L)
+    d.withColumn("hk", knuthHash(col("doc_id")))
       .withColumn("rk", row_number().over(w))
       .crossJoin(broadcast(target))
       .filter(col("rk") <= col("t"))

@@ -157,6 +157,10 @@ object TextQueries {
     val W = 50
     val S = 40
     Tables.documents(spark, dir)
+      // explicit null contract: a NULL text chunks to nothing (Spark
+      // would otherwise emit one empty chunk via greatest(NULL-1, 0)=0
+      // while the oracle's range(NULL) emits none)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), words(col("text")).as("w"))
       .select(col("doc_id"), col("w"),
         posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)),
@@ -220,7 +224,7 @@ object TextQueries {
   val sql: Map[String, String] = Map(
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |s AS (SELECT doc_id, w, UNNEST(range(0, greatest(len(w), 1), 40)) AS st
         |  FROM w)
         |SELECT doc_id, CAST(st // 40 AS INT) AS chunk_idx,

@@ -122,14 +122,21 @@ object ArrowDataSource {
 
   /** The file's zone map from the IPC footer custom metadata, if our
     * writer recorded one (see [[ZoneMaps]]). Footer-only read. */
-  def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = {
+  def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = footerInfo(file)._2
+
+  /** Block sizes AND zone map from ONE footer read — the split planner
+    * needs both, and each open re-parses the footer. */
+  def footerInfo(file: Path): (Seq[Long], Option[ZoneMaps.ZoneMap]) = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)
     try {
       reader.getVectorSchemaRoot // forces footer read
-      Option(reader.getMetaData.get(ZoneMaps.MetaKey))
+      val sizes = reader.getRecordBlocks.asScala
+        .map(b => b.getMetadataLength.toLong + b.getBodyLength).toSeq
+      val zm = Option(reader.getMetaData.get(ZoneMaps.MetaKey))
         .flatMap(ZoneMaps.decode)
+      (sizes, zm)
     } finally { reader.close(); ch.close() }
   }
 }

@@ -84,12 +84,12 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
     ArrowDataSource.listIpcFiles(path).flatMap { p =>
-      val blocks = ArrowDataSource.recordBlockSizes(p)
+      val (blocks, zoneMap) = ArrowDataSource.footerInfo(p)
       if (blocks.isEmpty) Seq(ArrowFilePartition(p.toString, Array.empty))
       else {
         val keep: Int => Boolean =
           if (filters.isEmpty) _ => true
-          else ArrowDataSource.zoneMap(p) match {
+          else zoneMap match {
             case Some(zm) if zm.batches.length == blocks.length =>
               idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
             case _ => _ => true

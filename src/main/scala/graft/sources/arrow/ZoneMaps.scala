@@ -50,7 +50,8 @@ object ZoneMaps {
   }
 
   def trackable(name: String, dt: DataType): Boolean =
-    kindOf(dt) != KindNone && !name.exists(",;:\n".contains(_))
+    kindOf(dt) != KindNone && name.nonEmpty &&
+      !name.exists(",;:\n".contains(_))
 
   /** One batch's stats for one column, as decimal strings. */
   type Range = Option[(String, String)]
@@ -78,7 +79,12 @@ object ZoneMaps {
     val lines = s.split("\n", -1)
     if (lines.length < 2 || lines(0) != "v1") None
     else {
-      val cols = lines(1).split(",", -1).filter(_.nonEmpty)
+      // NO element filtering here: dropping a name would shift every
+      // later column onto the wrong stat cell — positions are the
+      // contract (trackable() already refuses unencodable names)
+      val cols =
+        if (lines(1).isEmpty) Array.empty[String]
+        else lines(1).split(",", -1)
       val batches = lines.drop(2).map(_.split(";", -1).map { cell =>
         val i = cell.indexOf(':')
         if (i <= 0) None
