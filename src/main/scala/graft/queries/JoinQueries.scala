@@ -226,7 +226,29 @@ object JoinQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Fuzzy (edit-distance) self-join: near-identical part names within
+    * a brand, the string-similarity dedup shape. The brand equality is
+    * the BLOCKING key — Catalyst plans a hash join on it and the
+    * quadratic levenshtein work happens only within a block, so at
+    * 100 TB cost scales with Σ(block²), not corpus²; the all-pairs
+    * variant without a block key would be a cartesian product. k1 < k2
+    * keeps each unordered pair once. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey").as("k1"),
+        col("p_name").as("n1"))
+    val b = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand2"), col("p_partkey").as("k2"),
+        col("p_name").as("n2"))
+    a.join(b, col("p_brand") === col("brand2") && col("k1") < col("k2"))
+      .select(col("p_brand"), col("k1"), col("k2"),
+        levenshtein(col("n1"), col("n2")).as("dist"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("p_brand"), col("k1"), col("k2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "join_fuzzy" -> (fuzzyJoin _),
     "join_bloom_prefilter" -> (bloomPrefilterJoin _),
     "join_nullsafe" -> (nullSafeJoin _),
     "join_inner" -> (innerJoin _),
@@ -242,6 +264,13 @@ object JoinQueries {
     "join_asof" -> (asofJoin _))
 
   val sql: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
+        | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM part a JOIN part b
+        | ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand, k1, k2""".stripMargin,
     "join_bloom_prefilter" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
