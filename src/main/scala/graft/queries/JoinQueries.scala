@@ -241,9 +241,14 @@ object JoinQueries {
       .select(col("p_brand").as("brand2"), col("p_partkey").as("k2"),
         col("p_name").as("n2"))
     a.join(b, col("p_brand") === col("brand2") && col("k1") < col("k2"))
+      // threshold variant: early-exits the DP once distance must exceed
+      // 2 (returns -1), O(threshold·len) per pair instead of O(len²) —
+      // the form that matters when blocks are big; equals the full
+      // distance whenever it is within threshold, so the oracle's plain
+      // levenshtein agrees on every surviving row
       .select(col("p_brand"), col("k1"), col("k2"),
-        levenshtein(col("n1"), col("n2")).as("dist"))
-      .filter(col("dist") <= 2)
+        levenshtein(col("n1"), col("n2"), 2).as("dist"))
+      .filter(col("dist") >= 0)
       .orderBy(col("p_brand"), col("k1"), col("k2"))
   }
 

@@ -108,10 +108,36 @@ object StorageQueries {
       .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
   }
 
+  /** Arrow zone-map scan, end-to-end through the oracle gate: write
+    * orders CLUSTERED by orderkey to the Arrow source (the writer
+    * records per-batch min/max in the IPC footer), read back with a
+    * key-range filter — planning drops every batch outside the range
+    * (ZoneMapSpec proves the pruning; this query proves the pruned
+    * scan is lossless) — and aggregate. The oracle computes the same
+    * aggregate from the unclustered parquet source, so a hash match
+    * means skipping changed nothing but work. Path is pid-tokened for
+    * the same reason as partitionedWritePrune. */
+  def arrowZonemapScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zm_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    Tables.orders(spark, dir)
+      .repartition(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").option("batchRows", 2048)
+      .mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "merge_upsert" -> (mergeUpsert _),
     "snapshot_diff" -> (snapshotDiff _),
-    "scd2_intervals" -> (scd2Intervals _))
+    "scd2_intervals" -> (scd2Intervals _),
+    "arrow_zonemap_scan" -> (arrowZonemapScan _))
 
   private val updatesSql =
     """SELECT o_orderkey,
@@ -171,5 +197,11 @@ object StorageQueries {
         |  CAST(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
         |    ORDER BY o_orderdate, o_orderkey) IS NULL AS INT) AS is_current
         |FROM vers
-        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin)
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+    "arrow_zonemap_scan" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
 }
