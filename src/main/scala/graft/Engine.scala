@@ -33,8 +33,14 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // per-process warehouse: the catalog is in-memory (per JVM) but
+      // managed-table directories persist on disk, so a shared path
+      // makes every saveAsTable non-idempotent across JVM runs
+      // (LOCATION_ALREADY_EXISTS on the next run's CREATE) and lets
+      // concurrent JVMs clobber each other's tables
       .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+          ProcessHandle.current().pid())
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

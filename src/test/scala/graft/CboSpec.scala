@@ -50,6 +50,11 @@ class CboSpec extends AnyFunSuite {
           s"${sSome.sizeInBytes} vs ${sAll.sizeInBytes}")
       assert(sSome.rowCount.isDefined && sAll.rowCount.isDefined &&
         sSome.rowCount.get < sAll.rowCount.get)
-    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+      // dropping the managed table deletes its warehouse directory, so
+      // the suite stays idempotent even within one JVM
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
   }
 }
