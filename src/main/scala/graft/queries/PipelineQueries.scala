@@ -135,10 +135,60 @@ object PipelineQueries {
       .withColumn("keep", (col("reason") === "ok").cast("int"))
       .orderBy(col("doc_id"))
 
+  /** Target training mixture, language → weight in per-mille. */
+  private val MixWeights: Seq[(String, Long)] =
+    Seq("en" -> 300L, "de" -> 200L, "es" -> 200L, "fr" -> 150L,
+      "zh" -> 150L)
+
+  /** Training-mixture sampler: downsample each language so the kept
+    * character mass follows the target mixture [[MixWeights]], keeping
+    * the largest total the corpus supports (the scarcest language
+    * relative to its weight is kept whole; every other language is
+    * thinned to match). Selection is the corpus-wide deterministic
+    * multiplicative hash (same family as `sample_hash`), so membership
+    * is reproducible and engine-independent — the property a training
+    * pipeline needs for resumable, auditable mixes.
+    *
+    * All rate arithmetic is integer (`DIV`), so the oracle is
+    * bit-exact: budget = min over langs of t_chars*1000 DIV w_mille;
+    * keep rate in ppm = w*budget*1000 DIV t_chars (= exactly 1e6 for
+    * the binding language). int64 holds these products up to ~1e12
+    * chars per language; a 100 TB corpus computes the same three-line
+    * rate table in DECIMAL(38,0).
+    *
+    * Scale shape: the rate table is one tiny two-level aggregation
+    * (5 rows) broadcast to the scan; the kept set never shuffles raw
+    * text — one hash-agg on lang ends the pipeline. */
+  def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val weights = spark.createDataFrame(MixWeights)
+      .toDF("lang", "w_mille")
+    val avail = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("t_chars"))
+      .join(broadcast(weights), "lang")
+    val budget = avail
+      .agg(min(expr("t_chars * 1000 DIV w_mille")).as("budget"))
+    val rates = avail.crossJoin(broadcast(budget))
+      .select(col("lang"),
+        expr("w_mille * budget * 1000 DIV t_chars").as("rate_ppm"))
+    docs
+      .withColumn("h",
+        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+      .join(broadcast(rates), "lang")
+      .filter(col("h") < col("rate_ppm"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_kept"))
+      .select(col("lang"), col("rate_ppm"), col("n_docs"),
+        col("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "text_decontam" -> (textDecontam _),
-    "text_quality_filter" -> (textQualityFilter _))
+    "text_quality_filter" -> (textQualityFilter _),
+    "mix_weighted" -> (mixWeighted _))
 
   val sql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -191,5 +241,23 @@ object PipelineQueries {
         | CAST(CASE WHEN n_words BETWEEN 25 AND 90
         |      AND mean_wlen BETWEEN 4.2 AND 4.8
         |      AND stop_ratio >= 0.02 THEN 1 ELSE 0 END AS INT) AS keep
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "mix_weighted" ->
+      """WITH wts(lang, w_mille) AS (VALUES
+        |  ('en', 300), ('de', 200), ('es', 200), ('fr', 150), ('zh', 150)),
+        |avail AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars
+        |  FROM documents GROUP BY lang),
+        |b AS (
+        |  SELECT MIN(t_chars * 1000 // w_mille) AS budget
+        |  FROM avail JOIN wts USING (lang)),
+        |rates AS (
+        |  SELECT lang,
+        |   CAST(w_mille * budget * 1000 // t_chars AS BIGINT) AS rate_ppm
+        |  FROM avail JOIN wts USING (lang) CROSS JOIN b)
+        |SELECT d.lang, r.rate_ppm, COUNT(*) AS n_docs,
+        | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE d.doc_id * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
+        |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin)
 }

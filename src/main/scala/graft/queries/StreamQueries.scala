@@ -42,10 +42,27 @@ object StreamQueries {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Stream-stream interval join (purchases × same-user clicks in the
+    * preceding hour), declared through the EXACT transform the
+    * streaming path runs ([[graft.streaming.StreamingOps.clickPurchaseJoin]]
+    * — `withWatermark` is a no-op on batch inputs), so the DuckDB
+    * oracle checks the very code StreamingSpec executes on
+    * micro-batches. The time-bounded condition is what lets streaming
+    * evict click state at the watermark; on batch, Catalyst plans the
+    * equi-key shuffle join with the range residual. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    graft.streaming.StreamingOps.clickPurchaseJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
-    "stream_sessions" -> (sessions _))
+    "stream_sessions" -> (sessions _),
+    "stream_join" -> (streamJoin _))
 
   val sql: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -76,5 +93,13 @@ object StreamQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
-        |ORDER BY user_id, session_start""".stripMargin)
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id AS user_id
+        |FROM events p JOIN events c
+        | ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id""".stripMargin)
 }

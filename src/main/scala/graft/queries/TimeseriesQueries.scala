@@ -44,7 +44,62 @@ object TimeseriesQueries {
       .orderBy(col("user_id"), col("hr"))
   }
 
-  val defs: Map[String, Q] = Map("ts_gapfill" -> (tsGapfill _))
+  /** Hourly grid per user (same grid as [[tsGapfill]]) with gap hours
+    * LINEARLY INTERPOLATED between the neighboring observed hours —
+    * the resample mode forward-fill can't express. Previous/next
+    * observation value+time come from two frame-bounded
+    * `last/first(ignoreNulls)` windows over ONE partitioning (user),
+    * so the whole query is a single shuffle; interior gap rows always
+    * have both neighbors because each user's grid spans its own
+    * [min, max] observed hours.
+    *
+    * The interpolation itself is FIXED-POINT: hourly sums are exact
+    * cents (the column has 2 decimals), the lerp numerator/denominator
+    * are integer cents·ms, and one integer round-half-up
+    * (`(20n + d) DIV 2d`, exact in any engine — floats would land on
+    * rounding boundaries: an hour grid makes dyadic fractions like
+    * 23/32 common, and e.g. value 23.2403125 rounds differently as a
+    * double in Spark vs DuckDB) yields milli-units; int64 holds the
+    * products for cent sums × millisecond gaps up to ~10⁴ years. The
+    * final /1000.0 is a single IEEE division of identical integers —
+    * identical doubles on every engine. */
+  def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hr"),
+        col("value"))
+    val hourly = e.groupBy(col("user_id"), col("hr"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types
+        .DecimalType(18, 2))) * 100).cast("long").as("obs_c"))
+    val grid = hourly.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("hmin"), max(col("hr")).as("hmax"))
+      .select(col("user_id"),
+        explode(sequence(col("hmin"), col("hmax"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsT = when(col("obs_c").isNotNull, unix_millis(col("hr")))
+    grid.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), col("obs_c"),
+        unix_millis(col("hr")).as("t"),
+        last(col("obs_c"), ignoreNulls = true).over(wb).as("pv"),
+        last(obsT, ignoreNulls = true).over(wb).as("pt"),
+        first(col("obs_c"), ignoreNulls = true).over(wf).as("nv"),
+        first(obsT, ignoreNulls = true).over(wf).as("nt"))
+      .select(col("user_id"), col("hr"),
+        (when(col("obs_c").isNotNull, col("obs_c") * 10)
+          .otherwise(expr(
+            "(20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt))" +
+              " DIV (2 * (nt - pt))"))
+          .cast("double") / 1000.0).as("v_interp"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "ts_gapfill" -> (tsGapfill _),
+    "ts_interpolate" -> (tsInterpolate _))
 
   val sql: Map[String, String] = Map(
     "ts_gapfill" ->
@@ -64,5 +119,33 @@ object TimeseriesQueries {
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_value
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.hr = h.hr
-        |ORDER BY g.user_id, g.hr""".stripMargin)
+        |ORDER BY g.user_id, g.hr""".stripMargin,
+    "ts_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS obs_c
+        |  FROM events WHERE user_id < 20 GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT user_id, UNNEST(generate_series(min(hr), max(hr),
+        |    INTERVAL 1 HOUR)) AS hr
+        |  FROM hourly GROUP BY user_id),
+        |j AS (
+        |  SELECT g.user_id, g.hr, h.obs_c, epoch_ms(g.hr) AS t,
+        |   last_value(h.obs_c IGNORE NULLS) OVER wb AS pv,
+        |   last_value(CASE WHEN h.obs_c IS NOT NULL
+        |     THEN epoch_ms(g.hr) END IGNORE NULLS) OVER wb AS pt,
+        |   first_value(h.obs_c IGNORE NULLS) OVER wf AS nv,
+        |   first_value(CASE WHEN h.obs_c IS NOT NULL
+        |     THEN epoch_ms(g.hr) END IGNORE NULLS) OVER wf AS nt
+        |  FROM grid g LEFT JOIN hourly h
+        |    ON g.user_id = h.user_id AND g.hr = h.hr
+        |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wf AS (PARTITION BY g.user_id ORDER BY g.hr
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, hr,
+        | CAST(CASE WHEN obs_c IS NOT NULL THEN obs_c * 10
+        |      ELSE (20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt))
+        |        // (2 * (nt - pt)) END AS DOUBLE) / 1000.0 AS v_interp
+        |FROM j ORDER BY user_id, hr""".stripMargin)
 }
