@@ -1,0 +1,81 @@
+package graft
+
+import graft.queries.{PipelineQueries, TimeseriesQueries}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants of the training-mixture sampler and the linear
+  * interpolation resample that the DuckDB hash check can't express:
+  * the mixture property itself (kept mass tracks the target weights),
+  * the whole-kept binding language, and lerp bounds/pass-through. */
+class MixInterpSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("mix_weighted keeps the binding language whole and tracks the target mixture") {
+    val out = PipelineQueries.mixWeighted(spark, TestSession.Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 5)
+    // exactly the binding language carries rate 1e6 (kept whole); every
+    // rate is a valid ppm
+    val whole = out.filter(_._2 == 1000000L)
+    assert(whole.length >= 1, s"no binding language in $out")
+    assert(out.forall(r => r._2 > 0 && r._2 <= 1000000L))
+    val langDocs = Tables.documents(spark, TestSession.Sf)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    whole.foreach { case (lang, _, nDocs, _) =>
+      assert(nDocs == langDocs(lang),
+        s"binding lang $lang dropped docs: kept $nDocs of ${langDocs(lang)}")
+    }
+    // kept char mass follows the target weights up to hash-sampling
+    // noise (each language keeps a Bernoulli subset of few hundred docs)
+    val weights = Map("en" -> 0.30, "de" -> 0.20, "es" -> 0.20,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val totalKept = out.map(_._4).sum.toDouble
+    out.foreach { case (lang, _, _, chars) =>
+      val share = chars / totalKept
+      val target = weights(lang)
+      assert(math.abs(share - target) / target < 0.35,
+        s"$lang kept share $share vs target $target")
+    }
+  }
+
+  test("ts_interpolate passes observed hours through and bounds gap hours by their neighbors") {
+    val out = TimeseriesQueries.tsInterpolate(spark, TestSession.Sf)
+    val gap = TimeseriesQueries.tsGapfill(spark, TestSession.Sf)
+    assert(out.count() == gap.count(), "interp grid must equal gapfill grid")
+
+    val hourly = Tables.events(spark, TestSession.Sf)
+      .filter(col("user_id") < 20)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(queries.dsum(col("value")).as("obs"))
+    val joined = out.join(hourly, Seq("user_id", "hr"), "left").collect()
+    val observed = joined.filter(!_.isNullAt(3))
+    assert(observed.nonEmpty)
+    observed.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-9,
+        s"observed hour not passed through: $r")
+    }
+    // every gap row sits within [min(prev,next), max(prev,next)]; with
+    // per-user grids over [min,max] observed hours, neighbors of a gap
+    // are the nearest observed hours on each side
+    import org.apache.spark.sql.expressions.Window
+    val wb = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id")).orderBy(col("hr"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val bounded = out.join(hourly, Seq("user_id", "hr"), "left")
+      .select(col("user_id"), col("hr"), col("v_interp"), col("obs"),
+        last(col("obs"), ignoreNulls = true).over(wb).as("pv"),
+        first(col("obs"), ignoreNulls = true).over(wf).as("nv"))
+      .filter(col("obs").isNull)
+      .collect()
+    assert(bounded.nonEmpty, "fixture has no gap hours for user_id < 20")
+    bounded.foreach { r =>
+      val (v, pv, nv) = (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      // the integer round-half-up moves the lerp by at most 0.5 milli
+      assert(v >= math.min(pv, nv) - 5e-4 && v <= math.max(pv, nv) + 5e-4,
+        s"gap value outside neighbor bounds: $r")
+    }
+  }
+}
