@@ -235,7 +235,33 @@ object AggQueries {
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
       .orderBy(col("bucket"))
 
+  /** Deterministic mode (most frequent o_orderpriority per status,
+    * ties to the smallest value) plus its support count and share.
+    * The built-in `mode()`/`max_by` break ties arbitrarily — useless
+    * for a hash-checked contract — so the mode is declared as
+    * count-then-rank: one hash aggregation on (group, value), a window
+    * over the tiny (group, value) aggregate (25 rows here; bounded by
+    * the value domain, not the data, at any scale), keep rank 1. */
+  def modeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val totals = Window.partitionBy(col("o_orderstatus"))
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("n").desc, col("o_orderpriority").asc)
+    counts
+      .withColumn("n_group", sum(col("n")).over(totals))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_orderstatus"),
+        col("o_orderpriority").as("mode_priority"),
+        col("n").as("n_mode"),
+        round(col("n") / col("n_group"), 6).as("mode_share"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "agg_mode" -> (modeAgg _),
     "agg_stats" -> (statsAgg _),
     "agg_histogram" -> (histogramAgg _),
     "agg_percentile" -> (percentileAgg _),
@@ -269,6 +295,19 @@ object AggQueries {
         | COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "agg_mode" ->
+      """WITH counts AS (
+        |  SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT o_orderstatus, o_orderpriority, n,
+        |   SUM(n) OVER (PARTITION BY o_orderstatus) AS n_group,
+        |   ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+        |     ORDER BY n DESC, o_orderpriority ASC) AS rn
+        |  FROM counts)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        | n AS n_mode, round(n / n_group, 6) AS mode_share
+        |FROM ranked WHERE rn = 1 ORDER BY o_orderstatus""".stripMargin,
     "agg_stats" ->
       """SELECT l_returnflag,
         | round(stddev_samp(l_extendedprice), 2) AS sd_price,
