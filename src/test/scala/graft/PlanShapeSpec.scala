@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties PLANS.md documents, so a plan
+  * regression (lost broadcast, lost pushdown, an extra global sort)
+  * fails a test instead of only drifting a benchmark number. String
+  * matching is on `executedPlan` BEFORE adaptive re-planning — the
+  * static shapes below are what Catalyst commits to at any scale. */
+class PlanShapeSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, TestSession.Sf)
+      .queryExecution.executedPlan.toString
+
+  test("topk plans as TakeOrderedAndProject with zero exchanges") {
+    val p = plan("topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    assert(!p.contains("Exchange"), "global-sort-free top-k regressed")
+  }
+
+  test("dimension joins broadcast in the star-shaped TPC-H queries") {
+    for (q <- Seq("q3_shipping_priority", "q5_local_supplier_volume",
+        "q8_market_share")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q degraded to cartesian")
+    }
+  }
+
+  test("pruned scans keep pushed filters and narrow read schemas") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), " +
+      "LessThanOrEqual(l_shipdate"), p.take(2000))
+    // the flagship scan must not read all 11 lineitem columns
+    // (executedPlan.toString truncates scan lines — use formatted mode)
+    val fmt = SparkEntry.queries("q1_pricing_summary")(spark, TestSession.Sf)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(fmt)
+    assert(read.exists(_.group(1).split(",").length <= 7),
+      s"q1 scan reads too many columns: ${read.map(_.group(1))}")
+  }
+
+  test("the mixture sampler ends in one hash aggregation over a broadcast rate table") {
+    val p = plan("mix_weighted")
+    assert(p.contains("BroadcastHashJoin"), "rate table not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "mix_weighted must never shuffle the document side for its joins")
+  }
+
+  test("per-user window queries share one partitioning (no global window)") {
+    for (q <- Seq("ts_gapfill", "ts_interpolate", "window_running_sum")) {
+      val p = plan(q)
+      // a partition-less Window would show an empty partition spec
+      assert(!p.contains("Window [") ||
+        !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
+        s"$q has a global (unpartitioned) window")
+    }
+  }
+}
