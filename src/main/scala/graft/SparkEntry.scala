@@ -32,6 +32,7 @@ object SparkEntry {
     (ReshapeQueries.defs, ReshapeQueries.sql),
     (PipelineQueries.defs, PipelineQueries.sql),
     (TimeseriesQueries.defs, TimeseriesQueries.sql),
+    (FunnelQueries.defs, FunnelQueries.sql),
     (StorageQueries.defs, StorageQueries.sql),
     (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
 

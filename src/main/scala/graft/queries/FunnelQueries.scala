@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product-analytics composites over the events stream: ordered funnel
+  * progression and cohort retention — the two workhorse query shapes
+  * of any event-analytics engine, declared on the same operators the
+  * rest of the surface uses (per-key min aggregates, equi joins,
+  * distinct, hash agg).
+  *
+  * Scale design (100 TB): every stage is keyed on user_id, so the
+  * whole funnel is per-key aggregates + co-partitioned joins — one
+  * shuffle key throughout, no window over the raw stream, no global
+  * state. Cohort retention is (user, week) distinct + one hash agg on
+  * the (cohort, offset) pair whose cardinality is weeks², independent
+  * of data size.
+  */
+object FunnelQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Ordered signup → click → purchase funnel: a user advances a stage
+    * only with an event at-or-after their previous stage's first
+    * event. Emits one row per stage with how many users reached it. */
+  def eventsFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    def firstAfter(evType: String, prev: DataFrame, prevTs: String,
+        outTs: String): DataFrame =
+      ev.filter(col("event_type") === evType)
+        .join(prev, "user_id")
+        .filter(col("ts") >= col(prevTs))
+        .groupBy(col("user_id")).agg(min(col("ts")).as(outTs))
+    val s = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("s_ts"))
+    val c = firstAfter("click", s, "s_ts", "c_ts")
+    val p = firstAfter("purchase", c.select("user_id", "c_ts"), "c_ts",
+      "p_ts")
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage_ord"), lit(name).as("stage"),
+          col("n_users"))
+    stage(s, 1, "signup")
+      .unionByName(stage(c, 2, "click_after_signup"))
+      .unionByName(stage(p, 3, "purchase_after_click"))
+      .orderBy(col("stage_ord"))
+  }
+
+  /** Weekly cohort retention: users cohorted by their first-ever event
+    * week; one row per (cohort week, week offset) with the distinct
+    * users active that week. */
+  def retentionCohort(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+    val active = ev.distinct()
+    val cohorts = active.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    active.join(cohorts, "user_id")
+      .select(col("cohort_week"),
+        expr("datediff(wk, cohort_week) DIV 7").cast("int")
+          .as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "events_funnel" -> (eventsFunnel _),
+    "retention_cohort" -> (retentionCohort _))
+
+  val sql: Map[String, String] = Map(
+    "events_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS s_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS c_ts
+        |  FROM events e JOIN s ON e.user_id = s.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s.s_ts
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS p_ts
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS INT) AS stage_ord, 'signup' AS stage,
+        |  COUNT(*) AS n_users FROM s
+        |UNION ALL SELECT 2, 'click_after_signup', COUNT(*) FROM c
+        |UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM p
+        |ORDER BY stage_ord""".stripMargin,
+    "retention_cohort" ->
+      """WITH active AS (
+        |  SELECT DISTINCT user_id,
+        |   CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, MIN(wk) AS cohort_week
+        |  FROM active GROUP BY user_id)
+        |SELECT c.cohort_week,
+        | CAST(datediff('day', c.cohort_week, a.wk) // 7 AS INT)
+        |   AS week_offset,
+        | COUNT(*) AS n_active
+        |FROM active a JOIN cohorts c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY cohort_week, week_offset""".stripMargin)
+}
