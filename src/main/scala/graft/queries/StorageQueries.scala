@@ -133,7 +133,36 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Small-file compaction — the operational fix for the classic
+    * many-small-files problem (a 100 TB table accreting thousands of
+    * micro-files per ingest hour scans footer-bound, not data-bound).
+    * Writes orders deliberately over-partitioned (32 files), compacts
+    * to row-count-targeted files (one footer read + repartition +
+    * rewrite — the OPTIMIZE shape), and aggregates the compacted copy;
+    * the oracle computes the same aggregate from the original source,
+    * so a hash match proves compaction moved bytes, not data.
+    * CompactionSpec proves the file count actually drops. Paths are
+    * pid-tokened like partitionedWritePrune. */
+  def layoutCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cp_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val (small, big) = (s"$base/small", s"$base/big")
+    Tables.orders(spark, dir).repartition(32)
+      .write.mode("overwrite").parquet(small)
+    val in = spark.read.parquet(small)
+    // parquet count() is answered from footers — the same metadata an
+    // OPTIMIZE planner reads; ~4k rows per compacted file
+    val nFiles = math.max(1, (in.count() / 4000.0).ceil.toInt)
+    in.repartition(nFiles).write.mode("overwrite").parquet(big)
+    spark.read.parquet(big)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "layout_compaction" -> (layoutCompaction _),
     "merge_upsert" -> (mergeUpsert _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -158,6 +187,11 @@ object StorageQueries {
        |FULL OUTER JOIN ($updatesSql) u ON b.o_orderkey = u.o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "layout_compaction" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "merge_upsert" ->
       s"""SELECT o_orderkey, o_orderstatus, o_totalprice
          |FROM ($mergedSql)

@@ -1,0 +1,25 @@
+package graft
+
+import graft.queries.StorageQueries
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The part of layout_compaction the oracle can't see: the small-file
+  * layout really shrinks to the row-count target. */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  test("compaction collapses the over-partitioned layout to the target file count") {
+    StorageQueries.layoutCompaction(spark, TestSession.Sf).collect()
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cp_" +
+      s"${ProcessHandle.current().pid()}_${math.abs(TestSession.Sf.hashCode)}"
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".parquet"))
+    val (nSmall, nBig) = (parquetFiles(s"$base/small"),
+      parquetFiles(s"$base/big"))
+    assert(nSmall == 32, s"expected 32 small files, got $nSmall")
+    // sf0.001 orders = 1500 rows -> one 4k-row target file
+    assert(nBig < nSmall && nBig <= 2,
+      s"compaction left $nBig files (from $nSmall)")
+  }
+}
