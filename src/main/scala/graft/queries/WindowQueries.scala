@@ -129,7 +129,27 @@ object WindowQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Running DISTINCT count per key — an operator Spark's window
+    * functions lack (`countDistinct(...).over(w)` is unsupported),
+    * composed from what they have: `size(collect_set(x).over(w))`.
+    * Safe exactly when the tracked domain is small and bounded (5
+    * priorities here): the per-row set state is O(domain), independent
+    * of partition length — at an unbounded domain you'd switch to the
+    * sketch rollup (`agg_hll_rollup`) instead, which is why both
+    * shapes are declared. */
+  def distinctCountQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        size(collect_set(col("o_orderpriority")).over(w)).cast("long")
+          .as("nd_prio"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "window_distinct_count" -> (distinctCountQ _),
     "window_rank" -> (rankQ _),
     "window_distribution" -> (distributionQ _),
     "window_lag_lead" -> (lagLeadQ _),
@@ -139,6 +159,14 @@ object WindowQueries {
     "topk_custom_exec" -> (topKCustomExec _))
 
   val sql: Map[String, String] = Map(
+    "window_distinct_count" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | COUNT(DISTINCT o_orderpriority) OVER
+        |  (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nd_prio
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "window_distribution" ->
       """SELECT s_suppkey, s_nationkey,
         | round(PERCENT_RANK() OVER w, 6) AS pct_rank,
