@@ -191,6 +191,62 @@ class StreamingSpec extends AnyFunSuite {
       "stream-stream join must equal the batch interval join")
   }
 
+  test("checkpoint recovery resumes offsets and aggregate state across a restart") {
+    import java.nio.file.{Files, Paths}
+    val src = Files.createTempDirectory("events_ckpt_src").toString
+    val ckptRows = Files.createTempDirectory("events_ckpt_rows").toString
+    val ckptAgg = Files.createTempDirectory("events_ckpt_agg").toString
+    val all = eventsBatch
+    def stage(half: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory(s"stage_$name").toString
+      half.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, Paths.get(src, s"$name.parquet"))
+    }
+    stage(all.filter(col("event_id") % 2 === 0), "half1")
+
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    def runOnce(): Unit = {
+      // two queries over the same source dir, each resuming from its
+      // own checkpoint: a row counter (proves offset resume — a
+      // restart must NOT redeliver already-committed files) and a
+      // complete-mode aggregation (proves the state store restores)
+      val stream = spark.readStream.schema(all.schema).parquet(src)
+      val qRows = stream.writeStream
+        .option("checkpointLocation", ckptRows)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: Long) => seen.addAndGet(df.count()); ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      val qAgg = stream
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.option("checkpointLocation", ckptAgg)
+        .outputMode("complete").format("memory")
+        .queryName("ckpt_agg")
+        .trigger(Trigger.AvailableNow()).start()
+      try { qRows.processAllAvailable(); qAgg.processAllAvailable() }
+      finally { qRows.stop(); qAgg.stop() }
+    }
+
+    runOnce()
+    val half1Rows = all.filter(col("event_id") % 2 === 0).count()
+    assert(seen.get() == half1Rows, "first run must see exactly half1")
+
+    stage(all.filter(col("event_id") % 2 =!= 0), "half2")
+    runOnce()
+    assert(seen.get() == all.count(),
+      s"restart redelivered committed rows: saw ${seen.get()}")
+    val recovered = spark.table("ckpt_agg").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = all.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(recovered == expected,
+      s"post-restart aggregate state diverged: $recovered vs $expected")
+  }
+
   test("foreachBatch sink delivers every row exactly once across batches") {
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
