@@ -272,7 +272,10 @@ object JoinQueries {
     * to Σ_b |P_b±1|·|C_b|. */
   def timeBucketJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
-    val p = e.filter(col("event_type") === "purchase")
+    // the probe side produces every candidate pair — fan it out so the
+    // single-row-group fixture scan doesn't serialize pair production
+    // (at cluster scale the scan arrives pre-split; see fanOut)
+    val p = fanOut(e.filter(col("event_type") === "purchase"))
       .select(col("event_id").as("purchase_id"),
         col("ts").as("p_ts"),
         expr("unix_millis(ts) DIV 1800000").as("pb"))
