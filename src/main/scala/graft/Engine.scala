@@ -21,6 +21,21 @@ object Engine {
   /** Structured error value — the query result when evaluation fails. */
   final case class EngineError(expression: String, message: String)
 
+  /** Per-process warehouse path, best-effort deleted at JVM exit (the
+    * session is stopped by then; a pid-suffixed dir is never shared). */
+  private lazy val warehouseDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+      ProcessHandle.current().pid()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
   /** Session defaults shared by Verify / Bench / tests. `nanosAsLong`
     * lets Spark 4 read the fixture `events.parquet` (TIMESTAMP(NANOS),
     * which Spark otherwise rejects); [[Tables.events]] converts back to a
@@ -37,10 +52,9 @@ object Engine {
       // managed-table directories persist on disk, so a shared path
       // makes every saveAsTable non-idempotent across JVM runs
       // (LOCATION_ALREADY_EXISTS on the next run's CREATE) and lets
-      // concurrent JVMs clobber each other's tables
-      .config("spark.sql.warehouse.dir",
-        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
-          ProcessHandle.current().pid())
+      // concurrent JVMs clobber each other's tables; reaped at JVM
+      // exit so repeated runs don't accumulate orphaned warehouses
+      .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
 
   def local(cores: Int = 4): SparkSession = {

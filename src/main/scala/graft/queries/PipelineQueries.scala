@@ -150,15 +150,19 @@ object PipelineQueries {
     * pipeline needs for resumable, auditable mixes.
     *
     * All rate arithmetic is integer (`DIV`), so the oracle is
-    * bit-exact: budget = min over langs of t_chars*1000 DIV w_mille;
-    * keep rate in ppm = w*budget*1000 DIV t_chars (= exactly 1e6 for
-    * the binding language). int64 holds these products up to ~1e12
-    * chars per language; a 100 TB corpus computes the same three-line
-    * rate table in DECIMAL(38,0).
+    * bit-exact: rate_ppm(l) = min over languages m of
+    * t_m·w_l·10⁶ DIV (w_m·t_l) — the floor of the true rational rate
+    * (floor commutes with min), so the binding language's own m=l term
+    * makes its rate EXACTLY 10⁶ by construction, not by divisibility
+    * luck (an intermediate floored "budget" loses that invariant
+    * whenever w ∤ t·1000). int64 holds the t·w·10⁶ products to ~1e12
+    * chars per language; a 100 TB corpus computes the same rate table
+    * in DECIMAL(38,0).
     *
-    * Scale shape: the rate table is one tiny two-level aggregation
-    * (5 rows) broadcast to the scan; the kept set never shuffles raw
-    * text — one hash-agg on lang ends the pipeline. */
+    * Scale shape: the rate table is one tiny aggregation + 5×5 self
+    * cross (rows = language count) broadcast to the scan; the kept set
+    * never shuffles raw text — one hash-agg on lang ends the
+    * pipeline. */
   def mixWeighted(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val weights = spark.createDataFrame(MixWeights)
@@ -166,11 +170,12 @@ object PipelineQueries {
     val avail = docs.groupBy(col("lang"))
       .agg(sum(col("n_chars")).as("t_chars"))
       .join(broadcast(weights), "lang")
-    val budget = avail
-      .agg(min(expr("t_chars * 1000 DIV w_mille")).as("budget"))
-    val rates = avail.crossJoin(broadcast(budget))
-      .select(col("lang"),
-        expr("w_mille * budget * 1000 DIV t_chars").as("rate_ppm"))
+    val rates = avail
+      .crossJoin(broadcast(avail.select(col("t_chars").as("tm"),
+        col("w_mille").as("wm"))))
+      .groupBy(col("lang"))
+      .agg(min(expr("tm * w_mille * 1000000 DIV (wm * t_chars)"))
+        .as("rate_ppm"))
     docs
       .withColumn("h",
         expr("doc_id * 2654435761 % 4294967296 % 1000000"))
@@ -246,15 +251,13 @@ object PipelineQueries {
       """WITH wts(lang, w_mille) AS (VALUES
         |  ('en', 300), ('de', 200), ('es', 200), ('fr', 150), ('zh', 150)),
         |avail AS (
-        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars
-        |  FROM documents GROUP BY lang),
-        |b AS (
-        |  SELECT MIN(t_chars * 1000 // w_mille) AS budget
-        |  FROM avail JOIN wts USING (lang)),
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars, w_mille
+        |  FROM documents JOIN wts USING (lang) GROUP BY lang, w_mille),
         |rates AS (
-        |  SELECT lang,
-        |   CAST(w_mille * budget * 1000 // t_chars AS BIGINT) AS rate_ppm
-        |  FROM avail JOIN wts USING (lang) CROSS JOIN b)
+        |  SELECT a.lang,
+        |   CAST(MIN(m.t_chars * a.w_mille * 1000000
+        |     // (m.w_mille * a.t_chars)) AS BIGINT) AS rate_ppm
+        |  FROM avail a CROSS JOIN avail m GROUP BY a.lang)
         |SELECT d.lang, r.rate_ppm, COUNT(*) AS n_docs,
         | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         |FROM documents d JOIN rates r ON d.lang = r.lang

@@ -53,10 +53,11 @@ class PlanShapeSpec extends AnyFunSuite {
   test("per-user window queries share one partitioning (no global window)") {
     for (q <- Seq("ts_gapfill", "ts_interpolate", "window_running_sum")) {
       val p = plan(q)
-      // a partition-less Window would show an empty partition spec
-      assert(!p.contains("Window [") ||
-        !"Window \\[[^\\]]*\\], \\[\\]".r.findFirstIn(p).isDefined,
-        s"$q has a global (unpartitioned) window")
+      // a partition-less window (or any other all-to-one collapse)
+      // requires Spark to plan an Exchange SinglePartition; these
+      // per-user pipelines must never contain one
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q collapses to a single partition:\n${p.take(1500)}")
     }
   }
 }
