@@ -32,6 +32,24 @@ object SourceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** parquet → ORC → read back → aggregate: the third columnar
+    * at-rest format beside parquet and the custom Arrow DSv2 (ORC
+    * ships in Spark core; its reader pushes predicates as search
+    * arguments the same way parquet pushes filters). */
+  def orcRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("orc", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_quantity"),
+        col("l_extendedprice"))
+      .write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+      .filter(col("l_quantity") >= 10.0)
+      .groupBy(col("l_returnflag"))
+      .agg(dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** parquet → headered CSV → read back with schema inference → aggregate
     * (the classic storage-engine `Load` with inferred schema). */
   def csvInferAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -76,6 +94,7 @@ object SourceQueries {
   val defs: Map[String, Q] = Map(
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "csv_infer_agg" -> (csvInferAgg _),
+    "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "json_kv_agg" -> (jsonKvAgg _),
     "json_variant_agg" -> (jsonVariantAgg _))
 
@@ -83,6 +102,12 @@ object SourceQueries {
     "arrow_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n
+        |FROM lineitem WHERE l_quantity >= 10.0
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "orc_roundtrip_agg" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | COUNT(*) AS n
         |FROM lineitem WHERE l_quantity >= 10.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
