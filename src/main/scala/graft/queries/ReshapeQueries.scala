@@ -109,12 +109,7 @@ object ReshapeQueries {
     * computes the same aggregate from the unpartitioned source, so a
     * hash match proves the layout round-trip is lossless. */
   def partitionedWritePrune(spark: SparkSession, dir: String): DataFrame = {
-    // path is per-process (pid token): two concurrent JVMs over the same
-    // dataset (bench racing verify, or a spec) must not overwrite each
-    // other's layout mid-read; within one process the path is stable so
-    // warm-up and timed passes reuse the same directory
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_po_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.dir("po", dir)
     Tables.orders(spark, dir)
       .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     spark.read.parquet(out)

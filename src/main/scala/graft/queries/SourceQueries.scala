@@ -1,7 +1,5 @@
 package graft.queries
 
-import java.nio.file.Paths
-
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -17,8 +15,7 @@ object SourceQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def tmp(kind: String, sfDir: String): String =
-    Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_rt_${kind}_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+    graft.Scratch.dir(s"rt_$kind", sfDir)
 
   /** parquet → Arrow IPC (zstd) → read back through the DSv2 → aggregate. */
   def arrowRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {

@@ -118,8 +118,7 @@ object StorageQueries {
     * means skipping changed nothing but work. Path is pid-tokened for
     * the same reason as partitionedWritePrune. */
   def arrowZonemapScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_zm_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val out = graft.Scratch.dir("zm", dir)
     Tables.orders(spark, dir)
       .repartition(4, col("o_orderkey"))
       .sortWithinPartitions(col("o_orderkey"))
@@ -144,8 +143,7 @@ object StorageQueries {
     * CompactionSpec proves the file count actually drops. Paths are
     * pid-tokened like partitionedWritePrune. */
   def layoutCompaction(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cp_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(dir.hashCode)}"
+    val base = graft.Scratch.dir("cp", dir)
     val (small, big) = (s"$base/small", s"$base/big")
     Tables.orders(spark, dir).repartition(32)
       .write.mode("overwrite").parquet(small)

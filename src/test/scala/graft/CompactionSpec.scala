@@ -10,8 +10,7 @@ class CompactionSpec extends AnyFunSuite {
 
   test("compaction collapses the over-partitioned layout to the target file count") {
     StorageQueries.layoutCompaction(spark, TestSession.Sf).collect()
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_cp_" +
-      s"${ProcessHandle.current().pid()}_${math.abs(TestSession.Sf.hashCode)}"
+    val base = Scratch.dir("cp", TestSession.Sf)
     def parquetFiles(p: String): Int =
       new java.io.File(p).listFiles()
         .count(f => f.getName.endsWith(".parquet"))
