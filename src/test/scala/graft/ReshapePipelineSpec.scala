@@ -42,8 +42,7 @@ class ReshapePipelineSpec extends AnyFunSuite {
   test("partitioned write prunes on the partition column") {
     val df = queries.ReshapeQueries.partitionedWritePrune(spark, TestSession.Sf)
     df.collect() // runs the write
-    val read = spark.read.parquet(
-      s"${System.getProperty("java.io.tmpdir")}/graft_po_${math.abs(TestSession.Sf.hashCode)}")
+    val read = spark.read.parquet(Scratch.dir("po", TestSession.Sf))
       .filter(col("o_orderstatus") === "F")
     val plan = read.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
