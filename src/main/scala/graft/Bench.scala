@@ -47,16 +47,28 @@ object Bench {
     }
     val p1 = names.map(n => n -> time(n)).toMap
     val results = names.map(n => n -> math.min(p1(n), time(n)))
-    // The harness reads this JSON from a bounded (2000-char) tail of the
-    // process output, so the line must stay compact: rounded values, the
-    // sf basename, and — if the declared-query set outgrows the budget —
-    // per-query precision drops to 1 decimal, then the fastest entries
-    // collapse into one "_others" bucket. `total` always covers every
-    // query at full precision of the rounding.
+    val out = Bench.formatLine(results, new java.io.File(sfDir).getName)
+
+    // stop BEFORE printing: nothing (stray executor/shutdown WARNs
+    // included) may land between the JSON line and the end of output.
+    spark.stop()
+    println(out)
+  }
+
+  // The harness reads the JSON from a bounded (2000-char) tail of the
+  // process output and does strict per-line json.loads, so the line
+  // must stay compact AND be valid JSON: rounded values, the sf
+  // basename, and — if the declared-query set outgrows the budget —
+  // per-query precision drops to 1 decimal, then the fastest entries
+  // collapse into one "_others" bucket. `total` always covers every
+  // query at full precision of the rounding. Factored out so
+  // BenchLineSpec can pin both properties at the CURRENT query count
+  // (three rounds shipped with an unparseable line before this
+  // contract had a test).
+  def formatLine(results: Seq[(String, Double)], sfName: String): String = {
     def fmt(v: Double, dp: Int): String = BigDecimal(v)
       .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
-    val sfName = new java.io.File(sfDir).getName
     def line(dp: Int, keep: Int): String = {
       val shown =
         if (keep >= results.size) results
@@ -69,12 +81,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = Seq(line(2, Int.MaxValue), line(1, Int.MaxValue), line(1, 50))
+    Seq(line(2, Int.MaxValue), line(1, Int.MaxValue), line(1, 50))
       .find(_.length <= 1800).getOrElse(line(1, 30))
-
-    // stop BEFORE printing: nothing (stray executor/shutdown WARNs
-    // included) may land between the JSON line and the end of output.
-    spark.stop()
-    println(out)
   }
 }
