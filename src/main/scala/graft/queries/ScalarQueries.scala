@@ -165,12 +165,25 @@ object ScalarQueries {
     "scalar_bitwise" -> (bitwiseFuncs _),
     "scalar_map" -> (mapFuncs _),
     "scalar_string" -> (stringFuncs _),
+    "scalar_hash" -> (hashFuncs _),
     "scalar_date" -> (dateFuncs _),
     "scalar_date_arith" -> (dateArith _),
     "scalar_math" -> (mathFuncs _),
     "scalar_conditional" -> (conditionalFuncs _),
     "scalar_regexp_json" -> (regexpJson _),
     "scalar_array" -> (arrayFuncs _))
+
+  /** Cryptographic/row-fingerprint hashes — the storage-engine
+    * primitive behind content addressing, dedup keys, and change
+    * detection. md5/sha-256 produce identical lowercase hex in any
+    * engine (exact-dedup and the snapshot diff already rely on that;
+    * this declares the scalar surface itself). */
+  def hashFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .select(col("p_partkey"),
+        md5(col("p_name")).as("md5_name"),
+        sha2(col("p_name"), 256).as("sha_name"))
+      .orderBy(col("p_partkey"))
 
   val sql: Map[String, String] = Map(
     "scalar_bitwise" ->
@@ -192,6 +205,10 @@ object ScalarQueries {
         |FROM (SELECT *, map(['qty','price'], [l_quantity, l_extendedprice]) AS m
         |      FROM lineitem WHERE l_orderkey <= 50)
         |ORDER BY okey, line""".stripMargin,
+    "scalar_hash" ->
+      """SELECT p_partkey, md5(p_name) AS md5_name,
+        | sha256(p_name) AS sha_name
+        |FROM part ORDER BY p_partkey""".stripMargin,
     "scalar_string" ->
       """SELECT p_partkey,
         | substr(p_name, 1, 5) AS name5,

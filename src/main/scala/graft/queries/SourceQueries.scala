@@ -60,6 +60,21 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** JSON-lines source: the raw props strings written as a text file,
+    * read back with `spark.read.json` (schema inferred from the lines
+    * themselves — the reference's dynamic, expression-carried schema
+    * stance applied to a file source), then aggregated. */
+  def jsonLinesAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("jsonl", dir)
+    Tables.events(spark, dir).select(col("props"))
+      .write.mode("overwrite").text(out)
+    spark.read.json(out)
+      .filter(col("k").isNotNull)
+      .groupBy((col("k") % 7).as("k_mod"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("k_mod"))
+  }
+
   /** JSON parsing with an explicit schema: events.props → struct → agg. */
   def jsonKvAgg(spark: SparkSession, dir: String): DataFrame =
     fanOut(Tables.events(spark, dir))
@@ -92,6 +107,7 @@ object SourceQueries {
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "csv_infer_agg" -> (csvInferAgg _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
+    "json_lines_agg" -> (jsonLinesAgg _),
     "json_kv_agg" -> (jsonKvAgg _),
     "json_variant_agg" -> (jsonVariantAgg _))
 
@@ -112,6 +128,12 @@ object SourceQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "json_lines_agg" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS k_mod,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |GROUP BY k_mod ORDER BY k_mod""".stripMargin,
     "json_kv_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT)) AS BIGINT) AS sum_k,
