@@ -126,4 +126,33 @@ class TopKOperatorSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(counts.values.forall(_ == k), s"got $counts")
   }
+  test("generated data: operator equals the window formulation on random groups") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val pairGen = for {
+      g <- Gen.choose(0, 8)
+      v <- Gen.choose(-1000000, 1000000)
+    } yield (g, v)
+    val listGen = Gen.listOfN(400, pairGen)
+    for (seed <- 1L to 5L) {
+      // distinct (g, v) pairs -> the per-group ordering on (v, g) with a
+      // unique v tiebreak is total, so operator and window must agree
+      val rows = listGen.pureApply(Gen.Parameters.default,
+        Seed(seed)).distinct.map { case (g, v) => (g, v.toLong) }
+      val df = spark.createDataFrame(rows).toDF("g", "v").repartition(7)
+      val k = 1 + (seed % 4).toInt
+      val custom = TopKPerGroup(df, Seq(col("g")),
+          struct(col("v"), col("g")), descending = true, k = k)
+        .select(col("g"), col("v"), col("rn")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      val w = Window.partitionBy(col("g")).orderBy(col("v").desc)
+      val viaWindow = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k)
+        .select(col("g"), col("v"), col("rn")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSet
+      assert(custom == viaWindow, s"seed=$seed k=$k diff: " +
+        s"${(custom diff viaWindow) ++ (viaWindow diff custom)}")
+    }
+  }
+
 }
