@@ -21,20 +21,9 @@ object Engine {
   /** Structured error value — the query result when evaluation fails. */
   final case class EngineError(expression: String, message: String)
 
-  /** Per-process warehouse path, best-effort deleted at JVM exit (the
-    * session is stopped by then; a pid-suffixed dir is never shared). */
-  private lazy val warehouseDir: String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
-      ProcessHandle.current().pid()
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
-    }
-    dir
-  }
+  /** Per-process warehouse path, exit-reaped like every other scratch
+    * dir (the session is stopped by then; pid-suffixed, never shared). */
+  private lazy val warehouseDir: String = Scratch.dir("warehouse", "wh")
 
   /** Session defaults shared by Verify / Bench / tests. `nanosAsLong`
     * lets Spark 4 read the fixture `events.parquet` (TIMESTAMP(NANOS),

@@ -28,14 +28,15 @@ import org.apache.spark.sql.types._
   * clears pre-existing `.arrow` files on the driver before tasks launch.
   *
   * Strings are written PLAIN, not dictionary-encoded — a deliberate
-  * trade-off: the IPC *file* format requires every dictionary to be
-  * complete before the first record batch (no dictionary deltas,
-  * unlike the stream format), so a single-pass streaming writer would
-  * have to buffer the whole task output to learn the dictionary first.
-  * Buffer-level zstd/lz4 captures most of the repetition win for
-  * low-cardinality strings without that memory cliff; a future
-  * two-pass "optimize" rewrite (the layout_compaction shape) is the
-  * right place for true dictionary encoding.
+  * trade-off: the IPC file format does allow delta dictionary batches
+  * (applied in footer order), but Arrow Java's `ArrowFileWriter`
+  * serializes its `DictionaryProvider`'s dictionaries once up front
+  * and exposes no incremental-delta API, so a single-pass streaming
+  * writer would have to buffer the whole task output to learn each
+  * dictionary before writing. Buffer-level zstd/lz4 captures most of
+  * the repetition win for low-cardinality strings without that memory
+  * cliff; a future two-pass "optimize" rewrite (the layout_compaction
+  * shape) is the right place for true dictionary encoding.
   */
 class ArrowWriteBuilder(path: String, schema: StructType,
     codec: Option[String], batchRows: Int)
