@@ -40,14 +40,19 @@ object Bench {
     // re-timing). Min-of-2 across every query costs one extra timed
     // pass (~90 s) and pins the total to the machine's quiet-state
     // throughput, which is the number that tracks plan changes.
+    // A query that throws during a timed pass contributes ~0 s, which
+    // would make a crash look like a speedup — so failures are counted
+    // and surfaced in the JSON line instead of being swallowed.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(name: String): Double = {
       val t0 = System.nanoTime()
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
     val p1 = names.map(n => n -> time(n)).toMap
     val results = names.map(n => n -> math.min(p1(n), time(n)))
-    val out = Bench.formatLine(results, new java.io.File(sfDir).getName)
+    val out = Bench.formatLine(results, new java.io.File(sfDir).getName,
+      failed.size)
 
     // stop BEFORE printing: nothing (stray executor/shutdown WARNs
     // included) may land between the JSON line and the end of output.
@@ -65,7 +70,8 @@ object Bench {
   // BenchLineSpec can pin both properties at the CURRENT query count
   // (three rounds shipped with an unparseable line before this
   // contract had a test).
-  def formatLine(results: Seq[(String, Double)], sfName: String): String = {
+  def formatLine(results: Seq[(String, Double)], sfName: String,
+      failures: Int = 0): String = {
     def fmt(v: Double, dp: Int): String = BigDecimal(v)
       .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
@@ -79,7 +85,7 @@ object Bench {
         }
       val qs = shown.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfName"}"""
     }
     Seq(line(2, Int.MaxValue), line(1, Int.MaxValue), line(1, 50))
       .find(_.length <= 1800).getOrElse(line(1, 30))

@@ -155,9 +155,11 @@ object PipelineQueries {
     * (floor commutes with min), so the binding language's own m=l term
     * makes its rate EXACTLY 10⁶ by construction, not by divisibility
     * luck (an intermediate floored "budget" loses that invariant
-    * whenever w ∤ t·1000). int64 holds the t·w·10⁶ products to ~1e12
-    * chars per language; a 100 TB corpus computes the same rate table
-    * in DECIMAL(38,0).
+    * whenever w ∤ t·1000). int64 holds the t·w·10⁶ products only to
+    * ~3e10 chars per language (Long.MaxValue / (w·10⁶) at w=300), and
+    * Spark's non-ANSI multiply wraps silently past that — so a 100 TB
+    * corpus MUST compute the rate table in DECIMAL(38,0); the five-row
+    * table costs nothing either way.
     *
     * Scale shape: the rate table is one tiny aggregation + 5×5 self
     * cross (rows = language count) broadcast to the scan; the kept set

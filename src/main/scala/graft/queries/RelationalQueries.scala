@@ -109,6 +109,19 @@ object RelationalQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** INTERSECT ALL (bag semantics): each orderkey survives min(m, n) times
+    * across the two filtered multisets. Spark plans this as one aggregate
+    * computing both multiplicities plus a generator replaying min(m, n)
+    * copies — a single shuffle on the compared row, same scale shape as
+    * EXCEPT ALL. */
+  def intersectAllQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_quantity") >= 25).select(col("l_orderkey"))
+      .intersectAll(li.filter(col("l_quantity") >= 40).select(col("l_orderkey")))
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("n"))
+      .orderBy(col("l_orderkey"))
+  }
+
   val defs: Map[String, Q] = Map(
     "scan_project" -> (scanProject _),
     "filter_predicates" -> (filterPredicates _),
@@ -120,7 +133,8 @@ object RelationalQueries {
     "set_union_distinct" -> (unionDistinct _),
     "set_intersect" -> (intersectQ _),
     "set_except" -> (exceptQ _),
-    "set_except_all" -> (exceptAllQ _))
+    "set_except_all" -> (exceptAllQ _),
+    "set_intersect_all" -> (intersectAllQ _))
 
   val sql: Map[String, String] = Map(
     "scan_project" ->
@@ -175,6 +189,12 @@ object RelationalQueries {
       """SELECT l_orderkey, COUNT(*) AS n FROM (
         | SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
         | EXCEPT ALL
+        | SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40)
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT l_orderkey, COUNT(*) AS n FROM (
+        | SELECT l_orderkey FROM lineitem WHERE l_quantity >= 25
+        | INTERSECT ALL
         | SELECT l_orderkey FROM lineitem WHERE l_quantity >= 40)
         |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)
 }

@@ -56,13 +56,18 @@ object TimeseriesQueries {
     * The interpolation itself is FIXED-POINT: hourly sums are exact
     * cents (the column has 2 decimals), the lerp numerator/denominator
     * are integer cents·ms, and one integer round-half-up
-    * (`(20n + d) DIV 2d`, exact in any engine — floats would land on
-    * rounding boundaries: an hour grid makes dyadic fractions like
+    * (`floor((20n + d) / 2d)`, exact in any engine — floats would land
+    * on rounding boundaries: an hour grid makes dyadic fractions like
     * 23/32 common, and e.g. value 23.2403125 rounds differently as a
     * double in Spark vs DuckDB) yields milli-units; int64 holds the
     * products for cent sums × millisecond gaps up to ~10⁴ years. The
-    * final /1000.0 is a single IEEE division of identical integers —
-    * identical doubles on every engine. */
+    * floor is spelled sign-safely — `(n - pmod(n, d)) / d` with the
+    * pmod built from two `%` — because Spark's `DIV` truncates toward
+    * zero while DuckDB's `//` floors: they differ by one on negative
+    * numerators (possible when hourly sums go negative), but n−pmod is
+    * exactly divisible so truncate==floor and both engines agree for
+    * any sign. The final /1000.0 is a single IEEE division of
+    * identical integers — identical doubles on every engine. */
   def tsInterpolate(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
       .filter(col("user_id") < 20)
@@ -88,11 +93,16 @@ object TimeseriesQueries {
         last(obsT, ignoreNulls = true).over(wb).as("pt"),
         first(col("obs_c"), ignoreNulls = true).over(wf).as("nv"),
         first(obsT, ignoreNulls = true).over(wf).as("nt"))
+      // den is nullif-guarded: on observed rows pt=t=nt so the raw
+      // denominator is 0, and an eager %0 would error under ANSI —
+      // null propagates harmlessly instead (the CASE takes the
+      // observed branch anyway).
+      .select(col("user_id"), col("hr"), col("obs_c"),
+        expr("20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt)").as("num"),
+        expr("nullif(2 * (nt - pt), 0)").as("den"))
       .select(col("user_id"), col("hr"),
         (when(col("obs_c").isNotNull, col("obs_c") * 10)
-          .otherwise(expr(
-            "(20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt))" +
-              " DIV (2 * (nt - pt))"))
+          .otherwise(expr("(num - ((num % den) + den) % den) DIV den"))
           .cast("double") / 1000.0).as("v_interp"))
       .orderBy(col("user_id"), col("hr"))
   }
@@ -142,10 +152,15 @@ object TimeseriesQueries {
         |  WINDOW wb AS (PARTITION BY g.user_id ORDER BY g.hr
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
         |  wf AS (PARTITION BY g.user_id ORDER BY g.hr
-        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+        |j2 AS (
+        |  SELECT user_id, hr, obs_c,
+        |   20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt) AS num,
+        |   nullif(2 * (nt - pt), 0) AS den
+        |  FROM j)
         |SELECT user_id, hr,
         | CAST(CASE WHEN obs_c IS NOT NULL THEN obs_c * 10
-        |      ELSE (20 * (pv * (nt - t) + nv * (t - pt)) + (nt - pt))
-        |        // (2 * (nt - pt)) END AS DOUBLE) / 1000.0 AS v_interp
-        |FROM j ORDER BY user_id, hr""".stripMargin)
+        |      ELSE (num - ((num % den) + den) % den) // den
+        |      END AS DOUBLE) / 1000.0 AS v_interp
+        |FROM j2 ORDER BY user_id, hr""".stripMargin)
 }

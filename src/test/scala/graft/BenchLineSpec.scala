@@ -20,6 +20,7 @@ class BenchLineSpec extends AnyFunSuite {
     assert(node.get("value").isNumber)
     assert(node.get("queries").isObject)
     assert(node.get("sf").asText() == "sf0.1")
+    assert(node.get("failures").isNumber)
   }
 
   test("the line fits and parses at the current query count") {
@@ -42,5 +43,11 @@ class BenchLineSpec extends AnyFunSuite {
     val node = mapper.readTree(line)
     assert(math.abs(node.get("value").asDouble - 100.0) < 1e-9)
     assert(node.get("queries").has("_others"))
+  }
+
+  test("failure count survives into the line") {
+    val results = (1 to 5).map(i => s"q$i" -> 0.25)
+    val node = mapper.readTree(Bench.formatLine(results, "sf0.1", 2))
+    assert(node.get("failures").asInt == 2)
   }
 }

@@ -13,7 +13,10 @@ import org.scalatest.funsuite.AnyFunSuite
 class CboSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
-  test("ANALYZE TABLE statistics reach the optimized plan") {
+  // Each test builds (and drops) its own analyzed table so the tests are
+  // independent — runnable alone under test filtering, and immune to a
+  // sibling test's failure leaving the catalog in a half-set-up state.
+  private def withAnalyzedOrders(f: => Unit): Unit = {
     spark.sql("DROP TABLE IF EXISTS cbo_orders")
     Tables.orders(spark, TestSession.Sf)
       .write.mode("overwrite").saveAsTable("cbo_orders")
@@ -21,7 +24,17 @@ class CboSpec extends AnyFunSuite {
       "FOR COLUMNS o_orderkey, o_orderstatus")
     val prev = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
-    try {
+    try f
+    finally {
+      spark.conf.set("spark.sql.cbo.enabled", prev)
+      // dropping the managed table deletes its warehouse directory, so
+      // the suite stays idempotent even within one JVM
+      spark.sql("DROP TABLE IF EXISTS cbo_orders")
+    }
+  }
+
+  test("ANALYZE TABLE statistics reach the optimized plan") {
+    withAnalyzedOrders {
       val q = spark.table("cbo_orders")
         .filter(col("o_orderstatus") === "F")
         .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
@@ -34,13 +47,11 @@ class CboSpec extends AnyFunSuite {
         .optimizedPlan.stats
       assert(table.rowCount.contains(BigInt(exact)),
         s"table rowCount ${table.rowCount} != analyzed $exact")
-    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+    }
   }
 
   test("filter selectivity estimate shrinks the plan's size estimate") {
-    val prev = spark.conf.get("spark.sql.cbo.enabled")
-    spark.conf.set("spark.sql.cbo.enabled", "true")
-    try {
+    withAnalyzedOrders {
       val all = spark.table("cbo_orders")
       val some = all.filter(col("o_orderkey") < 100)
       val sAll = all.queryExecution.optimizedPlan.stats
@@ -50,11 +61,6 @@ class CboSpec extends AnyFunSuite {
           s"${sSome.sizeInBytes} vs ${sAll.sizeInBytes}")
       assert(sSome.rowCount.isDefined && sAll.rowCount.isDefined &&
         sSome.rowCount.get < sAll.rowCount.get)
-    } finally {
-      spark.conf.set("spark.sql.cbo.enabled", prev)
-      // dropping the managed table deletes its warehouse directory, so
-      // the suite stays idempotent even within one JVM
-      spark.sql("DROP TABLE IF EXISTS cbo_orders")
     }
   }
 }
