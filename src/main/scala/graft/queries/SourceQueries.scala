@@ -103,8 +103,28 @@ object SourceQueries {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** parquet → Arrow IPC → global MIN/MAX/COUNT answered from the IPC
+    * footer statistics the writer persists (zone maps + row/null
+    * counts): the scan never loads a data batch
+    * (ArrowAggPushdownSpec pins that). The oracle computes the same
+    * aggregates straight from parquet, so a hash match proves the
+    * footer stats are exact, not just present. */
+  def arrowAggPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowagg", dir)
+    Tables.orders(spark, dir).write.format("arrow")
+      .option("codec", "lz4").mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .agg(min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        min(col("o_orderdate")).as("min_date"),
+        max(col("o_orderdate")).as("max_date"),
+        count(lit(1)).as("n_rows"),
+        count(col("o_orderstatus")).as("n_status"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
+    "arrow_agg_pushdown" -> (arrowAggPushdown _),
     "csv_infer_agg" -> (csvInferAgg _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
@@ -118,6 +138,11 @@ object SourceQueries {
         | COUNT(*) AS n
         |FROM lineitem WHERE l_quantity >= 10.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "arrow_agg_pushdown" ->
+      """SELECT min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        | min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
+        | COUNT(*) AS n_rows, COUNT(o_orderstatus) AS n_status
+        |FROM orders""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

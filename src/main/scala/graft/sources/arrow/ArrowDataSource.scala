@@ -122,11 +122,16 @@ object ArrowDataSource {
 
   /** The file's zone map from the IPC footer custom metadata, if our
     * writer recorded one (see [[ZoneMaps]]). Footer-only read. */
-  def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = footerInfo(file)._2
+  def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = footerInfo(file).zoneMap
 
-  /** Block sizes AND zone map from ONE footer read — the split planner
-    * needs both, and each open re-parses the footer. */
-  def footerInfo(file: Path): (Seq[Long], Option[ZoneMaps.ZoneMap]) = {
+  /** Everything the planner wants from one IPC footer: per-batch block
+    * sizes, the min/max zone map, and the row/null-count stats. One
+    * footer read — each open re-parses the footer. */
+  final case class FooterInfo(sizes: Seq[Long],
+      zoneMap: Option[ZoneMaps.ZoneMap],
+      rowStats: Option[ZoneMaps.RowStats.Stats])
+
+  def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)
@@ -136,7 +141,14 @@ object ArrowDataSource {
         .map(b => b.getMetadataLength.toLong + b.getBodyLength).toSeq
       val zm = Option(reader.getMetaData.get(ZoneMaps.MetaKey))
         .flatMap(ZoneMaps.decode)
-      (sizes, zm)
+      val rs = Option(reader.getMetaData.get(ZoneMaps.RowStats.MetaKey))
+        .flatMap(ZoneMaps.RowStats.decode)
+      FooterInfo(sizes, zm, rs)
     } finally { reader.close(); ch.close() }
   }
+
+  /** Process-wide count of record batches actually loaded from disk —
+    * a test hook: metadata-only paths (aggregate pushdown, zone-map
+    * pruning specs) assert this does not move. */
+  val recordBatchesLoaded = new java.util.concurrent.atomic.AtomicLong(0)
 }

@@ -8,9 +8,12 @@ import scala.jdk.CollectionConverters._
 import org.apache.arrow.vector.ipc.ArrowFileReader
 import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.Filter
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, ColumnVector}
 
 /** Scan pipeline for the Arrow IPC source.
@@ -30,10 +33,13 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
 class ArrowScanBuilder(path: String, schema: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var readSchema: StructType = schema
   private var pushed: Array[Filter] = Array.empty
+  // Set when pushAggregation accepted: the agg output schema plus the
+  // per-file partial rows, already computed from footers on the driver.
+  private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
 
   override def pruneColumns(required: StructType): Unit = {
     // Preserve file field order for stable reader ordinals.
@@ -50,7 +56,139 @@ class ArrowScanBuilder(path: String, schema: StructType,
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  /** MIN/MAX/COUNT answered from footer statistics — the same
+    * planning-time trick the parquet path plays with row-group stats
+    * (AggPushdownSpec), applied to the namesake Arrow source: the
+    * writer already persists per-batch min/max ([[ZoneMaps]]) and
+    * row/null counts ([[ZoneMaps.RowStats]]) in the IPC footer, so a
+    * global MIN/MAX/COUNT never touches a data batch. At 100 TB this
+    * is the difference between a metadata pass over footers and a full
+    * scan.
+    *
+    * Supported: no grouping, no pushed filters (stats describe the
+    * unfiltered file), MIN/MAX on integral/temporal columns (floats
+    * excluded — a NaN-poisoned batch has no stats and NaN ordering
+    * cannot be reconstructed from min/max), COUNT(*) and
+    * COUNT(col) non-distinct on any tracked column. Partial pushdown:
+    * each file contributes one row of partials; Spark's final
+    * aggregate merges min-of-mins / sum-of-counts, so multi-file
+    * scans parallelize the (tiny) merge and empty inputs keep exact
+    * COUNT=0 semantics. Any file missing the needed stats rejects the
+    * pushdown entirely and the query falls back to the ordinary
+    * columnar scan — stats are an optimization, never a correctness
+    * surface. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty)
+      return false
+
+    // Translate each agg func to (output field, per-file evaluator).
+    sealed trait Op
+    final case class MinOp(col: String, dt: DataType) extends Op
+    final case class MaxOp(col: String, dt: DataType) extends Op
+    final case class CountCol(col: String) extends Op
+    case object CountAll extends Op
+
+    def singleCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    def minMaxable(name: String): Option[DataType] =
+      schema.find(_.name == name).map(_.dataType)
+        .filter(dt => ZoneMaps.kindOf(dt) == ZoneMaps.KindLong)
+
+    val ops = aggregation.aggregateExpressions.map {
+      case m: Min => singleCol(m.column)
+        .flatMap(c => minMaxable(c).map(MinOp(c, _)))
+      case m: Max => singleCol(m.column)
+        .flatMap(c => minMaxable(c).map(MaxOp(c, _)))
+      case c: Count if !c.isDistinct => singleCol(c.column).map(CountCol(_))
+      case _: CountStar => Some(CountAll)
+      case _ => None
+    }
+    if (ops.exists(_.isEmpty)) return false
+    val resolved = ops.map(_.get)
+
+    // Evaluate every file from its footer; any gap rejects the push.
+    // KindLong stats are exact long strings (internal micros/days for
+    // temporals), so Long arithmetic is lossless end-to-end.
+    def internalValue(v: Long, dt: DataType): Any = dt match {
+      case ByteType => v.toByte
+      case ShortType => v.toShort
+      case IntegerType | DateType => v.toInt
+      case _ => v
+    }
+    // A tracked integral column's batch stat is None iff the batch is
+    // all-null there (no NaN poisoning for KindLong), so skipping
+    // statless batches is exactly MIN/MAX's null-ignoring semantics.
+    def minMaxFromZm(info: ArrowDataSource.FooterInfo, c: String,
+        dt: DataType, nBatches: Int, pickMin: Boolean)
+        : Either[Unit, Any] =
+      info.zoneMap match {
+        case Some(zm) if zm.batches.length == nBatches &&
+            zm.cols.contains(c) =>
+          val vals = (0 until nBatches).flatMap(b => zm.stat(b, c))
+            .map(r => (if (pickMin) r._1 else r._2).toLong)
+          if (vals.isEmpty) Right(null)
+          else Right(internalValue(
+            if (pickMin) vals.min else vals.max, dt))
+        case _ => Left(())
+      }
+
+    val files = ArrowDataSource.listIpcFiles(path)
+    val rows = files.map { f =>
+      val info = ArrowDataSource.footerInfo(f)
+      val nBatches = info.sizes.length
+      val row = new Array[Any](resolved.length)
+      var ok = true
+      resolved.zipWithIndex.foreach { case (op, i) =>
+        if (ok) op match {
+          case CountAll => info.rowStats match {
+            case Some(rs) if rs.batches.length == nBatches =>
+              row(i) = (0 until nBatches).map(rs.rowCount).sum
+            case _ => ok = false
+          }
+          case CountCol(c) => info.rowStats match {
+            case Some(rs) if rs.batches.length == nBatches &&
+                rs.cols.contains(c) =>
+              row(i) = (0 until nBatches)
+                .map(b => rs.rowCount(b) - rs.nullCount(b, c).get).sum
+            case _ => ok = false
+          }
+          case MinOp(c, dt) =>
+            minMaxFromZm(info, c, dt, nBatches, pickMin = true) match {
+              case Right(v) => row(i) = v
+              case Left(()) => ok = false
+            }
+          case MaxOp(c, dt) =>
+            minMaxFromZm(info, c, dt, nBatches, pickMin = false) match {
+              case Right(v) => row(i) = v
+              case Left(()) => ok = false
+            }
+        }
+      }
+      if (ok) Some(row) else None
+    }
+
+    if (rows.exists(_.isEmpty)) return false
+
+    val outFields = resolved.map {
+      case MinOp(c, dt) => StructField(s"min($c)", dt)
+      case MaxOp(c, dt) => StructField(s"max($c)", dt)
+      case CountCol(c) => StructField(s"count($c)", LongType)
+      case CountAll => StructField("count(*)", LongType)
+    }
+    aggResult = Some((StructType(outFields), rows.map(_.get)))
+    true
+  }
+
   override def build(): Scan = {
+    aggResult match {
+      case Some((aggSchema, rows)) =>
+        return new ArrowAggScan(path, aggSchema, rows)
+      case None => ()
+    }
     // The reader must see every column a pushed filter references even
     // when the projection pruned it away (e.g. count(*) over a filter).
     val filterRefs = pushed.flatMap(_.references).toSet
@@ -84,7 +222,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
     ArrowDataSource.listIpcFiles(path).flatMap { p =>
-      val (blocks, zoneMap) = ArrowDataSource.footerInfo(p)
+      val info = ArrowDataSource.footerInfo(p)
+      val (blocks, zoneMap) = (info.sizes, info.zoneMap)
       if (blocks.isEmpty) Seq(ArrowFilePartition(p.toString, Array.empty))
       else {
         val keep: Int => Boolean =
@@ -163,6 +302,7 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     else {
       val ok = reader.loadRecordBatch(blocks.get(partition.blockIdxs(cursor)))
       cursor += 1
+      ArrowDataSource.recordBatchesLoaded.incrementAndGet()
       ok
     }
 
@@ -188,6 +328,40 @@ class ArrowBatchReader(partition: ArrowFilePartition, schema: StructType)
   override def get(): ColumnarBatch = current
   override def close(): Unit = closeAll()
 }
+
+/** Scan produced when an aggregate was pushed: emits the per-file
+  * partial rows precomputed from footer statistics — no data batch is
+  * ever opened (ArrowAggPushdownSpec pins this via
+  * [[ArrowDataSource.recordBatchesLoaded]]). Spark plans the final
+  * merge aggregate (min-of-mins / sum-of-counts) above this scan. */
+class ArrowAggScan(path: String, aggSchema: StructType,
+    rows: Seq[Array[Any]]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-arrow-agg $path stats=[${aggSchema.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ArrowAggPartition(rows.toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val vals = partition.asInstanceOf[ArrowAggPartition].rows
+        new PartitionReader[InternalRow] {
+          private var i = -1
+          override def next(): Boolean = { i += 1; i < vals.length }
+          override def get(): InternalRow =
+            new GenericInternalRow(vals(i))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+/** All per-file partial rows ride in one tiny partition (one row per
+  * file; values are boxed primitives/null). */
+case class ArrowAggPartition(rows: Array[Array[Any]])
+  extends InputPartition
 
 class ArrowRowReader(partition: ArrowFilePartition, schema: StructType,
     filters: Array[Filter])

@@ -173,6 +173,30 @@ class ArrowDataWriter(path: String, schema: StructType,
     }
   }
 
+  // ---- row/null-count accumulation (see ZoneMaps.RowStats) ---------
+  // Per-batch row counts + per-column null counts, for COUNT aggregate
+  // pushdown. Null counting is type-agnostic, so every column with an
+  // encodable name is tracked, not just the zone-mapped ones.
+  private val rsCols: Array[Int] = fields.indices
+    .filter(i => ZoneMaps.RowStats.trackable(fields(i).name)).toArray
+  private val rsNulls = Array.fill(rsCols.length)(0L)
+  private val rsBatches =
+    scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Long])]
+
+  private def rsUpdate(row: InternalRow): Unit = {
+    var j = 0
+    while (j < rsCols.length) {
+      if (row.isNullAt(rsCols(j))) rsNulls(j) += 1
+      j += 1
+    }
+  }
+
+  private def rsSealBatch(batchRowCount: Long): Unit = {
+    rsBatches += ((batchRowCount, rsNulls.toSeq))
+    java.util.Arrays.fill(rsNulls, 0L)
+  }
+  // ------------------------------------------------------------------
+
   private def zmSealBatch(): Unit = {
     zmBatches += zmCols.indices.map { j =>
       if (!zmSeen(j) || zmPoisoned(j)) None
@@ -197,6 +221,7 @@ class ArrowDataWriter(path: String, schema: StructType,
       i += 1
     }
     zmUpdate(row)
+    rsUpdate(row)
     rowIdx += 1
     if (rowIdx >= BatchRows) flush()
   }
@@ -273,6 +298,7 @@ class ArrowDataWriter(path: String, schema: StructType,
       root.setRowCount(rowIdx)
       writer.writeBatch()
       zmSealBatch()
+      rsSealBatch(rowIdx.toLong)
       root.allocateNew() // reset vectors for the next batch
       rowIdx = 0
     }
@@ -283,6 +309,11 @@ class ArrowDataWriter(path: String, schema: StructType,
     if (zmCols.nonEmpty && zmBatches.nonEmpty) {
       metaData.put(ZoneMaps.MetaKey,
         ZoneMaps.encode(zmCols.map(fields(_).name).toSeq, zmBatches.toSeq))
+    }
+    if (rsBatches.nonEmpty) {
+      metaData.put(ZoneMaps.RowStats.MetaKey,
+        ZoneMaps.RowStats.encode(rsCols.map(fields(_).name).toSeq,
+          rsBatches.toSeq))
     }
     writer.end(); writer.close(); channel.close()
     root.close(); allocator.close()

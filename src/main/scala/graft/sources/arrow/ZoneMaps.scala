@@ -142,6 +142,67 @@ object ZoneMaps {
         }
     }
 
+  /** Per-batch row/null-count stats (footer key `graft.rowstats`) —
+    * the COUNT side of aggregate pushdown, companion to the min/max
+    * zone map above. Tracked for EVERY column with an encodable name
+    * regardless of type (null counting is type-agnostic), so
+    * `count(col)` is answerable wherever `count(*)` is.
+    *
+    * Encoding, line-oriented like the zone map:
+    * {{{
+    *   v1
+    *   colA,colB            tracked column names
+    *   128|0;3              batch 0: rowCount | per-column null counts
+    *   97|1;0               batch 1
+    * }}}
+    */
+  object RowStats {
+    val MetaKey = "graft.rowstats"
+
+    def trackable(name: String): Boolean =
+      name.nonEmpty && !name.exists(",;:|\n".contains(_))
+
+    def encode(cols: Seq[String], batches: Seq[(Long, Seq[Long])]): String = {
+      val header = s"v1\n${cols.mkString(",")}\n"
+      header + batches.map { case (rows, nulls) =>
+        s"$rows|${nulls.mkString(";")}"
+      }.mkString("\n")
+    }
+
+    final case class Stats(cols: Array[String],
+        batches: Array[(Long, Array[Long])]) {
+      private val idx = cols.zipWithIndex.toMap
+      def rowCount(batch: Int): Long = batches(batch)._1
+      def nullCount(batch: Int, col: String): Option[Long] =
+        idx.get(col).flatMap { i =>
+          val b = batches(batch)._2
+          if (i < b.length) Some(b(i)) else None
+        }
+    }
+
+    def decode(s: String): Option[Stats] = {
+      val lines = s.split("\n", -1)
+      if (lines.length < 2 || lines(0) != "v1") None
+      else try {
+        val cols =
+          if (lines(1).isEmpty) Array.empty[String]
+          else lines(1).split(",", -1)
+        val batches = lines.drop(2).map { line =>
+          val bar = line.indexOf('|')
+          val rows = line.substring(0, bar).toLong
+          val rest = line.substring(bar + 1)
+          val nulls =
+            if (rest.isEmpty) Array.empty[Long]
+            else rest.split(";", -1).map(_.toLong)
+          (rows, nulls)
+        }
+        Some(Stats(cols, batches))
+      } catch {
+        case _: NumberFormatException | _: IndexOutOfBoundsException => None
+      }
+    }
+  }
+
   /** External filter literal → BigDecimal in the stat domain
     * (micros for timestamps, days for dates). None = not comparable. */
   private def literal(dt: Option[DataType], v: Any): Option[BigDecimal] = {
