@@ -20,4 +20,10 @@ object bridge {
 
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(ClassicConversions.castToImpl(spark), plan)
+
+  /** The inverse seam: wrap a Catalyst Expression back into a Column
+    * (lets queries use codegen-capable internal expressions — e.g.
+    * BloomFilterMightContain — that have no public function). */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

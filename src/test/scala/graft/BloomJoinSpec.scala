@@ -32,6 +32,15 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(got.values.sum > 0)
   }
 
+  test("the declared pre-filter is codegen-native, not a Scala UDF") {
+    val q = queries.JoinQueries.bloomPrefilterJoin(spark, TestSession.Sf)
+    val plan = q.queryExecution.executedPlan.toString()
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"no native might_contain in plan:\n$plan")
+    assert(!plan.contains("UDF"),
+      s"probe-side test fell back to a Scala UDF:\n$plan")
+  }
+
   test("bloom filter drops non-joining fact rows before the shuffle") {
     val dir = TestSession.Sf
     val dim = Tables.customer(spark, dir)
