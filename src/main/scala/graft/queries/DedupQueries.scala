@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   *    cartesian) reach verification;
   *  - hot shingles/buckets are the skew hazard at scale: AQE skew-join
   *    handles moderate skew, and a document-frequency cut (drop shingles
-  *    appearing in > df_max docs, standard in web-scale dedup) bounds it;
-  *    kept out of the declared queries so the oracle stays exact.
+  *    appearing in > df_max docs, standard in web-scale dedup) bounds it —
+  *    executable as [[jaccardPairsDfBounded]] (spec-pinned), kept out of
+  *    the declared queries so the oracle stays exact.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -84,6 +85,41 @@ object DedupQueries {
         (col("common").cast("double") /
           (col("s1.n_sh") + col("s2.n_sh") - col("common")).cast("double"))
           .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  /** The web-scale skew bound named in the file doc, executable: drop
+    * shingles occurring in more than `dfMax` documents from CANDIDATE
+    * GENERATION (the self-join), keeping verification exact over the
+    * full index. A shingle shared by df documents fans out into
+    * df·(df−1)/2 join rows — boilerplate phrases ("all rights
+    * reserved") make df ~ corpus size and the join quadratic in it;
+    * the cut caps every join key's fan-out at dfMax²/2, which is what
+    * AQE's skew split cannot do when a single KEY (not partition) is
+    * hot. Semantics: strictly fewer candidates, never a false pair —
+    * verification still scores true Jaccard on ALL shingles, so output
+    * ⊆ the exact pair set, missing only pairs whose every common
+    * shingle is hot (at a sane dfMax those are boilerplate-only
+    * matches, the pairs web-scale dedup deliberately ignores).
+    * Spec-only (DedupSimSpec pins containment, the fan-out bound, and
+    * the no-op equality at dfMax = max df); the declared
+    * `dedup_jaccard` stays uncut so its oracle is exact. */
+  private[graft] def jaccardPairsDfBounded(spark: SparkSession,
+      dir: String, dfMax: Long): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val hot = sh.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > dfMax)
+      .select(col("shingle"))
+    val cold = sh.join(hot, Seq("shingle"), "left_anti")
+    val candidates = cold.as("a")
+      .join(cold.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+    verifyJaccard(candidates, sh)
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }

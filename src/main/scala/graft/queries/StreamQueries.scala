@@ -58,11 +58,21 @@ object StreamQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Stream-static dimension enrichment, declared through the EXACT
+    * transform the streaming path runs
+    * ([[graft.streaming.StreamingOps.customerEnrich]]) so the DuckDB
+    * oracle checks the code StreamingSpec executes on micro-batches. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.customerEnrich(
+        Tables.events(spark, dir), Tables.customer(spark, dir))
+      .orderBy(col("nation"))
+
   val defs: Map[String, Q] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_sessions" -> (sessions _),
-    "stream_join" -> (streamJoin _))
+    "stream_join" -> (streamJoin _),
+    "stream_enrich" -> (streamEnrich _))
 
   val sql: Map[String, String] = Map(
     "stream_tumbling" ->
@@ -101,5 +111,10 @@ object StreamQueries {
         | ON p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
-        |ORDER BY purchase_id, click_id""".stripMargin)
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    "stream_enrich" ->
+      """SELECT c_nationkey AS nation, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY nation""".stripMargin)
 }

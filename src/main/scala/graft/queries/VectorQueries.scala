@@ -193,24 +193,39 @@ object VectorQueries {
     })
 
   /** ANN via IVF: assign every vector to its nearest k-means cell, then
-    * search only within the query's cell. Same pipeline shape as the
-    * LSH variant — one shuffle on cell id — but with data-adaptive
-    * partitions (survey's "IVF ... as the scale path"). Approximate →
-    * no oracle; ScalaTest checks scores and recall vs brute force. */
-  def annIvf(spark: SparkSession, dir: String): DataFrame = {
+    * search the query's `nprobe` nearest cells. Same pipeline shape as
+    * the LSH variant — one shuffle on cell id — but with data-adaptive
+    * partitions (survey's "IVF ... as the scale path"). Targets stay in
+    * exactly one cell, so probing more cells fans out only the (tiny)
+    * broadcast query side: candidate count is bounded by
+    * nprobe × max-cell-size per query, never the corpus. Approximate →
+    * no oracle; ScalaTest checks scores and recall vs brute force, and
+    * that multi-probe recall dominates single-cell at that bounded
+    * extra cost. */
+  private def annIvfImpl(spark: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import spark.implicits._
     val cents = ivfFit(spark, dir)
     val cdf = broadcast(cents.toDF("cell", "centroid"))
     val e = withNorm(spark, dir)
-    val assigned = e.crossJoin(cdf)
+    // per-(vector, cell) distance rank: argmin over cells of
+    // ||x-c||² = |x|² - 2x·c + |c|² (|x|² constant per vector)
+    val cellScores = e.crossJoin(cdf)
       .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"),
         (expr("graft_dot(centroid, centroid)")
-          - lit(2.0) * expr("graft_dot(embedding, centroid)")).as("score"))
+          - lit(2.0) * expr("graft_dot(embedding, centroid)"))
+          .as("score"))
+    val assigned = cellScores
       .groupBy(col("vec_id"))
       .agg(min_by(col("cell"), col("score")).as("cell"),
         first(col("embedding")).as("embedding"),
         first(col("nsq")).as("nsq"))
-    val q = assigned.filter(col("vec_id") < 20)
+    // queries probe their nprobe nearest cells (deterministic tie-break)
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("cell").asc)
+    val q = cellScores.filter(col("vec_id") < 20)
+      .withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("nsq").as("q_nsq"), col("cell").as("q_cell"))
     val t = assigned.select(col("vec_id").as("tid"),
@@ -228,6 +243,16 @@ object VectorQueries {
       .select(col("qid"), col("tid"), col("cos"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** Single-cell IVF search (nprobe=1): the cheapest probe. */
+  def annIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvfImpl(spark, dir, nprobe = 1)
+
+  /** Multi-probe IVF (nprobe=3): the IVF analogue of
+    * [[annLshMultiprobe]] — recovers neighbors that fell just across a
+    * cell boundary for a bounded 3× candidate budget. */
+  def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
+    annIvfImpl(spark, dir, nprobe = 3)
 
   /** The typed [[graft.functions.VectorMeanAgg]] Aggregator on the
     * declared (oracle-checked) surface: single-pass per-label centroid,
@@ -253,6 +278,7 @@ object VectorQueries {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "sim_centroids" -> (centroids _),
     "sim_hybrid_search" -> (hybridSearch _),
     "vec_quantize_int8" -> (vectorQuantize _),

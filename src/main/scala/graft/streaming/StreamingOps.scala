@@ -75,6 +75,26 @@ object StreamingOps {
         col("p_user").as("user_id"))
   }
 
+  /** Stream-static dimension enrichment: events joined to a static
+    * customer dimension, rolled up per nation. The static side is
+    * re-planned on every micro-batch and — being a dimension —
+    * broadcast, the standard streaming enrichment shape: at scale the
+    * dim is a catalog table the batch planner prunes/broadcasts as
+    * usual, and no state store is involved (unlike stream-stream
+    * joins, a static side needs no watermark or eviction). The sum is
+    * the exact-decimal formulation so the batch declaration
+    * (`stream_enrich`) hash-matches the DuckDB oracle; StreamingSpec
+    * runs the SAME transform over readStream micro-batches. */
+  def customerEnrich(events: DataFrame, customers: DataFrame): DataFrame =
+    events.join(
+        broadcast(customers.select(col("c_custkey"), col("c_nationkey"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast(org.apache.spark.sql.types.DoubleType).as("sum_value"))
+      .select(col("c_nationkey").as("nation"), col("n"), col("sum_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
       user_id: Long, event_type: String, value: Double)
   final case class SessState(n_events: Int, total_value: Double,

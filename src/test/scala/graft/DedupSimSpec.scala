@@ -116,6 +116,64 @@ class DedupSimSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("df-bounded dedup: fan-out capped, output contained, no-op at max df") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val sf = TestSession.Sf
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("d1", "d2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairSet(DedupQueries.jaccardDedup(spark, sf))
+    assert(exact.nonEmpty)
+
+    // the fixture's df distribution: pick a cut that actually bites
+    val dfs = graft.functions.ShingleGenExpr(
+      Tables.documents(spark, sf)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.words(col("text")).as("w")),
+      col("w"), 3)
+      .select(col("doc_id"), col("shingle")).distinct()
+      .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .select(col("df")).collect().map(_.getLong(0))
+    val maxDf = dfs.max
+    assert(maxDf >= 2, "fixture has no shared shingles to cut")
+
+    // a biting cut: some shingles dropped, bound holds, output contained
+    val cut = maxDf - 1
+    val bounded = pairSet(
+      DedupQueries.jaccardPairsDfBounded(spark, sf, cut))
+    assert(bounded.subsetOf(exact),
+      s"df cut invented pairs: ${bounded -- exact}")
+    // verification is exact, so recall only drops for pairs whose
+    // EVERY common shingle is hot — rare even at an aggressive cut
+    val recall = (bounded & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"df-bounded recall $recall at dfMax=$cut")
+
+    // dfMax >= max df cuts nothing: bit-identical to the exact path
+    val noop = pairSet(
+      DedupQueries.jaccardPairsDfBounded(spark, sf, maxDf))
+    assert(noop == exact)
+  }
+
+  test("multi-probe IVF recall is at least single-cell recall, at bounded cost") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = pairs(VectorQueries.topK(spark, TestSession.Sf))
+    val single = pairs(VectorQueries.annIvf(spark, TestSession.Sf))
+    val multi = pairs(VectorQueries.annIvfMultiprobe(spark, TestSession.Sf))
+    assert(brute.nonEmpty && single.nonEmpty)
+    val rSingle = (single intersect brute).size.toDouble / brute.size
+    val rMulti = (multi intersect brute).size.toDouble / brute.size
+    assert(rMulti >= rSingle,
+      s"multi-probe IVF recall $rMulti < single-cell $rSingle")
+    // multi-probe scores a candidate superset (the nearest cell is one
+    // of the 3 probed), so it answers at least as many queries...
+    assert(multi.size >= single.size)
+    // ...while the output budget stays k per query regardless of
+    // nprobe — the extra probes widen the candidate pool (bounded by
+    // nprobe × largest cell), not the result
+    assert(multi.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("typed SimHashAgg signatures are bit-equal to the 64-sum formulation") {
     val viaAgg = DedupQueries.simhashDedup(spark, TestSession.Sf) // warms path
     viaAgg.collect() // force; result shape irrelevant here

@@ -49,25 +49,24 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-static dimension join enriches each micro-batch") {
-    // the static side is re-planned per micro-batch and (being tiny)
-    // broadcast — the standard streaming dim-enrichment shape; at scale
-    // the dim is a table the batch planner prunes/broadcasts as usual
-    val users = eventsBatch.select(col("user_id")).distinct()
-      .withColumn("cohort", (col("user_id") % 3).cast("int"))
-    val joined = eventsStream
-      .join(users, Seq("user_id"))
-      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
+    // the static side is re-planned per micro-batch and (being a dim)
+    // broadcast — the standard streaming enrichment shape; the SAME
+    // transform is declared as `stream_enrich` with a DuckDB oracle,
+    // so this test only has to prove stream/batch parity of it
+    val customers = Tables.customer(spark, TestSession.Sf)
+    val joined = StreamingOps.customerEnrich(eventsStream, customers)
     val q = joined.writeStream.outputMode("complete")
       .format("memory").queryName("dimjoin_out")
       .trigger(Trigger.AvailableNow()).start()
     try q.processAllAvailable() finally q.stop()
     val streamed = spark.table("dimjoin_out")
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val batch = eventsBatch.join(users, Seq("user_id"))
-      .groupBy(col("cohort")).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    val batch = StreamingOps.customerEnrich(eventsBatch, customers)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
     assert(streamed == batch)
-    assert(streamed.values.sum > 0)
+    assert(streamed.values.map(_._1).sum > 0)
   }
 
   test("watermarked session windows emit finalized sessions (append)") {
