@@ -122,9 +122,49 @@ object SourceQueries {
         count(col("o_orderstatus")).as("n_status"))
   }
 
+  /** parquet → Arrow IPC → dictionary-encoding rewrite
+    * ([[graft.sources.arrow.ArrowOptimize]]) → read back → aggregate:
+    * the oracle computes the same aggregate from parquet, so a hash
+    * match proves the dictionary layout is lossless end-to-end (write,
+    * per-file dictionary build, index decode on scan). */
+  def arrowDictAgg(spark: SparkSession, dir: String): DataFrame = {
+    val plain = tmp("arrowdict_plain", dir)
+    val optimized = tmp("arrowdict_opt", dir)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.format("arrow").mode("overwrite").save(plain)
+    graft.sources.arrow.ArrowOptimize.dictionaryEncode(
+      spark, plain, optimized, codec = Some("zstd"))
+    spark.read.format("arrow").load(optimized)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  /** parquet → partitioned Arrow write (Hive-style value dirs) →
+    * partition-filtered read-back: the filter prunes whole files at
+    * planning time (ArrowPartitionSpec pins that); the oracle computes
+    * the same aggregate from parquet, proving the layout carries the
+    * partition column losslessly. The arrow twin of
+    * `partitioned_write_prune`. */
+  def arrowPartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowpart", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.format("arrow").partitionBy("o_orderpriority")
+      .mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "arrow_agg_pushdown" -> (arrowAggPushdown _),
+    "arrow_dict_agg" -> (arrowDictAgg _),
+    "arrow_partitioned_prune" -> (arrowPartitionedPrune _),
     "csv_infer_agg" -> (csvInferAgg _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
@@ -143,6 +183,14 @@ object SourceQueries {
         | min(o_orderdate) AS min_date, max(o_orderdate) AS max_date,
         | COUNT(*) AS n_rows, COUNT(o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
+    "arrow_dict_agg" ->
+      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "arrow_partitioned_prune" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -48,23 +48,42 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val files = paths(options)
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
-    ArrowDataSource.readFooterSchema(files.head)
+    val root = Option(options.get("path")).get
+    val dataSchema = ArrowDataSource.readFooterSchema(files.head)
+    // Hive-style layout: partition columns live in the directory names,
+    // appended after the file columns (parquet's convention)
+    val partCols = ArrowDataSource.discoverPartitionSchema(root)
+    StructType(dataSchema.fields ++ partCols.fields)
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new ArrowTable(schema, properties.asScala.toMap)
+    new ArrowTable(schema, properties.asScala.toMap, partitioning)
 }
 
-class ArrowTable(schema: StructType, properties: Map[String, String])
+class ArrowTable(schema: StructType, properties: Map[String, String],
+    partitions: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite {
   override def name(): String =
     s"arrow:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = schema
+  override def partitioning(): Array[Transform] = partitions
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE)
+
+  /** Identity-transform column names (the only partitioning the source
+    * supports — Hive-style value directories). */
+  private def partitionCols: Seq[String] = partitions.toSeq.map { t =>
+    t match {
+      case id if id.name == "identity" && id.references.length == 1 &&
+        id.references.head.fieldNames.length == 1 =>
+        id.references.head.fieldNames.head
+      case other => throw new UnsupportedOperationException(
+        s"arrow source supports only identity partitioning, got $other")
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val path = Option(options.get("path"))
@@ -81,7 +100,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String])
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
-      Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192))
+      Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192),
+      partitionCols)
   }
 }
 
@@ -94,17 +114,125 @@ object ArrowDataSource {
     val p = Paths.get(dir)
     if (Files.isRegularFile(p)) Seq(p)
     else if (!Files.exists(p)) Seq.empty
-    else Files.list(p).iterator.asScala
-      .filter(f => f.getFileName.toString.endsWith(".arrow"))
-      .toSeq.sortBy(_.toString)
+    else {
+      // recursive: partitioned layouts nest files under col=value dirs
+      val out = scala.collection.mutable.ArrayBuffer.empty[Path]
+      def walk(d: Path): Unit = {
+        val children = Files.list(d).iterator.asScala.toSeq
+        children.foreach { c =>
+          if (Files.isDirectory(c)) walk(c)
+          else if (c.getFileName.toString.endsWith(".arrow")) out += c
+        }
+      }
+      walk(p)
+      out.toSeq.sortBy(_.toString)
+    }
+  }
+
+  /** Hive-style escaping for partition values in directory names. */
+  def escapePartValue(s: String): String =
+    s.flatMap {
+      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' =>
+        c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+
+  def unescapePartValue(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '%' && i + 3 <= s.length) {
+        sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        i += 3
+      } else { sb += s(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  val NullPartValue = "__HIVE_DEFAULT_PARTITION__"
+
+  /** Partition column names in layout order, read off the first file's
+    * relative path (`c1=v1/c2=v2/part-....arrow`); empty for flat
+    * layouts. */
+  def discoverPartitionCols(root: String): Seq[String] = {
+    val rootP = Paths.get(root)
+    if (!Files.isDirectory(rootP)) return Seq.empty
+    listIpcFiles(root).headOption.toSeq.flatMap { f =>
+      val rel = rootP.relativize(f)
+      (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+        .takeWhile(_.contains('='))
+        .map(_.split("=", 2)(0))
+    }
+  }
+
+  /** Partition values of one file, aligned with
+    * [[discoverPartitionCols]]; None = SQL NULL. */
+  def partitionValuesOf(root: String, file: Path,
+      nCols: Int): Seq[Option[String]] = {
+    val rel = Paths.get(root).relativize(file)
+    (0 until nCols).map { i =>
+      val seg = rel.getName(i).toString.split("=", 2)(1)
+      if (seg == NullPartValue) None else Some(unescapePartValue(seg))
+    }
+  }
+
+  /** One file's partition values as a typed InternalRow matching
+    * `partSchema` — the row partition-filter predicates evaluate
+    * against (exact file-level pruning at planning time). */
+  def partitionRow(root: String, file: Path,
+      partSchema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
+    val vals = partitionValuesOf(root, file, partSchema.length)
+    val cells: Array[Any] = partSchema.fields.zip(vals).map {
+      case (_, None) => null
+      case (f, Some(v)) => f.dataType match {
+        case org.apache.spark.sql.types.LongType => v.toLong
+        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cells)
+  }
+
+  /** Partition columns as a schema: LongType when every value parses
+    * as a long, else StringType (the minimal useful inference). */
+  def discoverPartitionSchema(root: String): StructType = {
+    val cols = discoverPartitionCols(root)
+    if (cols.isEmpty) return StructType(Seq.empty)
+    val rootP = Paths.get(root)
+    val files = listIpcFiles(root)
+    val types = cols.indices.map { i =>
+      val vals = files.map(f => partitionValuesOf(root, f, cols.length)(i))
+        .collect { case Some(v) => v }
+      if (vals.nonEmpty && vals.forall(v => v.nonEmpty &&
+          scala.util.Try(v.toLong).isSuccess))
+        org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    }
+    StructType(cols.zip(types).map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true)
+    })
   }
 
   def readFooterSchema(file: Path): StructType = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)
-    try ArrowSchemas.fromArrowSchema(reader.getVectorSchemaRoot.getSchema)
-    finally { reader.close(); ch.close() }
+    try {
+      val fields = reader.getVectorSchemaRoot.getSchema.getFields.asScala
+        .map { f =>
+          // dictionary-encoded columns surface their VALUE type: the
+          // schema message stores the index type, the logical type
+          // lives on the dictionary's own vector
+          Option(f.getDictionary) match {
+            case Some(enc) =>
+              org.apache.spark.sql.types.StructField(f.getName,
+                ArrowSchemas.fromArrowType(
+                  reader.lookup(enc.getId).getVectorType),
+                f.isNullable)
+            case None => ArrowSchemas.fromArrowField(f)
+          }
+        }
+      StructType(fields.toArray)
+    } finally { reader.close(); ch.close() }
   }
 
   /** Per-record-batch on-disk sizes (metadata+body) from the IPC footer

@@ -1,0 +1,188 @@
+package graft.sources.arrow
+
+import java.nio.channels.FileChannel
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.arrow.compression.CommonsCompressionFactory
+import org.apache.arrow.vector.{FieldVector, ValueVector, VarCharVector, VectorLoader, VectorSchemaRoot, VectorUnloader}
+import org.apache.arrow.vector.compression.CompressionUtil
+import org.apache.arrow.vector.dictionary.{Dictionary, DictionaryEncoder, DictionaryProvider}
+import org.apache.arrow.vector.ipc.{ArrowFileReader, ArrowFileWriter}
+import org.apache.arrow.vector.ipc.message.IpcOption
+import org.apache.arrow.vector.types.pojo.{ArrowType, DictionaryEncoding, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.SparkSession
+
+/** The deferred two-pass dictionary-encoding "optimize" rewrite the
+  * single-pass writer documents (`ArrowWrite.scala`): Arrow Java's
+  * `ArrowFileWriter` serializes its dictionaries once up front, so a
+  * streaming writer cannot dictionary-encode without buffering its
+  * whole output — but a REWRITE of an already-written directory knows
+  * every value up front. Pass 1 scans a file's batches collecting the
+  * distinct values of each eligible string column; pass 2 rewrites the
+  * file with those columns stored as int32 indices into a per-file
+  * dictionary (the IPC dictionary-batch mechanism), preserving footer
+  * metadata (zone maps + row stats), batch boundaries, and order.
+  *
+  * This is the compaction shape (`layout_compaction`): one independent
+  * task per file, no shuffle — `dictionaryEncode` fans the file list
+  * out over the cluster, so a 100 TB directory rewrites with
+  * file-granular parallelism. Low-cardinality string columns (lang,
+  * category, host, ...) shrink to ~4 bytes/row + one dictionary;
+  * high-cardinality columns are left plain (the cut-off is
+  * `maxCardinality`, above which indices stop paying for the extra
+  * dictionary bytes and the encode hash table).
+  *
+  * The read path decodes transparently ([[ArrowReaderBase]]): a
+  * dictionary-encoded file round-trips bit-identically through
+  * `spark.read.format("arrow")` (ArrowDictionarySpec), so the rewrite
+  * is invisible to every consumer — the reference's storage-engine
+  * stance (dictionary-encoded Arrow strings, SURVEY §1.1) with the
+  * encoding as a pure layout property.
+  */
+object ArrowOptimize {
+
+  /** Rewrite every `.arrow` file under `inDir` into `outDir`,
+    * dictionary-encoding string columns with at most `maxCardinality`
+    * distinct values. One Spark task per file — the distributed
+    * compaction shape. */
+  def dictionaryEncode(spark: SparkSession, inDir: String, outDir: String,
+      codec: Option[String] = None,
+      maxCardinality: Int = 1 << 16): Unit = {
+    val files = ArrowDataSource.listIpcFiles(inDir).map(_.toString)
+    require(files.nonEmpty, s"no .arrow files under $inDir")
+    Files.createDirectories(Paths.get(outDir))
+    // overwrite semantics: stale files from a previous rewrite would
+    // otherwise survive (part names carry fresh uuids) and duplicate
+    // every row on read
+    ArrowDataSource.listIpcFiles(outDir).foreach(Files.deleteIfExists)
+    val out = outDir
+    val in = inDir
+    spark.sparkContext
+      .parallelize(files, files.length)
+      .foreach { f =>
+        // preserve the relative layout (Hive partition dirs included)
+        val rel = Paths.get(in).relativize(Paths.get(f)).toString
+        val dst = Paths.get(out, rel)
+        Files.createDirectories(dst.getParent)
+        rewriteFile(Paths.get(f), dst, codec, maxCardinality)
+      }
+  }
+
+  /** Rewrite one file (runs inside a task; pure Arrow Java). */
+  private[arrow] def rewriteFile(src: Path, dst: Path,
+      codec: Option[String], maxCardinality: Int): Unit = {
+    val allocator = ArrowDataSource.allocator
+      .newChildAllocator(s"arrow-optimize-${src.getFileName}", 0,
+        Long.MaxValue)
+    val inCh = FileChannel.open(src, StandardOpenOption.READ)
+    val reader = new ArrowFileReader(inCh, allocator,
+      CommonsCompressionFactory.INSTANCE)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val fields = root.getSchema.getFields.asScala.toSeq
+      val blocks = reader.getRecordBlocks.asScala.toSeq
+
+      // ---- pass 1: distinct values per eligible (plain utf8) column
+      val candidates = fields.zipWithIndex.collect {
+        case (f, i) if f.getType.isInstanceOf[ArrowType.Utf8] &&
+          f.getDictionary == null => i
+      }
+      val distinct: Map[Int, scala.collection.mutable.LinkedHashSet[String]] =
+        candidates.map(_ ->
+          scala.collection.mutable.LinkedHashSet.empty[String]).toMap
+      var live = candidates.toSet
+      for (b <- blocks if live.nonEmpty) {
+        reader.loadRecordBatch(b)
+        for (i <- live) {
+          val v = root.getVector(i).asInstanceOf[VarCharVector]
+          val set = distinct(i)
+          var r = 0
+          while (r < root.getRowCount) {
+            if (!v.isNull(r)) set += new String(v.get(r),
+              java.nio.charset.StandardCharsets.UTF_8)
+            r += 1
+          }
+          if (set.size > maxCardinality) live -= i
+        }
+      }
+      val dictCols = live.toSeq.sorted
+
+      // ---- build per-column dictionaries (sorted for determinism)
+      val indexType = new ArrowType.Int(32, true)
+      val dicts: Map[Int, Dictionary] = dictCols.map { i =>
+        val values = distinct(i).toSeq.sorted
+        val vec = new VarCharVector(s"dict_${fields(i).getName}", allocator)
+        vec.allocateNew()
+        values.zipWithIndex.foreach { case (s, j) =>
+          vec.setSafe(j, s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        vec.setValueCount(values.size)
+        i -> new Dictionary(vec,
+          new DictionaryEncoding(i.toLong, false, indexType))
+      }.toMap
+
+      // ---- pass 2: rewrite with encoded columns
+      val outFields = fields.zipWithIndex.map { case (f, i) =>
+        dicts.get(i) match {
+          case Some(d) => new Field(f.getName,
+            new FieldType(f.isNullable, indexType, d.getEncoding),
+            java.util.Collections.emptyList[Field]())
+          case None => f
+        }
+      }
+      val provider = new DictionaryProvider.MapDictionaryProvider(
+        dicts.values.toSeq: _*)
+      val writerRoot = VectorSchemaRoot.create(
+        new ArrowSchema(outFields.asJava), allocator)
+      val codecType = codec.map(_.toLowerCase).map {
+        case "lz4" => CompressionUtil.CodecType.LZ4_FRAME
+        case "zstd" => CompressionUtil.CodecType.ZSTD
+        case other => throw new IllegalArgumentException(
+          s"arrow codec must be lz4 or zstd, got $other")
+      }
+      val metaData = new java.util.HashMap[String, String](
+        reader.getMetaData) // zone maps + row stats survive verbatim
+      val outCh = FileChannel.open(dst, StandardOpenOption.CREATE,
+        StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
+      val writer = codecType match {
+        case None => new ArrowFileWriter(writerRoot, provider, outCh,
+          metaData)
+        case Some(ct) => new ArrowFileWriter(writerRoot, provider, outCh,
+          metaData, new IpcOption(), CommonsCompressionFactory.INSTANCE, ct)
+      }
+      try {
+        writer.start()
+        for (b <- blocks) {
+          reader.loadRecordBatch(b)
+          val encoded = scala.collection.mutable.ListBuffer.empty[ValueVector]
+          try {
+            val vectors: Seq[FieldVector] = fields.indices.map { i =>
+              dicts.get(i) match {
+                case Some(d) =>
+                  val enc = DictionaryEncoder.encode(root.getVector(i), d)
+                  encoded += enc
+                  enc.asInstanceOf[FieldVector]
+                case None => root.getVector(i)
+              }
+            }
+            val batchRoot = new VectorSchemaRoot(outFields.asJava,
+              vectors.asJava, root.getRowCount)
+            val rb = new VectorUnloader(batchRoot).getRecordBatch
+            try new VectorLoader(writerRoot).load(rb)
+            finally rb.close()
+            writer.writeBatch()
+          } finally encoded.foreach(_.close())
+        }
+        writer.end()
+      } finally {
+        writer.close(); outCh.close()
+        writerRoot.close()
+        dicts.values.foreach(_.getVector.close())
+      }
+    } finally {
+      reader.close(); inCh.close(); allocator.close()
+    }
+  }
+}

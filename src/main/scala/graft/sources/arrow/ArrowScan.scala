@@ -35,8 +35,17 @@ class ArrowScanBuilder(path: String, schema: StructType,
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
+  // Hive-style partition columns discovered from the directory layout
+  // (empty for flat dirs); they live in paths, not files.
+  private val partSchema: StructType =
+    ArrowDataSource.discoverPartitionSchema(path)
+  private val partColSet = partSchema.fieldNames.toSet
+  private val dataSchema: StructType =
+    StructType(schema.fields.filterNot(f => partColSet(f.name)))
+
   private var readSchema: StructType = schema
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = Array.empty // data-column filters
+  private var pushedPart: Array[Filter] = Array.empty // partition filters
   // Set when pushAggregation accepted: the agg output schema plus the
   // per-file partial rows, already computed from footers on the driver.
   private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
@@ -47,14 +56,37 @@ class ArrowScanBuilder(path: String, schema: StructType,
     readSchema = StructType(schema.fields.filter(f => requested(f.name)))
   }
 
+  /** Filters over partition columns only prune whole FILES at planning
+    * time (the value is constant per directory — exact, not
+    * conservative); filters over data columns evaluate in the reader
+    * with zone-map batch skipping. Mixed-reference filters stay
+    * residual. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (claimed, residual) =
-      filters.partition(f => FilterEval.supported(schema, f))
-    pushed = claimed
+    val (partF, rest) = filters.partition(f =>
+      f.references.nonEmpty && f.references.forall(partColSet) &&
+        FilterEval.supported(partSchema, f))
+    val (dataF, residual) = rest.partition(f =>
+      f.references.forall(r => !partColSet(r)) &&
+        FilterEval.supported(dataSchema, f))
+    pushedPart = partF
+    pushed = dataF
     residual // Catalyst keeps evaluating these above the scan.
   }
 
-  override def pushedFilters(): Array[Filter] = pushed
+  override def pushedFilters(): Array[Filter] = pushedPart ++ pushed
+
+  /** Files surviving the pushed partition filters. */
+  private def survivingFiles: Seq[java.nio.file.Path] = {
+    val files = ArrowDataSource.listIpcFiles(path)
+    if (pushedPart.isEmpty || partSchema.isEmpty) files
+    else {
+      val preds = pushedPart.map(FilterEval.compile(partSchema, _))
+      files.filter { f =>
+        val row = ArrowDataSource.partitionRow(path, f, partSchema)
+        preds.forall(_(row))
+      }
+    }
+  }
 
   /** MIN/MAX/COUNT answered from footer statistics — the same
     * planning-time trick the parquet path plays with row-group stats
@@ -78,6 +110,8 @@ class ArrowScanBuilder(path: String, schema: StructType,
     * columnar scan — stats are an optimization, never a correctness
     * surface. */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // data filters invalidate footer stats; PARTITION filters do not —
+    // they select whole files, and stats are per-file
     if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty)
       return false
 
@@ -136,7 +170,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
         case _ => Left(())
       }
 
-    val files = ArrowDataSource.listIpcFiles(path)
+    val files = survivingFiles
     val rows = files.map { f =>
       val info = ArrowDataSource.footerInfo(f)
       val nBatches = info.sizes.length
@@ -195,18 +229,22 @@ class ArrowScanBuilder(path: String, schema: StructType,
     val have = readSchema.fieldNames.toSet
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
-    new ArrowScan(path, withRefs, pushed, maxSplitBytes)
+    new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
+      maxSplitBytes)
   }
 }
 
 class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
+    partFilters: Array[Filter] = Array.empty,
+    partSchema: StructType = StructType(Seq.empty),
     maxSplitBytes: Long = 128L * 1024 * 1024)
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
-      s"pushed=[${filters.mkString(",")}]"
+      s"pushed=[${filters.mkString(",")}] " +
+      s"partFilters=[${partFilters.mkString(",")}]"
 
   /** Split every IPC file at record-batch boundaries using the footer's
     * block metadata, packing consecutive batches up to ~128 MB per
@@ -221,46 +259,62 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * conservative and purely an optimization — surviving batches still
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val partPreds = partFilters.map(FilterEval.compile(partSchema, _))
     ArrowDataSource.listIpcFiles(path).flatMap { p =>
-      val info = ArrowDataSource.footerInfo(p)
-      val (blocks, zoneMap) = (info.sizes, info.zoneMap)
-      if (blocks.isEmpty) Seq(ArrowFilePartition(p.toString, Array.empty))
+      val partVals: Array[String] =
+        if (partSchema.isEmpty) Array.empty
+        else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
+          .map(_.orNull).toArray
+      val prow =
+        if (partSchema.isEmpty) null
+        else ArrowDataSource.partitionRow(path, p, partSchema)
+      if (partPreds.nonEmpty && !partPreds.forall(_(prow))) Nil
       else {
-        val keep: Int => Boolean =
-          if (filters.isEmpty) _ => true
-          else zoneMap match {
-            case Some(zm) if zm.batches.length == blocks.length =>
-              idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
-            case _ => _ => true
+        val info = ArrowDataSource.footerInfo(p)
+        val (blocks, zoneMap) = (info.sizes, info.zoneMap)
+        if (blocks.isEmpty)
+          Seq(ArrowFilePartition(p.toString, Array.empty, partVals))
+        else {
+          val keep: Int => Boolean =
+            if (filters.isEmpty) _ => true
+            else zoneMap match {
+              case Some(zm) if zm.batches.length == blocks.length =>
+                idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
+              case _ => _ => true
+            }
+          val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+          var current = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var bytes = 0L
+          for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
+            if (current.nonEmpty && bytes + size > maxSplitBytes) {
+              splits += current.toArray
+              current = scala.collection.mutable.ArrayBuffer.empty[Int]
+              bytes = 0L
+            }
+            current += idx
+            bytes += size
           }
-        val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-        var current = scala.collection.mutable.ArrayBuffer.empty[Int]
-        var bytes = 0L
-        for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
-          if (current.nonEmpty && bytes + size > maxSplitBytes) {
-            splits += current.toArray
-            current = scala.collection.mutable.ArrayBuffer.empty[Int]
-            bytes = 0L
-          }
-          current += idx
-          bytes += size
+          if (current.nonEmpty) splits += current.toArray
+          splits.map(idxs => ArrowFilePartition(p.toString, idxs, partVals))
         }
-        if (current.nonEmpty) splits += current.toArray
-        splits.map(idxs => ArrowFilePartition(p.toString, idxs))
       }
     }.map(p => p: InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArrowReaderFactory(schema, filters)
+    new ArrowReaderFactory(schema, filters, partSchema)
 }
 
 /** One scan split: a file plus the footer indices of the record batches
-  * it covers (empty = whole file, used for block-less empty files). */
-case class ArrowFilePartition(file: String, blockIdxs: Array[Int])
+  * it covers (empty = whole file, used for block-less empty files), plus
+  * the file's Hive-layout partition values (aligned with the scan's
+  * partition schema; null entry = SQL NULL). */
+case class ArrowFilePartition(file: String, blockIdxs: Array[Int],
+    partValues: Array[String] = Array.empty)
   extends InputPartition
 
-class ArrowReaderFactory(schema: StructType, filters: Array[Filter])
+class ArrowReaderFactory(schema: StructType, filters: Array[Filter],
+    partSchema: StructType = StructType(Seq.empty))
     extends PartitionReaderFactory {
 
   // Columnar only when nothing needs row-at-a-time filtering.
@@ -270,32 +324,49 @@ class ArrowReaderFactory(schema: StructType, filters: Array[Filter])
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArrowFilePartition]
-    new ArrowRowReader(p, schema, filters)
+    new ArrowRowReader(p, schema, filters, partSchema)
   }
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[ArrowFilePartition]
-    new ArrowBatchReader(p, schema)
+    new ArrowBatchReader(p, schema, partSchema)
   }
 }
 
 /** Shared reader mechanics: iterate this split's record batches,
-  * exposing each as a ColumnarBatch of the pruned columns. */
+  * exposing each as a ColumnarBatch of the pruned columns.
+  * Dictionary-encoded columns (written by [[ArrowOptimize]]) decode
+  * transparently: the index vector is expanded against the file's
+  * dictionary per batch, so consumers always see the value type —
+  * encoding is a pure layout property of the file. */
 private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
-    schema: StructType) {
+    schema: StructType, partSchema: StructType = StructType(Seq.empty)) {
   protected val channel: FileChannel =
     FileChannel.open(Paths.get(partition.file), StandardOpenOption.READ)
   protected val reader: ArrowFileReader =
     new ArrowFileReader(channel, ArrowDataSource.allocator,
       CommonsCompressionFactory.INSTANCE)
   protected val root = reader.getVectorSchemaRoot
-  private val ordinals: Array[Int] = {
+  // each requested field reads either a file vector (Left: ordinal in
+  // the file schema) or a directory-carried partition value (Right:
+  // ordinal in partSchema, surfaced as a constant vector per batch)
+  private val partIdx = partSchema.fieldNames.zipWithIndex.toMap
+  private val ordinals: Array[Either[Int, Int]] = {
     val fileFields = root.getSchema.getFields.asScala.map(_.getName)
-    schema.fieldNames.map(n => fileFields.indexOf(n))
+    schema.fieldNames.map { n =>
+      partIdx.get(n) match {
+        case Some(pi) => Right(pi)
+        case None => Left(fileFields.indexOf(n))
+      }
+    }
   }
   private val blocks = reader.getRecordBlocks
   private var cursor = 0
+  // decoded dictionary columns of the CURRENT batch (fresh allocations,
+  // unlike the reader-owned root vectors) — released when the next
+  // batch loads or the reader closes
+  private var decoded: List[org.apache.arrow.vector.ValueVector] = Nil
 
   private def loadNext(): Boolean =
     if (cursor >= partition.blockIdxs.length) false
@@ -306,19 +377,53 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       ok
     }
 
+  private def constantVector(pi: Int, rows: Int): ColumnVector = {
+    import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+    val dt = partSchema.fields(pi).dataType
+    val cv = new ConstantColumnVector(rows, dt)
+    val raw = partition.partValues(pi)
+    if (raw == null) cv.setNull()
+    else dt match {
+      case org.apache.spark.sql.types.LongType => cv.setLong(raw.toLong)
+      case _ => cv.setUtf8String(
+        org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+    }
+    cv
+  }
+
   protected def nextBatch(): Option[ColumnarBatch] =
     if (!loadNext()) None
     else {
-      val vectors: Array[ColumnVector] = ordinals.map(i =>
-        new ArrowColumnVector(root.getVector(i)): ColumnVector)
+      decoded.foreach(_.close())
+      decoded = Nil
+      val vectors: Array[ColumnVector] = ordinals.map {
+        case Right(pi) => constantVector(pi, root.getRowCount)
+        case Left(i) =>
+          val v = root.getVector(i)
+          Option(v.getField.getDictionary) match {
+            case Some(enc) =>
+              val d = org.apache.arrow.vector.dictionary.DictionaryEncoder
+                .decode(v, reader.lookup(enc.getId))
+              decoded ::= d
+              new ArrowColumnVector(
+                d.asInstanceOf[org.apache.arrow.vector.FieldVector])
+                : ColumnVector
+            case None => new ArrowColumnVector(v): ColumnVector
+          }
+      }
       Some(new ColumnarBatch(vectors, root.getRowCount))
     }
 
-  def closeAll(): Unit = { reader.close(); channel.close() }
+  def closeAll(): Unit = {
+    decoded.foreach(_.close())
+    decoded = Nil
+    reader.close(); channel.close()
+  }
 }
 
-class ArrowBatchReader(partition: ArrowFilePartition, schema: StructType)
-    extends ArrowReaderBase(partition, schema)
+class ArrowBatchReader(partition: ArrowFilePartition, schema: StructType,
+    partSchema: StructType = StructType(Seq.empty))
+    extends ArrowReaderBase(partition, schema, partSchema)
     with PartitionReader[ColumnarBatch] {
   private var current: ColumnarBatch = _
   override def next(): Boolean = nextBatch() match {
@@ -364,8 +469,9 @@ case class ArrowAggPartition(rows: Array[Array[Any]])
   extends InputPartition
 
 class ArrowRowReader(partition: ArrowFilePartition, schema: StructType,
-    filters: Array[Filter])
-    extends ArrowReaderBase(partition, schema)
+    filters: Array[Filter],
+    partSchema: StructType = StructType(Seq.empty))
+    extends ArrowReaderBase(partition, schema, partSchema)
     with PartitionReader[InternalRow] {
   private val predicate: InternalRow => Boolean =
     if (filters.isEmpty) _ => true

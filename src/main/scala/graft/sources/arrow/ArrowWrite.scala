@@ -39,7 +39,8 @@ import org.apache.spark.sql.types._
   * shape) is the right place for true dictionary encoding.
   */
 class ArrowWriteBuilder(path: String, schema: StructType,
-    codec: Option[String], batchRows: Int)
+    codec: Option[String], batchRows: Int,
+    partitionCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -47,44 +48,116 @@ class ArrowWriteBuilder(path: String, schema: StructType,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate)
+      new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
+        partitionCols)
   }
 }
 
-case class ArrowCommitMessage(file: String) extends WriterCommitMessage
+case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class ArrowBatchWrite(path: String, schema: StructType,
-    codec: Option[String], batchRows: Int, doTruncate: Boolean)
-    extends BatchWrite {
+    codec: Option[String], batchRows: Int, doTruncate: Boolean,
+    partitionCols: Seq[String]) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (doTruncate) {
+      // listIpcFiles is recursive, so partition subdirectories empty
+      // out too (the dirs themselves are reused on rewrite)
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
     }
-    new ArrowWriterFactory(path, schema, codec, batchRows)
+    new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ArrowCommitMessage(f) =>
-      Files.deleteIfExists(Paths.get(f))
+    messages.collect { case ArrowCommitMessage(fs) =>
+      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
 }
 
 class ArrowWriterFactory(path: String, schema: StructType,
-    codec: Option[String], batchRows: Int) extends DataWriterFactory {
+    codec: Option[String], batchRows: Int,
+    partitionCols: Seq[String]) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    new ArrowDataWriter(path, schema, codec, batchRows, partitionId, taskId)
+    if (partitionCols.isEmpty)
+      new ArrowDataWriter(path, schema, codec, batchRows, partitionId, taskId)
+    else
+      new ArrowPartitionedWriter(path, schema, codec, batchRows,
+        partitionId, taskId, partitionCols)
+}
+
+/** Hive-style dynamic-partition routing: each row lands in
+  * `path/c1=v1/.../part-...arrow` with the partition columns stripped
+  * from the file (they live in the directory name — parquet's layout,
+  * so partition pruning happens at planning from paths alone). One
+  * open sub-writer per distinct combination seen by this task; tasks
+  * that receive pre-clustered input (repartition on the partition
+  * cols) keep that number at 1. */
+class ArrowPartitionedWriter(path: String, schema: StructType,
+    codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
+    partitionCols: Seq[String]) extends DataWriter[InternalRow] {
+
+  private val partOrdinals: Array[Int] =
+    partitionCols.map(schema.fieldIndex).toArray
+  private val dataOrdinals: Array[Int] = schema.fields.indices
+    .filterNot(partOrdinals.contains(_)).toArray
+  private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+
+  private val writers =
+    scala.collection.mutable.LinkedHashMap.empty[String, ArrowDataWriter]
+
+  private def partValue(row: InternalRow, ord: Int): String = {
+    if (row.isNullAt(ord)) return ArrowDataSource.NullPartValue
+    val s = schema.fields(ord).dataType match {
+      case StringType => row.getUTF8String(ord).toString
+      case LongType => row.getLong(ord).toString
+      case IntegerType => row.getInt(ord).toString
+      case ShortType => row.getShort(ord).toString
+      case ByteType => row.getByte(ord).toString
+      case BooleanType => row.getBoolean(ord).toString
+      case other => throw new UnsupportedOperationException(
+        s"arrow partition column type $other")
+    }
+    ArrowDataSource.escapePartValue(s)
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val rel = partitionCols.zip(partOrdinals)
+      .map { case (c, o) => s"$c=${partValue(row, o)}" }
+      .mkString("/")
+    val w = writers.getOrElseUpdate(rel, {
+      val dir = Paths.get(path, rel)
+      Files.createDirectories(dir)
+      new ArrowDataWriter(dir.toString, dataSchema, codec, batchRows,
+        partitionId, taskId, dataOrdinals)
+    })
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    ArrowCommitMessage(writers.values.toSeq
+      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs }))
+
+  override def abort(): Unit = writers.values.foreach(_.abort())
+
+  override def close(): Unit = writers.values.foreach(_.close())
 }
 
 class ArrowDataWriter(path: String, schema: StructType,
-    codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long)
+    codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long,
+    colMapOrNull: Array[Int] = null)
     extends DataWriter[InternalRow] {
+
+  // File field i reads incoming-row ordinal colMap(i) — identity for
+  // flat writes; the data-column ordinals for partitioned writes (the
+  // partition columns are carried by the directory, not the file).
+  private val colMap: Array[Int] =
+    if (colMapOrNull != null) colMapOrNull else schema.fields.indices.toArray
 
   // Validate options and build the in-memory root BEFORE touching the
   // filesystem — a constructor failure must not leave a partial file
@@ -145,21 +218,22 @@ class ArrowDataWriter(path: String, schema: StructType,
     var j = 0
     while (j < zmCols.length) {
       val col = zmCols(j)
-      if (!row.isNullAt(col)) {
+      val ord = colMap(col)
+      if (!row.isNullAt(ord)) {
         if (zmKind(j) == ZoneMaps.KindLong) {
           val v = fields(col).dataType match {
-            case ByteType => row.getByte(col).toLong
-            case ShortType => row.getShort(col).toLong
-            case IntegerType | DateType => row.getInt(col).toLong
-            case _ => row.getLong(col)
+            case ByteType => row.getByte(ord).toLong
+            case ShortType => row.getShort(ord).toLong
+            case IntegerType | DateType => row.getInt(ord).toLong
+            case _ => row.getLong(ord)
           }
           if (v < zmLongMin(j)) zmLongMin(j) = v
           if (v > zmLongMax(j)) zmLongMax(j) = v
           zmSeen(j) = true
         } else {
           val v = fields(col).dataType match {
-            case FloatType => row.getFloat(col).toDouble
-            case _ => row.getDouble(col)
+            case FloatType => row.getFloat(ord).toDouble
+            case _ => row.getDouble(ord)
           }
           if (java.lang.Double.isNaN(v)) zmPoisoned(j) = true
           else {
@@ -186,7 +260,7 @@ class ArrowDataWriter(path: String, schema: StructType,
   private def rsUpdate(row: InternalRow): Unit = {
     var j = 0
     while (j < rsCols.length) {
-      if (row.isNullAt(rsCols(j))) rsNulls(j) += 1
+      if (row.isNullAt(colMap(rsCols(j)))) rsNulls(j) += 1
       j += 1
     }
   }
@@ -217,7 +291,8 @@ class ArrowDataWriter(path: String, schema: StructType,
   override def write(row: InternalRow): Unit = {
     var i = 0
     while (i < fields.length) {
-      writeValue(root.getVector(i), fields(i).dataType, row, i, rowIdx)
+      writeValue(root.getVector(i), fields(i).dataType, row, colMap(i),
+        rowIdx)
       i += 1
     }
     zmUpdate(row)
@@ -317,7 +392,7 @@ class ArrowDataWriter(path: String, schema: StructType,
     }
     writer.end(); writer.close(); channel.close()
     root.close(); allocator.close()
-    ArrowCommitMessage(file.toString)
+    ArrowCommitMessage(Seq(file.toString))
   }
 
   override def abort(): Unit = {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.ArrowDataSource
+
+/** Hive-style partitioned writes on the Arrow DSv2:
+  * `write.partitionBy(col)` lands rows in `col=value/` directories
+  * with the partition column carried by the path (parquet's layout,
+  * `partitioned_write_prune` is the parquet twin), reads surface the
+  * column again, and partition filters prune whole FILES at planning
+  * time — exactly, not conservatively, because the value is constant
+  * per directory. */
+class ArrowPartitionSpec extends AnyFunSuite {
+  private lazy val spark = TestSession.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("arrowpart").toString
+    Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(d)
+    d
+  }
+
+  test("partitionBy writes value directories and round-trips the data") {
+    val subdirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).sorted
+    assert(subdirs.forall(_.startsWith("o_orderstatus=")),
+      s"unexpected layout: ${subdirs.mkString(",")}")
+    assert(subdirs.length >= 2)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema.fieldNames.contains("o_orderstatus"))
+    val a = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val b = back.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("partition filters prune whole files at planning time") {
+    val all = spark.read.format("arrow").load(dir)
+    val total = all.rdd.getNumPartitions
+    val one = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderstatus") === "F")
+    assert(one.rdd.getNumPartitions < total,
+      s"partition filter pruned nothing: ${one.rdd.getNumPartitions}/$total")
+    val expected = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(one.count() == expected)
+    // pruning composes with data-column filters
+    val mixed = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") <= 500)
+    val expMixed = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus") === "F" && col("o_orderkey") <= 500)
+      .count()
+    assert(mixed.count() == expMixed)
+  }
+
+  test("aggregate pushdown composes with partition filters") {
+    val q = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderstatus") === "F")
+      .agg(min(col("o_orderkey")).as("mn"), count(lit(1)).as("n"))
+    assert(q.queryExecution.executedPlan.toString
+      .contains("graft-arrow-agg"),
+      s"agg not pushed:\n${q.queryExecution.executedPlan}")
+    val before = ArrowDataSource.recordBatchesLoaded.get()
+    val r = q.collect()(0)
+    assert(ArrowDataSource.recordBatchesLoaded.get() == before,
+      "partition-filtered aggregate read data batches")
+    val e = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus") === "F")
+      .agg(min(col("o_orderkey")), count(lit(1))).collect()(0)
+    assert(r == e)
+  }
+
+  test("long partition values infer as longs; special strings escape") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("arrowpart2").toString
+    val df = Seq(
+      (1L, 10L, "a b/c=d"), (2L, 10L, "plain"), (3L, 20L, "a b/c=d"),
+      (4L, 20L, null.asInstanceOf[String]))
+      .toDF("id", "bucket", "tag")
+    df.write.format("arrow").partitionBy("bucket", "tag")
+      .mode("overwrite").save(d)
+    val back = spark.read.format("arrow").load(d)
+    assert(back.schema("bucket").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(back.schema("tag").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val a = df.select(col("id"), col("bucket"), col("tag"))
+    val b = back.select(col("id"), col("bucket"), col("tag"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      s"round-trip mismatch:\n${b.collect().mkString("\n")}")
+    // range filter on the long partition column prunes files
+    val hi = back.filter(col("bucket") >= 20)
+    assert(hi.count() == 2)
+    assert(back.filter(col("tag").isNull).count() == 1)
+  }
+}
