@@ -111,8 +111,13 @@ object SourceQueries {
     * footer stats are exact, not just present. */
   def arrowAggPushdown(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowagg", dir)
+    // zstd, not lz4: Arrow Java's lz4 codec routes through
+    // commons-compress's pure-Java LZ4, which is ~100x slower than the
+    // native zstd binding (measured 142 s vs 1 s writing orders at
+    // sf0.1) — lz4 stays supported on the option surface, but nothing
+    // perf-sensitive should default to it
     Tables.orders(spark, dir).write.format("arrow")
-      .option("codec", "lz4").mode("overwrite").save(out)
+      .option("codec", "zstd").mode("overwrite").save(out)
     spark.read.format("arrow").load(out)
       .agg(min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),

@@ -22,6 +22,12 @@ import org.apache.spark.sql.types._
   * (`option("codec", "lz4"|"zstd")` — the reference's declared
   * "custom compression" surface, BASELINE.json:6).
   *
+  * Codec guidance: prefer zstd. The zstd path is a native binding;
+  * Arrow Java's lz4 path runs commons-compress's pure-Java LZ4, which
+  * is ~100× slower on string-heavy batches (measured 142 s vs ~1 s
+  * writing 150k orders rows) — lz4 is kept for format compatibility,
+  * not as a performance option.
+  *
   * Commit protocol: tasks write `part-<pid>-<tid>-<uuid>.arrow` straight
   * into the target directory and report the file in their commit
   * message; task abort deletes the partial file. Truncate-on-overwrite
