@@ -238,13 +238,81 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     partFilters: Array[Filter] = Array.empty,
     partSchema: StructType = StructType(Seq.empty),
     maxSplitBytes: Long = 128L * 1024 * 1024)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}] " +
       s"partFilters=[${partFilters.mkString(",")}]"
+
+  /** Runtime (DPP-style) filters: Spark hands the build side's actual
+    * partition-key values after planning; only partition-column
+    * predicates are accepted, and they prune whole files exactly, the
+    * same way static partition filters do. This is dynamic partition
+    * pruning for the custom source — without it a star join reads
+    * every partition of a 100 TB fact table even when the dim filter
+    * selects three of them. */
+  private var runtimeFilters: Array[Filter] = Array.empty
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    partSchema.fieldNames.map(
+      org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(dynamic: Array[Filter]): Unit =
+    runtimeFilters = dynamic.filter(f =>
+      f.references.forall(partSchema.fieldNames.contains(_)) &&
+        FilterEval.supported(partSchema, f))
+
+  /** Planning statistics from the footers already read for split
+    * planning: without them a DSv2 relation reports the default
+    * (effectively infinite) size and an Arrow-backed dimension never
+    * broadcasts. Row count comes from the writer's row stats; bytes
+    * are on-disk block sizes scaled by the fraction of data columns
+    * actually read (column pruning is the point of a columnar
+    * source). */
+  override def estimateStatistics(): Statistics = {
+    val files = survivingFiles
+    var bytes = 0L
+    var rows = 0L
+    var rowsKnown = true
+    files.foreach { f =>
+      val info = ArrowDataSource.footerInfo(f)
+      bytes += info.sizes.sum
+      info.rowStats match {
+        case Some(rs) if rs.batches.length == info.sizes.length =>
+          rows += rs.batches.map(_._1).sum
+        case _ => rowsKnown = false
+      }
+    }
+    val nData = math.max(1,
+      schema.fieldNames.count(n => !partSchema.fieldNames.contains(n)))
+    val nFile = ArrowDataSource.listIpcFiles(path).headOption
+      .map(f => ArrowDataSource.readFooterSchema(f).length).getOrElse(nData)
+    val scaled = math.max(1L, bytes * nData / math.max(1, nFile))
+    val (szOut, rowsOut) = (scaled, rows)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(szOut)
+      override def numRows(): java.util.OptionalLong =
+        if (rowsKnown) java.util.OptionalLong.of(rowsOut)
+        else java.util.OptionalLong.empty()
+    }
+  }
+
+  /** Files surviving static + runtime partition filters. */
+  private def survivingFiles: Seq[java.nio.file.Path] = {
+    val all = ArrowDataSource.listIpcFiles(path)
+    val preds = (partFilters ++ runtimeFilters)
+      .map(FilterEval.compile(partSchema, _))
+    if (preds.isEmpty || partSchema.isEmpty) all
+    else all.filter { f =>
+      val row = ArrowDataSource.partitionRow(path, f, partSchema)
+      preds.forall(_(row))
+    }
+  }
 
   /** Split every IPC file at record-batch boundaries using the footer's
     * block metadata, packing consecutive batches up to ~128 MB per
@@ -259,44 +327,37 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * conservative and purely an optimization — surviving batches still
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
-    val partPreds = partFilters.map(FilterEval.compile(partSchema, _))
-    ArrowDataSource.listIpcFiles(path).flatMap { p =>
+    survivingFiles.flatMap { p =>
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
         else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
           .map(_.orNull).toArray
-      val prow =
-        if (partSchema.isEmpty) null
-        else ArrowDataSource.partitionRow(path, p, partSchema)
-      if (partPreds.nonEmpty && !partPreds.forall(_(prow))) Nil
+      val info = ArrowDataSource.footerInfo(p)
+      val (blocks, zoneMap) = (info.sizes, info.zoneMap)
+      if (blocks.isEmpty)
+        Seq(ArrowFilePartition(p.toString, Array.empty, partVals))
       else {
-        val info = ArrowDataSource.footerInfo(p)
-        val (blocks, zoneMap) = (info.sizes, info.zoneMap)
-        if (blocks.isEmpty)
-          Seq(ArrowFilePartition(p.toString, Array.empty, partVals))
-        else {
-          val keep: Int => Boolean =
-            if (filters.isEmpty) _ => true
-            else zoneMap match {
-              case Some(zm) if zm.batches.length == blocks.length =>
-                idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
-              case _ => _ => true
-            }
-          val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
-          var current = scala.collection.mutable.ArrayBuffer.empty[Int]
-          var bytes = 0L
-          for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
-            if (current.nonEmpty && bytes + size > maxSplitBytes) {
-              splits += current.toArray
-              current = scala.collection.mutable.ArrayBuffer.empty[Int]
-              bytes = 0L
-            }
-            current += idx
-            bytes += size
+        val keep: Int => Boolean =
+          if (filters.isEmpty) _ => true
+          else zoneMap match {
+            case Some(zm) if zm.batches.length == blocks.length =>
+              idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
+            case _ => _ => true
           }
-          if (current.nonEmpty) splits += current.toArray
-          splits.map(idxs => ArrowFilePartition(p.toString, idxs, partVals))
+        val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+        var current = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var bytes = 0L
+        for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
+          if (current.nonEmpty && bytes + size > maxSplitBytes) {
+            splits += current.toArray
+            current = scala.collection.mutable.ArrayBuffer.empty[Int]
+            bytes = 0L
+          }
+          current += idx
+          bytes += size
         }
+        if (current.nonEmpty) splits += current.toArray
+        splits.map(idxs => ArrowFilePartition(p.toString, idxs, partVals))
       }
     }.map(p => p: InputPartition).toArray
   }
