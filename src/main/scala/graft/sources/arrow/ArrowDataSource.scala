@@ -71,7 +71,7 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   /** Identity-transform column names (the only partitioning the source
     * supports — Hive-style value directories). */

@@ -56,7 +56,53 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols)
+    override def toStreaming: streaming.StreamingWrite =
+      new ArrowStreamingWrite(path, schema, codec, batchRows,
+        partitionCols)
   }
+}
+
+/** Streaming sink: each micro-batch epoch appends task files (the
+  * same uuid-named writers as the batch path, partition routing
+  * included), so `writeStream.format("arrow")` lands an append-only
+  * directory the batch reader scans directly. Delivery is
+  * AT-LEAST-ONCE: a task retried after writing its file leaves the
+  * first copy behind — exactly-once would need a commit log the
+  * reader consults (what Spark's own file sink does with
+  * _spark_metadata); documented rather than half-built, since the
+  * reference's storage contract has no transactional surface either. */
+class ArrowStreamingWrite(path: String, schema: StructType,
+    codec: Option[String], batchRows: Int, partitionCols: Seq[String])
+    extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : streaming.StreamingDataWriterFactory = {
+    Files.createDirectories(Paths.get(path))
+    new ArrowStreamingWriterFactory(path, schema, codec, batchRows,
+      partitionCols)
+  }
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ArrowCommitMessage(fs) =>
+      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    }
+}
+
+class ArrowStreamingWriterFactory(path: String, schema: StructType,
+    codec: Option[String], batchRows: Int, partitionCols: Seq[String])
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    if (partitionCols.isEmpty)
+      new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
+        taskId)
+    else
+      new ArrowPartitionedWriter(path, schema, codec, batchRows,
+        partitionId, taskId, partitionCols)
 }
 
 case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage

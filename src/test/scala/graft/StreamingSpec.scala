@@ -246,6 +246,31 @@ class StreamingSpec extends AnyFunSuite {
       s"post-restart aggregate state diverged: $recovered vs $expected")
   }
 
+  test("arrow streaming sink lands micro-batches the batch reader scans") {
+    val out = java.nio.file.Files.createTempDirectory("arrow_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("arrow_ckpt").toString
+    val q = eventsStream
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.format("arrow")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(out)
+    try q.processAllAvailable() finally q.stop()
+    val back = spark.read.format("arrow").load(out)
+    val a = eventsBatch.select(col("event_id"), col("user_id"),
+      col("event_type"))
+    assert(back.count() == a.count())
+    assert(a.exceptAll(back).isEmpty && back.exceptAll(a).isEmpty)
+    // and the streamed files carry the same footer stats as batch
+    // writes: COUNT over the sink directory stays metadata-only
+    val agg = spark.read.format("arrow").load(out)
+      .agg(count(lit(1)).as("n"))
+    val before = graft.sources.arrow.ArrowDataSource
+      .recordBatchesLoaded.get()
+    assert(agg.collect()(0).getLong(0) == a.count())
+    assert(graft.sources.arrow.ArrowDataSource
+      .recordBatchesLoaded.get() == before)
+  }
+
   test("foreachBatch sink delivers every row exactly once across batches") {
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
