@@ -71,7 +71,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(
       TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   /** Identity-transform column names (the only partitioning the source
     * supports — Hive-style value directories). */

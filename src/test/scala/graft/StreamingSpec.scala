@@ -271,6 +271,54 @@ class StreamingSpec extends AnyFunSuite {
       .recordBatchesLoaded.get() == before)
   }
 
+  test("arrow streaming source discovers only new files across restarts") {
+    val src = java.nio.file.Files.createTempDirectory("arrow_src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("arrow_sck").toString
+    val first = eventsBatch.filter(col("event_id") < 500)
+      .select(col("event_id"), col("user_id"))
+    val second = eventsBatch.filter(col("event_id") >= 500)
+      .select(col("event_id"), col("user_id"))
+    first.write.format("arrow").mode("overwrite").save(src)
+
+    // the memory sink refuses checkpoint recovery, so drain through
+    // the arrow sink and count the landed rows after each restart
+    val out = java.nio.file.Files.createTempDirectory("arrow_sout").toString
+    def drain(): Long = {
+      val q = spark.readStream.format("arrow").load(src)
+        .writeStream.format("arrow")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(out)
+      try q.processAllAvailable() finally q.stop()
+      spark.read.format("arrow").load(out).count()
+    }
+    assert(drain() == first.count())
+    // append more files; a restarted stream on the same checkpoint
+    // must process ONLY the delta (the offset is the seen file set)
+    second.write.format("arrow").mode("append").save(src)
+    assert(drain() == first.count() + second.count(),
+      "restart re-read already-committed files or missed the delta")
+  }
+
+  test("arrow-to-arrow streaming pipeline round-trips") {
+    val src = java.nio.file.Files.createTempDirectory("a2a_src").toString
+    val out = java.nio.file.Files.createTempDirectory("a2a_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("a2a_ck").toString
+    eventsBatch.select(col("event_id"), col("event_type"), col("value"))
+      .write.format("arrow").mode("overwrite").save(src)
+    val q = spark.readStream.format("arrow").load(src)
+      .filter(col("event_type") === "click")
+      .writeStream.format("arrow")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(out)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.format("arrow").load(out)
+    val expected = eventsBatch
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), col("event_type"), col("value"))
+    assert(got.count() == expected.count())
+    assert(expected.exceptAll(got).isEmpty && got.exceptAll(expected).isEmpty)
+  }
+
   test("foreachBatch sink delivers every row exactly once across batches") {
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
