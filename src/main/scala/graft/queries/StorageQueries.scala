@@ -159,8 +159,30 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Small-file compaction on the Arrow source — the parquet
+    * `layout_compaction` twin: 32 splinter files → row-count-targeted
+    * rewrite. The sizing `count()` over the small directory is
+    * answered from footer row stats (the aggregate-pushdown path), so
+    * the OPTIMIZE planner's metadata pass really is metadata-only on
+    * this format too; the oracle proves the rewrite loses nothing. */
+  def arrowCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Scratch.dir("acp", dir)
+    val (small, big) = (s"$base/small", s"$base/big")
+    Tables.orders(spark, dir).repartition(32)
+      .write.format("arrow").mode("overwrite").save(small)
+    val in = spark.read.format("arrow").load(small)
+    val nFiles = math.max(1, (in.count() / 4000.0).ceil.toInt)
+    in.repartition(nFiles).write.format("arrow").mode("overwrite").save(big)
+    spark.read.format("arrow").load(big)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "layout_compaction" -> (layoutCompaction _),
+    "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_intervals" -> (scd2Intervals _),
@@ -186,6 +208,11 @@ object StorageQueries {
 
   val sql: Map[String, String] = Map(
     "layout_compaction" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
+    "arrow_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus

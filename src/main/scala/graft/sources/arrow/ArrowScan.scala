@@ -274,31 +274,103 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * actually read (column pruning is the point of a columnar
     * source). */
   override def estimateStatistics(): Statistics = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
     val files = survivingFiles
     var bytes = 0L
     var rows = 0L
     var rowsKnown = true
+    // per-data-column accumulators over every surviving file's footer:
+    // null counts (row stats) and min/max (zone maps) — ESTIMATES for
+    // the CBO, so partially-covered columns still contribute what the
+    // footers know
+    val dataCols = schema.fields
+      .filterNot(f => partSchema.fieldNames.contains(f.name))
+    val nulls = scala.collection.mutable.Map.empty[String, Long]
+    val nullsKnown = scala.collection.mutable.Map.empty[String, Boolean]
+      .withDefaultValue(true)
+    val mins = scala.collection.mutable.Map.empty[String, BigDecimal]
+    val maxs = scala.collection.mutable.Map.empty[String, BigDecimal]
     files.foreach { f =>
       val info = ArrowDataSource.footerInfo(f)
       bytes += info.sizes.sum
       info.rowStats match {
         case Some(rs) if rs.batches.length == info.sizes.length =>
           rows += rs.batches.map(_._1).sum
-        case _ => rowsKnown = false
+          dataCols.foreach { c =>
+            (0 until rs.batches.length)
+              .map(b => rs.nullCount(b, c.name)) match {
+              case ns if ns.forall(_.isDefined) =>
+                nulls(c.name) = nulls.getOrElse(c.name, 0L) +
+                  ns.map(_.get).sum
+              case _ => nullsKnown(c.name) = false
+            }
+          }
+        case _ =>
+          rowsKnown = false
+          dataCols.foreach(c => nullsKnown(c.name) = false)
+      }
+      info.zoneMap.foreach { zm =>
+        dataCols.foreach { c =>
+          zm.batches.indices.flatMap(b => zm.stat(b, c.name)).foreach {
+            case (mn, mx) =>
+              try {
+                val (dmn, dmx) = (BigDecimal(mn), BigDecimal(mx))
+                mins(c.name) = mins.get(c.name).fold(dmn)(_.min(dmn))
+                maxs(c.name) = maxs.get(c.name).fold(dmx)(_.max(dmx))
+              } catch { case _: NumberFormatException => () }
+          }
+        }
       }
     }
-    val nData = math.max(1,
-      schema.fieldNames.count(n => !partSchema.fieldNames.contains(n)))
+    val nData = math.max(1, dataCols.length)
     val nFile = ArrowDataSource.listIpcFiles(path).headOption
       .map(f => ArrowDataSource.readFooterSchema(f).length).getOrElse(nData)
     val scaled = math.max(1L, bytes * nData / math.max(1, nFile))
     val (szOut, rowsOut) = (scaled, rows)
+
+    def internal(v: BigDecimal, dt: DataType): Option[Any] = dt match {
+      case ByteType => Some(v.toByte)
+      case ShortType => Some(v.toShort)
+      case IntegerType | DateType => Some(v.toInt)
+      case LongType | TimestampType | TimestampNTZType => Some(v.toLong)
+      case FloatType => Some(v.toFloat)
+      case DoubleType => Some(v.toDouble)
+      case _ => None
+    }
+    val colStats = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    dataCols.foreach { c =>
+      val nc = if (rowsKnown && nullsKnown(c.name))
+        nulls.get(c.name) else None
+      val mnv = mins.get(c.name).flatMap(internal(_, c.dataType))
+      val mxv = maxs.get(c.name).flatMap(internal(_, c.dataType))
+      if (nc.isDefined || mnv.isDefined || mxv.isDefined) {
+        colStats.put(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c.name),
+          new ColumnStatistics {
+            override def nullCount(): java.util.OptionalLong =
+              nc.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
+            override def min(): java.util.Optional[Object] =
+              mnv.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def max(): java.util.Optional[Object] =
+              mxv.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+          })
+      }
+    }
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(szOut)
       override def numRows(): java.util.OptionalLong =
         if (rowsKnown) java.util.OptionalLong.of(rowsOut)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics] = colStats
     }
   }
 

@@ -43,6 +43,26 @@ class ArrowStatsDppSpec extends AnyFunSuite {
       Tables.orders(spark, TestSession.Sf).count())
   }
 
+  test("footer column statistics reach catalyst attribute stats") {
+    val dim = java.nio.file.Files.createTempDirectory("acol_dim").toString
+    Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.format("arrow").mode("overwrite").save(dim)
+    val rel = spark.read.format("arrow").load(dim)
+    val stats = rel.queryExecution.optimizedPlan.stats
+    val byName = stats.attributeStats.toSeq
+      .map { case (a, s) => a.name -> s }.toMap
+    assert(byName.contains("o_orderkey"),
+      s"no column stats surfaced: ${stats.attributeStats}")
+    val key = byName("o_orderkey")
+    val exact = Tables.orders(spark, TestSession.Sf)
+      .agg(min(col("o_orderkey")), max(col("o_orderkey")),
+        count(lit(1))).collect()(0)
+    assert(key.nullCount.contains(BigInt(0)), s"nullCount: $key")
+    assert(key.min.contains(exact.getLong(0)), s"min: $key")
+    assert(key.max.contains(exact.getLong(1)), s"max: $key")
+  }
+
   test("runtime filters prune partitioned arrow files like parquet DPP") {
     val fact = java.nio.file.Files.createTempDirectory("adpp_fact").toString
     Tables.orders(spark, TestSession.Sf)

