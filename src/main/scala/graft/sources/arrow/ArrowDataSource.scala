@@ -130,24 +130,32 @@ object ArrowDataSource {
     }
   }
 
-  /** Hive-style escaping for partition values in directory names. */
-  def escapePartValue(s: String): String =
-    s.flatMap {
-      case c if c.isLetterOrDigit || c == '-' || c == '_' || c == '.' =>
-        c.toString
-      case c => f"%%${c.toInt}%02X"
+  /** Hive-style escaping for partition values in directory names:
+    * per UTF-8 BYTE (%XX), not per code point — a char above U+00FF
+    * needs more than two hex digits, which the fixed-width decoder
+    * could not reparse; byte-wise escaping round-trips any string. */
+  def escapePartValue(s: String): String = {
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new StringBuilder
+    bytes.foreach { b =>
+      val c = (b & 0xFF).toChar
+      if (b >= 0 && (c.isLetterOrDigit || c == '-' || c == '_' || c == '.'))
+        sb += c
+      else sb ++= f"%%${b & 0xFF}%02X"
     }
+    sb.toString
+  }
 
   def unescapePartValue(s: String): String = {
-    val sb = new StringBuilder
+    val out = new java.io.ByteArrayOutputStream
     var i = 0
     while (i < s.length) {
       if (s(i) == '%' && i + 3 <= s.length) {
-        sb += Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { sb += s(i); i += 1 }
+      } else { out.write(s(i).toByte); i += 1 }
     }
-    sb.toString
+    new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   val NullPartValue = "__HIVE_DEFAULT_PARTITION__"
@@ -155,10 +163,13 @@ object ArrowDataSource {
   /** Partition column names in layout order, read off the first file's
     * relative path (`c1=v1/c2=v2/part-....arrow`); empty for flat
     * layouts. */
-  def discoverPartitionCols(root: String): Seq[String] = {
+  def discoverPartitionCols(root: String): Seq[String] =
+    discoverPartitionCols(root, listIpcFiles(root))
+
+  def discoverPartitionCols(root: String, files: Seq[Path]): Seq[String] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Seq.empty
-    listIpcFiles(root).headOption.toSeq.flatMap { f =>
+    files.headOption.toSeq.flatMap { f =>
       val rel = rootP.relativize(f)
       (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
         .takeWhile(_.contains('='))
@@ -167,15 +178,41 @@ object ArrowDataSource {
   }
 
   /** Partition values of one file, aligned with
-    * [[discoverPartitionCols]]; None = SQL NULL. */
+    * [[discoverPartitionCols]]; None = SQL NULL. A file that does not
+    * sit at the discovered partition depth (someone wrote flat files
+    * into a partitioned dir, or vice versa) fails with a diagnosable
+    * layout error, not an index crash. */
   def partitionValuesOf(root: String, file: Path,
       nCols: Int): Seq[Option[String]] = {
     val rel = Paths.get(root).relativize(file)
+    require(rel.getNameCount > nCols,
+      s"inconsistent partition layout under $root: $file sits above " +
+        s"the $nCols-level col=value depth of the first-listed file")
     (0 until nCols).map { i =>
-      val seg = rel.getName(i).toString.split("=", 2)(1)
+      val segment = rel.getName(i).toString
+      val eq = segment.indexOf('=')
+      require(eq > 0,
+        s"inconsistent partition layout under $root: segment " +
+          s"'$segment' of $file is not col=value")
+      val seg = segment.substring(eq + 1)
       if (seg == NullPartValue) None else Some(unescapePartValue(seg))
     }
   }
+
+  /** The single place partition filters prune files — used by the
+    * batch builder, the batch scan (static + runtime filters), and
+    * the micro-batch stream, so the semantics cannot drift. */
+  def pruneByPartitionFilters(files: Seq[Path], root: String,
+      partSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[Path] =
+    if (filters.isEmpty || partSchema.isEmpty) files
+    else {
+      val preds = filters.map(FilterEval.compile(partSchema, _))
+      files.filter { f =>
+        val row = partitionRow(root, f, partSchema)
+        preds.forall(_(row))
+      }
+    }
 
   /** One file's partition values as a typed InternalRow matching
     * `partSchema` — the row partition-filter predicates evaluate
@@ -195,14 +232,17 @@ object ArrowDataSource {
 
   /** Partition columns as a schema: LongType when every value parses
     * as a long, else StringType (the minimal useful inference). */
-  def discoverPartitionSchema(root: String): StructType = {
-    val cols = discoverPartitionCols(root)
+  def discoverPartitionSchema(root: String): StructType =
+    discoverPartitionSchema(root, listIpcFiles(root))
+
+  def discoverPartitionSchema(root: String, files: Seq[Path]): StructType = {
+    val cols = discoverPartitionCols(root, files)
     if (cols.isEmpty) return StructType(Seq.empty)
-    val rootP = Paths.get(root)
-    val files = listIpcFiles(root)
+    // one path parse per file, not per (file, column)
+    val perFile = files
+      .map(f => partitionValuesOf(root, f, cols.length))
     val types = cols.indices.map { i =>
-      val vals = files.map(f => partitionValuesOf(root, f, cols.length)(i))
-        .collect { case Some(v) => v }
+      val vals = perFile.map(_(i)).collect { case Some(v) => v }
       if (vals.nonEmpty && vals.forall(v => v.nonEmpty &&
           scala.util.Try(v.toLong).isSuccess))
         org.apache.spark.sql.types.LongType

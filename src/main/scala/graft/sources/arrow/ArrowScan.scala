@@ -30,15 +30,30 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * no filters are pushed the scan stays fully columnar
   * (PartitionReader[ColumnarBatch] of zero-copy ArrowColumnVectors).
   */
+/** One-per-scan footer index: lists the directory once and parses each
+  * file's footer at most once, however many planning passes consult it
+  * (pushAggregation, estimateStatistics, planInputPartitions) — at
+  * 100k files the difference between one metadata pass and three. */
+private[arrow] class FooterIndex(path: String) {
+  lazy val files: Seq[java.nio.file.Path] =
+    ArrowDataSource.listIpcFiles(path)
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[String, ArrowDataSource.FooterInfo]
+  def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
+    cache.getOrElseUpdate(p.toString, ArrowDataSource.footerInfo(p))
+}
+
 class ArrowScanBuilder(path: String, schema: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
 
+  private val footerIdx = new FooterIndex(path)
+
   // Hive-style partition columns discovered from the directory layout
   // (empty for flat dirs); they live in paths, not files.
   private val partSchema: StructType =
-    ArrowDataSource.discoverPartitionSchema(path)
+    ArrowDataSource.discoverPartitionSchema(path, footerIdx.files)
   private val partColSet = partSchema.fieldNames.toSet
   private val dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partColSet(f.name)))
@@ -76,17 +91,9 @@ class ArrowScanBuilder(path: String, schema: StructType,
   override def pushedFilters(): Array[Filter] = pushedPart ++ pushed
 
   /** Files surviving the pushed partition filters. */
-  private def survivingFiles: Seq[java.nio.file.Path] = {
-    val files = ArrowDataSource.listIpcFiles(path)
-    if (pushedPart.isEmpty || partSchema.isEmpty) files
-    else {
-      val preds = pushedPart.map(FilterEval.compile(partSchema, _))
-      files.filter { f =>
-        val row = ArrowDataSource.partitionRow(path, f, partSchema)
-        preds.forall(_(row))
-      }
-    }
-  }
+  private def survivingFiles: Seq[java.nio.file.Path] =
+    ArrowDataSource.pruneByPartitionFilters(footerIdx.files, path,
+      partSchema, pushedPart.toSeq)
 
   /** MIN/MAX/COUNT answered from footer statistics — the same
     * planning-time trick the parquet path plays with row-group stats
@@ -172,7 +179,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
 
     val files = survivingFiles
     val rows = files.map { f =>
-      val info = ArrowDataSource.footerInfo(f)
+      val info = footerIdx.info(f)
       val nBatches = info.sizes.length
       val row = new Array[Any](resolved.length)
       var ok = true
@@ -213,7 +220,18 @@ class ArrowScanBuilder(path: String, schema: StructType,
       case CountCol(c) => StructField(s"count($c)", LongType)
       case CountAll => StructField("count(*)", LongType)
     }
-    aggResult = Some((StructType(outFields), rows.map(_.get)))
+    // Zero surviving files must still emit ONE zero-count partial row:
+    // Spark's partial-pushdown rewrite merges COUNT partials with Sum,
+    // and a global Sum over an EMPTY scan is NULL where COUNT over no
+    // rows must be 0. One explicit (0, null-min) row keeps the merge
+    // exact.
+    val partials =
+      if (rows.nonEmpty) rows.map(_.get)
+      else Seq(resolved.map {
+        case CountAll | CountCol(_) => 0L: Any
+        case _ => null: Any
+      }.toArray)
+    aggResult = Some((StructType(outFields), partials))
     true
   }
 
@@ -230,16 +248,18 @@ class ArrowScanBuilder(path: String, schema: StructType,
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
-      maxSplitBytes)
+      maxSplitBytes, footerIdx)
   }
 }
 
 class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     partFilters: Array[Filter] = Array.empty,
     partSchema: StructType = StructType(Seq.empty),
-    maxSplitBytes: Long = 128L * 1024 * 1024)
+    maxSplitBytes: Long = 128L * 1024 * 1024,
+    idx: FooterIndex = null)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+  private val footerIdx = Option(idx).getOrElse(new FooterIndex(path))
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -291,7 +311,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     val mins = scala.collection.mutable.Map.empty[String, BigDecimal]
     val maxs = scala.collection.mutable.Map.empty[String, BigDecimal]
     files.foreach { f =>
-      val info = ArrowDataSource.footerInfo(f)
+      val info = footerIdx.info(f)
       bytes += info.sizes.sum
       info.rowStats match {
         case Some(rs) if rs.batches.length == info.sizes.length =>
@@ -323,7 +343,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       }
     }
     val nData = math.max(1, dataCols.length)
-    val nFile = ArrowDataSource.listIpcFiles(path).headOption
+    val nFile = footerIdx.files.headOption
       .map(f => ArrowDataSource.readFooterSchema(f).length).getOrElse(nData)
     val scaled = math.max(1L, bytes * nData / math.max(1, nFile))
     val (szOut, rowsOut) = (scaled, rows)
@@ -375,16 +395,9 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
   }
 
   /** Files surviving static + runtime partition filters. */
-  private def survivingFiles: Seq[java.nio.file.Path] = {
-    val all = ArrowDataSource.listIpcFiles(path)
-    val preds = (partFilters ++ runtimeFilters)
-      .map(FilterEval.compile(partSchema, _))
-    if (preds.isEmpty || partSchema.isEmpty) all
-    else all.filter { f =>
-      val row = ArrowDataSource.partitionRow(path, f, partSchema)
-      preds.forall(_(row))
-    }
-  }
+  private def survivingFiles: Seq[java.nio.file.Path] =
+    ArrowDataSource.pruneByPartitionFilters(footerIdx.files, path,
+      partSchema, (partFilters ++ runtimeFilters).toSeq)
 
   /** Split every IPC file at record-batch boundaries using the footer's
     * block metadata, packing consecutive batches up to ~128 MB per
@@ -404,7 +417,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         if (partSchema.isEmpty) Array.empty
         else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
           .map(_.orNull).toArray
-      val info = ArrowDataSource.footerInfo(p)
+      val info = footerIdx.info(p)
       val (blocks, zoneMap) = (info.sizes, info.zoneMap)
       if (blocks.isEmpty)
         Seq(ArrowFilePartition(p.toString, Array.empty, partVals))
@@ -467,18 +480,15 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
     }
   }
 
-  private def currentFiles: Set[String] = {
-    val all = ArrowDataSource.listIpcFiles(path)
-    val kept =
-      if (partFilters.isEmpty || partSchema.isEmpty) all
-      else {
-        val preds = partFilters.map(FilterEval.compile(partSchema, _))
-        all.filter { f =>
-          preds.forall(_(ArrowDataSource.partitionRow(path, f, partSchema)))
-        }
-      }
-    kept.map(_.toString).toSet
-  }
+  // listing stays live (a new trigger must see new files); footer
+  // parses are memoized — a committed file's footer never changes
+  private val footerMemo = new FooterIndex(path)
+
+  private def currentFiles: Set[String] =
+    ArrowDataSource.pruneByPartitionFilters(
+      ArrowDataSource.listIpcFiles(path), path, partSchema,
+      partFilters.toSeq)
+      .map(_.toString).toSet
 
   override def initialOffset(): Offset = ArrowFilesOffset(Set.empty)
 
@@ -500,7 +510,7 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
         if (partSchema.isEmpty) Array.empty
         else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
           .map(_.orNull).toArray
-      val nBlocks = ArrowDataSource.footerInfo(p).sizes.length
+      val nBlocks = footerMemo.info(p).sizes.length
       ArrowFilePartition(f, (0 until nBlocks).toArray, partVals)
         : InputPartition
     }.toArray

@@ -28,10 +28,13 @@ import org.apache.spark.sql.types._
   * writing 150k orders rows) — lz4 is kept for format compatibility,
   * not as a performance option.
   *
-  * Commit protocol: tasks write `part-<pid>-<tid>-<uuid>.arrow` straight
-  * into the target directory and report the file in their commit
-  * message; task abort deletes the partial file. Truncate-on-overwrite
-  * clears pre-existing `.arrow` files on the driver before tasks launch.
+  * Commit protocol: tasks stream into
+  * `part-<pid>-<tid>-<uuid>.arrow.inprogress` (invisible to readers —
+  * the lister only matches `*.arrow`) and atomically rename at commit,
+  * so a concurrent reader can never observe a file whose footer is not
+  * yet written; task abort deletes the temp. Truncate-on-overwrite
+  * clears pre-existing `.arrow` files (and stale temps) on the driver
+  * before tasks launch.
   *
   * Strings are written PLAIN, not dictionary-encoded — a deliberate
   * trade-off: the IPC file format does allow delta dictionary batches
@@ -56,9 +59,18 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols)
-    override def toStreaming: streaming.StreamingWrite =
+    override def toStreaming: streaming.StreamingWrite = {
+      // Complete output mode calls truncate() expecting each epoch to
+      // REPLACE the directory; the append-only epoch protocol below
+      // cannot honor that, and silently appending every snapshot would
+      // duplicate data — fail fast instead.
+      if (doTruncate) throw new UnsupportedOperationException(
+        "arrow streaming sink is append-only (use outputMode append/" +
+          "update); complete mode needs per-epoch truncation it does " +
+          "not implement")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
         partitionCols)
+    }
   }
 }
 
@@ -117,8 +129,15 @@ class ArrowBatchWrite(path: String, schema: StructType,
     Files.createDirectories(dir)
     if (doTruncate) {
       // listIpcFiles is recursive, so partition subdirectories empty
-      // out too (the dirs themselves are reused on rewrite)
+      // out too (the dirs themselves are reused on rewrite); stale
+      // .inprogress temps from crashed writers go with them
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
+      def sweepTmp(d: java.io.File): Unit =
+        Option(d.listFiles()).foreach(_.foreach { f =>
+          if (f.isDirectory) sweepTmp(f)
+          else if (f.getName.endsWith(".inprogress")) f.delete()
+        })
+      sweepTmp(dir.toFile)
     }
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols)
   }
@@ -225,9 +244,16 @@ class ArrowDataWriter(path: String, schema: StructType,
     .newChildAllocator(s"arrow-writer-$partitionId-$taskId", 0, Long.MaxValue)
   private val root = VectorSchemaRoot.create(
     ArrowSchemas.toArrowSchema(schema), allocator)
+  // Write under a temp name invisible to the reader (listIpcFiles only
+  // matches *.arrow) and atomically rename at commit: a concurrent
+  // reader — the micro-batch streaming source composing with the
+  // streaming sink — must never list a file whose footer is not yet
+  // written.
   private val file: Path = Paths.get(path,
     f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.arrow")
-  private val channel: FileChannel = FileChannel.open(file,
+  private val tmpFile: Path = Paths.get(
+    file.toString + ".inprogress")
+  private val channel: FileChannel = FileChannel.open(tmpFile,
     StandardOpenOption.CREATE, StandardOpenOption.WRITE,
     StandardOpenOption.TRUNCATE_EXISTING)
   // Zone-map stats land in this map; ArrowFileWriter keeps the
@@ -444,12 +470,15 @@ class ArrowDataWriter(path: String, schema: StructType,
     }
     writer.end(); writer.close(); channel.close()
     root.close(); allocator.close()
+    Files.move(tmpFile, file,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ArrowCommitMessage(Seq(file.toString))
   }
 
   override def abort(): Unit = {
     try { writer.close(); channel.close(); root.close(); allocator.close() }
     catch { case _: Throwable => () }
+    Files.deleteIfExists(tmpFile)
     Files.deleteIfExists(file)
   }
 

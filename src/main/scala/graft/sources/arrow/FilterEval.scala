@@ -27,7 +27,15 @@ object FilterEval {
     case StringContains(a, _) => isString(schema, a)
     case And(l, r) => supported(schema, l) && supported(schema, r)
     case Or(l, r) => supported(schema, l) && supported(schema, r)
-    case Not(c) => supported(schema, c)
+    // NOT is never claimed: compiled predicates collapse SQL's
+    // three-valued logic to Boolean (null comparisons evaluate false),
+    // and negating that false would PASS rows whose comparison is
+    // unknown — e.g. `tag =!= "a"` must exclude null tags, but
+    // Not(EqualTo) over a null row would admit them. Unclaimed, the
+    // filter stays residual and Catalyst evaluates it with real
+    // null semantics. (And/Or are safe: unknown propagates to false
+    // on both sides, which matches SQL's row-exclusion behavior.)
+    case Not(_) => false
     case _ => false
   }
 

@@ -75,6 +75,49 @@ class ArrowPartitionSpec extends AnyFunSuite {
     assert(r == e)
   }
 
+  test("COUNT over a fully-pruned partition filter is 0, not NULL") {
+    // pushed aggregate + a partition filter matching no directory:
+    // Spark merges pushed COUNT partials with Sum, which is NULL over
+    // an empty scan — the source must emit one zero-count partial row
+    val r = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderstatus") === "NO_SUCH_STATUS")
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"))
+      .collect()(0)
+    assert(!r.isNullAt(0) && r.getLong(0) == 0L,
+      s"COUNT over zero partitions must be 0, got $r")
+    assert(r.isNullAt(1))
+  }
+
+  test("not-equal filters keep SQL null semantics on partition values") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("arrowpart3").toString
+    Seq((1L, "a"), (2L, null.asInstanceOf[String]), (3L, "b"))
+      .toDF("id", "tag")
+      .write.format("arrow").partitionBy("tag").mode("overwrite").save(d)
+    // `tag =!= "a"` arrives as Not(EqualTo): three-valued logic says a
+    // NULL tag is unknown, not true — the row must be excluded, which
+    // is why NOT is never claimed as an exact pushed filter
+    val got = spark.read.format("arrow").load(d)
+      .filter(col("tag") =!= "a")
+      .select(col("id")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(3L), s"wrong null semantics: ${got.toSeq}")
+  }
+
+  test("unicode partition values round-trip byte-exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("arrowpart4").toString
+    val vals = Seq("€5", "naïve", "日本語", "emoji🙂", "plain")
+    vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "tag")
+      .write.format("arrow").partitionBy("tag").mode("overwrite").save(d)
+    val back = spark.read.format("arrow").load(d)
+      .select(col("tag")).collect().map(_.getString(0)).sorted
+    assert(back.toSeq == vals.sorted, s"corrupted values: ${back.toSeq}")
+    // equality filter on a multi-byte value matches its partition
+    assert(spark.read.format("arrow").load(d)
+      .filter(col("tag") === "€5").count() == 1)
+  }
+
   test("long partition values infer as longs; special strings escape") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("arrowpart2").toString

@@ -319,6 +319,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(expected.exceptAll(got).isEmpty && got.exceptAll(expected).isEmpty)
   }
 
+  test("arrow sink rejects complete output mode instead of duplicating") {
+    val out = java.nio.file.Files.createTempDirectory("arrow_cm").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("arrow_cmc").toString
+    val agg = eventsStream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val e = intercept[Exception] {
+      val q = agg.writeStream.format("arrow")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(out)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // the epoch protocol is append-only; complete mode would re-land
+    // the whole snapshot every trigger — fail fast, not duplicate
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).exists(t => Option(t.getMessage)
+        .exists(_.contains("append-only"))),
+      s"unexpected failure: $e")
+  }
+
   test("foreachBatch sink delivers every row exactly once across batches") {
     val seen = new java.util.concurrent.atomic.AtomicLong(0)
     val batches = new java.util.concurrent.atomic.AtomicInteger(0)
