@@ -55,8 +55,14 @@ object ArrowOptimize {
     Files.createDirectories(Paths.get(outDir))
     // overwrite semantics: stale files from a previous rewrite would
     // otherwise survive (part names carry fresh uuids) and duplicate
-    // every row on read
+    // every row on read; stale temps from crashed rewrites go too
     ArrowDataSource.listIpcFiles(outDir).foreach(Files.deleteIfExists)
+    def sweepTmp(d: java.io.File): Unit =
+      Option(d.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory) sweepTmp(f)
+        else if (f.getName.endsWith(".inprogress")) f.delete()
+      })
+    sweepTmp(new java.io.File(outDir))
     val out = outDir
     val in = inDir
     spark.sparkContext
@@ -144,7 +150,10 @@ object ArrowOptimize {
       }
       val metaData = new java.util.HashMap[String, String](
         reader.getMetaData) // zone maps + row stats survive verbatim
-      val outCh = FileChannel.open(dst, StandardOpenOption.CREATE,
+      // same atomic-commit protocol as the writers: stream into a temp
+      // invisible to readers, rename once the footer is on disk
+      val tmpDst = Paths.get(dst.toString + ".inprogress")
+      val outCh = FileChannel.open(tmpDst, StandardOpenOption.CREATE,
         StandardOpenOption.WRITE, StandardOpenOption.TRUNCATE_EXISTING)
       val writer = codecType match {
         case None => new ArrowFileWriter(writerRoot, provider, outCh,
@@ -181,6 +190,8 @@ object ArrowOptimize {
         writerRoot.close()
         dicts.values.foreach(_.getVector.close())
       }
+      Files.move(tmpDst, dst,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     } finally {
       reader.close(); inCh.close(); allocator.close()
     }
