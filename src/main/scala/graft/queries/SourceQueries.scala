@@ -189,7 +189,7 @@ object SourceQueries {
         | COUNT(*) AS n_rows, COUNT(o_orderstatus) AS n_status
         |FROM orders""".stripMargin,
     "arrow_dict_agg" ->
-      """SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars
+      """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "arrow_partitioned_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

@@ -42,7 +42,7 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   private def paths(options: CaseInsensitiveStringMap): Seq[Path] = {
     val p = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("arrow source requires a path"))
-    ArrowDataSource.listIpcFiles(p)
+    ArrowDataSource.visibleIpcFiles(p)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -50,6 +50,28 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
     val root = Option(options.get("path")).get
     val dataSchema = ArrowDataSource.readFooterSchema(files.head)
+    // Fail fast on a mixed-schema directory (two writers, schema
+    // drift): every footer must agree with the first file on names and
+    // types, else the constant-ordinal readers would silently misread.
+    // Dictionary-encoded files compare by VALUE type (readFooterSchema
+    // surfaces it), so an optimized file agrees with its plain twin.
+    // O(files) footer reads — disable with option verifySchema=false
+    // on directories known-consistent (a single-writer 100 TB layout).
+    val verify = Option(options.get("verifySchema"))
+      .forall(_.toBoolean)
+    def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
+    if (verify) {
+      val expected = sig(dataSchema)
+      files.tail.foreach { f =>
+        val got = sig(ArrowDataSource.readFooterSchema(f))
+        require(got == expected,
+          s"arrow: inconsistent schema under $root — $f has " +
+            s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
+              .mkString("[", ", ", "]")} but ${files.head} has " +
+            s"${expected.map { case (n, t) => s"$n:${t.simpleString}" }
+              .mkString("[", ", ", "]")}")
+      }
+    }
     // Hive-style layout: partition columns live in the directory names,
     // appended after the file columns (parquet's convention)
     val partCols = ArrowDataSource.discoverPartitionSchema(root)
@@ -102,7 +124,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
       Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192),
-      partitionCols)
+      partitionCols,
+      Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64))
   }
 }
 
@@ -111,6 +134,10 @@ object ArrowDataSource {
     * per executor JVM, children per reader/writer). */
   lazy val allocator: RootAllocator = new RootAllocator(Long.MaxValue)
 
+  /** EVERY `.arrow` file on disk, committed or not — the writers'
+    * truncate/compaction sweeps use this. Readers go through
+    * [[visibleIpcFiles]], which additionally honors the streaming
+    * sink's commit manifest. */
   def listIpcFiles(dir: String): Seq[Path] = {
     val p = Paths.get(dir)
     if (Files.isRegularFile(p)) Seq(p)
@@ -121,12 +148,74 @@ object ArrowDataSource {
       def walk(d: Path): Unit = {
         val children = Files.list(d).iterator.asScala.toSeq
         children.foreach { c =>
-          if (Files.isDirectory(c)) walk(c)
+          if (Files.isDirectory(c)) {
+            if (c.getFileName.toString != MetadataDirName) walk(c)
+          }
           else if (c.getFileName.toString.endsWith(".arrow")) out += c
         }
       }
       walk(p)
       out.toSeq.sortBy(_.toString)
+    }
+  }
+
+  /** The streaming sink's commit-log directory (Spark file sink's
+    * `_spark_metadata` pattern): one manifest per committed epoch,
+    * listing that epoch's task files root-relative. */
+  val MetadataDirName = "_graft_metadata"
+
+  private def manifestDir(dir: String): Path =
+    Paths.get(dir, MetadataDirName)
+
+  /** The files a READER may see. When the directory carries a commit
+    * manifest (it was a streaming sink), only manifest-listed files are
+    * visible: a task retried after writing its file, or an epoch
+    * replayed after a driver failure, leaves orphans on disk that never
+    * entered a manifest — invisible here, which is what turns the
+    * sink's at-least-once file writes into exactly-once reads. Flat
+    * directories (no manifest) see every committed `.arrow` file. */
+  def visibleIpcFiles(dir: String): Seq[Path] = {
+    val files = listIpcFiles(dir)
+    val md = manifestDir(dir)
+    if (!Files.isDirectory(md)) files
+    else {
+      val committed = Files.list(md).iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".manifest"))
+        .flatMap(m => Files.readAllLines(m).asScala)
+        .map(rel => Paths.get(dir).resolve(rel).normalize.toString)
+        .toSet
+      files.filter(f => committed(f.normalize.toString))
+    }
+  }
+
+  /** Atomically record one epoch's committed files. Idempotent by
+    * epoch: a replayed epoch (driver recovered from a checkpoint taken
+    * before the commit landed) finds the manifest already present and
+    * leaves it untouched — the first commit's file set stays the
+    * committed truth and the replay's fresh files remain invisible. */
+  def commitEpochManifest(dir: String, epochId: Long,
+      files: Seq[String]): Unit = {
+    val md = manifestDir(dir)
+    Files.createDirectories(md)
+    val manifest = md.resolve(s"$epochId.manifest")
+    if (Files.exists(manifest)) return
+    val rels = files.map(f =>
+      Paths.get(dir).toAbsolutePath.normalize
+        .relativize(Paths.get(f).toAbsolutePath.normalize).toString)
+    val tmp = md.resolve(s"$epochId.manifest.inprogress")
+    Files.write(tmp, rels.sorted.asJava)
+    Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Drop the commit manifest (truncate-on-overwrite: a batch rewrite
+    * of a former sink directory starts from a clean, manifest-less
+    * state where every committed file is visible again). */
+  def deleteManifests(dir: String): Unit = {
+    val md = manifestDir(dir)
+    if (Files.isDirectory(md)) {
+      Files.list(md).iterator.asScala.toSeq.foreach(Files.deleteIfExists)
+      Files.deleteIfExists(md)
     }
   }
 
@@ -164,7 +253,7 @@ object ArrowDataSource {
     * relative path (`c1=v1/c2=v2/part-....arrow`); empty for flat
     * layouts. */
   def discoverPartitionCols(root: String): Seq[String] =
-    discoverPartitionCols(root, listIpcFiles(root))
+    discoverPartitionCols(root, visibleIpcFiles(root))
 
   def discoverPartitionCols(root: String, files: Seq[Path]): Seq[String] = {
     val rootP = Paths.get(root)
@@ -222,18 +311,30 @@ object ArrowDataSource {
     val vals = partitionValuesOf(root, file, partSchema.length)
     val cells: Array[Any] = partSchema.fields.zip(vals).map {
       case (_, None) => null
-      case (f, Some(v)) => f.dataType match {
-        case org.apache.spark.sql.types.LongType => v.toLong
-        case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
-      }
+      case (f, Some(v)) => partValueToInternal(f.dataType, v)
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cells)
+  }
+
+  /** One escaped-and-decoded partition value as its Catalyst-internal
+    * representation for `dt` — the single conversion the planner's
+    * filter rows, the readers' constant vectors, and the
+    * storage-partitioned-join keys all share (the writer's supported
+    * partition types, `ArrowPartitionedWriter.partValue`). */
+  def partValueToInternal(dt: org.apache.spark.sql.types.DataType,
+      v: String): Any = dt match {
+    case org.apache.spark.sql.types.LongType => v.toLong
+    case org.apache.spark.sql.types.IntegerType => v.toInt
+    case org.apache.spark.sql.types.ShortType => v.toShort
+    case org.apache.spark.sql.types.ByteType => v.toByte
+    case org.apache.spark.sql.types.BooleanType => v.toBoolean
+    case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
   }
 
   /** Partition columns as a schema: LongType when every value parses
     * as a long, else StringType (the minimal useful inference). */
   def discoverPartitionSchema(root: String): StructType =
-    discoverPartitionSchema(root, listIpcFiles(root))
+    discoverPartitionSchema(root, visibleIpcFiles(root))
 
   def discoverPartitionSchema(root: String, files: Seq[Path]): StructType = {
     val cols = discoverPartitionCols(root, files)
@@ -320,4 +421,10 @@ object ArrowDataSource {
     * a test hook: metadata-only paths (aggregate pushdown, zone-map
     * pruning specs) assert this does not move. */
   val recordBatchesLoaded = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Process-wide count of dictionary value-array materializations —
+    * a test hook: ArrowDictionarySpec asserts one per (file,
+    * dictionary column) however many batches the file holds (the lazy
+    * index-vector read path never decodes per batch). */
+  val dictMaterializations = new java.util.concurrent.atomic.AtomicLong(0)
 }

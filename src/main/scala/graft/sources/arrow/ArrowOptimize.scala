@@ -50,7 +50,9 @@ object ArrowOptimize {
   def dictionaryEncode(spark: SparkSession, inDir: String, outDir: String,
       codec: Option[String] = None,
       maxCardinality: Int = 1 << 16): Unit = {
-    val files = ArrowDataSource.listIpcFiles(inDir).map(_.toString)
+    // visible (manifest-honoring) listing: rewriting a streaming-sink
+    // directory must not resurrect uncommitted orphan files
+    val files = ArrowDataSource.visibleIpcFiles(inDir).map(_.toString)
     require(files.nonEmpty, s"no .arrow files under $inDir")
     Files.createDirectories(Paths.get(outDir))
     // overwrite semantics: stale files from a previous rewrite would

@@ -25,10 +25,14 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * but Spark only sees pruned vectors, and the filter/projection work
   * never touches them).
   *
-  * Filter pushdown (`SupportsPushDownFilters`) claims the predicates
-  * [[FilterEval]] can evaluate and applies them inside the reader; when
-  * no filters are pushed the scan stays fully columnar
-  * (PartitionReader[ColumnarBatch] of zero-copy ArrowColumnVectors).
+  * Filter pushdown (`SupportsPushDownFilters`) accepts the predicates
+  * [[FilterEval]] understands for planning-time pruning only —
+  * partition filters prune whole files, data filters prune record
+  * batches via footer zone maps — and reports data filters back as
+  * residual. The scan is therefore ALWAYS columnar
+  * (PartitionReader[ColumnarBatch] of zero-copy ArrowColumnVectors)
+  * and row-level refinement happens in Catalyst's codegen'd FilterExec
+  * above it, exactly as with the vectorized parquet reader.
   */
 /** One-per-scan footer index: lists the directory once and parses each
   * file's footer at most once, however many planning passes consult it
@@ -36,7 +40,7 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * 100k files the difference between one metadata pass and three. */
 private[arrow] class FooterIndex(path: String) {
   lazy val files: Seq[java.nio.file.Path] =
-    ArrowDataSource.listIpcFiles(path)
+    ArrowDataSource.visibleIpcFiles(path)
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, ArrowDataSource.FooterInfo]
   def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
@@ -51,9 +55,18 @@ class ArrowScanBuilder(path: String, schema: StructType,
   private val footerIdx = new FooterIndex(path)
 
   // Hive-style partition columns discovered from the directory layout
-  // (empty for flat dirs); they live in paths, not files.
-  private val partSchema: StructType =
-    ArrowDataSource.discoverPartitionSchema(path, footerIdx.files)
+  // (empty for flat dirs); they live in paths, not files. Column NAMES
+  // come from the layout, but TYPES defer to the table schema we were
+  // handed — a user-specified schema (or one inferred from an earlier
+  // listing) is what the Catalyst plan expects, and re-inferring
+  // Long-vs-String from the current listing could disagree with it.
+  private val partSchema: StructType = {
+    val discovered =
+      ArrowDataSource.discoverPartitionSchema(path, footerIdx.files)
+    StructType(discovered.fields.map(f =>
+      schema.find(_.name == f.name)
+        .map(g => f.copy(dataType = g.dataType)).getOrElse(f)))
+  }
   private val partColSet = partSchema.fieldNames.toSet
   private val dataSchema: StructType =
     StructType(schema.fields.filterNot(f => partColSet(f.name)))
@@ -73,19 +86,23 @@ class ArrowScanBuilder(path: String, schema: StructType,
 
   /** Filters over partition columns only prune whole FILES at planning
     * time (the value is constant per directory — exact, not
-    * conservative); filters over data columns evaluate in the reader
-    * with zone-map batch skipping. Mixed-reference filters stay
-    * residual. */
+    * conservative) and are fully consumed. Filters over data columns
+    * are accepted for ZONE-MAP BATCH SKIPPING only and handed back as
+    * residual: the scan stays fully columnar (zero-copy ColumnarBatch)
+    * and Catalyst plans its codegen'd FilterExec above it — parquet's
+    * model (stats skip coarse units, vectorized re-evaluation refines),
+    * instead of dropping to interpreted row-at-a-time reads whenever a
+    * filter is pushed. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (partF, rest) = filters.partition(f =>
       f.references.nonEmpty && f.references.forall(partColSet) &&
         FilterEval.supported(partSchema, f))
-    val (dataF, residual) = rest.partition(f =>
+    val (dataF, _) = rest.partition(f =>
       f.references.forall(r => !partColSet(r)) &&
         FilterEval.supported(dataSchema, f))
     pushedPart = partF
     pushed = dataF
-    residual // Catalyst keeps evaluating these above the scan.
+    rest // Data filters are residual: Catalyst re-evaluates them.
   }
 
   override def pushedFilters(): Array[Filter] = pushedPart ++ pushed
@@ -193,8 +210,14 @@ class ArrowScanBuilder(path: String, schema: StructType,
           case CountCol(c) => info.rowStats match {
             case Some(rs) if rs.batches.length == nBatches &&
                 rs.cols.contains(c) =>
-              row(i) = (0 until nBatches)
-                .map(b => rs.rowCount(b) - rs.nullCount(b, c).get).sum
+              // A truncated/corrupt null array rejects the pushdown
+              // (falls back to a full scan) instead of crashing
+              // planning — stats are never a correctness surface.
+              val nulls = (0 until nBatches).map(rs.nullCount(_, c))
+              if (nulls.forall(_.isDefined))
+                row(i) = (0 until nBatches)
+                  .map(b => rs.rowCount(b) - nulls(b).get).sum
+              else ok = false
             case _ => ok = false
           }
           case MinOp(c, dt) =>
@@ -484,15 +507,35 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
   // parses are memoized — a committed file's footer never changes
   private val footerMemo = new FooterIndex(path)
 
+  // The offset serializes the full seen-file set, so checkpoint entries
+  // grow with directory lifetime. Surface the growth once before it
+  // degrades checkpointing (the production fix is a log-compacted
+  // manifest snapshot; the guard keeps the failure mode visible
+  // instead of silent).
+  private val OffsetWarnFiles = 100000
+  private var warned = false
+  private def guardOffsetSize(n: Int): Unit =
+    if (n > OffsetWarnFiles && !warned) {
+      warned = true
+      System.err.println(s"WARN graft-arrow streaming source on $path: " +
+        s"offset tracks $n files; checkpoint entries are O(files) — " +
+        "compact the directory or restart the stream from a fresh " +
+        "checkpoint before offsets dominate trigger latency")
+    }
+
   private def currentFiles: Set[String] =
     ArrowDataSource.pruneByPartitionFilters(
-      ArrowDataSource.listIpcFiles(path), path, partSchema,
+      ArrowDataSource.visibleIpcFiles(path), path, partSchema,
       partFilters.toSeq)
       .map(_.toString).toSet
 
   override def initialOffset(): Offset = ArrowFilesOffset(Set.empty)
 
-  override def latestOffset(): Offset = ArrowFilesOffset(currentFiles)
+  override def latestOffset(): Offset = {
+    val files = currentFiles
+    guardOffsetSize(files.size)
+    ArrowFilesOffset(files)
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -536,9 +579,12 @@ class ArrowReaderFactory(schema: StructType, filters: Array[Filter],
     partSchema: StructType = StructType(Seq.empty))
     extends PartitionReaderFactory {
 
-  // Columnar only when nothing needs row-at-a-time filtering.
+  // Always columnar: pushed data filters only skip batches via zone
+  // maps (planning time); row-level refinement is Catalyst's residual
+  // codegen'd FilterExec above the scan, never an interpreted
+  // per-row loop inside the reader.
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    filters.isEmpty
+    true
 
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -556,9 +602,15 @@ class ArrowReaderFactory(schema: StructType, filters: Array[Filter],
 /** Shared reader mechanics: iterate this split's record batches,
   * exposing each as a ColumnarBatch of the pruned columns.
   * Dictionary-encoded columns (written by [[ArrowOptimize]]) decode
-  * transparently: the index vector is expanded against the file's
-  * dictionary per batch, so consumers always see the value type —
-  * encoding is a pure layout property of the file. */
+  * transparently AND lazily: the dictionary's values are materialized
+  * ONCE PER FILE (bounded by the encoder's cardinality cut-off, tiny
+  * by construction) and each batch's index vector is wrapped in a
+  * [[DictStringVector]] that resolves values per access — the same
+  * indices-plus-dictionary model Spark's vectorized parquet reader
+  * uses, so the read path never allocates a full decoded copy of a
+  * batch and the encoding's memory win survives the scan. Consumers
+  * always see the value type — encoding is a pure layout property of
+  * the file. */
 private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     schema: StructType, partSchema: StructType = StructType(Seq.empty)) {
   protected val channel: FileChannel =
@@ -582,10 +634,11 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   }
   private val blocks = reader.getRecordBlocks
   private var cursor = 0
-  // decoded dictionary columns of the CURRENT batch (fresh allocations,
-  // unlike the reader-owned root vectors) — released when the next
-  // batch loads or the reader closes
-  private var decoded: List[org.apache.arrow.vector.ValueVector] = Nil
+  // dictionary values materialized once per FILE (keyed by dictionary
+  // id): batches carry only int32 indices, and [[DictStringVector]]
+  // resolves against this array lazily — no per-batch decoded copy
+  private val dictValues = scala.collection.mutable.Map
+    .empty[Long, Array[org.apache.spark.unsafe.types.UTF8String]]
 
   private def loadNext(): Boolean =
     if (cursor >= partition.blockIdxs.length) false
@@ -602,31 +655,43 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     val cv = new ConstantColumnVector(rows, dt)
     val raw = partition.partValues(pi)
     if (raw == null) cv.setNull()
-    else dt match {
-      case org.apache.spark.sql.types.LongType => cv.setLong(raw.toLong)
-      case _ => cv.setUtf8String(
-        org.apache.spark.unsafe.types.UTF8String.fromString(raw))
+    else ArrowDataSource.partValueToInternal(dt, raw) match {
+      case l: java.lang.Long => cv.setLong(l)
+      case i: java.lang.Integer => cv.setInt(i)
+      case s: java.lang.Short => cv.setShort(s)
+      case b: java.lang.Byte => cv.setByte(b)
+      case b: java.lang.Boolean => cv.setBoolean(b)
+      case u: org.apache.spark.unsafe.types.UTF8String => cv.setUtf8String(u)
+      case other => throw new UnsupportedOperationException(
+        s"arrow partition constant of ${other.getClass}")
     }
     cv
   }
 
+  private def dictionaryValues(
+      enc: org.apache.arrow.vector.types.pojo.DictionaryEncoding)
+      : Array[org.apache.spark.unsafe.types.UTF8String] =
+    dictValues.getOrElseUpdate(enc.getId, {
+      val dv = reader.lookup(enc.getId).getVector
+        .asInstanceOf[org.apache.arrow.vector.VarCharVector]
+      ArrowDataSource.dictMaterializations.incrementAndGet()
+      Array.tabulate(dv.getValueCount)(j =>
+        if (dv.isNull(j)) null
+        else org.apache.spark.unsafe.types.UTF8String.fromBytes(dv.get(j)))
+    })
+
   protected def nextBatch(): Option[ColumnarBatch] =
     if (!loadNext()) None
     else {
-      decoded.foreach(_.close())
-      decoded = Nil
       val vectors: Array[ColumnVector] = ordinals.map {
         case Right(pi) => constantVector(pi, root.getRowCount)
         case Left(i) =>
           val v = root.getVector(i)
           Option(v.getField.getDictionary) match {
             case Some(enc) =>
-              val d = org.apache.arrow.vector.dictionary.DictionaryEncoder
-                .decode(v, reader.lookup(enc.getId))
-              decoded ::= d
-              new ArrowColumnVector(
-                d.asInstanceOf[org.apache.arrow.vector.FieldVector])
-                : ColumnVector
+              new DictStringVector(
+                v.asInstanceOf[org.apache.arrow.vector.IntVector],
+                dictionaryValues(enc)): ColumnVector
             case None => new ArrowColumnVector(v): ColumnVector
           }
       }
@@ -634,10 +699,45 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     }
 
   def closeAll(): Unit = {
-    decoded.foreach(_.close())
-    decoded = Nil
     reader.close(); channel.close()
   }
+}
+
+/** Lazy dictionary-resolved string column: holds the batch's int32
+  * index vector (reader-owned, zero-copy) plus the file-level value
+  * array and resolves `getUTF8String` per access — Spark's vectorized
+  * parquet reader's indices-plus-dictionary model, avoiding the full
+  * decoded vector per batch that eager `DictionaryEncoder.decode`
+  * would allocate. */
+private[arrow] final class DictStringVector(
+    indices: org.apache.arrow.vector.IntVector,
+    values: Array[org.apache.spark.unsafe.types.UTF8String])
+    extends ColumnVector(StringType) {
+  override def hasNull: Boolean = indices.getNullCount > 0
+  override def numNulls: Int = indices.getNullCount
+  override def isNullAt(i: Int): Boolean = indices.isNull(i)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = values(indices.get(i))
+  override def getBinary(i: Int): Array[Byte] =
+    values(indices.get(i)).getBytes
+  // indices are owned by the reader's root; values are shared per-file
+  override def close(): Unit = ()
+  private def unsupported = throw new UnsupportedOperationException(
+    "dictionary-encoded arrow column is string-typed")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getLong(i: Int): Long = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = unsupported
+  override def getChild(ordinal: Int): ColumnVector = unsupported
 }
 
 class ArrowBatchReader(partition: ArrowFilePartition, schema: StructType,

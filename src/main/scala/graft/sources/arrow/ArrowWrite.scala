@@ -49,7 +49,7 @@ import org.apache.spark.sql.types._
   */
 class ArrowWriteBuilder(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
-    partitionCols: Seq[String] = Seq.empty)
+    partitionCols: Seq[String] = Seq.empty, maxOpenWriters: Int = 64)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -58,7 +58,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
-        partitionCols)
+        partitionCols, maxOpenWriters)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -69,7 +69,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
           "update); complete mode needs per-epoch truncation it does " +
           "not implement")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
-        partitionCols)
+        partitionCols, maxOpenWriters)
     }
   }
 }
@@ -78,24 +78,30 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   * same uuid-named writers as the batch path, partition routing
   * included), so `writeStream.format("arrow")` lands an append-only
   * directory the batch reader scans directly. Delivery is
-  * AT-LEAST-ONCE: a task retried after writing its file leaves the
-  * first copy behind — exactly-once would need a commit log the
-  * reader consults (what Spark's own file sink does with
-  * _spark_metadata); documented rather than half-built, since the
-  * reference's storage contract has no transactional surface either. */
+  * EXACTLY-ONCE at the read surface: the driver's epoch commit writes
+  * an atomic per-epoch manifest (`_graft_metadata/<epoch>.manifest` —
+  * Spark file sink's `_spark_metadata` pattern) listing exactly the
+  * files whose tasks committed, and every reader listing
+  * ([[ArrowDataSource.visibleIpcFiles]]) honors it: a task retried
+  * after writing its file, or a whole epoch replayed after driver
+  * recovery, leaves orphan files that never enter a manifest and are
+  * never read. Epoch commits are idempotent (first manifest wins). */
 class ArrowStreamingWrite(path: String, schema: StructType,
-    codec: Option[String], batchRows: Int, partitionCols: Seq[String])
+    codec: Option[String], batchRows: Int, partitionCols: Seq[String],
+    maxOpenWriters: Int = 64)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     new ArrowStreamingWriterFactory(path, schema, codec, batchRows,
-      partitionCols)
+      partitionCols, maxOpenWriters)
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit = ()
+      messages: Array[WriterCommitMessage]): Unit =
+    ArrowDataSource.commitEpochManifest(path, epochId,
+      messages.collect { case ArrowCommitMessage(fs) => fs }.toSeq.flatten)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -105,7 +111,8 @@ class ArrowStreamingWrite(path: String, schema: StructType,
 }
 
 class ArrowStreamingWriterFactory(path: String, schema: StructType,
-    codec: Option[String], batchRows: Int, partitionCols: Seq[String])
+    codec: Option[String], batchRows: Int, partitionCols: Seq[String],
+    maxOpenWriters: Int = 64)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
@@ -114,14 +121,15 @@ class ArrowStreamingWriterFactory(path: String, schema: StructType,
         taskId)
     else
       new ArrowPartitionedWriter(path, schema, codec, batchRows,
-        partitionId, taskId, partitionCols)
+        partitionId, taskId, partitionCols, maxOpenWriters)
 }
 
 case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class ArrowBatchWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, doTruncate: Boolean,
-    partitionCols: Seq[String]) extends BatchWrite {
+    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
@@ -130,8 +138,11 @@ class ArrowBatchWrite(path: String, schema: StructType,
     if (doTruncate) {
       // listIpcFiles is recursive, so partition subdirectories empty
       // out too (the dirs themselves are reused on rewrite); stale
-      // .inprogress temps from crashed writers go with them
+      // .inprogress temps from crashed writers go with them, and so
+      // does any streaming-sink commit manifest — after a batch
+      // overwrite the directory is flat-visible again
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
+      ArrowDataSource.deleteManifests(path)
       def sweepTmp(d: java.io.File): Unit =
         Option(d.listFiles()).foreach(_.foreach { f =>
           if (f.isDirectory) sweepTmp(f)
@@ -139,7 +150,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
         })
       sweepTmp(dir.toFile)
     }
-    new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols)
+    new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
+      maxOpenWriters)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -152,14 +164,15 @@ class ArrowBatchWrite(path: String, schema: StructType,
 
 class ArrowWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
-    partitionCols: Seq[String]) extends DataWriterFactory {
+    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     if (partitionCols.isEmpty)
       new ArrowDataWriter(path, schema, codec, batchRows, partitionId, taskId)
     else
       new ArrowPartitionedWriter(path, schema, codec, batchRows,
-        partitionId, taskId, partitionCols)
+        partitionId, taskId, partitionCols, maxOpenWriters)
 }
 
 /** Hive-style dynamic-partition routing: each row lands in
@@ -168,10 +181,22 @@ class ArrowWriterFactory(path: String, schema: StructType,
   * so partition pruning happens at planning from paths alone). One
   * open sub-writer per distinct combination seen by this task; tasks
   * that receive pre-clustered input (repartition on the partition
-  * cols) keep that number at 1. */
+  * cols) keep that number at 1.
+  *
+  * Unclustered high-cardinality input is bounded too: at most
+  * `maxOpenWriters` sub-writers (one VectorSchemaRoot + open channel
+  * each) stay open per task; beyond that the least-recently-written
+  * one is SEALED — its footer lands in the `.inprogress` temp and its
+  * memory is freed — with the rename-visible step still deferred to
+  * task commit, so crash atomicity is unchanged. A re-seen partition
+  * simply opens a fresh uuid-named file. (Spark's own FileFormatWriter
+  * solves this by sort-spilling instead; an LRU cap keeps the
+  * single-pass shape and degrades to more, smaller files under true
+  * high cardinality.) */
 class ArrowPartitionedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
-    partitionCols: Seq[String]) extends DataWriter[InternalRow] {
+    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    extends DataWriter[InternalRow] {
 
   private val partOrdinals: Array[Int] =
     partitionCols.map(schema.fieldIndex).toArray
@@ -181,6 +206,9 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
 
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, ArrowDataWriter]
+  // sealed-but-unrenamed temp files of evicted sub-writers
+  private val pendingRenames =
+    scala.collection.mutable.ArrayBuffer.empty[(Path, Path)]
 
   private def partValue(row: InternalRow, ord: Int): String = {
     if (row.isNullAt(ord)) return ArrowDataSource.NullPartValue
@@ -201,20 +229,42 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
     val rel = partitionCols.zip(partOrdinals)
       .map { case (c, o) => s"$c=${partValue(row, o)}" }
       .mkString("/")
-    val w = writers.getOrElseUpdate(rel, {
-      val dir = Paths.get(path, rel)
-      Files.createDirectories(dir)
-      new ArrowDataWriter(dir.toString, dataSchema, codec, batchRows,
-        partitionId, taskId, dataOrdinals)
-    })
+    // LRU discipline: re-insert on access so the map's head is always
+    // the least-recently-written partition.
+    val w = writers.remove(rel) match {
+      case Some(existing) => writers.put(rel, existing); existing
+      case None =>
+        if (writers.size >= maxOpenWriters) {
+          val (lruKey, lru) = writers.head
+          writers.remove(lruKey)
+          pendingRenames += lru.seal()
+        }
+        val dir = Paths.get(path, rel)
+        Files.createDirectories(dir)
+        val fresh = new ArrowDataWriter(dir.toString, dataSchema, codec,
+          batchRows, partitionId, taskId, dataOrdinals)
+        writers.put(rel, fresh)
+        fresh
+    }
     w.write(row)
   }
 
-  override def commit(): WriterCommitMessage =
-    ArrowCommitMessage(writers.values.toSeq
-      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs }))
+  override def commit(): WriterCommitMessage = {
+    val open = writers.values.toSeq
+      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs })
+    val evicted = pendingRenames.map { case (tmp, fin) =>
+      Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      fin.toString
+    }
+    ArrowCommitMessage(evicted.toSeq ++ open)
+  }
 
-  override def abort(): Unit = writers.values.foreach(_.abort())
+  override def abort(): Unit = {
+    writers.values.foreach(_.abort())
+    pendingRenames.foreach { case (tmp, fin) =>
+      Files.deleteIfExists(tmp); Files.deleteIfExists(fin)
+    }
+  }
 
   override def close(): Unit = writers.values.foreach(_.close())
 }
@@ -457,27 +507,45 @@ class ArrowDataWriter(path: String, schema: StructType,
     }
   }
 
+  private var sealed_ = false
+
+  /** Finish the on-disk temp file (footer included) and release every
+    * buffer — but do NOT rename it visible. The rename stays with TASK
+    * commit, so an LRU-evicted sub-writer of [[ArrowPartitionedWriter]]
+    * can free its memory mid-task without a crashed task ever leaving
+    * a reader-visible file. Returns (temp, final) for the deferred
+    * rename. */
+  def seal(): (Path, Path) = {
+    if (!sealed_) {
+      flush()
+      if (zmCols.nonEmpty && zmBatches.nonEmpty) {
+        metaData.put(ZoneMaps.MetaKey,
+          ZoneMaps.encode(zmCols.map(fields(_).name).toSeq, zmBatches.toSeq))
+      }
+      if (rsBatches.nonEmpty) {
+        metaData.put(ZoneMaps.RowStats.MetaKey,
+          ZoneMaps.RowStats.encode(rsCols.map(fields(_).name).toSeq,
+            rsBatches.toSeq))
+      }
+      writer.end(); writer.close(); channel.close()
+      root.close(); allocator.close()
+      sealed_ = true
+    }
+    (tmpFile, file)
+  }
+
   override def commit(): WriterCommitMessage = {
-    flush()
-    if (zmCols.nonEmpty && zmBatches.nonEmpty) {
-      metaData.put(ZoneMaps.MetaKey,
-        ZoneMaps.encode(zmCols.map(fields(_).name).toSeq, zmBatches.toSeq))
-    }
-    if (rsBatches.nonEmpty) {
-      metaData.put(ZoneMaps.RowStats.MetaKey,
-        ZoneMaps.RowStats.encode(rsCols.map(fields(_).name).toSeq,
-          rsBatches.toSeq))
-    }
-    writer.end(); writer.close(); channel.close()
-    root.close(); allocator.close()
+    seal()
     Files.move(tmpFile, file,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     ArrowCommitMessage(Seq(file.toString))
   }
 
   override def abort(): Unit = {
-    try { writer.close(); channel.close(); root.close(); allocator.close() }
-    catch { case _: Throwable => () }
+    if (!sealed_) {
+      try { writer.close(); channel.close(); root.close(); allocator.close() }
+      catch { case _: Throwable => () }
+    }
     Files.deleteIfExists(tmpFile)
     Files.deleteIfExists(file)
   }

@@ -68,6 +68,32 @@ class ArrowDictionarySpec extends AnyFunSuite {
     assert(r.getLong(1) == Tables.orders(spark, TestSession.Sf).count())
   }
 
+  test("dictionary decode is lazy: one materialization per file+column") {
+    val plain = Files.createTempDirectory("dictlazy_plain").toString
+    val opt = Files.createTempDirectory("dictlazy_opt").toString
+    Tables.orders(spark, TestSession.Sf).repartition(1)
+      .write.format("arrow").option("batchRows", 250)
+      .mode("overwrite").save(plain)
+    ArrowOptimize.dictionaryEncode(spark, plain, opt)
+    val nBatches = ArrowDataSource.recordBlockSizes(
+      ArrowDataSource.listIpcFiles(opt).head).length
+    assert(nBatches >= 4, s"want a multi-batch file, got $nBatches")
+    val before = ArrowDataSource.dictMaterializations.get()
+    val got = spark.read.format("arrow").load(opt)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val used = ArrowDataSource.dictMaterializations.get() - before
+    // one file, one dictionary column projected → one value-array
+    // materialization regardless of batch count (the eager decode
+    // this replaced allocated one full vector per batch)
+    assert(used == 1, s"expected 1 dictionary materialization " +
+      s"for 1 file x 1 column over $nBatches batches, got $used")
+    val expected = Tables.orders(spark, TestSession.Sf)
+      .groupBy("o_orderstatus").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+
   test("the cardinality cut-off leaves high-card columns plain") {
     val plain = Files.createTempDirectory("dictcut_plain").toString
     val opt = Files.createTempDirectory("dictcut_opt").toString

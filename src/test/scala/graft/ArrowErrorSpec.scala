@@ -32,6 +32,27 @@ class ArrowErrorSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("mixed-schema directories fail fast naming the offending file") {
+    val dir = java.nio.file.Files.createTempDirectory("arrow_mixed").toString
+    Tables.load(spark, TestSession.Sf, "region")
+      .write.format("arrow").mode("append").save(dir)
+    // a second writer drifted the schema (names and types differ)
+    Tables.load(spark, TestSession.Sf, "nation")
+      .write.format("arrow").mode("append").save(dir)
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir).count()
+    }
+    assert(messages(e).exists(m => m.contains("inconsistent schema") &&
+      m.contains(".arrow")), s"got: ${messages(e)}")
+    // known-consistent directories can skip the O(files) footer check
+    val relaxed = spark.read.format("arrow")
+      .option("verifySchema", "false").load(dir)
+    assert(relaxed.schema.nonEmpty)
+  }
+
   test("a second append write is read as the union of both writes") {
     val dir = java.nio.file.Files.createTempDirectory("arrow_app").toString
     val src = Tables.load(spark, TestSession.Sf, "nation")

@@ -39,6 +39,49 @@ class ArrowPartitionSpec extends AnyFunSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("maxOpenWriters caps open sub-writers without losing rows") {
+    val d = java.nio.file.Files.createTempDirectory("arrowlru").toString
+    val src = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    // one task, 5 interleaved partition values, cap of 2 open writers:
+    // the LRU seal/reopen path exercises constantly
+    src.repartition(1).write.format("arrow")
+      .option("maxOpenWriters", "2")
+      .partitionBy("o_orderpriority").mode("overwrite").save(d)
+    val back = spark.read.format("arrow").load(d)
+    assert(back.count() == src.count())
+    val a = src
+    val b = back.select(col("o_orderkey"), col("o_totalprice"),
+      col("o_orderpriority"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // eviction produced multiple files in at least one partition dir
+    val nFiles = ArrowDataSource.listIpcFiles(d).length
+    assert(nFiles > 5, s"expected evicted re-opens to add files, " +
+      s"got $nFiles for 5 partitions")
+  }
+
+  test("a user-specified schema fixes partition column types") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("arrowptype").toString
+    (1L to 20L).map(i => (i, i % 3)).toDF("id", "bucket")
+      .write.format("arrow").partitionBy("bucket")
+      .mode("overwrite").save(d)
+    // inference would call `bucket` a LONG; a user schema declares INT
+    // and the readers must honor it (constant vectors typed INT)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
+    val back = spark.read.format("arrow").schema(schema).load(d)
+    assert(back.schema("bucket").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val got = back.filter(col("bucket") === 1)
+      .select(col("id"), col("bucket")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1)
+    assert(got.toSeq == (1L to 20L).filter(_ % 3 == 1).map(i => (i, 1)))
+  }
+
   test("partition filters prune whole files at planning time") {
     val all = spark.read.format("arrow").load(dir)
     val total = all.rdd.getNumPartitions

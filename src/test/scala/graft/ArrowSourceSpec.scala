@@ -64,6 +64,36 @@ class ArrowSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed data filters keep the scan columnar and skip batches") {
+    val dir = tmpDir()
+    val src = Tables.load(spark, TestSession.Sf, "orders")
+    src.repartition(1).sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").option("batchRows", "250")
+      .mode("overwrite").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderkey") <= 100)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.toString.contains("pushed=[LessThanOrEqual"),
+      s"filter not pushed for zone maps:\n$plan")
+    // the scan must STAY columnar under the pushed filter (the round-5
+    // row-at-a-time fallback is gone) with Catalyst's codegen'd Filter
+    // re-evaluating above it
+    assert(plan.collectFirst {
+      case c: org.apache.spark.sql.execution.ColumnarToRowExec => c
+    }.nonEmpty, s"scan dropped out of columnar mode:\n$plan")
+    assert(plan.collectFirst {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }.nonEmpty, s"no residual Filter above the columnar scan:\n$plan")
+    // zone maps still skip non-overlapping batches at planning time
+    def parts(d: org.apache.spark.sql.DataFrame) = d.rdd.getNumPartitions
+    val all = spark.read.format("arrow").option("maxSplitBytes", 1).load(dir)
+    val few = all.filter(col("o_orderkey") <= 100)
+    assert(parts(few) < parts(all),
+      s"zone maps pruned nothing: ${parts(few)} of ${parts(all)}")
+    // and the result is exact
+    assert(bagEqual(df, src.filter(col("o_orderkey") <= 100)))
+  }
+
   test("count over pushed filter (zero projected columns) works") {
     val dir = tmpDir()
     Tables.load(spark, TestSession.Sf, "orders")
