@@ -57,8 +57,23 @@ object VectorQueries {
 
   /** All-pairs cosine ≥ 0.4 (embedding near-dup shape). Brute force is
     * the oracle-checkable baseline; the LSH query below is the scale
-    * path for the same question. */
+    * path for the same question.
+    *
+    * GUARDED: the O(N²) theta join is intentional at oracle scale and
+    * catastrophic at corpus scale, so the query refuses to plan above
+    * `spark.graft.cosineNearDup.maxRows` (default 100k ≈ 5e9 pairs)
+    * rather than letting the exactness baseline get cargo-culted onto
+    * a 100 TB corpus — `sim_ann_lsh` / `sim_ann_ivf` answer the same
+    * question with bucketed candidates there. */
   def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val maxRows = spark.conf
+      .get("spark.graft.cosineNearDup.maxRows", "100000").toLong
+    val n = Tables.embeddings(spark, dir).count()
+    require(n <= maxRows,
+      s"sim_cosine_neardup is the O(N²) exactness BASELINE: corpus has " +
+        s"$n vectors (> guard $maxRows → ${n * n / 2} candidate pairs). " +
+        "Use sim_ann_lsh / sim_ann_ivf (bucketed candidates) at this " +
+        "scale, or raise spark.graft.cosineNearDup.maxRows explicitly.")
     val e = withNorm(spark, dir)
     val a = e.select(col("vec_id").as("d1"), col("embedding").as("v1"),
       col("nsq").as("nsq1"))

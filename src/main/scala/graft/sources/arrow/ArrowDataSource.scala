@@ -55,22 +55,29 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     // types, else the constant-ordinal readers would silently misread.
     // Dictionary-encoded files compare by VALUE type (readFooterSchema
     // surfaces it), so an optimized file agrees with its plain twin.
-    // O(files) footer reads — disable with option verifySchema=false
+    // Still O(files) footer reads, but PARALLEL across driver cores —
+    // a 100k-file listing checks in O(files / cores) wall-clock, not a
+    // sequential planning stall; disable with option verifySchema=false
     // on directories known-consistent (a single-writer 100 TB layout).
     val verify = Option(options.get("verifySchema"))
       .forall(_.toBoolean)
     def sig(s: StructType) = s.fields.map(f => (f.name, f.dataType)).toSeq
     if (verify) {
       val expected = sig(dataSchema)
-      files.tail.foreach { f =>
-        val got = sig(ArrowDataSource.readFooterSchema(f))
-        require(got == expected,
-          s"arrow: inconsistent schema under $root — $f has " +
-            s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
-              .mkString("[", ", ", "]")} but ${files.head} has " +
-            s"${expected.map { case (n, t) => s"$n:${t.simpleString}" }
-              .mkString("[", ", ", "]")}")
+      val mismatch =
+        new java.util.concurrent.atomic.AtomicReference[String](null)
+      files.tail.asJava.parallelStream().forEach { f =>
+        if (mismatch.get() == null) {
+          val got = sig(ArrowDataSource.readFooterSchema(f))
+          if (got != expected) mismatch.compareAndSet(null,
+            s"arrow: inconsistent schema under $root — $f has " +
+              s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("[", ", ", "]")} but ${files.head} has " +
+              s"${expected.map { case (n, t) => s"$n:${t.simpleString}" }
+                .mkString("[", ", ", "]")}")
+        }
       }
+      Option(mismatch.get()).foreach(m => throw new IllegalArgumentException(m))
     }
     // Hive-style layout: partition columns live in the directory names,
     // appended after the file columns (parquet's convention)
@@ -121,11 +128,23 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     val path = Option(info.options.get("path"))
       .orElse(properties.get("path"))
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
+    val bucket = Option(info.options.get("bucketBy")).map { c =>
+      val n = Option(info.options.get("numBuckets")).map(_.toInt)
+        .getOrElse(throw new IllegalArgumentException(
+          "arrow: bucketBy requires numBuckets"))
+      (c, n)
+    }
+    if (bucket.nonEmpty && partitionCols.nonEmpty)
+      throw new UnsupportedOperationException(
+        "arrow: bucketBy cannot combine with partitionBy")
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
       Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192),
       partitionCols,
-      Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64))
+      Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64),
+      Option(info.options.get("manifestCompactInterval")).map(_.toInt)
+        .getOrElse(ArrowDataSource.DefaultCompactInterval),
+      bucket)
   }
 }
 
@@ -133,6 +152,15 @@ object ArrowDataSource {
   /** Process-wide allocator (Arrow vectors allocate off-heap; one root
     * per executor JVM, children per reader/writer). */
   lazy val allocator: RootAllocator = new RootAllocator(Long.MaxValue)
+
+  /** `Files.list` with the stream CLOSED — the raw stream holds a
+    * directory handle until GC, and [[visibleIpcFiles]] runs every
+    * streaming trigger, so an unclosed stream per listing would leak
+    * file descriptors for the lifetime of a long-lived driver. */
+  private def listDir(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try s.iterator.asScala.toVector finally s.close()
+  }
 
   /** EVERY `.arrow` file on disk, committed or not — the writers'
     * truncate/compaction sweeps use this. Readers go through
@@ -146,8 +174,7 @@ object ArrowDataSource {
       // recursive: partitioned layouts nest files under col=value dirs
       val out = scala.collection.mutable.ArrayBuffer.empty[Path]
       def walk(d: Path): Unit = {
-        val children = Files.list(d).iterator.asScala.toSeq
-        children.foreach { c =>
+        listDir(d).foreach { c =>
           if (Files.isDirectory(c)) {
             if (c.getFileName.toString != MetadataDirName) walk(c)
           }
@@ -161,51 +188,139 @@ object ArrowDataSource {
 
   /** The streaming sink's commit-log directory (Spark file sink's
     * `_spark_metadata` pattern): one manifest per committed epoch,
-    * listing that epoch's task files root-relative. */
+    * listing that epoch's task files root-relative; periodically a
+    * `<epoch>.compact` snapshot (lines `epoch\trelpath`) replaces the
+    * manifests it covers, so listing cost stays O(snapshot + tail)
+    * instead of O(stream lifetime). */
   val MetadataDirName = "_graft_metadata"
+
+  /** Every `DefaultCompactInterval` epochs the commit path folds all
+    * per-epoch manifests into one snapshot — Spark file-sink's
+    * `compactInterval` pattern. Writer option `manifestCompactInterval`
+    * overrides. */
+  val DefaultCompactInterval = 10
 
   private def manifestDir(dir: String): Path =
     Paths.get(dir, MetadataDirName)
 
-  /** The files a READER may see. When the directory carries a commit
-    * manifest (it was a streaming sink), only manifest-listed files are
-    * visible: a task retried after writing its file, or an epoch
-    * replayed after a driver failure, leaves orphans on disk that never
-    * entered a manifest — invisible here, which is what turns the
-    * sink's at-least-once file writes into exactly-once reads. Flat
+  private def epochOf(name: String): Long =
+    name.takeWhile(_ != '.').toLong
+
+  /** The commit-log root governing `dir`: `dir` itself when it carries
+    * `_graft_metadata`, else the nearest ancestor reached by climbing
+    * out of Hive-style `col=value` segments. Reading a partition
+    * SUBDIRECTORY of a streaming sink (`load(dir + "/c=1")`) must still
+    * honor the sink's commit log — without the climb, task-retry
+    * orphans under that partition would resurface as duplicate rows. */
+  def sinkRoot(dir: String): Option[Path] = {
+    var p = Paths.get(dir).toAbsolutePath.normalize
+    while (p != null) {
+      if (Files.isDirectory(p.resolve(MetadataDirName))) return Some(p)
+      val name = Option(p.getFileName).map(_.toString).getOrElse("")
+      if (!name.contains('=')) return None
+      p = p.getParent
+    }
+    None
+  }
+
+  /** All committed `(epoch, root-relative path)` entries: the latest
+    * compact snapshot plus every per-epoch manifest past it. One
+    * directory listing; O(1) snapshot read + O(tail) manifest reads,
+    * independent of how many epochs the stream has lived. */
+  def committedEntries(root: Path): Seq[(Long, String)] = {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Seq.empty
+    val names = listDir(md).map(_.getFileName.toString)
+    val compactEpoch = names.filter(_.endsWith(".compact"))
+      .map(epochOf).sorted.lastOption
+    val snapshot = compactEpoch.toSeq.flatMap { e =>
+      Files.readAllLines(md.resolve(s"$e.compact")).asScala.map { line =>
+        val tab = line.indexOf('\t')
+        (line.substring(0, tab).toLong, line.substring(tab + 1))
+      }
+    }
+    val tail = names.filter(_.endsWith(".manifest"))
+      .map(n => epochOf(n))
+      .filter(e => compactEpoch.forall(e > _))
+      .sorted
+      .flatMap(e => Files.readAllLines(md.resolve(s"$e.manifest")).asScala
+        .map(rel => (e, rel)))
+    snapshot ++ tail
+  }
+
+  /** Highest committed epoch under `root`'s commit log, -1 when none —
+    * the streaming source's bounded offset for manifest-carrying dirs. */
+  def latestCommittedEpoch(root: Path): Long = {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return -1L
+    val epochs = listDir(md).map(_.getFileName.toString)
+      .filter(n => n.endsWith(".manifest") || n.endsWith(".compact"))
+      .map(epochOf)
+    if (epochs.isEmpty) -1L else epochs.max
+  }
+
+  /** The files a READER may see. When the directory (or, for a
+    * partition subdirectory, its sink root — see [[sinkRoot]]) carries
+    * a commit manifest, only manifest-listed files are visible: a task
+    * retried after writing its file, or an epoch replayed after a
+    * driver failure, leaves orphans on disk that never entered a
+    * manifest — invisible here, which is what turns the sink's
+    * at-least-once file writes into exactly-once reads. Flat
     * directories (no manifest) see every committed `.arrow` file. */
   def visibleIpcFiles(dir: String): Seq[Path] = {
     val files = listIpcFiles(dir)
-    val md = manifestDir(dir)
-    if (!Files.isDirectory(md)) files
-    else {
-      val committed = Files.list(md).iterator.asScala
-        .filter(_.getFileName.toString.endsWith(".manifest"))
-        .flatMap(m => Files.readAllLines(m).asScala)
-        .map(rel => Paths.get(dir).resolve(rel).normalize.toString)
-        .toSet
-      files.filter(f => committed(f.normalize.toString))
+    sinkRoot(dir) match {
+      case None => files
+      case Some(root) =>
+        val committed = committedEntries(root)
+          .map { case (_, rel) => root.resolve(rel).normalize.toString }
+          .toSet
+        files.filter(f => committed(f.toAbsolutePath.normalize.toString))
     }
   }
 
   /** Atomically record one epoch's committed files. Idempotent by
     * epoch: a replayed epoch (driver recovered from a checkpoint taken
-    * before the commit landed) finds the manifest already present and
-    * leaves it untouched — the first commit's file set stays the
-    * committed truth and the replay's fresh files remain invisible. */
+    * before the commit landed) finds the manifest already present — or
+    * already folded into a compact snapshot — and leaves it untouched;
+    * the first commit's file set stays the committed truth and the
+    * replay's fresh files remain invisible. Every `compactInterval`
+    * epochs the log is folded into a `<epoch>.compact` snapshot and the
+    * covered manifests deleted (crash between the two steps is safe:
+    * readers ignore manifests at or below the latest snapshot's epoch,
+    * and the next compaction re-deletes them). */
   def commitEpochManifest(dir: String, epochId: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String],
+      compactInterval: Int = DefaultCompactInterval): Unit = {
     val md = manifestDir(dir)
     Files.createDirectories(md)
+    val root = Paths.get(dir).toAbsolutePath.normalize
     val manifest = md.resolve(s"$epochId.manifest")
-    if (Files.exists(manifest)) return
+    if (Files.exists(manifest) || latestCommittedEpoch(root) >= epochId)
+      return
     val rels = files.map(f =>
-      Paths.get(dir).toAbsolutePath.normalize
-        .relativize(Paths.get(f).toAbsolutePath.normalize).toString)
+      root.relativize(Paths.get(f).toAbsolutePath.normalize).toString)
     val tmp = md.resolve(s"$epochId.manifest.inprogress")
     Files.write(tmp, rels.sorted.asJava)
     Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (compactInterval > 0 && (epochId + 1) % compactInterval == 0) {
+      val entries = committedEntries(root).filter(_._1 <= epochId)
+      val lines = entries.map { case (e, rel) => s"$e\t$rel" }
+      val ctmp = md.resolve(s"$epochId.compact.inprogress")
+      Files.write(ctmp, lines.asJava)
+      Files.move(ctmp, md.resolve(s"$epochId.compact"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      // covered metadata is now redundant: older snapshots and every
+      // manifest at or below this snapshot's epoch
+      listDir(md).foreach { f =>
+        val n = f.getFileName.toString
+        val covered =
+          (n.endsWith(".manifest") && epochOf(n) <= epochId) ||
+            (n.endsWith(".compact") && epochOf(n) < epochId)
+        if (covered) Files.deleteIfExists(f)
+      }
+    }
   }
 
   /** Drop the commit manifest (truncate-on-overwrite: a batch rewrite
@@ -214,7 +329,7 @@ object ArrowDataSource {
   def deleteManifests(dir: String): Unit = {
     val md = manifestDir(dir)
     if (Files.isDirectory(md)) {
-      Files.list(md).iterator.asScala.toSeq.foreach(Files.deleteIfExists)
+      listDir(md).foreach(Files.deleteIfExists)
       Files.deleteIfExists(md)
     }
   }
@@ -395,11 +510,14 @@ object ArrowDataSource {
   def zoneMap(file: Path): Option[ZoneMaps.ZoneMap] = footerInfo(file).zoneMap
 
   /** Everything the planner wants from one IPC footer: per-batch block
-    * sizes, the min/max zone map, and the row/null-count stats. One
-    * footer read — each open re-parses the footer. */
+    * sizes, the min/max zone map, the row/null-count stats, and the
+    * bucketed-layout stamp `(col, numBuckets, bucketId)` when
+    * [[ArrowBucketedWriter]] wrote the file. One footer read — each
+    * open re-parses the footer. */
   final case class FooterInfo(sizes: Seq[Long],
       zoneMap: Option[ZoneMaps.ZoneMap],
-      rowStats: Option[ZoneMaps.RowStats.Stats])
+      rowStats: Option[ZoneMaps.RowStats.Stats],
+      bucket: Option[(String, Int, Int)] = None)
 
   def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
@@ -413,7 +531,12 @@ object ArrowDataSource {
         .flatMap(ZoneMaps.decode)
       val rs = Option(reader.getMetaData.get(ZoneMaps.RowStats.MetaKey))
         .flatMap(ZoneMaps.RowStats.decode)
-      FooterInfo(sizes, zm, rs)
+      val bk = for {
+        c <- Option(reader.getMetaData.get(GraftBucket.MetaCol))
+        n <- Option(reader.getMetaData.get(GraftBucket.MetaN))
+        i <- Option(reader.getMetaData.get(GraftBucket.MetaId))
+      } yield (c, n.toInt, i.toInt)
+      FooterInfo(sizes, zm, rs, bk)
     } finally { reader.close(); ch.close() }
   }
 

@@ -57,8 +57,12 @@ object ArrowOptimize {
     Files.createDirectories(Paths.get(outDir))
     // overwrite semantics: stale files from a previous rewrite would
     // otherwise survive (part names carry fresh uuids) and duplicate
-    // every row on read; stale temps from crashed rewrites go too
+    // every row on read; stale temps from crashed rewrites go too, and
+    // so does a stale streaming commit log — left in place it would
+    // stay the read-side source of truth and hide every rewritten file
+    // (the batch-truncate path clears it for the same reason)
     ArrowDataSource.listIpcFiles(outDir).foreach(Files.deleteIfExists)
+    ArrowDataSource.deleteManifests(outDir)
     def sweepTmp(d: java.io.File): Unit =
       Option(d.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory) sweepTmp(f)

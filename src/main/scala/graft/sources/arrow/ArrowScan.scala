@@ -281,8 +281,46 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     maxSplitBytes: Long = 128L * 1024 * 1024,
     idx: FooterIndex = null)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
   private val footerIdx = Option(idx).getOrElse(new FooterIndex(path))
+
+  /** The directory's bucketed layout `(col, numBuckets)` — present only
+    * when EVERY file carries the same bucket stamp (a mixed directory
+    * reports no partitioning; correctness never rests on the layout). */
+  private lazy val bucketLayout: Option[(String, Int)] = {
+    val files = footerIdx.files
+    if (files.isEmpty) None
+    else {
+      val stamps = files.map(f => footerIdx.info(f).bucket)
+      if (stamps.exists(_.isEmpty)) None
+      else stamps.map(s => (s.get._1, s.get._2)).distinct match {
+        case Seq(one) => Some(one)
+        case _ => None
+      }
+    }
+  }
+
+  /** Bucketed directories report `bucket(n, col)` KeyGroupedPartitioning
+    * — Catalyst resolves the transform through [[GraftCatalog]]'s
+    * function (catalog-based reads only) and storage-partitioned join
+    * then drops BOTH exchanges from a same-`n` equi-join: the parquet
+    * `bucketBy` result, delivered by the Arrow source's own layout
+    * metadata. Non-bucketed directories report unknown and plan as
+    * before. */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketLayout match {
+      case Some((c, n)) =>
+        val ids = survivingFiles
+          .flatMap(f => footerIdx.info(f).bucket.map(_._3)).distinct
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(n, c)), ids.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
   override def description(): String =
@@ -435,6 +473,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * conservative and purely an optimization — surviving batches still
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
+    val bucketed = bucketLayout.isDefined
     survivingFiles.flatMap { p =>
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
@@ -442,8 +481,10 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
           .map(_.orNull).toArray
       val info = footerIdx.info(p)
       val (blocks, zoneMap) = (info.sizes, info.zoneMap)
+      val bucketId =
+        if (bucketed) info.bucket.map(_._3).getOrElse(-1) else -1
       if (blocks.isEmpty)
-        Seq(ArrowFilePartition(p.toString, Array.empty, partVals))
+        Seq(ArrowFilePartition(p.toString, Array.empty, partVals, bucketId))
       else {
         val keep: Int => Boolean =
           if (filters.isEmpty) _ => true
@@ -465,7 +506,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
           bytes += size
         }
         if (current.nonEmpty) splits += current.toArray
-        splits.map(idxs => ArrowFilePartition(p.toString, idxs, partVals))
+        splits.map(idxs =>
+          ArrowFilePartition(p.toString, idxs, partVals, bucketId))
       }
     }.map(p => p: InputPartition).toArray
   }
@@ -474,15 +516,19 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     new ArrowReaderFactory(schema, filters, partSchema)
 
   /** Micro-batch streaming read: each trigger processes the files that
-    * appeared since the last committed offset. The offset IS the set
-    * of seen file paths (JSON array) — recovery-exact and immune to
-    * arrival order, unlike name/position watermarks which silently
-    * drop a file that sorts below the high-water mark (our own sink's
-    * uuid part names do not sort by time). At very large file counts
-    * the offset grows with the directory; the production path is a
-    * log-compacted manifest, this is the semantics-first version.
-    * Column pruning and pushed data/partition filters all apply —
-    * the streaming scan is the batch scan fed one file-set delta at a
+    * appeared since the last committed offset. When the source
+    * directory carries a commit log (it is our own streaming sink —
+    * the sink→source pipeline case that actually runs forever), the
+    * offset is the latest committed EPOCH: one long however many
+    * millions of files the stream has accumulated, and each trigger
+    * reads exactly the manifests of the epoch delta. Flat directories
+    * fall back to the seen-file-set offset (JSON array) —
+    * recovery-exact and immune to arrival order, unlike name/position
+    * watermarks which silently drop a file that sorts below the
+    * high-water mark (our own sink's uuid part names do not sort by
+    * time) — with a growth guard, since that offset is O(directory
+    * lifetime). Column pruning and pushed data/partition filters all
+    * apply — the streaming scan is the batch scan fed one delta at a
     * time. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -503,15 +549,31 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
     }
   }
 
+  /** Bounded offset for manifest-carrying source dirs: the highest
+    * committed sink epoch. One long in the checkpoint regardless of
+    * stream lifetime — the log-compacted answer to the file-set
+    * offset's O(directory) growth. */
+  case class ArrowEpochOffset(epoch: Long) extends Offset {
+    override def json(): String = s"""{"epoch":$epoch}"""
+  }
+
+  // Offset MODE is fixed at stream construction: epoch-based when the
+  // source dir already carries a sink commit log, file-set otherwise.
+  // A commit log appearing mid-stream keeps the file-set offset (still
+  // correct — visibleIpcFiles honors manifests either way, only the
+  // offset stays O(files)); the stream picks up epoch offsets on its
+  // next restart.
+  private val epochRoot: Option[java.nio.file.Path] =
+    ArrowDataSource.sinkRoot(path)
+
   // listing stays live (a new trigger must see new files); footer
   // parses are memoized — a committed file's footer never changes
   private val footerMemo = new FooterIndex(path)
 
-  // The offset serializes the full seen-file set, so checkpoint entries
-  // grow with directory lifetime. Surface the growth once before it
-  // degrades checkpointing (the production fix is a log-compacted
-  // manifest snapshot; the guard keeps the failure mode visible
-  // instead of silent).
+  // The file-set offset serializes the full seen-file set, so
+  // checkpoint entries grow with directory lifetime. Surface the
+  // growth once before it degrades checkpointing (manifest-carrying
+  // dirs use the compacted epoch offset and never hit this).
   private val OffsetWarnFiles = 100000
   private var warned = false
   private def guardOffsetSize(n: Int): Unit =
@@ -529,25 +591,63 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
       partFilters.toSeq)
       .map(_.toString).toSet
 
-  override def initialOffset(): Offset = ArrowFilesOffset(Set.empty)
-
-  override def latestOffset(): Offset = {
-    val files = currentFiles
-    guardOffsetSize(files.size)
-    ArrowFilesOffset(files)
+  /** Committed files of sink epochs in `(after, upTo]`, restricted to
+    * the queried directory (which may be a partition subdir of the
+    * sink root) and pruned by pushed partition filters. */
+  private def epochDeltaFiles(root: java.nio.file.Path, after: Long,
+      upTo: Long): Seq[java.nio.file.Path] = {
+    val prefix = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    val files = ArrowDataSource.committedEntries(root)
+      .collect { case (e, rel) if e > after && e <= upTo =>
+        root.resolve(rel).normalize }
+      .filter(_.startsWith(prefix))
+    ArrowDataSource.pruneByPartitionFilters(files, path, partSchema,
+      partFilters.toSeq)
   }
 
-  override def deserializeOffset(json: String): Offset = {
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    ArrowFilesOffset(mapper.readValue(json,
-      classOf[Array[String]]).toSet)
+  override def initialOffset(): Offset = epochRoot match {
+    case Some(_) => ArrowEpochOffset(-1L)
+    case None => ArrowFilesOffset(Set.empty)
   }
+
+  override def latestOffset(): Offset = epochRoot match {
+    case Some(root) =>
+      ArrowEpochOffset(ArrowDataSource.latestCommittedEpoch(root))
+    case None =>
+      val files = currentFiles
+      guardOffsetSize(files.size)
+      ArrowFilesOffset(files)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    if (json.trim.startsWith("{")) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      ArrowEpochOffset(mapper.readTree(json).get("epoch").asLong())
+    } else {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      ArrowFilesOffset(mapper.readValue(json,
+        classOf[Array[String]]).toSet)
+    }
 
   override def planInputPartitions(start: Offset, end: Offset)
       : Array[InputPartition] = {
-    val seen = start.asInstanceOf[ArrowFilesOffset].files
-    val now = end.asInstanceOf[ArrowFilesOffset].files
-    (now -- seen).toSeq.sorted.map { f =>
+    val fresh: Seq[String] = (start, end) match {
+      case (ArrowEpochOffset(s), ArrowEpochOffset(e)) =>
+        epochRoot.toSeq.flatMap(epochDeltaFiles(_, s, e))
+          .map(_.toString).sorted
+      case (ArrowFilesOffset(seen), ArrowEpochOffset(e)) =>
+        // restarted from a file-set checkpoint into epoch mode: the
+        // delta is everything committed up to e, minus the seen set
+        epochRoot.toSeq.flatMap(epochDeltaFiles(_, -1L, e))
+          .map(_.toString).filterNot(seen).sorted
+      case (ArrowFilesOffset(seen), ArrowFilesOffset(now)) =>
+        (now -- seen).toSeq.sorted
+      case (ArrowEpochOffset(_), ArrowFilesOffset(now)) =>
+        // cannot happen in a healthy checkpoint (mode only upgrades
+        // toward epochs); reprocess-all is the safe degenerate answer
+        now.toSeq.sorted
+    }
+    fresh.map { f =>
       val p = java.nio.file.Paths.get(f)
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
@@ -570,10 +670,17 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
 /** One scan split: a file plus the footer indices of the record batches
   * it covers (empty = whole file, used for block-less empty files), plus
   * the file's Hive-layout partition values (aligned with the scan's
-  * partition schema; null entry = SQL NULL). */
+  * partition schema; null entry = SQL NULL) and, for bucketed layouts,
+  * the file's bucket id (-1 otherwise). `partitionKey` is only
+  * consulted by Spark when the scan reported KeyGroupedPartitioning —
+  * which [[ArrowScan.outputPartitioning]] does exactly when every
+  * file carries a bucket stamp, so a -1 never reaches grouping. */
 case class ArrowFilePartition(file: String, blockIdxs: Array[Int],
-    partValues: Array[String] = Array.empty)
-  extends InputPartition
+    partValues: Array[String] = Array.empty, bucketId: Int = -1)
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](bucketId))
+}
 
 class ArrowReaderFactory(schema: StructType, filters: Array[Filter],
     partSchema: StructType = StructType(Seq.empty))
@@ -586,6 +693,11 @@ class ArrowReaderFactory(schema: StructType, filters: Array[Filter],
   override def supportColumnarReads(partition: InputPartition): Boolean =
     true
 
+  // Unreachable in normal planning (supportColumnarReads is
+  // unconditionally true, so Spark always calls createColumnarReader),
+  // but PartitionReaderFactory requires the row path as its API
+  // contract and third-party physical operators may opt out of
+  // columnar input — kept as the non-vectorized fallback, not deleted.
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArrowFilePartition]

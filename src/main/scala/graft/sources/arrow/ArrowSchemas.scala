@@ -43,6 +43,20 @@ object ArrowSchemas {
       case StructType(fields) =>
         new Field(name, new FieldType(nullable, ArrowType.Struct.INSTANCE, null),
           fields.map(f => toArrowField(f.name, f.dataType, f.nullable)).toList.asJava)
+      case MapType(kt, vt, valueContainsNull) =>
+        // Arrow's canonical map layout: map<entries: struct<key, value>>
+        // with the child names MapVector expects and a NON-nullable key
+        // (the spec forbids null keys; Spark agrees)
+        val entries = new Field(
+          org.apache.arrow.vector.complex.MapVector.DATA_VECTOR_NAME,
+          new FieldType(false, ArrowType.Struct.INSTANCE, null),
+          List(
+            toArrowField(org.apache.arrow.vector.complex.MapVector.KEY_NAME,
+              kt, nullable = false),
+            toArrowField(org.apache.arrow.vector.complex.MapVector.VALUE_NAME,
+              vt, valueContainsNull)).asJava)
+        new Field(name, new FieldType(nullable, new ArrowType.Map(false), null),
+          List(entries).asJava)
       case simple =>
         new Field(name, new FieldType(nullable, toArrowType(simple), null),
           List.empty[Field].asJava)
@@ -78,6 +92,12 @@ object ArrowSchemas {
   }
 
   def fromArrowField(f: Field): StructField = f.getType match {
+    case _: ArrowType.Map =>
+      val entries = f.getChildren.get(0)
+      val key = fromArrowField(entries.getChildren.get(0))
+      val value = fromArrowField(entries.getChildren.get(1))
+      StructField(f.getName,
+        MapType(key.dataType, value.dataType, value.nullable), f.isNullable)
     case _: ArrowType.List =>
       val elem = fromArrowField(f.getChildren.get(0))
       StructField(f.getName, ArrayType(elem.dataType, elem.nullable),

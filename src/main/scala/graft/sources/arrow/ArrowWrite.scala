@@ -49,7 +49,9 @@ import org.apache.spark.sql.types._
   */
 class ArrowWriteBuilder(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
-    partitionCols: Seq[String] = Seq.empty, maxOpenWriters: Int = 64)
+    partitionCols: Seq[String] = Seq.empty, maxOpenWriters: Int = 64,
+    compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
+    bucket: Option[(String, Int)] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -58,7 +60,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
-        partitionCols, maxOpenWriters)
+        partitionCols, maxOpenWriters, bucket)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -69,7 +71,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
           "update); complete mode needs per-epoch truncation it does " +
           "not implement")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
-        partitionCols, maxOpenWriters)
+        partitionCols, maxOpenWriters, compactInterval)
     }
   }
 }
@@ -88,7 +90,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   * never read. Epoch commits are idempotent (first manifest wins). */
 class ArrowStreamingWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64,
+    compactInterval: Int = ArrowDataSource.DefaultCompactInterval)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -101,7 +104,8 @@ class ArrowStreamingWrite(path: String, schema: StructType,
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
     ArrowDataSource.commitEpochManifest(path, epochId,
-      messages.collect { case ArrowCommitMessage(fs) => fs }.toSeq.flatten)
+      messages.collect { case ArrowCommitMessage(fs) => fs }.toSeq.flatten,
+      compactInterval)
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
@@ -128,7 +132,8 @@ case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class ArrowBatchWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, doTruncate: Boolean,
-    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    partitionCols: Seq[String], maxOpenWriters: Int = 64,
+    bucket: Option[(String, Int)] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -149,9 +154,21 @@ class ArrowBatchWrite(path: String, schema: StructType,
           else if (f.getName.endsWith(".inprogress")) f.delete()
         })
       sweepTmp(dir.toFile)
+    } else if (Files.isDirectory(
+        dir.resolve(ArrowDataSource.MetadataDirName))) {
+      // An APPEND into a streaming-sink directory would write files no
+      // manifest ever lists — every reader hides them (visibleIpcFiles
+      // honors the commit log), so the rows would vanish silently:
+      // Spark's _spark_metadata gotcha. Refuse instead of losing data.
+      throw new UnsupportedOperationException(
+        s"arrow: $path carries a streaming commit log " +
+          s"(${ArrowDataSource.MetadataDirName}); a batch append here " +
+          "would write files invisible to every reader. Use " +
+          "mode(\"overwrite\") to truncate the directory (clears the " +
+          "commit log) or keep appending through writeStream.")
     }
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
-      maxOpenWriters)
+      maxOpenWriters, bucket)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -164,15 +181,70 @@ class ArrowBatchWrite(path: String, schema: StructType,
 
 class ArrowWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
-    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    partitionCols: Seq[String], maxOpenWriters: Int = 64,
+    bucket: Option[(String, Int)] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    if (partitionCols.isEmpty)
-      new ArrowDataWriter(path, schema, codec, batchRows, partitionId, taskId)
-    else
-      new ArrowPartitionedWriter(path, schema, codec, batchRows,
-        partitionId, taskId, partitionCols, maxOpenWriters)
+    bucket match {
+      case Some((col, n)) =>
+        new ArrowBucketedWriter(path, schema, codec, batchRows,
+          partitionId, taskId, col, n)
+      case None if partitionCols.isEmpty =>
+        new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
+          taskId)
+      case None =>
+        new ArrowPartitionedWriter(path, schema, codec, batchRows,
+          partitionId, taskId, partitionCols, maxOpenWriters)
+    }
+}
+
+/** Bucketed layout: each row routes to the sub-file of
+  * `GraftBucket.idOf(hash(key), n)`, and every file footer records its
+  * `(bucket column, n, id)` — the metadata [[ArrowScan]] turns into a
+  * reported `bucket(n, col)` KeyGroupedPartitioning, so two tables
+  * bucketed with the same `n` on their join keys sort-merge-join with
+  * NO exchange on either side (parquet's `bucketBy` for the Arrow
+  * source, resolved through [[GraftCatalog]]).
+  *
+  * One open sub-writer per bucket id seen by this task (≤ n; input
+  * pre-clustered by the key keeps it near 1). n is capped: a bucketed
+  * layout wants tens of buckets per join-parallelism target, not a
+  * partition-per-key explosion. */
+class ArrowBucketedWriter(path: String, schema: StructType,
+    codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
+    bucketCol: String, numBuckets: Int)
+    extends DataWriter[InternalRow] {
+  require(numBuckets > 0 && numBuckets <= 4096,
+    s"numBuckets must be in [1, 4096], got $numBuckets")
+  private val ord = schema.fieldIndex(bucketCol)
+  private val keyType = schema.fields(ord).dataType
+  require(GraftBucket.supported(keyType),
+    s"arrow bucketBy column $bucketCol has unsupported type $keyType")
+
+  private val writers = new Array[ArrowDataWriter](numBuckets)
+
+  override def write(row: InternalRow): Unit = {
+    val id = GraftBucket.idOf(keyType, row, ord, numBuckets)
+    var w = writers(id)
+    if (w == null) {
+      w = new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
+        taskId, null, Map(
+          GraftBucket.MetaCol -> bucketCol,
+          GraftBucket.MetaN -> numBuckets.toString,
+          GraftBucket.MetaId -> id.toString))
+      writers(id) = w
+    }
+    w.write(row)
+  }
+
+  override def commit(): WriterCommitMessage =
+    ArrowCommitMessage(writers.filter(_ != null).toSeq
+      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs }))
+
+  override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
+
+  override def close(): Unit = writers.filter(_ != null).foreach(_.close())
 }
 
 /** Hive-style dynamic-partition routing: each row lands in
@@ -271,7 +343,8 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
 
 class ArrowDataWriter(path: String, schema: StructType,
     codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long,
-    colMapOrNull: Array[Int] = null)
+    colMapOrNull: Array[Int] = null,
+    extraMeta: Map[String, String] = Map.empty)
     extends DataWriter[InternalRow] {
 
   // File field i reads incoming-row ordinal colMap(i) — identity for
@@ -310,6 +383,7 @@ class ArrowDataWriter(path: String, schema: StructType,
   // REFERENCE and serializes it into the footer at end(), so filling it
   // during batch writes (footers are written last) is sound.
   private val metaData = new java.util.HashMap[String, String]()
+  extraMeta.foreach { case (k, v) => metaData.put(k, v) }
   private val writer: ArrowFileWriter = codecType match {
     case None =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),
@@ -461,12 +535,68 @@ class ArrowDataWriter(path: String, schema: StructType,
       case (v: DecimalVector, d: org.apache.spark.sql.types.DecimalType) =>
         v.setSafe(idx,
           row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal)
+      case (v: complex.MapVector, MapType(kt, vt, _)) =>
+        writeMap(v, kt, vt, row.getMap(col), idx)
       case (v: ListVector, ArrayType(elem, _)) =>
         writeList(v, elem, row.getArray(col), idx)
       case (v, t) => throw new UnsupportedOperationException(
         s"graft arrow writer: $t into ${v.getClass.getSimpleName}")
     }
   }
+
+  /** Arrow canonical map layout (map<entries: struct<key,value>>, null
+    * keys forbidden) via the UnionMapWriter protocol — the
+    * `events.props`-shaped column a pipeline otherwise has to
+    * pre-flatten before an Arrow write. */
+  private def writeMap(v: complex.MapVector, kt: DataType, vt: DataType,
+      m: org.apache.spark.sql.catalyst.util.MapData, idx: Int): Unit = {
+    val w = v.getWriter
+    w.setPosition(idx)
+    w.startMap()
+    val keys = m.keyArray()
+    val vals = m.valueArray()
+    var j = 0
+    val n = m.numElements()
+    while (j < n) {
+      w.startEntry()
+      writeMapScalar(w.key(), kt, keys, j)
+      writeMapScalar(w.value(), vt, vals, j)
+      w.endEntry()
+      j += 1
+    }
+    w.endMap()
+  }
+
+  private def writeMapScalar(
+      w: org.apache.arrow.vector.complex.writer.BaseWriter.MapWriter,
+      dt: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData, j: Int): Unit =
+    dt match {
+      case LongType =>
+        if (arr.isNullAt(j)) w.bigInt().writeNull()
+        else w.bigInt().writeBigInt(arr.getLong(j))
+      case IntegerType =>
+        if (arr.isNullAt(j)) w.integer().writeNull()
+        else w.integer().writeInt(arr.getInt(j))
+      case DoubleType =>
+        if (arr.isNullAt(j)) w.float8().writeNull()
+        else w.float8().writeFloat8(arr.getDouble(j))
+      case BooleanType =>
+        if (arr.isNullAt(j)) w.bit().writeNull()
+        else w.bit().writeBit(if (arr.getBoolean(j)) 1 else 0)
+      case StringType =>
+        if (arr.isNullAt(j)) w.varChar().writeNull()
+        else {
+          val bytes = arr.getUTF8String(j).getBytes
+          val buf = allocator.buffer(bytes.length)
+          try {
+            buf.writeBytes(bytes)
+            w.varChar().writeVarChar(0, bytes.length, buf)
+          } finally buf.close()
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft arrow writer: map entry type $other")
+    }
 
   private def writeList(v: ListVector, elem: DataType,
       arr: org.apache.spark.sql.catalyst.util.ArrayData, idx: Int): Unit = {

@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftBucket, GraftCatalog}
+
+/** Bucketed layout for the ARROW source — the storage-partitioned-join
+  * twin of [[BucketingSpec]] (parquet `bucketBy`): both tables written
+  * with the same `bucket(n, key)` layout, read through the graft
+  * catalog (Catalyst resolves non-identity transforms only via a
+  * FunctionCatalog), joined with NO shuffle exchange on either side. */
+class ArrowBucketingSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("arrow_bucket").toString
+
+  private def tbl(dir: String) = spark.table(s"graft.arrow.`$dir`")
+
+  test("bucketed arrow tables join without a shuffle and match the plain join") {
+    val li = Tables.load(spark, TestSession.Sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, TestSession.Sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val liDir = tmpDir(); val oDir = tmpDir()
+    li.write.format("arrow").option("bucketBy", "l_orderkey")
+      .option("numBuckets", "8").mode("overwrite").save(liDir)
+    o.write.format("arrow").option("bucketBy", "o_orderkey")
+      .option("numBuckets", "8").mode("overwrite").save(oDir)
+
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.sources.v2.bucketing.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+
+      val joined = tbl(liDir).join(tbl(oDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed arrow join still shuffles:\n$plan")
+
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, "bucketed join changed the answer")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("writer stamps every file footer with its bucket layout") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "nation")
+      .select("n_nationkey", "n_name")
+      .write.format("arrow").option("bucketBy", "n_nationkey")
+      .option("numBuckets", "4").mode("overwrite").save(dir)
+    val stamps = ArrowDataSource.visibleIpcFiles(dir)
+      .map(f => ArrowDataSource.footerInfo(f).bucket)
+    assert(stamps.nonEmpty && stamps.forall(_.isDefined))
+    assert(stamps.flatten.map(s => (s._1, s._2)).distinct ==
+      Seq(("n_nationkey", 4)), s"stamps: $stamps")
+    // routing is the shared hash: every row in a file hashes to its id
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() ==
+      Tables.load(spark, TestSession.Sf, "nation").count())
+  }
+
+  test("bucket routing matches the V2 function Spark would evaluate") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val f = new GraftBucketFunctionAccess().bound(
+      org.apache.spark.sql.types.LongType)
+    for (v <- Seq(0L, 1L, -7L, 42L, 123456789L)) {
+      val viaFn = f.produceResult(
+        new GenericInternalRow(Array[Any](8, v)))
+      val direct = GraftBucket.idOf(org.apache.spark.sql.types.LongType,
+        new GenericInternalRow(Array[Any](0L, v)), 1, 8)
+      assert(viaFn == direct, s"function/layout hash drift at $v")
+      assert(viaFn >= 0 && viaFn < 8)
+    }
+  }
+
+  test("a plain (unbucketed) directory reports no key-grouped partitioning") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "region")
+      .write.format("arrow").mode("overwrite").save(dir)
+    val stamps = ArrowDataSource.visibleIpcFiles(dir)
+      .map(f => ArrowDataSource.footerInfo(f).bucket)
+    assert(stamps.forall(_.isEmpty))
+    // and reading through the catalog still answers correctly
+    assert(tbl(dir).count() ==
+      Tables.load(spark, TestSession.Sf, "region").count())
+  }
+}
+
+/** Test access to the bound bucket function (bind is the public path). */
+class GraftBucketFunctionAccess {
+  def bound(keyType: org.apache.spark.sql.types.DataType) =
+    new graft.sources.arrow.GraftBucketFunction().bind(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_0",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("_1", keyType))))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.functions
+        .ScalarFunction[Integer]]
+}

@@ -23,6 +23,23 @@ class DedupSimSpec extends AnyFunSuite {
     assert((lsh -- exact).isEmpty)
   }
 
+  test("sim_cosine_neardup refuses to plan its N-squared join above the guard") {
+    // the exactness baseline must not be cargo-culted onto a large
+    // corpus: above spark.graft.cosineNearDup.maxRows it fails fast
+    // and points at the bucketed ANN queries instead
+    val key = "spark.graft.cosineNearDup.maxRows"
+    spark.conf.set(key, "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        VectorQueries.cosineNearDup(spark, TestSession.Sf)
+      }
+      assert(e.getMessage.contains("sim_ann_lsh"),
+        s"guard must point at the scale path: ${e.getMessage}")
+    } finally spark.conf.unset(key)
+    // back under the guard the baseline still plans and returns pairs
+    assert(VectorQueries.cosineNearDup(spark, TestSession.Sf).count() > 0)
+  }
+
   test("simhash flags pairs that exact Jaccard also flags") {
     val sim = DedupQueries.simhashDedup(spark, TestSession.Sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
