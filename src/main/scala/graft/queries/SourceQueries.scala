@@ -165,7 +165,57 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucketed Arrow layout end-to-end: both join sides written with the
+    * same `bucket(8, key)` layout (footer-stamped), read through the
+    * graft V2 catalog so Catalyst resolves the reported bucket
+    * transform, and equi-joined — storage-partitioned join drops both
+    * exchanges (ArrowBucketingSpec pins the plan shape; this query pins
+    * the ANSWER against the plain parquet join). At 100 TB this is the
+    * repeated-fact-fact-join layout: the shuffle is paid once at write
+    * time, then every subsequent join on the key is exchange-free. */
+  def arrowBucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val liOut = tmp("arrowbkt_li", dir)
+    val oOut = tmp("arrowbkt_o", dir)
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
+      .write.format("arrow").option("bucketBy", "l_orderkey")
+      .option("numBuckets", "8").mode("overwrite").save(liOut)
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
+      .write.format("arrow").option("bucketBy", "o_orderkey")
+      .option("numBuckets", "8").mode("overwrite").save(oOut)
+    spark.table(s"graft.arrow.`$liOut`")
+      .join(spark.table(s"graft.arrow.`$oOut`"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Map columns through the Arrow source (`events.props` shape):
+    * JSON → map<string,bigint> → Arrow map<entries> layout → read back
+    * → key lookup → aggregate. The oracle recomputes from the raw JSON
+    * in DuckDB, so a hash match proves the map layout is lossless. */
+  def arrowMapAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowmap", dir)
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)).as("m"))
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .select(col("event_type"), col("m").getItem("k").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_bucketed_join" -> (arrowBucketedJoin _),
+    "arrow_map_agg" -> (arrowMapAgg _),
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "arrow_agg_pushdown" -> (arrowAggPushdown _),
     "arrow_dict_agg" -> (arrowDictAgg _),
@@ -177,6 +227,16 @@ object SourceQueries {
     "json_variant_agg" -> (jsonVariantAgg _))
 
   val sql: Map[String, String] = Map(
+    "arrow_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "arrow_map_agg" ->
+      """SELECT event_type,
+        | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "arrow_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
