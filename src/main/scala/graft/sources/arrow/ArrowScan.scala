@@ -326,7 +326,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
   override def description(): String =
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}] " +
-      s"partFilters=[${partFilters.mkString(",")}]"
+      s"partFilters=[${partFilters.mkString(",")}]" +
+      bucketLayout.fold("") { case (c, n) => s" bucketed=[$c,$n]" }
 
   /** Runtime (DPP-style) filters: Spark hands the build side's actual
     * partition-key values after planning; only partition-column
@@ -539,8 +540,10 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
 class ArrowMicroBatchStream(path: String, schema: StructType,
     filters: Array[Filter], partFilters: Array[Filter],
     partSchema: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   case class ArrowFilesOffset(files: Set[String]) extends Offset {
     override def json(): String = {
@@ -610,7 +613,7 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
     case None => ArrowFilesOffset(Set.empty)
   }
 
-  override def latestOffset(): Offset = epochRoot match {
+  private def liveLatest(): Offset = epochRoot match {
     case Some(root) =>
       ArrowEpochOffset(ArrowDataSource.latestCommittedEpoch(root))
     case None =>
@@ -618,6 +621,27 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
       guardOffsetSize(files.size)
       ArrowFilesOffset(files)
   }
+
+  // ---- Trigger.AvailableNow (SupportsTriggerAvailableNow) ----------
+  // The run's END offset is captured ONCE at prepare time: the query
+  // drains exactly the data available at start and stops, immune to
+  // files (or sink epochs) landing mid-run — Spark's file source
+  // semantics, instead of the single-batch fallback it would otherwise
+  // warn about and approximate.
+  private var availableNowTarget: Option[Offset] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(liveLatest())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    availableNowTarget.getOrElse(liveLatest())
+
+  override def reportLatestOffset(): Offset = liveLatest()
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
 
   override def deserializeOffset(json: String): Offset =
     if (json.trim.startsWith("{")) {

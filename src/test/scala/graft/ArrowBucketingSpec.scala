@@ -66,6 +66,56 @@ class ArrowBucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("one bucketed side: Spark shuffles the other side with the V2 bucket function") {
+    // v2.bucketing.shuffle lets Spark hash the UNBUCKETED side with our
+    // GraftBucketBound ScalarFunction to match the bucketed side's
+    // layout — one exchange instead of two, and an end-to-end execution
+    // of the function itself (SPJ alone only compares canonical names)
+    val li = Tables.load(spark, TestSession.Sf, "lineitem")
+      .select("l_orderkey", "l_quantity")
+    val o = Tables.load(spark, TestSession.Sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+    val liDir = tmpDir(); val oDir = tmpDir()
+    li.write.format("arrow").option("bucketBy", "l_orderkey")
+      .option("numBuckets", "8").mode("overwrite").save(liDir)
+    o.write.format("arrow").mode("overwrite").save(oDir) // NOT bucketed
+
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+
+      val joined = tbl(liDir).join(tbl(oDir),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      val exchanges = "Exchange ".r.findAllIn(joinPart).length
+      assert(exchanges == 1,
+        s"expected exactly one exchange (probe side only), got $exchanges:\n$plan")
+
+      val expected = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        "V2-function shuffle mis-routed rows (hash drift between " +
+          "writer layout and ScalarFunction)")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("writer stamps every file footer with its bucket layout") {
     val dir = tmpDir()
     Tables.load(spark, TestSession.Sf, "nation")
