@@ -147,6 +147,28 @@ class ArrowBucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucket stamps survive the dictionary-encode rewrite (layouts compose)") {
+    // ArrowOptimize copies footer metadata verbatim, so an OPTIMIZE'd
+    // bucketed directory keeps its layout: dictionary compression and
+    // exchange-free joins are independent storage properties
+    val dir = tmpDir(); val opt = tmpDir()
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select("o_orderkey", "o_orderpriority")
+      .write.format("arrow").option("bucketBy", "o_orderkey")
+      .option("numBuckets", "4").mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowOptimize.dictionaryEncode(
+      spark, dir, opt, codec = Some("zstd"))
+    val stamps = ArrowDataSource.visibleIpcFiles(opt)
+      .map(f => ArrowDataSource.footerInfo(f).bucket)
+    assert(stamps.nonEmpty && stamps.forall(_.isDefined),
+      s"rewrite dropped bucket stamps: $stamps")
+    assert(stamps.flatten.map(s => (s._1, s._2)).distinct ==
+      Seq(("o_orderkey", 4)))
+    // and the rewritten table still answers exactly
+    assert(spark.read.format("arrow").load(opt).count() ==
+      Tables.load(spark, TestSession.Sf, "orders").count())
+  }
+
   test("a plain (unbucketed) directory reports no key-grouped partitioning") {
     val dir = tmpDir()
     Tables.load(spark, TestSession.Sf, "region")
