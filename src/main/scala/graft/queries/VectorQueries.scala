@@ -269,6 +269,68 @@ object VectorQueries {
   def annIvfMultiprobe(spark: SparkSession, dir: String): DataFrame =
     annIvfImpl(spark, dir, nprobe = 3)
 
+  /** IVF as a PERSISTED index layout: the cell assignment is written
+    * once as a cell-partitioned Arrow directory (`partitionBy("cell")`
+    * — Hive-style value dirs), and probing becomes a partition-filtered
+    * scan: the probed cell ids (index METADATA — at most
+    * queries × nprobe ints, collected to the driver like the centroids
+    * themselves) turn into a planning-time partition filter, so the
+    * scan opens ONLY the probed cells' files. At 100 TB this is the
+    * difference between re-deriving the assignment per query (the
+    * in-memory `sim_ann_ivf` shape) and amortizing it: build the
+    * index once, then every query is a file-pruned scan of
+    * nprobe/k of the corpus. Results are EXACTLY `sim_ann_ivf`'s
+    * (same cached centroids, same scoring/tie-breaks; floats
+    * round-trip bit-exact through Arrow) — DedupSimSpec pins the
+    * equality and the file pruning. */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.functions.DotProduct.register(spark)
+    val cents = ivfFit(spark, dir)
+    val cdf = broadcast(cents.toDF("cell", "centroid"))
+    val e = withNorm(spark, dir)
+    val cellScores = e.crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"),
+        (expr("graft_dot(centroid, centroid)")
+          - lit(2.0) * expr("graft_dot(embedding, centroid)"))
+          .as("score"))
+    // build (or rebuild) the index layout: one file set per cell
+    val index = graft.Scratch.dir("ivf_index", dir)
+    cellScores
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cell"), col("score")).as("cell"),
+        first(col("embedding")).as("embedding"),
+        first(col("nsq")).as("nsq"))
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
+      .write.format("arrow").partitionBy("cell")
+      .mode("overwrite").save(index)
+    // probe: each query's single nearest cell (nprobe=1, as sim_ann_ivf)
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("cell").asc)
+    val q = cellScores.filter(col("vec_id") < 20)
+      .withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= 1)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"), col("cell").as("q_cell"))
+    val probed = q.select(col("q_cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val t = spark.read.format("arrow").load(index)
+      .filter(col("cell").isin(probed.toSeq: _*))
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"),
+        col("nsq").as("t_nsq"), col("cell").as("t_cell"))
+    val scored = t.join(broadcast(q),
+        col("t_cell") === col("q_cell") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** The typed [[graft.functions.VectorMeanAgg]] Aggregator on the
     * declared (oracle-checked) surface: single-pass per-label centroid,
     * first three dimensions exposed as scalars. The oracle recomputes
@@ -294,6 +356,7 @@ object VectorQueries {
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
+    "sim_ann_ivf_indexed" -> (annIvfIndexed _),
     "sim_centroids" -> (centroids _),
     "sim_hybrid_search" -> (hybridSearch _),
     "vec_quantize_int8" -> (vectorQuantize _),

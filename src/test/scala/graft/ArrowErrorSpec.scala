@@ -24,6 +24,42 @@ class ArrowErrorSpec extends AnyFunSuite {
     assert(graft.sources.arrow.ArrowDataSource.listIpcFiles(dir).isEmpty)
   }
 
+  test("bucketBy option errors fail fast with naming messages") {
+    val region = Tables.load(spark, TestSession.Sf, "region")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    def dir() = java.nio.file.Files.createTempDirectory("arrow_bkt_err")
+      .toString
+    // bucketBy without numBuckets
+    val e1 = intercept[Exception] {
+      region.write.format("arrow").option("bucketBy", "r_regionkey")
+        .mode("overwrite").save(dir())
+    }
+    assert(messages(e1).exists(_.contains("numBuckets")), messages(e1))
+    // bucketBy + partitionBy is unsupported
+    val e2 = intercept[Exception] {
+      region.write.format("arrow").option("bucketBy", "r_regionkey")
+        .option("numBuckets", "4").partitionBy("r_name")
+        .mode("overwrite").save(dir())
+    }
+    assert(messages(e2).exists(_.contains("partitionBy")), messages(e2))
+    // unsupported key type (double)
+    val e3 = intercept[Exception] {
+      Tables.load(spark, TestSession.Sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .write.format("arrow").option("bucketBy", "o_totalprice")
+        .option("numBuckets", "4").mode("overwrite").save(dir())
+    }
+    assert(messages(e3).exists(_.contains("unsupported type")), messages(e3))
+    // numBuckets out of range
+    val e4 = intercept[Exception] {
+      region.write.format("arrow").option("bucketBy", "r_regionkey")
+        .option("numBuckets", "0").mode("overwrite").save(dir())
+    }
+    assert(messages(e4).exists(_.contains("numBuckets")), messages(e4))
+  }
+
   test("reading a directory with no arrow files fails schema inference") {
     val dir = java.nio.file.Files.createTempDirectory("arrow_empty").toString
     val e = intercept[Exception] {

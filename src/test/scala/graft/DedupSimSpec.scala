@@ -119,6 +119,23 @@ class DedupSimSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF index answers exactly like the in-memory IVF probe") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = rows(VectorQueries.annIvf(spark, TestSession.Sf))
+    val idx = rows(VectorQueries.annIvfIndexed(spark, TestSession.Sf))
+    assert(idx == mem,
+      s"index layout changed answers: only-mem=${mem -- idx} only-idx=${idx -- mem}")
+    // and probing is a partition-filtered scan: the probed-cell filter
+    // prunes whole cell directories at planning time
+    val index = graft.Scratch.dir("ivf_index", TestSession.Sf)
+    val full = spark.read.format("arrow").load(index)
+    val probedOne = full.filter(org.apache.spark.sql.functions.col("cell") === 0)
+    assert(probedOne.rdd.getNumPartitions < full.rdd.getNumPartitions,
+      "cell filter pruned no index files")
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
