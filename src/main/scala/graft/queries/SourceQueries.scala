@@ -213,7 +213,29 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Per-file Bloom pruning on a high-cardinality key: orders written
+    * hash-distributed (every file spans the full o_custkey range, so
+    * zone maps prune NOTHING) with a footer bloom on o_custkey; the
+    * point-IN lookup then skips every file whose bloom proves its
+    * probes absent (ArrowBloomSpec pins the pruning; this query pins
+    * the ANSWER against parquet). The 100 TB story: a
+    * needle-in-haystack lookup reads ~1% (the false-positive rate) of
+    * the corpus instead of all of it. */
+  def arrowBloomScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowbloom", dir)
+    Tables.orders(spark, dir)
+      .repartition(8, col("o_orderkey"))
+      .write.format("arrow").option("bloomFilterColumns", "o_custkey")
+      .mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .filter(col("o_custkey").isin(7L, 11L, 13L, 999999999L))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_bloom_scan" -> (arrowBloomScan _),
     "arrow_bucketed_join" -> (arrowBucketedJoin _),
     "arrow_map_agg" -> (arrowMapAgg _),
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
@@ -227,6 +249,12 @@ object SourceQueries {
     "json_variant_agg" -> (jsonVariantAgg _))
 
   val sql: Map[String, String] = Map(
+    "arrow_bloom_scan" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |WHERE o_custkey IN (7, 11, 13, 999999999)""".stripMargin,
     "arrow_bucketed_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n,
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

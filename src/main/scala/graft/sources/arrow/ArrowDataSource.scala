@@ -144,7 +144,9 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64),
       Option(info.options.get("manifestCompactInterval")).map(_.toInt)
         .getOrElse(ArrowDataSource.DefaultCompactInterval),
-      bucket)
+      bucket,
+      Option(info.options.get("bloomFilterColumns")).toSeq
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -517,7 +519,8 @@ object ArrowDataSource {
   final case class FooterInfo(sizes: Seq[Long],
       zoneMap: Option[ZoneMaps.ZoneMap],
       rowStats: Option[ZoneMaps.RowStats.Stats],
-      bucket: Option[(String, Int, Int)] = None)
+      bucket: Option[(String, Int, Int)] = None,
+      blooms: Map[String, Array[Long]] = Map.empty)
 
   def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
@@ -536,7 +539,12 @@ object ArrowDataSource {
         n <- Option(reader.getMetaData.get(GraftBucket.MetaN))
         i <- Option(reader.getMetaData.get(GraftBucket.MetaId))
       } yield (c, n.toInt, i.toInt)
-      FooterInfo(sizes, zm, rs, bk)
+      val blooms = reader.getMetaData.asScala.iterator.collect {
+        case (k, v) if k.startsWith(ArrowBloom.MetaPrefix) =>
+          ArrowBloom.decode(v)
+            .map(bits => k.stripPrefix(ArrowBloom.MetaPrefix) -> bits)
+      }.flatten.toMap
+      FooterInfo(sizes, zm, rs, bk, blooms)
     } finally { reader.close(); ch.close() }
   }
 

@@ -484,7 +484,15 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       val (blocks, zoneMap) = (info.sizes, info.zoneMap)
       val bucketId =
         if (bucketed) info.bucket.map(_._3).getOrElse(-1) else -1
-      if (blocks.isEmpty)
+      // file-level bloom skip: a pushed point predicate whose probe
+      // value provably never entered this file eliminates the WHOLE
+      // file — the pruning zone maps cannot do on high-cardinality
+      // columns (filters are ANDed, so one proven-absent conjunct is
+      // enough; false positives only cost a scan, never correctness)
+      if (filters.nonEmpty && info.blooms.nonEmpty &&
+          filters.exists(ArrowBloom.provesAbsent(info.blooms, schema, _)))
+        Seq.empty
+      else if (blocks.isEmpty)
         Seq(ArrowFilePartition(p.toString, Array.empty, partVals, bucketId))
       else {
         val keep: Int => Boolean =

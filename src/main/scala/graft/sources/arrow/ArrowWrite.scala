@@ -51,7 +51,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
     partitionCols: Seq[String] = Seq.empty, maxOpenWriters: Int = 64,
     compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -60,7 +61,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
-        partitionCols, maxOpenWriters, bucket)
+        partitionCols, maxOpenWriters, bucket, bloomCols)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -71,7 +72,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
           "update); complete mode needs per-epoch truncation it does " +
           "not implement")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
-        partitionCols, maxOpenWriters, compactInterval)
+        partitionCols, maxOpenWriters, compactInterval, bloomCols)
     }
   }
 }
@@ -91,14 +92,15 @@ class ArrowWriteBuilder(path: String, schema: StructType,
 class ArrowStreamingWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
     maxOpenWriters: Int = 64,
-    compactInterval: Int = ArrowDataSource.DefaultCompactInterval)
+    compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
+    bloomCols: Seq[String] = Seq.empty)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     new ArrowStreamingWriterFactory(path, schema, codec, batchRows,
-      partitionCols, maxOpenWriters)
+      partitionCols, maxOpenWriters, bloomCols)
   }
 
   override def commit(epochId: Long,
@@ -116,16 +118,16 @@ class ArrowStreamingWrite(path: String, schema: StructType,
 
 class ArrowStreamingWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
-    maxOpenWriters: Int = 64)
+    maxOpenWriters: Int = 64, bloomCols: Seq[String] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     if (partitionCols.isEmpty)
       new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
-        taskId)
+        taskId, null, Map.empty, bloomCols)
     else
       new ArrowPartitionedWriter(path, schema, codec, batchRows,
-        partitionId, taskId, partitionCols, maxOpenWriters)
+        partitionId, taskId, partitionCols, maxOpenWriters, bloomCols)
 }
 
 case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
@@ -133,7 +135,8 @@ case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
 class ArrowBatchWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, doTruncate: Boolean,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -168,7 +171,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
           "commit log) or keep appending through writeStream.")
     }
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
-      maxOpenWriters, bucket)
+      maxOpenWriters, bucket, bloomCols)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -182,20 +185,21 @@ class ArrowBatchWrite(path: String, schema: StructType,
 class ArrowWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
-    bucket: Option[(String, Int)] = None)
+    bucket: Option[(String, Int)] = None,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     bucket match {
       case Some((col, n)) =>
         new ArrowBucketedWriter(path, schema, codec, batchRows,
-          partitionId, taskId, col, n)
+          partitionId, taskId, col, n, bloomCols)
       case None if partitionCols.isEmpty =>
         new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
-          taskId)
+          taskId, null, Map.empty, bloomCols)
       case None =>
         new ArrowPartitionedWriter(path, schema, codec, batchRows,
-          partitionId, taskId, partitionCols, maxOpenWriters)
+          partitionId, taskId, partitionCols, maxOpenWriters, bloomCols)
     }
 }
 
@@ -213,7 +217,7 @@ class ArrowWriterFactory(path: String, schema: StructType,
   * partition-per-key explosion. */
 class ArrowBucketedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
-    bucketCol: String, numBuckets: Int)
+    bucketCol: String, numBuckets: Int, bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
   require(numBuckets > 0 && numBuckets <= 4096,
     s"numBuckets must be in [1, 4096], got $numBuckets")
@@ -232,7 +236,7 @@ class ArrowBucketedWriter(path: String, schema: StructType,
         taskId, null, Map(
           GraftBucket.MetaCol -> bucketCol,
           GraftBucket.MetaN -> numBuckets.toString,
-          GraftBucket.MetaId -> id.toString))
+          GraftBucket.MetaId -> id.toString), bloomCols)
       writers(id) = w
     }
     w.write(row)
@@ -267,7 +271,8 @@ class ArrowBucketedWriter(path: String, schema: StructType,
   * high cardinality.) */
 class ArrowPartitionedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
-    partitionCols: Seq[String], maxOpenWriters: Int = 64)
+    partitionCols: Seq[String], maxOpenWriters: Int = 64,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   private val partOrdinals: Array[Int] =
@@ -314,7 +319,8 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
         val dir = Paths.get(path, rel)
         Files.createDirectories(dir)
         val fresh = new ArrowDataWriter(dir.toString, dataSchema, codec,
-          batchRows, partitionId, taskId, dataOrdinals)
+          batchRows, partitionId, taskId, dataOrdinals, Map.empty,
+          bloomCols)
         writers.put(rel, fresh)
         fresh
     }
@@ -344,7 +350,8 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
 class ArrowDataWriter(path: String, schema: StructType,
     codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long,
     colMapOrNull: Array[Int] = null,
-    extraMeta: Map[String, String] = Map.empty)
+    extraMeta: Map[String, String] = Map.empty,
+    bloomCols: Seq[String] = Seq.empty)
     extends DataWriter[InternalRow] {
 
   // File field i reads incoming-row ordinal colMap(i) — identity for
@@ -473,6 +480,40 @@ class ArrowDataWriter(path: String, schema: StructType,
   }
   // ------------------------------------------------------------------
 
+  // ---- per-FILE bloom filters (see ArrowBloom) ---------------------
+  // Opt-in point-lookup pruning for high-cardinality columns: one
+  // 64 KiB bloom per configured column per file, sealed into the
+  // footer. Unknown/unsupported column names are silently skipped —
+  // blooms are an optimization surface.
+  private val bloomColIdx: Array[Int] = bloomCols
+    .filter(schema.fieldNames.contains(_))
+    .map(schema.fieldIndex)
+    .filter(i => ArrowBloom.supported(schema.fields(i).dataType))
+    .toArray
+  private val bloomBits: Array[Array[Long]] =
+    bloomColIdx.map(_ => ArrowBloom.emptyBits())
+
+  private def bloomUpdate(row: InternalRow): Unit = {
+    var j = 0
+    while (j < bloomColIdx.length) {
+      val i = bloomColIdx(j)
+      val ord = colMap(i)
+      if (!row.isNullAt(ord)) {
+        val dt = schema.fields(i).dataType
+        val v: Any = dt match {
+          case StringType => row.getUTF8String(ord)
+          case LongType => row.getLong(ord)
+          case IntegerType => row.getInt(ord)
+          case ShortType => row.getShort(ord)
+          case _ => row.getByte(ord)
+        }
+        ArrowBloom.add(bloomBits(j), dt, v)
+      }
+      j += 1
+    }
+  }
+  // ------------------------------------------------------------------
+
   private def zmSealBatch(): Unit = {
     zmBatches += zmCols.indices.map { j =>
       if (!zmSeen(j) || zmPoisoned(j)) None
@@ -499,6 +540,7 @@ class ArrowDataWriter(path: String, schema: StructType,
     }
     zmUpdate(row)
     rsUpdate(row)
+    bloomUpdate(row)
     rowIdx += 1
     if (rowIdx >= BatchRows) flush()
   }
@@ -656,6 +698,10 @@ class ArrowDataWriter(path: String, schema: StructType,
         metaData.put(ZoneMaps.RowStats.MetaKey,
           ZoneMaps.RowStats.encode(rsCols.map(fields(_).name).toSeq,
             rsBatches.toSeq))
+      }
+      bloomColIdx.zipWithIndex.foreach { case (i, j) =>
+        metaData.put(ArrowBloom.MetaPrefix + fields(i).name,
+          ArrowBloom.encode(bloomBits(j)))
       }
       writer.end(); writer.close(); channel.close()
       root.close(); allocator.close()
