@@ -193,6 +193,38 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Bucketed AND sorted Arrow layout: both sides written
+    * `bucket(8, key)` with a verified `sortBy(key)` stamp, so the
+    * equi-join plans sort-merge with NEITHER exchanges NOR sorts
+    * (ArrowSortedSpec pins the plan; this query pins the ANSWER
+    * against the plain parquet join). The 100 TB shape: ordering is
+    * paid once at write time, and every later join on the key is both
+    * shuffle-free and sort-free. */
+  def arrowSortedJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    val liOut = tmp("arrowsrt_li", dir)
+    val oOut = tmp("arrowsrt_o", dir)
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
+      .repartition(1).sortWithinPartitions("l_orderkey")
+      .write.format("arrow").option("bucketBy", "l_orderkey")
+      .option("numBuckets", "8").option("sortBy", "l_orderkey")
+      .mode("overwrite").save(liOut)
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(1).sortWithinPartitions("o_orderkey")
+      .write.format("arrow").option("bucketBy", "o_orderkey")
+      .option("numBuckets", "8").option("sortBy", "o_orderkey")
+      .mode("overwrite").save(oOut)
+    spark.table(s"graft.arrow.`$liOut`")
+      .join(spark.table(s"graft.arrow.`$oOut`"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Map columns through the Arrow source (`events.props` shape):
     * JSON → map<string,bigint> → Arrow map<entries> layout → read back
     * → key lookup → aggregate. The oracle recomputes from the raw JSON
@@ -234,7 +266,48 @@ object SourceQueries {
         countDistinct(col("o_custkey")).as("n_cust"))
   }
 
+  /** GROUP BY a partition column answered ENTIRELY from footer
+    * metadata: each value directory's files carry per-file row counts
+    * and zone maps, so the grouped COUNT/MIN/MAX pushes down with the
+    * partition value as the group key and no data batch is ever loaded
+    * (ArrowAggPushdownSpec pins the zero-batch claim). The 100 TB
+    * story: a per-partition rollup over a petabyte layout is a footer
+    * pass, not a scan. The oracle recomputes from parquet. */
+  def arrowGroupedPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowgrp", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** LIMIT pushed into the scan: planning stops emitting splits once
+    * the footers' row counts prove the limit is covered — `LIMIT 1000`
+    * over a many-file directory schedules one split instead of one
+    * task per file (ArrowLimitSpec pins the truncation). The COUNT
+    * above the limit is the deterministic part of an otherwise
+    * arbitrary row choice, so it is what the oracle checks. */
+  def arrowLimitPushdown(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowlimit", dir)
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(8)
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.read.format("arrow").load(out)
+      .limit(1000)
+      .agg(count(lit(1)).as("n"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_group_pushdown" -> (arrowGroupedPushdown _),
+    "arrow_limit_pushdown" -> (arrowLimitPushdown _),
+    "arrow_sorted_join" -> (arrowSortedJoin _),
     "arrow_bloom_scan" -> (arrowBloomScan _),
     "arrow_bucketed_join" -> (arrowBucketedJoin _),
     "arrow_map_agg" -> (arrowMapAgg _),
@@ -249,6 +322,17 @@ object SourceQueries {
     "json_variant_agg" -> (jsonVariantAgg _))
 
   val sql: Map[String, String] = Map(
+    "arrow_group_pushdown" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_limit_pushdown" ->
+      """SELECT COUNT(*) AS n FROM (SELECT * FROM lineitem LIMIT 1000)""",
+    "arrow_sorted_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_bloom_scan" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

@@ -180,7 +180,30 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Partition-level DELETE on the Arrow source: orders land
+    * partitioned by status, `DELETE WHERE o_orderstatus = 'P'` removes
+    * that value directory at PLANNING time (file unlink, no rewrite,
+    * no scan — ArrowDeleteSpec pins the mechanics), and the surviving
+    * data aggregates exactly as the oracle's `WHERE <> 'P'`. The
+    * 100 TB shape: retention sweeps and GDPR-style partition drops are
+    * metadata operations, never table rewrites. */
+  def arrowDeletePartition(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_delete", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(out)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderstatus = 'P'")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_delete_partition" -> (arrowDeletePartition _),
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
@@ -207,6 +230,11 @@ object StorageQueries {
        |FULL OUTER JOIN ($updatesSql) u ON b.o_orderkey = u.o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "arrow_delete_partition" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "layout_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -92,7 +92,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
 
 class ArrowTable(schema: StructType, properties: Map[String, String],
     partitions: Array[Transform] = Array.empty)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String =
     s"arrow:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = schema
@@ -121,7 +122,61 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
     val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    new ArrowScanBuilder(path, schema, maxSplitBytes)
+    val epochAsOf = Option(options.get("epochAsOf"))
+      .orElse(properties.get("epochAsOf")).map(_.toLong)
+    new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf)
+  }
+
+  /** Partition-level DELETE: a predicate over partition columns selects
+    * whole value directories EXACTLY (every row of a file shares its
+    * directory's values), so `DELETE WHERE part = x` is a planning-time
+    * file removal — no rewrite, no scan; the metadata-only shape a
+    * 100 TB retention sweep needs. Predicates that touch data columns
+    * are refused (`canDeleteWhere` false → Spark reports the delete is
+    * not supported) rather than silently rewriting files. */
+  private def partSchemaOf(path: String): StructType =
+    ArrowDataSource.discoverPartitionSchema(path)
+
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
+    val path = properties.getOrElse("path", return false)
+    val ps = partSchemaOf(path)
+    filters.forall(f => f.references.nonEmpty &&
+      f.references.forall(ps.fieldNames.contains(_)) &&
+      FilterEval.supported(ps, f))
+  }
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val path = properties.getOrElse("path",
+      throw new IllegalArgumentException("arrow: path required"))
+    if (ArrowDataSource.sinkRoot(path).isDefined)
+      throw new UnsupportedOperationException(
+        s"arrow: $path carries a streaming commit log " +
+          s"(${ArrowDataSource.MetadataDirName}); DELETE would desync " +
+          "the manifests — rewrite the directory with a batch " +
+          "overwrite instead")
+    val ps = partSchemaOf(path)
+    require(canDeleteWhere(filters),
+      s"arrow DELETE supports partition-column predicates only, got " +
+        filters.mkString("[", ",", "]"))
+    val victims = ArrowDataSource.pruneByPartitionFilters(
+      ArrowDataSource.visibleIpcFiles(path), path, ps, filters.toSeq)
+    victims.foreach(java.nio.file.Files.deleteIfExists)
+    // sweep now-empty value directories so the layout stays canonical
+    def isEmptyDir(d: Path): Boolean = {
+      val s = Files.list(d)
+      try !s.iterator().hasNext finally s.close()
+    }
+    val root = Paths.get(path).toAbsolutePath.normalize
+    victims.map(_.getParent).distinct.foreach { d =>
+      var cur = d.toAbsolutePath.normalize
+      while (cur != null && cur != root && Files.isDirectory(cur) &&
+          isEmptyDir(cur)) {
+        Files.delete(cur)
+        cur = cur.getParent
+      }
+    }
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -146,7 +201,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
         .getOrElse(ArrowDataSource.DefaultCompactInterval),
       bucket,
       Option(info.options.get("bloomFilterColumns")).toSeq
-        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+        .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+      Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty))
   }
 }
 
@@ -269,13 +325,26 @@ object ArrowDataSource {
     * manifest — invisible here, which is what turns the sink's
     * at-least-once file writes into exactly-once reads. Flat
     * directories (no manifest) see every committed `.arrow` file. */
-  def visibleIpcFiles(dir: String): Seq[Path] = {
+  def visibleIpcFiles(dir: String): Seq[Path] = visibleIpcFiles(dir, None)
+
+  /** Time-travel listing: with `asOf = Some(e)` only files committed at
+    * sink epochs `<= e` are visible — the commit log IS a version
+    * history (epoch-attributed entries survive snapshot compaction), so
+    * any past epoch of an append-only sink can be re-read exactly:
+    * reproduce the training mixture as of last Tuesday's epoch. Flat
+    * directories have no commit log and refuse the option. */
+  def visibleIpcFiles(dir: String, asOf: Option[Long]): Seq[Path] = {
     val files = listIpcFiles(dir)
     sinkRoot(dir) match {
-      case None => files
+      case None =>
+        require(asOf.isEmpty,
+          s"epochAsOf: $dir carries no ${MetadataDirName} commit log " +
+            "to time-travel over")
+        files
       case Some(root) =>
         val committed = committedEntries(root)
-          .map { case (_, rel) => root.resolve(rel).normalize.toString }
+          .collect { case (e, rel) if asOf.forall(e <= _) =>
+            root.resolve(rel).normalize.toString }
           .toSet
         files.filter(f => committed(f.toAbsolutePath.normalize.toString))
     }
@@ -520,7 +589,8 @@ object ArrowDataSource {
       zoneMap: Option[ZoneMaps.ZoneMap],
       rowStats: Option[ZoneMaps.RowStats.Stats],
       bucket: Option[(String, Int, Int)] = None,
-      blooms: Map[String, Array[Long]] = Map.empty)
+      blooms: Map[String, Array[Long]] = Map.empty,
+      sort: Option[String] = None)
 
   def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
@@ -544,7 +614,8 @@ object ArrowDataSource {
           ArrowBloom.decode(v)
             .map(bits => k.stripPrefix(ArrowBloom.MetaPrefix) -> bits)
       }.flatten.toMap
-      FooterInfo(sizes, zm, rs, bk, blooms)
+      val sort = Option(reader.getMetaData.get(GraftSort.MetaCol))
+      FooterInfo(sizes, zm, rs, bk, blooms, sort)
     } finally { reader.close(); ch.close() }
   }
 

@@ -38,9 +38,10 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * file's footer at most once, however many planning passes consult it
   * (pushAggregation, estimateStatistics, planInputPartitions) — at
   * 100k files the difference between one metadata pass and three. */
-private[arrow] class FooterIndex(path: String) {
+private[arrow] class FooterIndex(path: String,
+    asOf: Option[Long] = None) {
   lazy val files: Seq[java.nio.file.Path] =
-    ArrowDataSource.visibleIpcFiles(path)
+    ArrowDataSource.visibleIpcFiles(path, asOf)
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, ArrowDataSource.FooterInfo]
   def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
@@ -48,11 +49,13 @@ private[arrow] class FooterIndex(path: String) {
 }
 
 class ArrowScanBuilder(path: String, schema: StructType,
-    maxSplitBytes: Long = 128L * 1024 * 1024)
+    maxSplitBytes: Long = 128L * 1024 * 1024,
+    epochAsOf: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
-  private val footerIdx = new FooterIndex(path)
+  private val footerIdx = new FooterIndex(path, epochAsOf)
 
   // Hive-style partition columns discovered from the directory layout
   // (empty for flat dirs); they live in paths, not files. Column NAMES
@@ -77,6 +80,22 @@ class ArrowScanBuilder(path: String, schema: StructType,
   // Set when pushAggregation accepted: the agg output schema plus the
   // per-file partial rows, already computed from footers on the driver.
   private var aggResult: Option[(StructType, Seq[Array[Any]])] = None
+  private var limit: Option[Int] = None
+
+  /** Limit pushdown, PARTIAL (Spark keeps its own Limit above): the
+    * scan must return at least `l` rows when the directory holds that
+    * many, so planning truncates the batch list only once the footers'
+    * row counts PROVE the target is covered. With a pushed data filter
+    * the proof breaks (the residual FilterExec above may drop rows), so
+    * the push is refused — Catalyst only offers the limit when filters
+    * were fully consumed anyway. The win is scheduling: `LIMIT 10` on a
+    * 100k-file directory plans one split instead of 100k tasks, the
+    * same trick parquet plays via its file-index listing limit. */
+  override def pushLimit(l: Int): Boolean =
+    if (pushed.nonEmpty) false
+    else { limit = Some(l); true }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(required: StructType): Unit = {
     // Preserve file field order for stable reader ordinals.
@@ -132,12 +151,26 @@ class ArrowScanBuilder(path: String, schema: StructType,
     * COUNT=0 semantics. Any file missing the needed stats rejects the
     * pushdown entirely and the query falls back to the ordinary
     * columnar scan — stats are an optimization, never a correctness
-    * surface. */
+    * surface.
+    *
+    * GROUP BY pushes down too when every grouping column is a
+    * PARTITION column: a file belongs to exactly one group (its value
+    * directory), so its footer partials are already per-group partials
+    * — the partial row carries the group key first (Spark's pushed-agg
+    * schema contract) and the final aggregate above merges per key. A
+    * `GROUP BY partition_col` rollup over a 100 TB layout is then a
+    * footer metadata pass, never a data scan. Grouping on any DATA
+    * column rejects the push (batches mix values; stats cannot split
+    * them). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // data filters invalidate footer stats; PARTITION filters do not —
     // they select whole files, and stats are per-file
-    if (pushed.nonEmpty || aggregation.groupByExpressions.nonEmpty)
-      return false
+    if (pushed.nonEmpty) return false
+    val groupCols: Seq[String] = aggregation.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          partColSet(r.fieldNames.head) => r.fieldNames.head
+      case _ => return false
+    }
 
     // Translate each agg func to (output field, per-file evaluator).
     sealed trait Op
@@ -194,13 +227,31 @@ class ArrowScanBuilder(path: String, schema: StructType,
         case _ => Left(())
       }
 
+    val nGroup = groupCols.length
+    val groupFields = groupCols.map { c =>
+      val f = partSchema.fields(partSchema.fieldIndex(c))
+      StructField(f.name, f.dataType, nullable = true)
+    }
     val files = survivingFiles
     val rows = files.map { f =>
       val info = footerIdx.info(f)
       val nBatches = info.sizes.length
-      val row = new Array[Any](resolved.length)
+      val row = new Array[Any](nGroup + resolved.length)
+      if (nGroup > 0) {
+        val vals = ArrowDataSource.partitionValuesOf(path, f,
+          partSchema.length)
+        groupCols.zipWithIndex.foreach { case (c, gi) =>
+          val pi = partSchema.fieldIndex(c)
+          row(gi) = vals(pi) match {
+            case None => null
+            case Some(v) => ArrowDataSource.partValueToInternal(
+              partSchema.fields(pi).dataType, v)
+          }
+        }
+      }
       var ok = true
-      resolved.zipWithIndex.foreach { case (op, i) =>
+      resolved.zipWithIndex.foreach { case (op, i0) =>
+        val i = nGroup + i0
         if (ok) op match {
           case CountAll => info.rowStats match {
             case Some(rs) if rs.batches.length == nBatches =>
@@ -237,19 +288,21 @@ class ArrowScanBuilder(path: String, schema: StructType,
 
     if (rows.exists(_.isEmpty)) return false
 
-    val outFields = resolved.map {
+    val outFields = groupFields ++ resolved.map {
       case MinOp(c, dt) => StructField(s"min($c)", dt)
       case MaxOp(c, dt) => StructField(s"max($c)", dt)
       case CountCol(c) => StructField(s"count($c)", LongType)
       case CountAll => StructField("count(*)", LongType)
     }
-    // Zero surviving files must still emit ONE zero-count partial row:
-    // Spark's partial-pushdown rewrite merges COUNT partials with Sum,
-    // and a global Sum over an EMPTY scan is NULL where COUNT over no
-    // rows must be 0. One explicit (0, null-min) row keeps the merge
-    // exact.
+    // Zero surviving files must still emit ONE zero-count partial row
+    // for the GLOBAL aggregate: Spark's partial-pushdown rewrite merges
+    // COUNT partials with Sum, and a global Sum over an EMPTY scan is
+    // NULL where COUNT over no rows must be 0. One explicit
+    // (0, null-min) row keeps the merge exact. A GROUPED aggregate over
+    // zero files correctly yields zero groups — no synthetic row.
     val partials =
       if (rows.nonEmpty) rows.map(_.get)
+      else if (nGroup > 0) Seq.empty
       else Seq(resolved.map {
         case CountAll | CountCol(_) => 0L: Any
         case _ => null: Any
@@ -271,7 +324,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
-      maxSplitBytes, footerIdx)
+      maxSplitBytes, footerIdx, limit)
   }
 }
 
@@ -279,9 +332,11 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     partFilters: Array[Filter] = Array.empty,
     partSchema: StructType = StructType(Seq.empty),
     maxSplitBytes: Long = 128L * 1024 * 1024,
-    idx: FooterIndex = null)
+    idx: FooterIndex = null,
+    limit: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering with SupportsReportPartitioning {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning
+    with SupportsReportOrdering {
   private val footerIdx = Option(idx).getOrElse(new FooterIndex(path))
 
   /** The directory's bucketed layout `(col, numBuckets)` — present only
@@ -299,6 +354,44 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       }
     }
   }
+
+  /** The directory's verified sort column — reported as the scan's V2
+    * output ordering only when it is PER-PARTITION sound:
+    * every file carries the same [[GraftSort]] stamp and the column
+    * survives pruning; each split is a contiguous (or zone-map-thinned,
+    * still ascending) range of one sorted file. Bucketed layouts
+    * additionally need one file per bucket, because Spark merges
+    * same-key splits into one partition and a concatenation of two
+    * sorted files is not sorted — in that case [[planInputPartitions]]
+    * also keeps one split per file. The payoff: a bucketed+sorted
+    * equi-join plans sort-merge with NEITHER exchanges NOR sorts — the
+    * write pays the ordering once, every later join rides it free. */
+  private lazy val sortedCol: Option[String] = {
+    val files = footerIdx.files
+    if (files.isEmpty) None
+    else {
+      val stamps = files.map(f => footerIdx.info(f).sort)
+      if (stamps.exists(_.isEmpty)) None
+      else stamps.flatten.distinct match {
+        case Seq(c) if schema.fieldNames.contains(c) =>
+          bucketLayout match {
+            case Some(_) =>
+              val ids = files.flatMap(f => footerIdx.info(f).bucket.map(_._3))
+              if (ids.distinct.length == ids.length) Some(c) else None
+            case None => Some(c)
+          }
+        case _ => None
+      }
+    }
+  }
+
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    sortedCol.map { c =>
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions.column(c),
+        org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+    }.getOrElse(Array.empty)
 
   /** Bucketed directories report `bucket(n, col)` KeyGroupedPartitioning
     * — Catalyst resolves the transform through [[GraftCatalog]]'s
@@ -327,7 +420,9 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}] " +
       s"partFilters=[${partFilters.mkString(",")}]" +
-      bucketLayout.fold("") { case (c, n) => s" bucketed=[$c,$n]" }
+      bucketLayout.fold("") { case (c, n) => s" bucketed=[$c,$n]" } +
+      limit.fold("")(l => s" limit=[$l]") +
+      sortedCol.fold("")(c => s" sorted=[$c]")
 
   /** Runtime (DPP-style) filters: Spark hands the build side's actual
     * partition-key values after planning; only partition-column
@@ -475,7 +570,26 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
     val bucketed = bucketLayout.isDefined
-    survivingFiles.flatMap { p =>
+    // Pushed-limit truncation: stop emitting splits once the footers'
+    // row counts PROVE the limit is covered (the push is refused when a
+    // data filter could drop rows above the scan, so every planned row
+    // reaches the Limit). A file without row stats contributes zero
+    // proven rows — conservative: it is still planned, truncation just
+    // cannot stop on its account. Bucketed layouts skip truncation:
+    // the scan reported one KeyGroupedPartitioning key per surviving
+    // bucket, and dropping files here would break that contract.
+    val target: Long = limit.filter(_ => filters.isEmpty && !bucketed)
+      .map(_.toLong).getOrElse(Long.MaxValue)
+    // Reported ordering on a bucketed layout promises each key-grouped
+    // partition is sorted — sound only if a bucket's (single) file
+    // stays ONE split, so byte-packing is disabled for that shape.
+    val splitBytes: Long =
+      if (bucketed && sortedCol.isDefined) Long.MaxValue else maxSplitBytes
+    var proven = 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val fileIt = survivingFiles.iterator
+    while (fileIt.hasNext && proven < target) {
+      val p = fileIt.next()
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
         else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
@@ -484,17 +598,23 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       val (blocks, zoneMap) = (info.sizes, info.zoneMap)
       val bucketId =
         if (bucketed) info.bucket.map(_._3).getOrElse(-1) else -1
+      // per-batch row counts, for limit truncation only (0 = unknown)
+      val rowsOf: Int => Long = info.rowStats match {
+        case Some(rs) if rs.batches.length == blocks.length => rs.rowCount
+        case _ => _ => 0L
+      }
       // file-level bloom skip: a pushed point predicate whose probe
       // value provably never entered this file eliminates the WHOLE
       // file — the pruning zone maps cannot do on high-cardinality
       // columns (filters are ANDed, so one proven-absent conjunct is
       // enough; false positives only cost a scan, never correctness)
       if (filters.nonEmpty && info.blooms.nonEmpty &&
-          filters.exists(ArrowBloom.provesAbsent(info.blooms, schema, _)))
-        Seq.empty
-      else if (blocks.isEmpty)
-        Seq(ArrowFilePartition(p.toString, Array.empty, partVals, bucketId))
-      else {
+          filters.exists(ArrowBloom.provesAbsent(info.blooms, schema, _))) {
+        // skip file
+      } else if (blocks.isEmpty) {
+        out += ArrowFilePartition(p.toString, Array.empty, partVals,
+          bucketId)
+      } else {
         val keep: Int => Boolean =
           if (filters.isEmpty) _ => true
           else zoneMap match {
@@ -502,23 +622,29 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
               idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
             case _ => _ => true
           }
-        val splits = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
         var current = scala.collection.mutable.ArrayBuffer.empty[Int]
         var bytes = 0L
-        for ((size, idx) <- blocks.zipWithIndex if keep(idx)) {
-          if (current.nonEmpty && bytes + size > maxSplitBytes) {
-            splits += current.toArray
-            current = scala.collection.mutable.ArrayBuffer.empty[Int]
-            bytes = 0L
+        val it = blocks.zipWithIndex.iterator
+        while (it.hasNext && proven < target) {
+          val (size, idx) = it.next()
+          if (keep(idx)) {
+            if (current.nonEmpty && bytes + size > splitBytes) {
+              out += ArrowFilePartition(p.toString, current.toArray,
+                partVals, bucketId)
+              current = scala.collection.mutable.ArrayBuffer.empty[Int]
+              bytes = 0L
+            }
+            current += idx
+            bytes += size
+            proven += rowsOf(idx)
           }
-          current += idx
-          bytes += size
         }
-        if (current.nonEmpty) splits += current.toArray
-        splits.map(idxs =>
-          ArrowFilePartition(p.toString, idxs, partVals, bucketId))
+        if (current.nonEmpty)
+          out += ArrowFilePartition(p.toString, current.toArray, partVals,
+            bucketId)
       }
-    }.map(p => p: InputPartition).toArray
+    }
+    out.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -52,7 +52,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     partitionCols: Seq[String] = Seq.empty, maxOpenWriters: Int = 64,
     compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
     bucket: Option[(String, Int)] = None,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -61,7 +62,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
-        partitionCols, maxOpenWriters, bucket, bloomCols)
+        partitionCols, maxOpenWriters, bucket, bloomCols, sortCol)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -136,7 +137,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, doTruncate: Boolean,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
     bucket: Option[(String, Int)] = None,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
@@ -171,7 +173,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
           "commit log) or keep appending through writeStream.")
     }
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
-      maxOpenWriters, bucket, bloomCols)
+      maxOpenWriters, bucket, bloomCols, sortCol)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
@@ -186,20 +188,22 @@ class ArrowWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
     bucket: Option[(String, Int)] = None,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
     bucket match {
       case Some((col, n)) =>
         new ArrowBucketedWriter(path, schema, codec, batchRows,
-          partitionId, taskId, col, n, bloomCols)
+          partitionId, taskId, col, n, bloomCols, sortCol)
       case None if partitionCols.isEmpty =>
         new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
-          taskId, null, Map.empty, bloomCols)
+          taskId, null, Map.empty, bloomCols, sortCol)
       case None =>
         new ArrowPartitionedWriter(path, schema, codec, batchRows,
-          partitionId, taskId, partitionCols, maxOpenWriters, bloomCols)
+          partitionId, taskId, partitionCols, maxOpenWriters, bloomCols,
+          sortCol)
     }
 }
 
@@ -217,7 +221,8 @@ class ArrowWriterFactory(path: String, schema: StructType,
   * partition-per-key explosion. */
 class ArrowBucketedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
-    bucketCol: String, numBuckets: Int, bloomCols: Seq[String] = Seq.empty)
+    bucketCol: String, numBuckets: Int, bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends DataWriter[InternalRow] {
   require(numBuckets > 0 && numBuckets <= 4096,
     s"numBuckets must be in [1, 4096], got $numBuckets")
@@ -236,7 +241,7 @@ class ArrowBucketedWriter(path: String, schema: StructType,
         taskId, null, Map(
           GraftBucket.MetaCol -> bucketCol,
           GraftBucket.MetaN -> numBuckets.toString,
-          GraftBucket.MetaId -> id.toString), bloomCols)
+          GraftBucket.MetaId -> id.toString), bloomCols, sortCol)
       writers(id) = w
     }
     w.write(row)
@@ -272,7 +277,8 @@ class ArrowBucketedWriter(path: String, schema: StructType,
 class ArrowPartitionedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   private val partOrdinals: Array[Int] =
@@ -320,7 +326,7 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
         Files.createDirectories(dir)
         val fresh = new ArrowDataWriter(dir.toString, dataSchema, codec,
           batchRows, partitionId, taskId, dataOrdinals, Map.empty,
-          bloomCols)
+          bloomCols, sortCol)
         writers.put(rel, fresh)
         fresh
     }
@@ -351,7 +357,8 @@ class ArrowDataWriter(path: String, schema: StructType,
     codec: Option[String], BatchRows: Int, partitionId: Int, taskId: Long,
     colMapOrNull: Array[Int] = null,
     extraMeta: Map[String, String] = Map.empty,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    sortCol: Option[String] = None)
     extends DataWriter[InternalRow] {
 
   // File field i reads incoming-row ordinal colMap(i) — identity for
@@ -514,6 +521,56 @@ class ArrowDataWriter(path: String, schema: StructType,
   }
   // ------------------------------------------------------------------
 
+  // ---- sorted-layout verification (see GraftSort) ------------------
+  // The writer VERIFIES the declared order instead of trusting it:
+  // rows must arrive ascending NULLS FIRST on sortCol across the WHOLE
+  // file, else no stamp lands and readers plan as unsorted — a wrong
+  // upstream sort can cost the optimization, never correctness.
+  private val sortIdx: Int = sortCol match {
+    case None => -1
+    case Some(c) =>
+      require(schema.fieldNames.contains(c),
+        s"arrow sortBy column $c is not in the written schema " +
+          s"${schema.fieldNames.mkString("[", ",", "]")} (partition " +
+          "columns live in directories and cannot carry a sort stamp)")
+      val i = schema.fieldIndex(c)
+      require(GraftSort.supported(schema.fields(i).dataType),
+        s"arrow sortBy column $c has unsupported type " +
+          s"${schema.fields(i).dataType.simpleString}")
+      i
+  }
+  private var sortOk = sortIdx >= 0
+  private var sortSeenNonNull = false
+  private var sortLastLong = Long.MinValue
+  private var sortLastStr: org.apache.spark.unsafe.types.UTF8String = null
+
+  private def sortUpdate(row: InternalRow): Unit =
+    if (sortOk) {
+      val ord = colMap(sortIdx)
+      if (row.isNullAt(ord)) {
+        if (sortSeenNonNull) sortOk = false // NULLS FIRST violated
+      } else {
+        fields(sortIdx).dataType match {
+          case StringType =>
+            val v = row.getUTF8String(ord)
+            if (sortSeenNonNull && sortLastStr.compareTo(v) > 0)
+              sortOk = false
+            else sortLastStr = v.clone() // row buffers are reused
+          case dt =>
+            val v = dt match {
+              case ByteType => row.getByte(ord).toLong
+              case ShortType => row.getShort(ord).toLong
+              case IntegerType | DateType => row.getInt(ord).toLong
+              case _ => row.getLong(ord)
+            }
+            if (sortSeenNonNull && sortLastLong > v) sortOk = false
+            else sortLastLong = v
+        }
+        sortSeenNonNull = true
+      }
+    }
+  // ------------------------------------------------------------------
+
   private def zmSealBatch(): Unit = {
     zmBatches += zmCols.indices.map { j =>
       if (!zmSeen(j) || zmPoisoned(j)) None
@@ -541,6 +598,7 @@ class ArrowDataWriter(path: String, schema: StructType,
     zmUpdate(row)
     rsUpdate(row)
     bloomUpdate(row)
+    if (sortIdx >= 0) sortUpdate(row)
     rowIdx += 1
     if (rowIdx >= BatchRows) flush()
   }
@@ -703,6 +761,8 @@ class ArrowDataWriter(path: String, schema: StructType,
         metaData.put(ArrowBloom.MetaPrefix + fields(i).name,
           ArrowBloom.encode(bloomBits(j)))
       }
+      if (sortIdx >= 0 && sortOk)
+        metaData.put(GraftSort.MetaCol, fields(sortIdx).name)
       writer.end(); writer.close(); channel.close()
       root.close(); allocator.close()
       sealed_ = true

@@ -66,6 +66,26 @@ object GraftBucket {
   val MetaId = "graft.bucket.id"
 }
 
+/** Sorted-layout stamp: `option("sortBy", col)` makes the writer VERIFY
+  * (not trust) that each file's rows arrive ascending NULLS FIRST on
+  * `col` — Spark's default ordering, `sortWithinPartitions(col)`
+  * upstream produces exactly it — and stamp the footer only when the
+  * whole file held the order. [[ArrowScan]] turns unanimous stamps into
+  * a reported V2 ordering, which is what lets a bucketed+sorted
+  * equi-join plan sort-merge with NEITHER exchanges NOR sorts. */
+object GraftSort {
+  val MetaCol = "graft.sort.col"
+
+  /** Order-trackable types: the integral/temporal family (compared as
+    * long) and strings (compared as UTF-8 bytes — Spark's own binary
+    * string ordering). */
+  def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | StringType => true
+    case _ => false
+  }
+}
+
 /** `bucket(numBuckets, col)` as a Spark V2 function — what
   * `V2ExpressionUtils` loads (by the fixed name `bucket`, empty
   * namespace) when it resolves the scan's reported
@@ -136,6 +156,26 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     val provider = new ArrowDataSource
     val schema = provider.inferSchema(opts)
     new ArrowTable(schema, Map("path" -> path), Array.empty)
+  }
+
+  /** `VERSION AS OF <epoch>` over a streaming-sink directory: versions
+    * are the sink's committed epochs (the commit log keeps per-epoch
+    * attribution through snapshot compaction), so
+    * `SELECT ... FROM graft.arrow.`dir` VERSION AS OF 3` reads exactly
+    * the files epochs 0..3 committed. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val path = ident.name
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val epoch = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft arrow versions are sink epochs (integers), got '$version'")
+    }
+    val opts = new CaseInsensitiveStringMap(Map("path" -> path).asJava)
+    val schema = new ArrowDataSource().inferSchema(opts)
+    new ArrowTable(schema,
+      Map("path" -> path, "epochAsOf" -> epoch.toString), Array.empty)
   }
 
   override def createTable(ident: Identifier, schema: StructType,

@@ -74,6 +74,52 @@ class ArrowAggPushdownSpec extends AnyFunSuite {
         .agg(min(col("o_totalprice"))).collect()(0).getDouble(0))
   }
 
+  test("GROUP BY a partition column pushes down — grouped, footer-only") {
+    val d = java.nio.file.Files.createTempDirectory("arrowagggrp").toString
+    Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .option("batchRows", 250).mode("overwrite").save(d)
+    val q = spark.read.format("arrow").load(d)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+      .orderBy(col("o_orderstatus"))
+    assert(pushedTo(q),
+      s"grouped agg on a partition column was not pushed:\n" +
+        s"${q.queryExecution.executedPlan}")
+    val before = ArrowDataSource.recordBatchesLoaded.get()
+    val r = q.collect()
+    assert(ArrowDataSource.recordBatchesLoaded.get() == before,
+      "grouped pushed aggregate loaded data batches")
+    val e = Tables.orders(spark, TestSession.Sf)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"),
+        max(col("o_orderkey")).as("mx"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(r.toSeq == e.toSeq, s"${r.toSeq} != ${e.toSeq}")
+  }
+
+  test("grouped pushdown composes with a partition filter") {
+    val d = java.nio.file.Files.createTempDirectory("arrowagggrpf").toString
+    Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(d)
+    val q = spark.read.format("arrow").load(d)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+    assert(pushedTo(q))
+    val e = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus").isin("F", "P"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus")).collect()
+    assert(q.collect().toSeq == e.toSeq)
+  }
+
   test("count(col) subtracts real nulls; all-null batches keep min null") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("arrowaggnull").toString
