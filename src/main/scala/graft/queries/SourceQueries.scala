@@ -304,7 +304,31 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Read-side schema evolution (`mergeSchema`): two write
+    * generations of orders — the old one without o_orderstatus, the
+    * new one with it — land in one directory; the merged read unions
+    * the schemas and serves the missing column as nulls, so the
+    * grouped aggregate sees exactly the new generation's values plus
+    * a null group for the old. The oracle reproduces the generation
+    * split with a CASE on the same key cut. */
+  def arrowSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrow_evolve", dir)
+    val orders = Tables.orders(spark, dir)
+    orders.filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.format("arrow").mode("overwrite").save(out)
+    orders.filter(col("o_orderkey") > 2000)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").mode("append").save(out)
+    spark.read.format("arrow").option("mergeSchema", "true").load(out)
+      .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution"))
+        .as("status"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("status"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_schema_evolution" -> (arrowSchemaEvolution _),
     "arrow_group_pushdown" -> (arrowGroupedPushdown _),
     "arrow_limit_pushdown" -> (arrowLimitPushdown _),
     "arrow_sorted_join" -> (arrowSortedJoin _),
@@ -322,6 +346,12 @@ object SourceQueries {
     "json_variant_agg" -> (jsonVariantAgg _))
 
   val sql: Map[String, String] = Map(
+    "arrow_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey <= 2000 THEN 'pre_evolution'
+        |   ELSE o_orderstatus END AS status,
+        | COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY status""".stripMargin,
     "arrow_group_pushdown" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | min(o_orderkey) AS min_key, max(o_orderkey) AS max_key

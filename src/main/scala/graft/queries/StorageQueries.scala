@@ -202,8 +202,33 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Row-level copy-on-write DELETE on the Arrow source
+    * ([[graft.sources.arrow.ArrowDelete]]): a predicate mixing data
+    * and data-value columns rewrites only zone-map-overlapping files
+    * (one task per file, no shuffle) and leaves the rest untouched —
+    * Delta/Iceberg's CoW shape on the namesake layout. The
+    * range-sorted write gives each file a disjoint o_orderkey slice,
+    * so the low-key delete provably skips the upper files. */
+  def arrowDeleteRows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_delete_rows", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` " +
+      "WHERE o_orderkey <= 2000 AND o_orderstatus = 'O'")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_delete_partition" -> (arrowDeletePartition _),
+    "arrow_delete_rows" -> (arrowDeleteRows _),
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
@@ -234,6 +259,12 @@ object StorageQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus <> 'P'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_delete_rows" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE NOT (o_orderkey <= 2000 AND o_orderstatus = 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "layout_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS n,

@@ -49,6 +49,31 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     val files = paths(options)
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
     val root = Option(options.get("path")).get
+    // Schema evolution, read side (`option("mergeSchema", true)` —
+    // parquet's contract): the table schema is the UNION of every
+    // footer schema, first-appearance field order, all fields
+    // nullable; files missing a column serve it as nulls (the reader
+    // maps requested fields by NAME and null-fills absentees). Shared
+    // names must agree on type exactly — a true type conflict is a
+    // write-side bug no read option should paper over.
+    if (Option(options.get("mergeSchema")).exists(_.toBoolean)) {
+      val footers = new Array[StructType](files.length)
+      files.indices.toVector.asJava.parallelStream()
+        .forEach(i => footers(i) = ArrowDataSource.readFooterSchema(files(i)))
+      val out = scala.collection.mutable.LinkedHashMap
+        .empty[String, org.apache.spark.sql.types.StructField]
+      for (s <- footers; f <- s.fields) out.get(f.name) match {
+        case None => out(f.name) = f.copy(nullable = true)
+        case Some(g) if g.dataType == f.dataType => ()
+        case Some(g) => throw new IllegalArgumentException(
+          s"arrow mergeSchema: column ${f.name} is " +
+            s"${g.dataType.simpleString} in one file under $root but " +
+            s"${f.dataType.simpleString} in another — type conflicts " +
+            "do not merge")
+      }
+      val partCols = ArrowDataSource.discoverPartitionSchema(root)
+      return StructType(out.values.toArray ++ partCols.fields)
+    }
     val dataSchema = ArrowDataSource.readFooterSchema(files.head)
     // Fail fast on a mixed-schema directory (two writers, schema
     // drift): every footer must agree with the first file on names and
@@ -127,23 +152,31 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf)
   }
 
-  /** Partition-level DELETE: a predicate over partition columns selects
+  /** DELETE, two-tier. A predicate over partition columns only selects
     * whole value directories EXACTLY (every row of a file shares its
     * directory's values), so `DELETE WHERE part = x` is a planning-time
     * file removal — no rewrite, no scan; the metadata-only shape a
-    * 100 TB retention sweep needs. Predicates that touch data columns
-    * are refused (`canDeleteWhere` false → Spark reports the delete is
-    * not supported) rather than silently rewriting files. */
+    * 100 TB retention sweep needs. Predicates touching DATA columns go
+    * copy-on-write ([[ArrowDelete]]): footer stats triage the file
+    * list and only overlapping files rewrite, one task per file.
+    * Predicates FilterEval cannot claim (NOT, unsupported types) are
+    * refused (`canDeleteWhere` false) rather than evaluated wrong. */
   private def partSchemaOf(path: String): StructType =
     ArrowDataSource.discoverPartitionSchema(path)
+
+  private def partitionOnly(ps: StructType,
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(f => f.references.forall(ps.fieldNames.contains(_)) &&
+      FilterEval.supported(ps, f))
 
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean = {
     val path = properties.getOrElse("path", return false)
     val ps = partSchemaOf(path)
     filters.forall(f => f.references.nonEmpty &&
-      f.references.forall(ps.fieldNames.contains(_)) &&
-      FilterEval.supported(ps, f))
+      ((f.references.forall(ps.fieldNames.contains(_)) &&
+        FilterEval.supported(ps, f)) ||
+        FilterEval.supported(schema, f)))
   }
 
   override def deleteWhere(
@@ -158,25 +191,17 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
           "overwrite instead")
     val ps = partSchemaOf(path)
     require(canDeleteWhere(filters),
-      s"arrow DELETE supports partition-column predicates only, got " +
+      s"arrow DELETE needs FilterEval-supported predicates, got " +
         filters.mkString("[", ",", "]"))
+    if (!partitionOnly(ps, filters)) {
+      ArrowDelete.deleteWhere(
+        org.apache.spark.sql.SparkSession.active, path, ps, filters.toSeq)
+      return
+    }
     val victims = ArrowDataSource.pruneByPartitionFilters(
       ArrowDataSource.visibleIpcFiles(path), path, ps, filters.toSeq)
     victims.foreach(java.nio.file.Files.deleteIfExists)
-    // sweep now-empty value directories so the layout stays canonical
-    def isEmptyDir(d: Path): Boolean = {
-      val s = Files.list(d)
-      try !s.iterator().hasNext finally s.close()
-    }
-    val root = Paths.get(path).toAbsolutePath.normalize
-    victims.map(_.getParent).distinct.foreach { d =>
-      var cur = d.toAbsolutePath.normalize
-      while (cur != null && cur != root && Files.isDirectory(cur) &&
-          isEmptyDir(cur)) {
-        Files.delete(cur)
-        cur = cur.getParent
-      }
-    }
+    ArrowDelete.sweepEmptyDirs(path)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -590,7 +615,14 @@ object ArrowDataSource {
       rowStats: Option[ZoneMaps.RowStats.Stats],
       bucket: Option[(String, Int, Int)] = None,
       blooms: Map[String, Array[Long]] = Map.empty,
-      sort: Option[String] = None)
+      sort: Option[String] = None,
+      codec: Option[String] = None)
+
+  /** Footer stamp recording the buffer codec the file was written
+    * with — IPC headers carry compression per batch, not per file, so
+    * in-place rewrites (copy-on-write DELETE) read this to preserve
+    * the directory's compression choice. */
+  val CodecMetaKey = "graft.codec"
 
   def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)
@@ -615,7 +647,8 @@ object ArrowDataSource {
             .map(bits => k.stripPrefix(ArrowBloom.MetaPrefix) -> bits)
       }.flatten.toMap
       val sort = Option(reader.getMetaData.get(GraftSort.MetaCol))
-      FooterInfo(sizes, zm, rs, bk, blooms, sort)
+      val codec = Option(reader.getMetaData.get(CodecMetaKey))
+      FooterInfo(sizes, zm, rs, bk, blooms, sort, codec)
     } finally { reader.close(); ch.close() }
   }
 

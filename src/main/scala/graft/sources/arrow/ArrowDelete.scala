@@ -1,0 +1,169 @@
+package graft.sources.arrow
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write.WriterCommitMessage
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Row-level DELETE for the Arrow source, copy-on-write — the shape
+  * every table format at scale uses (Delta/Iceberg CoW): footer
+  * statistics triage the file list, and only files that MAY hold
+  * matching rows are rewritten without them; everything else is never
+  * opened.
+  *
+  * The 100 TB anatomy of `DELETE FROM t WHERE p`:
+  *   1. partition conjuncts prune candidate files at planning time
+  *      (exact — the value is constant per directory);
+  *   2. per file, ON THE EXECUTOR, zone maps and blooms decide whether
+  *      any batch can match the remaining conjuncts — a delete keyed
+  *      near the layout's sort/cluster column touches only the
+  *      overlapping files, and the decision costs one footer read;
+  *   3. an overlapping file is rewritten keeping the rows the
+  *      predicate does NOT match (SQL semantics: a row deletes only
+  *      when `p` is TRUE, so NULL/unknown rows survive — FilterEval's
+  *      three-valued collapse to false is exactly the keep test
+  *      negated); fresh zone maps / row stats / blooms are recomputed
+  *      by the standard writer, and bucket / sort stamps carry over
+  *      (deleting rows preserves both properties);
+  *   4. a file whose every row matches is unlinked; a file with no
+  *      matching rows is left bit-identical (no gratuitous rewrite).
+  *
+  * One independent task per candidate file — the compaction shape, no
+  * shuffle. Durability caveat, stated rather than hidden: the per-file
+  * commit is new-file-rename THEN old-file-unlink, so a crash between
+  * the two can leave both (survivor rows doubled until the old file is
+  * removed by hand). Flat directories have no transaction log to make
+  * this atomic; directories that DO have one (streaming sinks) refuse
+  * DELETE upstream for exactly that reason.
+  *
+  * Dictionary-encoded files rewrite to plain strings (the row writer
+  * is single-pass; re-run [[ArrowOptimize.dictionaryEncode]] to
+  * re-encode).
+  */
+object ArrowDelete {
+
+  /** Can `file` hold a row matching ALL `dataFilters`? Conservative
+    * (unknown ⇒ true), from footer stats alone:
+    *   - a bloom that proves one conjunct's probe value absent proves
+    *     the conjunction matches nothing;
+    *   - otherwise some single batch must be able to satisfy EVERY
+    *     conjunct at once ([[ZoneMaps.mayMatch]] per batch). */
+  private[arrow] def mayHoldMatches(info: ArrowDataSource.FooterInfo,
+      dataSchema: StructType, dataFilters: Seq[Filter]): Boolean = {
+    if (dataFilters.exists(f => info.blooms.nonEmpty &&
+        ArrowBloom.provesAbsent(info.blooms, dataSchema, f)))
+      return false
+    info.zoneMap match {
+      case Some(zm) => info.sizes.indices.exists(b =>
+        dataFilters.forall(ZoneMaps.mayMatch(_, dataSchema, zm, b)))
+      case None => info.sizes.nonEmpty || dataFilters.isEmpty
+    }
+  }
+
+  /** Distributed copy-on-write delete of every row matching the
+    * conjunction `filters` under `root`. Caller guarantees every
+    * filter is FilterEval-supported over (file ++ partition) columns
+    * and that `root` is not a streaming sink. */
+  def deleteWhere(spark: SparkSession, root: String,
+      partSchema: StructType, filters: Seq[Filter]): Unit = {
+    val partCols = partSchema.fieldNames.toSet
+    val partF = filters.filter(f => f.references.forall(partCols) &&
+      FilterEval.supported(partSchema, f))
+    val candidates = ArrowDataSource.pruneByPartitionFilters(
+      ArrowDataSource.visibleIpcFiles(root), root, partSchema, partF)
+    if (candidates.isEmpty) return
+    val rootStr = root
+    val fs = filters
+    val ps = partSchema
+    spark.sparkContext
+      .parallelize(candidates.map(_.toString), candidates.length)
+      .foreach(f => rewriteFile(rootStr, f, ps, fs))
+    sweepEmptyDirs(root)
+  }
+
+  /** Triage + rewrite one file (runs inside a task). */
+  private[arrow] def rewriteFile(root: String, file: String,
+      partSchema: StructType, filters: Seq[Filter]): Unit = {
+    val src = Paths.get(file)
+    val info = ArrowDataSource.footerInfo(src)
+    val dataSchema = ArrowDataSource.readFooterSchema(src)
+    val dataF = filters.filterNot(f =>
+      f.references.forall(partSchema.fieldNames.contains(_)) &&
+        FilterEval.supported(partSchema, f))
+    if (!mayHoldMatches(info, dataSchema, dataF)) return
+
+    // full row = file columns ++ directory-carried partition columns,
+    // the same composition the scan serves — so the predicate may mix
+    // partition and data columns freely
+    val readSchema = StructType(dataSchema.fields ++ partSchema.fields)
+    val partValues = ArrowDataSource
+      .partitionValuesOf(root, src, partSchema.length).map(_.orNull).toArray
+    val partition =
+      ArrowFilePartition(file, info.sizes.indices.toArray, partValues)
+    val compiled = filters.map(FilterEval.compile(readSchema, _))
+    def deletes(r: InternalRow): Boolean = compiled.forall(_(r))
+
+    val tc = Option(TaskContext.get())
+    val bucketMeta = info.bucket.map { case (c, n, i) => Map(
+      GraftBucket.MetaCol -> c, GraftBucket.MetaN -> n.toString,
+      GraftBucket.MetaId -> i.toString)
+    }.getOrElse(Map.empty[String, String])
+    val reader = new ArrowRowReader(partition, readSchema,
+      Array.empty, partSchema)
+    var total = 0L
+    var kept = 0L
+    val writer = new ArrowDataWriter(src.getParent.toString, dataSchema,
+      info.codec, 8192,
+      tc.map(_.partitionId()).getOrElse(0),
+      tc.map(_.taskAttemptId()).getOrElse(0L),
+      null, bucketMeta, info.blooms.keys.toSeq.sorted, info.sort)
+    try {
+      while (reader.next()) {
+        val r = reader.get()
+        total += 1
+        if (!deletes(r)) { writer.write(r); kept += 1 }
+      }
+    } catch {
+      case t: Throwable => writer.abort(); throw t
+    } finally reader.closeAll()
+    if (kept == total) writer.abort() // nothing matched: keep original
+    else {
+      if (kept == 0) writer.abort() // every row matched: no new file
+      else writer.commit() match {
+        case ArrowCommitMessage(_) => ()
+        case other: WriterCommitMessage =>
+          throw new IllegalStateException(s"unexpected commit $other")
+      }
+      Files.delete(src)
+    }
+  }
+
+  /** Remove now-empty `col=value` directories so the layout stays
+    * canonical after whole-partition deletes. */
+  private[arrow] def sweepEmptyDirs(root: String): Unit = {
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    if (!Files.isDirectory(rootP)) return
+    def sweep(d: Path): Boolean = { // returns "d is (now) empty"
+      val children = {
+        val s = Files.list(d)
+        try s.iterator().asScala.toVector finally s.close()
+      }
+      var remaining = children.length
+      children.foreach { c =>
+        if (Files.isDirectory(c) &&
+            c.getFileName.toString.contains('=') && sweep(c)) {
+          Files.delete(c)
+          remaining -= 1
+        }
+      }
+      remaining == 0
+    }
+    sweep(rootP)
+  }
+}

@@ -156,6 +156,11 @@ object ArrowOptimize {
       }
       val metaData = new java.util.HashMap[String, String](
         reader.getMetaData) // zone maps + row stats survive verbatim
+      // ...except the codec stamp, which must reflect THIS rewrite's
+      // codec, not the source file's
+      metaData.remove(ArrowDataSource.CodecMetaKey)
+      codec.foreach(c =>
+        metaData.put(ArrowDataSource.CodecMetaKey, c.toLowerCase))
       // same atomic-commit protocol as the writers: stream into a temp
       // invisible to readers, rename once the footer is on disk
       val tmpDst = Paths.get(dst.toString + ".inprogress")

@@ -890,8 +890,10 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       CommonsCompressionFactory.INSTANCE)
   protected val root = reader.getVectorSchemaRoot
   // each requested field reads either a file vector (Left: ordinal in
-  // the file schema) or a directory-carried partition value (Right:
-  // ordinal in partSchema, surfaced as a constant vector per batch)
+  // the file schema), a directory-carried partition value (Right:
+  // ordinal in partSchema, surfaced as a constant vector per batch),
+  // or — Left(-1) — nothing: a mergeSchema read over an evolved
+  // layout requests columns this file predates, served as nulls
   private val partIdx = partSchema.fieldNames.zipWithIndex.toMap
   private val ordinals: Array[Either[Int, Int]] = {
     val fileFields = root.getSchema.getFields.asScala.map(_.getName)
@@ -953,9 +955,15 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   protected def nextBatch(): Option[ColumnarBatch] =
     if (!loadNext()) None
     else {
-      val vectors: Array[ColumnVector] = ordinals.map {
-        case Right(pi) => constantVector(pi, root.getRowCount)
-        case Left(i) =>
+      val vectors: Array[ColumnVector] = ordinals.zipWithIndex.map {
+        case (Right(pi), _) => constantVector(pi, root.getRowCount)
+        case (Left(-1), fi) => // column absent from this file: all null
+          val cv = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(root.getRowCount,
+              schema.fields(fi).dataType)
+          cv.setNull()
+          cv: ColumnVector
+        case (Left(i), _) =>
           val v = root.getVector(i)
           Option(v.getField.getDictionary) match {
             case Some(enc) =>
@@ -1057,6 +1065,12 @@ class ArrowAggScan(path: String, aggSchema: StructType,
 case class ArrowAggPartition(rows: Array[Array[Any]])
   extends InputPartition
 
+/** Row-at-a-time reader. Normal scans never take this path
+  * (`supportColumnarReads` is unconditionally true, so Spark drives
+  * [[ArrowColumnarReader]]); it stays for the two callers that need
+  * `InternalRow`s directly: the DSv2 `PartitionReaderFactory.
+  * createReader` API contract, and [[ArrowDelete.rewriteFile]]'s
+  * copy-on-write rewrite loop. */
 class ArrowRowReader(partition: ArrowFilePartition, schema: StructType,
     filters: Array[Filter],
     partSchema: StructType = StructType(Seq.empty))

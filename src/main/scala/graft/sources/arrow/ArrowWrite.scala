@@ -398,6 +398,8 @@ class ArrowDataWriter(path: String, schema: StructType,
   // during batch writes (footers are written last) is sound.
   private val metaData = new java.util.HashMap[String, String]()
   extraMeta.foreach { case (k, v) => metaData.put(k, v) }
+  codec.foreach(c =>
+    metaData.put(ArrowDataSource.CodecMetaKey, c.toLowerCase))
   private val writer: ArrowFileWriter = codecType match {
     case None =>
       new ArrowFileWriter(root, new DictionaryProvider.MapDictionaryProvider(),

@@ -56,11 +56,103 @@ class ArrowDeleteSpec extends AnyFunSuite {
       .map(_.getString(0)).toSeq == Seq("O"))
   }
 
-  test("a data-column predicate is refused, not silently rewritten") {
+  test("data-column DELETE is copy-on-write and touches only " +
+      "zone-map-overlapping files") {
+    val dir = Files.createTempDirectory("arrow_del_cow").toString
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // range-disjoint files: each file's o_orderkey zone map covers a
+    // distinct slice, so a low-key delete can prove 3 of 4 files clean
+    orders.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    val before = ArrowDataSource.listIpcFiles(dir).map(_.toString).toSet
+    assert(before.size == 4)
+    val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
+    val cut = maxKey / 8 // well inside the first range slice
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE o_orderkey <= $cut")
+    val after = ArrowDataSource.listIpcFiles(dir).map(_.toString).toSet
+    // copy-on-write: non-overlapping files are never rewritten (a
+    // rewrite lands under a fresh uuid name, so identity = untouched)
+    assert((before & after).size >= 3,
+      s"too many files rewritten:\nbefore=$before\nafter=$after")
+    assert(after.size == 4, "one overlapping file rewritten in place")
+    // and the rows are exactly SQL's semantics
+    val back = spark.read.format("arrow").load(dir)
+    val expect = orders.filter(col("o_orderkey") > cut)
+    assert(back.count() == expect.count())
+    assert(back.agg(sum(col("o_orderkey"))).collect()(0).getLong(0) ==
+      expect.agg(sum(col("o_orderkey"))).collect()(0).getLong(0))
+  }
+
+  test("DELETE mixing partition and data predicates rewrites only " +
+      "inside the selected partition") {
+    val dir = partitionedDir()
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    val othersBefore = ArrowDataSource.listIpcFiles(dir)
+      .filterNot(_.toString.contains("o_orderstatus=F")).map(_.toString).toSet
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0")
+    val othersAfter = ArrowDataSource.listIpcFiles(dir)
+      .filterNot(_.toString.contains("o_orderstatus=F")).map(_.toString).toSet
+    assert(othersBefore == othersAfter,
+      "files outside the partition predicate must be untouched")
+    val back = spark.read.format("arrow").load(dir)
+    val expect = orders.filter(!(col("o_orderstatus") === "F" &&
+      col("o_totalprice") > 150000.0))
+    assert(back.count() == expect.count())
+  }
+
+  test("rows where the DELETE predicate is NULL survive (SQL " +
+      "three-valued semantics)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_del_null").toString
+    Seq((1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("a")))
+      .toDF("id", "tag")
+      .write.format("arrow").mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE tag = 'a'")
+    val back = spark.read.format("arrow").load(dir)
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    assert(back == Set((2L, Some("b")), (3L, None)),
+      s"NULL-tag row must survive a `tag = 'a'` delete, got $back")
+  }
+
+  test("a file whose every row matches is unlinked, and emptied " +
+      "partition directories are swept") {
+    val dir = partitionedDir()
+    // data conjunct forces the copy-on-write path; it matches every
+    // row, so the F partition's files disappear without replacements
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+      "WHERE o_orderstatus = 'F' AND o_totalprice > 0.0")
+    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "empty partition directory must be removed")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.filter(col("o_orderstatus") === "F").count() == 0)
+  }
+
+  test("copy-on-write preserves bucket stamps and the codec") {
+    val dir = Files.createTempDirectory("arrow_del_bucket").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+      .write.format("arrow").option("bucketBy", "o_custkey")
+      .option("numBuckets", "4").option("codec", "zstd")
+      .mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE o_orderkey <= 1000")
+    val infos = ArrowDataSource.listIpcFiles(dir)
+      .map(ArrowDataSource.footerInfo)
+    assert(infos.nonEmpty)
+    assert(infos.forall(_.bucket.exists(_._1 == "o_custkey")),
+      "bucket stamps must survive the rewrite")
+    assert(infos.forall(_.codec.contains("zstd")),
+      "codec stamp must survive the rewrite")
+  }
+
+  test("an untranslatable predicate is refused, not silently wrong") {
     val dir = partitionedDir()
     val before = spark.read.format("arrow").load(dir).count()
     val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE o_orderkey < 100")
+      spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+        "WHERE length(o_orderstatus) = 1")
     }
     assert(e.getMessage != null)
     assert(spark.read.format("arrow").load(dir).count() == before,
