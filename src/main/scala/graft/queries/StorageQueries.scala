@@ -226,9 +226,63 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SQL UPDATE on the Arrow source via the group-based copy-on-write
+    * contract ([[graft.sources.arrow.ArrowRowLevelOperation]]): Spark
+    * rewrites the command into a ReplaceData plan, runtime group
+    * filtering on `_file` narrows the rewrite to files actually
+    * holding matches, and the range-sorted layout means the low-key
+    * predicate provably skips the upper files. */
+  def arrowUpdateRows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_update_rows", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey <= 2000 AND o_orderstatus = 'O'")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** SQL MERGE INTO (upsert) on the Arrow source: matched target rows
+    * take the source price, unmatched source rows insert as status
+    * 'M'. Same ReplaceData machinery as [[arrowUpdateRows]]; inserts
+    * ride the replacement write as fresh files. */
+  def arrowMergeRows(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_merge_rows", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    Tables.orders(spark, dir).filter(col("o_orderkey") <= 1500)
+      .select((col("o_orderkey") * 2).as("k"), lit(0.5).as("p"))
+      .createOrReplaceTempView("graft_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.arrow.`$out` t
+         |USING graft_merge_src s ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_totalprice, o_orderstatus)
+         |  VALUES (s.k, s.p, 'M')""".stripMargin)
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
+    "arrow_update_rows" -> (arrowUpdateRows _),
+    "arrow_merge_rows" -> (arrowMergeRows _),
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
@@ -266,6 +320,28 @@ object StorageQueries {
         |FROM orders
         |WHERE NOT (o_orderkey <= 2000 AND o_orderstatus = 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_update_rows" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey <= 2000 AND o_orderstatus = 'O'
+        |   THEN 0.0 ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_merge_rows" ->
+      """WITH src AS (
+        |  SELECT o_orderkey * 2 AS k, 0.5 AS p FROM orders
+        |  WHERE o_orderkey <= 1500),
+        |upd AS (
+        |  SELECT CASE WHEN o_orderkey IN (SELECT k FROM src)
+        |    THEN 0.5 ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders),
+        |ins AS (
+        |  SELECT 0.5 AS o_totalprice, 'M' AS o_orderstatus FROM src
+        |  WHERE k NOT IN (SELECT o_orderkey FROM orders)),
+        |allr AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM allr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "layout_compaction" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

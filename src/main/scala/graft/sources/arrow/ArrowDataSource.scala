@@ -118,7 +118,10 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
 class ArrowTable(schema: StructType, properties: Map[String, String],
     partitions: Array[Transform] = Array.empty)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog
+      .SupportsRowLevelOperations {
   override def name(): String =
     s"arrow:${properties.getOrElse("path", "?")}"
   override def schema(): StructType = schema
@@ -139,6 +142,30 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       case other => throw new UnsupportedOperationException(
         s"arrow source supports only identity partitioning, got $other")
     }
+  }
+
+  /** `_file` — the absolute path of the file a row came from
+    * (parquet's `_metadata.file_path` shape). Constant per split, so it
+    * reads as a per-batch constant vector; row-level copy-on-write
+    * group filtering identifies replacement groups through it. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ArrowDataSource.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "file path this row was read from"
+    })
+
+  /** SQL UPDATE / MERGE INTO / residual DELETE — the group-based
+    * copy-on-write contract ([[ArrowRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val path = properties.getOrElse("path",
+      throw new IllegalArgumentException("arrow: path required"))
+    new ArrowRowLevelOperationBuilder(path, schema, info)
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -227,7 +254,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       bucket,
       Option(info.options.get("bloomFilterColumns")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-      Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty))
+      Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty),
+      Option(info.options.get("optimizeWrite")).exists(_.toBoolean))
   }
 }
 
@@ -623,6 +651,9 @@ object ArrowDataSource {
     * in-place rewrites (copy-on-write DELETE) read this to preserve
     * the directory's compression choice. */
   val CodecMetaKey = "graft.codec"
+
+  /** Name of the per-row file-path metadata column. */
+  val FileMetaCol = "_file"
 
   def footerInfo(file: Path): FooterInfo = {
     val ch = FileChannel.open(file, StandardOpenOption.READ)

@@ -1,0 +1,264 @@
+package graft.sources.arrow
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Group-based copy-on-write row-level operations for the Arrow source
+  * — the DSv2 contract behind SQL `UPDATE`, `MERGE INTO`, and the
+  * `DELETE` predicates [[FilterEval]] cannot claim (Spark rewrites all
+  * three into a [[org.apache.spark.sql.catalyst.plans.logical
+  * .ReplaceData]] plan; Delta and Iceberg ship the same shape on their
+  * own layouts).
+  *
+  * The group is a FILE. The anatomy at 100 TB:
+  *
+  *   1. Spark pushes the command's condition into [[ArrowCoWScan]] —
+  *      used for whole-file triage only (partition values exactly,
+  *      then zone maps / blooms via [[ArrowDelete.mayHoldMatches]]):
+  *      a file that provably holds no matching row keeps its bytes and
+  *      is neither read nor replaced.
+  *   2. Runtime group filtering (Spark's
+  *      RowLevelOperationRuntimeGroupFiltering) refines that to the
+  *      files that ACTUALLY hold matches: it plans
+  *      `SELECT DISTINCT _file WHERE cond` against the ordinary scan
+  *      (condition pushdown and zone maps apply there in full) and
+  *      feeds the result back through [[SupportsRuntimeFiltering]] on
+  *      the `_file` metadata column.
+  *   3. The scan reads the surviving files WHOLE — every row, no batch
+  *      skipping: rows not matching the condition must come back out
+  *      in the replacement files. (This is why the CoW scan shares no
+  *      code with the normal scan's zone-map batch pruning: dropping a
+  *      non-matching batch here would silently delete it.)
+  *   4. Spark's rewritten query computes the replacement rows (updated
+  *      + carried-over + MERGE inserts) and [[ArrowCoWWrite]] lands
+  *      them as fresh files through the standard writers (partition
+  *      routing, zone maps, blooms recomputed); job commit unlinks
+  *      exactly the scanned files.
+  *
+  * Durability matches [[ArrowDelete]]'s documented caveat: replacement
+  * files become visible at task commit and the old files disappear at
+  * job commit, so a concurrent reader can briefly see both versions,
+  * and a crash between the two steps leaves both on disk. A flat
+  * directory has no transaction log to close that window; directories
+  * that do (streaming sinks) refuse row-level writes upstream.
+  *
+  * Bucketed layouts refuse CoW UPDATE/MERGE: replacement files would
+  * need per-bucket routing to keep the storage-partitioned-join
+  * contract, and silently dropping the bucket stamp would corrupt it.
+  */
+class ArrowRowLevelOperationBuilder(path: String, tableSchema: StructType,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new ArrowRowLevelOperation(path, tableSchema, info.command)
+}
+
+class ArrowRowLevelOperation(path: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  /** Files the CoW scan finally planned (post triage + runtime group
+    * filter) — the exact group set the write replaces at job commit.
+    * Written on the driver by [[ArrowCoWScan.planInputPartitions]],
+    * read on the driver by [[ArrowCoWWrite.commit]]; the scan always
+    * plans before the write job that consumes it commits. */
+  @volatile private[arrow] var scannedFiles: Seq[String] = Seq.empty
+
+  private[arrow] val partSchema: StructType =
+    ArrowDataSource.discoverPartitionSchema(path)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def description(): String =
+    s"graft-arrow-cow-${cmd.toString.toLowerCase} $path"
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ArrowDataSource.FileMetaCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = {
+    if (ArrowDataSource.sinkRoot(path).isDefined)
+      throw new UnsupportedOperationException(
+        s"arrow: $path is a streaming sink (commit log present); " +
+          "row-level UPDATE/MERGE/DELETE would bypass the exactly-once " +
+          "manifest. Rewrite via batch overwrite instead.")
+    new ArrowCoWScanBuilder(this, path, tableSchema, partSchema)
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val infos = ArrowDataSource.visibleIpcFiles(path)
+      .map(ArrowDataSource.footerInfo)
+    if (infos.exists(_.bucket.isDefined))
+      throw new UnsupportedOperationException(
+        s"arrow: $path is a bucketed layout; a copy-on-write rewrite " +
+          "would drop the bucket stamps joins rely on. Rewrite the " +
+          "table via bucketBy overwrite instead.")
+    new ArrowCoWWriteBuilder(this, path, info.schema(), partSchema,
+      infos.headOption.flatMap(_.codec),
+      infos.flatMap(_.blooms.keys).distinct.sorted)
+  }
+}
+
+class ArrowCoWScanBuilder(op: ArrowRowLevelOperation, path: String,
+    tableSchema: StructType, partSchema: StructType)
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+
+  private var required: StructType = tableSchema
+  private var triage: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** The command condition arrives here
+    * (GroupBasedRowLevelOperationScanPlanning). Everything is kept as
+    * a residual — the scan must return every row of a matching file —
+    * and the conjuncts serve ONLY to rule whole files out. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    triage = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = triage
+
+  override def build(): Scan =
+    new ArrowCoWScan(op, path, required, partSchema, triage)
+}
+
+class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
+    schema: StructType, partSchema: StructType, triage: Array[Filter])
+    extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // one cached footer read per file across triage and planning
+  private val footerIdx = new FooterIndex(path)
+
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-arrow-cow-scan $path triage=[${triage.mkString(",")}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column(ArrowDataSource.FileMetaCol))
+
+  // runtime group filter: keep only files the matching-files subquery
+  // returned (In/EqualTo over `_file` path strings)
+  @volatile private var runtimeKeep: Option[Set[String]] = None
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case In(c, vs) if c == ArrowDataSource.FileMetaCol =>
+        runtimeKeep = Some(vs.map(String.valueOf(_)).toSet)
+      case EqualTo(c, v) if c == ArrowDataSource.FileMetaCol =>
+        runtimeKeep = Some(Set(String.valueOf(v)))
+      case _ => () // unexpected runtime filter: ignore, stay a superset
+    }
+
+  private def candidates: Seq[java.nio.file.Path] = {
+    val partCols = partSchema.fieldNames.toSet
+    val partF = triage.filter(f => f.references.nonEmpty &&
+      f.references.forall(partCols) && FilterEval.supported(partSchema, f))
+    val dataF = triage.filter(f => f.references.nonEmpty &&
+      !f.references.exists(partCols))
+    val pruned = ArrowDataSource.pruneByPartitionFilters(
+      footerIdx.files, path, partSchema, partF)
+    pruned.filter { f =>
+      val dataSchema = ArrowDataSource.readFooterSchema(f)
+      ArrowDelete.mayHoldMatches(
+        footerIdx.info(f), dataSchema,
+        dataF.filter(FilterEval.supported(dataSchema, _)))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val files = candidates.filter(f =>
+      runtimeKeep.forall(_.contains(f.toString)))
+    op.scannedFiles = files.map(_.toString)
+    files.map { f =>
+      val nBlocks = footerIdx.info(f).sizes.length
+      val partVals = ArrowDataSource
+        .partitionValuesOf(path, f, partSchema.length).map(_.orNull).toArray
+      ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(schema, Array.empty, partSchema)
+}
+
+class ArrowCoWWriteBuilder(op: ArrowRowLevelOperation, path: String,
+    writeSchema: StructType, partSchema: StructType,
+    codec: Option[String], bloomCols: Seq[String]) extends WriteBuilder {
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new ArrowCoWWrite(op, path, writeSchema, partSchema, codec,
+        bloomCols)
+    override def description(): String = s"graft-arrow-cow-write $path"
+  }
+}
+
+/** Replacement write: lands the rewritten rows as fresh files via the
+  * standard writers, then at job commit unlinks the scanned group and
+  * sweeps emptied partition directories. Sort stamps are dropped (an
+  * UPDATE may break the order) — re-run the sorted-layout rewrite to
+  * restore them; zone maps and blooms are recomputed per new file. */
+class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
+    writeSchema: StructType, partSchema: StructType,
+    codec: Option[String], bloomCols: Seq[String]) extends BatchWrite {
+
+  // the incoming rows may carry `_file` (requiredMetadataAttributes);
+  // project it away so only real table columns hit the writers
+  private val dataIdx: Array[Int] = writeSchema.fields.zipWithIndex
+    .filter(_._1.name != ArrowDataSource.FileMetaCol).map(_._2)
+  private val rowSchema =
+    StructType(dataIdx.map(writeSchema.fields(_)))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new ArrowCoWWriterFactory(path, writeSchema, rowSchema,
+      dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    op.scannedFiles.foreach(f =>
+      Files.deleteIfExists(Paths.get(f)))
+    ArrowDelete.sweepEmptyDirs(path)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case ArrowCommitMessage(fs) =>
+      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    }
+}
+
+class ArrowCoWWriterFactory(path: String, writeSchema: StructType,
+    rowSchema: StructType, dataIdx: Array[Int],
+    partitionCols: Seq[String], codec: Option[String],
+    bloomCols: Seq[String]) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = {
+    val inner: DataWriter[InternalRow] =
+      if (partitionCols.isEmpty)
+        new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
+          taskId, null, Map.empty, bloomCols, None)
+      else
+        new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
+          partitionId, taskId, partitionCols, 64, bloomCols, None)
+    if (dataIdx.length == writeSchema.length) inner
+    else new DataWriter[InternalRow] { // strip the `_file` passenger
+      private val proj = UnsafeProjection.create(dataIdx.map(i =>
+        BoundReference(i, writeSchema.fields(i).dataType,
+          writeSchema.fields(i).nullable)).toSeq)
+      override def write(row: InternalRow): Unit = inner.write(proj(row))
+      override def commit(): WriterCommitMessage = inner.commit()
+      override def abort(): Unit = inner.abort()
+      override def close(): Unit = inner.close()
+    }
+  }
+}

@@ -98,9 +98,17 @@ class ArrowScanBuilder(path: String, schema: StructType,
   override def isPartiallyPushed(): Boolean = true
 
   override def pruneColumns(required: StructType): Unit = {
-    // Preserve file field order for stable reader ordinals.
+    // Preserve file field order for stable reader ordinals. `_file` is
+    // not a table column — it's the per-split metadata constant
+    // ([[ArrowDataSource.FileMetaCol]]); keep it when requested so the
+    // row-level CoW matching-files subquery can project it.
     val requested = required.fieldNames.toSet
-    readSchema = StructType(schema.fields.filter(f => requested(f.name)))
+    val cols = schema.fields.filter(f => requested(f.name)) ++
+      (if (requested(ArrowDataSource.FileMetaCol))
+        Seq(StructField(ArrowDataSource.FileMetaCol,
+          org.apache.spark.sql.types.StringType, nullable = false))
+      else Seq.empty)
+    readSchema = StructType(cols)
   }
 
   /** Filters over partition columns only prune whole FILES at planning
@@ -892,14 +900,18 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   // each requested field reads either a file vector (Left: ordinal in
   // the file schema), a directory-carried partition value (Right:
   // ordinal in partSchema, surfaced as a constant vector per batch),
-  // or — Left(-1) — nothing: a mergeSchema read over an evolved
-  // layout requests columns this file predates, served as nulls
+  // Left(-2) — the `_file` metadata column (this split's file path as
+  // a constant, parquet's _metadata.file_path shape; row-level CoW
+  // group filtering keys on it) — or Left(-1) — nothing: a mergeSchema
+  // read over an evolved layout requests columns this file predates,
+  // served as nulls
   private val partIdx = partSchema.fieldNames.zipWithIndex.toMap
   private val ordinals: Array[Either[Int, Int]] = {
     val fileFields = root.getSchema.getFields.asScala.map(_.getName)
     schema.fieldNames.map { n =>
       partIdx.get(n) match {
         case Some(pi) => Right(pi)
+        case None if n == ArrowDataSource.FileMetaCol => Left(-2)
         case None => Left(fileFields.indexOf(n))
       }
     }
@@ -957,6 +969,13 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     else {
       val vectors: Array[ColumnVector] = ordinals.zipWithIndex.map {
         case (Right(pi), _) => constantVector(pi, root.getRowCount)
+        case (Left(-2), _) => // `_file` metadata: the split's path
+          val cv = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(root.getRowCount,
+              org.apache.spark.sql.types.StringType)
+          cv.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+            .fromString(partition.file))
+          cv: ColumnVector
         case (Left(-1), fi) => // column absent from this file: all null
           val cv = new org.apache.spark.sql.execution.vectorized
             .ConstantColumnVector(root.getRowCount,

@@ -53,13 +53,43 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
     bucket: Option[(String, Int)] = None,
     bloomCols: Seq[String] = Seq.empty,
-    sortCol: Option[String] = None)
+    sortCol: Option[String] = None,
+    optimizeWrite: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
+  /** `option("optimizeWrite", true)` on a partitioned write: ask Spark
+    * to CLUSTER incoming rows by the partition columns before the
+    * writers see them (`RequiresDistributionAndOrdering` — Delta's
+    * optimized write). Without it, N tasks × P live partition values
+    * can land N×P files per batch; with it each partition value
+    * arrives at one task and lands one file. The shuffle this buys is
+    * the small-file debt a 1000-executor ingest would otherwise pay on
+    * every downstream scan. Advisory, not strict: AQE may coalesce. */
+  private trait ClusterByPartitions
+      extends org.apache.spark.sql.connector.write
+        .RequiresDistributionAndOrdering {
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      org.apache.spark.sql.connector.distributions.Distributions
+        .clustered(partitionCols.toArray.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(c): org.apache.spark.sql.connector.expressions
+            .Expression))
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      Array.empty
+  }
+
+  override def build(): Write =
+    if (optimizeWrite && partitionCols.nonEmpty)
+      new ArrowWriteImpl with ClusterByPartitions
+    else new ArrowWriteImpl
+
+  private class ArrowWriteImpl extends Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols, maxOpenWriters, bucket, bloomCols, sortCol)

@@ -147,16 +147,22 @@ class ArrowDeleteSpec extends AnyFunSuite {
       "codec stamp must survive the rewrite")
   }
 
-  test("an untranslatable predicate is refused, not silently wrong") {
+  test("an untranslatable predicate flows through the group-based " +
+      "CoW rewrite and stays exact") {
+    // FilterEval cannot claim `pmod(...)`, so SupportsDelete refuses —
+    // but the table's SupportsRowLevelOperations contract
+    // (ArrowRowLevelSpec) picks it up as a ReplaceData rewrite with
+    // Spark evaluating the predicate, instead of erroring out.
     val dir = partitionedDir()
-    val before = spark.read.format("arrow").load(dir).count()
-    val e = intercept[Exception] {
-      spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
-        "WHERE length(o_orderstatus) = 1")
-    }
-    assert(e.getMessage != null)
-    assert(spark.read.format("arrow").load(dir).count() == before,
-      "refused delete must not remove anything")
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+      "WHERE pmod(o_orderkey, 2) = 0")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.filter(pmod(col("o_orderkey"), lit(2)) === 0).count()
+      == 0, "every even key deleted")
+    assert(back.count() ==
+      orders.filter(pmod(col("o_orderkey"), lit(2)) === 1).count(),
+      "every odd key survives")
   }
 
   test("a streaming-sink directory refuses DELETE (commit-log desync)") {

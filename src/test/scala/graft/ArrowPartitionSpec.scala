@@ -184,4 +184,29 @@ class ArrowPartitionSpec extends AnyFunSuite {
     assert(hi.count() == 2)
     assert(back.filter(col("tag").isNull).count() == 1)
   }
+
+  test("optimizeWrite clusters rows: one file per partition value") {
+    def fileCounts(d: String): Map[String, Int] =
+      new java.io.File(d).listFiles().filter(_.isDirectory).map { sub =>
+        sub.getName -> sub.listFiles().count(_.getName.endsWith(".arrow"))
+      }.toMap
+    val src = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartition(8) // many tasks all carrying every status value
+    val plain = java.nio.file.Files.createTempDirectory("arrowow0").toString
+    src.write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(plain)
+    assert(fileCounts(plain).values.max > 1,
+      "without clustering, every task writes into every live partition")
+    val opt = java.nio.file.Files.createTempDirectory("arrowow1").toString
+    src.write.format("arrow").partitionBy("o_orderstatus")
+      .option("optimizeWrite", "true").mode("overwrite").save(opt)
+    assert(fileCounts(opt).values.max == 1,
+      s"clustered write must land one file per value, got " +
+        s"${fileCounts(opt)}")
+    // and the data is identical either way
+    val a = spark.read.format("arrow").load(plain)
+    val b = spark.read.format("arrow").load(opt)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }

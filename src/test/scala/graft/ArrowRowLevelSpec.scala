@@ -1,0 +1,179 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.GraftCatalog
+
+/** Group-based copy-on-write row-level operations through Spark SQL:
+  * UPDATE, MERGE INTO, and residual DELETE rewrite only the files that
+  * hold matching rows (footer-stat triage + runtime group filtering on
+  * `_file`); every other file keeps its exact bytes. Bucketed layouts
+  * and streaming sinks refuse rather than corrupt their contracts. */
+class ArrowRowLevelSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  /** Range-sorted flat layout: 4 files with disjoint o_orderkey
+    * slices, so a low-key predicate provably skips the upper files. */
+  private def rangedDir(): String = {
+    val dir = Files.createTempDirectory("arrow_rlo").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    dir
+  }
+
+  private def files(dir: String): Map[Path, java.time.Instant] = {
+    val s = Files.list(Paths.get(dir))
+    try s.iterator().asScala
+      .filter(_.toString.endsWith(".arrow"))
+      .map(p => p -> Files.getLastModifiedTime(p).toInstant).toMap
+    finally s.close()
+  }
+
+  test("SQL UPDATE rewrites matching rows, carries the rest") {
+    val dir = rangedDir()
+    val before = spark.read.format("arrow").load(dir)
+      .agg(sum(col("o_totalprice")).cast("decimal(18,2)")).collect()(0)
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey <= 1000")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.filter(col("o_orderkey") <= 1000)
+      .filter(col("o_totalprice") =!= 0.0).count() == 0,
+      "every matching row updated")
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    assert(back.count() == orders.count(), "no rows gained or lost")
+    val expect = orders.filter(col("o_orderkey") > 1000)
+      .agg(sum(col("o_totalprice")).cast("decimal(18,2)")).collect()(0)
+    assert(back.agg(sum(col("o_totalprice")).cast("decimal(18,2)"))
+      .collect()(0) == expect, "non-matching values carried verbatim")
+    assert(before != expect)
+  }
+
+  test("UPDATE touches only files whose stats overlap the predicate") {
+    val dir = rangedDir()
+    val before = files(dir)
+    assert(before.size == 4)
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET o_totalprice = 1.0 " +
+      "WHERE o_orderkey <= 100")
+    val after = files(dir)
+    val untouched = before.filter { case (p, t) =>
+      after.get(p).contains(t) }
+    assert(untouched.size == 3,
+      s"3 of 4 range files out of [0,100] must keep their bytes, " +
+        s"kept ${untouched.size}")
+  }
+
+  test("UPDATE routes rewritten rows back into their partitions") {
+    val dir = Files.createTempDirectory("arrow_rlo_part").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(dir)
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey <= 500")
+    val back = spark.read.format("arrow").load(dir)
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    assert(back.count() == orders.count())
+    assert(back.filter(col("o_orderstatus") === "F")
+      .filter(col("o_orderkey") <= 500)
+      .filter(col("o_totalprice") =!= 0.0).count() == 0)
+    // untouched partitions keep their value sums exactly
+    val expect = orders.filter(col("o_orderstatus") === "O")
+      .agg(sum(col("o_totalprice")).cast("decimal(18,2)")).collect()(0)
+    assert(back.filter(col("o_orderstatus") === "O")
+      .agg(sum(col("o_totalprice")).cast("decimal(18,2)"))
+      .collect()(0) == expect)
+  }
+
+  test("UPDATE on a partition column moves rows to their new value " +
+      "directory") {
+    val dir = Files.createTempDirectory("arrow_rlo_move").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .write.format("arrow").partitionBy("o_orderstatus")
+      .mode("overwrite").save(dir)
+    val wasF = spark.read.format("arrow").load(dir)
+      .filter(col("o_orderstatus") === "F").count()
+    assert(wasF > 0)
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET o_orderstatus = 'X' " +
+      "WHERE o_orderstatus = 'F'")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.filter(col("o_orderstatus") === "F").count() == 0)
+    assert(back.filter(col("o_orderstatus") === "X").count() == wasF,
+      "rewritten rows land under the new value directory")
+    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "emptied value directory is swept")
+    assert(Files.exists(Paths.get(dir, "o_orderstatus=X")))
+  }
+
+  test("MERGE INTO updates matches and inserts the rest") {
+    val dir = rangedDir()
+    val src = spark.range(1, 11).selectExpr(
+      "id * 1000 AS k", "cast(id AS double) AS p")
+    src.createOrReplaceTempView("rlo_merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.arrow.`$dir` t
+         |USING rlo_merge_src s ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_totalprice, o_orderstatus)
+         |  VALUES (s.k, s.p, 'M')""".stripMargin)
+    val back = spark.read.format("arrow").load(dir)
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    val existing = orders.join(src, col("o_orderkey") === col("k"))
+      .count()
+    assert(back.count() == orders.count() + (10 - existing),
+      "merged row count = old + inserted")
+    // every source key now carries the source price
+    val merged = back.join(src, col("o_orderkey") === col("k"))
+      .filter(col("o_totalprice") =!= col("p")).count()
+    assert(merged == 0, "matched rows updated, unmatched inserted")
+    assert(back.filter(col("o_orderstatus") === "M").count() ==
+      10 - existing)
+  }
+
+  test("DELETE with a NOT predicate goes copy-on-write via ReplaceData") {
+    val dir = rangedDir()
+    // FilterEval refuses NOT, so SupportsDelete cannot claim this —
+    // it must flow through the group-based rewrite and still be exact
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+      "WHERE NOT (o_orderkey > 1000)")
+    val back = spark.read.format("arrow").load(dir)
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    assert(back.count() == orders.filter(col("o_orderkey") > 1000).count())
+    assert(back.agg(min(col("o_orderkey"))).collect()(0).getLong(0) > 1000)
+  }
+
+  test("`_file` metadata column reads on ordinary scans") {
+    val dir = rangedDir()
+    val paths = spark.read.format("arrow").load(dir)
+      .select(col("_file")).distinct().collect().map(_.getString(0))
+    assert(paths.length == 4, "one path per range file")
+    assert(paths.forall(_.endsWith(".arrow")))
+  }
+
+  test("bucketed layouts refuse CoW UPDATE") {
+    val dir = Files.createTempDirectory("arrow_rlo_bkt").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .write.format("arrow").option("bucketBy", "o_orderkey")
+      .option("numBuckets", "4").mode("overwrite").save(dir)
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE graft.arrow.`$dir` SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey <= 100")
+    }
+    assert(e.getMessage.contains("bucket"),
+      s"must name the bucket contract, got: ${e.getMessage}")
+  }
+}
