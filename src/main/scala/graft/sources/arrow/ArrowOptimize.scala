@@ -43,6 +43,53 @@ import org.apache.spark.sql.SparkSession
   */
 object ArrowOptimize {
 
+  /** VACUUM: physically delete files invisible to every reader.
+    *
+    * Two classes of garbage accumulate under a long-lived layout:
+    * `.inprogress` temps from crashed writers (flat and sink dirs
+    * alike), and — in streaming-sink directories — `.arrow` files no
+    * committed manifest lists (task retries whose epoch never
+    * committed, or a replayed epoch's second copy). Readers already
+    * ignore both ([[ArrowDataSource.visibleIpcFiles]] honors the
+    * commit log), so this is purely a space reclaim — Delta's VACUUM.
+    *
+    * `graceMs` guards the race with an in-flight commit: a streaming
+    * epoch renames its files visible BEFORE the epoch manifest lands,
+    * so a file younger than the grace window is never touched (Delta's
+    * retention check). The default keeps one hour; tests pass 0.
+    *
+    * Returns the deleted paths. Metadata-only driver work: one
+    * listing, no data reads — at 100k files this is the same O(files)
+    * walk the planner already does. */
+  def vacuum(dir: String, graceMs: Long = 3600L * 1000): Seq[Path] = {
+    val cutoff = System.currentTimeMillis() - graceMs
+    def oldEnough(p: Path): Boolean =
+      Files.getLastModifiedTime(p).toMillis < cutoff
+    val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // crashed-writer temps, any directory shape
+    def sweepTmp(d: java.io.File): Unit =
+      Option(d.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory) sweepTmp(f)
+        else if (f.getName.endsWith(".inprogress") &&
+            oldEnough(f.toPath)) {
+          Files.deleteIfExists(f.toPath)
+          deleted += f.toPath
+        }
+      })
+    sweepTmp(new java.io.File(dir))
+    // sink dirs additionally: committed manifests are the truth;
+    // every unlisted .arrow file is an invisible orphan
+    if (ArrowDataSource.sinkRoot(dir).isDefined) {
+      val visible = ArrowDataSource.visibleIpcFiles(dir)
+        .map(_.toAbsolutePath.normalize).toSet
+      ArrowDataSource.listIpcFiles(dir)
+        .filterNot(f => visible(f.toAbsolutePath.normalize))
+        .filter(oldEnough)
+        .foreach { f => Files.deleteIfExists(f); deleted += f }
+    }
+    deleted.toSeq
+  }
+
   /** Rewrite every `.arrow` file under `inDir` into `outDir`,
     * dictionary-encoding string columns with at most `maxCardinality`
     * distinct values. One Spark task per file — the distributed

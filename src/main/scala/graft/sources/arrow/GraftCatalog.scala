@@ -136,13 +136,30 @@ class GraftBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
   * Tables are identified by filesystem path; the catalog is read-only
   * (writes keep using `df.write.format("arrow")`).
   */
-class GraftCatalog extends TableCatalog with FunctionCatalog {
+class GraftCatalog extends TableCatalog with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catalogName: String = "graft"
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = { catalogName = name }
 
   override def name(): String = catalogName
+
+  /** Maintenance verbs as SQL:
+    * `CALL graft.system.vacuum(path => '/data', grace_ms => 0)` —
+    * see [[GraftProcedures]]. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures
+        .UnboundProcedure =
+    GraftProcedures.all.getOrElse(ident.name,
+      throw new RuntimeException(
+        s"graft: no procedure ${ident.name}; have " +
+          GraftProcedures.all.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    GraftProcedures.all.keys.toArray.sorted
+      .map(Identifier.of(Array("system"), _))
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty

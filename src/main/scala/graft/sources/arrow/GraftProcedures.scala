@@ -1,0 +1,222 @@
+package graft.sources.arrow
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
+  * — the operational verbs every table format grows (Delta/Iceberg
+  * ship the same trio), bound through Spark's `ProcedureCatalog` so a
+  * scheduler can run them as plain SQL with named args:
+  *
+  *   - `vacuum(path, grace_ms)` — reclaim files readers already cannot
+  *     see (crashed-writer temps, sink orphans). Metadata-only.
+  *   - `compact(path, target_rows)` — fold splinter files into
+  *     row-count-targeted ones (OPTIMIZE). The sizing count is
+  *     answered from footer stats; the rewrite is one distributed job.
+  *   - `dictionary_encode(in_path, out_path, codec, max_cardinality)`
+  *     — re-encode string columns as indices+dictionary
+  *     ([[ArrowOptimize.dictionaryEncode]]), one task per file.
+  *
+  * Each returns a result table (paths deleted / file counts) so the
+  * caller sees what happened without grepping logs. */
+object GraftProcedures {
+
+  private class ResultScan(schema: StructType, data: Array[InternalRow])
+      extends LocalScan {
+    override def readSchema(): StructType = schema
+    override def rows(): Array[InternalRow] = data
+  }
+
+  private def result(schema: StructType, data: Array[InternalRow])
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new ResultScan(schema, data)).iterator()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  /** One-method binding: the procedures take scalar IN params only, so
+    * bind() ignores the input type and returns the single overload. */
+  private abstract class SimpleProcedure(procName: String,
+      procDescription: String) extends UnboundProcedure
+      with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDescription
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  val Vacuum: UnboundProcedure = new SimpleProcedure("vacuum",
+    "delete files invisible to readers: crashed-writer .inprogress " +
+      "temps and, under a streaming sink, .arrow files no committed " +
+      "manifest lists; files younger than grace_ms are never touched") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("grace_ms", LongType)
+        .defaultValue("3600000").build())
+    private val out = StructType(Seq(
+      StructField("deleted_path", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val deleted = ArrowOptimize.vacuum(
+        input.getUTF8String(0).toString, input.getLong(1))
+      result(out, deleted.map(p =>
+        new GenericInternalRow(Array[Any](utf8(p.toString)))
+          : InternalRow).toArray)
+    }
+  }
+
+  val Compact: UnboundProcedure = new SimpleProcedure("compact",
+    "fold splinter files into target_rows-sized ones (OPTIMIZE): " +
+      "sizing reads footer stats only, the rewrite is one distributed " +
+      "job, and the old files are unlinked after the new ones land") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .defaultValue("1048576").build())
+    private val out = StructType(Seq(
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false),
+      StructField("rows", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val target = math.max(1L, input.getLong(1))
+      val spark = SparkSession.active
+      require(ArrowDataSource.sinkRoot(path).isEmpty,
+        s"compact: $path is a streaming sink; compact its commit log " +
+          "via the sink's manifest compaction, not a file rewrite")
+      val before = ArrowDataSource.visibleIpcFiles(path)
+      val df = spark.read.format("arrow").load(path)
+      val n = df.count() // footer-stat pushdown: metadata-only
+      val nFiles = math.max(1L, (n + target - 1) / target).toInt
+      // land the compacted files first (fresh uuid names), then unlink
+      // the splinters — same visibility caveat as every CoW rewrite
+      // here: a concurrent reader can briefly see both generations
+      df.repartition(nFiles).write.format("arrow").mode("append")
+        .save(path)
+      before.foreach(Files.deleteIfExists)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        before.length.toLong,
+        ArrowDataSource.visibleIpcFiles(path).length.toLong, n))))
+    }
+  }
+
+  val DictionaryEncode: UnboundProcedure = new SimpleProcedure(
+    "dictionary_encode",
+    "rewrite in_path into out_path with string columns " +
+      "dictionary-encoded (indices + per-file dictionary), one task " +
+      "per file; codec '' means uncompressed") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("in_path", StringType).build(),
+      ProcedureParameter.in("out_path", StringType).build(),
+      ProcedureParameter.in("codec", StringType)
+        .defaultValue("''").build(),
+      ProcedureParameter.in("max_cardinality", LongType)
+        .defaultValue("65536").build())
+    private val out = StructType(Seq(
+      StructField("files_written", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val inPath = input.getUTF8String(0).toString
+      val outPath = input.getUTF8String(1).toString
+      val codec = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty)
+      ArrowOptimize.dictionaryEncode(SparkSession.active, inPath,
+        outPath, codec, input.getLong(3).toInt)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        ArrowDataSource.visibleIpcFiles(outPath).length.toLong))))
+    }
+  }
+
+  val Zorder: UnboundProcedure = new SimpleProcedure("zorder",
+    "rewrite path clustered by the morton (bit-interleaved) key of " +
+      "the named integer columns: each output file covers a tight box " +
+      "in EVERY named dimension, so zone maps prune multi-column " +
+      "point and range predicates — Delta's OPTIMIZE ZORDER BY") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("cols", StringType)
+        .comment("comma-separated integer columns, 2..4").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .defaultValue("1048576").build())
+    private val out = StructType(Seq(
+      StructField("files_before", LongType, nullable = false),
+      StructField("files_after", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.functions._
+      val path = input.getUTF8String(0).toString
+      val cols = input.getUTF8String(1).toString
+        .split(",").map(_.trim).filter(_.nonEmpty)
+      val target = math.max(1L, input.getLong(2))
+      require(cols.length >= 2 && cols.length <= 4,
+        s"zorder interleaves 2..4 columns, got ${cols.toSeq}")
+      require(ArrowDataSource.sinkRoot(path).isEmpty,
+        s"zorder: $path is a streaming sink; rewrite refused")
+      val spark = SparkSession.active
+      val before = ArrowDataSource.visibleIpcFiles(path)
+      val df = spark.read.format("arrow").load(path)
+      // Morton key: bit i of column j lands at position i*k + j — the
+      // low 16 bits of each column interleave into one ≤64-bit key.
+      // 16 bits per dimension bounds the curve's resolution, not the
+      // data: higher bits only matter once two rows already share the
+      // full 16-bit prefix of every dimension.
+      val k = cols.length
+      val zkey = (0 until 16).flatMap { i =>
+        cols.zipWithIndex.map { case (c, j) =>
+          shiftleft(shiftright(col(c).bitwiseAND(65535L), i)
+            .bitwiseAND(1L), i * k + j)
+        }
+      }.reduce(_ + _)
+      val n = df.count() // footer-stat pushdown: metadata-only
+      val nFiles = math.max(1L, (n + target - 1) / target).toInt
+      df.withColumn("__zkey", zkey)
+        .repartitionByRange(nFiles, col("__zkey"))
+        .sortWithinPartitions(col("__zkey"))
+        .drop("__zkey")
+        .write.format("arrow").mode("append").save(path)
+      before.foreach(Files.deleteIfExists)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        before.length.toLong,
+        ArrowDataSource.visibleIpcFiles(path).length.toLong))))
+    }
+  }
+
+  val History: UnboundProcedure = new SimpleProcedure("history",
+    "list a streaming sink's committed epochs (files and bytes per " +
+      "epoch) — the versions `VERSION AS OF` can travel to") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("epoch", LongType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val root = ArrowDataSource.sinkRoot(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"history: $path carries no commit log — only streaming " +
+            "sinks have epoch history"))
+      val rows = ArrowDataSource.committedEntries(root)
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (epoch, entries) =>
+          val bytes = entries.map { case (_, rel) =>
+            val f = root.resolve(rel)
+            if (Files.exists(f)) Files.size(f) else 0L
+          }.sum
+          new GenericInternalRow(Array[Any](
+            epoch, entries.length.toLong, bytes)): InternalRow
+        }
+      result(out, rows.toArray)
+    }
+  }
+
+  val all: Map[String, UnboundProcedure] = Map(
+    "vacuum" -> Vacuum,
+    "compact" -> Compact,
+    "dictionary_encode" -> DictionaryEncode,
+    "zorder" -> Zorder,
+    "history" -> History)
+}

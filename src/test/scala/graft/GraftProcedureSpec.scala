@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** SQL `CALL` maintenance procedures through the graft catalog:
+  * vacuum / compact / dictionary_encode, each returning a result table
+  * so the operator sees what happened. */
+class GraftProcedureSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  test("CALL vacuum deletes sink orphans, reports them, keeps data") {
+    val dir = Files.createTempDirectory("proc_vac").toString
+    val committed = Paths.get(dir, "part-00000-live.arrow")
+    val orphan = Paths.get(dir, "part-00001-orphan.arrow")
+    Files.write(committed, Array[Byte](1))
+    Files.write(orphan, Array[Byte](2))
+    ArrowDataSource.commitEpochManifest(dir, 0L, Seq(committed.toString))
+    val res = spark.sql(
+      s"CALL graft.system.vacuum(path => '$dir', grace_ms => 0)")
+    assert(res.columns.toSeq == Seq("deleted_path"))
+    assert(res.collect().map(_.getString(0)).toSeq ==
+      Seq(orphan.toString))
+    assert(Files.exists(committed) && !Files.exists(orphan))
+  }
+
+  test("CALL compact folds splinters and loses nothing") {
+    val dir = Files.createTempDirectory("proc_cmp").toString
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    orders.repartition(16).write.format("arrow")
+      .mode("overwrite").save(dir)
+    val expect = orders.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+    val res = spark.sql(
+      s"CALL graft.system.compact(path => '$dir', " +
+        "target_rows => 1000000)").collect()(0)
+    assert(res.getLong(0) == 16, s"16 splinters before, got $res")
+    assert(res.getLong(1) == 1, s"one compacted file after, got $res")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
+      == expect, "compaction must not lose or duplicate rows")
+    assert(ArrowDataSource.visibleIpcFiles(dir).length == 1)
+  }
+
+  test("CALL dictionary_encode rewrites with default args applied") {
+    val in = Files.createTempDirectory("proc_dict_in").toString
+    val out = Files.createTempDirectory("proc_dict_out").toString
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .repartition(2).write.format("arrow").mode("overwrite").save(in)
+    val res = spark.sql(
+      s"CALL graft.system.dictionary_encode(in_path => '$in', " +
+        s"out_path => '$out')").collect()(0)
+    assert(res.getLong(0) == 2, s"2 files rewritten, got $res")
+    val a = spark.read.format("arrow").load(in)
+    val b = spark.read.format("arrow").load(out)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "encode is a pure layout change")
+  }
+
+  test("CALL zorder clusters two dimensions so box queries skip " +
+      "batches a linear layout must read") {
+    // 200×200 grid, one row per cell: a layout sorted by x alone
+    // scatters every y across every batch, so an (x,y) box must open
+    // every batch its x-range touches; the morton rewrite packs boxes.
+    val grid = spark.range(0, 40000).selectExpr(
+      "id % 200 AS x", "CAST(id / 200 AS BIGINT) AS y", "id AS payload")
+    val linear = Files.createTempDirectory("proc_zlin").toString
+    grid.orderBy(col("x"), col("y")).coalesce(1)
+      .write.format("arrow").option("batchRows", "256")
+      .mode("overwrite").save(linear)
+    val zed = Files.createTempDirectory("proc_zed").toString
+    grid.write.format("arrow").mode("overwrite").save(zed)
+    spark.sql(s"CALL graft.system.zorder(path => '$zed', " +
+      "cols => 'x,y', target_rows => 40000)")
+    // re-land with the same batch size for comparable granularity
+    val zedSmall = Files.createTempDirectory("proc_zed2").toString
+    spark.read.format("arrow").load(zed).coalesce(1)
+      .write.format("arrow")
+      .option("batchRows", "256").mode("overwrite").save(zedSmall)
+    def batchesFor(dir: String): Long = {
+      val box = spark.read.format("arrow").load(dir)
+        .filter(col("x").between(10, 30) && col("y").between(10, 30))
+      val before = ArrowDataSource.recordBatchesLoaded.get()
+      assert(box.count() == 21L * 21L)
+      ArrowDataSource.recordBatchesLoaded.get() - before
+    }
+    val (lin, z) = (batchesFor(linear), batchesFor(zedSmall))
+    assert(z * 2 < lin,
+      s"z-ordered box query must load fewer batches: z=$z linear=$lin")
+    // and the rewrite lost nothing
+    val back = spark.read.format("arrow").load(zed)
+    assert(back.count() == 40000)
+    assert(back.agg(sum(col("payload"))).collect()(0).getLong(0) ==
+      grid.agg(sum(col("payload"))).collect()(0).getLong(0))
+  }
+
+  test("CALL history lists committed epochs; flat dirs refuse") {
+    val dir = Files.createTempDirectory("proc_hist").toString
+    val f0 = Paths.get(dir, "part-00000-e0.arrow")
+    val f1 = Paths.get(dir, "part-00000-e1.arrow")
+    val f2 = Paths.get(dir, "part-00001-e1.arrow")
+    Files.write(f0, Array[Byte](1, 2, 3))
+    Files.write(f1, Array[Byte](4))
+    Files.write(f2, Array[Byte](5, 6))
+    ArrowDataSource.commitEpochManifest(dir, 0L, Seq(f0.toString))
+    ArrowDataSource.commitEpochManifest(dir, 1L,
+      Seq(f1.toString, f2.toString))
+    val rows = spark.sql(s"CALL graft.system.history(path => '$dir')")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((0L, 1L, 3L), (1L, 2L, 3L)))
+    val flat = Files.createTempDirectory("proc_hist_flat").toString
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.history(path => '$flat')").collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(messages.contains("commit log"))
+  }
+
+  test("an unknown procedure names the available ones") {
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.no_such_proc()")
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    assert(messages.contains("vacuum") && messages.contains("compact"),
+      s"error chain must list procedures, got: $messages")
+  }
+}
