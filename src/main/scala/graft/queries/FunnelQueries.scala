@@ -65,11 +65,53 @@ object FunnelQueries {
       .orderBy(col("cohort_week"), col("week_offset"))
   }
 
+  /** Gap-based batch sessionization: a new session starts when a
+    * user's inter-event gap exceeds 30 minutes (the streaming
+    * `session_window`'s batch twin, spelled as lag + running sum — the
+    * canonical SQL idiom). One window shuffle on user_id, running
+    * state is a single counter per row; the output folds to a
+    * sessions-per-user histogram so the result stays tiny and
+    * hash-stable at any event volume. */
+  def eventsSessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gap = col("ts").cast("long") -
+      lag(col("ts").cast("long"), 1).over(w)
+    val perUser = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("is_new",
+        when(gap.isNull || gap > 1800L, 1L).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+    perUser.groupBy(col("n_sessions"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("n_sessions"))
+  }
+
   val defs: Map[String, Q] = Map(
     "events_funnel" -> (eventsFunnel _),
+    "events_sessionize" -> (eventsSessionize _),
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |   CAST(floor(epoch(ts)) AS BIGINT) -
+        |   lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+        |     (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id,
+        |   SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |     AS n_sessions,
+        |   COUNT(*) AS n_events
+        |  FROM g GROUP BY user_id)
+        |SELECT n_sessions, COUNT(*) AS n_users, SUM(n_events) AS n_events
+        |FROM pu GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
     "events_funnel" ->
       """WITH s AS (
         |  SELECT user_id, MIN(ts) AS s_ts FROM events

@@ -143,6 +143,43 @@ class ArrowRowLevelSpec extends AnyFunSuite {
       10 - existing)
   }
 
+  test("MERGE with WHEN NOT MATCHED BY SOURCE DELETE prunes the " +
+      "target to the source") {
+    val dir = rangedDir()
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    spark.range(1, 501).selectExpr("id AS k")
+      .createOrReplaceTempView("rlo_nmbs_src")
+    spark.sql(
+      s"""MERGE INTO graft.arrow.`$dir` t
+         |USING rlo_nmbs_src s ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = 0.0
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val back = spark.read.format("arrow").load(dir)
+    val expectKept = orders.filter(col("o_orderkey").between(1, 500))
+    assert(back.count() == expectKept.count(),
+      "rows outside the source are deleted")
+    assert(back.filter(col("o_totalprice") =!= 0.0).count() == 0,
+      "every surviving row took the matched update")
+  }
+
+  test("UPDATE with a subquery predicate full-rewrites correctly " +
+      "(group filter cannot fire)") {
+    val dir = rangedDir()
+    val orders = Tables.load(spark, TestSession.Sf, "orders")
+    spark.sql(
+      s"""UPDATE graft.arrow.`$dir` SET o_totalprice = -1.0
+         |WHERE o_orderkey IN (
+         |  SELECT o_orderkey FROM graft.arrow.`$dir`
+         |  WHERE o_orderstatus = 'F')""".stripMargin)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == orders.count())
+    assert(back.filter(col("o_orderstatus") === "F")
+      .filter(col("o_totalprice") =!= -1.0).count() == 0)
+    assert(back.filter(col("o_orderstatus") =!= "F")
+      .filter(col("o_totalprice") === -1.0).count() == 0,
+      "rows outside the subquery keep their prices")
+  }
+
   test("DELETE with a NOT predicate goes copy-on-write via ReplaceData") {
     val dir = rangedDir()
     // FilterEval refuses NOT, so SupportsDelete cannot claim this —
