@@ -176,7 +176,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       .getOrElse(128L * 1024 * 1024)
     val epochAsOf = Option(options.get("epochAsOf"))
       .orElse(properties.get("epochAsOf")).map(_.toLong)
-    new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf)
+    new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects

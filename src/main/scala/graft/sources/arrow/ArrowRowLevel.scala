@@ -101,9 +101,23 @@ class ArrowRowLevelOperation(path: String, tableSchema: StructType,
         s"arrow: $path is a bucketed layout; a copy-on-write rewrite " +
           "would drop the bucket stamps joins rely on. Rewrite the " +
           "table via bucketBy overwrite instead.")
+    // DELETE deletes rows but never reorders them: each replacement
+    // file is a subsequence of one scanned file (one split per file,
+    // narrow pipeline), so a uniformly sorted layout KEEPS its stamp —
+    // the zero-sort join property survives the retention sweep. UPDATE
+    // may rewrite the sort column and MERGE shuffles through a join,
+    // so both drop it (re-run the sorted rewrite to restore).
+    val sortCol =
+      if (cmd == RowLevelOperation.Command.DELETE && infos.nonEmpty &&
+          infos.forall(_.sort.isDefined))
+        infos.flatMap(_.sort).distinct match {
+          case Seq(one) => Some(one)
+          case _ => None
+        }
+      else None
     new ArrowCoWWriteBuilder(this, path, info.schema(), partSchema,
       infos.headOption.flatMap(_.codec),
-      infos.flatMap(_.blooms.keys).distinct.sorted)
+      infos.flatMap(_.blooms.keys).distinct.sorted, sortCol)
   }
 }
 
@@ -194,11 +208,12 @@ class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
 
 class ArrowCoWWriteBuilder(op: ArrowRowLevelOperation, path: String,
     writeSchema: StructType, partSchema: StructType,
-    codec: Option[String], bloomCols: Seq[String]) extends WriteBuilder {
+    codec: Option[String], bloomCols: Seq[String],
+    sortCol: Option[String] = None) extends WriteBuilder {
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new ArrowCoWWrite(op, path, writeSchema, partSchema, codec,
-        bloomCols)
+        bloomCols, sortCol)
     override def description(): String = s"graft-arrow-cow-write $path"
   }
 }
@@ -210,7 +225,8 @@ class ArrowCoWWriteBuilder(op: ArrowRowLevelOperation, path: String,
   * restore them; zone maps and blooms are recomputed per new file. */
 class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
     writeSchema: StructType, partSchema: StructType,
-    codec: Option[String], bloomCols: Seq[String]) extends BatchWrite {
+    codec: Option[String], bloomCols: Seq[String],
+    sortCol: Option[String] = None) extends BatchWrite {
 
   // the incoming rows may carry `_file` (requiredMetadataAttributes);
   // project it away so only real table columns hit the writers
@@ -222,7 +238,7 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new ArrowCoWWriterFactory(path, writeSchema, rowSchema,
-      dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols)
+      dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols, sortCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     op.scannedFiles.foreach(f =>
@@ -239,17 +255,18 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
 class ArrowCoWWriterFactory(path: String, writeSchema: StructType,
     rowSchema: StructType, dataIdx: Array[Int],
     partitionCols: Seq[String], codec: Option[String],
-    bloomCols: Seq[String]) extends DataWriterFactory {
+    bloomCols: Seq[String], sortCol: Option[String] = None)
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = {
     val inner: DataWriter[InternalRow] =
       if (partitionCols.isEmpty)
         new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
-          taskId, null, Map.empty, bloomCols, None)
+          taskId, null, Map.empty, bloomCols, sortCol)
       else
         new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
-          partitionId, taskId, partitionCols, 64, bloomCols, None)
+          partitionId, taskId, partitionCols, 64, bloomCols, sortCol)
     if (dataIdx.length == writeSchema.length) inner
     else new DataWriter[InternalRow] { // strip the `_file` passenger
       private val proj = UnsafeProjection.create(dataIdx.map(i =>

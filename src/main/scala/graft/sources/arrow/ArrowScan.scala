@@ -50,7 +50,8 @@ private[arrow] class FooterIndex(path: String,
 
 class ArrowScanBuilder(path: String, schema: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024,
-    epochAsOf: Option[Long] = None)
+    epochAsOf: Option[Long] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -332,7 +333,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
-      maxSplitBytes, footerIdx, limit)
+      maxSplitBytes, footerIdx, limit, maxFilesPerTrigger)
   }
 }
 
@@ -341,7 +342,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     partSchema: StructType = StructType(Seq.empty),
     maxSplitBytes: Long = 128L * 1024 * 1024,
     idx: FooterIndex = null,
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -676,12 +678,13 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ArrowMicroBatchStream(path, schema, filters, partFilters,
-      partSchema)
+      partSchema, maxFilesPerTrigger)
 }
 
 class ArrowMicroBatchStream(path: String, schema: StructType,
     filters: Array[Filter], partFilters: Array[Filter],
-    partSchema: StructType)
+    partSchema: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -775,10 +778,54 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(liveLatest())
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  // ---- Admission control (`option("maxFilesPerTrigger", n)`) ------
+  // A restarted stream over a deep backlog (or a sink that committed a
+  // burst of epochs) must not plan one giant micro-batch: the cap
+  // bounds each trigger's delta and the stream drains in steps.
+  // File-set mode caps exactly; epoch mode keeps EPOCH granularity
+  // (an epoch's manifest is the atomic unit) — it takes committed
+  // epochs while their file count fits, always at least one.
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget.getOrElse(liveLatest())
+  private def capOffset(start: Offset, target: Offset, n: Int): Offset =
+    (start, target) match {
+      case (ArrowFilesOffset(seen), ArrowFilesOffset(now)) =>
+        ArrowFilesOffset(seen ++ (now -- seen).toSeq.sorted.take(n))
+      case (ArrowEpochOffset(s), ArrowEpochOffset(e)) if e > s =>
+        val root = epochRoot.get
+        val prefix = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+        val byEpoch = ArrowDataSource.committedEntries(root)
+          .filter { case (ep, rel) => ep > s && ep <= e &&
+            root.resolve(rel).normalize.startsWith(prefix) }
+          .groupBy(_._1).view.mapValues(_.size).toSeq.sortBy(_._1)
+        var end = s
+        var budget = n
+        var any = false
+        val it = byEpoch.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val (ep, cnt) = it.next()
+          if (!any || cnt <= budget) {
+            end = ep; budget -= cnt; any = true
+          } else stop = true
+        }
+        // epochs with no files under this prefix ride along for free:
+        // advance past a trailing empty run so the stream does not
+        // re-trigger on them forever
+        ArrowEpochOffset(if (any) end else e)
+      case _ => target
+    }
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val target = availableNowTarget.getOrElse(liveLatest())
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        capOffset(start, target, mf.maxFiles())
+      case _ => target
+    }
+  }
 
   override def reportLatestOffset(): Offset = liveLatest()
 

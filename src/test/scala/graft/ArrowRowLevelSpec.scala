@@ -192,6 +192,36 @@ class ArrowRowLevelSpec extends AnyFunSuite {
     assert(back.agg(min(col("o_orderkey"))).collect()(0).getLong(0) > 1000)
   }
 
+  test("CoW DELETE keeps the sorted-layout stamp; UPDATE drops it") {
+    import graft.sources.arrow.ArrowDataSource
+    def sortedDir(): String = {
+      val d = Files.createTempDirectory("arrow_rlo_sort").toString
+      Tables.load(spark, TestSession.Sf, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.format("arrow").option("sortBy", "o_orderkey")
+        .mode("overwrite").save(d)
+      d
+    }
+    val del = sortedDir()
+    // NOT forces the ReplaceData path (FilterEval refuses it)
+    spark.sql(s"DELETE FROM graft.arrow.`$del` " +
+      "WHERE NOT (o_orderkey > 1000)")
+    val delStamps = ArrowDataSource.visibleIpcFiles(del)
+      .map(f => ArrowDataSource.footerInfo(f).sort)
+    assert(delStamps.nonEmpty && delStamps.forall(_.contains("o_orderkey")),
+      s"delete preserves order, stamps must survive: $delStamps")
+    val upd = sortedDir()
+    spark.sql(s"UPDATE graft.arrow.`$upd` SET o_orderkey = 0 " +
+      "WHERE o_orderkey <= 1000")
+    val updStamps = ArrowDataSource.visibleIpcFiles(upd)
+      .map(f => ArrowDataSource.footerInfo(f).sort)
+    assert(updStamps.exists(_.isEmpty),
+      "an update that rewrites the sort column must not claim the " +
+        s"stamp on rewritten files: $updStamps")
+  }
+
   test("`_file` metadata column reads on ordinary scans") {
     val dir = rangedDir()
     val paths = spark.read.format("arrow").load(dir)
