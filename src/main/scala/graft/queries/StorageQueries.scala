@@ -278,11 +278,58 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** OPTIMIZE ZORDER BY as SQL: land orders in arrival order, CALL
+    * `graft.system.zorder` to recluster by the (custkey, orderkey)
+    * morton key, and answer a two-dimensional box query off the
+    * reclustered layout. Correctness is the oracle's plain filter;
+    * the zone-map batch-skip win is pinned by GraftProcedureSpec's
+    * counter test. */
+  def arrowZorderBox(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_zorder", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.sql(s"CALL graft.system.zorder(path => '$out', " +
+      "cols => 'o_custkey,o_orderkey', target_rows => 4000)")
+    spark.read.format("arrow").load(out)
+      .filter(col("o_custkey").between(100, 300) &&
+        col("o_orderkey").between(1000, 3000))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+  }
+
+  /** The maintenance pipeline end-to-end as SQL: splinter files →
+    * CALL compact (footer-stat sizing, distributed rewrite) → CALL
+    * vacuum (reclaims nothing here — proves it never touches live
+    * data) → aggregate matches the untouched oracle exactly. */
+  def arrowMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_maint", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartition(16)
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.sql(s"CALL graft.system.compact(path => '$out', " +
+      "target_rows => 1000000)")
+    spark.sql(s"CALL graft.system.vacuum(path => '$out', " +
+      "grace_ms => 0)")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
     "arrow_update_rows" -> (arrowUpdateRows _),
     "arrow_merge_rows" -> (arrowMergeRows _),
+    "arrow_zorder_box" -> (arrowZorderBox _),
+    "arrow_maintenance" -> (arrowMaintenance _),
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
@@ -320,6 +367,17 @@ object StorageQueries {
         |FROM orders
         |WHERE NOT (o_orderkey <= 2000 AND o_orderstatus = 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_zorder_box" ->
+      """SELECT COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | SUM(o_orderkey) AS sum_key
+        |FROM orders
+        |WHERE o_custkey BETWEEN 100 AND 300
+        |  AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
+    "arrow_maintenance" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_update_rows" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(CASE WHEN o_orderkey <= 2000 AND o_orderstatus = 'O'

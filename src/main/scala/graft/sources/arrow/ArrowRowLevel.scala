@@ -149,10 +149,31 @@ class ArrowCoWScanBuilder(op: ArrowRowLevelOperation, path: String,
 
 class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
     schema: StructType, partSchema: StructType, triage: Array[Filter])
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   // one cached footer read per file across triage and planning
   private val footerIdx = new FooterIndex(path)
+
+  /** Footer-derived size of the triaged candidate set — without it a
+    * MERGE join would plan the target side blind and might broadcast
+    * a 100 TB table; with it the source dim broadcasts instead. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val files = candidates
+    val bytes = files.map(f => footerIdx.info(f).sizes.sum).sum
+    val rows: Seq[Long] = files.map(f =>
+      footerIdx.info(f).rowStats
+        .map(s => s.batches.map(_._1).sum).getOrElse(-1L))
+    val rowsKnown = rows.forall(_ >= 0L)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, bytes))
+      override def numRows(): java.util.OptionalLong =
+        if (rowsKnown) java.util.OptionalLong.of(rows.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
