@@ -177,7 +177,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     val epochAsOf = Option(options.get("epochAsOf"))
       .orElse(properties.get("epochAsOf")).map(_.toLong)
     new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf,
-      Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("ignoreChanges")).exists(_.toBoolean))
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects
@@ -211,7 +212,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     val path = properties.getOrElse("path",
       throw new IllegalArgumentException("arrow: path required"))
-    if (ArrowDataSource.sinkRoot(path).isDefined)
+    if (ArrowDataSource.sinkRoot(path).isDefined &&
+        !ArrowDataSource.isTableLog(path))
       throw new UnsupportedOperationException(
         s"arrow: $path carries a streaming commit log " +
           s"(${ArrowDataSource.MetadataDirName}); DELETE would desync " +
@@ -221,15 +223,26 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     require(canDeleteWhere(filters),
       s"arrow DELETE needs FilterEval-supported predicates, got " +
         filters.mkString("[", ",", "]"))
+    // Every DELETE path is logged: the first one upgrades a flat
+    // directory to a table (epoch 0 = current files), making the
+    // delete atomic for readers and the pre-delete state addressable
+    // via VERSION AS OF until vacuum.
+    ArrowDataSource.initTableLog(path)
+    val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+    val base = ArrowDataSource.latestCommittedEpoch(root)
     if (!partitionOnly(ps, filters)) {
       ArrowDelete.deleteWhere(
-        org.apache.spark.sql.SparkSession.active, path, ps, filters.toSeq)
+        org.apache.spark.sql.SparkSession.active, path, ps,
+        filters.toSeq, base)
       return
     }
+    // partition-only predicate: a pure METADATA delete — one epoch
+    // removing the pruned files, zero data bytes touched
     val victims = ArrowDataSource.pruneByPartitionFilters(
       ArrowDataSource.visibleIpcFiles(path), path, ps, filters.toSeq)
-    victims.foreach(java.nio.file.Files.deleteIfExists)
-    ArrowDelete.sweepEmptyDirs(path)
+    if (victims.nonEmpty)
+      ArrowDataSource.commitTableEpoch(path, base, Seq.empty,
+        victims.map(_.toString))
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
@@ -256,7 +269,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(info.options.get("bloomFilterColumns")).toSeq
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty),
-      Option(info.options.get("optimizeWrite")).exists(_.toBoolean))
+      Option(info.options.get("optimizeWrite")).exists(_.toBoolean),
+      Option(info.options.get("stageOnly")).exists(_.toBoolean))
   }
 }
 
@@ -335,29 +349,97 @@ object ArrowDataSource {
     None
   }
 
-  /** All committed `(epoch, root-relative path)` entries: the latest
+  /** One committed log event: `rel` (root-relative) entered the
+    * visible set at `epoch` (add) or left it (remove). Streaming sinks
+    * only ever append adds; DML / logged overwrite epochs carry both.
+    * Line formats: manifest `rel` (add) | `-\trel` (remove); compact
+    * snapshot `epoch\trel` | `epoch\t-\trel`. Bare-`rel` manifests
+    * predating removals parse unchanged. */
+  case class LogEntry(epoch: Long, remove: Boolean, rel: String)
+
+  /** Marker distinguishing a TABLE log (DML / logged batch commits,
+    * epochs numbered by the log itself) from a STREAMING-SINK log
+    * (epochs numbered by the query's checkpoint). The two must not
+    * mix writers: a stream restarted from epoch 0 into a table log
+    * would no-op against the idempotency check and silently drop
+    * data. */
+  val TableMarkerName = "_table"
+
+  /** Lowest epoch `VERSION AS OF` may still resolve exactly; advanced
+    * by vacuum's history prune when it reclaims removed files. */
+  val HorizonMarkerName = "_horizon"
+
+  def isTableLog(dir: String): Boolean =
+    sinkRoot(dir).exists(r => Files.exists(
+      r.resolve(MetadataDirName).resolve(TableMarkerName)))
+
+  /** Earliest exactly-addressable epoch (0 until a prune advances it). */
+  def travelHorizon(root: Path): Long = {
+    val m = root.resolve(MetadataDirName).resolve(HorizonMarkerName)
+    if (!Files.exists(m)) 0L
+    else Files.readAllLines(m).asScala.headOption
+      .map(_.trim.toLong).getOrElse(0L)
+  }
+
+  private def parseManifestLine(e: Long, line: String): LogEntry =
+    if (line.startsWith("-\t")) LogEntry(e, remove = true, line.substring(2))
+    else LogEntry(e, remove = false, line)
+
+  private def manifestLine(en: LogEntry): String =
+    if (en.remove) s"-\t${en.rel}" else en.rel
+
+  private def parseCompactLine(line: String): LogEntry = {
+    val tab = line.indexOf('\t')
+    parseManifestLine(line.substring(0, tab).toLong, line.substring(tab + 1))
+  }
+
+  private def compactLine(en: LogEntry): String =
+    s"${en.epoch}\t${manifestLine(en)}"
+
+  /** The full committed event history in epoch order: the latest
     * compact snapshot plus every per-epoch manifest past it. One
     * directory listing; O(1) snapshot read + O(tail) manifest reads,
-    * independent of how many epochs the stream has lived. */
-  def committedEntries(root: Path): Seq[(Long, String)] = {
+    * independent of how many epochs the log has lived. */
+  def committedHistory(root: Path): Seq[LogEntry] = {
     val md = root.resolve(MetadataDirName)
     if (!Files.isDirectory(md)) return Seq.empty
     val names = listDir(md).map(_.getFileName.toString)
     val compactEpoch = names.filter(_.endsWith(".compact"))
       .map(epochOf).sorted.lastOption
     val snapshot = compactEpoch.toSeq.flatMap { e =>
-      Files.readAllLines(md.resolve(s"$e.compact")).asScala.map { line =>
-        val tab = line.indexOf('\t')
-        (line.substring(0, tab).toLong, line.substring(tab + 1))
-      }
+      Files.readAllLines(md.resolve(s"$e.compact")).asScala
+        .map(parseCompactLine)
     }
     val tail = names.filter(_.endsWith(".manifest"))
       .map(n => epochOf(n))
       .filter(e => compactEpoch.forall(e > _))
       .sorted
       .flatMap(e => Files.readAllLines(md.resolve(s"$e.manifest")).asScala
-        .map(rel => (e, rel)))
+        .map(parseManifestLine(e, _)))
     snapshot ++ tail
+  }
+
+  /** Committed ADD events only — the streaming source's per-epoch
+    * delta view (what files each epoch contributed). */
+  def committedEntries(root: Path): Seq[(Long, String)] =
+    committedHistory(root).collect {
+      case LogEntry(e, false, rel) => (e, rel)
+    }
+
+  /** The live `(addEpoch, rel)` set as of `asOf` (None = now): fold
+    * the history, a removal at `e2 <= asOf` cancelling the add at
+    * `e1 < e2`. This is what makes a DML commit ATOMIC for readers —
+    * the swap from old files to rewritten ones is one manifest rename,
+    * and until it lands every reader keeps resolving the old set. */
+  def liveEntries(root: Path, asOf: Option[Long]): Seq[(Long, String)] = {
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    committedHistory(root).foreach { en =>
+      if (asOf.forall(en.epoch <= _)) {
+        if (en.remove) live.remove(en.rel)
+        else live.put(en.rel, en.epoch)
+      }
+    }
+    live.toSeq.map { case (rel, e) => (e, rel) }
   }
 
   /** Highest committed epoch under `root`'s commit log, -1 when none —
@@ -396,9 +478,15 @@ object ArrowDataSource {
             "to time-travel over")
         files
       case Some(root) =>
-        val committed = committedEntries(root)
-          .collect { case (e, rel) if asOf.forall(e <= _) =>
-            root.resolve(rel).normalize.toString }
+        asOf.foreach { e =>
+          val h = travelHorizon(root)
+          require(e >= h,
+            s"epochAsOf: version $e of $dir predates the vacuum " +
+              s"horizon $h — its files were reclaimed; earliest " +
+              s"addressable version is $h")
+        }
+        val committed = liveEntries(root, asOf)
+          .map { case (_, rel) => root.resolve(rel).normalize.toString }
           .toSet
         files.filter(f => committed(f.toAbsolutePath.normalize.toString))
     }
@@ -429,22 +517,138 @@ object ArrowDataSource {
     Files.write(tmp, rels.sorted.asJava)
     Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    if (compactInterval > 0 && (epochId + 1) % compactInterval == 0) {
-      val entries = committedEntries(root).filter(_._1 <= epochId)
-      val lines = entries.map { case (e, rel) => s"$e\t$rel" }
-      val ctmp = md.resolve(s"$epochId.compact.inprogress")
-      Files.write(ctmp, lines.asJava)
-      Files.move(ctmp, md.resolve(s"$epochId.compact"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      // covered metadata is now redundant: older snapshots and every
-      // manifest at or below this snapshot's epoch
-      listDir(md).foreach { f =>
-        val n = f.getFileName.toString
-        val covered =
-          (n.endsWith(".manifest") && epochOf(n) <= epochId) ||
-            (n.endsWith(".compact") && epochOf(n) < epochId)
-        if (covered) Files.deleteIfExists(f)
+    if (compactInterval > 0 && (epochId + 1) % compactInterval == 0)
+      compactLog(root, epochId)
+  }
+
+  /** Fold all metadata at or below `epochId` into one
+    * `<epochId>.compact` snapshot and delete what it covers. The
+    * snapshot preserves the EVENT history (adds and removes with their
+    * epochs), not just the live set — time travel to any epoch keeps
+    * working after compaction; only VACUUM (which physically reclaims
+    * removed files) trims the travel horizon. Crash between snapshot
+    * and deletes is safe: readers ignore metadata at or below the
+    * latest snapshot's epoch, and the next compaction re-deletes. */
+  def compactLog(root: Path, epochId: Long,
+      onlyExisting: Boolean = false): Unit = {
+    val md = root.resolve(MetadataDirName)
+    // onlyExisting (vacuum's history prune): drop events about files
+    // no longer on disk — a removed-then-reclaimed file loses both its
+    // add and its remove, so the live fold is unchanged while the
+    // time-travel horizon advances to the first epoch whose snapshot
+    // is still byte-complete (recorded in `_horizon`; older versions
+    // refuse instead of silently resolving short)
+    val all = committedHistory(root).filter(_.epoch <= epochId)
+    val entries =
+      if (!onlyExisting) all
+      else {
+        val (kept, dropped) =
+          all.partition(en => Files.exists(root.resolve(en.rel)))
+        if (dropped.nonEmpty) {
+          // a dropped (add e1, remove e2) pair falsifies versions in
+          // [e1, e2): the first fully-intact version is max(e2)
+          val horizon = math.max(travelHorizon(root),
+            dropped.filter(_.remove).map(_.epoch).foldLeft(0L)(math.max))
+          val htmp = md.resolve("_horizon.inprogress")
+          Files.write(htmp, java.util.List.of(horizon.toString))
+          Files.move(htmp, md.resolve(HorizonMarkerName),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        kept
       }
+    val ctmp = md.resolve(s"$epochId.compact.inprogress")
+    Files.write(ctmp, entries.map(compactLine).asJava)
+    Files.move(ctmp, md.resolve(s"$epochId.compact"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    // covered metadata is now redundant: older snapshots and every
+    // manifest at or below this snapshot's epoch
+    listDir(md).foreach { f =>
+      val n = f.getFileName.toString
+      val covered =
+        (n.endsWith(".manifest") && epochOf(n) <= epochId) ||
+          (n.endsWith(".compact") && epochOf(n) < epochId)
+      if (covered) Files.deleteIfExists(f)
+    }
+  }
+
+  /** Atomic, conflict-checked TABLE epoch commit: `removes` leave the
+    * visible set and `adds` enter it in one manifest rename.
+    *
+    * Protocol: re-read the latest epoch; if it moved past
+    * `expectedBase`, another writer committed since this operation
+    * planned — throw (optimistic concurrency, Delta's commit-conflict
+    * check). Otherwise RESERVE epoch base+1 with an exclusive create
+    * (two racers both at base: exactly one create wins, the loser
+    * throws), then move the written manifest over the reservation.
+    * A crash between reserve and move burns the epoch number but
+    * commits nothing: an empty manifest folds to zero events, so
+    * readers stay on the prior snapshot. Old files are NOT unlinked —
+    * they back `VERSION AS OF` time travel until vacuum reclaims
+    * them. */
+  def commitTableEpoch(dir: String, expectedBase: Long,
+      adds: Seq[String], removes: Seq[String],
+      compactInterval: Int = DefaultCompactInterval): Long = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val md = root.resolve(MetadataDirName)
+    Files.createDirectories(md)
+    val latest = latestCommittedEpoch(root)
+    if (latest != expectedBase)
+      throw new java.util.ConcurrentModificationException(
+        s"arrow: $dir advanced from epoch $expectedBase to $latest " +
+          "since this operation planned its snapshot; retry against " +
+          "the current table state")
+    val epoch = latest + 1
+    val manifest = md.resolve(s"$epoch.manifest")
+    try Files.createFile(manifest)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new java.util.ConcurrentModificationException(
+          s"arrow: a concurrent writer committed epoch $epoch of $dir " +
+            "first; retry against the current table state")
+    }
+    def rel(f: String): String =
+      root.relativize(Paths.get(f).toAbsolutePath.normalize).toString
+    val lines =
+      removes.map(f => manifestLine(LogEntry(epoch, remove = true, rel(f))))
+        .sorted ++ adds.map(rel).sorted
+    val tmp = md.resolve(s"$epoch.manifest.inprogress")
+    Files.write(tmp, lines.asJava)
+    Files.move(tmp, manifest,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    if (compactInterval > 0 && (epoch + 1) % compactInterval == 0)
+      compactLog(root, epoch)
+    epoch
+  }
+
+  /** Upgrade a flat directory to a logged TABLE in one atomic step:
+    * stage `_graft_metadata` under a temp name with the table marker
+    * and an epoch-0 manifest snapshotting every current file, then
+    * rename the DIRECTORY into place. Readers never observe the
+    * half-built log (the metadata dir either absent — flat visibility
+    * — or complete); a concurrent init losing the rename cleans up
+    * and defers to the winner. No-op when a log already exists. */
+  def initTableLog(dir: String): Unit = {
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    if (sinkRoot(dir).isDefined) return
+    Files.createDirectories(root)
+    val files = listIpcFiles(dir)
+      .map(p => root.relativize(p.toAbsolutePath.normalize).toString)
+    val tmp = root.resolve(MetadataDirName + ".init.inprogress")
+    if (Files.exists(tmp)) { // crashed previous init: rebuild
+      listDir(tmp).foreach(Files.deleteIfExists)
+    } else Files.createDirectories(tmp)
+    Files.createFile(tmp.resolve(TableMarkerName))
+    Files.write(tmp.resolve("0.manifest"), files.sorted.asJava)
+    try Files.move(tmp, root.resolve(MetadataDirName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.DirectoryNotEmptyException
+          | _: java.nio.file.AccessDeniedException =>
+        // concurrent init won the rename; its snapshot is the truth
+        listDir(tmp).foreach(Files.deleteIfExists)
+        Files.deleteIfExists(tmp)
     }
   }
 

@@ -35,12 +35,12 @@ import org.apache.spark.sql.types.StructType
   *      matching rows is left bit-identical (no gratuitous rewrite).
   *
   * One independent task per candidate file — the compaction shape, no
-  * shuffle. Durability caveat, stated rather than hidden: the per-file
-  * commit is new-file-rename THEN old-file-unlink, so a crash between
-  * the two can leave both (survivor rows doubled until the old file is
-  * removed by hand). Flat directories have no transaction log to make
-  * this atomic; directories that DO have one (streaming sinks) refuse
-  * DELETE upstream for exactly that reason.
+  * shuffle. Durability: DELETE runs against a LOGGED table (the first
+  * delete upgrades a flat directory, [[ArrowDataSource.initTableLog]]),
+  * so replacement files stay invisible until the driver's single
+  * atomic epoch commit swaps every touched group at once; a crash
+  * mid-job commits nothing, and the removed originals back
+  * `VERSION AS OF` until vacuum reclaims them.
   *
   * Dictionary-encoded files rewrite to plain strings (the row writer
   * is single-pass; re-run [[ArrowOptimize.dictionaryEncode]] to
@@ -67,11 +67,17 @@ object ArrowDelete {
   }
 
   /** Distributed copy-on-write delete of every row matching the
-    * conjunction `filters` under `root`. Caller guarantees every
-    * filter is FilterEval-supported over (file ++ partition) columns
-    * and that `root` is not a streaming sink. */
+    * conjunction `filters` under `root` — a LOGGED table (the caller
+    * ran [[ArrowDataSource.initTableLog]] and passes the planning-time
+    * epoch as `baseEpoch`). Tasks rewrite files but never unlink; the
+    * driver swaps every touched group for its replacement in one
+    * atomic epoch commit, so readers see the delete all-or-nothing.
+    * Caller guarantees every filter is FilterEval-supported over
+    * (file ++ partition) columns and that `root` is not a streaming
+    * sink. */
   def deleteWhere(spark: SparkSession, root: String,
-      partSchema: StructType, filters: Seq[Filter]): Unit = {
+      partSchema: StructType, filters: Seq[Filter],
+      baseEpoch: Long): Unit = {
     val partCols = partSchema.fieldNames.toSet
     val partF = filters.filter(f => f.references.forall(partCols) &&
       FilterEval.supported(partSchema, f))
@@ -81,22 +87,31 @@ object ArrowDelete {
     val rootStr = root
     val fs = filters
     val ps = partSchema
-    spark.sparkContext
+    val results = spark.sparkContext
       .parallelize(candidates.map(_.toString), candidates.length)
-      .foreach(f => rewriteFile(rootStr, f, ps, fs))
-    sweepEmptyDirs(root)
+      .map(f => (f, rewriteFile(rootStr, f, ps, fs)))
+      .collect() // (file, replacements) pairs — metadata, not rows
+    val removed = results.collect { case (f, Some(_)) => f }.toSeq
+    val adds = results.flatMap { case (_, r) => r.getOrElse(Nil) }.toSeq
+    if (removed.nonEmpty)
+      ArrowDataSource.commitTableEpoch(root, baseEpoch, adds, removed)
   }
 
-  /** Triage + rewrite one file (runs inside a task). */
+  /** Triage + rewrite one file (runs inside a task). Returns None when
+    * the file provably holds no matching row (left bit-identical and
+    * still visible), else Some(replacement files) — empty when every
+    * row matched. The original is NEVER unlinked here: visibility
+    * flips only at the driver's epoch commit. */
   private[arrow] def rewriteFile(root: String, file: String,
-      partSchema: StructType, filters: Seq[Filter]): Unit = {
+      partSchema: StructType, filters: Seq[Filter])
+      : Option[Seq[String]] = {
     val src = Paths.get(file)
     val info = ArrowDataSource.footerInfo(src)
     val dataSchema = ArrowDataSource.readFooterSchema(src)
     val dataF = filters.filterNot(f =>
       f.references.forall(partSchema.fieldNames.contains(_)) &&
         FilterEval.supported(partSchema, f))
-    if (!mayHoldMatches(info, dataSchema, dataF)) return
+    if (!mayHoldMatches(info, dataSchema, dataF)) return None
 
     // full row = file columns ++ directory-carried partition columns,
     // the same composition the scan serves — so the predicate may mix
@@ -132,15 +147,12 @@ object ArrowDelete {
     } catch {
       case t: Throwable => writer.abort(); throw t
     } finally reader.closeAll()
-    if (kept == total) writer.abort() // nothing matched: keep original
-    else {
-      if (kept == 0) writer.abort() // every row matched: no new file
-      else writer.commit() match {
-        case ArrowCommitMessage(_) => ()
-        case other: WriterCommitMessage =>
-          throw new IllegalStateException(s"unexpected commit $other")
-      }
-      Files.delete(src)
+    if (kept == total) { writer.abort(); None } // nothing matched
+    else if (kept == 0) { writer.abort(); Some(Seq.empty) } // all matched
+    else writer.commit() match {
+      case ArrowCommitMessage(fs) => Some(fs)
+      case other: WriterCommitMessage =>
+        throw new IllegalStateException(s"unexpected commit $other")
     }
   }
 

@@ -78,14 +78,24 @@ object ArrowOptimize {
       })
     sweepTmp(new java.io.File(dir))
     // sink dirs additionally: committed manifests are the truth;
-    // every unlisted .arrow file is an invisible orphan
-    if (ArrowDataSource.sinkRoot(dir).isDefined) {
+    // every unlisted .arrow file is an invisible orphan. For a LOGGED
+    // TABLE the invisible set also holds every file a DML/overwrite
+    // epoch removed — reclaiming those is what bounds copy-on-write
+    // storage growth, and the history prune below then drops their
+    // log events so `VERSION AS OF` never resolves to missing bytes
+    // (vacuum trims the travel horizon, Delta's retention semantics).
+    ArrowDataSource.sinkRoot(dir).foreach { root =>
       val visible = ArrowDataSource.visibleIpcFiles(dir)
         .map(_.toAbsolutePath.normalize).toSet
-      ArrowDataSource.listIpcFiles(dir)
+      val victims = ArrowDataSource.listIpcFiles(dir)
         .filterNot(f => visible(f.toAbsolutePath.normalize))
         .filter(oldEnough)
-        .foreach { f => Files.deleteIfExists(f); deleted += f }
+      victims.foreach { f => Files.deleteIfExists(f); deleted += f }
+      if (victims.nonEmpty && ArrowDataSource.isTableLog(dir))
+        ArrowDataSource.compactLog(root,
+          ArrowDataSource.latestCommittedEpoch(root), onlyExisting = true)
+      if (ArrowDataSource.isTableLog(dir))
+        ArrowDelete.sweepEmptyDirs(dir)
     }
     deleted.toSeq
   }
@@ -101,6 +111,11 @@ object ArrowOptimize {
     // directory must not resurrect uncommitted orphan files
     val files = ArrowDataSource.visibleIpcFiles(inDir).map(_.toString)
     require(files.nonEmpty, s"no .arrow files under $inDir")
+    require(Paths.get(inDir).toAbsolutePath.normalize !=
+      Paths.get(outDir).toAbsolutePath.normalize,
+      "dictionary_encode rewrites in_path INTO out_path; in-place " +
+        "(in_path == out_path) would clear the inputs before reading " +
+        "them — write to a fresh directory")
     Files.createDirectories(Paths.get(outDir))
     // overwrite semantics: stale files from a previous rewrite would
     // otherwise survive (part names carry fresh uuids) and duplicate

@@ -42,15 +42,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   4. Spark's rewritten query computes the replacement rows (updated
   *      + carried-over + MERGE inserts) and [[ArrowCoWWrite]] lands
   *      them as fresh files through the standard writers (partition
-  *      routing, zone maps, blooms recomputed); job commit unlinks
-  *      exactly the scanned files.
+  *      routing, zone maps, blooms recomputed); job commit swaps the
+  *      scanned group for the replacements in ONE table-log epoch.
   *
-  * Durability matches [[ArrowDelete]]'s documented caveat: replacement
-  * files become visible at task commit and the old files disappear at
-  * job commit, so a concurrent reader can briefly see both versions,
-  * and a crash between the two steps leaves both on disk. A flat
-  * directory has no transaction log to close that window; directories
-  * that do (streaming sinks) refuse row-level writes upstream.
+  * Durability: the first DML upgrades a flat directory to a logged
+  * table ([[ArrowDataSource.initTableLog]]); from then on replacement
+  * files stay invisible until the epoch manifest renames in (readers
+  * resolve old or new, never both), a crash before the rename commits
+  * nothing (orphans are vacuum fodder), a concurrent commit since the
+  * scan planned fails the DML (optimistic concurrency), and the
+  * removed files back `VERSION AS OF` until vacuum reclaims them.
+  * Streaming-SINK logs still refuse row-level writes: their epochs
+  * are numbered by the query checkpoint, not the log.
   *
   * Bucketed layouts refuse CoW UPDATE/MERGE: replacement files would
   * need per-bucket routing to keep the storage-partitioned-join
@@ -72,6 +75,12 @@ class ArrowRowLevelOperation(path: String, tableSchema: StructType,
     * plans before the write job that consumes it commits. */
   @volatile private[arrow] var scannedFiles: Seq[String] = Seq.empty
 
+  /** Table-log epoch the scan planned against — the optimistic-
+    * concurrency base [[ArrowCoWWrite.commit]] hands to
+    * [[ArrowDataSource.commitTableEpoch]]; a writer that committed in
+    * between fails this DML instead of silently losing its rows. */
+  @volatile private[arrow] var baseEpoch: Long = -1L
+
   private[arrow] val partSchema: StructType =
     ArrowDataSource.discoverPartitionSchema(path)
 
@@ -85,11 +94,19 @@ class ArrowRowLevelOperation(path: String, tableSchema: StructType,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = {
-    if (ArrowDataSource.sinkRoot(path).isDefined)
+    if (ArrowDataSource.sinkRoot(path).isDefined &&
+        !ArrowDataSource.isTableLog(path))
       throw new UnsupportedOperationException(
         s"arrow: $path is a streaming sink (commit log present); " +
           "row-level UPDATE/MERGE/DELETE would bypass the exactly-once " +
           "manifest. Rewrite via batch overwrite instead.")
+    // First DML upgrades a flat directory to a logged table (epoch 0
+    // snapshots the current files): from here on the old→new swap is
+    // one atomic manifest rename, readers never see both generations,
+    // and pre-DML epochs stay addressable via VERSION AS OF.
+    ArrowDataSource.initTableLog(path)
+    baseEpoch = ArrowDataSource.latestCommittedEpoch(
+      java.nio.file.Paths.get(path).toAbsolutePath.normalize)
     new ArrowCoWScanBuilder(this, path, tableSchema, partSchema)
   }
 
@@ -262,9 +279,17 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
       dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols, sortCol)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    op.scannedFiles.foreach(f =>
-      Files.deleteIfExists(Paths.get(f)))
-    ArrowDelete.sweepEmptyDirs(path)
+    // One atomic swap: the epoch manifest removes every scanned group
+    // and adds every replacement file in a single rename, so a reader
+    // resolves either the old generation or the new one, never both.
+    // The removed files stay on disk backing VERSION AS OF until
+    // vacuum; a concurrent commit since the scan planned fails here
+    // (ConcurrentModificationException) with the new files left as
+    // invisible orphans for vacuum to reclaim.
+    val adds = messages.collect { case ArrowCommitMessage(fs) => fs }
+      .toSeq.flatten
+    ArrowDataSource.commitTableEpoch(path, op.baseEpoch, adds,
+      op.scannedFiles)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -51,7 +51,8 @@ private[arrow] class FooterIndex(path: String,
 class ArrowScanBuilder(path: String, schema: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     epochAsOf: Option[Long] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -333,7 +334,8 @@ class ArrowScanBuilder(path: String, schema: StructType,
     val withRefs = StructType(readSchema.fields ++
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
-      maxSplitBytes, footerIdx, limit, maxFilesPerTrigger)
+      maxSplitBytes, footerIdx, limit, maxFilesPerTrigger,
+      ignoreChanges)
   }
 }
 
@@ -343,7 +345,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     maxSplitBytes: Long = 128L * 1024 * 1024,
     idx: FooterIndex = null,
     limit: Option[Int] = None,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -678,13 +681,14 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ArrowMicroBatchStream(path, schema, filters, partFilters,
-      partSchema, maxFilesPerTrigger)
+      partSchema, maxFilesPerTrigger, ignoreChanges)
 }
 
 class ArrowMicroBatchStream(path: String, schema: StructType,
     filters: Array[Filter], partFilters: Array[Filter],
     partSchema: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -741,12 +745,34 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
 
   /** Committed files of sink epochs in `(after, upTo]`, restricted to
     * the queried directory (which may be a partition subdir of the
-    * sink root) and pruned by pushed partition filters. */
+    * sink root) and pruned by pushed partition filters.
+    *
+    * A TABLE-log epoch may carry removals (DML / logged overwrite):
+    * its adds are REWRITES of already-streamed rows, so delivering
+    * them would duplicate every surviving row downstream. Refuse by
+    * default and let the user opt in with `ignoreChanges=true`
+    * (Delta's contract: rewritten files are delivered, deduplication
+    * is the consumer's job). */
   private def epochDeltaFiles(root: java.nio.file.Path, after: Long,
       upTo: Long): Seq[java.nio.file.Path] = {
+    if (!ignoreChanges)
+      ArrowDataSource.committedHistory(root).foreach { en =>
+        if (en.remove && en.epoch > after && en.epoch <= upTo)
+          throw new UnsupportedOperationException(
+            s"arrow streaming source on $path: epoch ${en.epoch} " +
+              "removed files (DML or logged overwrite upstream); its " +
+              "added files are rewrites of rows this stream already " +
+              "delivered. Set option(\"ignoreChanges\", true) to " +
+              "stream them anyway (downstream must dedup), or stream " +
+              "from an append-only sink.")
+      }
     val prefix = java.nio.file.Paths.get(path).toAbsolutePath.normalize
-    val files = ArrowDataSource.committedEntries(root)
-      .collect { case (e, rel) if e > after && e <= upTo =>
+    // adds in the window that are still LIVE at the window end: a
+    // fresh stream over a table with rewrite history delivers the
+    // current snapshot (Delta's initial-snapshot semantics), not every
+    // superseded generation ever committed
+    val files = ArrowDataSource.liveEntries(root, Some(upTo))
+      .collect { case (e, rel) if e > after =>
         root.resolve(rel).normalize }
       .filter(_.startsWith(prefix))
     ArrowDataSource.pruneByPartitionFilters(files, path, partSchema,

@@ -54,7 +54,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     bucket: Option[(String, Int)] = None,
     bloomCols: Seq[String] = Seq.empty,
     sortCol: Option[String] = None,
-    optimizeWrite: Boolean = false)
+    optimizeWrite: Boolean = false,
+    stageOnly: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -92,7 +93,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   private class ArrowWriteImpl extends Write {
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
-        partitionCols, maxOpenWriters, bucket, bloomCols, sortCol)
+        partitionCols, maxOpenWriters, bucket, bloomCols, sortCol,
+        stageOnly)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -102,6 +104,15 @@ class ArrowWriteBuilder(path: String, schema: StructType,
         "arrow streaming sink is append-only (use outputMode append/" +
           "update); complete mode needs per-epoch truncation it does " +
           "not implement")
+      // A TABLE log numbers epochs by the log; a stream numbers them
+      // by its checkpoint. Mixing the two, a stream restarted from
+      // epoch 0 would no-op against already-committed table epochs and
+      // silently drop its batches.
+      if (ArrowDataSource.isTableLog(path))
+        throw new UnsupportedOperationException(
+          s"arrow: $path is a logged table (DML/logged-batch commits); " +
+            "writeStream into it would collide with table epochs. " +
+            "Stream into a fresh directory instead.")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
         partitionCols, maxOpenWriters, compactInterval, bloomCols)
     }
@@ -168,14 +179,46 @@ class ArrowBatchWrite(path: String, schema: StructType,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
     bucket: Option[(String, Int)] = None,
     bloomCols: Seq[String] = Seq.empty,
-    sortCol: Option[String] = None)
+    sortCol: Option[String] = None,
+    stageOnly: Boolean = false)
     extends BatchWrite {
+
+  // Logged-table state, captured at factory creation on the driver:
+  // base epoch for the optimistic-concurrency check and (overwrite
+  // only) the visible set this write replaces. -2 = not a logged
+  // write (flat dir, streaming-sink dir, or stageOnly).
+  private var loggedBase: Long = -2L
+  private var loggedRemoves: Seq[String] = Seq.empty
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    if (doTruncate) {
+    def sweepTmp(d: java.io.File): Unit =
+      Option(d.listFiles()).foreach(_.foreach { f =>
+        if (f.isDirectory) sweepTmp(f)
+        else if (f.getName.endsWith(".inprogress")) f.delete()
+      })
+    if (stageOnly) {
+      // maintenance rewrites (compact/zorder) land files with NO
+      // commit of their own; the procedure folds adds+removes into
+      // one table epoch after the job returns
+      ()
+    } else if (ArrowDataSource.isTableLog(path)) {
+      // Logged table: truncate and append both become ONE atomic
+      // epoch at job commit. Nothing is physically deleted here —
+      // the replaced files back VERSION AS OF until vacuum — and the
+      // new files stay invisible (not in any manifest) until the
+      // commit rename, so a mid-write reader still resolves the old
+      // snapshot.
+      loggedBase = ArrowDataSource.latestCommittedEpoch(
+        dir.toAbsolutePath.normalize)
+      loggedRemoves =
+        if (doTruncate)
+          ArrowDataSource.visibleIpcFiles(path).map(_.toString)
+        else Seq.empty
+      sweepTmp(dir.toFile)
+    } else if (doTruncate) {
       // listIpcFiles is recursive, so partition subdirectories empty
       // out too (the dirs themselves are reused on rewrite); stale
       // .inprogress temps from crashed writers go with them, and so
@@ -183,11 +226,6 @@ class ArrowBatchWrite(path: String, schema: StructType,
       // overwrite the directory is flat-visible again
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
       ArrowDataSource.deleteManifests(path)
-      def sweepTmp(d: java.io.File): Unit =
-        Option(d.listFiles()).foreach(_.foreach { f =>
-          if (f.isDirectory) sweepTmp(f)
-          else if (f.getName.endsWith(".inprogress")) f.delete()
-        })
       sweepTmp(dir.toFile)
     } else if (Files.isDirectory(
         dir.resolve(ArrowDataSource.MetadataDirName))) {
@@ -206,7 +244,13 @@ class ArrowBatchWrite(path: String, schema: StructType,
       maxOpenWriters, bucket, bloomCols, sortCol)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (loggedBase >= -1L) {
+      val adds = messages.collect { case ArrowCommitMessage(fs) => fs }
+        .toSeq.flatten
+      ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
+        loggedRemoves)
+    }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case ArrowCommitMessage(fs) =>

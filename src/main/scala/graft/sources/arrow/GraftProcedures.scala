@@ -40,6 +40,33 @@ object GraftProcedures {
 
   private def utf8(s: String): UTF8String = UTF8String.fromString(s)
 
+  /** Rewrite `path`'s visible files (`replaced`) with `df`'s rows.
+    * On a LOGGED table the new files are STAGED (land on disk, enter
+    * no manifest) and one table epoch then swaps the generations
+    * atomically — a reader mid-rewrite resolves the old layout, never
+    * a mix, and the old files back `VERSION AS OF` until vacuum. On a
+    * flat directory the files land visibly and the old generation is
+    * unlinked after, the pre-log behavior (brief both-generations
+    * window, documented). */
+  private[arrow] def loggedRewrite(path: String,
+      replaced: Seq[java.nio.file.Path])(
+      df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+    if (ArrowDataSource.isTableLog(path)) {
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val base = ArrowDataSource.latestCommittedEpoch(root)
+      val onDisk = ArrowDataSource.listIpcFiles(path)
+        .map(_.toString).toSet
+      df.write.format("arrow").mode("append")
+        .option("stageOnly", "true").save(path)
+      val adds = ArrowDataSource.listIpcFiles(path).map(_.toString)
+        .filterNot(onDisk)
+      ArrowDataSource.commitTableEpoch(path, base, adds,
+        replaced.map(_.toString))
+    } else {
+      df.write.format("arrow").mode("append").save(path)
+      replaced.foreach(Files.deleteIfExists)
+    }
+
   /** One-method binding: the procedures take scalar IN params only, so
     * bind() ignores the input type and returns the single overload. */
   private abstract class SimpleProcedure(procName: String,
@@ -86,19 +113,16 @@ object GraftProcedures {
       val path = input.getUTF8String(0).toString
       val target = math.max(1L, input.getLong(1))
       val spark = SparkSession.active
-      require(ArrowDataSource.sinkRoot(path).isEmpty,
+      require(ArrowDataSource.sinkRoot(path).isEmpty ||
+        ArrowDataSource.isTableLog(path),
         s"compact: $path is a streaming sink; compact its commit log " +
           "via the sink's manifest compaction, not a file rewrite")
       val before = ArrowDataSource.visibleIpcFiles(path)
       val df = spark.read.format("arrow").load(path)
       val n = df.count() // footer-stat pushdown: metadata-only
       val nFiles = math.max(1L, (n + target - 1) / target).toInt
-      // land the compacted files first (fresh uuid names), then unlink
-      // the splinters — same visibility caveat as every CoW rewrite
-      // here: a concurrent reader can briefly see both generations
-      df.repartition(nFiles).write.format("arrow").mode("append")
-        .save(path)
-      before.foreach(Files.deleteIfExists)
+      GraftProcedures.loggedRewrite(path, before)(
+        df.repartition(nFiles))
       result(out, Array(new GenericInternalRow(Array[Any](
         before.length.toLong,
         ArrowDataSource.visibleIpcFiles(path).length.toLong, n))))
@@ -153,7 +177,8 @@ object GraftProcedures {
       val target = math.max(1L, input.getLong(2))
       require(cols.length >= 2 && cols.length <= 4,
         s"zorder interleaves 2..4 columns, got ${cols.toSeq}")
-      require(ArrowDataSource.sinkRoot(path).isEmpty,
+      require(ArrowDataSource.sinkRoot(path).isEmpty ||
+        ArrowDataSource.isTableLog(path),
         s"zorder: $path is a streaming sink; rewrite refused")
       val spark = SparkSession.active
       val before = ArrowDataSource.visibleIpcFiles(path)
@@ -172,12 +197,11 @@ object GraftProcedures {
       }.reduce(_ + _)
       val n = df.count() // footer-stat pushdown: metadata-only
       val nFiles = math.max(1L, (n + target - 1) / target).toInt
-      df.withColumn("__zkey", zkey)
-        .repartitionByRange(nFiles, col("__zkey"))
-        .sortWithinPartitions(col("__zkey"))
-        .drop("__zkey")
-        .write.format("arrow").mode("append").save(path)
-      before.foreach(Files.deleteIfExists)
+      GraftProcedures.loggedRewrite(path, before)(
+        df.withColumn("__zkey", zkey)
+          .repartitionByRange(nFiles, col("__zkey"))
+          .sortWithinPartitions(col("__zkey"))
+          .drop("__zkey"))
       result(out, Array(new GenericInternalRow(Array[Any](
         before.length.toLong,
         ArrowDataSource.visibleIpcFiles(path).length.toLong))))
@@ -185,29 +209,34 @@ object GraftProcedures {
   }
 
   val History: UnboundProcedure = new SimpleProcedure("history",
-    "list a streaming sink's committed epochs (files and bytes per " +
-      "epoch) — the versions `VERSION AS OF` can travel to") {
+    "list a commit log's epochs (files added / bytes added / files " +
+      "removed per epoch) — streaming-sink appends and logged-table " +
+      "DML/overwrite commits alike; the versions `VERSION AS OF` can " +
+      "travel to") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build())
     private val out = StructType(Seq(
       StructField("epoch", LongType, nullable = false),
       StructField("files", LongType, nullable = false),
-      StructField("bytes", LongType, nullable = false)))
+      StructField("bytes", LongType, nullable = false),
+      StructField("removed", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
       val root = ArrowDataSource.sinkRoot(path).getOrElse(
         throw new IllegalArgumentException(
           s"history: $path carries no commit log — only streaming " +
-            "sinks have epoch history"))
-      val rows = ArrowDataSource.committedEntries(root)
-        .groupBy(_._1).toSeq.sortBy(_._1)
+            "sinks and logged tables have epoch history"))
+      val rows = ArrowDataSource.committedHistory(root)
+        .groupBy(_.epoch).toSeq.sortBy(_._1)
         .map { case (epoch, entries) =>
-          val bytes = entries.map { case (_, rel) =>
-            val f = root.resolve(rel)
+          val (removes, adds) = entries.partition(_.remove)
+          val bytes = adds.map { en =>
+            val f = root.resolve(en.rel)
             if (Files.exists(f)) Files.size(f) else 0L
           }.sum
           new GenericInternalRow(Array[Any](
-            epoch, entries.length.toLong, bytes)): InternalRow
+            epoch, adds.length.toLong, bytes,
+            removes.length.toLong)): InternalRow
         }
       result(out, rows.toArray)
     }

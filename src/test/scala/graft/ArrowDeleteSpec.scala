@@ -37,9 +37,14 @@ class ArrowDeleteSpec extends AnyFunSuite {
     assert(back.filter(col("o_orderstatus") === "F").count() == 0)
     assert(back.count() ==
       orders.filter(col("o_orderstatus") =!= "F").count())
-    // the value directory itself is swept away, not left empty
+    // partition-only DELETE is METADATA-ONLY: the files stay on disk
+    // (backing VERSION AS OF) but leave the visible set atomically;
+    // vacuum then reclaims the bytes and sweeps the empty directory
+    assert(Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "metadata delete must not touch data bytes")
+    graft.sources.arrow.ArrowOptimize.vacuum(dir, graceMs = 0)
     assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
-      "empty partition directory must be removed")
+      "vacuum reclaims the deleted partition and sweeps its directory")
     // remaining data is untouched row-for-row
     val expect = orders.filter(col("o_orderstatus") =!= "F")
       .agg(sum(col("o_orderkey"))).collect()(0).getLong(0)
@@ -71,12 +76,17 @@ class ArrowDeleteSpec extends AnyFunSuite {
     val maxKey = orders.agg(max(col("o_orderkey"))).collect()(0).getLong(0)
     val cut = maxKey / 8 // well inside the first range slice
     spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE o_orderkey <= $cut")
-    val after = ArrowDataSource.listIpcFiles(dir).map(_.toString).toSet
+    val visible = ArrowDataSource.visibleIpcFiles(dir)
+      .map(_.toString).toSet
     // copy-on-write: non-overlapping files are never rewritten (a
     // rewrite lands under a fresh uuid name, so identity = untouched)
-    assert((before & after).size >= 3,
-      s"too many files rewritten:\nbefore=$before\nafter=$after")
-    assert(after.size == 4, "one overlapping file rewritten in place")
+    assert((before & visible).size >= 3,
+      s"too many files rewritten:\nbefore=$before\nvisible=$visible")
+    assert(visible.size == 4, "one overlapping file swapped for its rewrite")
+    // the replaced original stays ON DISK behind the log for VERSION
+    // AS OF — 4 originals + 1 replacement until vacuum
+    assert(ArrowDataSource.listIpcFiles(dir).size == 5,
+      "replaced file must survive on disk until vacuum")
     // and the rows are exactly SQL's semantics
     val back = spark.read.format("arrow").load(dir)
     val expect = orders.filter(col("o_orderkey") > cut)
@@ -117,17 +127,18 @@ class ArrowDeleteSpec extends AnyFunSuite {
       s"NULL-tag row must survive a `tag = 'a'` delete, got $back")
   }
 
-  test("a file whose every row matches is unlinked, and emptied " +
-      "partition directories are swept") {
+  test("a file whose every row matches leaves the visible set with " +
+      "no replacement; vacuum sweeps the emptied partition") {
     val dir = partitionedDir()
     // data conjunct forces the copy-on-write path; it matches every
-    // row, so the F partition's files disappear without replacements
+    // row, so the F partition's files are removed without replacements
     spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
       "WHERE o_orderstatus = 'F' AND o_totalprice > 0.0")
-    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
-      "empty partition directory must be removed")
     val back = spark.read.format("arrow").load(dir)
     assert(back.filter(col("o_orderstatus") === "F").count() == 0)
+    graft.sources.arrow.ArrowOptimize.vacuum(dir, graceMs = 0)
+    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "vacuum must sweep the emptied partition directory")
   }
 
   test("copy-on-write preserves bucket stamps and the codec") {

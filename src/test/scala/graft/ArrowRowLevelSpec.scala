@@ -66,12 +66,18 @@ class ArrowRowLevelSpec extends AnyFunSuite {
     assert(before.size == 4)
     spark.sql(s"UPDATE graft.arrow.`$dir` SET o_totalprice = 1.0 " +
       "WHERE o_orderkey <= 100")
-    val after = files(dir)
-    val untouched = before.filter { case (p, t) =>
-      after.get(p).contains(t) }
-    assert(untouched.size == 3,
-      s"3 of 4 range files out of [0,100] must keep their bytes, " +
-        s"kept ${untouched.size}")
+    // the VISIBLE set keeps the 3 non-overlapping originals and swaps
+    // only the low-range file for its rewrite
+    val visible = graft.sources.arrow.ArrowDataSource
+      .visibleIpcFiles(dir).toSet
+    assert((before.keySet & visible).size == 3,
+      s"3 of 4 range files out of [0,100] must stay visible untouched, " +
+        s"kept ${(before.keySet & visible).size}")
+    assert(visible.size == 4)
+    // the replaced original keeps its bytes ON DISK (it backs
+    // VERSION AS OF until vacuum), so the directory holds 4 + 1 files
+    assert(files(dir).size == 5,
+      "replaced file must survive on disk for time travel")
   }
 
   test("UPDATE routes rewritten rows back into their partitions") {
@@ -112,9 +118,14 @@ class ArrowRowLevelSpec extends AnyFunSuite {
     assert(back.filter(col("o_orderstatus") === "F").count() == 0)
     assert(back.filter(col("o_orderstatus") === "X").count() == wasF,
       "rewritten rows land under the new value directory")
-    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
-      "emptied value directory is swept")
     assert(Files.exists(Paths.get(dir, "o_orderstatus=X")))
+    // the emptied value directory keeps its (now invisible) files for
+    // VERSION AS OF; vacuum reclaims them and sweeps the directory
+    assert(Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "replaced partition files back time travel until vacuum")
+    graft.sources.arrow.ArrowOptimize.vacuum(dir, graceMs = 0)
+    assert(!Files.exists(Paths.get(dir, "o_orderstatus=F")),
+      "vacuum sweeps the emptied value directory")
   }
 
   test("MERGE INTO updates matches and inserts the rest") {

@@ -1,0 +1,226 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, ArrowOptimize, GraftCatalog}
+
+/** The TABLE log: `_graft_metadata` extended with REMOVE events, so
+  * DML, logged overwrite/append, and maintenance rewrites each commit
+  * one atomic epoch — readers resolve the set before or after a
+  * commit, never a mix; old files back `VERSION AS OF` until vacuum;
+  * concurrent writers are detected optimistically (Delta's commit
+  * protocol, re-expressed over the streaming sink's manifest
+  * machinery — reference intent per
+  * /root/reference/CMakeLists.txt:2 "Arrow storage engine"). */
+class ArrowTableLogSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def freshTable(n: Int = 100): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_tlog").toString
+    (1 to n).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    dir
+  }
+
+  test("first DML upgrades a flat dir to a logged table; epoch 0 is " +
+      "the pre-DML snapshot, readable via VERSION AS OF") {
+    val dir = freshTable()
+    assert(!ArrowDataSource.isTableLog(dir))
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 40")
+    assert(ArrowDataSource.isTableLog(dir))
+    assert(spark.read.format("arrow").load(dir).count() == 60)
+    // time travel to the pre-delete snapshot
+    assert(spark.read.format("arrow").option("epochAsOf", 0)
+      .load(dir).count() == 100)
+    assert(spark.sql(s"SELECT count(*) FROM graft.arrow.`$dir` " +
+      "VERSION AS OF 0").collect()(0).getLong(0) == 100)
+  }
+
+  test("a staged (uncommitted) file is invisible: the epoch rename is " +
+      "the only visibility flip") {
+    import spark.implicits._
+    val dir = freshTable(10)
+    ArrowDataSource.initTableLog(dir)
+    // land a file exactly as a crashed DML/maintenance job would:
+    // bytes on disk, no manifest entry
+    val stage = Files.createTempDirectory("arrow_tlog_stage").toString
+    (100L to 105L).toDF("id").withColumn("tag", lit("x"))
+      .coalesce(1).write.format("arrow").mode("overwrite").save(stage)
+    val orphan = ArrowDataSource.listIpcFiles(stage).head
+    val dst = Paths.get(dir, "part-staged.arrow")
+    Files.copy(orphan, dst)
+    assert(spark.read.format("arrow").load(dir).count() == 10,
+      "uncommitted file must stay invisible")
+    // the commit makes it visible atomically
+    ArrowDataSource.commitTableEpoch(dir,
+      ArrowDataSource.latestCommittedEpoch(
+        Paths.get(dir).toAbsolutePath.normalize),
+      Seq(dst.toString), Seq.empty)
+    assert(spark.read.format("arrow").load(dir).count() == 16)
+  }
+
+  test("optimistic concurrency: a commit against a stale base epoch " +
+      "throws instead of clobbering") {
+    val dir = freshTable(10)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val base = ArrowDataSource.latestCommittedEpoch(root)
+    ArrowDataSource.commitTableEpoch(dir, base, Seq.empty, Seq.empty)
+    intercept[java.util.ConcurrentModificationException] {
+      ArrowDataSource.commitTableEpoch(dir, base, Seq.empty, Seq.empty)
+    }
+  }
+
+  test("batch overwrite of a logged table is one epoch: history is " +
+      "kept and the pre-overwrite version stays addressable") {
+    import spark.implicits._
+    val dir = freshTable(50)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 10") // logs
+    (1L to 5L).map(i => (i, "new")).toDF("id", "tag")
+      .write.format("arrow").mode("overwrite").save(dir)
+    assert(ArrowDataSource.isTableLog(dir), "overwrite keeps the log")
+    assert(spark.read.format("arrow").load(dir).count() == 5)
+    // pre-overwrite epochs still resolve (epoch 1 = post-DELETE)
+    assert(spark.read.format("arrow").option("epochAsOf", 1)
+      .load(dir).count() == 40)
+    assert(spark.read.format("arrow").option("epochAsOf", 0)
+      .load(dir).count() == 50)
+  }
+
+  test("batch append into a logged table commits an adds-only epoch " +
+      "(no silent invisibility)") {
+    import spark.implicits._
+    val dir = freshTable(20)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 5")
+    (200L to 204L).map(i => (i, "late")).toDF("id", "tag")
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 20)
+    // the append is its own epoch: as-of the DML epoch excludes it
+    assert(spark.read.format("arrow").option("epochAsOf", 1)
+      .load(dir).count() == 15)
+  }
+
+  test("UPDATE is atomic at the log: VERSION AS OF reads the " +
+      "pre-update values, the live read the post-update ones") {
+    val dir = freshTable(30)
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'hit' " +
+      "WHERE id <= 7")
+    val live = spark.read.format("arrow").load(dir)
+    assert(live.filter(col("tag") === "hit").count() == 7)
+    val asOf0 = spark.read.format("arrow").option("epochAsOf", 0)
+      .load(dir)
+    assert(asOf0.filter(col("tag") === "hit").count() == 0)
+    assert(asOf0.count() == 30)
+  }
+
+  test("vacuum reclaims DML-removed files and prunes the history so " +
+      "time travel never resolves to missing bytes") {
+    val dir = freshTable(60)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    assert(spark.read.format("arrow").option("epochAsOf", 0)
+      .load(dir).count() == 60)
+    val onDiskBefore = ArrowDataSource.listIpcFiles(dir).size
+    val reclaimed = ArrowOptimize.vacuum(dir, graceMs = 0)
+    assert(reclaimed.nonEmpty, "vacuum must reclaim the removed files")
+    assert(ArrowDataSource.listIpcFiles(dir).size < onDiskBefore)
+    // live read unchanged; versions older than the vacuum horizon
+    // REFUSE instead of silently resolving to a partial snapshot
+    assert(spark.read.format("arrow").load(dir).count() == 30)
+    val e = intercept[Exception] {
+      spark.read.format("arrow").option("epochAsOf", 0)
+        .load(dir).count()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString("; ")
+    assert(messages.contains("horizon"),
+      s"pre-horizon version must refuse, got: $messages")
+    // the first intact version still reads exactly
+    assert(spark.read.format("arrow").option("epochAsOf", 1)
+      .load(dir).count() == 30)
+  }
+
+  test("CALL compact on a logged table is one atomic epoch and keeps " +
+      "the pre-compaction version") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_tlog_compact").toString
+    (1 to 1000).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(8)
+      .write.format("arrow").mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 100") // logs
+    val visBefore = ArrowDataSource.visibleIpcFiles(dir).size
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 1000000)")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 900)
+    assert(ArrowDataSource.visibleIpcFiles(dir).size < visBefore)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (101L to 1000L).sum)
+    // the pre-compact epoch still reads exactly
+    assert(spark.read.format("arrow").option("epochAsOf", 1)
+      .load(dir).count() == 900)
+  }
+
+  test("streaming into a logged table refuses (epoch numbering would " +
+      "collide); DML on a streaming sink still refuses") {
+    import spark.implicits._
+    val dir = freshTable(10)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id = 1")
+    val src = Files.createTempDirectory("arrow_tlog_src").toString
+    (1L to 3L).toDF("id").write.format("arrow")
+      .mode("overwrite").save(src)
+    val e = intercept[Exception] {
+      val q = spark.readStream.schema("id LONG").format("arrow")
+        .load(src)
+        .writeStream.format("arrow")
+        .option("checkpointLocation",
+          Files.createTempDirectory("arrow_tlog_ckpt").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dir)
+      q.awaitTermination()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString("; ")
+    assert(messages.contains("logged table"))
+  }
+
+  test("a DML epoch refuses to stream as a source delta unless " +
+      "ignoreChanges opts in") {
+    import spark.implicits._
+    val dir = freshTable(10)
+    // stream the flat dir once? no — make it a logged table with a
+    // DML epoch FIRST, then stream from epoch -1: the delta crosses
+    // the removal epoch and must refuse
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 2")
+    def run(ignore: Boolean): Long = {
+      val out = Files.createTempDirectory("arrow_tlog_outp").toString
+      val reader = spark.readStream.schema("id LONG, tag STRING")
+        .format("arrow")
+      val q = (if (ignore) reader.option("ignoreChanges", "true")
+        else reader)
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("checkpointLocation",
+          Files.createTempDirectory("arrow_tlog_ckpt2").toString)
+        .option("path", out)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val e = intercept[Exception] { run(ignore = false) }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf(_)).mkString("; ")
+    assert(messages.contains("ignoreChanges"))
+    // opting in delivers the current snapshot (rewrites included)
+    assert(run(ignore = true) == 8)
+  }
+}
