@@ -323,8 +323,98 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** VERSION AS OF through the table log, oracle-gated: snapshot the
+    * Arrow table (epoch `pre`), DELETE a key range (one atomic epoch),
+    * then read AS OF `pre` — the aggregate must equal the oracle's
+    * over the UNTOUCHED table, proving the delete's copy-on-write
+    * left the prior version bit-addressable. The 100 TB shape:
+    * reproducing yesterday's training run is a metadata resolve, not
+    * a restore-from-backup. */
+  def arrowTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_time_travel", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    val pre = graft.sources.arrow.ArrowDataSource.latestCommittedEpoch(
+      java.nio.file.Paths.get(out).toAbsolutePath.normalize)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    spark.sql(s"SELECT * FROM graft.arrow.`$out` VERSION AS OF $pre")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** CALL graft.system.restore, oracle-gated: mutate the table twice
+    * (DELETE then UPDATE, two logged epochs), roll back to the
+    * pre-mutation epoch with one metadata-only restore commit, and
+    * aggregate the LIVE table — it must equal the oracle over the
+    * untouched data, proving restore resurrects exactly the old file
+    * set while keeping the mutations addressable in history. */
+  def arrowRestore(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_restore", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    val pre = graft.sources.arrow.ArrowDataSource.latestCommittedEpoch(
+      java.nio.file.Paths.get(out).toAbsolutePath.normalize)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900")
+    spark.sql(s"CALL graft.system.restore(path => '$out', epoch => $pre)")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** Change feed off the table log ([[graft.sources.arrow.ArrowChanges]]),
+    * oracle-gated: DELETE + UPDATE commit two epochs, the feed diffs
+    * the window reading ONLY churned files (shared files cancel in the
+    * file algebra without being scanned), and copy-on-write carry-over
+    * rows annihilate in the multiset anti-diff — what remains is
+    * exactly the DML-touched rows, which the oracle restates as plain
+    * predicates over the untouched table. The 100 TB shape: a day of
+    * DML against a petabyte table diffs the day's files. */
+  def arrowChanges(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_changes", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    val root = java.nio.file.Paths.get(out).toAbsolutePath.normalize
+    val pre = graft.sources.arrow.ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+      "AND o_orderstatus = 'F'")
+    val now = graft.sources.arrow.ArrowDataSource.latestCommittedEpoch(root)
+    graft.sources.arrow.ArrowChanges.between(spark, out, pre, now)
+      .groupBy(col(graft.sources.arrow.ArrowChanges.ChangeTypeCol)
+        .as("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("change_type"), col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_delete_partition" -> (arrowDeletePartition _),
+    "arrow_time_travel" -> (arrowTimeTravel _),
+    "arrow_restore" -> (arrowRestore _),
+    "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
     "arrow_update_rows" -> (arrowUpdateRows _),
     "arrow_merge_rows" -> (arrowMergeRows _),
@@ -375,6 +465,35 @@ object StorageQueries {
         |WHERE o_custkey BETWEEN 100 AND 300
         |  AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
     "arrow_maintenance" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_changes" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         'delete' AS change_type
+        |  FROM orders WHERE o_orderkey < 400
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 0.0, 'insert'
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'
+        |)
+        |SELECT change_type, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | SUM(o_orderkey) AS sum_key
+        |FROM changes GROUP BY change_type, o_orderstatus
+        |ORDER BY change_type, o_orderstatus""".stripMargin,
+    "arrow_time_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,

@@ -46,7 +46,16 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    val files = paths(options)
+    var files = paths(options)
+    if (files.isEmpty) {
+      // A logged table DML emptied has zero VISIBLE files but must
+      // stay addressable (read count 0, INSERT/RESTORE back to life).
+      // Its replaced files are still on disk until vacuum and carry
+      // the authoritative footer schema — infer from those.
+      val p = Option(options.get("path")).get
+      if (ArrowDataSource.isTableLog(p))
+        files = ArrowDataSource.listIpcFiles(p).take(1)
+    }
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
     val root = Option(options.get("path")).get
     // Schema evolution, read side (`option("mergeSchema", true)` —
@@ -176,9 +185,25 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       .getOrElse(128L * 1024 * 1024)
     val epochAsOf = Option(options.get("epochAsOf"))
       .orElse(properties.get("epochAsOf")).map(_.toLong)
+    // `files`: read EXACTLY these root-relative files, bypassing
+    // visibility — the change-feed reader's door to files a later
+    // epoch removed (still on disk until vacuum). Not for general use:
+    // ArrowChanges names churned files from the commit log.
+    val explicitFiles = Option(options.get("files")).map { csv =>
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      csv.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { rel =>
+        val f = root.resolve(rel).normalize
+        require(f.startsWith(root),
+          s"arrow files option: $rel escapes the table root")
+        require(java.nio.file.Files.exists(f),
+          s"arrow files option: $f does not exist (vacuumed away?)")
+        f
+      }.toSeq
+    }
     new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-      Option(options.get("ignoreChanges")).exists(_.toBoolean))
+      Option(options.get("ignoreChanges")).exists(_.toBoolean),
+      explicitFiles)
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects

@@ -39,9 +39,14 @@ import org.apache.spark.sql.vectorized.{ArrowColumnVector, ColumnarBatch, Column
   * (pushAggregation, estimateStatistics, planInputPartitions) — at
   * 100k files the difference between one metadata pass and three. */
 private[arrow] class FooterIndex(path: String,
-    asOf: Option[Long] = None) {
+    asOf: Option[Long] = None,
+    explicit: Option[Seq[java.nio.file.Path]] = None) {
+  /** Explicit file list (the change-feed reader naming exactly the
+    * churned files of an epoch window — including files a later epoch
+    * REMOVED, which visibility resolution would hide) or the normal
+    * manifest/as-of-resolved visible set. */
   lazy val files: Seq[java.nio.file.Path] =
-    ArrowDataSource.visibleIpcFiles(path, asOf)
+    explicit.getOrElse(ArrowDataSource.visibleIpcFiles(path, asOf))
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, ArrowDataSource.FooterInfo]
   def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
@@ -52,12 +57,13 @@ class ArrowScanBuilder(path: String, schema: StructType,
     maxSplitBytes: Long = 128L * 1024 * 1024,
     epochAsOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    explicitFiles: Option[Seq[java.nio.file.Path]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private val footerIdx = new FooterIndex(path, epochAsOf)
+  private val footerIdx = new FooterIndex(path, epochAsOf, explicitFiles)
 
   // Hive-style partition columns discovered from the directory layout
   // (empty for flat dirs); they live in paths, not files. Column NAMES

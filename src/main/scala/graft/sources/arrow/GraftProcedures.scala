@@ -242,10 +242,60 @@ object GraftProcedures {
     }
   }
 
+  val Restore: UnboundProcedure = new SimpleProcedure("restore",
+    "roll a logged table back to a committed epoch as one NEW " +
+      "metadata-only commit: re-add the files live at that version, " +
+      "remove the current ones, move no data bytes. History is kept — " +
+      "the pre-restore state stays addressable via VERSION AS OF and " +
+      "a restore can itself be restored away — Delta's RESTORE. " +
+      "Epochs behind the vacuum horizon (files reclaimed) refuse") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("epoch", LongType).build())
+    private val out = StructType(Seq(
+      StructField("restored_to", LongType, nullable = false),
+      StructField("committed_epoch", LongType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val target = input.getLong(1)
+      require(ArrowDataSource.isTableLog(path),
+        s"restore: $path is not a logged table — streaming-sink " +
+          "epochs are numbered by the query checkpoint and rolling " +
+          "them back would desync the stream; only DML/logged-batch " +
+          "commit logs restore")
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val latest = ArrowDataSource.latestCommittedEpoch(root)
+      require(target >= 0 && target <= latest,
+        s"restore: epoch $target out of range — $path has committed " +
+          s"epochs 0..$latest")
+      val horizon = ArrowDataSource.travelHorizon(root)
+      require(target >= horizon,
+        s"restore: epoch $target of $path predates the vacuum " +
+          s"horizon $horizon — its files were reclaimed; earliest " +
+          s"restorable epoch is $horizon")
+      val want = ArrowDataSource.liveEntries(root, Some(target))
+        .map(_._2).toSet
+      val have = ArrowDataSource.liveEntries(root, None).map(_._2).toSet
+      val adds = (want -- have).toSeq.sorted
+        .map(r => root.resolve(r).toString)
+      val removes = (have -- want).toSeq.sorted
+        .map(r => root.resolve(r).toString)
+      // an empty epoch still commits: the audit trail records that a
+      // restore happened even when it was a no-op
+      val committed = ArrowDataSource.commitTableEpoch(path, latest,
+        adds, removes)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        target, committed, adds.length.toLong, removes.length.toLong))))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "vacuum" -> Vacuum,
     "compact" -> Compact,
     "dictionary_encode" -> DictionaryEncode,
     "zorder" -> Zorder,
-    "history" -> History)
+    "history" -> History,
+    "restore" -> Restore)
 }

@@ -148,6 +148,85 @@ class ArrowTableLogSpec extends AnyFunSuite {
       .load(dir).count() == 30)
   }
 
+  test("CALL restore rolls back to a prior epoch as a new metadata " +
+      "commit; the rolled-back mutations stay addressable in history") {
+    val dir = freshTable(100)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 40") // ep 1
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'x' " +
+      "WHERE id > 90") // ep 2
+    val res = spark.sql(s"CALL graft.system.restore(" +
+      s"path => '$dir', epoch => 0)").collect()(0)
+    assert(res.getLong(0) == 0L) // restored_to
+    assert(res.getLong(1) == 3L) // committed_epoch: restore is ep 3
+    val live = spark.read.format("arrow").load(dir)
+    assert(live.count() == 100, "restore must resurrect all rows")
+    assert(live.filter(col("tag") === "x").count() == 0,
+      "restore must undo the UPDATE's rewrite")
+    // the rolled-back state is still addressable — and re-restorable
+    assert(spark.read.format("arrow").option("epochAsOf", 2)
+      .load(dir).count() == 60)
+    spark.sql(s"CALL graft.system.restore(path => '$dir', epoch => 2)")
+    assert(spark.read.format("arrow").load(dir).count() == 60)
+    // out-of-range target refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+        "epoch => 99)").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("out of range"))
+  }
+
+  test("restore refuses an epoch behind the vacuum horizon (its " +
+      "files were reclaimed) and refuses non-logged directories") {
+    val dir = freshTable(60)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    ArrowOptimize.vacuum(dir, graceMs = 0) // reclaims, advances horizon
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+        "epoch => 0)").collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("horizon"))
+    val flat = freshTable(5)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$flat', " +
+        "epoch => 0)").collect()
+    }
+    assert(String.valueOf(e2.getMessage).contains("not a logged table"))
+  }
+
+  test("change feed: ArrowChanges.between reads only churned files " +
+      "and nets copy-on-write carry-over to exactly the DML rows") {
+    import graft.sources.arrow.ArrowChanges
+    val dir = freshTable(100)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 40") // ep 1
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'x' " +
+      "WHERE id > 90") // ep 2
+    val ch = ArrowChanges.between(spark, dir, 0, 2).cache()
+    val dels = ch.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+    val ins = ch.filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+    // deletes: ids 1..40 (deleted) + original 91..100 (pre-update)
+    assert(dels.count() == 50)
+    assert(dels.agg(sum(col("id"))).collect()(0).getLong(0) ==
+      (1L to 40L).sum + (91L to 100L).sum)
+    assert(dels.filter(col("tag") === "x").count() == 0)
+    // inserts: the 10 rewritten rows, new values only
+    assert(ins.count() == 10)
+    assert(ins.filter(col("tag") === "x").count() == 10)
+    ch.unpersist()
+    // sub-window (1, 2]: just the UPDATE's upsert pair
+    val ch2 = ArrowChanges.between(spark, dir, 1, 2)
+    assert(ch2.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+      .count() == 10)
+    assert(ch2.filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+      .count() == 10)
+    // empty window: right schema, zero rows
+    assert(ArrowChanges.between(spark, dir, 2, 2).count() == 0)
+    // out-of-range refuses
+    val e = intercept[IllegalArgumentException] {
+      ArrowChanges.between(spark, dir, 0, 99)
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
   test("CALL compact on a logged table is one atomic epoch and keeps " +
       "the pre-compaction version") {
     import spark.implicits._
