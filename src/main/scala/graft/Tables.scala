@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver fixtures (TESTDATA.md / FIXTURES.md).
   *
@@ -37,9 +37,17 @@ object Tables {
     * 2^53 ns). */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        // fixture drift: the generator may emit timestamp[us] without a
+        // UTC adjustment (TIMESTAMP_NTZ). Session TZ is pinned to UTC
+        // (Engine.sessionBuilder / build.sbt), so reinterpreting as an
+        // instant is value-identical and matches the DuckDB oracle.
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
@@ -47,5 +55,8 @@ object Tables {
   /** Register every fixture as a temp view (the reference's table-catalog
     * role, SURVEY.md §2a R4: engine singleton holds loaded tables). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach {
+      case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+      case n        => load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
 }

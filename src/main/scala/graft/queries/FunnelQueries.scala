@@ -106,11 +106,11 @@ object FunnelQueries {
         |  FROM events),
         |pu AS (
         |  SELECT user_id,
-        |   SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |     AS n_sessions,
+        |   CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS n_sessions,
         |   COUNT(*) AS n_events
         |  FROM g GROUP BY user_id)
-        |SELECT n_sessions, COUNT(*) AS n_users, SUM(n_events) AS n_events
+        |SELECT n_sessions, COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events
         |FROM pu GROUP BY n_sessions ORDER BY n_sessions""".stripMargin,
     "events_funnel" ->
       """WITH s AS (

@@ -460,7 +460,7 @@ object StorageQueries {
     "arrow_zorder_box" ->
       """SELECT COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        | SUM(o_orderkey) AS sum_key
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders
         |WHERE o_custkey BETWEEN 100 AND 300
         |  AND o_orderkey BETWEEN 1000 AND 3000""".stripMargin,
@@ -486,7 +486,7 @@ object StorageQueries {
         |)
         |SELECT change_type, o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        | SUM(o_orderkey) AS sum_key
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM changes GROUP BY change_type, o_orderstatus
         |ORDER BY change_type, o_orderstatus""".stripMargin,
     "arrow_time_travel" ->

@@ -36,6 +36,27 @@ class ArrowSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP_NTZ round-trips (fixture-drift guard)") {
+    // the driver's events fixture has shipped ts as nanos-as-long,
+    // TIMESTAMP, and TIMESTAMP_NTZ across versions — pin the DSv2
+    // mapping (ArrowSchemas: Timestamp(MICROSECOND, null) ⇄
+    // TimestampNTZType) so the source can't be broken by the same drift
+    val dir = tmpDir()
+    val src = Tables.events(spark, TestSession.Sf)
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).as("tsn"))
+    src.write.format("arrow").mode("overwrite").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema("tsn").dataType == TimestampNTZType,
+      s"NTZ type lost: ${back.schema("tsn").dataType}")
+    assert(bagEqual(src, back), "NTZ data changed")
+    // predicate pushdown over the NTZ column still returns exact rows
+    val cut = src.selectExpr("max(tsn) AS m").collect()(0)
+      .getAs[java.time.LocalDateTime](0)
+    val filtered = back.filter(col("tsn") < lit(cut))
+    val expected = src.filter(col("tsn") < lit(cut))
+    assert(bagEqual(filtered, expected), "NTZ filter mismatch")
+  }
+
   test("map columns round-trip (events.props shape)") {
     val dir = tmpDir()
     val src = Tables.events(spark, TestSession.Sf)

@@ -22,6 +22,19 @@ class EngineLifecycleSpec extends AnyFunSuite {
     assert(Engine.evaluate(spark, TestSession.Sf, "no_such_query").isLeft)
   }
 
+  test("R2/R1: TIMESTAMP_NTZ fixture evaluates through the facade") {
+    // regression pin: the driver's events fixture drifted to
+    // TIMESTAMP_NTZ and the time-arithmetic queries threw at analysis
+    // (r8). With Tables.events normalizing the type, the same queries
+    // must come back as Right with rows — and any future fixture drift
+    // must surface as Left, never a throw across evaluate().
+    for (q <- Seq("events_sessionize", "join_time_bucket")) {
+      val r = Engine.evaluate(spark, TestSession.Sf, q)
+      assert(r.isRight, s"$q: ${r.left.toOption}")
+      assert(r.toOption.get.count() > 0, s"$q returned no rows")
+    }
+  }
+
   test("R4/R5: register populates the catalog, reset drops it, "
       + "re-register reproduces results") {
     Engine.register(spark, TestSession.Sf)

@@ -29,10 +29,22 @@ class StreamingSpec extends AnyFunSuite {
     dir.toString
   }
 
-  private def eventsStream = spark.readStream
-    .schema(Tables.load(spark, TestSession.Sf, "events").schema)
-    .parquet(eventsStreamDir)
-    .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  /** Same ts normalization as [[Tables.events]], applied to the stream:
+    * the fixture's `ts` physical type has drifted across driver versions
+    * (nanos-as-long, TIMESTAMP, TIMESTAMP_NTZ), so dispatch on the
+    * batch-read schema rather than hard-coding one shim. */
+  private def eventsStream = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val schema = Tables.load(spark, TestSession.Sf, "events").schema
+    val raw = spark.readStream.schema(schema).parquet(eventsStreamDir)
+    schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
+  }
 
   test("streamed tumbling window (complete mode) equals batch") {
     val stream = eventsStream
