@@ -31,6 +31,7 @@ import org.apache.spark.sql.functions.lit
 object ArrowChanges {
 
   val ChangeTypeCol = "_change_type"
+  val CommitEpochCol = "_commit_epoch"
 
   /** Rows changed in epoch window `(from, to]` of the logged table at
     * `path`, tagged insert/delete in [[ChangeTypeCol]]. `from == to`
@@ -66,4 +67,156 @@ object ArrowChanges {
     a.exceptAll(r).withColumn(ChangeTypeCol, lit("insert"))
       .unionAll(r.exceptAll(a).withColumn(ChangeTypeCol, lit("delete")))
   }
+}
+
+/** STREAMING change feed over the table log (Delta CDF's streaming
+  * shape): `spark.readStream.format("arrow")
+  * .option("readChangeFeed", true).load(dir)` tails committed epochs
+  * and delivers each epoch's churned files as rows tagged
+  * [[ArrowChanges.ChangeTypeCol]] (insert/delete) and
+  * [[ArrowChanges.CommitEpochCol]].
+  *
+  * Offsets are COMMIT EPOCHS — one long in the checkpoint however long
+  * the stream lives, replay-exact because the log is immutable below
+  * the vacuum horizon. Each trigger reads only the files epochs in
+  * `(start, end]` added or removed: O(churned bytes), never a table
+  * scan, and no exchange — every file is one tagged split.
+  *
+  * Granularity contract (the documented difference from the row-exact
+  * batch diff [[ArrowChanges.between]]): changes are FILE-grain. A
+  * copy-on-write rewrite surfaces carried-over rows as a
+  * delete+insert pair of equal values; replaying the stream in epoch
+  * order (deletes of an epoch applied before its inserts) still
+  * converges to exactly the table state — the pairs cancel — but
+  * per-epoch row counts overstate the logical change. Consumers
+  * needing minimal per-epoch diffs run `between(e-1, e)` inside
+  * `foreachBatch` keyed by [[ArrowChanges.CommitEpochCol]]; the
+  * streaming source exists so the EPOCH CURSOR (discovery, recovery,
+  * admission control, AvailableNow draining) rides Spark's
+  * checkpointing instead of hand-rolled driver loops.
+  *
+  * `startingEpoch` (default: the latest committed epoch at stream
+  * start, Delta's "changes from now on") rewinds the cursor; epoch 0
+  * then replays the initial snapshot as inserts. Vacuum bounds rewind:
+  * a start below [[ArrowDataSource.travelHorizon]] fails fast rather
+  * than silently skipping reclaimed epochs. */
+class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.types.StructType,
+    partSchema: org.apache.spark.sql.types.StructType,
+    startingEpoch: Option[Long], maxFilesPerTrigger: Option[Int])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming
+      .SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory}
+
+  private val root: java.nio.file.Path =
+    ArrowDataSource.sinkRoot(path).getOrElse(throw new IllegalArgumentException(
+      s"arrow readChangeFeed: $path carries no commit log — only logged " +
+        "tables (DML'd, or written by the arrow streaming sink) have a " +
+        "change feed"))
+  private val prefix = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+  private val footerMemo = new FooterIndex(path)
+
+  case class CdfOffset(epoch: Long) extends Offset {
+    override def json(): String = s"""{"epoch":$epoch}"""
+  }
+
+  override def initialOffset(): Offset = {
+    val e = startingEpoch.map(_ - 1L)
+      .getOrElse(ArrowDataSource.latestCommittedEpoch(root))
+    val horizon = ArrowDataSource.travelHorizon(root)
+    require(e >= horizon - 1,
+      s"arrow readChangeFeed: startingEpoch ${e + 1} of $path predates " +
+        s"the vacuum horizon $horizon — removed files of those epochs " +
+        s"were reclaimed; earliest streamable epoch is $horizon")
+    CdfOffset(e)
+  }
+
+  /** Log entries in `(after, upTo]` under this (possibly partition-)
+    * subdirectory. */
+  private def windowEntries(after: Long, upTo: Long)
+      : Seq[ArrowDataSource.LogEntry] =
+    ArrowDataSource.committedHistory(root)
+      .filter(en => en.epoch > after && en.epoch <= upTo)
+      .filter(en => root.resolve(en.rel).normalize.startsWith(prefix))
+
+  // ---- Trigger.AvailableNow: drain exactly what exists at start ----
+  private var availableNowTarget: Option[Offset] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget =
+      Some(CdfOffset(ArrowDataSource.latestCommittedEpoch(root)))
+
+  // ---- Admission control: cap each trigger's file reads, at EPOCH
+  // granularity (an epoch's change set is the atomic unit) ----------
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[CdfOffset].epoch
+    val target = availableNowTarget.getOrElse(
+      CdfOffset(ArrowDataSource.latestCommittedEpoch(root)))
+        .asInstanceOf[CdfOffset]
+    limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
+          if target.epoch > s =>
+        val byEpoch = windowEntries(s, target.epoch)
+          .groupBy(_.epoch).view.mapValues(_.size).toSeq.sortBy(_._1)
+        var end = s
+        var budget = mf.maxFiles()
+        var any = false
+        val it = byEpoch.iterator
+        var stop = false
+        while (it.hasNext && !stop) {
+          val (ep, cnt) = it.next()
+          if (!any || cnt <= budget) { end = ep; budget -= cnt; any = true }
+          else stop = true
+        }
+        CdfOffset(if (any) end else target.epoch)
+      case _ => target
+    }
+  }
+
+  override def reportLatestOffset(): Offset =
+    CdfOffset(ArrowDataSource.latestCommittedEpoch(root))
+
+  override def latestOffset(): Offset = throw new UnsupportedOperationException(
+    "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def deserializeOffset(json: String): Offset = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    CdfOffset(mapper.readTree(json).get("epoch").asLong())
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[CdfOffset].epoch
+    val e = end.asInstanceOf[CdfOffset].epoch
+    // replan after a restart re-checks the horizon: vacuum may have
+    // advanced past a checkpointed-but-undelivered window
+    val horizon = ArrowDataSource.travelHorizon(root)
+    require(s >= horizon - 1,
+      s"arrow readChangeFeed: checkpointed epoch window ($s, $e] of " +
+        s"$path predates the vacuum horizon $horizon — the feed cannot " +
+        "be replayed exactly; restart from a fresh checkpoint")
+    windowEntries(s, e).sortBy(en => (en.epoch, en.remove, en.rel))
+      .map { en =>
+        val f = root.resolve(en.rel).normalize
+        val partVals: Array[String] =
+          if (partSchema.isEmpty) Array.empty
+          else ArrowDataSource.partitionValuesOf(path, f, partSchema.length)
+            .map(_.orNull).toArray
+        val nBlocks = footerMemo.info(f).sizes.length
+        ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals,
+          -1, if (en.remove) "delete" else "insert", en.epoch)
+          : InputPartition
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArrowReaderFactory(schema, Array.empty, partSchema)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }

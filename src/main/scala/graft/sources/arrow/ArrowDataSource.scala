@@ -46,6 +46,24 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // change-feed reads surface the table schema plus the two change
+    // metadata columns; everything below infers the table schema
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+      val p = Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("arrow source requires a path"))
+      require(ArrowDataSource.sinkRoot(p).isDefined,
+        s"arrow readChangeFeed: $p carries no commit log — only logged " +
+          "tables (DML'd, or written by the arrow streaming sink) have " +
+          "a change feed")
+      // CaseInsensitiveStringMap stores keys lowercased
+      val base = inferSchema(new CaseInsensitiveStringMap(
+        (options.asScala - "readchangefeed").asJava))
+      return StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField(ArrowChanges.ChangeTypeCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(ArrowChanges.CommitEpochCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    }
     var files = paths(options)
     if (files.isEmpty) {
       // A logged table DML emptied has zero VISIBLE files but must
@@ -203,7 +221,9 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     new ArrowScanBuilder(path, schema, maxSplitBytes, epochAsOf,
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       Option(options.get("ignoreChanges")).exists(_.toBoolean),
-      explicitFiles)
+      explicitFiles,
+      Option(options.get("readChangeFeed")).exists(_.toBoolean),
+      Option(options.get("startingEpoch")).map(_.toLong))
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects

@@ -58,7 +58,9 @@ class ArrowScanBuilder(path: String, schema: StructType,
     epochAsOf: Option[Long] = None,
     maxFilesPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false,
-    explicitFiles: Option[Seq[java.nio.file.Path]] = None)
+    explicitFiles: Option[Seq[java.nio.file.Path]] = None,
+    changeFeed: Boolean = false,
+    startingEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -79,8 +81,15 @@ class ArrowScanBuilder(path: String, schema: StructType,
         .map(g => f.copy(dataType = g.dataType)).getOrElse(f)))
   }
   private val partColSet = partSchema.fieldNames.toSet
+  // change-feed metadata columns are split-time constants, not file
+  // data — keep them out of dataSchema so no filter over them is ever
+  // claimed (they stay residual and Catalyst evaluates them above)
+  private val cdfColSet: Set[String] =
+    if (changeFeed) Set(ArrowChanges.ChangeTypeCol, ArrowChanges.CommitEpochCol)
+    else Set.empty
   private val dataSchema: StructType =
-    StructType(schema.fields.filterNot(f => partColSet(f.name)))
+    StructType(schema.fields.filterNot(f =>
+      partColSet(f.name) || cdfColSet(f.name)))
 
   private var readSchema: StructType = schema
   private var pushed: Array[Filter] = Array.empty // data-column filters
@@ -341,7 +350,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
       maxSplitBytes, footerIdx, limit, maxFilesPerTrigger,
-      ignoreChanges)
+      ignoreChanges, changeFeed, startingEpoch)
   }
 }
 
@@ -352,7 +361,9 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     idx: FooterIndex = null,
     limit: Option[Int] = None,
     maxFilesPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    changeFeed: Boolean = false,
+    startingEpoch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -434,7 +445,14 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
           .UnknownPartitioning(0)
     }
   override def readSchema(): StructType = schema
-  override def toBatch: Batch = this
+  override def toBatch: Batch = {
+    if (changeFeed) throw new UnsupportedOperationException(
+      "arrow readChangeFeed is a STREAMING read " +
+        "(spark.readStream.format(\"arrow\")); for a batch change diff " +
+        "use ArrowChanges.between(spark, path, from, to) — it is " +
+        "row-exact")
+    this
+  }
   override def description(): String =
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}] " +
@@ -686,8 +704,12 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * time. */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ArrowMicroBatchStream(path, schema, filters, partFilters,
-      partSchema, maxFilesPerTrigger, ignoreChanges)
+    if (changeFeed)
+      new ArrowChangesMicroBatchStream(path, schema, partSchema,
+        startingEpoch, maxFilesPerTrigger)
+    else
+      new ArrowMicroBatchStream(path, schema, filters, partFilters,
+        partSchema, maxFilesPerTrigger, ignoreChanges)
 }
 
 class ArrowMicroBatchStream(path: String, schema: StructType,
@@ -921,7 +943,8 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
   * which [[ArrowScan.outputPartitioning]] does exactly when every
   * file carries a bucket stamp, so a -1 never reaches grouping. */
 case class ArrowFilePartition(file: String, blockIdxs: Array[Int],
-    partValues: Array[String] = Array.empty, bucketId: Int = -1)
+    partValues: Array[String] = Array.empty, bucketId: Int = -1,
+    changeType: String = null, commitEpoch: Long = -1L)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
@@ -991,6 +1014,13 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       partIdx.get(n) match {
         case Some(pi) => Right(pi)
         case None if n == ArrowDataSource.FileMetaCol => Left(-2)
+        // change-feed constants — only for CDF splits (changeType set),
+        // so a user column literally named _change_type in an ordinary
+        // file still resolves from the file below
+        case None if partition.changeType != null &&
+            n == ArrowChanges.ChangeTypeCol => Left(-3)
+        case None if partition.changeType != null &&
+            n == ArrowChanges.CommitEpochCol => Left(-4)
         case None => Left(fileFields.indexOf(n))
       }
     }
@@ -1054,6 +1084,19 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
               org.apache.spark.sql.types.StringType)
           cv.setUtf8String(org.apache.spark.unsafe.types.UTF8String
             .fromString(partition.file))
+          cv: ColumnVector
+        case (Left(-3), _) => // change feed: this split's change type
+          val cv = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(root.getRowCount,
+              org.apache.spark.sql.types.StringType)
+          cv.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+            .fromString(partition.changeType))
+          cv: ColumnVector
+        case (Left(-4), _) => // change feed: this split's commit epoch
+          val cv = new org.apache.spark.sql.execution.vectorized
+            .ConstantColumnVector(root.getRowCount,
+              org.apache.spark.sql.types.LongType)
+          cv.setLong(partition.commitEpoch)
           cv: ColumnVector
         case (Left(-1), fi) => // column absent from this file: all null
           val cv = new org.apache.spark.sql.execution.vectorized

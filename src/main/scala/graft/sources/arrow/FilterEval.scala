@@ -45,8 +45,8 @@ object FilterEval {
 
   private def comparable(schema: StructType, name: String): Boolean =
     schema.fieldNames.contains(name) && (schema(name).dataType match {
-      case _: NumericType | StringType | TimestampType | DateType |
-           BooleanType => true
+      case _: NumericType | StringType | TimestampType | TimestampNTZType |
+           DateType | BooleanType => true
       case _ => false
     })
 
@@ -105,6 +105,8 @@ object FilterEval {
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
     case (TimestampType, t: java.time.Instant) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(t)
+    case (TimestampNTZType, t: java.time.LocalDateTime) =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(t)
     case (DateType, d: java.sql.Date) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaDate(d)
     case (DateType, d: java.time.LocalDate) =>
@@ -117,7 +119,7 @@ object FilterEval {
     case ByteType => row.getByte(i)
     case ShortType => row.getShort(i)
     case IntegerType => row.getInt(i)
-    case LongType | TimestampType => row.getLong(i)
+    case LongType | TimestampType | TimestampNTZType => row.getLong(i)
     case DateType => row.getInt(i)
     case FloatType => row.getFloat(i)
     case DoubleType => row.getDouble(i)

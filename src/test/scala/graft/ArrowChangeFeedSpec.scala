@@ -1,0 +1,196 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowChanges, ArrowDataSource, ArrowOptimize, GraftCatalog}
+
+/** Streaming change feed (`readChangeFeed`): epoch-offset micro-batches
+  * over the table log, each delivering an epoch's churned files as rows
+  * tagged `_change_type` / `_commit_epoch`. The pinned contract:
+  *
+  *  - REPLAY CONVERGENCE — for every epoch e, the feed's inserts minus
+  *    deletes up to e (multiset) reconstructs `VERSION AS OF e`;
+  *  - per-epoch NET change equals the row-exact batch diff
+  *    [[ArrowChanges.between]] (file-grain CoW pairs cancel);
+  *  - the epoch cursor checkpoints: a restarted stream resumes at the
+  *    committed epoch, delivering only newer commits;
+  *  - default start is the latest epoch (changes from now on);
+  *  - vacuum bounds rewind with a fast failure, never a silent skip. */
+class ArrowChangeFeedSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  /** A logged table with 3 committed epochs of history:
+    * 0 = initial snapshot (2 files, ids 1..100),
+    * 1 = CoW DELETE of ids <= 30,
+    * 2 = CoW DELETE of ids > 90. */
+  private def tableWithHistory(): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_cdf").toString
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id > 90")
+    dir
+  }
+
+  private def drainFeed(dir: String, sinkName: String,
+      startingEpoch: Option[Long] = None,
+      checkpoint: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    var r = spark.readStream.format("arrow")
+      .option("readChangeFeed", "true")
+    startingEpoch.foreach(e => r = r.option("startingEpoch", e))
+    maxFilesPerTrigger.foreach(n =>
+      r = r.option("maxFilesPerTrigger", n))
+    var w = r.load(dir).writeStream.outputMode("append")
+      .format("memory").queryName(sinkName)
+      .trigger(Trigger.AvailableNow())
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    val q = w.start()
+    try q.processAllAvailable() finally q.stop()
+    // re-materialize: MemoryPlan attribute ids don't dedup under
+    // self-referencing set ops (exceptAll of two branches)
+    val sunk = spark.table(sinkName)
+    spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+  }
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("replay from epoch 0 reconstructs every committed version") {
+    val dir = tableWithHistory()
+    val feed = drainFeed(dir, "cdf_replay", startingEpoch = Some(0L))
+    val latest = ArrowDataSource.latestCommittedEpoch(
+      java.nio.file.Paths.get(dir))
+    assert(latest == 2L)
+    for (e <- 0L to latest) {
+      val upTo = feed.filter(col(ArrowChanges.CommitEpochCol) <= e)
+      val state = upTo
+        .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+        .select(col("id"), col("tag"))
+        .exceptAll(upTo
+          .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+          .select(col("id"), col("tag")))
+      val versioned = spark.read.format("arrow")
+        .option("epochAsOf", e).load(dir).select(col("id"), col("tag"))
+      assert(bagEqual(state, versioned), s"replay diverges at epoch $e")
+    }
+  }
+
+  test("per-epoch net change equals the row-exact batch diff") {
+    val dir = tableWithHistory()
+    val feed = drainFeed(dir, "cdf_replay_2", startingEpoch = Some(0L))
+    for (e <- 1L to 2L) {
+      val ofEpoch = feed.filter(col(ArrowChanges.CommitEpochCol) === e)
+      val ins = ofEpoch
+        .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+        .select(col("id"), col("tag"))
+      val del = ofEpoch
+        .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+        .select(col("id"), col("tag"))
+      val exact = ArrowChanges.between(spark, dir, e - 1, e)
+      val exactIns = exact
+        .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+        .select(col("id"), col("tag"))
+      val exactDel = exact
+        .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+        .select(col("id"), col("tag"))
+      assert(bagEqual(ins.exceptAll(del), exactIns),
+        s"epoch $e net inserts != between()")
+      assert(bagEqual(del.exceptAll(ins), exactDel),
+        s"epoch $e net deletes != between()")
+    }
+  }
+
+  test("default start is the latest epoch: an AvailableNow drain of " +
+      "existing history delivers nothing") {
+    val dir = tableWithHistory()
+    val feed = drainFeed(dir, "cdf_latest")
+    assert(feed.count() == 0,
+      "default-start feed replayed history it should skip")
+  }
+
+  test("the epoch cursor checkpoints: a restarted stream delivers only " +
+      "commits newer than the drained offset") {
+    val dir = tableWithHistory()
+    val ckpt = Files.createTempDirectory("cdf_ckpt").toString
+    val out = Files.createTempDirectory("cdf_out").toString
+    def run(): Unit = {
+      val q = spark.readStream.format("arrow")
+        .option("readChangeFeed", "true").option("startingEpoch", 0L)
+        .load(dir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val firstCount = spark.read.parquet(out).count()
+    assert(firstCount > 0)
+    // new commit while the stream is down
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id = 50")
+    run()
+    val all = spark.read.parquet(out)
+    // older epochs were NOT re-delivered...
+    assert(all.filter(col(ArrowChanges.CommitEpochCol) <= 2L).count()
+      == firstCount, "restart re-delivered drained epochs")
+    // ...and the new epoch's net effect is exactly the one deleted row
+    val resumed = all.filter(col(ArrowChanges.CommitEpochCol) === 3L)
+    val net = resumed
+      .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+      .select(col("id"), col("tag"))
+      .exceptAll(resumed
+        .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+        .select(col("id"), col("tag")))
+    assert(net.collect().map(_.getLong(0)).toSeq == Seq(50L))
+  }
+
+  test("admission control drains the backlog in epoch-granular steps") {
+    val dir = tableWithHistory()
+    val capped = drainFeed(dir, "cdf_capped", startingEpoch = Some(0L),
+      maxFilesPerTrigger = Some(1))
+    val full = drainFeed(dir, "cdf_full", startingEpoch = Some(0L))
+    assert(bagEqual(full, capped),
+      "capped drain lost or duplicated changes")
+  }
+
+  test("a start below the vacuum horizon fails fast") {
+    val dir = tableWithHistory()
+    ArrowOptimize.vacuum(dir, graceMs = 0L)
+    val horizon = ArrowDataSource.travelHorizon(
+      java.nio.file.Paths.get(dir))
+    assert(horizon > 0, "vacuum did not advance the horizon")
+    val err = intercept[Exception] {
+      drainFeed(dir, "cdf_vacuumed", startingEpoch = Some(0L))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("vacuum horizon")),
+      s"unexpected failure: $err")
+  }
+
+  test("batch read with readChangeFeed is refused with guidance") {
+    val dir = tableWithHistory()
+    val err = intercept[Exception] {
+      spark.read.format("arrow").option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("ArrowChanges.between")),
+      s"unexpected failure: $err")
+  }
+}

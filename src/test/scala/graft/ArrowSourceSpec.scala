@@ -49,12 +49,24 @@ class ArrowSourceSpec extends AnyFunSuite {
     assert(back.schema("tsn").dataType == TimestampNTZType,
       s"NTZ type lost: ${back.schema("tsn").dataType}")
     assert(bagEqual(src, back), "NTZ data changed")
-    // predicate pushdown over the NTZ column still returns exact rows
-    val cut = src.selectExpr("max(tsn) AS m").collect()(0)
-      .getAs[java.time.LocalDateTime](0)
-    val filtered = back.filter(col("tsn") < lit(cut))
-    val expected = src.filter(col("tsn") < lit(cut))
-    assert(bagEqual(filtered, expected), "NTZ filter mismatch")
+    // NTZ predicates are claimed by FilterEval, so zone maps prune
+    // batches at planning time (same KindLong stat domain as TIMESTAMP)
+    val sortedDir = tmpDir()
+    src.repartition(1).sortWithinPartitions(col("tsn"))
+      .write.format("arrow").option("batchRows", 250)
+      .mode("overwrite").save(sortedDir)
+    def sorted = spark.read.format("arrow")
+      .option("maxSplitBytes", 1).load(sortedDir)
+    val total = sorted.rdd.getNumPartitions
+    assert(total >= 4, s"expected multiple batch-splits, got $total")
+    // a cut inside the first 250-row batch → later batches prune
+    val cutLdt = src.orderBy(col("tsn")).limit(200).collect()
+      .last.getAs[java.time.LocalDateTime]("tsn")
+    val few = sorted.filter(col("tsn") < lit(cutLdt))
+    assert(few.rdd.getNumPartitions < total,
+      s"NTZ zone maps pruned nothing: ${few.rdd.getNumPartitions} of $total")
+    val expected = src.filter(col("tsn") < lit(cutLdt))
+    assert(bagEqual(few, expected), "NTZ filter mismatch")
   }
 
   test("map columns round-trip (events.props shape)") {
