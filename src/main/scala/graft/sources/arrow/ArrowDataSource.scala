@@ -201,8 +201,20 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       .getOrElse(throw new IllegalArgumentException("arrow: path required"))
     val maxSplitBytes = Option(options.get("maxSplitBytes")).map(_.toLong)
       .getOrElse(128L * 1024 * 1024)
-    val epochAsOf = Option(options.get("epochAsOf"))
-      .orElse(properties.get("epochAsOf")).map(_.toLong)
+    val epochAsOf = {
+      val byEpoch = Option(options.get("epochAsOf"))
+        .orElse(properties.get("epochAsOf")).map(_.toLong)
+      // `TIMESTAMP AS OF`: resolve the commit wall-clock to an epoch at
+      // planning time, then travel exactly like `VERSION AS OF`
+      val byTime = Option(options.get("timestampAsOf"))
+        .orElse(properties.get("timestampAsOf"))
+        .map(ArrowDataSource.parseTravelTimestamp)
+        .map(ms => ArrowDataSource.epochForTimestamp(
+          Paths.get(path).toAbsolutePath.normalize, ms))
+      require(byEpoch.isEmpty || byTime.isEmpty,
+        "arrow: specify either epochAsOf or timestampAsOf, not both")
+      byEpoch.orElse(byTime)
+    }
     // `files`: read EXACTLY these root-relative files, bypassing
     // visibility — the change-feed reader's door to files a later
     // epoch removed (still on disk until vacuum). Not for general use:
@@ -438,6 +450,87 @@ object ArrowDataSource {
     parseManifestLine(line.substring(0, tab).toLong, line.substring(tab + 1))
   }
 
+  /** Commit wall-clock stamps. Each epoch commit drops `<epoch>.ts`
+    * (millis) beside its manifest; [[compactLog]] folds known stamps
+    * into `#ts<TAB>epoch<TAB>millis` header lines of the snapshot so
+    * `TIMESTAMP AS OF` keeps resolving after the manifests are
+    * reclaimed. Epochs from before stamping fall back to manifest
+    * mtime while the manifest file lives. */
+  private def writeEpochTimestamp(md: Path, epoch: Long): Unit = {
+    val tmp = md.resolve(s"$epoch.ts.inprogress")
+    Files.write(tmp, java.util.List.of(System.currentTimeMillis().toString))
+    Files.move(tmp, md.resolve(s"$epoch.ts"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Every known epoch→commit-millis mapping under `root`'s log:
+    * explicit `.ts` markers win, then compact-snapshot `#ts` headers,
+    * then manifest mtimes (pre-stamping epochs). */
+  def epochTimestamps(root: Path): Map[Long, Long] = {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Map.empty
+    val files = listDir(md)
+    val names = files.map(_.getFileName.toString)
+    val fromCompact: Map[Long, Long] =
+      names.filter(_.endsWith(".compact")).map(epochOf).sorted.lastOption
+        .toSeq.flatMap { e =>
+          Files.readAllLines(md.resolve(s"$e.compact")).asScala
+            .filter(_.startsWith("#ts\t")).flatMap { l =>
+              l.split('\t') match {
+                case Array(_, ep, ts) => Some((ep.toLong, ts.toLong))
+                case _ => None
+              }
+            }
+        }.toMap
+    val fromMtime: Map[Long, Long] =
+      names.filter(_.endsWith(".manifest")).map { n =>
+        (epochOf(n), Files.getLastModifiedTime(md.resolve(n)).toMillis)
+      }.toMap
+    val fromMarkers: Map[Long, Long] =
+      names.filter(_.endsWith(".ts")).flatMap { n =>
+        Files.readAllLines(md.resolve(n)).asScala.headOption
+          .map(t => (epochOf(n), t.trim.toLong))
+      }.toMap
+    fromMtime ++ fromCompact ++ fromMarkers
+  }
+
+  /** `timestampAsOf` option value → epoch millis: a bare long, an
+    * ISO-8601 instant (`2026-08-13T20:00:00Z`), or a session-style
+    * UTC datetime (`2026-08-13 20:00:00`, date-only allowed). UTC is
+    * the fixed frame — the engine pins the session zone to UTC, so a
+    * zoneless literal means the same instant everywhere. */
+  def parseTravelTimestamp(s: String): Long = {
+    val t = s.trim
+    scala.util.Try(t.toLong).getOrElse {
+      scala.util.Try(java.time.Instant.parse(t).toEpochMilli).getOrElse {
+        val ldt = scala.util.Try(
+          java.time.LocalDateTime.parse(t.replace(' ', 'T')))
+          .getOrElse(java.time.LocalDate.parse(t).atStartOfDay())
+        ldt.toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
+  }
+
+  /** `TIMESTAMP AS OF` resolution: the greatest epoch whose commit
+    * stamp is at or before `millis` (Delta's contract). Stamps are
+    * consulted by EPOCH order, so rapid commits inside one clock tick
+    * resolve to the latest of them. */
+  def epochForTimestamp(root: Path, millis: Long): Long = {
+    val byEpoch = epochTimestamps(root).toSeq.sortBy(_._1)
+    require(byEpoch.nonEmpty,
+      s"arrow timestampAsOf: $root carries no commit log to resolve " +
+        "a timestamp against")
+    val eligible = byEpoch.takeWhile(_._2 <= millis)
+    require(eligible.nonEmpty, {
+      val (e0, t0) = byEpoch.head
+      s"arrow timestampAsOf: $millis predates the table's first " +
+        s"known commit (epoch $e0 at $t0 = " +
+        s"${java.time.Instant.ofEpochMilli(t0)})"
+    })
+    eligible.last._1
+  }
+
   private def compactLine(en: LogEntry): String =
     s"${en.epoch}\t${manifestLine(en)}"
 
@@ -453,6 +546,7 @@ object ArrowDataSource {
       .map(epochOf).sorted.lastOption
     val snapshot = compactEpoch.toSeq.flatMap { e =>
       Files.readAllLines(md.resolve(s"$e.compact")).asScala
+        .filterNot(_.startsWith("#")) // `#ts` commit-stamp headers
         .map(parseCompactLine)
     }
     val tail = names.filter(_.endsWith(".manifest"))
@@ -562,6 +656,7 @@ object ArrowDataSource {
     Files.write(tmp, rels.sorted.asJava)
     Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeEpochTimestamp(md, epochId)
     if (compactInterval > 0 && (epochId + 1) % compactInterval == 0)
       compactLog(root, epochId)
   }
@@ -602,16 +697,22 @@ object ArrowDataSource {
         }
         kept
       }
+    // carry commit stamps through the fold: once the covered manifests
+    // (and their `.ts` markers) are deleted below, the snapshot headers
+    // are the only surviving source for TIMESTAMP AS OF resolution
+    val stamps = epochTimestamps(root).filter(_._1 <= epochId)
+      .toSeq.sorted.map { case (e, t) => s"#ts\t$e\t$t" }
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
-    Files.write(ctmp, entries.map(compactLine).asJava)
+    Files.write(ctmp, (stamps ++ entries.map(compactLine)).asJava)
     Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // covered metadata is now redundant: older snapshots and every
-    // manifest at or below this snapshot's epoch
+    // manifest (and stamp marker) at or below this snapshot's epoch
     listDir(md).foreach { f =>
       val n = f.getFileName.toString
       val covered =
         (n.endsWith(".manifest") && epochOf(n) <= epochId) ||
+          (n.endsWith(".ts") && epochOf(n) <= epochId) ||
           (n.endsWith(".compact") && epochOf(n) < epochId)
       if (covered) Files.deleteIfExists(f)
     }
@@ -661,6 +762,7 @@ object ArrowDataSource {
     Files.write(tmp, lines.asJava)
     Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    writeEpochTimestamp(md, epoch)
     if (compactInterval > 0 && (epoch + 1) % compactInterval == 0)
       compactLog(root, epoch)
     epoch
@@ -685,6 +787,8 @@ object ArrowDataSource {
     } else Files.createDirectories(tmp)
     Files.createFile(tmp.resolve(TableMarkerName))
     Files.write(tmp.resolve("0.manifest"), files.sorted.asJava)
+    Files.write(tmp.resolve("0.ts"),
+      java.util.List.of(System.currentTimeMillis().toString))
     try Files.move(tmp, root.resolve(MetadataDirName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {

@@ -195,6 +195,24 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
       Map("path" -> path, "epochAsOf" -> epoch.toString), Array.empty)
   }
 
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the literal as MICROseconds
+    * since the epoch; resolve it against the log's commit stamps
+    * (greatest epoch at or before the instant, Delta's contract) and
+    * travel to that epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val path = ident.name
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        ident)
+    val millis = Math.floorDiv(timestamp, 1000L)
+    val epoch = ArrowDataSource.epochForTimestamp(
+      java.nio.file.Paths.get(path).toAbsolutePath.normalize, millis)
+    val opts = new CaseInsensitiveStringMap(Map("path" -> path).asJava)
+    val schema = new ArrowDataSource().inferSchema(opts)
+    new ArrowTable(schema,
+      Map("path" -> path, "epochAsOf" -> epoch.toString), Array.empty)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table =
     throw new UnsupportedOperationException(

@@ -114,4 +114,70 @@ class ArrowTimeTravelSpec extends AnyFunSuite {
     assert(df.agg(sum(col("id"))).collect()(0).getLong(0) ==
       (5L until 20L).sum)
   }
+
+  /** Three sink epochs with wall-clock marks captured between commits:
+    * marks(0) precedes epoch 0; marks(i+1) follows epoch i. */
+  private def threeEpochDirWithMarks(): (String, Seq[Long]) = {
+    val dir = Files.createTempDirectory("tt_ts").toString
+    val r = spark.range(30).toDF("id")
+    val marks = scala.collection.mutable.ArrayBuffer.empty[Long]
+    def mark(): Unit = { // stamps are millis: separate them strictly
+      Thread.sleep(3L); marks += System.currentTimeMillis()
+      Thread.sleep(3L)
+    }
+    mark()
+    addEpoch(dir, 0L, r.filter(col("id") < 10)); mark()
+    addEpoch(dir, 1L, r.filter(col("id") >= 10 && col("id") < 20)); mark()
+    addEpoch(dir, 2L, r.filter(col("id") >= 20)); mark()
+    (dir, marks.toSeq)
+  }
+
+  test("timestampAsOf resolves commit stamps to the greatest covered " +
+      "epoch; pre-history timestamps refuse") {
+    val (dir, marks) = threeEpochDirWithMarks()
+    for ((cut, want) <- Seq(marks(1) -> 10L, marks(2) -> 20L,
+        marks(3) -> 30L)) {
+      assert(spark.read.format("arrow")
+        .option("timestampAsOf", cut.toString).load(dir).count() == want,
+        s"cut=$cut")
+    }
+    val early = intercept[Exception] {
+      spark.read.format("arrow")
+        .option("timestampAsOf", marks(0).toString).load(dir).count()
+    }
+    assert(early.getMessage.contains("predates"), early.getMessage)
+    val both = intercept[Exception] {
+      spark.read.format("arrow").option("timestampAsOf", marks(1).toString)
+        .option("epochAsOf", "1").load(dir).count()
+    }
+    assert(both.getMessage.contains("not both"), both.getMessage)
+  }
+
+  test("SQL TIMESTAMP AS OF resolves through the graft catalog") {
+    val (dir, marks) = threeEpochDirWithMarks()
+    // a UTC datetime literal at the mark after epoch 1 (session TZ is
+    // pinned UTC, so the literal parses to the same instant)
+    val lit = java.time.Instant.ofEpochMilli(marks(2))
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    val n = spark.sql(s"SELECT count(*) FROM graft.arrow.`$dir` " +
+      s"TIMESTAMP AS OF '$lit'").collect()(0).getLong(0)
+    assert(n == 20L, s"literal '$lit' resolved to $n rows")
+  }
+
+  test("timestamp travel survives compaction: stamps fold into the " +
+      "snapshot before manifests are reclaimed") {
+    val (dir, marks) = threeEpochDirWithMarks()
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    ArrowDataSource.compactLog(root, 2L)
+    // per-epoch manifests (and their stamp markers) are gone...
+    val md = root.resolve("_graft_metadata")
+    assert(!Files.exists(md.resolve("1.manifest")))
+    assert(!Files.exists(md.resolve("1.ts")))
+    // ...yet the commit stamps still resolve from the snapshot header
+    assert(spark.read.format("arrow")
+      .option("timestampAsOf", marks(2).toString).load(dir).count() == 20L)
+    assert(spark.read.format("arrow")
+      .option("timestampAsOf", marks(3).toString).load(dir).count() == 30L)
+  }
 }
