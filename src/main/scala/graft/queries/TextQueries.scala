@@ -172,6 +172,53 @@ object TextQueries {
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
 
+  // PII/URL queries deterministically ENRICH each row first (emails,
+  // phone numbers, URLs derived from doc fields) because the synthetic
+  // corpus carries none — the scrub/extract logic then has real matches
+  // on every row and the DuckDB oracle re-derives the same rows. The
+  // operator shape is the production one: a narrow codegen'd
+  // regexp_replace / regexp_extract_all map, no shuffle but the output
+  // ordering, linear with executors at 100 TB.
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{4}\\b"
+
+  /** PII scrubbing (C4/CCNet-style redaction pass): replace emails and
+    * phone numbers with typed placeholders; report per-doc match counts
+    * and the redacted length so the oracle checks the full rewrite. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val enriched = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    val scrubbed = regexp_replace(
+      regexp_replace(enriched, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+    d.select(col("doc_id"),
+        regexp_count(enriched, lit(EmailRe)).cast("int").as("n_emails"),
+        regexp_count(enriched, lit(PhoneRe)).cast("int").as("n_phones"),
+        length(enriched).cast("int").as("len_raw"),
+        length(scrubbed).cast("int").as("len_scrubbed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** URL domain extraction/rollup (crawl-curation shape): pull every
+    * `scheme://host` from the text, explode, aggregate per domain. */
+  def urlDomains(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val enriched = concat(lit("see https://"), col("source"),
+      lit(".example.org/p/"), col("doc_id"),
+      lit(" and http://cdn."), col("source"), lit(".example.net/x "),
+      col("text"))
+    d.select(col("doc_id"),
+        explode(regexp_extract_all(enriched,
+          lit("https?://([A-Za-z0-9.-]+)"), lit(1))).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("domain"))
+  }
+
   val defs: Map[String, Q] = Map(
     "text_chunk" -> (textChunk _),
     "text_stats" -> (textStats _),
@@ -179,7 +226,9 @@ object TextQueries {
     "text_repetition" -> (repetitionQ _),
     "text_fingerprint" -> (fingerprintQ _),
     "text_tfidf" -> (textTfidf _),
-    "text_bm25" -> (textBm25 _))
+    "text_bm25" -> (textBm25 _),
+    "text_pii_scrub" -> (piiScrub _),
+    "text_url_domains" -> (urlDomains _))
 
   private val statsSql =
     """SELECT doc_id, lang, source,
@@ -275,5 +324,33 @@ object TextQueries {
         | round(SUM(CASE WHEN word='hash' THEN sc ELSE 0.0 END)
         |  + SUM(CASE WHEN word='join' THEN sc ELSE 0.0 END)
         |  + SUM(CASE WHEN word='scan' THEN sc ELSE 0.0 END), 6) AS bm25
-        |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin)
+        |FROM s GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "text_pii_scrub" ->
+      """WITH e AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.com or 555-' ||
+        |  lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS enriched
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(enriched,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+        |   AS n_emails,
+        | CAST(len(regexp_extract_all(enriched,
+        |   '\b\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        | CAST(length(enriched) AS INT) AS len_raw,
+        | CAST(length(regexp_replace(regexp_replace(enriched,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+        |   'g'), '\b\d{3}-\d{4}\b', '<PHONE>', 'g')) AS INT)
+        |   AS len_scrubbed
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "text_url_domains" ->
+      """WITH e AS (SELECT doc_id,
+        |  'see https://' || source || '.example.org/p/' || doc_id ||
+        |  ' and http://cdn.' || source || '.example.net/x ' || text
+        |   AS enriched
+        | FROM documents),
+        |d AS (SELECT doc_id, UNNEST(regexp_extract_all(enriched,
+        |  'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM e)
+        |SELECT domain, COUNT(*) AS n_urls,
+        | COUNT(DISTINCT doc_id) AS n_docs
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin)
 }
