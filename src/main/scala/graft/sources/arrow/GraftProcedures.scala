@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
@@ -217,6 +217,7 @@ object GraftProcedures {
       ProcedureParameter.in("path", StringType).build())
     private val out = StructType(Seq(
       StructField("epoch", LongType, nullable = false),
+      StructField("commit_ts", TimestampType, nullable = true),
       StructField("files", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
       StructField("removed", LongType, nullable = false)))
@@ -226,6 +227,9 @@ object GraftProcedures {
         throw new IllegalArgumentException(
           s"history: $path carries no commit log — only streaming " +
             "sinks and logged tables have epoch history"))
+      // commit wall-clock per epoch (micros, TimestampType internal);
+      // null for epochs predating stamping whose manifest is gone
+      val stamps = ArrowDataSource.epochTimestamps(root)
       val rows = ArrowDataSource.committedHistory(root)
         .groupBy(_.epoch).toSeq.sortBy(_._1)
         .map { case (epoch, entries) =>
@@ -235,7 +239,10 @@ object GraftProcedures {
             if (Files.exists(f)) Files.size(f) else 0L
           }.sum
           new GenericInternalRow(Array[Any](
-            epoch, adds.length.toLong, bytes,
+            epoch,
+            stamps.get(epoch).map(m => java.lang.Long.valueOf(m * 1000L))
+              .orNull,
+            adds.length.toLong, bytes,
             removes.length.toLong)): InternalRow
         }
       result(out, rows.toArray)

@@ -114,9 +114,16 @@ class GraftProcedureSpec extends AnyFunSuite {
     ArrowDataSource.commitEpochManifest(dir, 0L, Seq(f0.toString))
     ArrowDataSource.commitEpochManifest(dir, 1L,
       Seq(f1.toString, f2.toString))
-    val rows = spark.sql(s"CALL graft.system.history(path => '$dir')")
+    val hist = spark.sql(s"CALL graft.system.history(path => '$dir')")
+    val rows = hist.select(col("epoch"), col("files"), col("bytes"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == Seq((0L, 1L, 3L), (1L, 2L, 3L)))
+    // commit wall-clock stamps are attributed and non-decreasing
+    val ts = hist.orderBy(col("epoch")).select(col("commit_ts"))
+      .collect().map(_.getTimestamp(0))
+    assert(ts.forall(_ != null), "missing commit_ts")
+    assert(ts.sliding(2).forall(p => !p(1).before(p(0))),
+      "commit stamps not monotone")
     val flat = Files.createTempDirectory("proc_hist_flat").toString
     val e = intercept[Exception] {
       spark.sql(s"CALL graft.system.history(path => '$flat')").collect()
