@@ -165,6 +165,37 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
       "capped drain lost or duplicated changes")
   }
 
+  test("partitioned tables: a metadata-only partition DELETE streams " +
+      "as deletes with partition values resolved from the paths") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_cdf_part").toString
+    (1 to 90).map(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "grp")
+      .write.format("arrow").partitionBy("grp").mode("overwrite").save(dir)
+    // epoch 1: pure-removal epoch (no rewrites — planning-time DELETE)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE grp = 'a'")
+    val feed = drainFeed(dir, "cdf_part", startingEpoch = Some(0L))
+    // epoch 0 snapshot: all 90 rows as inserts, grp populated from dirs
+    val inserts = feed
+      .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+    assert(inserts.count() == 90)
+    assert(inserts.filter(col("grp") === "a").count() == 30)
+    // epoch 1: exactly the dropped partition's rows, delete-tagged
+    val deletes = feed
+      .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+    assert(deletes.select(col(ArrowChanges.CommitEpochCol)).distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    assert(deletes.count() == 30)
+    assert(deletes.filter(col("grp") =!= "a").count() == 0,
+      "delete rows carry wrong partition values")
+    // replay convergence holds for the partitioned shape too
+    val state = inserts.select(col("id"), col("grp"))
+      .exceptAll(deletes.select(col("id"), col("grp")))
+    val now = spark.read.format("arrow").load(dir)
+      .select(col("id"), col("grp"))
+    assert(bagEqual(state, now))
+  }
+
   test("a start below the vacuum horizon fails fast") {
     val dir = tableWithHistory()
     ArrowOptimize.vacuum(dir, graceMs = 0L)
