@@ -133,12 +133,19 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
   }
 
   /** Log entries in `(after, upTo]` under this (possibly partition-)
-    * subdirectory. */
+    * subdirectory. Epochs marked data-neutral (compaction / z-order —
+    * same row multiset, new files) are SKIPPED entirely: their churn
+    * is invisible to CDC consumers, Delta CDF's OPTIMIZE contract.
+    * Replay stays value-exact — the rewritten rows were already
+    * delivered by the epochs that first inserted them. */
   private def windowEntries(after: Long, upTo: Long)
-      : Seq[ArrowDataSource.LogEntry] =
+      : Seq[ArrowDataSource.LogEntry] = {
+    val neutral = ArrowDataSource.neutralEpochs(root)
     ArrowDataSource.committedHistory(root)
       .filter(en => en.epoch > after && en.epoch <= upTo)
+      .filterNot(en => neutral(en.epoch))
       .filter(en => root.resolve(en.rel).normalize.startsWith(prefix))
+  }
 
   // ---- Trigger.AvailableNow: drain exactly what exists at start ----
   private var availableNowTarget: Option[Offset] = None

@@ -495,6 +495,38 @@ object ArrowDataSource {
     fromMtime ++ fromCompact ++ fromMarkers
   }
 
+  /** Data-neutral maintenance marker: a compaction/z-order epoch
+    * rewrites the SAME row multiset into new files, so change-feed
+    * consumers must not see its churn (Delta CDF's OPTIMIZE
+    * invisibility). The committing writer drops `<epoch>.neutral`;
+    * [[compactLog]] folds markers into `#neutral` snapshot headers. */
+  def markEpochNeutral(root: Path, epoch: Long): Unit = {
+    val md = root.resolve(MetadataDirName)
+    val tmp = md.resolve(s"$epoch.neutral.inprogress")
+    Files.write(tmp, java.util.List.of(epoch.toString))
+    Files.move(tmp, md.resolve(s"$epoch.neutral"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Epochs marked data-neutral (markers + compact-snapshot headers). */
+  def neutralEpochs(root: Path): Set[Long] = {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Set.empty
+    val names = listDir(md).map(_.getFileName.toString)
+    val markers = names.filter(_.endsWith(".neutral")).map(epochOf)
+    val folded = names.filter(_.endsWith(".compact")).map(epochOf)
+      .sorted.lastOption.toSeq.flatMap { e =>
+        Files.readAllLines(md.resolve(s"$e.compact")).asScala
+          .filter(_.startsWith("#neutral\t"))
+          .flatMap(_.split('\t') match {
+            case Array(_, ep) => Some(ep.toLong)
+            case _ => None
+          })
+      }
+    (markers ++ folded).toSet
+  }
+
   /** `timestampAsOf` option value → epoch millis: a bare long, an
     * ISO-8601 instant (`2026-08-13T20:00:00Z`), or a session-style
     * UTC datetime (`2026-08-13 20:00:00`, date-only allowed). UTC is
@@ -702,8 +734,11 @@ object ArrowDataSource {
     // are the only surviving source for TIMESTAMP AS OF resolution
     val stamps = epochTimestamps(root).filter(_._1 <= epochId)
       .toSeq.sorted.map { case (e, t) => s"#ts\t$e\t$t" }
+    val neutrals = neutralEpochs(root).filter(_ <= epochId)
+      .toSeq.sorted.map(e => s"#neutral\t$e")
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
-    Files.write(ctmp, (stamps ++ entries.map(compactLine)).asJava)
+    Files.write(ctmp,
+      (stamps ++ neutrals ++ entries.map(compactLine)).asJava)
     Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // covered metadata is now redundant: older snapshots and every
@@ -713,6 +748,7 @@ object ArrowDataSource {
       val covered =
         (n.endsWith(".manifest") && epochOf(n) <= epochId) ||
           (n.endsWith(".ts") && epochOf(n) <= epochId) ||
+          (n.endsWith(".neutral") && epochOf(n) <= epochId) ||
           (n.endsWith(".compact") && epochOf(n) < epochId)
       if (covered) Files.deleteIfExists(f)
     }

@@ -60,8 +60,11 @@ object GraftProcedures {
         .option("stageOnly", "true").save(path)
       val adds = ArrowDataSource.listIpcFiles(path).map(_.toString)
         .filterNot(onDisk)
-      ArrowDataSource.commitTableEpoch(path, base, adds,
+      val epoch = ArrowDataSource.commitTableEpoch(path, base, adds,
         replaced.map(_.toString))
+      // maintenance rewrites carry the SAME row multiset — mark the
+      // epoch data-neutral so change-feed consumers skip its churn
+      ArrowDataSource.markEpochNeutral(root, epoch)
     } else {
       df.write.format("arrow").mode("append").save(path)
       replaced.foreach(Files.deleteIfExists)

@@ -196,6 +196,32 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
     assert(bagEqual(state, now))
   }
 
+  test("maintenance epochs are invisible: compaction churn never " +
+      "reaches the feed, replay still converges") {
+    val dir = tableWithHistory() // epochs 0..2
+    // epoch 3: data-neutral compaction rewrite (full-table churn)
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 1000)")
+    // epoch 4: real DML on the compacted layout
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id = 60")
+    val feed = drainFeed(dir, "cdf_neutral", startingEpoch = Some(0L))
+    // the compaction epoch contributed NOTHING
+    assert(feed.filter(col(ArrowChanges.CommitEpochCol) === 3L).count()
+      == 0, "neutral epoch leaked into the change feed")
+    // epoch 4's delete of a post-compaction file still delivers, and
+    // full replay reconstructs the current table
+    val state = feed
+      .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+      .select(col("id"), col("tag"))
+      .exceptAll(feed
+        .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+        .select(col("id"), col("tag")))
+    val now = spark.read.format("arrow").load(dir)
+      .select(col("id"), col("tag"))
+    assert(bagEqual(state, now), "replay diverged across maintenance")
+    assert(now.filter(col("id") === 60L).count() == 0)
+  }
+
   test("a start below the vacuum horizon fails fast") {
     val dir = tableWithHistory()
     ArrowOptimize.vacuum(dir, graceMs = 0L)
