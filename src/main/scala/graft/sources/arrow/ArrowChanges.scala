@@ -50,13 +50,25 @@ object ArrowChanges {
       s"table_changes: epoch $from of $path predates the vacuum " +
         s"horizon $horizon — removed files of that window were " +
         s"reclaimed; earliest diffable epoch is $horizon")
+    val schema = spark.read.format("arrow").load(path).schema
+    // OPTIMIZE-only window: every entry in (from, to] belongs to a
+    // data-neutral maintenance epoch, so the row diff is empty BY
+    // CONSTRUCTION — short-circuit before the general path scans the
+    // rewritten generation AND its originals (O(2× table) for a full
+    // compaction) only to cancel them in the exceptAll.
+    val neutral = ArrowDataSource.neutralEpochs(root)
+    val onlyNeutral = !ArrowDataSource.committedHistory(root)
+      .exists(en => en.epoch > from && en.epoch <= to &&
+        !neutral(en.epoch))
+    if (onlyNeutral)
+      return spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        .withColumn(ChangeTypeCol, lit("insert"))
     val fromSet = ArrowDataSource.liveEntries(root, Some(from))
       .map(_._2).toSet
     val toSet = ArrowDataSource.liveEntries(root, Some(to))
       .map(_._2).toSet
     val added = (toSet -- fromSet).toSeq.sorted
     val removed = (fromSet -- toSet).toSeq.sorted
-    val schema = spark.read.format("arrow").load(path).schema
     def readFiles(rels: Seq[String]): DataFrame =
       if (rels.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)

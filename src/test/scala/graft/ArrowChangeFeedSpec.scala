@@ -220,6 +220,12 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
       .select(col("id"), col("tag"))
     assert(bagEqual(state, now), "replay diverged across maintenance")
     assert(now.filter(col("id") === 60L).count() == 0)
+    // the batch diff short-circuits an OPTIMIZE-only window: empty
+    // result, and NO data batch is read to produce it
+    val loaded = ArrowDataSource.recordBatchesLoaded.get()
+    assert(ArrowChanges.between(spark, dir, 2L, 3L).count() == 0)
+    assert(ArrowDataSource.recordBatchesLoaded.get() == loaded,
+      "neutral-only between() scanned data batches")
   }
 
   test("a start below the vacuum horizon fails fast") {
