@@ -45,6 +45,26 @@ class ArrowTableLogSpec extends AnyFunSuite {
       "VERSION AS OF 0").collect()(0).getLong(0) == 100)
   }
 
+  test("SQL INSERT INTO appends through the catalog; on a logged " +
+      "table it commits one epoch") {
+    val flat = freshTable(10)
+    spark.sql(s"INSERT INTO graft.arrow.`$flat` VALUES (100, 'x'), (101, 'y')")
+    assert(spark.read.format("arrow").load(flat).count() == 12)
+    val logged = freshTable(10)
+    spark.sql(s"DELETE FROM graft.arrow.`$logged` WHERE id > 100") // no-op DML → upgrades to log
+    val root = Paths.get(logged).toAbsolutePath.normalize
+    val before = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"INSERT INTO graft.arrow.`$logged` VALUES (200, 'z')")
+    assert(spark.read.format("arrow").load(logged).count() == 11)
+    assert(ArrowDataSource.latestCommittedEpoch(root) == before + 1,
+      "INSERT INTO a logged table must commit exactly one epoch")
+    // and the appended rows stream through the change feed as inserts
+    val changes = graft.sources.arrow.ArrowChanges
+      .between(spark, logged, before, before + 1)
+    assert(changes.filter(
+      org.apache.spark.sql.functions.col("id") === 200L).count() == 1)
+  }
+
   test("a staged (uncommitted) file is invisible: the epoch rename is " +
       "the only visibility flip") {
     import spark.implicits._
