@@ -136,11 +136,19 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
   override def initialOffset(): Offset = {
     val e = startingEpoch.map(_ - 1L)
       .getOrElse(ArrowDataSource.latestCommittedEpoch(root))
+    // The horizon epoch itself is NOT streamable: compactLog's history
+    // prune drops remove events up to AND INCLUDING the horizon, so
+    // delivering epoch == horizon would silently omit its deletes.
+    // Earliest deliverable epoch is horizon + 1, i.e. cursor
+    // e >= horizon — the bound ArrowChanges.between enforces on
+    // `from`. Horizon 0 means "never pruned" (remove events cannot
+    // exist at epoch 0), so the full log including the epoch-0
+    // snapshot (cursor -1) stays streamable there.
     val horizon = ArrowDataSource.travelHorizon(root)
-    require(e >= horizon - 1,
+    require(horizon == 0L || e >= horizon,
       s"arrow readChangeFeed: startingEpoch ${e + 1} of $path predates " +
         s"the vacuum horizon $horizon — removed files of those epochs " +
-        s"were reclaimed; earliest streamable epoch is $horizon")
+        s"were reclaimed; earliest streamable epoch is ${horizon + 1}")
     CdfOffset(e)
   }
 
@@ -214,7 +222,7 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
     // replan after a restart re-checks the horizon: vacuum may have
     // advanced past a checkpointed-but-undelivered window
     val horizon = ArrowDataSource.travelHorizon(root)
-    require(s >= horizon - 1,
+    require(horizon == 0L || s >= horizon,
       s"arrow readChangeFeed: checkpointed epoch window ($s, $e] of " +
         s"$path predates the vacuum horizon $horizon — the feed cannot " +
         "be replayed exactly; restart from a fresh checkpoint")

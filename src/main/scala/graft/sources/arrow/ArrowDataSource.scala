@@ -483,9 +483,15 @@ object ArrowDataSource {
               }
             }
         }.toMap
+    // A concurrent compactLog/vacuum may reclaim a manifest between
+    // the listing above and this stat — skip files that vanished
+    // (their stamps are already folded into the snapshot's `#ts`
+    // headers) instead of crashing a racing TIMESTAMP AS OF read.
     val fromMtime: Map[Long, Long] =
-      names.filter(_.endsWith(".manifest")).map { n =>
-        (epochOf(n), Files.getLastModifiedTime(md.resolve(n)).toMillis)
+      names.filter(_.endsWith(".manifest")).flatMap { n =>
+        scala.util.Try(
+          (epochOf(n), Files.getLastModifiedTime(md.resolve(n)).toMillis)
+        ).toOption
       }.toMap
     val fromMarkers: Map[Long, Long] =
       names.filter(_.endsWith(".ts")).flatMap { n =>
@@ -545,15 +551,18 @@ object ArrowDataSource {
   }
 
   /** `TIMESTAMP AS OF` resolution: the greatest epoch whose commit
-    * stamp is at or before `millis` (Delta's contract). Stamps are
-    * consulted by EPOCH order, so rapid commits inside one clock tick
-    * resolve to the latest of them. */
+    * stamp is at or before `millis` (Delta's contract). The scan is a
+    * FILTER over all epochs, not a prefix take: one non-monotone
+    * stamp (clock skew between commits, or mtime-fallback epochs
+    * interleaved with marker stamps) must not hide every later epoch
+    * whose stamp is eligible. Rapid commits inside one clock tick
+    * still resolve to the greatest epoch of the tick. */
   def epochForTimestamp(root: Path, millis: Long): Long = {
     val byEpoch = epochTimestamps(root).toSeq.sortBy(_._1)
     require(byEpoch.nonEmpty,
       s"arrow timestampAsOf: $root carries no commit log to resolve " +
         "a timestamp against")
-    val eligible = byEpoch.takeWhile(_._2 <= millis)
+    val eligible = byEpoch.filter(_._2 <= millis)
     require(eligible.nonEmpty, {
       val (e0, t0) = byEpoch.head
       s"arrow timestampAsOf: $millis predates the table's first " +
@@ -770,7 +779,8 @@ object ArrowDataSource {
     * them. */
   def commitTableEpoch(dir: String, expectedBase: Long,
       adds: Seq[String], removes: Seq[String],
-      compactInterval: Int = DefaultCompactInterval): Long = {
+      compactInterval: Int = DefaultCompactInterval,
+      neutral: Boolean = false): Long = {
     val root = Paths.get(dir).toAbsolutePath.normalize
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
@@ -796,6 +806,13 @@ object ArrowDataSource {
         .sorted ++ adds.map(rel).sorted
     val tmp = md.resolve(s"$epoch.manifest.inprogress")
     Files.write(tmp, lines.asJava)
+    // The data-neutral marker must land BEFORE the manifest move —
+    // the epoch's visibility flip. Written after, a crash (or a
+    // concurrent change-feed trigger) in the gap would deliver a
+    // maintenance epoch's full-table churn to every CDC consumer.
+    // Before the move the marker is inert: the epoch is still an
+    // empty reservation folding to zero events.
+    if (neutral) markEpochNeutral(root, epoch)
     Files.move(tmp, manifest,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     writeEpochTimestamp(md, epoch)

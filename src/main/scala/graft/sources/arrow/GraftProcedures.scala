@@ -60,11 +60,12 @@ object GraftProcedures {
         .option("stageOnly", "true").save(path)
       val adds = ArrowDataSource.listIpcFiles(path).map(_.toString)
         .filterNot(onDisk)
-      val epoch = ArrowDataSource.commitTableEpoch(path, base, adds,
-        replaced.map(_.toString))
-      // maintenance rewrites carry the SAME row multiset — mark the
-      // epoch data-neutral so change-feed consumers skip its churn
-      ArrowDataSource.markEpochNeutral(root, epoch)
+      // maintenance rewrites carry the SAME row multiset — the
+      // neutral flag makes commitTableEpoch write the marker before
+      // the epoch's visibility flip, so change-feed consumers can
+      // never observe the churn as data change
+      ArrowDataSource.commitTableEpoch(path, base, adds,
+        replaced.map(_.toString), neutral = true)
     } else {
       df.write.format("arrow").mode("append").save(path)
       replaced.foreach(Files.deleteIfExists)

@@ -60,8 +60,37 @@ object ChangeReplication {
     else writer).start()
   }
 
+  /** Per-call counter making each applyBatch's temp view names unique:
+    * two replicate() streams sharing one SparkSession interleave
+    * foreachBatch callbacks, and a session-global view name would let
+    * one stream's MERGE read the other's rows mid-epoch. */
+  private val applySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Apply one micro-batch of tagged change rows (possibly spanning
-    * several epochs) to the replica, epoch by epoch in commit order. */
+    * many epochs) to the replica in TWO keyed MERGEs total, however
+    * long the epoch backlog:
+    *
+    *  1. Net per-(epoch, row) effect — one aggregation over the batch.
+    *     Copy-on-write carry-over rows surface as insert+delete of
+    *     equal values within one epoch and cancel here (the per-epoch
+    *     `exceptAll` of the sequential formulation, computed
+    *     set-at-once).
+    *  2. Last-touch-wins per key — the replica MERGE is keyed, so the
+    *     final state of a key is decided solely by the GREATEST epoch
+    *     in the batch touching it; within that epoch an upsert
+    *     supersedes a delete of the same key (an UPDATE's old version
+    *     is superseded, not deleted). One window, `row_number = 1`.
+    *  3. One MERGE of the winning upserts + one MERGE of the winning
+    *     removals.
+    *
+    * This coalescing is exactly equivalent to applying epochs
+    * ascending one MERGE pair at a time (each later epoch's MERGE
+    * overwrites what the earlier left for a key), while a
+    * thousand-epoch catch-up backlog costs 2 jobs instead of 2000 —
+    * the fix for serial per-epoch driver loops at scale. Replay
+    * idempotence is unchanged: the MERGEs converge by key. The
+    * replica contract is keyed (unique keys in the source table), as
+    * with any keyed CDC materialization. */
   def applyBatch(batch: DataFrame, dstDir: String,
       keyCols: Seq[String]): Unit = {
     val spark = batch.sparkSession
@@ -71,42 +100,55 @@ object ChangeReplication {
     require(keyCols.forall(dataCols.contains),
       s"key columns ${keyCols.mkString(",")} not all present in " +
         s"${dataCols.mkString(",")}")
-    val cached = batch.persist()
+    val ec = col(ArrowChanges.CommitEpochCol)
+    val tc = col(ArrowChanges.ChangeTypeCol)
+    val net = batch
+      .groupBy(ec +: dataCols.map(col): _*)
+      .agg(
+        sum(when(tc === "insert", 1L).otherwise(0L)).as("__ins"),
+        sum(when(tc === "delete", 1L).otherwise(0L)).as("__del"))
+      .withColumn("__op",
+        when(col("__ins") > col("__del"), lit("upsert"))
+          .when(col("__del") > col("__ins"), lit("delete")))
+      .filter(col("__op").isNotNull) // carry-over rows cancel to null
+    val winners = net
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+          // greatest epoch wins; within it, upsert beats delete
+          .orderBy(ec.desc, col("__op").desc)))
+      .filter(col("__rn") === 1)
+      .persist()
+    val tag = s"graft_repl_${applySeq.incrementAndGet()}_" +
+      java.util.UUID.randomUUID().toString.takeRight(12)
+    val upView = s"${tag}_upserts"
+    val rmView = s"${tag}_removals"
     try {
-      // the epoch list is checkpoint-window-sized metadata, not data
-      val epochs = cached.select(col(ArrowChanges.CommitEpochCol))
-        .distinct().collect().map(_.getLong(0)).sorted
+      winners.filter(col("__op") === "upsert")
+        .selectExpr(dataCols.map(c => s"`$c`"): _*)
+        .createOrReplaceTempView(upView)
+      winners.filter(col("__op") === "delete")
+        .select(keyCols.map(col): _*)
+        .createOrReplaceTempView(rmView)
       val onKeys = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
       val setCols = dataCols.map(c => s"`$c` = s.`$c`").mkString(", ")
       val insCols = dataCols.map(c => s"`$c`").mkString(", ")
       val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
-      for (e <- epochs) {
-        val ofEpoch = cached
-          .filter(col(ArrowChanges.CommitEpochCol) === e)
-        val ins = ofEpoch
-          .filter(col(ArrowChanges.ChangeTypeCol) === "insert")
-          .selectExpr(dataCols.map(c => s"`$c`"): _*)
-        val del = ofEpoch
-          .filter(col(ArrowChanges.ChangeTypeCol) === "delete")
-          .selectExpr(dataCols.map(c => s"`$c`"): _*)
-        val upserts = ins.exceptAll(del)
-        val removals = del.exceptAll(ins)
-          .select(keyCols.map(col): _*)
-          .exceptAll(upserts.select(keyCols.map(col): _*))
-          .distinct()
-        upserts.createOrReplaceTempView("graft_repl_upserts")
-        removals.createOrReplaceTempView("graft_repl_removals")
-        spark.sql(
-          s"""MERGE INTO graft.arrow.`$dstDir` t
-             |USING graft_repl_upserts s ON $onKeys
-             |WHEN MATCHED THEN UPDATE SET $setCols
-             |WHEN NOT MATCHED THEN INSERT ($insCols)
-             |  VALUES ($insVals)""".stripMargin)
-        spark.sql(
-          s"""MERGE INTO graft.arrow.`$dstDir` t
-             |USING graft_repl_removals s ON $onKeys
-             |WHEN MATCHED THEN DELETE""".stripMargin)
-      }
-    } finally { cached.unpersist(); () }
+      spark.sql(
+        s"""MERGE INTO graft.arrow.`$dstDir` t
+           |USING $upView s ON $onKeys
+           |WHEN MATCHED THEN UPDATE SET $setCols
+           |WHEN NOT MATCHED THEN INSERT ($insCols)
+           |  VALUES ($insVals)""".stripMargin)
+      spark.sql(
+        s"""MERGE INTO graft.arrow.`$dstDir` t
+           |USING $rmView s ON $onKeys
+           |WHEN MATCHED THEN DELETE""".stripMargin)
+    } finally {
+      spark.catalog.dropTempView(upView)
+      spark.catalog.dropTempView(rmView)
+      winners.unpersist()
+      ()
+    }
   }
 }

@@ -91,4 +91,70 @@ class ChangeReplicationSpec extends AnyFunSuite {
     assert(bagEqual(snapshot(dst), snapshot(src)),
       "replay of applied changes changed the replica")
   }
+
+  test("a 50-epoch backlog coalesces to a bounded job count — not " +
+      "2 MERGE jobs per epoch — with exact last-touch-wins state") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("repl_coal_src").toString
+    val dst = Files.createTempDirectory("repl_coal_dst").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(src)
+    // upgrade to a logged table up front so every INSERT below
+    // commits its own epoch (a flat dir would absorb them silently)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").limit(0)
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dst)
+    // 50 DML epochs, with epoch-order-sensitive key histories the
+    // coalescing must preserve: id=3 deleted then re-inserted (must
+    // end PRESENT), id=4 updated then deleted (must end ABSENT)
+    for (i <- 1 to 44)
+      spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES (${100L + i}, 'e$i')")
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id = 3")
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id = 103")
+    spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES (3, 'reborn')")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET tag = 'doomed' WHERE id = 4")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET tag = 'kept' WHERE id = 5")
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id = 4")
+    // drain the whole feed into one static batch (the catch-up shape)
+    val feed = spark.readStream.format("arrow")
+      .option("readChangeFeed", "true").option("startingEpoch", 0L)
+      .load(src)
+    val drain = feed.writeStream
+      .format("memory").queryName("repl_coal").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try drain.processAllAvailable() finally drain.stop()
+    val sunk = spark.table("repl_coal")
+    assert(sunk.select(col("_commit_epoch")).distinct().count() >= 50,
+      "fixture did not produce a 50-epoch backlog")
+    val materialized = spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try ChangeReplication.applyBatch(materialized, dst, Seq("id"))
+    finally {
+      Thread.sleep(2000) // listener bus is async; let events drain
+      spark.sparkContext.removeSparkListener(listener)
+    }
+    assert(jobs.get() <= 30,
+      s"50-epoch apply ran ${jobs.get()} jobs — per-epoch serial " +
+        "MERGEs are back; coalescing should keep this O(1) in epochs")
+    assert(bagEqual(snapshot(dst), snapshot(src)),
+      "coalesced replica diverged from the source")
+    assert(snapshot(dst).filter(col("id") === 3)
+      .select(col("tag")).as[String].collect().toSeq == Seq("reborn"),
+      "delete-then-reinsert key must end present with the final value")
+    assert(snapshot(dst).filter(col("id") === 4).count() == 0,
+      "update-then-delete key must end absent")
+    assert(snapshot(dst).filter(col("id") === 5)
+      .select(col("tag")).as[String].collect().toSeq == Seq("kept"))
+  }
 }
