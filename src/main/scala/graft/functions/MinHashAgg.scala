@@ -11,9 +11,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * NUM_HASHES independent full string hashes per shingle and carrying
   * NUM_HASHES separate min-aggregate columns through the shuffle.
   *
-  * MinHash signatures have no SQL oracle (rows-only check); the LSH
-  * recall bound against exact Jaccard in DedupSimSpec is the
-  * correctness contract, and it is hash-family-agnostic.
+  * With the portable md5-derived base hash
+  * ([[graft.functions.TextFunctions.hash64]]) the whole signature map
+  * is engine-independent: the DuckDB oracle replays splitmix64 over
+  * UBIGINT (DedupQueries.minhashOracleSql) and hash-gates the
+  * declared `dedup_minhash` query end to end; the LSH recall bound
+  * against exact Jaccard in DedupSimSpec remains the
+  * hash-family-agnostic contract.
   */
 object MinHashAgg extends Aggregator[Long, Array[Long], Seq[Long]] {
 

@@ -20,6 +20,24 @@ object TextFunctions {
   /** Whitespace word array. */
   def words(text: Column): Column = split(text, " ")
 
+  /** Portable 64-bit hash: the first 16 hex chars of md5, reinterpreted
+    * as a long. Engine-independent by construction — any SQL engine
+    * with md5 + hex conversion reproduces the exact bit pattern
+    * (DuckDB: `('0x' || substr(md5(x),1,16))::UBIGINT`), which is what
+    * makes the MinHash/SimHash dedup queries oracle-checkable instead
+    * of spec-only. Built from codegen'd built-ins (md5/conv/shift);
+    * costlier per row than xxhash64, the price of cross-engine
+    * exactness. The two 32-bit halves convert separately because
+    * `conv` yields an unsigned decimal string a signed-long cast
+    * would null out above 2^63; the OR never carries, so no ANSI
+    * overflow is reachable. */
+  def hash64(c: Column): Column = {
+    val m = md5(c)
+    val hi = conv(substring(m, 1, 8), 16, 10).cast("long")
+    val lo = conv(substring(m, 9, 8), 16, 10).cast("long")
+    shiftleft(hi, 32).bitwiseOR(lo)
+  }
+
   /** Distinct word k-shingles as strings; empty array below k words.
     * (`sequence` would count DOWN for size < k — guard required.) */
   def shingles(w: Column, k: Int): Column =

@@ -137,7 +137,7 @@ object DedupQueries {
     graft.functions.Registration.once(spark, "graft_minhash")(
       spark.udf.register("graft_minhash", udaf(graft.functions.MinHashAgg)))
     val sigs = sh
-      .withColumn("h", xxhash64(col("shingle")))
+      .withColumn("h", hash64(col("shingle")))
       .groupBy(col("doc_id"))
       .agg(expr("graft_minhash(h)").as("mh"))
     sigs.select(col("doc_id") +:
@@ -150,9 +150,15 @@ object DedupQueries {
       .empty[(SparkSession, String), DataFrame]
 
   /** MinHash+LSH near-dup: band signatures → bucket join → candidate
-    * pairs → exact-Jaccard verification ≥ 0.5. Approximate candidate
-    * generation (an LSH miss is possible) → no SQL oracle; ScalaTest
-    * checks recall against [[jaccardDedup]]. The (doc, band, sig) table
+    * pairs → exact-Jaccard verification ≥ 0.5. Candidate generation is
+    * approximate (an LSH band miss is possible) but DETERMINISTIC: the
+    * permutation family is splitmix64 over the portable md5-derived
+    * base hash ([[graft.functions.TextFunctions.hash64]]), so the
+    * full pipeline — signatures, banding, verification — is
+    * reproduced bit-exactly by the DuckDB oracle ([[minhashOracleSql]])
+    * and the query is hash-gated like any exact operator; ScalaTest
+    * additionally checks recall against [[jaccardDedup]]. The
+    * (doc, band, sig) table
     * is persisted once per (session, dataset): the bucket self-join
     * references it on BOTH sides, and without the cache the whole
     * signature aggregation (the expensive pass over every shingle) runs
@@ -212,7 +218,7 @@ object DedupQueries {
       spark.udf.register("graft_simhash", udaf(graft.functions.SimHashAgg)))
     fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", hash64(col("word")))
       .groupBy(col("doc_id"))
       .agg(expr("graft_simhash(h)").as("simhash"))
   }
@@ -224,7 +230,7 @@ object DedupQueries {
       : DataFrame = {
     val occ = fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), explode(words(col("text"))).as("word"))
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("h", hash64(col("word")))
     val votes = (0 until 64).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1L) === 1L,
         lit(1L)).otherwise(lit(-1L))).as(s"v$i")
@@ -242,9 +248,14 @@ object DedupQueries {
 
   /** SimHash near-dup: pigeonhole banding (4 × 16-bit bands — any pair
     * at Hamming distance ≤ 3 shares at least one exact band) → candidate
-    * pairs → exact Hamming ≤ 3 via bit_count(xor). No SQL oracle
-    * (engine-specific 64-bit hashing); ScalaTest pins the invariants.
-    * Like the MinHash path, the (doc, band-value) table persists once
+    * pairs → exact Hamming ≤ 3 via bit_count(xor). The banding is
+    * recall-EXACT for the ≤ 3 cut (3 differing bits touch at most 3 of
+    * the 4 bands), so the output is precisely "all pairs at Hamming
+    * ≤ 3 of the signature map" — and with signatures over the portable
+    * [[graft.functions.TextFunctions.hash64]] the DuckDB oracle
+    * ([[simhashOracleSql]]) recomputes that map bit-exactly and takes
+    * all pairs directly, no banding needed at oracle scale. Like the
+    * MinHash path, the (doc, band-value) table persists once
     * per (session, dataset) so the signature fold does not run once per
     * self-join side. */
   def simhashDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -267,6 +278,104 @@ object DedupQueries {
       .distinct()
       .filter(col("hamming") <= 3)
       .orderBy(col("d1"), col("d2"))
+  }
+
+  // ---- DuckDB oracle for the MinHash/SimHash pipelines --------------
+  // Both engines compute the identical signature map because every
+  // step is pinned to portable primitives: base hash = first 16 hex
+  // chars of md5 (TextFunctions.hash64), permutations = splitmix64
+  // (xor / >>> / wraparound multiply — emulated below with HUGEINT
+  // split multiplication since DuckDB integer ops overflow-check),
+  // minima compared in SIGNED order (Spark longs) via the
+  // sign-bit-flip trick on DuckDB's UBIGINT domain.
+
+  /** `a * c mod 2^64` over UBIGINT operand `a` (an alias reference —
+    * cheap to repeat) and HUGEINT constant literal `c`: split into
+    * 32-bit halves so no intermediate exceeds INT128. */
+  private def mulmod(a: String, c: String): String =
+    s"((((($a) >> 32)::HUGEINT * $c % 4294967296) * 4294967296 + " +
+      s"((($a) & 4294967295::UBIGINT)::HUGEINT * $c)) " +
+      "% 18446744073709551616)::UBIGINT"
+
+  private val SignBit = "9223372036854775808::UBIGINT"
+  private val Md5Base = "('0x' || substr(md5(%s),1,16))::UBIGINT"
+
+  /** The shared shingle CTEs (dedup_jaccard's formulation). */
+  private val ShingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i))""".stripMargin
+
+  private[graft] def minhashOracleSql: String = {
+    // splitmix64 chains as lateral column aliases, one per permutation
+    val mixCols = (0 until NumHashes).flatMap { i =>
+      val seed = java.lang.Long.toUnsignedString(
+        0x9E3779B97F4A7C15L * (i + 1))
+      Seq(
+        s"xor(h, $seed::UBIGINT) AS za$i",
+        s"${mulmod(s"xor(za$i, za$i >> 30)",
+          "13787848793156543929::HUGEINT")} AS zb$i",
+        s"${mulmod(s"xor(zb$i, zb$i >> 27)",
+          "10723151780598845931::HUGEINT")} AS zc$i",
+        s"xor(zc$i, zc$i >> 31) AS h$i")
+    }.mkString(",\n    ")
+    val minCols = (0 until NumHashes).map(i =>
+      s"xor(min(xor(h$i, $SignBit)), $SignBit) AS m$i").mkString(",\n    ")
+    val bandSelects = (0 until Bands).map { b =>
+      val sig = (0 until RowsPerBand)
+        .map(j => s"m${b * RowsPerBand + j}::VARCHAR")
+        .mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, $sig AS sig FROM mins"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $ShingleCtes,
+       |hs AS (SELECT doc_id, ${Md5Base.format("shingle")} AS h,
+       |    $mixCols
+       |  FROM sh),
+       |mins AS (SELECT doc_id,
+       |    $minCols
+       |  FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+       |common AS (SELECT c.d1, c.d2, COUNT(*) AS common
+       |  FROM cand c
+       |  JOIN sh a ON a.doc_id = c.d1
+       |  JOIN sh b ON b.doc_id = c.d2 AND a.shingle = b.shingle
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2,
+       |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+       |FROM common
+       |JOIN sizes s1 ON d1 = s1.doc_id
+       |JOIN sizes s2 ON d2 = s2.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+       |ORDER BY d1, d2""".stripMargin
+  }
+
+  private[graft] def simhashOracleSql: String = {
+    val voteCols = (0 until 64).map(i =>
+      s"sum(CASE WHEN ((h >> $i) & 1::UBIGINT) = 1::UBIGINT " +
+        s"THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val sigSum = (0 until 64).map { i =>
+      val pow = java.lang.Long.toUnsignedString(1L << i)
+      s"CASE WHEN v$i >= 0 THEN $pow::UBIGINT ELSE 0::UBIGINT END"
+    }.mkString(" + ")
+    s"""WITH occ AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |hv AS (SELECT doc_id, ${Md5Base.format("word")} AS h FROM occ),
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM hv GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($sigSum) AS sig FROM votes)
+       |SELECT x.doc_id AS d1, y.doc_id AS d2,
+       |  bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+       |ORDER BY d1, d2""".stripMargin
   }
 
   val defs: Map[String, Q] = Map(
@@ -295,5 +404,7 @@ object DedupQueries {
         |JOIN sizes s1 ON d1 = s1.doc_id
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
-        |ORDER BY d1, d2""".stripMargin)
+        |ORDER BY d1, d2""".stripMargin,
+    "dedup_minhash" -> minhashOracleSql,
+    "dedup_simhash" -> simhashOracleSql)
 }

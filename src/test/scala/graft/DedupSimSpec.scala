@@ -220,7 +220,7 @@ class DedupSimSpec extends AnyFunSuite {
         .select(col("doc_id"),
           explode(graft.functions.TextFunctions.words(col("text")))
             .as("word"))
-        .withColumn("h", xxhash64(col("word")))
+        .withColumn("h", graft.functions.TextFunctions.hash64(col("word")))
         .groupBy(col("doc_id"))
         .agg(expr("graft_simhash(h)").as("simhash"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
