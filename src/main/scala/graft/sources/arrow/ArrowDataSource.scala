@@ -76,6 +76,19 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     }
     require(files.nonEmpty, s"no .arrow files under ${options.get("path")}")
     val root = Option(options.get("path")).get
+    // Write-time footer-stats sidecar: schema inference AND the
+    // consistency sweep below resolve from one metadata read for every
+    // covered file; only uncovered files (foreign writers, maintenance
+    // rewrites) open footers. Stored schemas are what readFooterSchema
+    // surfaced at write commit, so a hit is bit-identical to a sweep.
+    val sidecarRoot = Paths.get(root).toAbsolutePath.normalize
+    val sidecarIdx = FooterIndexFile.load(sidecarRoot)
+    def idxSchema(f: Path): Option[StructType] =
+      sidecarIdx.flatMap { ix =>
+        scala.util.Try(
+          sidecarRoot.relativize(f.toAbsolutePath.normalize).toString)
+          .toOption.flatMap(ix.schemaOf)
+      }
     // Schema evolution, read side (`option("mergeSchema", true)` —
     // parquet's contract): the table schema is the UNION of every
     // footer schema, first-appearance field order, all fields
@@ -86,7 +99,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     if (Option(options.get("mergeSchema")).exists(_.toBoolean)) {
       val footers = new Array[StructType](files.length)
       files.indices.toVector.asJava.parallelStream()
-        .forEach(i => footers(i) = ArrowDataSource.readFooterSchema(files(i)))
+        .forEach(i => footers(i) = idxSchema(files(i))
+          .getOrElse(ArrowDataSource.readFooterSchema(files(i))))
       val out = scala.collection.mutable.LinkedHashMap
         .empty[String, org.apache.spark.sql.types.StructField]
       for (s <- footers; f <- s.fields) out.get(f.name) match {
@@ -101,7 +115,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
       val partCols = ArrowDataSource.discoverPartitionSchema(root)
       return StructType(out.values.toArray ++ partCols.fields)
     }
-    val dataSchema = ArrowDataSource.readFooterSchema(files.head)
+    val dataSchema = idxSchema(files.head)
+      .getOrElse(ArrowDataSource.readFooterSchema(files.head))
     // Fail fast on a mixed-schema directory (two writers, schema
     // drift): every footer must agree with the first file on names and
     // types, else the constant-ordinal readers would silently misread.
@@ -120,7 +135,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
         new java.util.concurrent.atomic.AtomicReference[String](null)
       files.tail.asJava.parallelStream().forEach { f =>
         if (mismatch.get() == null) {
-          val got = sig(ArrowDataSource.readFooterSchema(f))
+          val got = sig(idxSchema(f)
+            .getOrElse(ArrowDataSource.readFooterSchema(f)))
           if (got != expected) mismatch.compareAndSet(null,
             s"arrow: inconsistent schema under $root — $f has " +
               s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
@@ -1001,6 +1017,7 @@ object ArrowDataSource {
   }
 
   def readFooterSchema(file: Path): StructType = {
+    footerOpens.incrementAndGet()
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)
@@ -1026,6 +1043,7 @@ object ArrowDataSource {
   /** Per-record-batch on-disk sizes (metadata+body) from the IPC footer
     * — the split planner's input; reads only the footer, no batch data. */
   def recordBlockSizes(file: Path): Seq[Long] = {
+    footerOpens.incrementAndGet()
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)
@@ -1062,7 +1080,15 @@ object ArrowDataSource {
   /** Name of the per-row file-path metadata column. */
   val FileMetaCol = "_file"
 
+  /** Process-wide count of IPC footer parses ([[footerInfo]] /
+    * [[readFooterSchema]] / [[recordBlockSizes]]) — a test hook:
+    * FooterIndexSpec asserts planning over an indexed directory opens
+    * ZERO data-file footers (the [[FooterIndexFile]] sidecar serves
+    * them all). */
+  val footerOpens = new java.util.concurrent.atomic.AtomicLong(0)
+
   def footerInfo(file: Path): FooterInfo = {
+    footerOpens.incrementAndGet()
     val ch = FileChannel.open(file, StandardOpenOption.READ)
     val reader = new ArrowFileReader(ch, allocator,
       CommonsCompressionFactory.INSTANCE)

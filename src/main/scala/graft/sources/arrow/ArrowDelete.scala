@@ -150,7 +150,7 @@ object ArrowDelete {
     if (kept == total) { writer.abort(); None } // nothing matched
     else if (kept == 0) { writer.abort(); Some(Seq.empty) } // all matched
     else writer.commit() match {
-      case ArrowCommitMessage(fs) => Some(fs)
+      case m: ArrowCommitMessage => Some(m.files)
       case other: WriterCommitMessage =>
         throw new IllegalStateException(s"unexpected commit $other")
     }

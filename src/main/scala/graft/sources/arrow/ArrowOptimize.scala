@@ -91,6 +91,9 @@ object ArrowOptimize {
         .filterNot(f => visible(f.toAbsolutePath.normalize))
         .filter(oldEnough)
       victims.foreach { f => Files.deleteIfExists(f); deleted += f }
+      // keep the footer-stats sidecar bounded by LIVE files: reclaimed
+      // files' entries would otherwise accrete forever under DML churn
+      if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
       if (victims.nonEmpty && ArrowDataSource.isTableLog(dir))
         ArrowDataSource.compactLog(root,
           ArrowDataSource.latestCommittedEpoch(root), onlyExisting = true)
@@ -125,6 +128,9 @@ object ArrowOptimize {
     // (the batch-truncate path clears it for the same reason)
     ArrowDataSource.listIpcFiles(outDir).foreach(Files.deleteIfExists)
     ArrowDataSource.deleteManifests(outDir)
+    // the rewrite REUSES inDir's relative file names: a stale sidecar
+    // from a previous life of outDir could otherwise alias them
+    FooterIndexFile.drop(outDir)
     def sweepTmp(d: java.io.File): Unit =
       Option(d.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory) sweepTmp(f)

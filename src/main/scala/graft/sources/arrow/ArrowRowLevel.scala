@@ -286,15 +286,22 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
     // vacuum; a concurrent commit since the scan planned fails here
     // (ConcurrentModificationException) with the new files left as
     // invisible orphans for vacuum to reclaim.
-    val adds = messages.collect { case ArrowCommitMessage(fs) => fs }
-      .toSeq.flatten
+    val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
+    val adds = msgs.flatMap(_.files)
     ArrowDataSource.commitTableEpoch(path, op.baseEpoch, adds,
       op.scannedFiles)
+    // CoW replacement files are brand new names: fold their stats into
+    // the sidecar so DML-heavy tables keep one-metadata-read planning.
+    val pairs = adds.zip(msgs.flatMap(_.footers))
+    if (pairs.nonEmpty)
+      FooterIndexFile.update(path,
+        ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
+        pairs, replace = false)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ArrowCommitMessage(fs) =>
-      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    messages.collect { case m: ArrowCommitMessage =>
+      m.files.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
 }
 

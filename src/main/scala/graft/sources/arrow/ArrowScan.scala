@@ -47,10 +47,26 @@ private[arrow] class FooterIndex(path: String,
     * manifest/as-of-resolved visible set. */
   lazy val files: Seq[java.nio.file.Path] =
     explicit.getOrElse(ArrowDataSource.visibleIpcFiles(path, asOf))
+  private lazy val root =
+    Paths.get(path).toAbsolutePath.normalize
+  // The write-time footer-stats sidecar: ONE metadata read replaces
+  // the per-file footer sweep for every file it covers. Files it does
+  // not cover (foreign writers, maintenance rewrites) fall back to a
+  // footer open — the index is an optimization, never a correctness
+  // surface (files are immutable once visible, so a hit is exact).
+  private lazy val sidecar = FooterIndexFile.load(root)
+  private def indexed(p: java.nio.file.Path)
+      : Option[ArrowDataSource.FooterInfo] =
+    sidecar.flatMap { ix =>
+      scala.util.Try(
+        root.relativize(p.toAbsolutePath.normalize).toString)
+        .toOption.flatMap(ix.infoOf)
+    }
   private val cache = scala.collection.concurrent.TrieMap
     .empty[String, ArrowDataSource.FooterInfo]
   def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
-    cache.getOrElseUpdate(p.toString, ArrowDataSource.footerInfo(p))
+    cache.getOrElseUpdate(p.toString,
+      indexed(p).getOrElse(ArrowDataSource.footerInfo(p)))
 }
 
 class ArrowScanBuilder(path: String, schema: StructType,

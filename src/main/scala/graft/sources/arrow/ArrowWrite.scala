@@ -146,15 +146,26 @@ class ArrowStreamingWrite(path: String, schema: StructType,
   }
 
   override def commit(epochId: Long,
-      messages: Array[WriterCommitMessage]): Unit =
-    ArrowDataSource.commitEpochManifest(path, epochId,
-      messages.collect { case ArrowCommitMessage(fs) => fs }.toSeq.flatten,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
+    val adds = msgs.flatMap(_.files)
+    ArrowDataSource.commitEpochManifest(path, epochId, adds,
       compactInterval)
+    // Same sidecar as the batch path: a long-lived sink accumulates
+    // exactly the many-small-files shape whose planning footer sweep
+    // the index exists to avoid. Merge is idempotent by relpath, so an
+    // epoch replayed after driver recovery folds the same entries.
+    val pairs = adds.zip(msgs.flatMap(_.footers))
+    if (pairs.nonEmpty)
+      FooterIndexFile.update(path,
+        ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
+        pairs, replace = false)
+  }
 
   override def abort(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ArrowCommitMessage(fs) =>
-      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    messages.collect { case m: ArrowCommitMessage =>
+      m.files.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
 }
 
@@ -172,7 +183,13 @@ class ArrowStreamingWriterFactory(path: String, schema: StructType,
         partitionId, taskId, partitionCols, maxOpenWriters, bloomCols)
 }
 
-case class ArrowCommitMessage(files: Seq[String]) extends WriterCommitMessage
+/** Task commit payload: the renamed-visible files, plus (aligned by
+  * index) each file's [[FooterIndexFile.encodeInfo]] stats line —
+  * captured executor-side right after the rename, while the footer the
+  * task just wrote is page-cache hot, so the driver can fold stats
+  * into the [[FooterIndexFile]] sidecar without re-opening any file. */
+case class ArrowCommitMessage(files: Seq[String],
+    footers: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 class ArrowBatchWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, doTruncate: Boolean,
@@ -244,17 +261,35 @@ class ArrowBatchWrite(path: String, schema: StructType,
       maxOpenWriters, bucket, bloomCols, sortCol)
   }
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit =
-    if (loggedBase >= -1L) {
-      val adds = messages.collect { case ArrowCommitMessage(fs) => fs }
-        .toSeq.flatten
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
+    val adds = msgs.flatMap(_.files)
+    if (loggedBase >= -1L)
       ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
         loggedRemoves)
+    if (!stageOnly) {
+      // Fold the tasks' footer stats into the sidecar so the NEXT
+      // planning of this directory is one metadata read, not O(files)
+      // footer opens. Truncate replaces prior entries (their files are
+      // gone for flat dirs, superseded for logged ones — either way
+      // the new write is the whole visible set).
+      val pairs = adds.zip(msgs.flatMap(_.footers))
+      if (pairs.isEmpty) {
+        if (doTruncate) FooterIndexFile.drop(path)
+      } else {
+        // Canonical footer schema of this write (what readFooterSchema
+        // surfaces): ONE footer open per commit, not per planning pass.
+        val footSchema = ArrowDataSource.readFooterSchema(
+          Paths.get(pairs.head._1))
+        FooterIndexFile.update(path, footSchema, pairs,
+          replace = doTruncate)
+      }
     }
+  }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case ArrowCommitMessage(fs) =>
-      fs.foreach(f => Files.deleteIfExists(Paths.get(f)))
+    messages.collect { case m: ArrowCommitMessage =>
+      m.files.foreach(f => Files.deleteIfExists(Paths.get(f)))
     }
 }
 
@@ -321,9 +356,11 @@ class ArrowBucketedWriter(path: String, schema: StructType,
     w.write(row)
   }
 
-  override def commit(): WriterCommitMessage =
-    ArrowCommitMessage(writers.filter(_ != null).toSeq
-      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs }))
+  override def commit(): WriterCommitMessage = {
+    val subs = writers.filter(_ != null).toSeq
+      .map(_.commit()).collect { case m: ArrowCommitMessage => m }
+    ArrowCommitMessage(subs.flatMap(_.files), subs.flatMap(_.footers))
+  }
 
   override def abort(): Unit = writers.filter(_ != null).foreach(_.abort())
 
@@ -408,13 +445,16 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
   }
 
   override def commit(): WriterCommitMessage = {
-    val open = writers.values.toSeq
-      .flatMap(_.commit() match { case ArrowCommitMessage(fs) => fs })
+    val subs = writers.values.toSeq
+      .map(_.commit()).collect { case m: ArrowCommitMessage => m }
     val evicted = pendingRenames.map { case (tmp, fin) =>
       Files.move(tmp, fin, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       fin.toString
     }
-    ArrowCommitMessage(evicted.toSeq ++ open)
+    val evictedFooters = evicted.map(f => FooterIndexFile.encodeInfo(
+      ArrowDataSource.footerInfo(Paths.get(f))))
+    ArrowCommitMessage(evicted.toSeq ++ subs.flatMap(_.files),
+      evictedFooters.toSeq ++ subs.flatMap(_.footers))
   }
 
   override def abort(): Unit = {
@@ -850,7 +890,8 @@ class ArrowDataWriter(path: String, schema: StructType,
     seal()
     Files.move(tmpFile, file,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    ArrowCommitMessage(Seq(file.toString))
+    ArrowCommitMessage(Seq(file.toString), Seq(
+      FooterIndexFile.encodeInfo(ArrowDataSource.footerInfo(file))))
   }
 
   override def abort(): Unit = {
