@@ -110,8 +110,10 @@ object ReshapeQueries {
     * hash match proves the layout round-trip is lossless. */
   def partitionedWritePrune(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("po", dir)
-    Tables.orders(spark, dir)
-      .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    }
     spark.read.parquet(out)
       .filter(col("o_orderstatus") === "F")
       .groupBy(col("o_orderpriority"))

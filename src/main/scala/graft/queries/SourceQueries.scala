@@ -20,8 +20,10 @@ object SourceQueries {
   /** parquet → Arrow IPC (zstd) → read back through the DSv2 → aggregate. */
   def arrowRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrow", dir)
-    Tables.lineitem(spark, dir).write.format("arrow")
-      .option("codec", "zstd").mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.lineitem(spark, dir).write.format("arrow")
+        .option("codec", "zstd").mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .filter(col("l_quantity") >= 10.0) // pushed into the arrow reader
       .groupBy(col("l_returnflag"))
@@ -35,10 +37,12 @@ object SourceQueries {
     * arguments the same way parquet pushes filters). */
   def orcRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("orc", dir)
-    Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), col("l_quantity"),
-        col("l_extendedprice"))
-      .write.mode("overwrite").orc(out)
+    graft.Fixtures.once(out) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice"))
+        .write.mode("overwrite").orc(out)
+    }
     spark.read.orc(out)
       .filter(col("l_quantity") >= 10.0)
       .groupBy(col("l_returnflag"))
@@ -51,9 +55,11 @@ object SourceQueries {
     * (the classic storage-engine `Load` with inferred schema). */
   def csvInferAgg(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("csv", dir)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-      .write.option("header", "true").mode("overwrite").csv(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .write.option("header", "true").mode("overwrite").csv(out)
+    }
     spark.read.option("header", "true").option("inferSchema", "true").csv(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
@@ -66,8 +72,10 @@ object SourceQueries {
     * stance applied to a file source), then aggregated. */
   def jsonLinesAgg(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("jsonl", dir)
-    Tables.events(spark, dir).select(col("props"))
-      .write.mode("overwrite").text(out)
+    graft.Fixtures.once(out) {
+      Tables.events(spark, dir).select(col("props"))
+        .write.mode("overwrite").text(out)
+    }
     spark.read.json(out)
       .filter(col("k").isNotNull)
       .groupBy((col("k") % 7).as("k_mod"))
@@ -116,8 +124,10 @@ object SourceQueries {
     // native zstd binding (measured 142 s vs 1 s writing orders at
     // sf0.1) — lz4 stays supported on the option surface, but nothing
     // perf-sensitive should default to it
-    Tables.orders(spark, dir).write.format("arrow")
-      .option("codec", "zstd").mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir).write.format("arrow")
+        .option("codec", "zstd").mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .agg(min(col("o_orderkey")).as("min_key"),
         max(col("o_orderkey")).as("max_key"),
@@ -135,11 +145,13 @@ object SourceQueries {
   def arrowDictAgg(spark: SparkSession, dir: String): DataFrame = {
     val plain = tmp("arrowdict_plain", dir)
     val optimized = tmp("arrowdict_opt", dir)
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"), col("n_chars"))
-      .write.format("arrow").mode("overwrite").save(plain)
-    graft.sources.arrow.ArrowOptimize.dictionaryEncode(
-      spark, plain, optimized, codec = Some("zstd"))
+    graft.Fixtures.once(optimized) {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.format("arrow").mode("overwrite").save(plain)
+      graft.sources.arrow.ArrowOptimize.dictionaryEncode(
+        spark, plain, optimized, codec = Some("zstd"))
+    }
     spark.read.format("arrow").load(optimized)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
@@ -154,10 +166,13 @@ object SourceQueries {
     * `partitioned_write_prune`. */
   def arrowPartitionedPrune(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowpart", dir)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
-      .write.format("arrow").partitionBy("o_orderpriority")
-      .mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.format("arrow").partitionBy("o_orderpriority")
+        .mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
       .groupBy(col("o_orderpriority"))
@@ -179,12 +194,18 @@ object SourceQueries {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val liOut = tmp("arrowbkt_li", dir)
     val oOut = tmp("arrowbkt_o", dir)
-    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_quantity"))
-      .write.format("arrow").option("bucketBy", "l_orderkey")
-      .option("numBuckets", "8").mode("overwrite").save(liOut)
-    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderpriority"))
-      .write.format("arrow").option("bucketBy", "o_orderkey")
-      .option("numBuckets", "8").mode("overwrite").save(oOut)
+    graft.Fixtures.once(liOut) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .write.format("arrow").option("bucketBy", "l_orderkey")
+        .option("numBuckets", "8").mode("overwrite").save(liOut)
+    }
+    graft.Fixtures.once(oOut) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+        .write.format("arrow").option("bucketBy", "o_orderkey")
+        .option("numBuckets", "8").mode("overwrite").save(oOut)
+    }
     spark.table(s"graft.arrow.`$liOut`")
       .join(spark.table(s"graft.arrow.`$oOut`"),
         col("l_orderkey") === col("o_orderkey"))
@@ -206,16 +227,22 @@ object SourceQueries {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     val liOut = tmp("arrowsrt_li", dir)
     val oOut = tmp("arrowsrt_o", dir)
-    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_extendedprice"))
-      .repartition(1).sortWithinPartitions("l_orderkey")
-      .write.format("arrow").option("bucketBy", "l_orderkey")
-      .option("numBuckets", "8").option("sortBy", "l_orderkey")
-      .mode("overwrite").save(liOut)
-    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_orderstatus"))
-      .repartition(1).sortWithinPartitions("o_orderkey")
-      .write.format("arrow").option("bucketBy", "o_orderkey")
-      .option("numBuckets", "8").option("sortBy", "o_orderkey")
-      .mode("overwrite").save(oOut)
+    graft.Fixtures.once(liOut) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .repartition(1).sortWithinPartitions("l_orderkey")
+        .write.format("arrow").option("bucketBy", "l_orderkey")
+        .option("numBuckets", "8").option("sortBy", "l_orderkey")
+        .mode("overwrite").save(liOut)
+    }
+    graft.Fixtures.once(oOut) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .repartition(1).sortWithinPartitions("o_orderkey")
+        .write.format("arrow").option("bucketBy", "o_orderkey")
+        .option("numBuckets", "8").option("sortBy", "o_orderkey")
+        .mode("overwrite").save(oOut)
+    }
     spark.table(s"graft.arrow.`$liOut`")
       .join(spark.table(s"graft.arrow.`$oOut`"),
         col("l_orderkey") === col("o_orderkey"))
@@ -231,13 +258,15 @@ object SourceQueries {
     * in DuckDB, so a hash match proves the map layout is lossless. */
   def arrowMapAgg(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowmap", dir)
-    Tables.events(spark, dir)
-      .select(col("event_type"),
-        from_json(col("props"),
-          org.apache.spark.sql.types.MapType(
-            org.apache.spark.sql.types.StringType,
-            org.apache.spark.sql.types.LongType)).as("m"))
-      .write.format("arrow").mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.events(spark, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.LongType)).as("m"))
+        .write.format("arrow").mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .select(col("event_type"), col("m").getItem("k").as("k"))
       .groupBy(col("event_type"))
@@ -255,10 +284,12 @@ object SourceQueries {
     * the corpus instead of all of it. */
   def arrowBloomScan(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowbloom", dir)
-    Tables.orders(spark, dir)
-      .repartition(8, col("o_orderkey"))
-      .write.format("arrow").option("bloomFilterColumns", "o_custkey")
-      .mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .repartition(8, col("o_orderkey"))
+        .write.format("arrow").option("bloomFilterColumns", "o_custkey")
+        .mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .filter(col("o_custkey").isin(7L, 11L, 13L, 999999999L))
       .agg(count(lit(1)).as("n"),
@@ -275,10 +306,13 @@ object SourceQueries {
     * pass, not a scan. The oracle recomputes from parquet. */
   def arrowGroupedPushdown(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowgrp", dir)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.format("arrow").partitionBy("o_orderstatus")
-      .mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("arrow").partitionBy("o_orderstatus")
+        .mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
@@ -295,10 +329,12 @@ object SourceQueries {
     * arbitrary row choice, so it is what the oracle checks. */
   def arrowLimitPushdown(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrowlimit", dir)
-    Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_quantity"))
-      .repartition(8)
-      .write.format("arrow").mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8)
+        .write.format("arrow").mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .limit(1000)
       .agg(count(lit(1)).as("n"))
@@ -314,12 +350,15 @@ object SourceQueries {
   def arrowSchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val out = tmp("arrow_evolve", dir)
     val orders = Tables.orders(spark, dir)
-    orders.filter(col("o_orderkey") <= 2000)
-      .select(col("o_orderkey"), col("o_totalprice"))
-      .write.format("arrow").mode("overwrite").save(out)
-    orders.filter(col("o_orderkey") > 2000)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .write.format("arrow").mode("append").save(out)
+    graft.Fixtures.once(out) {
+      orders.filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.format("arrow").mode("overwrite").save(out)
+      orders.filter(col("o_orderkey") > 2000)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("arrow").mode("append").save(out)
+    }
     spark.read.format("arrow").option("mergeSchema", "true").load(out)
       .groupBy(coalesce(col("o_orderstatus"), lit("pre_evolution"))
         .as("status"))

@@ -119,11 +119,13 @@ object StorageQueries {
     * the same reason as partitionedWritePrune. */
   def arrowZonemapScan(spark: SparkSession, dir: String): DataFrame = {
     val out = graft.Scratch.dir("zm", dir)
-    Tables.orders(spark, dir)
-      .repartition(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.format("arrow").option("batchRows", 2048)
-      .mode("overwrite").save(out)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .repartition(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.format("arrow").option("batchRows", 2048)
+        .mode("overwrite").save(out)
+    }
     spark.read.format("arrow").load(out)
       .filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 3000)
       .groupBy(col("o_orderstatus"))
@@ -349,6 +351,88 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** `TIMESTAMP AS OF` through the table log, oracle-gated: snapshot
+    * the Arrow table, capture a wall-clock instant strictly after the
+    * snapshot commit, DELETE a key range (a later epoch with a later
+    * commit stamp), then read AS OF the captured instant through the
+    * SQL surface — resolution must land on the snapshot epoch
+    * (greatest commit stamp at or before the instant, Delta's
+    * contract), so the aggregate equals the oracle over the UNTOUCHED
+    * table. The 100 TB shape: "the table as of last night's cron" is
+    * a stamp lookup over O(epochs) metadata, not a data operation. */
+  def arrowTimestampTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_ts_travel", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    // Commit stamps are millis: separate the mark from both the
+    // snapshot commit and the DELETE commit by more than a clock tick
+    // so the cut deterministically covers exactly the snapshot.
+    Thread.sleep(3L)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(3L)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    // Session zone is pinned UTC, so a zoneless literal is the instant.
+    val cutLit = java.time.Instant.ofEpochMilli(cut)
+      .atOffset(java.time.ZoneOffset.UTC).toLocalDateTime.toString
+      .replace('T', ' ')
+    spark.sql(
+      s"SELECT * FROM graft.arrow.`$out` TIMESTAMP AS OF '$cutLit'")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** CDC replication end-to-end under the correctness gate: a logged
+    * source takes a snapshot + DELETE + UPDATE epoch history, a fresh
+    * empty replica drains the STREAMING change feed via
+    * [[graft.streaming.ChangeReplication.replicate]] (keyed MERGE
+    * apply, coalesced to two MERGEs per micro-batch), and the
+    * REPLICA's aggregate must equal the oracle's restatement of the
+    * post-DML source — proving snapshot adoption, CoW delete/update
+    * churn, and last-touch-wins key semantics all survive the
+    * feed→MERGE round trip. The 100 TB shape: a day of DML against a
+    * petabyte table replicates as O(churned bytes) through two keyed
+    * MERGEs per trigger. */
+  def cdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("cdc_repl_src", dir)
+    val dst = graft.Scratch.dir("cdc_repl_dst", dir)
+    val ckpt = graft.Scratch.dir("cdc_repl_ckpt", dir)
+    // Fresh replica + checkpoint every invocation: a reused checkpoint
+    // would see the rebuilt source's epochs as already consumed.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    // empty replica carrying the schema
+    base.limit(0).coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dst)
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+      "AND o_orderstatus = 'F'")
+    val q = graft.streaming.ChangeReplication.replicate(
+      spark, src, dst, keyCols = Seq("o_orderkey"), checkpoint = ckpt)
+    try q.processAllAvailable() finally q.stop()
+    spark.read.format("arrow").load(dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CALL graft.system.restore, oracle-gated: mutate the table twice
     * (DELETE then UPDATE, two logged epochs), roll back to the
     * pre-mutation epoch with one metadata-only restore commit, and
@@ -413,6 +497,8 @@ object StorageQueries {
   val defs: Map[String, Q] = Map(
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_time_travel" -> (arrowTimeTravel _),
+    "arrow_timestamp_travel" -> (arrowTimestampTravel _),
+    "cdc_replicate" -> (cdcReplicate _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -493,6 +579,18 @@ object StorageQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_timestamp_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_replicate" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |   AND o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END
+        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey >= 400
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
