@@ -15,7 +15,22 @@ object PlanAudit {
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
          if interesting.isEmpty || interesting(name)) {
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val df = fn(spark, sfDir)
+        // EXECUTE before stringifying: under AQE the pre-execution plan
+        // is an AdaptiveSparkPlan placeholder whose WholeStageCodegen
+        // stages only materialize per query stage at runtime — the
+        // audit would report codegen=0 for every query and could never
+        // catch a real codegen regression. After collect() the
+        // adaptive node's executedPlan is the FINAL plan with its
+        // codegen spans, runtime-chosen joins and coalesced exchanges.
+        df.collect()
+        val exec = df.queryExecution.executedPlan
+        val finalPlan = exec match {
+          case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        val plan = finalPlan.toString
         val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
         val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq

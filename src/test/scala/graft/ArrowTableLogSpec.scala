@@ -322,4 +322,48 @@ class ArrowTableLogSpec extends AnyFunSuite {
     // opting in delivers the current snapshot (rewrites included)
     assert(run(ignore = true) == 8)
   }
+
+  test("a 1000-epoch log stays O(snapshot + tail): metadata file count " +
+      "is bounded after compaction and VERSION AS OF stays exact " +
+      "across every compaction boundary") {
+    val dir = Files.createTempDirectory("tlog_1k").toString
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val epochs = 1000
+    for (e <- 0 until epochs) {
+      // raw placeholder files: this pin is about METADATA scaling
+      val f = Paths.get(dir, f"part-$e%05d.arrow")
+      Files.write(f, Array[Byte](e.toByte))
+      ArrowDataSource.commitEpochManifest(dir, e.toLong, Seq(f.toString))
+    }
+    // default interval 10 folds as it goes: epoch 999 commit snapshots
+    // everything — the metadata dir must hold ONE compact snapshot and
+    // a sub-interval tail, NOT a thousand manifests/stamps
+    val md = root.resolve("_graft_metadata")
+    val names = Files.list(md).iterator()
+    val listed = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (names.hasNext) listed += names.next().getFileName.toString
+    assert(listed.count(_.endsWith(".compact")) == 1,
+      s"expected one folded snapshot, got ${listed.filter(_.endsWith(".compact"))}")
+    assert(listed.size <= 25,
+      s"metadata dir grew O(epochs): ${listed.size} files after " +
+        s"$epochs epochs — compaction is not bounding the log")
+    // exactness across EVERY boundary class: inside the deepest folds,
+    // at fold edges, and at the head
+    for (e <- Seq(0L, 9L, 10L, 499L, 989L, 990L, 999L)) {
+      val n = ArrowDataSource.visibleIpcFiles(dir, Some(e)).length
+      assert(n == e + 1, s"VERSION AS OF $e resolved $n files")
+    }
+    assert(ArrowDataSource.visibleIpcFiles(dir).length == epochs)
+    // epoch attribution survives the snapshot-of-snapshot folds: the
+    // exact file set of a mid-history version, not just its size
+    assert(ArrowDataSource.visibleIpcFiles(dir, Some(499L))
+      .map(_.getFileName.toString).sorted ==
+      (0 to 499).map(e => f"part-$e%05d.arrow"))
+    // commit stamps survive folding end-to-end: the FIRST epoch's
+    // stamp is only reachable through 100 chained snapshot folds
+    val stamps = ArrowDataSource.epochTimestamps(root)
+    assert(stamps.size == epochs,
+      s"lost commit stamps in the folds: ${stamps.size}/$epochs")
+    assert(stamps.keySet.min == 0L && stamps.keySet.max == 999L)
+  }
 }

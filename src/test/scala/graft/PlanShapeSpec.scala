@@ -50,6 +50,27 @@ class PlanShapeSpec extends AnyFunSuite {
       "mix_weighted must never shuffle the document side for its joins")
   }
 
+  test("the unpartitioned-window guard flags a global window over raw " +
+      "rows and passes the aggregate-bounded rank sql_cte runs") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // a window with no PARTITION BY over a raw table = the 100 TB
+    // single-reducer collapse; the guard must see it
+    val bad = Tables.orders(spark, TestSession.Sf)
+      .withColumn("r", row_number().over(Window.orderBy(col("o_orderkey"))))
+    assert(PlanGuards.unpartitionedWindows(
+      bad.queryExecution.executedPlan).nonEmpty,
+      "guard missed a global window over a raw scan")
+    // the same window over a ~25-row aggregate is legal (sql_cte's
+    // shape) — bounded input, no collapse to guard against
+    val ok = Tables.orders(spark, TestSession.Sf)
+      .groupBy(col("o_orderstatus")).agg(sum(col("o_totalprice")).as("s"))
+      .withColumn("r", row_number().over(Window.orderBy(col("s"))))
+    assert(PlanGuards.unpartitionedWindows(
+      ok.queryExecution.executedPlan).isEmpty,
+      "guard flagged an aggregate-bounded window")
+  }
+
   test("per-user window queries share one partitioning (no global window)") {
     for (q <- Seq("ts_gapfill", "ts_interpolate", "window_running_sum")) {
       val p = plan(q)

@@ -21,6 +21,13 @@ class QueriesSpec extends AnyFunSuite {
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name returns rows on sf0.001") {
       val df = fn(spark, TestSession.Sf)
+      // scale guard on the WHOLE declared surface: no unpartitioned
+      // window over unbounded input (the single-reducer collapse)
+      val globalWindows =
+        PlanGuards.unpartitionedWindows(df.queryExecution.executedPlan)
+      assert(globalWindows.isEmpty,
+        s"$name plans a global window over unbounded input: " +
+          globalWindows.mkString(", "))
       val n = df.count()
       // set_intersect legitimately can be small; everything must be >= 0
       // and the bulk of queries must produce data.
