@@ -473,8 +473,19 @@ object ArrowDataSource {
     * reclaimed. Epochs from before stamping fall back to manifest
     * mtime while the manifest file lives. */
   private def writeEpochTimestamp(md: Path, epoch: Long): Unit = {
+    // In-commit-timestamp adjustment (Delta's): stamp = max(now,
+    // previous epoch's stamp + 1) while the previous marker is still
+    // on disk, so a wall clock stepping backwards between commits
+    // cannot record a non-monotone stamp pair. After compaction folds
+    // the previous marker away, the FILTER-based resolution in
+    // epochForTimestamp stays the safety net for residual skew.
+    val prev = scala.util.Try(
+      Files.readAllLines(md.resolve(s"${epoch - 1}.ts")).asScala
+        .headOption.map(_.trim.toLong)).toOption.flatten
+    val stamp = math.max(System.currentTimeMillis(),
+      prev.map(_ + 1L).getOrElse(Long.MinValue))
     val tmp = md.resolve(s"$epoch.ts.inprogress")
-    Files.write(tmp, java.util.List.of(System.currentTimeMillis().toString))
+    Files.write(tmp, java.util.List.of(stamp.toString))
     Files.move(tmp, md.resolve(s"$epoch.ts"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -777,6 +788,9 @@ object ArrowDataSource {
           (n.endsWith(".compact") && epochOf(n) < epochId)
       if (covered) Files.deleteIfExists(f)
     }
+    // fold per-epoch footer-stats fragments the same way: the covered
+    // epochs' stats join the root sidecar, the tail stays per-epoch
+    FooterIndexFile.foldFragments(root, epochId)
   }
 
   /** Atomic, conflict-checked TABLE epoch commit: `removes` leave the

@@ -93,8 +93,19 @@ object ArrowDelete {
       .collect() // (file, replacements) pairs — metadata, not rows
     val removed = results.collect { case (f, Some(_)) => f }.toSeq
     val adds = results.flatMap { case (_, r) => r.getOrElse(Nil) }.toSeq
-    if (removed.nonEmpty)
-      ArrowDataSource.commitTableEpoch(root, baseEpoch, adds, removed)
+    if (removed.nonEmpty) {
+      val epoch =
+        ArrowDataSource.commitTableEpoch(root, baseEpoch, adds, removed)
+      // CoW replacements bypass the batch-write commit hook: record
+      // their stats as the epoch's sidecar fragment (cost bounded by
+      // churned files; folded by log compaction) so DML-heavy tables
+      // keep one-metadata-read planning
+      if (adds.nonEmpty)
+        FooterIndexFile.appendEpochFragment(root, epoch,
+          ArrowDataSource.readFooterSchema(Paths.get(adds.head)),
+          adds.map(a => a -> FooterIndexFile.encodeInfo(
+            ArrowDataSource.footerInfo(Paths.get(a)))))
+    }
   }
 
   /** Triage + rewrite one file (runs inside a task). Returns None when

@@ -91,12 +91,13 @@ object ArrowOptimize {
         .filterNot(f => visible(f.toAbsolutePath.normalize))
         .filter(oldEnough)
       victims.foreach { f => Files.deleteIfExists(f); deleted += f }
-      // keep the footer-stats sidecar bounded by LIVE files: reclaimed
-      // files' entries would otherwise accrete forever under DML churn
-      if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
       if (victims.nonEmpty && ArrowDataSource.isTableLog(dir))
         ArrowDataSource.compactLog(root,
           ArrowDataSource.latestCommittedEpoch(root), onlyExisting = true)
+      // AFTER the log fold (which also folds per-epoch stats fragments
+      // into the root sidecar): forget reclaimed files so the sidecar
+      // stays bounded by LIVE files instead of accreting DML churn
+      if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
       if (ArrowDataSource.isTableLog(dir))
         ArrowDelete.sweepEmptyDirs(dir)
     }

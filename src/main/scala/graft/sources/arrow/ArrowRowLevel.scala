@@ -288,15 +288,17 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
     // invisible orphans for vacuum to reclaim.
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
-    ArrowDataSource.commitTableEpoch(path, op.baseEpoch, adds,
-      op.scannedFiles)
-    // CoW replacement files are brand new names: fold their stats into
-    // the sidecar so DML-heavy tables keep one-metadata-read planning.
+    val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
+      adds, op.scannedFiles)
+    // CoW replacement files are brand new names: record their stats as
+    // the epoch's sidecar fragment (folded by log compaction) so
+    // DML-heavy tables keep one-metadata-read planning without a full
+    // sidecar rewrite per commit.
     val pairs = adds.zip(msgs.flatMap(_.footers))
     if (pairs.nonEmpty)
-      FooterIndexFile.update(path,
+      FooterIndexFile.appendEpochFragment(path, epoch,
         ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
-        pairs, replace = false)
+        pairs)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -151,15 +151,18 @@ class ArrowStreamingWrite(path: String, schema: StructType,
     val adds = msgs.flatMap(_.files)
     ArrowDataSource.commitEpochManifest(path, epochId, adds,
       compactInterval)
-    // Same sidecar as the batch path: a long-lived sink accumulates
-    // exactly the many-small-files shape whose planning footer sweep
-    // the index exists to avoid. Merge is idempotent by relpath, so an
-    // epoch replayed after driver recovery folds the same entries.
+    // Footer stats ride the same epoch protocol as the manifest: one
+    // small fragment per epoch (idempotent — a replayed epoch finds
+    // its fragment present and no-ops), folded into the root sidecar
+    // by log compaction. A long-lived sink accumulates exactly the
+    // many-small-files shape whose planning footer sweep the index
+    // avoids, at O(epoch files) write cost per trigger — never a full
+    // sidecar rewrite.
     val pairs = adds.zip(msgs.flatMap(_.footers))
     if (pairs.nonEmpty)
-      FooterIndexFile.update(path,
+      FooterIndexFile.appendEpochFragment(path, epochId,
         ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
-        pairs, replace = false)
+        pairs)
   }
 
   override def abort(epochId: Long,
@@ -264,25 +267,35 @@ class ArrowBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
-    if (loggedBase >= -1L)
-      ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
-        loggedRemoves)
+    val epoch =
+      if (loggedBase >= -1L)
+        Some(ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
+          loggedRemoves))
+      else None
     if (!stageOnly) {
-      // Fold the tasks' footer stats into the sidecar so the NEXT
-      // planning of this directory is one metadata read, not O(files)
-      // footer opens. Truncate replaces prior entries (their files are
-      // gone for flat dirs, superseded for logged ones — either way
-      // the new write is the whole visible set).
+      // Persist the tasks' footer stats so the NEXT planning of this
+      // directory is one metadata read, not O(files) footer opens.
       val pairs = adds.zip(msgs.flatMap(_.footers))
       if (pairs.isEmpty) {
-        if (doTruncate) FooterIndexFile.drop(path)
+        if (doTruncate && epoch.isEmpty) FooterIndexFile.drop(path)
       } else {
         // Canonical footer schema of this write (what readFooterSchema
         // surfaces): ONE footer open per commit, not per planning pass.
         val footSchema = ArrowDataSource.readFooterSchema(
           Paths.get(pairs.head._1))
-        FooterIndexFile.update(path, footSchema, pairs,
-          replace = doTruncate)
+        epoch match {
+          // logged table: a per-epoch fragment, folded by log
+          // compaction — NOT a full sidecar rewrite per commit (that
+          // would be O(entries) per epoch, O(n²) over the log's life)
+          case Some(e) =>
+            FooterIndexFile.appendEpochFragment(path, e, footSchema,
+              pairs)
+          // flat dir: one-shot write, root sidecar directly; truncate
+          // replaces prior entries (their files are gone)
+          case None =>
+            FooterIndexFile.update(path, footSchema, pairs,
+              replace = doTruncate)
+        }
       }
     }
   }

@@ -119,23 +119,113 @@ object FooterIndexFile {
 
   private def sidecar(root: Path): Path = root.resolve(FileName)
 
-  // (sidecar path, size, mtime-millis) → parsed index. Immutable once
-  // written (updates ATOMIC_MOVE a fresh file, changing size/mtime), so
-  // the key is a content fingerprint and the cache never goes stale.
+  // sidecar path → ((size, mtime-millis) fingerprint, parsed index).
+  // Updates ATOMIC_MOVE a fresh file (new fingerprint), so a stale hit
+  // is impossible; keying by path alone keeps the cache bounded by
+  // distinct directories, not by rewrite count.
   private val cache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Long), Option[Index]]
+    .empty[String, ((Long, Long), Option[Index])]
 
-  /** Parse the directory's sidecar, one file read, process-cached.
-    * None = absent or unreadable (planning falls back to the sweep). */
-  def load(root: Path): Option[Index] = {
+  private def loadRoot(root: Path): Option[Index] = {
     val f = sidecar(root)
     try {
       if (!Files.isRegularFile(f)) return None
-      val (size, mtime) =
-        (Files.size(f), Files.getLastModifiedTime(f).toMillis)
-      cache.getOrElseUpdate((f.toString, size, mtime), parse(f))
+      val fp = (Files.size(f), Files.getLastModifiedTime(f).toMillis)
+      cache.get(f.toString) match {
+        case Some((`fp`, idx)) => idx
+        case _ =>
+          val idx = parse(f)
+          cache.put(f.toString, (fp, idx))
+          idx
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Fold `next` over `acc`: later entries win, schema generations are
+    * remapped by signature into the combined list. */
+  private def fold(acc: Index, next: Index): Index = {
+    var schemas = acc.schemas
+    val remap = next.schemas.map { s =>
+      schemas.indexWhere(x => sig(x) == sig(s)) match {
+        case -1 => schemas = schemas :+ s; schemas.length - 1
+        case i => i
+      }
+    }
+    Index(schemas, acc.entries ++ next.entries.view.mapValues {
+      case (g, info) => (remap(g), info)
+    }.toMap)
+  }
+
+  /** Per-epoch sidecar fragments of a LOGGED directory:
+    * `_graft_metadata/<epoch>.fstats`, sorted by epoch. A logged table
+    * must not rewrite the whole root sidecar on every commit — that is
+    * an O(entries) write per epoch, O(n²) over the log's lifetime —
+    * so each epoch appends its own small fragment and [[foldFragments]]
+    * (called by log compaction) folds them into the root file, exactly
+    * the manifest/compact-snapshot shape. Load cost stays
+    * O(snapshot + tail). */
+  private def fragmentFiles(root: Path): Seq[(Long, Path)] = {
+    val md = root.resolve(ArrowDataSource.MetadataDirName)
+    if (!Files.isDirectory(md)) return Seq.empty
+    val s = Files.list(md)
+    try s.iterator.asScala.filter(_.getFileName.toString
+      .endsWith(".fstats"))
+      .flatMap { p =>
+        scala.util.Try(p.getFileName.toString
+          .takeWhile(_ != '.').toLong).toOption.map(_ -> p)
+      }.toVector.sortBy(_._1)
+    finally s.close()
+  }
+
+  /** Parse the directory's sidecar: the root file (process-cached, one
+    * read) folded with any per-epoch fragments (O(tail) small reads).
+    * None = nothing indexed (planning falls back to the sweep). */
+  def load(root: Path): Option[Index] =
+    try {
+      val parts = loadRoot(root).toSeq ++
+        fragmentFiles(root).flatMap { case (_, p) => parse(p) }
+      parts.reduceLeftOption(fold)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** One epoch's entries as a fragment beside its manifest. Idempotent
+    * by epoch (first commit wins — replayed epochs no-op, matching the
+    * manifest protocol). Best-effort like every sidecar write. */
+  def appendEpochFragment(rootDir: String, epoch: Long,
+      schema: StructType, added: Seq[(String, String)]): Unit =
+    try {
+      if (added.isEmpty) return
+      val root = Paths.get(rootDir).toAbsolutePath.normalize
+      val md = root.resolve(ArrowDataSource.MetadataDirName)
+      if (!Files.isDirectory(md)) return
+      val out = md.resolve(s"$epoch.fstats")
+      if (Files.exists(out)) return
+      val entries = added.flatMap { case (abs, enc) =>
+        val rel = root.relativize(
+          Paths.get(abs).toAbsolutePath.normalize).toString
+        decodeInfo(enc.split("\t", -1).toSeq).map(rel -> (0, _))
+      }.toMap
+      val tmp = md.resolve(s"$epoch.fstats.inprogress")
+      Files.write(tmp, render(Index(IndexedSeq(schema), entries))
+        .getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, out,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Log-compaction hook: fold every fragment at or below `epochId`
+    * into the root sidecar and delete it. Crash between the two steps
+    * is safe — re-folding an already-folded fragment is idempotent
+    * (same keys, same values). */
+  def foldFragments(root: Path, epochId: Long): Unit =
+    try {
+      val covered = fragmentFiles(root).filter(_._1 <= epochId)
+      if (covered.isEmpty) return
+      val parts = loadRoot(root).toSeq ++
+        covered.flatMap { case (_, p) => parse(p) }
+      parts.reduceLeftOption(fold)
+        .foreach(writeAtomic(root, _))
+      covered.foreach { case (_, p) => Files.deleteIfExists(p) }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   private def parse(f: Path): Option[Index] =
     try {

@@ -64,11 +64,26 @@ object GraftProcedures {
       // neutral flag makes commitTableEpoch write the marker before
       // the epoch's visibility flip, so change-feed consumers can
       // never observe the churn as data change
-      ArrowDataSource.commitTableEpoch(path, base, adds,
+      val epoch = ArrowDataSource.commitTableEpoch(path, base, adds,
         replaced.map(_.toString), neutral = true)
+      // staged files bypass the batch-write commit hook, so record
+      // their footer stats as the epoch's sidecar fragment — a
+      // just-compacted table should plan in one metadata read like any
+      // freshly written one. Cost: one footer read per REWRITTEN file,
+      // driver-side, right after writing them (page-cache hot),
+      // bounded by the rewrite; log compaction folds the fragment.
+      if (adds.nonEmpty)
+        FooterIndexFile.appendEpochFragment(path, epoch,
+          ArrowDataSource.readFooterSchema(
+            java.nio.file.Paths.get(adds.head)),
+          adds.map(a => a -> FooterIndexFile.encodeInfo(
+            ArrowDataSource.footerInfo(java.nio.file.Paths.get(a)))))
     } else {
       df.write.format("arrow").mode("append").save(path)
       replaced.foreach(Files.deleteIfExists)
+      // the replaced generation is gone on a flat dir: forget it
+      FooterIndexFile.prune(
+        java.nio.file.Paths.get(path).toAbsolutePath.normalize, replaced)
     }
 
   /** One-method binding: the procedures take scalar IN params only, so

@@ -36,7 +36,11 @@ object PlanAudit {
         val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
           .count(!_.contains("[]"))
         val exchanges = "Exchange ".r.findAllIn(plan).size
-        val codegenSpans = "WholeStageCodegen".r.findAllIn(plan).size
+        // codegen'd operators print as `*(stageId) Operator` in the
+        // executed plan string (WholeStageCodegenExec collapses to the
+        // star prefix); distinct stage ids = whole-stage spans
+        val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+          .map(_.group(1)).toSet.size
         println(s"PLAN $name joins=${joins.mkString("+")} " +
           s"pushedScans=$pushed exchanges=$exchanges codegen=$codegenSpans")
       } catch {

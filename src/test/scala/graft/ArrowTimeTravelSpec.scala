@@ -165,6 +165,31 @@ class ArrowTimeTravelSpec extends AnyFunSuite {
     assert(n == 20L, s"literal '$lit' resolved to $n rows")
   }
 
+  test("commit stamps are monotone under clock skew: a commit after a " +
+      "wall-clock step backwards stamps prev+1 (in-commit-timestamp " +
+      "adjustment), keeping TIMESTAMP AS OF aligned with epoch order") {
+    val dir = Files.createTempDirectory("tt_mono").toString
+    val f0 = Paths.get(dir, "part-0.arrow")
+    Files.write(f0, Array[Byte](0))
+    ArrowDataSource.commitEpochManifest(dir, 0L, Seq(f0.toString))
+    // simulate the clock having been AHEAD at epoch 0's commit: its
+    // stamp sits in the future relative to epoch 1's wall clock
+    val md = Paths.get(dir, "_graft_metadata")
+    val future = System.currentTimeMillis() + 60_000L
+    Files.write(md.resolve("0.ts"),
+      java.util.List.of(future.toString))
+    val f1 = Paths.get(dir, "part-1.arrow")
+    Files.write(f1, Array[Byte](1))
+    ArrowDataSource.commitEpochManifest(dir, 1L, Seq(f1.toString))
+    val stamps = ArrowDataSource.epochTimestamps(
+      Paths.get(dir).toAbsolutePath.normalize)
+    assert(stamps(1L) == future + 1L,
+      s"expected epoch 1 stamped ${future + 1}, got ${stamps(1L)}")
+    // resolution at the skewed instant lands on the later epoch
+    assert(ArrowDataSource.epochForTimestamp(
+      Paths.get(dir).toAbsolutePath.normalize, future + 1L) == 1L)
+  }
+
   test("timestamp travel survives compaction: stamps fold into the " +
       "snapshot before manifests are reclaimed") {
     val (dir, marks) = threeEpochDirWithMarks()

@@ -128,6 +128,122 @@ class FooterIndexSpec extends AnyFunSuite {
     assert(withIdx == swept)
   }
 
+  test("copy-on-write DML and CALL compact keep the sidecar complete: " +
+      "a mutated, maintained logged table still plans with zero " +
+      "footer opens") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val dir = Files.createTempDirectory("fidx_dml").toString
+    writeFixture(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE k < 500")
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET v = 0.0 " +
+      "WHERE k >= 3000 AND k < 3200")
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 1000000)")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val idx = FooterIndexFile.load(root).getOrElse(fail("sidecar gone"))
+    val visible = ArrowDataSource.visibleIpcFiles(dir)
+    assert(visible.nonEmpty)
+    assert(visible.forall(f => idx.infoOf(
+      root.relativize(f.toAbsolutePath.normalize).toString).isDefined),
+      "DML/compaction left visible files uncovered by the sidecar")
+    val before = ArrowDataSource.footerOpens.get
+    val agg = spark.read.format("arrow").load(dir)
+      .agg(count(lit(1)), sum(col("v"))).collect()(0)
+    assert(agg.getLong(0) == 3500)
+    assert(ArrowDataSource.footerOpens.get == before,
+      "post-DML planning swept footers despite the commit hooks")
+  }
+
+  test("logged commits append per-epoch stats fragments — the root " +
+      "sidecar is NOT rewritten per epoch — and log compaction folds " +
+      "them, keeping planning at zero footer opens") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val dir = Files.createTempDirectory("fidx_frag").toString
+    writeFixture(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val rootSidecar = root.resolve(FooterIndexFile.FileName)
+    val beforeBytes = Files.readAllBytes(rootSidecar)
+    // two DML epochs: each must cost one small fragment, not an
+    // O(entries) root rewrite (the O(n²)-over-log-lifetime trap)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE k < 200")
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET v = 1.0 " +
+      "WHERE k >= 2000 AND k < 2100")
+    val md = root.resolve("_graft_metadata")
+    val frags = Files.list(md).iterator()
+    val fragNames = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (frags.hasNext) {
+      val n = frags.next().getFileName.toString
+      if (n.endsWith(".fstats")) fragNames += n
+    }
+    assert(fragNames.nonEmpty, "DML epochs wrote no stats fragments")
+    assert(java.util.Arrays.equals(beforeBytes,
+      Files.readAllBytes(rootSidecar)),
+      "a logged commit rewrote the root sidecar — per-epoch cost is " +
+        "O(entries) again")
+    // fragments serve planning before any fold
+    val before = ArrowDataSource.footerOpens.get
+    assert(spark.read.format("arrow").load(dir).count() == 3800)
+    assert(ArrowDataSource.footerOpens.get == before,
+      "planning swept footers despite epoch fragments")
+    // log compaction folds the fragments into the root sidecar
+    ArrowDataSource.compactLog(root,
+      ArrowDataSource.latestCommittedEpoch(root))
+    val after = Files.list(md).iterator()
+    var remaining = 0
+    while (after.hasNext) {
+      if (after.next().getFileName.toString.endsWith(".fstats"))
+        remaining += 1
+    }
+    assert(remaining == 0, "compaction left unfolded fragments")
+    val idx = FooterIndexFile.load(root).getOrElse(fail("sidecar gone"))
+    assert(ArrowDataSource.visibleIpcFiles(dir).forall(f =>
+      idx.infoOf(root.relativize(f.toAbsolutePath.normalize).toString)
+        .isDefined), "fold lost coverage of visible files")
+    val before2 = ArrowDataSource.footerOpens.get
+    assert(spark.read.format("arrow").load(dir).count() == 3800)
+    assert(ArrowDataSource.footerOpens.get == before2)
+  }
+
+  test("the streaming sink writes per-epoch stats fragments and a " +
+      "sink directory plans with zero footer opens") {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("fidx_sink").toString
+    val ckpt = Files.createTempDirectory("fidx_sink_ckpt").toString
+    val src = Files.createTempDirectory("fidx_sink_src").toString
+    spark.range(2000).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    val q = spark.readStream.format("arrow").load(src)
+      .writeStream.format("arrow")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(out)
+    try q.processAllAvailable() finally q.stop()
+    val root = Paths.get(out).toAbsolutePath.normalize
+    val md = root.resolve("_graft_metadata")
+    val entries = Files.list(md).iterator()
+    var sawStats = false
+    while (entries.hasNext) {
+      val n = entries.next().getFileName.toString
+      if (n.endsWith(".fstats")) sawStats = true
+    }
+    // the epoch's stats live either as a tail fragment or already
+    // folded into the root sidecar by manifest compaction
+    assert(sawStats ||
+      Files.isRegularFile(root.resolve(FooterIndexFile.FileName)),
+      "streaming sink committed no footer stats at all")
+    val idx = FooterIndexFile.load(root)
+      .getOrElse(fail("sink sidecar unreadable"))
+    assert(ArrowDataSource.visibleIpcFiles(out).forall(f =>
+      idx.infoOf(root.relativize(f.toAbsolutePath.normalize).toString)
+        .isDefined), "sink epoch files missing from the index")
+    val before = ArrowDataSource.footerOpens.get
+    assert(spark.read.format("arrow").load(out).count() == 2000)
+    assert(ArrowDataSource.footerOpens.get == before,
+      "planning a sink dir swept footers despite epoch fragments")
+  }
+
   test("a partitioned write indexes files under their col=value " +
       "relpaths and partition-pruned planning opens no footers") {
     val dir = Files.createTempDirectory("fidx_part").toString
