@@ -378,11 +378,43 @@ object DedupQueries {
        |ORDER BY d1, d2""".stripMargin
   }
 
+  /** Passage-level exact dedup (The Pile / RefinedWeb "substring
+    * dedup" at word-window granularity): every document explodes into
+    * W=8-token windows at stride 4, windows group by CONTENT, and each
+    * document reports how many of its windows also occur in some other
+    * document — the boilerplate/quotation signal doc-level Jaccard
+    * misses (two long documents sharing one paragraph are near-0
+    * Jaccard but that paragraph still leaks between train and test).
+    *
+    * Scale: one shuffle keyed by window text (at 100 TB: by a 64-bit
+    * window hash — same plan, narrower key), one count-distinct per
+    * window, one shuffled join back. No all-pairs anywhere: cost is
+    * O(total windows), the exact shape web-scale passage dedup runs.
+    * Stride 4 keeps window count at tokens/4 — the standard
+    * coverage-vs-cost trade (stride 1 = full suffix coverage). */
+  def passageDedup(spark: SparkSession, dir: String): DataFrame = {
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        explode(expr("sequence(1, greatest(size(t) - 7, 1), 4)")).as("i"),
+        col("t"))
+      .select(col("doc_id"),
+        concat_ws(" ", expr("slice(t, i, 8)")).as("passage"))
+    val counts = wins.groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("d"))
+    wins.join(counts, "passage")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_jaccard" -> (jaccardDedup _),
     "dedup_minhash" -> (minhashDedup _),
-    "dedup_simhash" -> (simhashDedup _))
+    "dedup_simhash" -> (simhashDedup _),
+    "dedup_passage" -> (passageDedup _))
 
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -406,5 +438,21 @@ object DedupQueries {
         |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
     "dedup_minhash" -> minhashOracleSql,
-    "dedup_simhash" -> simhashOracleSql)
+    "dedup_simhash" -> simhashOracleSql,
+    "dedup_passage" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |w AS (
+        |  SELECT doc_id, array_to_string(t[g.i:g.i+7], ' ') AS passage
+        |  FROM toks
+        |  CROSS JOIN generate_series(1, 4096, 4) AS g(i)
+        |  WHERE g.i <= greatest(len(t) - 7, 1)),
+        |c AS (
+        |  SELECT passage, COUNT(DISTINCT doc_id) AS d
+        |  FROM w GROUP BY passage)
+        |SELECT w.doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows
+        |FROM w JOIN c USING (passage)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)
 }
