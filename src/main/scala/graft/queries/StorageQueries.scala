@@ -494,7 +494,54 @@ object StorageQueries {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** BATCH change-feed read through the public reader API (Delta CDF's
+    * `spark.read.option("readChangeFeed")` shape): the same epoch
+    * window [[arrowChanges]] diffs via `ArrowChanges.between`, read as
+    * file-grain tagged splits instead, then netted by FULL ROW VALUE —
+    * copy-on-write carry-over rows surface as insert+delete pairs of
+    * equal values and cancel in the aggregation, so the result is
+    * value-identical to the row-exact diff (same oracle) while the
+    * scan itself is pure splits: no exceptAll exchange inside the
+    * source, O(churned bytes) read, and the netting is ONE hash
+    * aggregation the consumer owns. */
+  def arrowCdfBatch(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_cdf_batch", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    val root = java.nio.file.Paths.get(out).toAbsolutePath.normalize
+    val pre = graft.sources.arrow.ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+      "AND o_orderstatus = 'F'")
+    val tc = col(graft.sources.arrow.ArrowChanges.ChangeTypeCol)
+    spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", (pre + 1L).toString)
+      .load(out)
+      .groupBy(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .agg(sum(when(tc === "insert", 1L).otherwise(-1L)).as("net"))
+      .filter(col("net") =!= 0)
+      .select(
+        when(col("net") > 0, "insert").otherwise("delete").as("change_type"),
+        col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+        abs(col("net")).as("copies"))
+      .groupBy(col("change_type"), col("o_orderstatus"))
+      .agg(sum(col("copies")).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * copies) " +
+          "AS DOUBLE)").as("sum_price"),
+        sum(col("o_orderkey") * col("copies")).as("sum_key"))
+      .orderBy(col("change_type"), col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_cdf_batch" -> (arrowCdfBatch _),
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_time_travel" -> (arrowTimeTravel _),
     "arrow_timestamp_travel" -> (arrowTimestampTravel _),
@@ -579,6 +626,27 @@ object StorageQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_cdf_batch" ->
+      """WITH changes AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |         'delete' AS change_type
+        |  FROM orders WHERE o_orderkey < 400
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete'
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 0.0, 'insert'
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'
+        |)
+        |SELECT change_type, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM changes GROUP BY change_type, o_orderstatus
+        |ORDER BY change_type, o_orderstatus""".stripMargin,
     "arrow_timestamp_travel" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -79,6 +79,38 @@ object ArrowChanges {
     a.exceptAll(r).withColumn(ChangeTypeCol, lit("insert"))
       .unionAll(r.exceptAll(a).withColumn(ChangeTypeCol, lit("delete")))
   }
+
+  /** FILE-grain change partitions for epochs in `(after, upTo]` —
+    * shared by the streaming micro-batch planner (one epoch window per
+    * trigger) and the batch `readChangeFeed` scan (the whole window at
+    * once): each churned file of a non-neutral epoch becomes one
+    * tagged split. Removed files are still on disk (the vacuum-horizon
+    * invariant the CALLER checks), so the reader opens them directly,
+    * bypassing visibility. */
+  private[arrow] def changePartitions(path: String,
+      root: java.nio.file.Path,
+      partSchema: org.apache.spark.sql.types.StructType,
+      footerMemo: FooterIndex, after: Long, upTo: Long)
+      : Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val prefix = Paths.get(path).toAbsolutePath.normalize
+    val neutral = ArrowDataSource.neutralEpochs(root)
+    ArrowDataSource.committedHistory(root)
+      .filter(en => en.epoch > after && en.epoch <= upTo)
+      .filterNot(en => neutral(en.epoch))
+      .filter(en => root.resolve(en.rel).normalize.startsWith(prefix))
+      .sortBy(en => (en.epoch, en.remove, en.rel))
+      .map { en =>
+        val f = root.resolve(en.rel).normalize
+        val partVals: Array[String] =
+          if (partSchema.isEmpty) Array.empty
+          else ArrowDataSource.partitionValuesOf(path, f, partSchema.length)
+            .map(_.orNull).toArray
+        val nBlocks = footerMemo.info(f).sizes.length
+        ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals,
+          -1, if (en.remove) "delete" else "insert", en.epoch)
+          : org.apache.spark.sql.connector.read.InputPartition
+      }.toArray
+  }
 }
 
 /** STREAMING change feed over the table log (Delta CDF's streaming
@@ -167,6 +199,11 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
       .filter(en => root.resolve(en.rel).normalize.startsWith(prefix))
   }
 
+  /** File count of the window — admission control's budget input. */
+  private def windowCounts(after: Long, upTo: Long): Seq[(Long, Int)] =
+    windowEntries(after, upTo)
+      .groupBy(_.epoch).view.mapValues(_.size).toSeq.sortBy(_._1)
+
   // ---- Trigger.AvailableNow: drain exactly what exists at start ----
   private var availableNowTarget: Option[Offset] = None
   override def prepareForTriggerAvailableNow(): Unit =
@@ -187,8 +224,7 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
     limit match {
       case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles
           if target.epoch > s =>
-        val byEpoch = windowEntries(s, target.epoch)
-          .groupBy(_.epoch).view.mapValues(_.size).toSeq.sortBy(_._1)
+        val byEpoch = windowCounts(s, target.epoch)
         var end = s
         var budget = mf.maxFiles()
         var any = false
@@ -226,18 +262,8 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
       s"arrow readChangeFeed: checkpointed epoch window ($s, $e] of " +
         s"$path predates the vacuum horizon $horizon — the feed cannot " +
         "be replayed exactly; restart from a fresh checkpoint")
-    windowEntries(s, e).sortBy(en => (en.epoch, en.remove, en.rel))
-      .map { en =>
-        val f = root.resolve(en.rel).normalize
-        val partVals: Array[String] =
-          if (partSchema.isEmpty) Array.empty
-          else ArrowDataSource.partitionValuesOf(path, f, partSchema.length)
-            .map(_.orNull).toArray
-        val nBlocks = footerMemo.info(f).sizes.length
-        ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals,
-          -1, if (en.remove) "delete" else "insert", en.epoch)
-          : InputPartition
-      }.toArray
+    ArrowChanges.changePartitions(path, root, partSchema, footerMemo,
+      s, e).map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

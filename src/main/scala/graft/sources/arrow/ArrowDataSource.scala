@@ -251,7 +251,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(options.get("ignoreChanges")).exists(_.toBoolean),
       explicitFiles,
       Option(options.get("readChangeFeed")).exists(_.toBoolean),
-      Option(options.get("startingEpoch")).map(_.toLong))
+      Option(options.get("startingEpoch")).map(_.toLong),
+      Option(options.get("endingEpoch")).map(_.toLong))
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects

@@ -76,7 +76,8 @@ class ArrowScanBuilder(path: String, schema: StructType,
     ignoreChanges: Boolean = false,
     explicitFiles: Option[Seq[java.nio.file.Path]] = None,
     changeFeed: Boolean = false,
-    startingEpoch: Option[Long] = None)
+    startingEpoch: Option[Long] = None,
+    endingEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -125,7 +126,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
     * 100k-file directory plans one split instead of 100k tasks, the
     * same trick parquet plays via its file-index listing limit. */
   override def pushLimit(l: Int): Boolean =
-    if (pushed.nonEmpty) false
+    if (pushed.nonEmpty || changeFeed) false
     else { limit = Some(l); true }
 
   override def isPartiallyPushed(): Boolean = true
@@ -205,8 +206,10 @@ class ArrowScanBuilder(path: String, schema: StructType,
     * them). */
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     // data filters invalidate footer stats; PARTITION filters do not —
-    // they select whole files, and stats are per-file
-    if (pushed.nonEmpty) return false
+    // they select whole files, and stats are per-file. A change-feed
+    // read must never answer from footer stats either: delete-tagged
+    // rows would count positively.
+    if (pushed.nonEmpty || changeFeed) return false
     val groupCols: Seq[String] = aggregation.groupByExpressions.toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 &&
           partColSet(r.fieldNames.head) => r.fieldNames.head
@@ -366,7 +369,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
       maxSplitBytes, footerIdx, limit, maxFilesPerTrigger,
-      ignoreChanges, changeFeed, startingEpoch)
+      ignoreChanges, changeFeed, startingEpoch, endingEpoch)
   }
 }
 
@@ -379,7 +382,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     maxFilesPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false,
     changeFeed: Boolean = false,
-    startingEpoch: Option[Long] = None)
+    startingEpoch: Option[Long] = None,
+    endingEpoch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -433,7 +437,9 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
 
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    sortedCol.map { c =>
+    if (changeFeed)
+      Array.empty[org.apache.spark.sql.connector.expressions.SortOrder]
+    else sortedCol.map { c =>
       Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
         org.apache.spark.sql.connector.expressions.Expressions.column(c),
         org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
@@ -448,7 +454,12 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * before. */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    bucketLayout match {
+    // change-feed splits carry removed-generation files with no bucket
+    // attribution — never report a key-grouped layout for them
+    if (changeFeed)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else bucketLayout match {
       case Some((c, n)) =>
         val ids = survivingFiles
           .flatMap(f => footerIdx.info(f).bucket.map(_._3)).distinct
@@ -462,11 +473,13 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     }
   override def readSchema(): StructType = schema
   override def toBatch: Batch = {
-    if (changeFeed) throw new UnsupportedOperationException(
-      "arrow readChangeFeed is a STREAMING read " +
-        "(spark.readStream.format(\"arrow\")); for a batch change diff " +
-        "use ArrowChanges.between(spark, path, from, to) — it is " +
-        "row-exact")
+    if (changeFeed) require(startingEpoch.isDefined,
+      "arrow readChangeFeed as a BATCH read needs an explicit " +
+        "startingEpoch (Delta's startingVersion contract — without " +
+        "one the window would be empty by definition); streaming " +
+        "(spark.readStream) defaults to changes-from-now-on. For a " +
+        "row-exact netted diff use ArrowChanges.between(spark, path, " +
+        "from, to)")
     this
   }
   override def description(): String =
@@ -622,6 +635,30 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     * conservative and purely an optimization — surviving batches still
     * evaluate the filters row-level in the reader. */
   override def planInputPartitions(): Array[InputPartition] = {
+    // Batch change feed (Delta CDF's batch read): every churned file
+    // of epochs [startingEpoch, endingEpoch|latest] becomes one tagged
+    // split — the streaming feed's whole window planned at once, same
+    // FILE-grain contract (CoW carry-over rows surface as cancelling
+    // delete+insert pairs; net by full row value for an exact diff).
+    if (changeFeed) {
+      val root = ArrowDataSource.sinkRoot(path).getOrElse(
+        throw new IllegalArgumentException(
+          s"arrow readChangeFeed: $path carries no commit log"))
+      val latest = ArrowDataSource.latestCommittedEpoch(root)
+      val from = startingEpoch.get - 1L
+      val to = endingEpoch.getOrElse(latest)
+      require(from <= to && to <= latest,
+        s"arrow readChangeFeed: batch window [${from + 1}, $to] out " +
+          s"of range — $path has committed epochs 0..$latest")
+      val horizon = ArrowDataSource.travelHorizon(root)
+      require(horizon == 0L || from >= horizon,
+        s"arrow readChangeFeed: startingEpoch ${from + 1} of $path " +
+          s"predates the vacuum horizon $horizon — removed files of " +
+          s"those epochs were reclaimed; earliest readable epoch is " +
+          s"${horizon + 1}")
+      return ArrowChanges.changePartitions(path, root, partSchema,
+        footerIdx, from, to)
+    }
     val bucketed = bucketLayout.isDefined
     // Pushed-limit truncation: stop emitting splits once the footers'
     // row counts PROVE the limit is covered (the push is refused when a

@@ -244,7 +244,8 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
       s"unexpected failure: $err")
   }
 
-  test("batch read with readChangeFeed is refused with guidance") {
+  test("batch read with readChangeFeed but no startingEpoch is " +
+      "refused with guidance") {
     val dir = tableWithHistory()
     val err = intercept[Exception] {
       spark.read.format("arrow").option("readChangeFeed", "true")
@@ -253,7 +254,50 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(e =>
         Option(e.getMessage).toSeq ++ messages(e.getCause))
-    assert(messages(err).exists(_.contains("ArrowChanges.between")),
+    assert(messages(err).exists(_.contains("startingEpoch")),
       s"unexpected failure: $err")
+  }
+
+  test("batch readChangeFeed equals the streaming drain of the same " +
+      "window, endingEpoch bounds it, and the netted diff is exact") {
+    import spark.implicits._
+    val dir = tableWithHistory()
+    def batchFeed(from: Long, to: Option[Long] = None): DataFrame = {
+      var r = spark.read.format("arrow")
+        .option("readChangeFeed", "true").option("startingEpoch", from)
+      to.foreach(e => r = r.option("endingEpoch", e))
+      r.load(dir)
+    }
+    // full history: identical multiset to the streaming drain
+    val streamed = drainFeed(dir, "cdf_batch_eq", startingEpoch = Some(0L))
+    val batch = batchFeed(0L)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "batch window diverges from the streaming drain")
+    // endingEpoch: epoch 1 only (the first CoW DELETE's churn)
+    val window = batchFeed(1L, Some(1L))
+    assert(window.select(col(ArrowChanges.CommitEpochCol)).distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    // the file-grain window NETS to the row-exact diff of epoch 1
+    val netted = window
+      .groupBy(col("id"), col("tag"))
+      .agg(sum(when(col(ArrowChanges.ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") =!= 0)
+    val exact = ArrowChanges.between(spark, dir, 0L, 1L)
+    assert(netted.count() == exact.count() &&
+      netted.filter(col("net") > 0).count() ==
+        exact.filter(col(ArrowChanges.ChangeTypeCol) === "insert").count(),
+      "netted batch window diverges from the row-exact diff")
+    // deleted ids 1..30 all surface with net -1
+    assert(netted.filter(col("net") < 0).count() == 30)
+    // out-of-range window refuses
+    val bad = intercept[Exception] {
+      batchFeed(1L, Some(99L)).collect()
+    }
+    assert(bad.getMessage == null ||
+      Iterator.iterate(bad: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => Option(t.getMessage).exists(_.contains("out of range"))),
+      s"unexpected failure: $bad")
   }
 }
