@@ -49,15 +49,26 @@ object GraftProcedures {
     * unlinked after, the pre-log behavior (brief both-generations
     * window, documented). */
   private[arrow] def loggedRewrite(path: String,
-      replaced: Seq[java.nio.file.Path])(
-      df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit =
+      replaced: Seq[java.nio.file.Path],
+      partitionCols: Seq[String] = Seq.empty)(
+      df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    // Preserve the Hive partition LAYOUT through maintenance: a
+    // rewrite that drops partitionBy would flatten col=value dirs into
+    // plain columns — reads stay correct (partition values ride in the
+    // files) but planning-time partition pruning is silently destroyed,
+    // exactly the property a 100 TB layout was partitioned FOR.
+    def writer(d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) = {
+      val w = d.write.format("arrow").mode("append")
+      if (partitionCols.nonEmpty)
+        w.partitionBy(partitionCols: _*).option("optimizeWrite", "true")
+      else w
+    }
     if (ArrowDataSource.isTableLog(path)) {
       val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       val base = ArrowDataSource.latestCommittedEpoch(root)
       val onDisk = ArrowDataSource.listIpcFiles(path)
         .map(_.toString).toSet
-      df.write.format("arrow").mode("append")
-        .option("stageOnly", "true").save(path)
+      writer(df).option("stageOnly", "true").save(path)
       val adds = ArrowDataSource.listIpcFiles(path).map(_.toString)
         .filterNot(onDisk)
       // maintenance rewrites carry the SAME row multiset — the
@@ -79,12 +90,13 @@ object GraftProcedures {
           adds.map(a => a -> FooterIndexFile.encodeInfo(
             ArrowDataSource.footerInfo(java.nio.file.Paths.get(a)))))
     } else {
-      df.write.format("arrow").mode("append").save(path)
+      writer(df).save(path)
       replaced.foreach(Files.deleteIfExists)
       // the replaced generation is gone on a flat dir: forget it
       FooterIndexFile.prune(
         java.nio.file.Paths.get(path).toAbsolutePath.normalize, replaced)
     }
+  }
 
   /** One-method binding: the procedures take scalar IN params only, so
     * bind() ignores the input type and returns the single overload. */
@@ -123,7 +135,13 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("target_rows", LongType)
-        .defaultValue("1048576").build())
+        .defaultValue("1048576").build(),
+      ProcedureParameter.in("partition", StringType)
+        .defaultValue("''")
+        .comment("optional col=value[/col2=value2] subtree: compact " +
+          "ONLY that partition's files (Delta's OPTIMIZE WHERE) — at " +
+          "100 TB the hot ingest partition compacts without touching " +
+          "the other petabytes").build())
     private val out = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
       StructField("files_after", LongType, nullable = false),
@@ -131,16 +149,43 @@ object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
       val target = math.max(1L, input.getLong(1))
+      val selector = Option(input.getUTF8String(2)).map(_.toString)
+        .map(_.stripPrefix("/").stripSuffix("/")).filter(_.nonEmpty)
       val spark = SparkSession.active
       require(ArrowDataSource.sinkRoot(path).isEmpty ||
         ArrowDataSource.isTableLog(path),
         s"compact: $path is a streaming sink; compact its commit log " +
           "via the sink's manifest compaction, not a file rewrite")
-      val before = ArrowDataSource.visibleIpcFiles(path)
-      val df = spark.read.format("arrow").load(path)
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val partCols = ArrowDataSource.discoverPartitionSchema(path)
+        .fieldNames.toSeq
+      selector.foreach(sel => require(partCols.nonEmpty,
+        s"compact: partition => '$sel' but $path carries no " +
+          "col=value partition layout"))
+      val visible = ArrowDataSource.visibleIpcFiles(path)
+      val before = selector match {
+        case None => visible
+        case Some(sel) =>
+          val picked = visible.filter(f => root.relativize(
+            f.toAbsolutePath.normalize).toString.startsWith(sel + "/"))
+          require(picked.nonEmpty,
+            s"compact: no visible files under partition '$sel' of $path")
+          picked
+      }
+      val df = selector match {
+        case None => spark.read.format("arrow").load(path)
+        case Some(_) =>
+          // the untouched partitions' files are neither read nor
+          // rewritten — cost scales with the SELECTED subtree
+          val schema = spark.read.format("arrow").load(path).schema
+          spark.read.format("arrow").schema(schema)
+            .option("files", before.map(f => root.relativize(
+              f.toAbsolutePath.normalize).toString).mkString(","))
+            .load(path)
+      }
       val n = df.count() // footer-stat pushdown: metadata-only
       val nFiles = math.max(1L, (n + target - 1) / target).toInt
-      GraftProcedures.loggedRewrite(path, before)(
+      GraftProcedures.loggedRewrite(path, before, partCols)(
         df.repartition(nFiles))
       result(out, Array(new GenericInternalRow(Array[Any](
         before.length.toLong,
@@ -216,7 +261,8 @@ object GraftProcedures {
       }.reduce(_ + _)
       val n = df.count() // footer-stat pushdown: metadata-only
       val nFiles = math.max(1L, (n + target - 1) / target).toInt
-      GraftProcedures.loggedRewrite(path, before)(
+      GraftProcedures.loggedRewrite(path, before,
+        ArrowDataSource.discoverPartitionSchema(path).fieldNames.toSeq)(
         df.withColumn("__zkey", zkey)
           .repartitionByRange(nFiles, col("__zkey"))
           .sortWithinPartitions(col("__zkey"))

@@ -50,6 +50,75 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(ArrowDataSource.visibleIpcFiles(dir).length == 1)
   }
 
+  test("CALL compact on a PARTITIONED logged table preserves the " +
+      "col=value layout (pruning survives maintenance)") {
+    val dir = Files.createTempDirectory("proc_cmp_part").toString
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val df = spark.range(4000).selectExpr(
+      "id AS k", "id % 4 AS p", "CAST(id AS DOUBLE) AS v")
+    df.repartition(8)
+      .write.format("arrow").partitionBy("p")
+      .mode("overwrite").save(dir)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE k < 40") // → logged
+    val res = spark.sql(
+      s"CALL graft.system.compact(path => '$dir', " +
+        "target_rows => 1000000)").collect()(0)
+    assert(res.getLong(1) <= 4, s"expected ≤1 file per partition, $res")
+    val visible = graft.sources.arrow.ArrowDataSource.visibleIpcFiles(dir)
+    assert(visible.forall(f => root.relativize(f.toAbsolutePath.normalize)
+      .toString.startsWith("p=")),
+      s"compaction flattened the partition layout: " +
+        visible.map(root.relativize(_)).mkString(", "))
+    // pruning still works and the data is exact
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 3960)
+    assert(back.filter(col("p") === 2).agg(sum(col("k")))
+      .collect()(0).getLong(0) ==
+      (40L until 4000L).filter(_ % 4 == 2).sum)
+  }
+
+  test("CALL compact with partition => compacts ONLY that subtree " +
+      "(OPTIMIZE WHERE); other partitions' files are untouched") {
+    val dir = Files.createTempDirectory("proc_cmp_sel").toString
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    spark.range(4000).selectExpr(
+      "id AS k", "id % 4 AS p", "CAST(id AS DOUBLE) AS v")
+      .repartition(8)
+      .write.format("arrow").partitionBy("p")
+      .mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    def filesOf(part: String): Set[String] =
+      graft.sources.arrow.ArrowDataSource.visibleIpcFiles(dir)
+        .map(f => root.relativize(f.toAbsolutePath.normalize).toString)
+        .filter(_.startsWith(part + "/")).toSet
+    val p1Before = filesOf("p=1")
+    val p2Before = filesOf("p=2")
+    assert(p2Before.size > 1, "fixture should splinter p=2")
+    val res = spark.sql(
+      s"CALL graft.system.compact(path => '$dir', " +
+        "target_rows => 1000000, partition => 'p=2')").collect()(0)
+    assert(res.getLong(0) == p2Before.size.toLong,
+      s"files_before must count ONLY the selected subtree, got $res")
+    assert(filesOf("p=2").size == 1, "selected partition not compacted")
+    assert(filesOf("p=1") == p1Before,
+      "unselected partition's files were rewritten")
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.count() == 4000)
+    assert(back.filter(col("p") === 2).count() == 1000)
+    // a selector over a non-partitioned table refuses
+    val flat = Files.createTempDirectory("proc_cmp_flat").toString
+    spark.range(10).toDF("id").write.format("arrow")
+      .mode("overwrite").save(flat)
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.system.compact(path => '$flat', " +
+        "partition => 'p=1')").collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("no col=value"))),
+      s"unexpected: $err")
+  }
+
   test("CALL dictionary_encode rewrites with default args applied") {
     val in = Files.createTempDirectory("proc_dict_in").toString
     val out = Files.createTempDirectory("proc_dict_out").toString
