@@ -433,6 +433,58 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental materialized-view maintenance, oracle-gated: the
+    * per-status rollup of a logged orders table is maintained from its
+    * CHANGE FEED ([[graft.streaming.IncrementalView]]) — snapshot,
+    * then DELETE / UPDATE / INSERT epochs applied as additive deltas
+    * through one exactly-once MERGE per refresh, never re-scanning the
+    * source. Measures are maintained in exact integer units (cents)
+    * so incremental addition cannot drift from the oracle's one-shot
+    * SUM. The 100 TB shape: a petabyte fact table's rollup refreshes
+    * at O(churned bytes) per day, not O(table). */
+  def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("ivm_src", dir)
+    val dst = graft.Scratch.dir("ivm_dst", dir)
+    val ckpt = graft.Scratch.dir("ivm_ckpt", dir)
+    // fresh source + view + checkpoint per invocation: a reused
+    // checkpoint would treat the rebuilt source's epochs as consumed
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    // the change feed tails a commit LOG: epoch 0 = this snapshot
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    val sums = Seq(
+      ("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "sum_cents"),
+      ("o_orderkey", "sum_key"))
+    def refresh(): Unit = {
+      val q = graft.streaming.IncrementalView.maintain(spark, src, dst,
+        groupCols = Seq("o_orderstatus"), sums = sums, checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    refresh() // snapshot epoch
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+      "AND o_orderstatus = 'F'")
+    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
+      s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
+      s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
+    refresh() // DML backlog folds in one incremental MERGE
+    graft.streaming.IncrementalView.read(spark, dst)
+      .select(col("o_orderstatus"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"),
+        col("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CALL graft.system.restore, oracle-gated: mutate the table twice
     * (DELETE then UPDATE, two logged epochs), roll back to the
     * pre-mutation epoch with one metadata-only restore commit, and
@@ -546,6 +598,7 @@ object StorageQueries {
     "arrow_time_travel" -> (arrowTimeTravel _),
     "arrow_timestamp_travel" -> (arrowTimestampTravel _),
     "cdc_replicate" -> (cdcReplicate _),
+    "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -659,6 +712,24 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey >= 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_incremental_agg" ->
+      """WITH post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      AND o_orderstatus = 'F' THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey >= 400),
+        |final AS (
+        |  SELECT o_orderkey, p, o_orderstatus FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, p, 'Z' AS o_orderstatus
+        |  FROM post WHERE o_orderkey % 251 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
+        |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -561,6 +561,71 @@ object ArrowDataSource {
     (markers ++ folded).toSet
   }
 
+  /** Writer-transaction stamps (Delta's `txn` action). A foreachBatch
+    * writer replayed after a crash re-delivers its last micro-batch;
+    * convergent appliers (keyed MERGE) absorb that, but ADDITIVE
+    * appliers (incremental view deltas) would double-apply. The fix is
+    * a stamp recorded ATOMICALLY with the commit: the writer registers
+    * `(appId, version)` for the table before running its job, and
+    * [[commitTableEpoch]] writes a `#txn<TAB>appId<TAB>version` header
+    * INSIDE the epoch manifest — the manifest rename is the epoch's
+    * visibility flip, so the stamp can neither survive a crashed
+    * commit nor go missing from a landed one. Before applying a batch
+    * the writer asks [[lastTxnVersion]] and skips versions at or below
+    * the recorded one. [[compactLog]] folds the newest stamp per appId
+    * into `#txn` snapshot headers, so the check keeps answering after
+    * the manifests are reclaimed. */
+  private val pendingTxns =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Run `body` with commits to `dir` stamped `(appId, version)`.
+    * Registry-based (not a commitTableEpoch parameter) because the
+    * commit fires deep inside Spark's row-level-operation write path —
+    * the caller holds the MERGE statement, not the commit call. */
+  def withPendingTxn[T](dir: String, appId: String, version: Long)
+      (body: => T): T = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val prev = pendingTxns.put(key, (appId, version))
+    require(prev == null,
+      s"arrow: nested writer transactions on $dir " +
+        s"(${prev} already pending)")
+    try body finally { pendingTxns.remove(key); () }
+  }
+
+  /** Every recorded `(epoch, appId, version)` stamp: manifest `#txn`
+    * headers (tail epochs) plus compact-snapshot `#txn` headers
+    * (folded epochs). */
+  def txnStamps(root: Path): Seq[(Long, String, Long)] = {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Seq.empty
+    val names = listDir(md).map(_.getFileName.toString)
+    val folded = names.filter(_.endsWith(".compact")).map(epochOf)
+      .sorted.lastOption.toSeq.flatMap { e =>
+        Files.readAllLines(md.resolve(s"$e.compact")).asScala
+          .filter(_.startsWith("#txn\t"))
+          .flatMap(_.split('\t') match {
+            case Array(_, ep, app, v) => Some((ep.toLong, app, v.toLong))
+            case _ => None
+          })
+      }
+    val tail = names.filter(_.endsWith(".manifest")).flatMap { n =>
+      scala.util.Try(Files.readAllLines(md.resolve(n)).asScala
+        .filter(_.startsWith("#txn\t"))
+        .flatMap(_.split('\t') match {
+          case Array(_, app, v) => Some((epochOf(n), app, v.toLong))
+          case _ => None
+        })).getOrElse(Seq.empty)
+    }
+    folded ++ tail
+  }
+
+  /** Greatest version `appId` has committed to this log, if any —
+    * the replay gate: skip batches with version <= this. */
+  def lastTxnVersion(root: Path, appId: String): Option[Long] = {
+    val vs = txnStamps(root).collect { case (_, a, v) if a == appId => v }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
   /** `timestampAsOf` option value → epoch millis: a bare long, an
     * ISO-8601 instant (`2026-08-13T20:00:00Z`), or a session-style
     * UTC datetime (`2026-08-13 20:00:00`, date-only allowed). UTC is
@@ -623,6 +688,7 @@ object ArrowDataSource {
       .filter(e => compactEpoch.forall(e > _))
       .sorted
       .flatMap(e => Files.readAllLines(md.resolve(s"$e.manifest")).asScala
+        .filterNot(_.startsWith("#")) // `#txn` writer-transaction headers
         .map(parseManifestLine(e, _)))
     snapshot ++ tail
   }
@@ -693,10 +759,24 @@ object ArrowDataSource {
               s"horizon $h — its files were reclaimed; earliest " +
               s"addressable version is $h")
         }
-        val committed = liveEntries(root, asOf)
-          .map { case (_, rel) => root.resolve(rel).normalize.toString }
-          .toSet
-        files.filter(f => committed(f.toAbsolutePath.normalize.toString))
+        val resolved = liveEntries(root, asOf)
+          .map { case (_, rel) => root.resolve(rel).normalize }
+        val committed = resolved.map(_.toString).toSet
+        val inside =
+          files.filter(f => committed(f.toAbsolutePath.normalize.toString))
+        // Zero-copy CLONE entries (`../`-relative, borrowed from the
+        // source table — see GraftProcedures.clone) never appear in
+        // this directory's walk; include them directly. A borrowed
+        // file the SOURCE has since vacuumed is a fast failure, not a
+        // silent row drop — re-clone (or deep-copy) to recover.
+        val outside = resolved.filter(p => !p.startsWith(root)).distinct
+        outside.foreach { p =>
+          require(Files.exists(p),
+            s"arrow: cloned file $p referenced by $dir no longer " +
+              "exists — the clone source vacuumed it; re-clone from " +
+              "the source's current state")
+        }
+        (inside ++ outside).sortBy(_.toString)
     }
   }
 
@@ -773,9 +853,14 @@ object ArrowDataSource {
       .toSeq.sorted.map { case (e, t) => s"#ts\t$e\t$t" }
     val neutrals = neutralEpochs(root).filter(_ <= epochId)
       .toSeq.sorted.map(e => s"#neutral\t$e")
+    // newest writer-transaction stamp per appId among folded epochs —
+    // older stamps are dead (the replay gate only consults the max)
+    val txns = txnStamps(root).filter(_._1 <= epochId)
+      .groupBy(_._2).values.map(_.maxBy(s => (s._3, s._1))).toSeq
+      .sortBy(_._1).map { case (e, a, v) => s"#txn\t$e\t$a\t$v" }
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
     Files.write(ctmp,
-      (stamps ++ neutrals ++ entries.map(compactLine)).asJava)
+      (stamps ++ neutrals ++ txns ++ entries.map(compactLine)).asJava)
     Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     // covered metadata is now redundant: older snapshots and every
@@ -832,7 +917,11 @@ object ArrowDataSource {
     }
     def rel(f: String): String =
       root.relativize(Paths.get(f).toAbsolutePath.normalize).toString
-    val lines =
+    // writer-transaction stamp travels INSIDE the manifest: atomic
+    // with the visibility flip (see withPendingTxn scaladoc)
+    val txnHeader = Option(pendingTxns.get(root.toString)).toSeq
+      .map { case (a, v) => s"#txn\t$a\t$v" }
+    val lines = txnHeader ++
       removes.map(f => manifestLine(LogEntry(epoch, remove = true, rel(f))))
         .sorted ++ adds.map(rel).sorted
     val tmp = md.resolve(s"$epoch.manifest.inprogress")
@@ -935,10 +1024,15 @@ object ArrowDataSource {
   def discoverPartitionCols(root: String, files: Seq[Path]): Seq[String] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Seq.empty
+    // the TRAILING run of col=value segments just above the file name:
+    // identical to the leading run for in-root layouts (every interior
+    // segment is col=value), and the only correct read for CLONED
+    // entries whose rel path starts with `../<src table>/` prefix
+    // segments before the partition dirs
     files.headOption.toSeq.flatMap { f =>
       val rel = rootP.relativize(f)
       (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        .takeWhile(_.contains('='))
+        .reverse.takeWhile(_.contains('=')).reverse
         .map(_.split("=", 2)(0))
     }
   }

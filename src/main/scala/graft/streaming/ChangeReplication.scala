@@ -51,10 +51,14 @@ object ChangeReplication {
       .option("readChangeFeed", "true")
       .option("startingEpoch", startingEpoch)
       .load(srcDir)
+    // stable writer identity scoped to the checkpoint (its batchId
+    // sequence): replayed batches are gated before any job runs
+    val appId = "graft_repl_" + java.util.UUID
+      .nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
     val writer = feed.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(batch, dstDir, keyCols)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, dstDir, keyCols, Some((appId, batchId)))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow())
     else writer).start()
@@ -67,7 +71,7 @@ object ChangeReplication {
   private val applySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** Apply one micro-batch of tagged change rows (possibly spanning
-    * many epochs) to the replica in TWO keyed MERGEs total, however
+    * many epochs) to the replica in ONE keyed MERGE total, however
     * long the epoch backlog:
     *
     *  1. Net per-(epoch, row) effect — one aggregation over the batch.
@@ -80,20 +84,30 @@ object ChangeReplication {
     *     in the batch touching it; within that epoch an upsert
     *     supersedes a delete of the same key (an UPDATE's old version
     *     is superseded, not deleted). One window, `row_number = 1`.
-    *  3. One MERGE of the winning upserts + one MERGE of the winning
-    *     removals.
+    *  3. ONE MERGE of the winners: matched deletes DELETE, matched
+    *     upserts UPDATE, unmatched upserts INSERT (winners are unique
+    *     per key, so upsert and removal key sets never overlap).
     *
     * This coalescing is exactly equivalent to applying epochs
-    * ascending one MERGE pair at a time (each later epoch's MERGE
+    * ascending one MERGE at a time (each later epoch's MERGE
     * overwrites what the earlier left for a key), while a
-    * thousand-epoch catch-up backlog costs 2 jobs instead of 2000 —
-    * the fix for serial per-epoch driver loops at scale. Replay
-    * idempotence is unchanged: the MERGEs converge by key. The
-    * replica contract is keyed (unique keys in the source table), as
-    * with any keyed CDC materialization. */
+    * thousand-epoch catch-up backlog costs 1 job instead of 2000 —
+    * the fix for serial per-epoch driver loops at scale. The single
+    * MERGE is also ONE replica epoch: a crash can no longer land
+    * upserts without their removals. Replay safety is belt and
+    * braces: the keyed MERGE converges under re-application, and
+    * when `txn` is given the batch's `(appId, version)` stamp commits
+    * atomically with the epoch, so a replayed batch is skipped before
+    * any job runs ([[graft.sources.arrow.ArrowDataSource.withPendingTxn]]). */
   def applyBatch(batch: DataFrame, dstDir: String,
-      keyCols: Seq[String]): Unit = {
+      keyCols: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     val spark = batch.sparkSession
+    val dstRoot = java.nio.file.Paths.get(dstDir).toAbsolutePath.normalize
+    if (txn.exists { case (app, v) =>
+      graft.sources.arrow.ArrowDataSource
+        .lastTxnVersion(dstRoot, app).exists(_ >= v)
+    }) return // replayed micro-batch: already applied atomically
     val dataCols = batch.columns.toSeq
       .filterNot(c => c == ArrowChanges.ChangeTypeCol ||
         c == ArrowChanges.CommitEpochCol)
@@ -118,36 +132,30 @@ object ChangeReplication {
           // greatest epoch wins; within it, upsert beats delete
           .orderBy(ec.desc, col("__op").desc)))
       .filter(col("__rn") === 1)
-      .persist()
-    val tag = s"graft_repl_${applySeq.incrementAndGet()}_" +
+      .select((dataCols.map(c => col(s"`$c`")) :+ col("__op")): _*)
+    val view = s"graft_repl_${applySeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID().toString.takeRight(12)
-    val upView = s"${tag}_upserts"
-    val rmView = s"${tag}_removals"
     try {
-      winners.filter(col("__op") === "upsert")
-        .selectExpr(dataCols.map(c => s"`$c`"): _*)
-        .createOrReplaceTempView(upView)
-      winners.filter(col("__op") === "delete")
-        .select(keyCols.map(col): _*)
-        .createOrReplaceTempView(rmView)
+      winners.createOrReplaceTempView(view)
       val onKeys = keyCols.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
       val setCols = dataCols.map(c => s"`$c` = s.`$c`").mkString(", ")
       val insCols = dataCols.map(c => s"`$c`").mkString(", ")
       val insVals = dataCols.map(c => s"s.`$c`").mkString(", ")
-      spark.sql(
+      val merge =
         s"""MERGE INTO graft.arrow.`$dstDir` t
-           |USING $upView s ON $onKeys
+           |USING $view s ON $onKeys
+           |WHEN MATCHED AND s.`__op` = 'delete' THEN DELETE
            |WHEN MATCHED THEN UPDATE SET $setCols
-           |WHEN NOT MATCHED THEN INSERT ($insCols)
-           |  VALUES ($insVals)""".stripMargin)
-      spark.sql(
-        s"""MERGE INTO graft.arrow.`$dstDir` t
-           |USING $rmView s ON $onKeys
-           |WHEN MATCHED THEN DELETE""".stripMargin)
+           |WHEN NOT MATCHED AND s.`__op` = 'upsert' THEN
+           |  INSERT ($insCols) VALUES ($insVals)""".stripMargin
+      txn match {
+        case Some((app, v)) =>
+          graft.sources.arrow.ArrowDataSource
+            .withPendingTxn(dstDir, app, v) { spark.sql(merge); () }
+        case None => spark.sql(merge); ()
+      }
     } finally {
-      spark.catalog.dropTempView(upView)
-      spark.catalog.dropTempView(rmView)
-      winners.unpersist()
+      spark.catalog.dropTempView(view)
       ()
     }
   }

@@ -1,0 +1,183 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+import graft.streaming.IncrementalView
+
+/** Incremental materialized-view maintenance off the change feed:
+  * the view must equal a full recompute after every refresh, refresh
+  * must cost one MERGE per micro-batch however many epochs it spans,
+  * and a REPLAYED micro-batch must be skipped by the writer-txn gate
+  * (additive deltas are not idempotent — convergence is not enough). */
+class IncrementalViewSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def recompute(src: String): DataFrame =
+    spark.read.format("arrow").load(src)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))
+
+  private def viewDf(dir: String): DataFrame =
+    spark.read.format("arrow").load(dir)
+      .select(col("grp"), col("n"), col("sum_amt"))
+
+  test("view equals full recompute across snapshot, DML, emptied and " +
+      "new groups — one view epoch per refresh batch") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ivm_src").toString
+    val dst = Files.createTempDirectory("ivm_dst").toString
+    val ckpt = Files.createTempDirectory("ivm_ckpt").toString
+    // groups a(30) b(30) c(30) and a NULL-keyed group (10): the MERGE
+    // key must be null-safe or the null group never matches itself
+    (1 to 100).map { i =>
+      val g = i % 10 match {
+        case 0 => null
+        case d if d <= 3 => "a"
+        case d if d <= 6 => "b"
+        case _ => "c"
+      }
+      (i.toLong, g, (i * 7).toLong)
+    }.toDF("id", "grp", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src) // the feed tails a commit log
+
+    val q = IncrementalView.maintain(spark, src, dst,
+      groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+      checkpoint = ckpt)
+    try q.processAllAvailable() finally q.stop()
+    assert(bagEqual(viewDf(dst), recompute(src)),
+      "view diverged from full recompute after initial snapshot")
+    assert(viewDf(dst).filter(col("grp").isNull).count() == 1,
+      "NULL group key must maintain as one group")
+    val epochsAfterInit = ArrowDataSource.latestCommittedEpoch(
+      Paths.get(dst).toAbsolutePath.normalize)
+
+    // DML while maintenance is down: empty group 'a' entirely, shrink
+    // 'b', grow 'c', and insert a brand-new group 'z'
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE grp = 'a'")
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE grp = 'b' AND id <= 50")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET amt = amt + 1000 " +
+      "WHERE grp = 'c'")
+    spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES " +
+      "(201, 'z', 11), (202, 'z', 13)")
+
+    val q2 = IncrementalView.maintain(spark, src, dst,
+      groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+      checkpoint = ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(bagEqual(viewDf(dst), recompute(src)),
+      "view diverged from full recompute after DML catch-up")
+    assert(viewDf(dst).filter(col("grp") === "a").count() == 0,
+      "a group netting to zero rows must LEAVE the view")
+    assert(viewDf(dst).filter(col("grp") === "z")
+      .select(col("n"), col("sum_amt")).as[(Long, Long)]
+      .collect().toSeq == Seq((2L, 24L)),
+      "a brand-new group must INSERT")
+    val epochsAfterDml = ArrowDataSource.latestCommittedEpoch(
+      Paths.get(dst).toAbsolutePath.normalize)
+    // the 4-epoch DML backlog must fold into ONE view commit (one
+    // MERGE), not one per source epoch
+    assert(epochsAfterDml - epochsAfterInit <= 1,
+      s"4-epoch catch-up advanced the view log by " +
+        s"${epochsAfterDml - epochsAfterInit} epochs — per-epoch " +
+        "serial application is back")
+  }
+
+  test("replayed micro-batch is gated exactly-once by the writer-txn " +
+      "stamp — skipped before any job, not merely converged") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ivm_replay_src").toString
+    val dst = Files.createTempDirectory("ivm_replay_dst").toString
+    (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "x" else "y",
+      i.toLong)).toDF("id", "grp", "amt")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    IncrementalView.ensureView(spark, src, dst,
+      Seq("grp"), Seq(("amt", "sum_amt")))
+    // materialize the full feed as one static batch
+    val feed = spark.readStream.format("arrow")
+      .option("readChangeFeed", "true").option("startingEpoch", 0L)
+      .load(src)
+    val drain = feed.writeStream
+      .format("memory").queryName("ivm_replay").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try drain.processAllAvailable() finally drain.stop()
+    val sunk = spark.table("ivm_replay")
+    val batch = spark.createDataFrame(
+      java.util.Arrays.asList(sunk.collect(): _*), sunk.schema)
+
+    val applied = IncrementalView.applyDelta(batch, dst,
+      Seq("grp"), Seq(("amt", "sum_amt")), appId = "spec_app", version = 7L)
+    assert(applied, "first delivery must apply")
+    assert(bagEqual(viewDf(dst), recompute(src)))
+
+    // the failure mode under test: re-delivery of the SAME batch.
+    // Without the gate these additive deltas would double every count.
+    val replayed = IncrementalView.applyDelta(batch, dst,
+      Seq("grp"), Seq(("amt", "sum_amt")), appId = "spec_app", version = 7L)
+    assert(!replayed, "replayed (appId, version) must be skipped")
+    assert(bagEqual(viewDf(dst), recompute(src)),
+      "replayed batch mutated the view — deltas double-applied")
+
+    // an OLDER version is also a replay; a NEWER one applies
+    assert(!IncrementalView.applyDelta(batch, dst,
+      Seq("grp"), Seq(("amt", "sum_amt")), appId = "spec_app", version = 3L))
+    assert(IncrementalView.applyDelta(batch.limit(0), dst,
+      Seq("grp"), Seq(("amt", "sum_amt")), appId = "spec_app", version = 8L),
+      "a fresh version must pass the gate")
+  }
+
+  test("writer-txn stamps commit atomically inside the epoch manifest " +
+      "and survive log compaction") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("txn_fold").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    assert(ArrowDataSource.lastTxnVersion(root, "app_a").isEmpty)
+    // enough stamped commits to cross the default compaction interval
+    for (v <- 1L to 12L) {
+      ArrowDataSource.withPendingTxn(dir, "app_a", v) {
+        spark.sql(
+          s"INSERT INTO graft.arrow.`$dir` VALUES (${100 + v}, 'e$v')")
+      }
+    }
+    // compaction has folded part of the log; the gate must still see
+    // the newest stamp (manifest headers + folded #txn headers)
+    assert(ArrowDataSource.lastTxnVersion(root, "app_a").contains(12L))
+    assert(ArrowDataSource.lastTxnVersion(root, "app_b").isEmpty,
+      "stamps are per-appId")
+    // a second writer's stamps interleave independently
+    ArrowDataSource.withPendingTxn(dir, "app_b", 5L) {
+      spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (990, 'b')")
+    }
+    assert(ArrowDataSource.lastTxnVersion(root, "app_a").contains(12L))
+    assert(ArrowDataSource.lastTxnVersion(root, "app_b").contains(5L))
+    // force a fold past everything and re-check
+    ArrowDataSource.compactLog(root,
+      ArrowDataSource.latestCommittedEpoch(root))
+    assert(ArrowDataSource.lastTxnVersion(root, "app_a").contains(12L),
+      "compaction dropped the folded txn stamp")
+    assert(ArrowDataSource.lastTxnVersion(root, "app_b").contains(5L))
+    // unrelated commits carry no stamp
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (991, 'c')")
+    assert(ArrowDataSource.lastTxnVersion(root, "app_a").contains(12L))
+  }
+}
