@@ -485,6 +485,44 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Zero-copy SHALLOW CLONE, oracle-gated: clone a logged orders
+    * table (CALL graft.system.clone — metadata-only, zero data bytes
+    * copied), mutate the CLONE (DELETE + UPDATE), and aggregate both
+    * sides. The clone must show the mutations, the source must not —
+    * proving borrowed-file reads, copy-on-write divergence, and
+    * source isolation in one result. The 100 TB shape: a writable
+    * dev/test sandbox of a petabyte table in one metadata commit. */
+  def arrowClone(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("clone_q_src", dir)
+    val dst = graft.Scratch.dir("clone_q_dst", dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    Seq(src, dst).foreach(p => rm(new java.io.File(p)))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$dst` WHERE o_orderkey < 1000")
+    spark.sql(s"UPDATE graft.arrow.`$dst` SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'P'")
+    def agg(side: String, path: String): DataFrame =
+      spark.read.format("arrow").load(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .select(lit(side).as("side"), col("o_orderstatus"),
+          col("n"), col("sum_price"))
+    agg("clone", dst).unionAll(agg("source", src))
+      .orderBy(col("side"), col("o_orderstatus"))
+  }
+
   /** CALL graft.system.restore, oracle-gated: mutate the table twice
     * (DELETE then UPDATE, two logged epochs), roll back to the
     * pre-mutation epoch with one metadata-only restore commit, and
@@ -599,6 +637,7 @@ object StorageQueries {
     "arrow_timestamp_travel" -> (arrowTimestampTravel _),
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "arrow_clone" -> (arrowClone _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -712,6 +751,21 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey >= 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_clone" ->
+      """WITH cl AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'P' THEN 0.0
+        |      ELSE o_totalprice END AS p
+        |  FROM orders WHERE o_orderkey >= 1000),
+        |u AS (
+        |  SELECT 'clone' AS side, o_orderstatus, p FROM cl
+        |  UNION ALL
+        |  SELECT 'source' AS side, o_orderstatus, o_totalprice AS p
+        |  FROM orders)
+        |SELECT side, o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM u GROUP BY side, o_orderstatus
+        |ORDER BY side, o_orderstatus""".stripMargin,
     "cdc_incremental_agg" ->
       """WITH post AS (
         |  SELECT o_orderkey,

@@ -974,6 +974,35 @@ object ArrowDataSource {
     }
   }
 
+  /** Zero-copy CLONE bootstrap: create `dstRoot`'s table log with an
+    * epoch-0 manifest REFERENCING `rels` (dst-relative `../` paths into
+    * the source table). Same staged-directory atomicity as
+    * [[initTableLog]], but a concurrent log at the destination is a
+    * conflict (the caller promised an empty target), not a silent
+    * defer. */
+  def initCloneLog(dstRoot: Path, rels: Seq[String]): Unit = {
+    Files.createDirectories(dstRoot)
+    val tmp = dstRoot.resolve(MetadataDirName + ".clone.inprogress")
+    if (Files.exists(tmp)) listDir(tmp).foreach(Files.deleteIfExists)
+    else Files.createDirectories(tmp)
+    Files.createFile(tmp.resolve(TableMarkerName))
+    Files.write(tmp.resolve("0.manifest"), rels.sorted.asJava)
+    Files.write(tmp.resolve("0.ts"),
+      java.util.List.of(System.currentTimeMillis().toString))
+    try Files.move(tmp, dstRoot.resolve(MetadataDirName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.DirectoryNotEmptyException
+          | _: java.nio.file.AccessDeniedException =>
+        listDir(tmp).foreach(Files.deleteIfExists)
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"clone: $dstRoot became a logged table concurrently — " +
+            "clone requires an empty destination")
+    }
+  }
+
   /** Drop the commit manifest (truncate-on-overwrite: a batch rewrite
     * of a former sink directory starts from a clean, manifest-less
     * state where every committed file is visible again). */
@@ -1048,8 +1077,12 @@ object ArrowDataSource {
     require(rel.getNameCount > nCols,
       s"inconsistent partition layout under $root: $file sits above " +
         s"the $nCols-level col=value depth of the first-listed file")
+    // trailing alignment, matching discoverPartitionCols: the nCols
+    // segments just above the file name (cloned entries carry `../`
+    // prefix segments before the partition dirs)
+    val base = rel.getNameCount - 1 - nCols
     (0 until nCols).map { i =>
-      val segment = rel.getName(i).toString
+      val segment = rel.getName(base + i).toString
       val eq = segment.indexOf('=')
       require(eq > 0,
         s"inconsistent partition layout under $root: segment " +

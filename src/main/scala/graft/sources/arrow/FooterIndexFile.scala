@@ -312,6 +312,30 @@ object FooterIndexFile {
       case scala.util.control.NonFatal(_) => ()
     }
 
+  /** Zero-copy CLONE hook: materialize the source's stats for exactly
+    * `files` (the clone's referenced set) under `dstRoot`, keys
+    * rewritten src-relative → dst-relative (the `../` form the clone's
+    * manifest uses). Metadata-only — a cloned table plans with the
+    * source's zone maps/blooms/row stats without opening one footer.
+    * Best-effort like every sidecar write: a missing source entry just
+    * means the clone sweeps that file's footer on first planning. */
+  def cloneTo(srcRoot: Path, dstRoot: Path,
+      files: Seq[Path]): Unit =
+    try {
+      val src = srcRoot.toAbsolutePath.normalize
+      val dst = dstRoot.toAbsolutePath.normalize
+      load(src).foreach { ix =>
+        val wanted = files.flatMap { f =>
+          val abs = f.toAbsolutePath.normalize
+          scala.util.Try(src.relativize(abs).toString).toOption
+            .flatMap(srcRel => ix.entries.get(srcRel)
+              .map(e => dst.relativize(abs).toString -> e))
+        }.toMap
+        if (wanted.nonEmpty)
+          writeAtomic(dst, Index(ix.schemas, wanted))
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Vacuum hook: forget entries for physically reclaimed files so the
     * sidecar stays bounded by the LIVE file set. Best-effort. */
   def prune(root: Path, removed: Seq[Path]): Unit =

@@ -363,11 +363,65 @@ object GraftProcedures {
     }
   }
 
+  val Clone: UnboundProcedure = new SimpleProcedure("clone",
+    "zero-copy SHALLOW CLONE (Delta's): create dst_path as a logged " +
+      "table whose epoch-0 manifest REFERENCES src_path's data files " +
+      "at the given epoch (default latest) — no data bytes move, and " +
+      "the source's footer-stats sidecar is copied so the clone plans " +
+      "metadata-only. DML on the clone copy-on-writes into its OWN " +
+      "files; the source is never touched; vacuum on the clone never " +
+      "reclaims borrowed files (they live outside its root). A " +
+      "borrowed file the SOURCE later vacuums fails the clone's reads " +
+      "fast — re-clone to recover") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("src_path", StringType).build(),
+      ProcedureParameter.in("dst_path", StringType).build(),
+      ProcedureParameter.in("epoch", LongType)
+        .defaultValue("-1")
+        .comment("source version to clone; -1 = latest").build())
+    private val out = StructType(Seq(
+      StructField("files_referenced", LongType, nullable = false),
+      StructField("bytes_referenced", LongType, nullable = false),
+      StructField("bytes_copied", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val src = input.getUTF8String(0).toString
+      val dst = input.getUTF8String(1).toString
+      val asOf = input.getLong(2) match {
+        case -1L => None
+        case e => Some(e)
+      }
+      val srcRoot = java.nio.file.Paths.get(src).toAbsolutePath.normalize
+      val dstRoot = java.nio.file.Paths.get(dst).toAbsolutePath.normalize
+      require(srcRoot != dstRoot && !dstRoot.startsWith(srcRoot) &&
+        !srcRoot.startsWith(dstRoot),
+        s"clone: src_path and dst_path must be disjoint directories")
+      require(ArrowDataSource.listIpcFiles(dst).isEmpty &&
+        !Files.isDirectory(dstRoot.resolve(
+          ArrowDataSource.MetadataDirName)),
+        s"clone: dst_path $dst must be empty (no data files, no " +
+          "commit log) — clone bootstraps a fresh table")
+      // honors the source's vacuum horizon (pre-horizon versions
+      // refuse) and manifest visibility; flat sources clone their
+      // current listing (asOf refuses without a log, as on any read)
+      val files = ArrowDataSource.visibleIpcFiles(src, asOf)
+      require(files.nonEmpty, s"clone: no visible files under $src" +
+        asOf.map(e => s" at epoch $e").getOrElse(""))
+      val rels = files.map(f =>
+        dstRoot.relativize(f.toAbsolutePath.normalize).toString)
+      ArrowDataSource.initCloneLog(dstRoot, rels)
+      FooterIndexFile.cloneTo(srcRoot, dstRoot, files)
+      val bytes = files.map(f => Files.size(f)).sum
+      result(out, Array(new GenericInternalRow(Array[Any](
+        files.length.toLong, bytes, 0L))))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "vacuum" -> Vacuum,
     "compact" -> Compact,
     "dictionary_encode" -> DictionaryEncode,
     "zorder" -> Zorder,
     "history" -> History,
-    "restore" -> Restore)
+    "restore" -> Restore,
+    "clone" -> Clone)
 }

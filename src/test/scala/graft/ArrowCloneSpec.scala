@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** Zero-copy SHALLOW CLONE (`CALL graft.system.clone`): the clone
+  * reads the source's bytes without copying them, diverges via its own
+  * copy-on-write files under DML, never endangers the source, and
+  * fails fast (never silently drops rows) if the source vacuums a
+  * borrowed file away. */
+class ArrowCloneSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def arrowFilesUnder(dir: String): Seq[String] =
+    ArrowDataSource.listIpcFiles(dir).map(_.toString)
+
+  test("clone is metadata-only, reads the source exactly, and clones " +
+      "a chosen VERSION") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone_src").toString
+    val dst = Files.createTempDirectory("clone_dst").toString
+    Files.delete(Paths.get(dst)) // clone wants an absent/empty target
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(3)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    val preDml = ArrowDataSource.latestCommittedEpoch(
+      Paths.get(src).toAbsolutePath.normalize)
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id <= 40")
+
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    assert(arrowFilesUnder(dst).isEmpty,
+      "shallow clone must move ZERO data bytes into the clone")
+    assert(bagEqual(spark.read.format("arrow").load(dst),
+      spark.read.format("arrow").load(src)),
+      "clone must read exactly the source's current version")
+    assert(spark.read.format("arrow").load(dst).count() == 60)
+
+    // clone a historical version of the source
+    val dstV = Files.createTempDirectory("clone_dstv").toString
+    Files.delete(Paths.get(dstV))
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dstV', epoch => $preDml)").collect()
+    assert(spark.read.format("arrow").load(dstV).count() == 100,
+      "epoch-pinned clone must resolve the PRE-delete file set")
+
+    // a clone target that already holds a table refuses
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+        s"dst_path => '$dst')").collect()
+    }
+    assert(err.getMessage.contains("must be empty"))
+  }
+
+  test("DML on the clone copy-on-writes into its OWN files; the " +
+      "source never changes; vacuum on the clone spares borrowed files") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone_cow_src").toString
+    val dst = Files.createTempDirectory("clone_cow_dst").toString
+    Files.delete(Paths.get(dst))
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    val srcFilesBefore = arrowFilesUnder(src).toSet
+
+    spark.sql(s"DELETE FROM graft.arrow.`$dst` WHERE id % 2 = 0")
+    spark.sql(s"UPDATE graft.arrow.`$dst` SET tag = 'mine' WHERE id = 1")
+    assert(spark.read.format("arrow").load(dst).count() == 50)
+    assert(spark.read.format("arrow").load(src).count() == 100,
+      "DML on the clone leaked into the source")
+    assert(arrowFilesUnder(src).toSet == srcFilesBefore,
+      "the source's file set must be untouched by clone DML")
+    assert(arrowFilesUnder(dst).nonEmpty,
+      "clone DML must copy-on-write into files under the CLONE root")
+    // the source still reads its original content
+    assert(spark.read.format("arrow").load(src)
+      .filter(col("tag") === "mine").count() == 0)
+
+    // vacuum the clone aggressively: borrowed files are outside its
+    // root and must survive; only the clone's own replaced files go
+    spark.sql(s"CALL graft.system.vacuum(path => '$dst', " +
+      "grace_ms => 0)").collect()
+    assert(srcFilesBefore.forall(f => Files.exists(Paths.get(f))),
+      "vacuum on the clone reclaimed the SOURCE's files")
+    assert(spark.read.format("arrow").load(dst).count() == 50,
+      "clone must stay readable after its own vacuum")
+    assert(spark.read.format("arrow").load(src).count() == 100)
+  }
+
+  test("a borrowed file the source vacuums away fails the clone's " +
+      "read FAST, with re-clone guidance — never a silent row drop") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone_vac_src").toString
+    val dst = Files.createTempDirectory("clone_vac_dst").toString
+    Files.delete(Paths.get(dst))
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    // the source rewrites everything, then reclaims the old generation
+    spark.sql(s"UPDATE graft.arrow.`$src` SET tag = 'new'")
+    spark.sql(s"CALL graft.system.vacuum(path => '$src', " +
+      "grace_ms => 0)").collect()
+    val err = intercept[Exception] {
+      spark.read.format("arrow").load(dst).count()
+    }
+    assert(err.getMessage.contains("re-clone"),
+      s"expected the fast-failure guidance, got: ${err.getMessage}")
+  }
+
+  test("cloning a partitioned table keeps partition columns AND " +
+      "planning-time pruning through borrowed `../` paths") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone_part_src").toString
+    val dst = Files.createTempDirectory("clone_part_dst").toString
+    Files.delete(Paths.get(dst))
+    (1 to 90).map(i => (i.toLong, s"p${i % 3}", i * 2L))
+      .toDF("id", "part", "amt")
+      .write.format("arrow").partitionBy("part")
+      .option("optimizeWrite", "true")
+      .mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    val cloned = spark.read.format("arrow").load(dst)
+    assert(cloned.schema.fieldNames.contains("part"),
+      "partition column lost through the clone")
+    assert(bagEqual(cloned, spark.read.format("arrow").load(src)))
+    assert(cloned.filter(col("part") === "p1").count() == 30)
+    // pruning: only p1's files plan (borrowed rels still carry the
+    // col=value segment, and discovery reads the TRAILING run)
+    val plan = cloned.filter(col("part") === "p1")
+      .queryExecution.executedPlan
+    val scans = plan.collectLeaves().map(_.toString).mkString("\n")
+    assert(!scans.contains("part=p0") || !scans.contains("part=p2"),
+      "partition pruning lost through the clone")
+  }
+}
