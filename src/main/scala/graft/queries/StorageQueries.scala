@@ -485,6 +485,39 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Merge-on-read DELETE (deletion vectors), oracle-gated: a
+    * `set_dv` table takes two DELETEs — the second overlapping files
+    * the first already masked, accumulating cumulative vectors — and
+    * the final aggregate must equal the oracle's predicate complement.
+    * Not one data byte moves (ArrowDvSpec pins the file set); the
+    * 100 TB shape: deleting 0.1% of rows scattered across a petabyte
+    * costs the matched files' scan plus kilobyte sidecars, not a
+    * petabyte rewrite. */
+  def arrowDeleteDv(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("dv_q_src", dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(src))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.set_dv(path => '$src')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 500")
+    spark.sql(s"DELETE FROM graft.arrow.`$src` " +
+      "WHERE o_orderkey >= 700 AND o_orderkey < 800")
+    spark.read.format("arrow").load(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Zero-copy SHALLOW CLONE, oracle-gated: clone a logged orders
     * table (CALL graft.system.clone — metadata-only, zero data bytes
     * copied), mutate the CLONE (DELETE + UPDATE), and aggregate both
@@ -638,6 +671,7 @@ object StorageQueries {
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "arrow_clone" -> (arrowClone _),
+    "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -750,6 +784,14 @@ object StorageQueries {
         |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey >= 400
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_delete_dv" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_orderkey >= 500
+        |  AND NOT (o_orderkey >= 700 AND o_orderkey < 800)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_clone" ->
       """WITH cl AS (

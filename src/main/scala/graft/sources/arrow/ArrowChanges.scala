@@ -69,13 +69,23 @@ object ArrowChanges {
       .map(_._2).toSet
     val added = (toSet -- fromSet).toSeq.sorted
     val removed = (fromSet -- toSet).toSeq.sorted
-    def readFiles(rels: Seq[String]): DataFrame =
+    // Merge-on-read deletes churn ROWS without churning files: a
+    // shared file whose deletion vector differs across the window
+    // joins BOTH sides, each read pinned (epochAsOf) to its side's
+    // vector — the anti-diff then emits exactly the newly masked rows
+    // as deletes. Cost stays O(churned + dv-changed bytes).
+    val dvFrom = ArrowDataSource.liveDvs(root, Some(from))
+    val dvTo = ArrowDataSource.liveDvs(root, Some(to))
+    val dvChanged = (fromSet intersect toSet)
+      .filter(rel => dvFrom.get(rel) != dvTo.get(rel)).toSeq.sorted
+    def readFiles(rels: Seq[String], asOf: Long): DataFrame =
       if (rels.isEmpty)
         spark.createDataFrame(new java.util.ArrayList[Row](), schema)
       else spark.read.format("arrow").schema(schema)
-        .option("files", rels.mkString(",")).load(path)
-    val a = readFiles(added)
-    val r = readFiles(removed)
+        .option("files", rels.mkString(","))
+        .option("epochAsOf", asOf).load(path)
+    val a = readFiles(added ++ dvChanged, to)
+    val r = readFiles(removed ++ dvChanged, from)
     a.exceptAll(r).withColumn(ChangeTypeCol, lit("insert"))
       .unionAll(r.exceptAll(a).withColumn(ChangeTypeCol, lit("delete")))
   }
@@ -106,10 +116,60 @@ object ArrowChanges {
           else ArrowDataSource.partitionValuesOf(path, f, partSchema.length)
             .map(_.orNull).toArray
         val nBlocks = footerMemo.info(f).sizes.length
-        ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals,
-          -1, if (en.remove) "delete" else "insert", en.epoch)
-          : org.apache.spark.sql.connector.read.InputPartition
+        en.dv match {
+          case None =>
+            ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
+              partVals, -1, if (en.remove) "delete" else "insert",
+              en.epoch)
+              : org.apache.spark.sql.connector.read.InputPartition
+          case Some((dvRel, _)) =>
+            // merge-on-read delete epoch: ROW-exact by construction —
+            // the split keeps exactly the ordinals THIS epoch masked
+            // (new vector minus the previous one, dvInvert selection),
+            // so the feed delivers the deleted rows themselves, no
+            // carry-over pairs to cancel
+            val dvAbs = diffSidecar(root, en.epoch, en.rel, dvRel)
+            ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
+              partVals, -1, "delete", en.epoch,
+              dvFile = dvAbs, dvInvert = true)
+              : org.apache.spark.sql.connector.read.InputPartition
+        }
       }.toArray
+  }
+
+  /** The bitmap of rows epoch `epoch` newly masked on `rel`: its
+    * committed vector minus the previous live one. First-delete epochs
+    * reuse the committed sidecar unchanged; re-deletes materialize a
+    * derived `cdf_<epoch>_<hash>.dv` sidecar once (deterministic name,
+    * exists-check idempotent — vectors are immutable once committed). */
+  private def diffSidecar(root: java.nio.file.Path, epoch: Long,
+      rel: String, dvRel: String): String = {
+    val committed = root.resolve(dvRel).normalize
+    val prev = ArrowDataSource.liveDvs(root, Some(epoch - 1)).get(rel)
+    prev match {
+      case None => committed.toString
+      case Some((prevRel, _)) =>
+        val digest = java.security.MessageDigest.getInstance("SHA-1")
+          .digest(rel.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val out = root.resolve(ArrowDataSource.DvDirName)
+          .resolve(s"cdf_${epoch}_$digest.dv")
+        if (!java.nio.file.Files.exists(out)) {
+          val now = DeletionVectors.read(committed)
+          val before = DeletionVectors.read(root.resolve(prevRel).normalize)
+          val diff = now.zipWithIndex.map { case (bs, i) =>
+            val d = bs.clone().asInstanceOf[java.util.BitSet]
+            if (i < before.length) d.andNot(before(i))
+            d
+          }
+          val tmp = root.resolve(ArrowDataSource.DvDirName)
+            .resolve(s"cdf_${epoch}_$digest.dv.inprogress")
+          java.nio.file.Files.write(tmp, DeletionVectors.serialize(diff))
+          java.nio.file.Files.move(tmp, out,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+        out.toString
+    }
   }
 }
 

@@ -424,12 +424,18 @@ object ArrowDataSource {
   }
 
   /** One committed log event: `rel` (root-relative) entered the
-    * visible set at `epoch` (add) or left it (remove). Streaming sinks
-    * only ever append adds; DML / logged overwrite epochs carry both.
-    * Line formats: manifest `rel` (add) | `-\trel` (remove); compact
-    * snapshot `epoch\trel` | `epoch\t-\trel`. Bare-`rel` manifests
-    * predating removals parse unchanged. */
-  case class LogEntry(epoch: Long, remove: Boolean, rel: String)
+    * visible set at `epoch` (add), left it (remove), or — merge-on-read
+    * DELETE — had its deletion vector replaced (`dv` = the DV sidecar's
+    * root-relative path plus its cumulative deleted-row count; the
+    * file's bytes are untouched, the reader masks the listed ordinals).
+    * Streaming sinks only ever append adds; DML / logged overwrite
+    * epochs carry adds+removes; DV epochs carry dv events. Line
+    * formats: manifest `rel` (add) | `-\trel` (remove) |
+    * `dv\t<count>\t<rel>\t<dvrel>`; compact snapshot prefixes the
+    * epoch: `epoch\t<manifest form>`. Bare-`rel` manifests predating
+    * removals parse unchanged. */
+  case class LogEntry(epoch: Long, remove: Boolean, rel: String,
+      dv: Option[(String, Long)] = None)
 
   /** Marker distinguishing a TABLE log (DML / logged batch commits,
     * epochs numbered by the log itself) from a STREAMING-SINK log
@@ -442,6 +448,34 @@ object ArrowDataSource {
   /** Lowest epoch `VERSION AS OF` may still resolve exactly; advanced
     * by vacuum's history prune when it reclaims removed files. */
   val HorizonMarkerName = "_horizon"
+
+  /** Table property marker: DELETE uses merge-on-read deletion vectors
+    * instead of copy-on-write rewrites (Delta's
+    * `enableDeletionVectors`). Lives beside the table marker so it
+    * travels with the log. */
+  val DvMarkerName = "_dv_enabled"
+
+  /** Directory holding deletion-vector sidecars, under the table root. */
+  val DvDirName = "_graft_dv"
+
+  def dvEnabled(dir: String): Boolean =
+    sinkRoot(dir).exists(r => Files.exists(
+      r.resolve(MetadataDirName).resolve(DvMarkerName)))
+
+  /** Toggle merge-on-read DELETE for a LOGGED table. Turning it off
+    * stops NEW deletes from writing vectors; existing vectors keep
+    * applying until a rewrite (OPTIMIZE / CoW DML) purges them. */
+  def setDeletionVectors(dir: String, on: Boolean): Unit = {
+    require(isTableLog(dir),
+      s"deletionVectors: $dir is not a logged table — run DML once " +
+        "or ArrowDataSource.initTableLog first")
+    val md = Paths.get(dir).toAbsolutePath.normalize
+      .resolve(MetadataDirName)
+    if (on) {
+      try { Files.createFile(md.resolve(DvMarkerName)); () }
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    } else { Files.deleteIfExists(md.resolve(DvMarkerName)); () }
+  }
 
   def isTableLog(dir: String): Boolean =
     sinkRoot(dir).exists(r => Files.exists(
@@ -457,10 +491,19 @@ object ArrowDataSource {
 
   private def parseManifestLine(e: Long, line: String): LogEntry =
     if (line.startsWith("-\t")) LogEntry(e, remove = true, line.substring(2))
+    else if (line.startsWith("dv\t"))
+      line.split('\t') match {
+        case Array(_, count, rel, dvRel) =>
+          LogEntry(e, remove = false, rel, dv = Some((dvRel, count.toLong)))
+        case _ => throw new IllegalArgumentException(
+          s"arrow log: malformed dv event '$line'")
+      }
     else LogEntry(e, remove = false, line)
 
-  private def manifestLine(en: LogEntry): String =
-    if (en.remove) s"-\t${en.rel}" else en.rel
+  private def manifestLine(en: LogEntry): String = en.dv match {
+    case Some((dvRel, count)) => s"dv\t$count\t${en.rel}\t$dvRel"
+    case None => if (en.remove) s"-\t${en.rel}" else en.rel
+  }
 
   private def parseCompactLine(line: String): LogEntry = {
     val tab = line.indexOf('\t')
@@ -697,23 +740,45 @@ object ArrowDataSource {
     * delta view (what files each epoch contributed). */
   def committedEntries(root: Path): Seq[(Long, String)] =
     committedHistory(root).collect {
-      case LogEntry(e, false, rel) => (e, rel)
+      case en if !en.remove && en.dv.isEmpty => (en.epoch, en.rel)
     }
 
   /** The live `(addEpoch, rel)` set as of `asOf` (None = now): fold
     * the history, a removal at `e2 <= asOf` cancelling the add at
     * `e1 < e2`. This is what makes a DML commit ATOMIC for readers —
     * the swap from old files to rewritten ones is one manifest rename,
-    * and until it lands every reader keeps resolving the old set. */
+    * and until it lands every reader keeps resolving the old set.
+    * DV events neither add nor remove a file — they are skipped here
+    * and folded by [[liveDvs]]. */
   def liveEntries(root: Path, asOf: Option[Long]): Seq[(Long, String)] = {
     val live = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     committedHistory(root).foreach { en =>
-      if (asOf.forall(en.epoch <= _)) {
+      if (asOf.forall(en.epoch <= _) && en.dv.isEmpty) {
         if (en.remove) live.remove(en.rel)
         else live.put(en.rel, en.epoch)
       }
     }
     live.toSeq.map { case (rel, e) => (e, rel) }
+  }
+
+  /** The live deletion vector per file as of `asOf` (None = now):
+    * `rel → (dvRel, deletedCount)`. A dv event REPLACES the file's
+    * previous vector (vectors are cumulative — the writer unions old
+    * into new); removing OR re-adding the file clears it (a replaced
+    * file's rows start unmasked). Fold order within an epoch is line
+    * order — removes, adds, then dv events, as the commit writes
+    * them. */
+  def liveDvs(root: Path, asOf: Option[Long])
+      : Map[String, (String, Long)] = {
+    val dvs = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Long)]
+    committedHistory(root).foreach { en =>
+      if (asOf.forall(en.epoch <= _)) en.dv match {
+        case Some(v) => dvs.put(en.rel, v); ()
+        case None => dvs.remove(en.rel); ()
+      }
+    }
+    dvs.toMap
   }
 
   /** Highest committed epoch under `root`'s commit log, -1 when none —
@@ -896,7 +961,8 @@ object ArrowDataSource {
   def commitTableEpoch(dir: String, expectedBase: Long,
       adds: Seq[String], removes: Seq[String],
       compactInterval: Int = DefaultCompactInterval,
-      neutral: Boolean = false): Long = {
+      neutral: Boolean = false,
+      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
     val root = Paths.get(dir).toAbsolutePath.normalize
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
@@ -921,9 +987,15 @@ object ArrowDataSource {
     // with the visibility flip (see withPendingTxn scaladoc)
     val txnHeader = Option(pendingTxns.get(root.toString)).toSeq
       .map { case (a, v) => s"#txn\t$a\t$v" }
+    // line order IS fold order within the epoch: removes, adds, then
+    // dv events (so a replace-and-remask in one epoch lands masked)
     val lines = txnHeader ++
       removes.map(f => manifestLine(LogEntry(epoch, remove = true, rel(f))))
-        .sorted ++ adds.map(rel).sorted
+        .sorted ++ adds.map(rel).sorted ++
+      dvs.map { case (f, dvf, count) =>
+        manifestLine(LogEntry(epoch, remove = false, rel(f),
+          dv = Some((rel(dvf), count))))
+      }.sorted
     val tmp = md.resolve(s"$epoch.manifest.inprogress")
     Files.write(tmp, lines.asJava)
     // The data-neutral marker must land BEFORE the manifest move —
@@ -980,13 +1052,21 @@ object ArrowDataSource {
     * [[initTableLog]], but a concurrent log at the destination is a
     * conflict (the caller promised an empty target), not a silent
     * defer. */
-  def initCloneLog(dstRoot: Path, rels: Seq[String]): Unit = {
+  def initCloneLog(dstRoot: Path, rels: Seq[String],
+      dvs: Seq[(String, String, Long)] = Seq.empty): Unit = {
     Files.createDirectories(dstRoot)
     val tmp = dstRoot.resolve(MetadataDirName + ".clone.inprogress")
     if (Files.exists(tmp)) listDir(tmp).foreach(Files.deleteIfExists)
     else Files.createDirectories(tmp)
     Files.createFile(tmp.resolve(TableMarkerName))
-    Files.write(tmp.resolve("0.manifest"), rels.sorted.asJava)
+    // borrowed deletion vectors ride the epoch-0 manifest like any
+    // dv event — a clone of a merge-on-read table must not resurrect
+    // the source's masked rows
+    val dvLines = dvs.map { case (rel, dvRel, n) =>
+      manifestLine(LogEntry(0L, remove = false, rel, Some((dvRel, n))))
+    }.sorted
+    Files.write(tmp.resolve("0.manifest"),
+      (rels.sorted ++ dvLines).asJava)
     Files.write(tmp.resolve("0.ts"),
       java.util.List.of(System.currentTimeMillis().toString))
     try Files.move(tmp, dstRoot.resolve(MetadataDirName),

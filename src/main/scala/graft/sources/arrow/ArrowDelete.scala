@@ -84,12 +84,26 @@ object ArrowDelete {
     val candidates = ArrowDataSource.pruneByPartitionFilters(
       ArrowDataSource.visibleIpcFiles(root), root, partSchema, partF)
     if (candidates.isEmpty) return
+    if (ArrowDataSource.dvEnabled(root)) {
+      deleteWhereMor(spark, root, partSchema, filters, baseEpoch,
+        candidates)
+      return
+    }
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    val dvNow = ArrowDataSource.liveDvs(rootP, None)
     val rootStr = root
     val fs = filters
     val ps = partSchema
+    // a DV'd file rewriting copy-on-write must not resurrect its
+    // masked rows: the rewrite reads through the vector
+    val payload = candidates.map { f =>
+      val rel = rootP.relativize(f.toAbsolutePath.normalize).toString
+      (f.toString,
+        dvNow.get(rel).map(d => rootP.resolve(d._1).normalize.toString))
+    }
     val results = spark.sparkContext
-      .parallelize(candidates.map(_.toString), candidates.length)
-      .map(f => (f, rewriteFile(rootStr, f, ps, fs)))
+      .parallelize(payload, payload.length)
+      .map { case (f, dv) => (f, rewriteFile(rootStr, f, ps, fs, dv)) }
       .collect() // (file, replacements) pairs — metadata, not rows
     val removed = results.collect { case (f, Some(_)) => f }.toSeq
     val adds = results.flatMap { case (_, r) => r.getOrElse(Nil) }.toSeq
@@ -108,13 +122,77 @@ object ArrowDelete {
     }
   }
 
+  /** Merge-on-read DELETE ([[ArrowDataSource.dvEnabled]] tables): one
+    * task per candidate file computes the file's CUMULATIVE deletion
+    * vector (existing mask ∪ new matches) and writes a small sidecar —
+    * the data bytes never move. The driver commits one atomic epoch of
+    * `dv` events; a file whose every row ends masked commits a plain
+    * REMOVE instead (readers skip it entirely, vacuum reclaims it).
+    * At 100 TB: deleting 0.1% of rows scattered across a petabyte
+    * costs the matched files' scan plus kilobyte sidecars, not a
+    * petabyte rewrite. */
+  private[arrow] def deleteWhereMor(spark: SparkSession, root: String,
+      partSchema: StructType, filters: Seq[Filter], baseEpoch: Long,
+      candidates: Seq[Path]): Unit = {
+    val rootP = Paths.get(root).toAbsolutePath.normalize
+    val dvNow = ArrowDataSource.liveDvs(rootP, None)
+    val rootStr = rootP.toString
+    val fs = filters
+    val ps = partSchema
+    val payload = candidates.map { f =>
+      val rel = rootP.relativize(f.toAbsolutePath.normalize).toString
+      (f.toString,
+        dvNow.get(rel).map(d => rootP.resolve(d._1).normalize.toString))
+    }
+    // (file, dvPath|null, totalRows, maskedRows); dvPath null + total
+    // >= 0 means every row masked (remove); total -1 means untouched
+    val results = spark.sparkContext
+      .parallelize(payload, payload.length)
+      .map { case (f, oldDvPath) =>
+        val info = ArrowDataSource.footerInfo(Paths.get(f))
+        val dataSchema = ArrowDataSource.readFooterSchema(Paths.get(f))
+        val dataF = fs.filterNot(x =>
+          x.references.forall(ps.fieldNames.contains(_)) &&
+            FilterEval.supported(ps, x))
+        if (!mayHoldMatches(info, dataSchema, dataF))
+          (f, null: String, -1L, -1L) // footer stats prove no match
+        else {
+          val oldDv = oldDvPath.map(p => DeletionVectors.read(Paths.get(p)))
+          DeletionVectors.computeMask(rootStr, f, ps, fs, oldDv) match {
+            case None => (f, null: String, -1L, -1L)
+            case Some((mask, totalRows, _)) =>
+              val masked = DeletionVectors.cardinality(mask)
+              if (masked == totalRows) (f, null: String, totalRows, masked)
+              else {
+                val dvPath = DeletionVectors
+                  .write(Paths.get(rootStr), mask)
+                (f, dvPath.toString, totalRows, masked)
+              }
+          }
+        }
+      }
+      .collect()
+    val removes = results.collect {
+      case (f, null, total, masked) if total >= 0 && masked == total => f
+    }.toSeq
+    val dvs = results.collect {
+      case (f, dv, _, masked) if dv != null => (f, dv, masked)
+    }.toSeq
+    if (removes.nonEmpty || dvs.nonEmpty) {
+      ArrowDataSource.commitTableEpoch(root, baseEpoch, Seq.empty,
+        removes, dvs = dvs)
+      ()
+    }
+  }
+
   /** Triage + rewrite one file (runs inside a task). Returns None when
     * the file provably holds no matching row (left bit-identical and
     * still visible), else Some(replacement files) — empty when every
     * row matched. The original is NEVER unlinked here: visibility
     * flips only at the driver's epoch commit. */
   private[arrow] def rewriteFile(root: String, file: String,
-      partSchema: StructType, filters: Seq[Filter])
+      partSchema: StructType, filters: Seq[Filter],
+      dvFile: Option[String] = None)
       : Option[Seq[String]] = {
     val src = Paths.get(file)
     val info = ArrowDataSource.footerInfo(src)
@@ -126,12 +204,15 @@ object ArrowDelete {
 
     // full row = file columns ++ directory-carried partition columns,
     // the same composition the scan serves — so the predicate may mix
-    // partition and data columns freely
+    // partition and data columns freely. An existing deletion vector
+    // applies through the partition: masked rows are neither kept nor
+    // re-tested (they are already logically gone).
     val readSchema = StructType(dataSchema.fields ++ partSchema.fields)
     val partValues = ArrowDataSource
       .partitionValuesOf(root, src, partSchema.length).map(_.orNull).toArray
     val partition =
-      ArrowFilePartition(file, info.sizes.indices.toArray, partValues)
+      ArrowFilePartition(file, info.sizes.indices.toArray, partValues,
+        dvFile = dvFile.orNull)
     val compiled = filters.map(FilterEval.compile(readSchema, _))
     def deletes(r: InternalRow): Boolean = compiled.forall(_(r))
 

@@ -63,8 +63,11 @@ object ArrowOptimize {
     * walk the planner already does. */
   def vacuum(dir: String, graceMs: Long = 3600L * 1000): Seq[Path] = {
     val cutoff = System.currentTimeMillis() - graceMs
+    // inclusive: age >= grace is eligible — with grace_ms = 0 a file
+    // written in the same millisecond as the sweep must still go
+    // (strict `<` made zero-grace vacuums silently skip same-ms files)
     def oldEnough(p: Path): Boolean =
-      Files.getLastModifiedTime(p).toMillis < cutoff
+      Files.getLastModifiedTime(p).toMillis <= cutoff
     val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
     // crashed-writer temps, any directory shape
     def sweepTmp(d: java.io.File): Unit =
@@ -100,6 +103,27 @@ object ArrowOptimize {
       if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
       if (ArrowDataSource.isTableLog(dir))
         ArrowDelete.sweepEmptyDirs(dir)
+      // deletion-vector sidecars: reclaim vectors no live-or-historic
+      // dv event references (superseded by a newer cumulative vector,
+      // or their file was removed/vacuumed) plus stale change-feed
+      // diff sidecars (cdf_*, re-derivable on demand). Grace-guarded
+      // like data files — an in-flight read may hold a just-superseded
+      // vector.
+      val dvDir = root.resolve(ArrowDataSource.DvDirName)
+      if (Files.isDirectory(dvDir)) {
+        val referenced = ArrowDataSource.committedHistory(root)
+          .flatMap(_.dv.map { case (dvRel, _) =>
+            root.resolve(dvRel).normalize.toString
+          }).toSet
+        val s = Files.list(dvDir)
+        val dvVictims =
+          try s.iterator().asScala.toVector finally s.close()
+        dvVictims
+          .filter(p => p.getFileName.toString.endsWith(".dv"))
+          .filterNot(p => referenced(p.toAbsolutePath.normalize.toString))
+          .filter(oldEnough)
+          .foreach { p => Files.deleteIfExists(p); deleted += p }
+      }
     }
     deleted.toSeq
   }

@@ -236,7 +236,13 @@ class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
       val nBlocks = footerIdx.info(f).sizes.length
       val partVals = ArrowDataSource
         .partitionValuesOf(path, f, partSchema.length).map(_.orNull).toArray
-      ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals)
+      // a DV'd file's masked rows must not resurrect through the CoW
+      // rewrite: the replacement materializes only live rows, and the
+      // replaced file's vector dies with it at the epoch commit
+      val dvFile = footerIdx.dvs
+        .get(f.toAbsolutePath.normalize.toString).map(_._1).orNull
+      ArrowFilePartition(f.toString, (0 until nBlocks).toArray, partVals,
+        dvFile = dvFile)
     }.toArray
   }
 

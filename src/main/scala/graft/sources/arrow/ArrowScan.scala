@@ -67,6 +67,20 @@ private[arrow] class FooterIndex(path: String,
   def info(p: java.nio.file.Path): ArrowDataSource.FooterInfo =
     cache.getOrElseUpdate(p.toString,
       indexed(p).getOrElse(ArrowDataSource.footerInfo(p)))
+
+  /** Merge-on-read deletion vectors live at this read's version:
+    * absolute file path → (absolute DV sidecar path, deleted count).
+    * Empty for flat dirs and DV-free tables — every DV-aware gate
+    * (agg/limit pushdown, stats, split planning) keys off this. */
+  lazy val dvs: Map[String, (String, Long)] =
+    ArrowDataSource.sinkRoot(path) match {
+      case Some(r) if ArrowDataSource.isTableLog(path) =>
+        ArrowDataSource.liveDvs(r, asOf).map { case (rel, (dvRel, n)) =>
+          r.resolve(rel).normalize.toString ->
+            (r.resolve(dvRel).normalize.toString, n)
+        }
+      case _ => Map.empty
+    }
 }
 
 class ArrowScanBuilder(path: String, schema: StructType,
@@ -126,7 +140,9 @@ class ArrowScanBuilder(path: String, schema: StructType,
     * 100k-file directory plans one split instead of 100k tasks, the
     * same trick parquet plays via its file-index listing limit. */
   override def pushLimit(l: Int): Boolean =
-    if (pushed.nonEmpty || changeFeed) false
+    // deletion vectors invalidate footer row counts (masked rows do
+    // not reach the caller), so the coverage proof breaks
+    if (pushed.nonEmpty || changeFeed || footerIdx.dvs.nonEmpty) false
     else { limit = Some(l); true }
 
   override def isPartiallyPushed(): Boolean = true
@@ -209,7 +225,11 @@ class ArrowScanBuilder(path: String, schema: StructType,
     // they select whole files, and stats are per-file. A change-feed
     // read must never answer from footer stats either: delete-tagged
     // rows would count positively.
-    if (pushed.nonEmpty || changeFeed) return false
+    // deletion vectors: footer stats describe the UNMASKED file (a
+    // masked row could be the min, counts overcount) — refuse and
+    // fall back to the ordinary scan, which applies the vectors
+    if (pushed.nonEmpty || changeFeed || footerIdx.dvs.nonEmpty)
+      return false
     val groupCols: Seq[String] = aggregation.groupByExpressions.toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 &&
           partColSet(r.fieldNames.head) => r.fieldNames.head
@@ -538,7 +558,11 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       bytes += info.sizes.sum
       info.rowStats match {
         case Some(rs) if rs.batches.length == info.sizes.length =>
-          rows += rs.batches.map(_._1).sum
+          // deletion vectors: the manifest carries the masked count,
+          // so the row estimate stays exact without opening a sidecar
+          rows += rs.batches.map(_._1).sum -
+            footerIdx.dvs.get(f.toAbsolutePath.normalize.toString)
+              .map(_._2).getOrElse(0L)
           dataCols.foreach { c =>
             (0 until rs.batches.length)
               .map(b => rs.nullCount(b, c.name)) match {
@@ -684,6 +708,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         if (partSchema.isEmpty) Array.empty
         else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
           .map(_.orNull).toArray
+      val dvFile: String = footerIdx.dvs
+        .get(p.toAbsolutePath.normalize.toString).map(_._1).orNull
       val info = footerIdx.info(p)
       val (blocks, zoneMap) = (info.sizes, info.zoneMap)
       val bucketId =
@@ -703,7 +729,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         // skip file
       } else if (blocks.isEmpty) {
         out += ArrowFilePartition(p.toString, Array.empty, partVals,
-          bucketId)
+          bucketId, dvFile = dvFile)
       } else {
         val keep: Int => Boolean =
           if (filters.isEmpty) _ => true
@@ -720,7 +746,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
           if (keep(idx)) {
             if (current.nonEmpty && bytes + size > splitBytes) {
               out += ArrowFilePartition(p.toString, current.toArray,
-                partVals, bucketId)
+                partVals, bucketId, dvFile = dvFile)
               current = scala.collection.mutable.ArrayBuffer.empty[Int]
               bytes = 0L
             }
@@ -731,7 +757,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         }
         if (current.nonEmpty)
           out += ArrowFilePartition(p.toString, current.toArray, partVals,
-            bucketId)
+            bucketId, dvFile = dvFile)
       }
     }
     out.toArray
@@ -846,6 +872,14 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
               "delivered. Set option(\"ignoreChanges\", true) to " +
               "stream them anyway (downstream must dedup), or stream " +
               "from an append-only sink.")
+        if (en.dv.isDefined && en.epoch > after && en.epoch <= upTo)
+          throw new UnsupportedOperationException(
+            s"arrow streaming source on $path: epoch ${en.epoch} " +
+              "masked rows with a deletion vector (merge-on-read " +
+              "DELETE upstream); a file-delta stream cannot express " +
+              "row removal. Set option(\"ignoreChanges\", true) to " +
+              "skip the mask epochs, or stream from an append-only " +
+              "sink.")
       }
     val prefix = java.nio.file.Paths.get(path).toAbsolutePath.normalize
     // adds in the window that are still LIVE at the window end: a
@@ -997,7 +1031,8 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
   * file carries a bucket stamp, so a -1 never reaches grouping. */
 case class ArrowFilePartition(file: String, blockIdxs: Array[Int],
     partValues: Array[String] = Array.empty, bucketId: Int = -1,
-    changeType: String = null, commitEpoch: Long = -1L)
+    changeType: String = null, commitEpoch: Long = -1L,
+    dvFile: String = null, dvInvert: Boolean = false)
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow =
     new GenericInternalRow(Array[Any](bucketId))
@@ -1080,6 +1115,13 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   }
   private val blocks = reader.getRecordBlocks
   private var cursor = 0
+  // merge-on-read deletion vector: per-ORIGINAL-batch bitmaps of
+  // deleted ordinals, loaded once per split; composes with zone-map
+  // batch skipping because ordinals are batch-local
+  private val dvBatches: Array[java.util.BitSet] =
+    if (partition.dvFile == null) null
+    else DeletionVectors.read(Paths.get(partition.dvFile))
+  private var currentBlockIdx = -1
   // dictionary values materialized once per FILE (keyed by dictionary
   // id): batches carry only int32 indices, and [[DictStringVector]]
   // resolves against this array lazily — no per-batch decoded copy
@@ -1089,7 +1131,8 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   private def loadNext(): Boolean =
     if (cursor >= partition.blockIdxs.length) false
     else {
-      val ok = reader.loadRecordBatch(blocks.get(partition.blockIdxs(cursor)))
+      currentBlockIdx = partition.blockIdxs(cursor)
+      val ok = reader.loadRecordBatch(blocks.get(currentBlockIdx))
       cursor += 1
       ArrowDataSource.recordBatchesLoaded.incrementAndGet()
       ok
@@ -1167,12 +1210,76 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
             case None => new ArrowColumnVector(v): ColumnVector
           }
       }
-      Some(new ColumnarBatch(vectors, root.getRowCount))
+      val nRows = root.getRowCount
+      val mask =
+        if (dvBatches == null || currentBlockIdx >= dvBatches.length) null
+        else dvBatches(currentBlockIdx)
+      if (mask == null || (mask.isEmpty && !partition.dvInvert))
+        Some(new ColumnarBatch(vectors, nRows))
+      else {
+        // deletion vector: remap each vector through the kept-ordinal
+        // selection — zero-copy survives, only the index translates.
+        // Normal reads KEEP unmasked ordinals; a change-feed
+        // delete-diff split (dvInvert) keeps exactly the masked ones.
+        val keepMasked = partition.dvInvert
+        val card = mask.cardinality()
+        val sel = new Array[Int](if (keepMasked) card else nRows - card)
+        var i = 0
+        var k = 0
+        while (i < nRows) {
+          if (mask.get(i) == keepMasked) { sel(k) = i; k += 1 }
+          i += 1
+        }
+        Some(new ColumnarBatch(
+          vectors.map(v => new SelectedVector(v, sel): ColumnVector),
+          sel.length))
+      }
     }
 
   def closeAll(): Unit = {
     reader.close(); channel.close()
   }
+}
+
+/** A column vector viewed through a selection: logical row `i` reads
+  * the underlying vector's row `sel(i)`. Used to apply merge-on-read
+  * deletion vectors without copying batch data — the underlying
+  * vectors stay zero-copy Arrow memory. Struct children remap with
+  * the same selection; arrays/maps/strings resolve through the
+  * remapped top-level accessor, which already yields
+  * offset-independent views. */
+private[arrow] final class SelectedVector(under: ColumnVector,
+    sel: Array[Int]) extends ColumnVector(under.dataType()) {
+  override def hasNull: Boolean = under.hasNull
+  override def numNulls: Int = {
+    var n = 0
+    var i = 0
+    while (i < sel.length) { if (under.isNullAt(sel(i))) n += 1; i += 1 }
+    n
+  }
+  override def isNullAt(i: Int): Boolean = under.isNullAt(sel(i))
+  override def getBoolean(i: Int): Boolean = under.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = under.getByte(sel(i))
+  override def getShort(i: Int): Short = under.getShort(sel(i))
+  override def getInt(i: Int): Int = under.getInt(sel(i))
+  override def getLong(i: Int): Long = under.getLong(sel(i))
+  override def getFloat(i: Int): Float = under.getFloat(sel(i))
+  override def getDouble(i: Int): Double = under.getDouble(sel(i))
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    under.getArray(sel(i))
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = under.getMap(sel(i))
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    under.getDecimal(sel(i), precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String =
+    under.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = under.getBinary(sel(i))
+  override def getChild(ordinal: Int): ColumnVector =
+    new SelectedVector(under.getChild(ordinal), sel)
+  override def close(): Unit = under.close()
 }
 
 /** Lazy dictionary-resolved string column: holds the batch's int32

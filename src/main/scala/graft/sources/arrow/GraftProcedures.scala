@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
@@ -285,7 +285,8 @@ object GraftProcedures {
       StructField("commit_ts", TimestampType, nullable = true),
       StructField("files", LongType, nullable = false),
       StructField("bytes", LongType, nullable = false),
-      StructField("removed", LongType, nullable = false)))
+      StructField("removed", LongType, nullable = false),
+      StructField("masked_rows", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
       val root = ArrowDataSource.sinkRoot(path).getOrElse(
@@ -298,17 +299,22 @@ object GraftProcedures {
       val rows = ArrowDataSource.committedHistory(root)
         .groupBy(_.epoch).toSeq.sortBy(_._1)
         .map { case (epoch, entries) =>
-          val (removes, adds) = entries.partition(_.remove)
+          val (removes, rest) = entries.partition(_.remove)
+          val (dvEvents, adds) = rest.partition(_.dv.isDefined)
           val bytes = adds.map { en =>
             val f = root.resolve(en.rel)
             if (Files.exists(f)) Files.size(f) else 0L
           }.sum
+          // merge-on-read epochs: report the CUMULATIVE masked-row
+          // count of the epoch's vectors (what the manifest carries),
+          // not data bytes — no data file moved
+          val masked = dvEvents.flatMap(_.dv.map(_._2)).sum
           new GenericInternalRow(Array[Any](
             epoch,
             stamps.get(epoch).map(m => java.lang.Long.valueOf(m * 1000L))
               .orNull,
             adds.length.toLong, bytes,
-            removes.length.toLong)): InternalRow
+            removes.length.toLong, masked)): InternalRow
         }
       result(out, rows.toArray)
     }
@@ -350,14 +356,36 @@ object GraftProcedures {
       val want = ArrowDataSource.liveEntries(root, Some(target))
         .map(_._2).toSet
       val have = ArrowDataSource.liveEntries(root, None).map(_._2).toSet
-      val adds = (want -- have).toSeq.sorted
-        .map(r => root.resolve(r).toString)
+      val addSet = want -- have
+      val adds = addSet.toSeq.sorted.map(r => root.resolve(r).toString)
       val removes = (have -- want).toSeq.sorted
         .map(r => root.resolve(r).toString)
+      // Deletion-vector state is part of the version: each kept file
+      // must end with the TARGET's vector. Re-added files start clean
+      // (an add clears the vector), so a target vector re-commits; a
+      // kept file whose vector must CLEAR cycles remove+add in the
+      // same epoch (fold order: removes, adds, dv events).
+      val wantDv = ArrowDataSource.liveDvs(root, Some(target))
+      val haveDv = ArrowDataSource.liveDvs(root, None)
+      val dvRestores = scala.collection.mutable
+        .ArrayBuffer.empty[(String, String, Long)]
+      val dvClears = scala.collection.mutable.ArrayBuffer.empty[String]
+      want.toSeq.sorted.foreach { rel =>
+        val desired = wantDv.get(rel)
+        val current = if (addSet(rel)) None else haveDv.get(rel)
+        (desired, current) match {
+          case (Some((dvRel, n)), cur) if cur != desired =>
+            dvRestores += ((root.resolve(rel).toString,
+              root.resolve(dvRel).toString, n))
+          case (None, Some(_)) => dvClears += root.resolve(rel).toString
+          case _ => ()
+        }
+      }
       // an empty epoch still commits: the audit trail records that a
       // restore happened even when it was a no-op
       val committed = ArrowDataSource.commitTableEpoch(path, latest,
-        adds, removes)
+        adds ++ dvClears, removes ++ dvClears,
+        dvs = dvRestores.toSeq)
       result(out, Array(new GenericInternalRow(Array[Any](
         target, committed, adds.length.toLong, removes.length.toLong))))
     }
@@ -408,11 +436,46 @@ object GraftProcedures {
         asOf.map(e => s" at epoch $e").getOrElse(""))
       val rels = files.map(f =>
         dstRoot.relativize(f.toAbsolutePath.normalize).toString)
-      ArrowDataSource.initCloneLog(dstRoot, rels)
+      // borrowed deletion vectors: keys AND sidecar paths rewritten
+      // dst-relative, restricted to the cloned file set
+      val fileRels = files.map(f =>
+        f.toAbsolutePath.normalize).toSet
+      val dvs = (if (ArrowDataSource.isTableLog(src))
+        ArrowDataSource.liveDvs(srcRoot, asOf) else Map.empty[String,
+        (String, Long)]).toSeq.collect {
+        case (rel, (dvRel, n))
+            if fileRels(srcRoot.resolve(rel).normalize) =>
+          (dstRoot.relativize(srcRoot.resolve(rel).normalize).toString,
+            dstRoot.relativize(srcRoot.resolve(dvRel).normalize).toString,
+            n)
+      }
+      ArrowDataSource.initCloneLog(dstRoot, rels, dvs)
       FooterIndexFile.cloneTo(srcRoot, dstRoot, files)
       val bytes = files.map(f => Files.size(f)).sum
       result(out, Array(new GenericInternalRow(Array[Any](
         files.length.toLong, bytes, 0L))))
+    }
+  }
+
+  val SetDv: UnboundProcedure = new SimpleProcedure("set_dv",
+    "enable/disable merge-on-read DELETE (deletion vectors, Delta's " +
+      "enableDeletionVectors) on a logged table: enabled, DELETE " +
+      "writes per-file masked-row vectors instead of rewriting files; " +
+      "disabled, new deletes go copy-on-write while existing vectors " +
+      "keep applying until a rewrite purges them") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("enabled", BooleanType)
+        .defaultValue("true").build())
+    private val out = StructType(Seq(
+      StructField("dv_enabled", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val on = input.getBoolean(1)
+      ArrowDataSource.initTableLog(path)
+      ArrowDataSource.setDeletionVectors(path, on)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        java.lang.Boolean.valueOf(on)))))
     }
   }
 
@@ -423,5 +486,6 @@ object GraftProcedures {
     "zorder" -> Zorder,
     "history" -> History,
     "restore" -> Restore,
-    "clone" -> Clone)
+    "clone" -> Clone,
+    "set_dv" -> SetDv)
 }

@@ -1,0 +1,260 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowChanges, ArrowDataSource, GraftCatalog}
+
+/** Merge-on-read DELETE via deletion vectors (`set_dv` tables): a
+  * delete writes per-file masked-ordinal sidecars and one atomic epoch
+  * of `dv` events — data bytes never move. Readers mask, rewrites
+  * purge, time travel and the change feed stay exact. */
+class ArrowDvSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  /** A 100-row logged DV-enabled table: (id, tag), 2 files. */
+  private def fixture(prefix: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(prefix).toString
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    dir
+  }
+
+  private def dataFiles(dir: String): Map[String, Long] =
+    ArrowDataSource.listIpcFiles(dir)
+      .map(p => p.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("MoR DELETE masks rows without moving a data byte; deletes " +
+      "accumulate into ONE cumulative vector per file") {
+    val dir = fixture("dv_basic")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val before = dataFiles(dir)
+    // predicates must be source-Filter-expressible to route through
+    // SupportsDelete (arithmetic like `id % 10` falls back to the
+    // row-level CoW path by Spark's own planning)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id > 90")
+    assert(dataFiles(dir) == before,
+      "merge-on-read DELETE must not write or touch any data file")
+    val t = spark.read.format("arrow").load(dir)
+    assert(t.count() == 90)
+    assert(t.filter(col("id") > 90).count() == 0)
+    val dv1 = ArrowDataSource.liveDvs(root, None)
+    assert(dv1.nonEmpty, "no dv events committed")
+    assert(dv1.values.map(_._2).sum == 10L)
+
+    // second delete: vectors are cumulative, one entry per file
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 15 OR tag = 'v42'")
+    val t2 = spark.read.format("arrow").load(dir)
+    assert(t2.count() == 74) // 90 - 15 - 1
+    assert(dataFiles(dir) == before)
+    val dv2 = ArrowDataSource.liveDvs(root, None)
+    assert(dv2.values.map(_._2).sum == 26L,
+      s"cumulative masked count wrong: ${dv2.values.map(_._2).sum}")
+    assert(dv2.size <= 2, "one live vector per file, replaced not stacked")
+  }
+
+  test("a file whose every row ends masked commits a REMOVE, not a " +
+      "vector; partition-only deletes stay metadata-only") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dv_allmask").toString
+    (1 to 60).map(i => (i.toLong, s"p${i % 2}", s"v$i"))
+      .toDF("id", "part", "tag")
+      .write.format("arrow").partitionBy("part")
+      .option("optimizeWrite", "true").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    val visBefore = ArrowDataSource.visibleIpcFiles(dir).size
+    // every row of partition p1 matches a DATA predicate → the p1
+    // file is fully masked → plain remove event
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id % 2 = 1")
+    assert(spark.read.format("arrow").load(dir).count() == 30)
+    assert(ArrowDataSource.visibleIpcFiles(dir).size < visBefore,
+      "fully-masked file must leave the visible set")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    assert(ArrowDataSource.liveDvs(root, None).isEmpty,
+      "a removed file must not keep a vector")
+    // partition-only predicate: metadata delete path, no vectors
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE part = 'p0'")
+    assert(spark.read.format("arrow").load(dir).count() == 0)
+    assert(ArrowDataSource.liveDvs(root, None).isEmpty)
+  }
+
+  test("VERSION AS OF applies the vector live at that epoch") {
+    val dir = fixture("dv_travel")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val e0 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 20")
+    val e1 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 40")
+    assert(spark.read.format("arrow").load(dir).count() == 60)
+    assert(spark.read.format("arrow")
+      .option("epochAsOf", e0).load(dir).count() == 100,
+      "pre-delete version must read unmasked")
+    assert(spark.read.format("arrow")
+      .option("epochAsOf", e1).load(dir).count() == 80,
+      "mid-history version must apply that epoch's vector, not the " +
+        "latest")
+  }
+
+  test("CoW UPDATE on a vectored file does not resurrect masked rows " +
+      "and purges the replaced file's vector") {
+    val dir = fixture("dv_cow")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'u' WHERE id = 40")
+    val t = spark.read.format("arrow").load(dir)
+    assert(t.count() == 70, "UPDATE resurrected masked rows")
+    assert(t.filter(col("id") <= 30).count() == 0)
+    assert(t.filter(col("tag") === "u").count() == 1)
+    // the rewritten file is clean; only untouched files keep vectors
+    val dvs = ArrowDataSource.liveDvs(root, None)
+    val live = ArrowDataSource.visibleIpcFiles(dir)
+      .map(p => root.relativize(p.toAbsolutePath.normalize).toString)
+      .toSet
+    assert(dvs.keySet.subsetOf(live),
+      "a replaced file's vector must die with the file")
+  }
+
+  test("footer-stat pushdowns refuse on vectored tables: COUNT comes " +
+      "back exact from a real (masked) scan") {
+    val dir = fixture("dv_pushdown")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 10")
+    val before = ArrowDataSource.recordBatchesLoaded.get()
+    val n = spark.read.format("arrow").load(dir)
+      .agg(count(lit(1))).collect()(0).getLong(0)
+    assert(n == 90, s"COUNT over a vectored table returned $n")
+    assert(ArrowDataSource.recordBatchesLoaded.get() > before,
+      "COUNT answered from footer stats — masked rows overcounted")
+    // LIMIT still exact (pushdown refused, plain scan + Spark limit)
+    assert(spark.read.format("arrow").load(dir).limit(95).count() == 90)
+  }
+
+  test("batch change feed and between() are ROW-exact across vector " +
+      "epochs") {
+    val dir = fixture("dv_cdf")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val e0 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 20")
+    val e1 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    val e2 = ArrowDataSource.latestCommittedEpoch(root)
+    // between: first window deletes ids 1..20, second 21..30
+    val d1 = ArrowChanges.between(spark, dir, e0, e1)
+    assert(d1.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+      .count() == 20)
+    assert(d1.filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+      .count() == 0)
+    val d2 = ArrowChanges.between(spark, dir, e1, e2)
+    assert(d2.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+      .agg(min(col("id")), max(col("id"))).collect()(0) match {
+      case r => r.getLong(0) == 21L && r.getLong(1) == 30L
+    })
+    // batch readChangeFeed: the dv epochs deliver exactly the newly
+    // masked rows as deletes (dvInvert selection), no carry-over noise
+    val feed = spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", e0 + 1).load(dir)
+    assert(feed.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+      .count() == 30)
+    assert(feed.filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+      .count() == 0)
+    assert(feed.filter(col(ArrowChanges.CommitEpochCol) === e2)
+      .select(col("id")).distinct().count() == 10)
+  }
+
+  test("OPTIMIZE purges vectors (reads through them, removes the " +
+      "vectored generation); vacuum reclaims orphaned sidecars") {
+    val dir = fixture("dv_optimize")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 25")
+    assert(ArrowDataSource.liveDvs(root, None).nonEmpty)
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 1000)").collect()
+    assert(ArrowDataSource.liveDvs(root, None).isEmpty,
+      "compaction must purge deletion vectors")
+    assert(spark.read.format("arrow").load(dir).count() == 75)
+    spark.sql(s"CALL graft.system.vacuum(path => '$dir', " +
+      "grace_ms => 0)").collect()
+    val dvDir = root.resolve(ArrowDataSource.DvDirName)
+    val left =
+      if (!Files.isDirectory(dvDir)) Seq.empty
+      else { val s = Files.list(dvDir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.toVector
+        } finally s.close() }
+    assert(left.isEmpty,
+      s"vacuum left orphaned dv sidecars: $left")
+    assert(spark.read.format("arrow").load(dir).count() == 75)
+  }
+
+  test("restore across vector epochs reinstates the TARGET's masked " +
+      "state — including clearing later vectors") {
+    val dir = fixture("dv_restore")
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val e0 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 20")
+    val e1 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 50")
+    assert(spark.read.format("arrow").load(dir).count() == 50)
+    // back to the mid-history masked state
+    spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+      s"epoch => $e1)").collect()
+    assert(spark.read.format("arrow").load(dir).count() == 80,
+      "restore must reinstate epoch e1's vector")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") <= 20).count() == 0)
+    // back to the pristine state: vectors must CLEAR
+    spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+      s"epoch => $e0)").collect()
+    assert(spark.read.format("arrow").load(dir).count() == 100,
+      "restore to pre-delete must clear every vector")
+  }
+
+  test("a shallow clone of a vectored table borrows the vectors — " +
+      "masked rows stay gone in the clone") {
+    val dir = fixture("dv_clone")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 35")
+    val dst = Files.createTempDirectory("dv_clone_dst").toString
+    Files.delete(Paths.get(dst))
+    spark.sql(s"CALL graft.system.clone(src_path => '$dir', " +
+      s"dst_path => '$dst')").collect()
+    assert(spark.read.format("arrow").load(dst).count() == 65,
+      "clone resurrected the source's masked rows")
+    assert(bagEqual(spark.read.format("arrow").load(dst),
+      spark.read.format("arrow").load(dir)))
+  }
+
+  test("plain streaming source refuses vector epochs (a file-delta " +
+      "stream cannot express row removal)") {
+    val dir = fixture("dv_stream")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 10")
+    val q = spark.readStream.format("arrow").load(dir)
+      .writeStream.format("memory").queryName("dv_stream_sink")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val err = intercept[Exception] {
+      try q.processAllAvailable() finally q.stop()
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(msgs.contains("deletion vector"),
+      s"expected the deletion-vector refusal, got: $msgs")
+  }
+}
