@@ -282,7 +282,11 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
     new ArrowCoWWriterFactory(path, writeSchema, rowSchema,
-      dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols, sortCol)
+      dataIdx, partSchema.fieldNames.toSeq, codec, bloomCols, sortCol,
+      // an UPDATE/MERGE SET could write a violating value: replacement
+      // rows pass the same CHECK gate as any ingest
+      TableConstraints.bound(
+        org.apache.spark.sql.SparkSession.active, path, rowSchema))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     // One atomic swap: the epoch manifest removes every scanned group
@@ -316,18 +320,21 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
 class ArrowCoWWriterFactory(path: String, writeSchema: StructType,
     rowSchema: StructType, dataIdx: Array[Int],
     partitionCols: Seq[String], codec: Option[String],
-    bloomCols: Seq[String], sortCol: Option[String] = None)
+    bloomCols: Seq[String], sortCol: Option[String] = None,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] = {
-    val inner: DataWriter[InternalRow] =
+    val inner: DataWriter[InternalRow] = TableConstraints.enforcing(
       if (partitionCols.isEmpty)
         new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
           taskId, null, Map.empty, bloomCols, sortCol)
       else
         new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
-          partitionId, taskId, partitionCols, 64, bloomCols, sortCol)
+          partitionId, taskId, partitionCols, 64, bloomCols, sortCol),
+      checks)
     if (dataIdx.length == writeSchema.length) inner
     else new DataWriter[InternalRow] { // strip the `_file` passenger
       private val proj = UnsafeProjection.create(dataIdx.map(i =>

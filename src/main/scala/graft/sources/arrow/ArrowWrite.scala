@@ -142,7 +142,9 @@ class ArrowStreamingWrite(path: String, schema: StructType,
       : streaming.StreamingDataWriterFactory = {
     Files.createDirectories(Paths.get(path))
     new ArrowStreamingWriterFactory(path, schema, codec, batchRows,
-      partitionCols, maxOpenWriters, bloomCols)
+      partitionCols, maxOpenWriters, bloomCols,
+      TableConstraints.bound(
+        org.apache.spark.sql.SparkSession.active, path, schema))
   }
 
   override def commit(epochId: Long,
@@ -174,16 +176,20 @@ class ArrowStreamingWrite(path: String, schema: StructType,
 
 class ArrowStreamingWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
-    maxOpenWriters: Int = 64, bloomCols: Seq[String] = Seq.empty)
+    maxOpenWriters: Int = 64, bloomCols: Seq[String] = Seq.empty,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
-    if (partitionCols.isEmpty)
-      new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
-        taskId, null, Map.empty, bloomCols)
-    else
-      new ArrowPartitionedWriter(path, schema, codec, batchRows,
-        partitionId, taskId, partitionCols, maxOpenWriters, bloomCols)
+    TableConstraints.enforcing(
+      if (partitionCols.isEmpty)
+        new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
+          taskId, null, Map.empty, bloomCols)
+      else
+        new ArrowPartitionedWriter(path, schema, codec, batchRows,
+          partitionId, taskId, partitionCols, maxOpenWriters, bloomCols),
+      checks)
 }
 
 /** Task commit payload: the renamed-visible files, plus (aligned by
@@ -261,7 +267,9 @@ class ArrowBatchWrite(path: String, schema: StructType,
           "commit log) or keep appending through writeStream.")
     }
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
-      maxOpenWriters, bucket, bloomCols, sortCol)
+      maxOpenWriters, bucket, bloomCols, sortCol,
+      TableConstraints.bound(
+        org.apache.spark.sql.SparkSession.active, path, schema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -311,11 +319,13 @@ class ArrowWriterFactory(path: String, schema: StructType,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
     bucket: Option[(String, Int)] = None,
     bloomCols: Seq[String] = Seq.empty,
-    sortCol: Option[String] = None)
+    sortCol: Option[String] = None,
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
-    bucket match {
+    TableConstraints.enforcing(bucket match {
       case Some((col, n)) =>
         new ArrowBucketedWriter(path, schema, codec, batchRows,
           partitionId, taskId, col, n, bloomCols, sortCol)
@@ -326,7 +336,7 @@ class ArrowWriterFactory(path: String, schema: StructType,
         new ArrowPartitionedWriter(path, schema, codec, batchRows,
           partitionId, taskId, partitionCols, maxOpenWriters, bloomCols,
           sortCol)
-    }
+    }, checks)
 }
 
 /** Bucketed layout: each row routes to the sub-file of

@@ -479,6 +479,68 @@ object GraftProcedures {
     }
   }
 
+  val AddConstraint: UnboundProcedure = new SimpleProcedure(
+    "add_constraint",
+    "add a named CHECK constraint (boolean SQL over table columns) to " +
+      "a logged table: every future write — batch, streaming epoch, " +
+      "UPDATE/MERGE replacement — evaluates it per row and a " +
+      "violation aborts the job before its epoch commits. By default " +
+      "existing rows are validated first (Delta's contract); " +
+      "validate => false skips the scan") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("expr", StringType).build(),
+      ProcedureParameter.in("validate", BooleanType)
+        .defaultValue("true").build())
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val sql = input.getUTF8String(2).toString
+      ArrowDataSource.initTableLog(path)
+      TableConstraints.add(SparkSession.active, path, name, sql,
+        input.getBoolean(3))
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(name), utf8(sql)))))
+    }
+  }
+
+  val DropConstraint: UnboundProcedure = new SimpleProcedure(
+    "drop_constraint",
+    "remove a named CHECK constraint; future writes stop checking it") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    private val out = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dropped = TableConstraints.drop(
+        input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        java.lang.Boolean.valueOf(dropped)))))
+    }
+  }
+
+  val ShowConstraints: UnboundProcedure = new SimpleProcedure(
+    "show_constraints",
+    "list a table's CHECK constraints (name, boolean SQL expression)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val rows = TableConstraints
+        .list(input.getUTF8String(0).toString)
+        .map { case (n, e) => new GenericInternalRow(
+          Array[Any](utf8(n), utf8(e))): InternalRow }
+      result(out, rows.toArray)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "vacuum" -> Vacuum,
     "compact" -> Compact,
@@ -487,5 +549,8 @@ object GraftProcedures {
     "history" -> History,
     "restore" -> Restore,
     "clone" -> Clone,
-    "set_dv" -> SetDv)
+    "set_dv" -> SetDv,
+    "add_constraint" -> AddConstraint,
+    "drop_constraint" -> DropConstraint,
+    "show_constraints" -> ShowConstraints)
 }

@@ -1,0 +1,169 @@
+package graft.sources.arrow
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Expression, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LocalRelation}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.connector.write.DataWriter
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{BooleanType, StructType}
+
+/** Write-time CHECK constraints (Delta's `ADD CONSTRAINT` shape): a
+  * logged table carries named boolean SQL expressions in
+  * `_graft_metadata/_constraints`, and EVERY writer — batch append,
+  * overwrite, streaming sink epoch, copy-on-write UPDATE/MERGE
+  * replacement — evaluates them per row before a byte lands. A
+  * violation fails the TASK, which fails the JOB before its epoch
+  * commits: the table never exposes a violating row (ingest-time data
+  * quality gates, enforced at the storage layer where a 1000-executor
+  * pipeline cannot bypass them).
+  *
+  * SQL CHECK semantics: a row passes when the expression is TRUE or
+  * NULL (unknown passes — `amount > 0` admits NULL amounts; add
+  * `amount IS NOT NULL` to forbid them).
+  *
+  * Constraints are resolved against the write schema at plan time
+  * (driver) and shipped to tasks as bound Catalyst expressions;
+  * evaluation is a codegen'd predicate per task, so enforcement cost
+  * is one branch per row per constraint. */
+object TableConstraints {
+
+  val FileName = "_constraints"
+
+  private def file(dir: String): Path =
+    Paths.get(dir).toAbsolutePath.normalize
+      .resolve(ArrowDataSource.MetadataDirName).resolve(FileName)
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder
+      .encodeToString(s.getBytes(StandardCharsets.UTF_8))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      StandardCharsets.UTF_8)
+
+  /** Named constraints of the table, empty when none (or not logged). */
+  def list(dir: String): Seq[(String, String)] = {
+    val f = file(dir)
+    if (!Files.exists(f)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(f).asScala.toSeq.flatMap { l =>
+        l.split('\t') match {
+          case Array(n, e) => Some((n, unb64(e)))
+          case _ => None
+        }
+      }
+    }
+  }
+
+  private def writeAll(dir: String,
+      constraints: Seq[(String, String)]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val f = file(dir)
+    val tmp = f.resolveSibling(FileName + ".inprogress")
+    Files.write(tmp,
+      constraints.map { case (n, e) => s"$n\t${b64(e)}" }.asJava)
+    Files.move(tmp, f, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Parse + resolve `sql` against `schema`, returning the BOUND
+    * boolean expression. Fails fast on unknown columns, non-boolean
+    * type, or non-deterministic expressions. */
+  def resolve(spark: SparkSession, sql: String,
+      schema: StructType): Expression = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val rel = LocalRelation(DataTypeUtils.toAttributes(schema))
+    val analyzed = spark.sessionState.executePlan(LFilter(parsed, rel))
+      .analyzed
+    val cond = analyzed.collectFirst { case LFilter(c, _) => c }
+      .getOrElse(throw new IllegalArgumentException(
+        s"constraint: cannot resolve '$sql'"))
+    require(cond.dataType == BooleanType,
+      s"constraint '$sql' is ${cond.dataType.simpleString}, not boolean")
+    require(cond.deterministic,
+      s"constraint '$sql' is non-deterministic — a retry could " +
+        "admit what the first attempt rejected")
+    BindReferences.bindReference(cond, rel.output)
+  }
+
+  /** Add a named constraint. `validate` (default) scans the CURRENT
+    * table first and refuses if any existing row violates — Delta's
+    * contract: a constraint only ever holds over the whole table. */
+  def add(spark: SparkSession, dir: String, name: String, sql: String,
+      validate: Boolean = true): Unit = {
+    require(ArrowDataSource.isTableLog(dir),
+      s"add_constraint: $dir is not a logged table")
+    require(name.nonEmpty && !name.contains('\t'))
+    val existing = list(dir)
+    require(!existing.exists(_._1 == name),
+      s"add_constraint: '$name' already exists on $dir " +
+        s"(${existing.toMap.get(name).getOrElse("")})")
+    val schema = spark.read.format("arrow").load(dir).schema
+    resolve(spark, sql, schema) // fail fast on a malformed expression
+    if (validate) {
+      import org.apache.spark.sql.functions.{expr, not}
+      val bad = spark.read.format("arrow").load(dir)
+        .filter(not(expr(sql) <=> true)).limit(1).count()
+      require(bad == 0L,
+        s"add_constraint: existing rows of $dir violate '$sql' — " +
+          "clean the data first or add with validate => false")
+    }
+    writeAll(dir, existing :+ ((name, sql)))
+  }
+
+  def drop(dir: String, name: String): Boolean = {
+    val existing = list(dir)
+    val kept = existing.filterNot(_._1 == name)
+    if (kept.length == existing.length) false
+    else { writeAll(dir, kept); true }
+  }
+
+  /** The table's constraints bound against `writeSchema`, for writer
+    * enforcement. A constraint referencing a column the write does not
+    * carry fails the write up front (the row could not be checked). */
+  def bound(spark: SparkSession, dir: String,
+      writeSchema: StructType): Seq[(String, Expression)] =
+    list(dir).map { case (n, sql) =>
+      try (n, resolve(spark, sql, writeSchema))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"constraint '$n' ($sql) cannot be checked against write " +
+            s"schema ${writeSchema.simpleString}: ${e.getMessage}", e)
+      }
+    }
+
+  /** Per-row enforcement decorator over any DataWriter: evaluates each
+    * bound constraint (codegen'd predicate, created task-side) and
+    * fails the task on the first FALSE — job abort, nothing commits. */
+  def enforcing(under: DataWriter[InternalRow],
+      checks: Seq[(String, Expression)]): DataWriter[InternalRow] =
+    if (checks.isEmpty) under
+    else new DataWriter[InternalRow] {
+      // SQL CHECK three-valued semantics via `expr <=> false`: the
+      // codegen'd predicate is TRUE exactly when the constraint is
+      // FALSE (TRUE and NULL both pass)
+      private val preds = checks.map { case (n, e) =>
+        (n, CatalystPredicate.create(
+          org.apache.spark.sql.catalyst.expressions.EqualNullSafe(e,
+            org.apache.spark.sql.catalyst.expressions.Literal(false,
+              BooleanType))))
+      }
+      override def write(row: InternalRow): Unit = {
+        preds.foreach { case (n, p) =>
+          if (p.eval(row))
+            throw new IllegalArgumentException(
+              s"CHECK constraint '$n' violated by row $row — the " +
+                "write is aborted, no epoch commits")
+        }
+        under.write(row)
+      }
+      override def commit(): org.apache.spark.sql.connector.write
+        .WriterCommitMessage = under.commit()
+      override def abort(): Unit = under.abort()
+      override def close(): Unit = under.close()
+    }
+}

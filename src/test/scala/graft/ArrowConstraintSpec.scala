@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog, TableConstraints}
+
+/** Write-time CHECK constraints (`add_constraint`): every writer path
+  * — batch append, UPDATE/MERGE replacement, streaming sink — gates
+  * rows before a byte lands, a violation aborts BEFORE the epoch
+  * commits (atomic: no partial batch becomes visible), and SQL CHECK
+  * three-valued semantics hold (NULL passes). */
+class ArrowConstraintSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def fixture(prefix: String): String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory(prefix).toString
+    (1 to 50).map(i => (i.toLong, i * 10L)).toDF("id", "amount")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    dir
+  }
+
+  test("a violating batch append aborts ATOMICALLY before its epoch " +
+      "commits; valid appends pass; NULL passes (SQL CHECK)") {
+    import spark.implicits._
+    val dir = fixture("con_basic")
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'amount_pos', expr => 'amount > 0')").collect()
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val epochBefore = ArrowDataSource.latestCommittedEpoch(root)
+
+    // valid rows + a NULL (unknown passes, SQL CHECK semantics)
+    Seq((100L, Some(5L)), (101L, None: Option[Long]))
+      .toDF("id", "amount")
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 52)
+
+    // a batch with one violating row: NOTHING of it may land
+    val err = intercept[Exception] {
+      Seq((200L, 7L), (201L, -3L), (202L, 9L)).toDF("id", "amount")
+        .write.format("arrow").mode("append").save(dir)
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("amount_pos"), s"wrong failure: $msgs")
+    assert(spark.read.format("arrow").load(dir).count() == 52,
+      "a violating batch leaked rows — the abort was not atomic")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") >= 200).count() == 0)
+    assert(ArrowDataSource.latestCommittedEpoch(root) == epochBefore + 1,
+      "the failed write must not burn a committed epoch beyond the " +
+        "valid append")
+  }
+
+  test("UPDATE SET through the CoW path is gated; DELETE is not " +
+      "(removing rows cannot violate a CHECK)") {
+    val dir = fixture("con_update")
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'amount_pos', expr => 'amount > 0')").collect()
+    val err = intercept[Exception] {
+      spark.sql(s"UPDATE graft.arrow.`$dir` SET amount = -1 " +
+        "WHERE id <= 5")
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("amount_pos"), s"wrong failure: $msgs")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("amount") < 0).count() == 0,
+      "violating UPDATE leaked")
+    assert(spark.read.format("arrow").load(dir).count() == 50)
+    // legal UPDATE and DELETE still work
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET amount = 999 WHERE id = 1")
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id = 2")
+    assert(spark.read.format("arrow").load(dir).count() == 49)
+  }
+
+  test("add_constraint validates EXISTING rows by default and " +
+      "refuses; validate => false skips; drop re-opens the gate") {
+    import spark.implicits._
+    val dir = fixture("con_validate")
+    val err = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+        "name => 'small', expr => 'amount < 100')").collect()
+    }
+    assert(Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString
+      .contains("existing rows"))
+    assert(TableConstraints.list(dir).isEmpty)
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'small', expr => 'amount < 100', " +
+      "validate => false)").collect()
+    assert(TableConstraints.list(dir) == Seq(("small", "amount < 100")))
+    // enforced going forward
+    intercept[Exception] {
+      Seq((300L, 500L)).toDF("id", "amount")
+        .write.format("arrow").mode("append").save(dir)
+    }
+    spark.sql(s"CALL graft.system.drop_constraint(path => '$dir', " +
+      "name => 'small')").collect()
+    Seq((300L, 500L)).toDF("id", "amount")
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 51)
+    assert(spark.sql(s"CALL graft.system.show_constraints(" +
+      s"path => '$dir')").count() == 0)
+  }
+
+  test("malformed, non-boolean, unknown-column, and duplicate " +
+      "constraints refuse at definition time") {
+    val dir = fixture("con_bad")
+    def addFails(name: String, e: String): Unit = {
+      val err = intercept[Exception] {
+        spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+          s"name => '$name', expr => '$e')").collect()
+      }
+      assert(err != null)
+      ()
+    }
+    addFails("bad_col", "nope > 0")
+    addFails("not_bool", "amount + 1")
+    addFails("not_det", "rand() > 0.5")
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'ok', expr => 'id >= 1')").collect()
+    addFails("ok", "id >= 1") // duplicate name
+    assert(TableConstraints.list(dir).map(_._1) == Seq("ok"))
+  }
+
+  test("the streaming sink enforces per epoch: a violating micro-batch " +
+      "fails its epoch and commits nothing") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("con_stream_src").toString
+    val dst = Files.createTempDirectory("con_stream_dst").toString
+    val ckpt = Files.createTempDirectory("con_stream_ckpt").toString
+    // sink dir must exist as a logged... streaming sink: constraints
+    // attach to the sink's metadata dir after the first epoch — create
+    // the constraint file up front via a tiny pre-seeded sink
+    (1 to 1).map(i => (1L, 1L)).toDF("id", "amount").coalesce(1)
+      .write.format("arrow").mode("append").save(dst)
+    ArrowDataSource.initTableLog(dst)
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dst', " +
+      "name => 'amount_pos', expr => 'amount > 0')").collect()
+    // constraints live in table-log metadata; streaming into a table
+    // log refuses by design, so enforcement rides the BATCH appends of
+    // foreachBatch — the streaming-pipeline shape that composes with
+    // the epoch protocol
+    (2 to 4).map(i => (i.toLong, i * 1L)).toDF("id", "amount")
+      .coalesce(1).write.format("arrow").mode("overwrite")
+      .save(src)
+    val q = spark.readStream.format("arrow").load(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.format("arrow").mode("append").save(dst)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.read.format("arrow").load(dst).count() == 4)
+    // now poison the source; the epoch must fail and commit nothing
+    Seq((9L, -5L)).toDF("id", "amount").coalesce(1)
+      .write.format("arrow").mode("append").save(src)
+    val q2 = spark.readStream.format("arrow").load(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.format("arrow").mode("append").save(dst)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    intercept[Exception] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    assert(spark.read.format("arrow").load(dst).count() == 4,
+      "violating micro-batch leaked into the sink")
+  }
+}

@@ -240,6 +240,39 @@ class ArrowDvSpec extends AnyFunSuite {
       spark.read.format("arrow").load(dir)))
   }
 
+  test("CDC replication and incremental views ride vector epochs " +
+      "exactly (the feed's dv deletes are row-exact)") {
+    import spark.implicits._
+    val src = fixture("dv_repl_src")
+    val dst = Files.createTempDirectory("dv_repl_dst").toString
+    val view = Files.createTempDirectory("dv_repl_view").toString
+    val ckptR = Files.createTempDirectory("dv_repl_ck1").toString
+    val ckptV = Files.createTempDirectory("dv_repl_ck2").toString
+    (1 to 1).map(i => (i.toLong, "x")).toDF("id", "tag").limit(0)
+      .coalesce(1).write.format("arrow").mode("overwrite").save(dst)
+    // snapshot + a MoR delete epoch + a CoW update epoch
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id <= 20")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET tag = 'u' WHERE id = 50")
+    val q = graft.streaming.ChangeReplication.replicate(spark, src, dst,
+      keyCols = Seq("id"), checkpoint = ckptR)
+    try q.processAllAvailable() finally q.stop()
+    assert(bagEqual(spark.read.format("arrow").load(dst)
+      .select(col("id"), col("tag")),
+      spark.read.format("arrow").load(src).select(col("id"), col("tag"))),
+      "replica diverged across a deletion-vector epoch")
+
+    val q2 = graft.streaming.IncrementalView.maintain(spark, src, view,
+      groupCols = Seq("tag"), sums = Seq(("id", "sum_id")),
+      checkpoint = ckptV)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(bagEqual(
+      spark.read.format("arrow").load(view)
+        .select(col("tag"), col("n"), col("sum_id")),
+      spark.read.format("arrow").load(src).groupBy(col("tag"))
+        .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"))),
+      "incremental view diverged across a deletion-vector epoch")
+  }
+
   test("plain streaming source refuses vector epochs (a file-delta " +
       "stream cannot express row removal)") {
     val dir = fixture("dv_stream")
