@@ -251,8 +251,41 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(options.get("ignoreChanges")).exists(_.toBoolean),
       explicitFiles,
       Option(options.get("readChangeFeed")).exists(_.toBoolean),
-      Option(options.get("startingEpoch")).map(_.toLong),
-      Option(options.get("endingEpoch")).map(_.toLong))
+      resolveFeedBound(path, options, "startingEpoch",
+        "startingTimestamp", ceiling = true),
+      resolveFeedBound(path, options, "endingEpoch",
+        "endingTimestamp", ceiling = false))
+  }
+
+  /** Change-feed window bound: epoch option wins; the timestamp twin
+    * (Delta CDF's startingTimestamp/endingTimestamp) resolves through
+    * commit stamps — a STARTING bound takes the first epoch committed
+    * AT OR AFTER the instant (ceiling), an ENDING bound the last epoch
+    * AT OR BEFORE it (floor, `TIMESTAMP AS OF` semantics). */
+  private def resolveFeedBound(path: String,
+      options: CaseInsensitiveStringMap, epochKey: String,
+      tsKey: String, ceiling: Boolean): Option[Long] = {
+    val byEpoch = Option(options.get(epochKey)).map(_.toLong)
+    val byTs = Option(options.get(tsKey))
+      .map(ArrowDataSource.parseTravelTimestamp)
+    require(byEpoch.isEmpty || byTs.isEmpty,
+      s"arrow readChangeFeed: specify either $epochKey or $tsKey, " +
+        "not both")
+    byEpoch.orElse(byTs.map { ms =>
+      val root = Paths.get(path).toAbsolutePath.normalize
+      if (!ceiling) ArrowDataSource.epochForTimestamp(root, ms)
+      else {
+        val stamps = ArrowDataSource.epochTimestamps(root).toSeq
+          .sortBy(_._1)
+        require(stamps.nonEmpty,
+          s"arrow readChangeFeed: $path carries no commit log to " +
+            "resolve a timestamp against")
+        stamps.find(_._2 >= ms).map(_._1).getOrElse(
+          // after the last commit: an empty window starting past the
+          // log's head (Delta returns no changes, not an error)
+          stamps.last._1 + 1)
+      }
+    })
   }
 
   /** DELETE, two-tier. A predicate over partition columns only selects

@@ -301,3 +301,94 @@ object ArrowOptimize {
     }
   }
 }
+
+/** Post-commit auto-compaction (Delta's Auto Compaction): once opted
+  * in (`CALL graft.system.set_auto_compact(path, min_files,
+  * target_rows)`), every BATCH epoch commit on the logged table checks
+  * — from footer statistics only — whether at least `min_files`
+  * visible files hold fewer than `target_rows / 2` rows, and if so
+  * folds JUST those splinters into target-sized files as one
+  * data-neutral maintenance epoch. Streaming-style small-batch ingest
+  * then self-heals: the table converges to target-sized files without
+  * a scheduler ever calling OPTIMIZE, and the rewrite reads only the
+  * splinters (never the healthy files). The maintenance epoch is
+  * marked data-neutral, so change-feed consumers see none of its
+  * churn. Cost guard: the trigger decision is a metadata pass; the
+  * rewrite is bounded by the splinter bytes. */
+object AutoCompact {
+  val MarkerName = "_auto_compact"
+
+  private def marker(dir: String): java.nio.file.Path =
+    Paths.get(dir).toAbsolutePath.normalize
+      .resolve(ArrowDataSource.MetadataDirName).resolve(MarkerName)
+
+  def configure(dir: String, minFiles: Int, targetRows: Long): Unit = {
+    require(ArrowDataSource.isTableLog(dir),
+      s"auto_compact: $dir is not a logged table")
+    require(minFiles >= 2 && targetRows >= 2,
+      s"auto_compact needs min_files >= 2 and target_rows >= 2")
+    val tmp = marker(dir).resolveSibling(MarkerName + ".inprogress")
+    Files.write(tmp, java.util.List.of(s"$minFiles\t$targetRows"))
+    Files.move(tmp, marker(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def disable(dir: String): Unit = {
+    Files.deleteIfExists(marker(dir)); ()
+  }
+
+  def config(dir: String): Option[(Int, Long)] =
+    if (!Files.exists(marker(dir))) None
+    else Files.readAllLines(marker(dir)).asScala.headOption
+      .flatMap(_.split('\t') match {
+        case Array(m, t) => Some((m.toInt, t.toLong))
+        case _ => None
+      })
+
+  /** Post-commit hook: compact the splinter set if the threshold is
+    * met. Never throws into the caller's commit — compaction failure
+    * must not fail the write that triggered it (the data is already
+    * durably committed; the next commit retries). */
+  def maybe(spark: SparkSession, path: String): Unit =
+    try {
+      config(path).foreach { case (minFiles, targetRows) =>
+        val root = Paths.get(path).toAbsolutePath.normalize
+        val idx = FooterIndexFile.load(root)
+        def rowsOf(f: java.nio.file.Path): Option[Long] = {
+          val rel = scala.util.Try(
+            root.relativize(f.toAbsolutePath.normalize).toString).toOption
+          val info = rel.flatMap(r => idx.flatMap(_.infoOf(r)))
+            .getOrElse(ArrowDataSource.footerInfo(f))
+          info.rowStats.filter(_.batches.length == info.sizes.length)
+            .map(_.batches.map(_._1).sum)
+        }
+        // deletion-vectored files are skipped: their live row count is
+        // smaller than the footer's and a rewrite here would need the
+        // mask — OPTIMIZE handles those explicitly
+        val dvRels = ArrowDataSource.liveDvs(root, None).keySet
+        val small = ArrowDataSource.visibleIpcFiles(path)
+          .filterNot(f => scala.util.Try(root.relativize(
+            f.toAbsolutePath.normalize).toString).toOption
+            .exists(dvRels))
+          .flatMap(f => rowsOf(f).filter(_ < targetRows / 2)
+            .map(n => (f, n)))
+        if (small.length >= minFiles) {
+          val files = small.map(_._1)
+          val totalRows = small.map(_._2).sum
+          val nOut = math.max(1L,
+            (totalRows + targetRows - 1) / targetRows).toInt
+          val schema = org.apache.spark.sql.SparkSession.active
+            .read.format("arrow").load(path).schema
+          val partCols = ArrowDataSource.discoverPartitionSchema(path)
+            .fieldNames.toSeq
+          val df = spark.read.format("arrow").schema(schema)
+            .option("files", files.map(f => root.relativize(
+              f.toAbsolutePath.normalize).toString).mkString(","))
+            .load(path)
+          GraftProcedures.loggedRewrite(path, files, partCols)(
+            df.repartition(nOut))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+}

@@ -479,6 +479,36 @@ object GraftProcedures {
     }
   }
 
+  val SetAutoCompact: UnboundProcedure = new SimpleProcedure(
+    "set_auto_compact",
+    "post-commit auto-compaction (Delta's Auto Compaction): after " +
+      "every batch epoch commit, if at least min_files visible files " +
+      "hold fewer than target_rows/2 rows (footer stats only), fold " +
+      "JUST those splinters into target-sized files as one " +
+      "data-neutral maintenance epoch; enabled => false turns it off") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("min_files", LongType)
+        .defaultValue("8").build(),
+      ProcedureParameter.in("target_rows", LongType)
+        .defaultValue("1048576").build(),
+      ProcedureParameter.in("enabled", BooleanType)
+        .defaultValue("true").build())
+    private val out = StructType(Seq(
+      StructField("enabled", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val on = input.getBoolean(3)
+      if (on) {
+        ArrowDataSource.initTableLog(path)
+        AutoCompact.configure(path, input.getLong(1).toInt,
+          input.getLong(2))
+      } else AutoCompact.disable(path)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        java.lang.Boolean.valueOf(on)))))
+    }
+  }
+
   val AddConstraint: UnboundProcedure = new SimpleProcedure(
     "add_constraint",
     "add a named CHECK constraint (boolean SQL over table columns) to " +
@@ -550,6 +580,7 @@ object GraftProcedures {
     "restore" -> Restore,
     "clone" -> Clone,
     "set_dv" -> SetDv,
+    "set_auto_compact" -> SetAutoCompact,
     "add_constraint" -> AddConstraint,
     "drop_constraint" -> DropConstraint,
     "show_constraints" -> ShowConstraints)

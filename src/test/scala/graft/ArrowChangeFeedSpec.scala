@@ -300,4 +300,47 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
         .exists(t => Option(t.getMessage).exists(_.contains("out of range"))),
       s"unexpected failure: $bad")
   }
+
+  test("timestamp window bounds: startingTimestamp takes the first " +
+      "epoch at-or-after, endingTimestamp the last at-or-before; a " +
+      "start past the log head yields an empty feed") {
+    import spark.implicits._
+    val dir = tableWithHistory()
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val stamps = graft.sources.arrow.ArrowDataSource.epochTimestamps(root)
+    val latest = graft.sources.arrow.ArrowDataSource
+      .latestCommittedEpoch(root)
+    def batchFeedTs(fromTs: Long, toTs: Option[Long] = None): DataFrame = {
+      var r = spark.read.format("arrow")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", fromTs)
+      toTs.foreach(t => r = r.option("endingTimestamp", t))
+      r.load(dir)
+    }
+    // the whole history by timestamps equals the whole history by epochs
+    val byEpoch = spark.read.format("arrow")
+      .option("readChangeFeed", "true").option("startingEpoch", 0L)
+      .load(dir)
+    val byTs = batchFeedTs(stamps(0L))
+    assert(byTs.exceptAll(byEpoch).isEmpty &&
+      byEpoch.exceptAll(byTs).isEmpty,
+      "timestamp-bounded window diverges from epoch-bounded")
+    // a window pinned to epoch 1's commit instant selects exactly it
+    val one = batchFeedTs(stamps(1L), Some(stamps(1L)))
+    assert(one.select(col(graft.sources.arrow.ArrowChanges.CommitEpochCol))
+      .distinct().as[Long].collect().toSeq == Seq(1L))
+    // a start past the last commit = empty feed, not an error
+    assert(batchFeedTs(stamps(latest) + 60000L).count() == 0)
+    // epoch + timestamp for the same bound refuse
+    val both = intercept[Exception] {
+      spark.read.format("arrow")
+        .option("readChangeFeed", "true")
+        .option("startingEpoch", 0L)
+        .option("startingTimestamp", stamps(0L))
+        .load(dir).collect()
+    }
+    assert(Iterator.iterate(both: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
+  }
 }
