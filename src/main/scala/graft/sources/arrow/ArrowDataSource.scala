@@ -199,6 +199,13 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
         org.apache.spark.sql.types.StringType
       override def isNullable: Boolean = false
       override def comment(): String = "file path this row was read from"
+    }, new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = ArrowDataSource.PosMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "stable row ordinal within its file (batch << 32 | offset)"
     })
 
   /** SQL UPDATE / MERGE INTO / residual DELETE — the group-based
@@ -1334,6 +1341,13 @@ object ArrowDataSource {
 
   /** Name of the per-row file-path metadata column. */
   val FileMetaCol = "_file"
+
+  /** Name of the per-row position metadata column: a row's stable
+    * ordinal within its file, encoded `(recordBatchIndex << 32) |
+    * offsetInBatch`. Generated BEFORE deletion-vector masking, so
+    * `(_file, _pos)` is a stable row id across merge-on-read deletes —
+    * the rowId the delta-based row-level operations key on. */
+  val PosMetaCol = "_pos"
 
   /** Process-wide count of IPC footer parses ([[footerInfo]] /
     * [[readFooterSchema]] / [[recordBlockSizes]]) — a test hook:

@@ -1,0 +1,252 @@
+package graft.sources.arrow
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+
+/** DELTA-based (merge-on-read) row-level operations — the
+  * Iceberg-position-delete shape, chosen for `set_dv` tables: instead
+  * of rewriting every file that holds a matched row (the group-based
+  * CoW in [[ArrowRowLevelOperation]]), Spark streams per-row
+  * operations keyed by the stable row id `(_file, _pos)` and the
+  * writer materializes
+  *
+  *   - deletes as DELETION-VECTOR bits (no data byte moves; sort and
+  *     bucket stamps survive because the file's bytes are untouched),
+  *   - updates as delete + insert (`representUpdateAsDeleteAndInsert`),
+  *   - inserts as ordinary appended files through the standard writers
+  *     (partition routing, zone maps, blooms, CHECK constraints).
+  *
+  * One atomic epoch commits the vectors, the removals (files whose
+  * every row ended masked), and the new files together. At 100 TB an
+  * UPDATE touching 0.1% of rows costs the matched rows' scan, kilobyte
+  * vectors, and the new rows' bytes — not a rewrite of every touched
+  * file. */
+class ArrowDeltaOperation(path: String, tableSchema: StructType,
+    cmd: RowLevelOperation.Command)
+    extends ArrowRowLevelOperation(path, tableSchema, cmd)
+    with SupportsDelta {
+
+  override def description(): String =
+    s"graft-arrow-delta-${cmd.toString.toLowerCase} $path"
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(ArrowDataSource.FileMetaCol),
+    Expressions.column(ArrowDataSource.PosMetaCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : DeltaWriteBuilder = {
+    val infos = ArrowDataSource.visibleIpcFiles(path)
+      .map(ArrowDataSource.footerInfo)
+    // DELETE only masks (bucket routing untouched); UPDATE/MERGE
+    // append rows that would bypass bucket routing — refuse those on
+    // bucketed layouts, like the CoW path
+    if (cmd != RowLevelOperation.Command.DELETE &&
+        infos.exists(_.bucket.isDefined))
+      throw new UnsupportedOperationException(
+        s"arrow: $path is a bucketed layout; UPDATE/MERGE inserts " +
+          "would bypass bucket routing. Rewrite via bucketBy " +
+          "overwrite instead.")
+    val op = this
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new DeltaWrite {
+        override def toBatch: DeltaBatchWrite =
+          new ArrowDeltaBatchWrite(op, path, info.schema(), partSchema,
+            infos.headOption.flatMap(_.codec),
+            infos.flatMap(_.blooms.keys).distinct.sorted)
+        override def description(): String =
+          s"graft-arrow-delta-write $path"
+      }
+    }
+  }
+}
+
+/** Task payload: per-file, per-record-batch deleted-ordinal bitmaps
+  * plus the files (and footer stats) the task's inserts landed. */
+case class ArrowDeltaCommitMessage(
+    deletes: Map[String, Map[Int, Array[Byte]]],
+    insertFiles: Seq[String],
+    insertFooters: Seq[String]) extends WriterCommitMessage
+
+class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
+    writeSchema: StructType, partSchema: StructType,
+    codec: Option[String], bloomCols: Seq[String])
+    extends DeltaBatchWrite {
+
+  // the incoming rows may carry row-id / metadata passengers; writers
+  // get only real table columns
+  private val dataIdx: Array[Int] = writeSchema.fields.zipWithIndex
+    .filter { case (f, _) => f.name != ArrowDataSource.FileMetaCol &&
+      f.name != ArrowDataSource.PosMetaCol }.map(_._2)
+  private val rowSchema = StructType(dataIdx.map(writeSchema.fields(_)))
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DeltaWriterFactory =
+    new ArrowDeltaWriterFactory(path, writeSchema, rowSchema, dataIdx,
+      partSchema.fieldNames.toSeq, codec, bloomCols,
+      TableConstraints.bound(
+        org.apache.spark.sql.SparkSession.active, path, rowSchema))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val msgs = messages.collect { case m: ArrowDeltaCommitMessage => m }
+    val adds = msgs.flatMap(_.insertFiles).toSeq
+    // union the tasks' per-file bitmaps
+    val merged = scala.collection.mutable.Map
+      .empty[String, scala.collection.mutable.Map[Int, java.util.BitSet]]
+    msgs.foreach(_.deletes.foreach { case (file, byBatch) =>
+      val acc = merged.getOrElseUpdate(file,
+        scala.collection.mutable.Map.empty)
+      byBatch.foreach { case (b, bytes) =>
+        val bs = java.util.BitSet.valueOf(bytes)
+        acc.get(b) match {
+          case Some(cur) => cur.or(bs)
+          case None => acc(b) = bs
+        }
+      }
+    })
+    val existingDvs = ArrowDataSource.liveDvs(root, None)
+    val removes = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dvs = scala.collection.mutable
+      .ArrayBuffer.empty[(String, String, Long)]
+    merged.toSeq.sortBy(_._1).foreach { case (file, byBatch) =>
+      val f = Paths.get(file)
+      val info = ArrowDataSource.footerInfo(f)
+      val nBatches = info.sizes.length
+      val mask = Array.fill(nBatches)(new java.util.BitSet())
+      val rel = scala.util.Try(
+        root.relativize(f.toAbsolutePath.normalize).toString).getOrElse(
+        throw new IllegalStateException(
+          s"arrow delta write: $file outside table root $root"))
+      existingDvs.get(rel).foreach { case (dvRel, _) =>
+        val old = DeletionVectors.read(root.resolve(dvRel).normalize)
+        require(old.length == nBatches,
+          s"arrow delta write: stale vector for $file")
+        old.zipWithIndex.foreach { case (bs, i) => mask(i).or(bs) }
+      }
+      byBatch.foreach { case (b, bs) =>
+        require(b >= 0 && b < nBatches,
+          s"arrow delta write: batch $b out of range for $file")
+        mask(b).or(bs)
+      }
+      val masked = DeletionVectors.cardinality(mask)
+      val total = info.rowStats
+        .filter(_.batches.length == nBatches)
+        .map(_.batches.map(_._1).sum)
+      if (total.contains(masked)) removes += file
+      else {
+        val dvPath = DeletionVectors.write(root, mask)
+        dvs += ((file, dvPath.toString, masked))
+      }
+    }
+    val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
+      adds, removes.toSeq, dvs = dvs.toSeq)
+    val pairs = adds.zip(msgs.flatMap(_.insertFooters))
+    if (pairs.nonEmpty)
+      FooterIndexFile.appendEpochFragment(path, epoch,
+        ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
+        pairs)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case m: ArrowDeltaCommitMessage =>
+      m.insertFiles.foreach(f =>
+        java.nio.file.Files.deleteIfExists(Paths.get(f)))
+    }
+}
+
+class ArrowDeltaWriterFactory(path: String, writeSchema: StructType,
+    rowSchema: StructType, dataIdx: Array[Int],
+    partitionCols: Seq[String], codec: Option[String],
+    bloomCols: Seq[String],
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)])
+    extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new ArrowDeltaWriter(path, writeSchema, rowSchema, dataIdx,
+      partitionCols, codec, bloomCols, checks, partitionId, taskId)
+}
+
+/** Executor-side delta writer: deletes accumulate as in-memory bitmaps
+  * keyed by `(file, recordBatch)` (bounded by the task's matched rows),
+  * inserts stream through the standard arrow writers. */
+class ArrowDeltaWriter(path: String, writeSchema: StructType,
+    rowSchema: StructType, dataIdx: Array[Int],
+    partitionCols: Seq[String], codec: Option[String],
+    bloomCols: Seq[String],
+    checks: Seq[(String,
+      org.apache.spark.sql.catalyst.expressions.Expression)],
+    partitionId: Int, taskId: Long)
+    extends DeltaWriter[InternalRow] {
+
+  private val deletes = scala.collection.mutable
+    .Map.empty[String, scala.collection.mutable.Map[Int, java.util.BitSet]]
+
+  private var inserter: org.apache.spark.sql.connector.write
+    .DataWriter[InternalRow] = _
+  private lazy val proj = org.apache.spark.sql.catalyst.expressions
+    .UnsafeProjection.create(dataIdx.map(i =>
+      org.apache.spark.sql.catalyst.expressions.BoundReference(i,
+        writeSchema.fields(i).dataType,
+        writeSchema.fields(i).nullable)).toSeq)
+
+  private def insertWriter()
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    if (inserter == null)
+      inserter = TableConstraints.enforcing(
+        if (partitionCols.isEmpty)
+          new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
+            taskId, null, Map.empty, bloomCols)
+        else
+          new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
+            partitionId, taskId, partitionCols, 64, bloomCols),
+        checks)
+    inserter
+  }
+
+  // rowId layout follows ArrowDeltaOperation.rowId: (_file, _pos)
+  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+    val file = id.getUTF8String(0).toString
+    val pos = id.getLong(1)
+    val batch = (pos >>> 32).toInt
+    val off = (pos & 0xFFFFFFFFL).toInt
+    deletes.getOrElseUpdate(file,
+      scala.collection.mutable.Map.empty)
+      .getOrElseUpdate(batch, new java.util.BitSet()).set(off)
+  }
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit =
+    throw new IllegalStateException(
+      "arrow delta writer represents updates as delete+insert")
+
+  override def insert(row: InternalRow): Unit =
+    insertWriter().write(proj(row))
+
+  override def commit(): WriterCommitMessage = {
+    val ins = Option(inserter).map(_.commit())
+    val (files, footers) = ins match {
+      case Some(m: ArrowCommitMessage) => (m.files, m.footers)
+      case Some(other) => throw new IllegalStateException(
+        s"unexpected insert commit $other")
+      case None => (Seq.empty[String], Seq.empty[String])
+    }
+    ArrowDeltaCommitMessage(
+      deletes.view.mapValues(_.view.mapValues(_.toByteArray).toMap)
+        .toMap,
+      files, footers)
+  }
+
+  override def abort(): Unit = {
+    Option(inserter).foreach(_.abort())
+  }
+
+  override def close(): Unit = ()
+}

@@ -61,8 +61,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ArrowRowLevelOperationBuilder(path: String, tableSchema: StructType,
     info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  // `set_dv` tables take the DELTA (merge-on-read) path: deletes
+  // become deletion-vector bits, updates delete+insert — no touched
+  // file rewrites. Everything else keeps group-based copy-on-write.
   override def build(): RowLevelOperation =
-    new ArrowRowLevelOperation(path, tableSchema, info.command)
+    if (ArrowDataSource.dvEnabled(path))
+      new ArrowDeltaOperation(path, tableSchema, info.command)
+    else new ArrowRowLevelOperation(path, tableSchema, info.command)
 }
 
 class ArrowRowLevelOperation(path: String, tableSchema: StructType,

@@ -157,6 +157,10 @@ class ArrowScanBuilder(path: String, schema: StructType,
       (if (requested(ArrowDataSource.FileMetaCol))
         Seq(StructField(ArrowDataSource.FileMetaCol,
           org.apache.spark.sql.types.StringType, nullable = false))
+      else Seq.empty) ++
+      (if (requested(ArrowDataSource.PosMetaCol))
+        Seq(StructField(ArrowDataSource.PosMetaCol,
+          org.apache.spark.sql.types.LongType, nullable = false))
       else Seq.empty)
     readSchema = StructType(cols)
   }
@@ -1102,6 +1106,7 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       partIdx.get(n) match {
         case Some(pi) => Right(pi)
         case None if n == ArrowDataSource.FileMetaCol => Left(-2)
+        case None if n == ArrowDataSource.PosMetaCol => Left(-5)
         // change-feed constants — only for CDF splits (changeType set),
         // so a user column literally named _change_type in an ordinary
         // file still resolves from the file below
@@ -1194,6 +1199,11 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
               org.apache.spark.sql.types.LongType)
           cv.setLong(partition.commitEpoch)
           cv: ColumnVector
+        case (Left(-5), _) => // `_pos`: stable in-file row ordinal,
+          // generated BEFORE any deletion-vector selection (the
+          // SelectedVector wrapper below remaps it like any column, so
+          // a masked file's surviving rows keep their ORIGINAL ids)
+          new PositionVector(currentBlockIdx): ColumnVector
         case (Left(-1), fi) => // column absent from this file: all null
           val cv = new org.apache.spark.sql.execution.vectorized
             .ConstantColumnVector(root.getRowCount,
@@ -1239,6 +1249,37 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
   def closeAll(): Unit = {
     reader.close(); channel.close()
   }
+}
+
+/** The `_pos` metadata vector: row `i` of record batch `blockIdx`
+  * reads `(blockIdx << 32) | i` — a stable, deletion-vector-immune
+  * row ordinal within the file. */
+private[arrow] final class PositionVector(blockIdx: Int)
+    extends ColumnVector(org.apache.spark.sql.types.LongType) {
+  private val base = blockIdx.toLong << 32
+  override def hasNull: Boolean = false
+  override def numNulls: Int = 0
+  override def isNullAt(i: Int): Boolean = false
+  override def getLong(i: Int): Long = base | i.toLong
+  override def close(): Unit = ()
+  private def unsupported = throw new UnsupportedOperationException(
+    "_pos is long-typed")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = unsupported
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
+  override def getChild(ordinal: Int): ColumnVector = unsupported
 }
 
 /** A column vector viewed through a selection: logical row `i` reads

@@ -79,7 +79,14 @@ object TableConstraints {
     val rel = LocalRelation(DataTypeUtils.toAttributes(schema))
     val analyzed = spark.sessionState.executePlan(LFilter(parsed, rel))
       .analyzed
-    val cond = analyzed.collectFirst { case LFilter(c, _) => c }
+    // sugar forms (BETWEEN, ILIKE, ...) analyze to RuntimeReplaceable
+    // nodes whose replacements carry `With` common-subexpression
+    // wrappers — neither evaluates interpreted. The optimizer's
+    // finish-analysis pair folds both away without touching semantics.
+    val rewritten = org.apache.spark.sql.catalyst.optimizer
+      .RewriteWithExpression(org.apache.spark.sql.catalyst.optimizer
+        .ReplaceExpressions(analyzed))
+    val cond = rewritten.collectFirst { case LFilter(c, _) => c }
       .getOrElse(throw new IllegalArgumentException(
         s"constraint: cannot resolve '$sql'"))
     require(cond.dataType == BooleanType,

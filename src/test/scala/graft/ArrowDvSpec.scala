@@ -111,23 +111,31 @@ class ArrowDvSpec extends AnyFunSuite {
         "latest")
   }
 
-  test("CoW UPDATE on a vectored file does not resurrect masked rows " +
-      "and purges the replaced file's vector") {
+  test("UPDATE on a vectored table goes MERGE-ON-READ: the old row " +
+      "masks, the new row appends, NO data file rewrites") {
     val dir = fixture("dv_cow")
     val root = Paths.get(dir).toAbsolutePath.normalize
     spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    val before = dataFiles(dir)
     spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'u' WHERE id = 40")
     val t = spark.read.format("arrow").load(dir)
     assert(t.count() == 70, "UPDATE resurrected masked rows")
     assert(t.filter(col("id") <= 30).count() == 0)
     assert(t.filter(col("tag") === "u").count() == 1)
-    // the rewritten file is clean; only untouched files keep vectors
+    assert(t.filter(col("id") === 40).count() == 1,
+      "the updated row's old version must be masked")
+    // delta semantics: every pre-existing data file is byte-untouched;
+    // exactly the new row's file appended
+    val after = dataFiles(dir)
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "merge-on-read UPDATE rewrote a data file")
+    assert(after.size == before.size + 1,
+      s"expected ONE appended file, got ${after.size - before.size}")
     val dvs = ArrowDataSource.liveDvs(root, None)
     val live = ArrowDataSource.visibleIpcFiles(dir)
       .map(p => root.relativize(p.toAbsolutePath.normalize).toString)
       .toSet
-    assert(dvs.keySet.subsetOf(live),
-      "a replaced file's vector must die with the file")
+    assert(dvs.keySet.subsetOf(live))
   }
 
   test("footer-stat pushdowns refuse on vectored tables: COUNT comes " +
