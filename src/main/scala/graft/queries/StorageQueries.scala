@@ -518,6 +518,53 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Delta-based merge-on-read UPDATE + MERGE, oracle-gated: on a
+    * `set_dv` table the same SQL that drives the CoW path routes
+    * through `SupportsDelta` — old row versions mask into deletion
+    * vectors, new versions append, complex-predicate DELETE masks —
+    * and the final aggregate must equal the oracle's restatement.
+    * ArrowDeltaSpec pins that not one pre-existing data file
+    * rewrites; this query pins the VALUES under the hash gate. */
+  def arrowDeltaUpdate(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("delta_q_src", dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(src))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.set_dv(path => '$src')").collect()
+    // delta UPDATE: masks + appends, no file rewrite
+    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
+      "WHERE o_orderstatus = 'F' AND o_orderkey < 2000")
+    // complex-predicate DELETE: not source-filter-expressible, so it
+    // routes through the delta path too (masks, no rewrite)
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey % 13 = 0")
+    // delta MERGE: matched rows mask+append, unmatched insert
+    Tables.orders(spark, dir)
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey").as("k"),
+        lit(1.5).as("p"), lit("Q").as("s"))
+      .createOrReplaceTempView("delta_upd_src")
+    spark.sql(
+      s"""MERGE INTO graft.arrow.`$src` t USING delta_upd_src s
+         |ON t.o_orderkey = s.k
+         |WHEN MATCHED THEN UPDATE SET o_totalprice = s.p
+         |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice,
+         |  o_orderstatus) VALUES (s.k + 30000000, s.p, s.s)""".stripMargin)
+    spark.read.format("arrow").load(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Zero-copy SHALLOW CLONE, oracle-gated: clone a logged orders
     * table (CALL graft.system.clone — metadata-only, zero data bytes
     * copied), mutate the CLONE (DELETE + UPDATE), and aggregate both
@@ -672,6 +719,7 @@ object StorageQueries {
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
+    "arrow_delta_update" -> (arrowDeltaUpdate _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -785,6 +833,29 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey >= 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_delta_update" ->
+      """WITH upd AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderstatus = 'F' AND o_orderkey < 2000
+        |      THEN 0.0 ELSE o_totalprice END AS p,
+        |    o_orderstatus
+        |  FROM orders),
+        |del AS (SELECT * FROM upd WHERE o_orderkey % 13 <> 0),
+        |m AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 97 = 0 THEN 1.5 ELSE p END AS p,
+        |    o_orderstatus
+        |  FROM del),
+        |ins AS (
+        |  SELECT o_orderkey + 30000000 AS o_orderkey, 1.5 AS p,
+        |    'Q' AS o_orderstatus
+        |  FROM orders
+        |  WHERE o_orderkey % 97 = 0 AND o_orderkey % 13 = 0),
+        |allr AS (SELECT * FROM m UNION ALL SELECT * FROM ins)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM allr GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_delete_dv" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

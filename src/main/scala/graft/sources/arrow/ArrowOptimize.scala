@@ -61,7 +61,8 @@ object ArrowOptimize {
     * Returns the deleted paths. Metadata-only driver work: one
     * listing, no data reads — at 100k files this is the same O(files)
     * walk the planner already does. */
-  def vacuum(dir: String, graceMs: Long = 3600L * 1000): Seq[Path] = {
+  def vacuum(dir: String, graceMs: Long = 3600L * 1000,
+      dryRun: Boolean = false): Seq[Path] = {
     val cutoff = System.currentTimeMillis() - graceMs
     // inclusive: age >= grace is eligible — with grace_ms = 0 a file
     // written in the same millisecond as the sweep must still go
@@ -69,6 +70,38 @@ object ArrowOptimize {
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
     val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
+    // dry run: report what WOULD go, touch nothing — the operator's
+    // pre-flight before an aggressive grace window (Delta's DRY RUN)
+    if (dryRun) {
+      def collectTmp(d: java.io.File): Unit =
+        Option(d.listFiles()).foreach(_.foreach { f =>
+          if (f.isDirectory) collectTmp(f)
+          else if (f.getName.endsWith(".inprogress") &&
+              oldEnough(f.toPath)) deleted += f.toPath
+        })
+      collectTmp(new java.io.File(dir))
+      ArrowDataSource.sinkRoot(dir).foreach { root =>
+        val visible = ArrowDataSource.visibleIpcFiles(dir)
+          .map(_.toAbsolutePath.normalize).toSet
+        deleted ++= ArrowDataSource.listIpcFiles(dir)
+          .filterNot(f => visible(f.toAbsolutePath.normalize))
+          .filter(oldEnough)
+        val dvDir = root.resolve(ArrowDataSource.DvDirName)
+        if (Files.isDirectory(dvDir)) {
+          val referenced = ArrowDataSource.committedHistory(root)
+            .flatMap(_.dv.map { case (dvRel, _) =>
+              root.resolve(dvRel).normalize.toString }).toSet
+          val s = Files.list(dvDir)
+          val all = try s.iterator().asScala.toVector finally s.close()
+          deleted ++= all
+            .filter(_.getFileName.toString.endsWith(".dv"))
+            .filterNot(p =>
+              referenced(p.toAbsolutePath.normalize.toString))
+            .filter(oldEnough)
+        }
+      }
+      return deleted.toSeq
+    }
     // crashed-writer temps, any directory shape
     def sweepTmp(d: java.io.File): Unit =
       Option(d.listFiles()).foreach(_.foreach { f =>

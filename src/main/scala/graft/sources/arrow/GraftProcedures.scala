@@ -116,12 +116,17 @@ object GraftProcedures {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("grace_ms", LongType)
-        .defaultValue("3600000").build())
+        .defaultValue("3600000").build(),
+      ProcedureParameter.in("dry_run", BooleanType)
+        .defaultValue("false")
+        .comment("report what WOULD be reclaimed, delete nothing")
+        .build())
     private val out = StructType(Seq(
       StructField("deleted_path", StringType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val deleted = ArrowOptimize.vacuum(
-        input.getUTF8String(0).toString, input.getLong(1))
+        input.getUTF8String(0).toString, input.getLong(1),
+        input.getBoolean(2))
       result(out, deleted.map(p =>
         new GenericInternalRow(Array[Any](utf8(p.toString)))
           : InternalRow).toArray)

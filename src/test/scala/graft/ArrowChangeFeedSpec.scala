@@ -342,5 +342,23 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
     assert(Iterator.iterate(both: Throwable)(_.getCause)
       .takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(_.contains("not both"))))
+
+    // the STREAMING feed accepts the same startingTimestamp: a stream
+    // started at epoch 2's commit instant delivers epoch 2 only
+    val streamed = {
+      val q = spark.readStream.format("arrow")
+        .option("readChangeFeed", "true")
+        .option("startingTimestamp", stamps(2L))
+        .load(dir)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("cdf_ts_stream")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.processAllAvailable() finally q.stop()
+      spark.table("cdf_ts_stream")
+    }
+    assert(streamed
+      .select(col(graft.sources.arrow.ArrowChanges.CommitEpochCol))
+      .distinct().as[Long].collect().toSeq == Seq(2L),
+      "streaming startingTimestamp did not resolve to epoch 2")
   }
 }

@@ -23,6 +23,13 @@ class ArrowVacuumSpec extends AnyFunSuite {
     Files.write(temp, Array[Byte](3))
     ArrowDataSource.commitEpochManifest(dir, 0L, Seq(committed.toString))
 
+    // dry run first: reports the same victims, touches NOTHING
+    val would = ArrowOptimize.vacuum(dir, graceMs = 0, dryRun = true)
+    assert(would.map(_.getFileName.toString).toSet ==
+      Set(orphan.getFileName.toString, temp.getFileName.toString))
+    assert(Files.exists(orphan) && Files.exists(temp),
+      "dry run deleted files")
+
     val deleted = ArrowOptimize.vacuum(dir, graceMs = 0)
     assert(deleted.map(_.getFileName.toString).toSet ==
       Set(orphan.getFileName.toString, temp.getFileName.toString))
