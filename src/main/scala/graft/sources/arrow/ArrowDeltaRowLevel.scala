@@ -144,6 +144,8 @@ class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
         dvs += ((file, dvPath.toString, masked))
       }
     }
+    // a no-op DML (condition matched nothing) must not burn an epoch
+    if (adds.isEmpty && removes.isEmpty && dvs.isEmpty) return
     val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
       adds, removes.toSeq, dvs = dvs.toSeq)
     val pairs = adds.zip(msgs.flatMap(_.insertFooters))

@@ -484,6 +484,67 @@ object GraftProcedures {
     }
   }
 
+  val Detail: UnboundProcedure = new SimpleProcedure("detail",
+    "one-row operational summary of a table: visible files/bytes/" +
+      "rows, committed epochs, travel horizon, deletion-vector count " +
+      "and masked rows, constraints, and the dv/auto-compact " +
+      "properties — DESCRIBE DETAIL for the arrow format") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("epochs", LongType, nullable = false),
+      StructField("horizon", LongType, nullable = false),
+      StructField("dv_files", LongType, nullable = false),
+      StructField("dv_masked_rows", LongType, nullable = false),
+      StructField("constraints", LongType, nullable = false),
+      StructField("dv_enabled", BooleanType, nullable = false),
+      StructField("auto_compact", BooleanType, nullable = false),
+      StructField("partition_columns", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val files = ArrowDataSource.visibleIpcFiles(path)
+      val bytes = files.map(f => Files.size(f)).sum
+      val idx = FooterIndexFile.load(
+        java.nio.file.Paths.get(path).toAbsolutePath.normalize)
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      def rowsOf(f: java.nio.file.Path): Option[Long] =
+        scala.util.Try {
+          val info = scala.util.Try(
+            root.relativize(f.toAbsolutePath.normalize).toString).toOption
+            .flatMap(r => idx.flatMap(_.infoOf(r)))
+            .getOrElse(ArrowDataSource.footerInfo(f))
+          info.rowStats.filter(_.batches.length == info.sizes.length)
+            .map(_.batches.map(_._1).sum)
+        }.toOption.flatten // unreadable footer: rows stay unknown
+      val perFile = files.map(rowsOf)
+      val dvs = if (ArrowDataSource.isTableLog(path))
+        ArrowDataSource.liveDvs(root, None) else Map.empty[String,
+        (String, Long)]
+      val masked = dvs.values.map(_._2).sum
+      val rows: java.lang.Long =
+        if (perFile.forall(_.isDefined))
+          java.lang.Long.valueOf(perFile.flatten.sum - masked)
+        else null
+      val epochs = ArrowDataSource.latestCommittedEpoch(root)
+      val horizon =
+        if (ArrowDataSource.sinkRoot(path).isDefined)
+          ArrowDataSource.travelHorizon(root)
+        else 0L
+      result(out, Array(new GenericInternalRow(Array[Any](
+        files.length.toLong, bytes, rows,
+        math.max(0L, epochs), horizon,
+        dvs.size.toLong, masked,
+        TableConstraints.list(path).length.toLong,
+        java.lang.Boolean.valueOf(ArrowDataSource.dvEnabled(path)),
+        java.lang.Boolean.valueOf(AutoCompact.config(path).isDefined),
+        utf8(ArrowDataSource.discoverPartitionSchema(path)
+          .fieldNames.mkString(","))))))
+    }
+  }
+
   val SetAutoCompact: UnboundProcedure = new SimpleProcedure(
     "set_auto_compact",
     "post-commit auto-compaction (Delta's Auto Compaction): after " +
@@ -585,6 +646,7 @@ object GraftProcedures {
     "restore" -> Restore,
     "clone" -> Clone,
     "set_dv" -> SetDv,
+    "detail" -> Detail,
     "set_auto_compact" -> SetAutoCompact,
     "add_constraint" -> AddConstraint,
     "drop_constraint" -> DropConstraint,

@@ -183,6 +183,15 @@ class GraftProcedureSpec extends AnyFunSuite {
     ArrowDataSource.commitEpochManifest(dir, 0L, Seq(f0.toString))
     ArrowDataSource.commitEpochManifest(dir, 1L,
       Seq(f1.toString, f2.toString))
+    // detail: one-row operational summary over the same sink
+    val detail = spark.sql(s"CALL graft.system.detail(path => '$dir')")
+      .collect()(0)
+    assert(detail.getAs[Long]("files") == 3 &&
+      detail.getAs[Long]("bytes") == 6 &&
+      detail.getAs[Long]("epochs") == 1 &&
+      detail.getAs[Long]("dv_files") == 0 &&
+      !detail.getAs[Boolean]("dv_enabled"),
+      s"detail row wrong: $detail")
     val hist = spark.sql(s"CALL graft.system.history(path => '$dir')")
     val rows = hist.select(col("epoch"), col("files"), col("bytes"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
