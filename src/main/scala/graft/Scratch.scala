@@ -22,6 +22,16 @@ object Scratch {
     ()
   }
 
+  /** Best-effort recursive delete — for fixtures a query REBUILDS per
+    * invocation (mutation state must not leak across runs). */
+  def reset(paths: String*): Unit = paths.foreach { p =>
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    rm(new java.io.File(p))
+  }
+
   /** `tmpdir/graft_<kind>_<pid>_<token>`, registered for exit reaping. */
   def dir(kind: String, token: String): String = {
     hook

@@ -442,11 +442,13 @@ object DedupQueries {
     "dedup_passage" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |win AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(1, greatest(len(t) - 7, 1) + 1, 4)) AS i
+        |  FROM toks),
         |w AS (
-        |  SELECT doc_id, array_to_string(t[g.i:g.i+7], ' ') AS passage
-        |  FROM toks
-        |  CROSS JOIN generate_series(1, 4096, 4) AS g(i)
-        |  WHERE g.i <= greatest(len(t) - 7, 1)),
+        |  SELECT doc_id, array_to_string(t[i:i+7], ' ') AS passage
+        |  FROM win),
         |c AS (
         |  SELECT passage, COUNT(DISTINCT doc_id) AS d
         |  FROM w GROUP BY passage)

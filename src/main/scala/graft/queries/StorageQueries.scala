@@ -407,10 +407,7 @@ object StorageQueries {
     val ckpt = graft.Scratch.dir("cdc_repl_ckpt", dir)
     // Fresh replica + checkpoint every invocation: a reused checkpoint
     // would see the rebuilt source's epochs as already consumed.
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+    graft.Scratch.reset(src, dst, ckpt)
     val base = Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
     base.repartitionByRange(4, col("o_orderkey"))
@@ -450,10 +447,7 @@ object StorageQueries {
     val ckpt = graft.Scratch.dir("ivm_ckpt", dir)
     // fresh source + view + checkpoint per invocation: a reused
     // checkpoint would treat the rebuilt source's epochs as consumed
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    Seq(src, dst, ckpt).foreach(p => rm(new java.io.File(p)))
+    graft.Scratch.reset(src, dst, ckpt)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .repartitionByRange(4, col("o_orderkey"))
@@ -497,10 +491,7 @@ object StorageQueries {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.arrow.GraftCatalog].getName)
     val src = graft.Scratch.dir("dv_q_src", dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(src))
+    graft.Scratch.reset(src)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .repartitionByRange(4, col("o_orderkey"))
@@ -529,10 +520,7 @@ object StorageQueries {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.arrow.GraftCatalog].getName)
     val src = graft.Scratch.dir("delta_q_src", dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(src))
+    graft.Scratch.reset(src)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .repartitionByRange(4, col("o_orderkey"))
@@ -577,10 +565,7 @@ object StorageQueries {
       classOf[graft.sources.arrow.GraftCatalog].getName)
     val src = graft.Scratch.dir("clone_q_src", dir)
     val dst = graft.Scratch.dir("clone_q_dst", dir)
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    Seq(src, dst).foreach(p => rm(new java.io.File(p)))
+    graft.Scratch.reset(src, dst)
     Tables.orders(spark, dir)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
       .repartitionByRange(4, col("o_orderkey"))

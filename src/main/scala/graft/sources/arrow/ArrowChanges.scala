@@ -100,16 +100,48 @@ object ArrowChanges {
   private[arrow] def changePartitions(path: String,
       root: java.nio.file.Path,
       partSchema: org.apache.spark.sql.types.StructType,
-      footerMemo: FooterIndex, after: Long, upTo: Long)
+      footerMemo: FooterIndex, after: Long, upTo: Long,
+      partFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val prefix = Paths.get(path).toAbsolutePath.normalize
     val neutral = ArrowDataSource.neutralEpochs(root)
-    ArrowDataSource.committedHistory(root)
+    // DV state per window epoch, resolved lazily once per epoch: a
+    // remove/add split must apply the vector LIVE at its boundary, or
+    // the feed re-delivers rows an earlier dv epoch already deleted
+    // (and drops a restore's resurrection of masked rows)
+    val dvAt = scala.collection.mutable.Map
+      .empty[Long, Map[String, (String, Long)]]
+    def dvOf(epoch: Long, rel: String): Option[String] =
+      dvAt.getOrElseUpdate(epoch, ArrowDataSource.liveDvs(root,
+        Some(epoch))).get(rel)
+        .map { case (dvRel, _) => root.resolve(dvRel).normalize.toString }
+    val entries = ArrowDataSource.committedHistory(root)
       .filter(en => en.epoch > after && en.epoch <= upTo)
       .filterNot(en => neutral(en.epoch))
       .filter(en => root.resolve(en.rel).normalize.startsWith(prefix))
+    // partition-column predicates prune churned files EXACTLY (the
+    // value is constant per directory), same as the ordinary scan —
+    // without this a pushed-then-consumed partition filter would
+    // silently return every partition's churn
+    val pruned =
+      if (partFilters.isEmpty || partSchema.isEmpty) entries
+      else {
+        val keep = ArrowDataSource.pruneByPartitionFilters(
+          entries.map(en => root.resolve(en.rel).normalize).distinct,
+          path, partSchema, partFilters)
+          .map(_.toString).toSet
+        entries.filter(en =>
+          keep(root.resolve(en.rel).normalize.toString))
+      }
+    // an ADD and a dv event for the same file in ONE epoch (restore's
+    // vector reinstatement): the add split already applies the epoch's
+    // vector, so a separate dv-diff split would fabricate deletes
+    val addsInEpoch: Set[(Long, String)] = pruned.collect {
+      case en if !en.remove && en.dv.isEmpty => (en.epoch, en.rel)
+    }.toSet
+    pruned
       .sortBy(en => (en.epoch, en.remove, en.rel))
-      .map { en =>
+      .flatMap { en =>
         val f = root.resolve(en.rel).normalize
         val partVals: Array[String] =
           if (partSchema.isEmpty) Array.empty
@@ -117,11 +149,21 @@ object ArrowChanges {
             .map(_.orNull).toArray
         val nBlocks = footerMemo.info(f).sizes.length
         en.dv match {
+          case Some(_) if addsInEpoch((en.epoch, en.rel)) => None
+          case None if en.remove =>
+            // removed file: deliver the rows VISIBLE just before the
+            // removal — its vector at epoch-1 still masks
+            Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
+              partVals, -1, "delete", en.epoch,
+              dvFile = dvOf(en.epoch - 1, en.rel).orNull)
+              : org.apache.spark.sql.connector.read.InputPartition)
           case None =>
-            ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
-              partVals, -1, if (en.remove) "delete" else "insert",
-              en.epoch)
-              : org.apache.spark.sql.connector.read.InputPartition
+            // added file: deliver the rows visible AT this epoch (a
+            // restore may re-add a file together with its vector)
+            Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
+              partVals, -1, "insert", en.epoch,
+              dvFile = dvOf(en.epoch, en.rel).orNull)
+              : org.apache.spark.sql.connector.read.InputPartition)
           case Some((dvRel, _)) =>
             // merge-on-read delete epoch: ROW-exact by construction —
             // the split keeps exactly the ordinals THIS epoch masked
@@ -129,10 +171,10 @@ object ArrowChanges {
             // so the feed delivers the deleted rows themselves, no
             // carry-over pairs to cancel
             val dvAbs = diffSidecar(root, en.epoch, en.rel, dvRel)
-            ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
+            Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
               partVals, -1, "delete", en.epoch,
               dvFile = dvAbs, dvInvert = true)
-              : org.apache.spark.sql.connector.read.InputPartition
+              : org.apache.spark.sql.connector.read.InputPartition)
         }
       }.toArray
   }
@@ -206,7 +248,8 @@ object ArrowChanges {
   * than silently skipping reclaimed epochs. */
 class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.types.StructType,
     partSchema: org.apache.spark.sql.types.StructType,
-    startingEpoch: Option[Long], maxFilesPerTrigger: Option[Int])
+    startingEpoch: Option[Long], maxFilesPerTrigger: Option[Int],
+    partFilters: Seq[org.apache.spark.sql.sources.Filter] = Seq.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming
       .SupportsTriggerAvailableNow {
@@ -323,7 +366,7 @@ class ArrowChangesMicroBatchStream(path: String, schema: org.apache.spark.sql.ty
         s"$path predates the vacuum horizon $horizon — the feed cannot " +
         "be replayed exactly; restart from a fresh checkpoint")
     ArrowChanges.changePartitions(path, root, partSchema, footerMemo,
-      s, e).map(p => p: InputPartition)
+      s, e, partFilters).map(p => p: InputPartition)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

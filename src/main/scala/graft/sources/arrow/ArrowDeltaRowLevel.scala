@@ -41,8 +41,10 @@ class ArrowDeltaOperation(path: String, tableSchema: StructType,
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : DeltaWriteBuilder = {
-    val infos = ArrowDataSource.visibleIpcFiles(path)
-      .map(ArrowDataSource.footerInfo)
+    // footer-stats sidecar first (one metadata read), per-file footer
+    // opens only for uncovered files — never an O(files) sweep per DML
+    val memo = new FooterIndex(path)
+    val infos = memo.files.map(memo.info)
     // DELETE only masks (bucket routing untouched); UPDATE/MERGE
     // append rows that would bypass bucket routing — refuse those on
     // bucketed layouts, like the CoW path

@@ -70,45 +70,16 @@ object ArrowOptimize {
     def oldEnough(p: Path): Boolean =
       Files.getLastModifiedTime(p).toMillis <= cutoff
     val deleted = scala.collection.mutable.ArrayBuffer.empty[Path]
-    // dry run: report what WOULD go, touch nothing — the operator's
-    // pre-flight before an aggressive grace window (Delta's DRY RUN)
-    if (dryRun) {
-      def collectTmp(d: java.io.File): Unit =
-        Option(d.listFiles()).foreach(_.foreach { f =>
-          if (f.isDirectory) collectTmp(f)
-          else if (f.getName.endsWith(".inprogress") &&
-              oldEnough(f.toPath)) deleted += f.toPath
-        })
-      collectTmp(new java.io.File(dir))
-      ArrowDataSource.sinkRoot(dir).foreach { root =>
-        val visible = ArrowDataSource.visibleIpcFiles(dir)
-          .map(_.toAbsolutePath.normalize).toSet
-        deleted ++= ArrowDataSource.listIpcFiles(dir)
-          .filterNot(f => visible(f.toAbsolutePath.normalize))
-          .filter(oldEnough)
-        val dvDir = root.resolve(ArrowDataSource.DvDirName)
-        if (Files.isDirectory(dvDir)) {
-          val referenced = ArrowDataSource.committedHistory(root)
-            .flatMap(_.dv.map { case (dvRel, _) =>
-              root.resolve(dvRel).normalize.toString }).toSet
-          val s = Files.list(dvDir)
-          val all = try s.iterator().asScala.toVector finally s.close()
-          deleted ++= all
-            .filter(_.getFileName.toString.endsWith(".dv"))
-            .filterNot(p =>
-              referenced(p.toAbsolutePath.normalize.toString))
-            .filter(oldEnough)
-        }
-      }
-      return deleted.toSeq
-    }
+    // ONE plan drives both modes (dry run = Delta's DRY RUN: report,
+    // touch nothing): the victim computation below never depends on
+    // its own deletions, so report and action cannot diverge.
     // crashed-writer temps, any directory shape
     def sweepTmp(d: java.io.File): Unit =
       Option(d.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory) sweepTmp(f)
         else if (f.getName.endsWith(".inprogress") &&
             oldEnough(f.toPath)) {
-          Files.deleteIfExists(f.toPath)
+          if (!dryRun) Files.deleteIfExists(f.toPath)
           deleted += f.toPath
         }
       })
@@ -126,25 +97,34 @@ object ArrowOptimize {
       val victims = ArrowDataSource.listIpcFiles(dir)
         .filterNot(f => visible(f.toAbsolutePath.normalize))
         .filter(oldEnough)
-      victims.foreach { f => Files.deleteIfExists(f); deleted += f }
-      if (victims.nonEmpty && ArrowDataSource.isTableLog(dir))
-        ArrowDataSource.compactLog(root,
-          ArrowDataSource.latestCommittedEpoch(root), onlyExisting = true)
-      // AFTER the log fold (which also folds per-epoch stats fragments
-      // into the root sidecar): forget reclaimed files so the sidecar
-      // stays bounded by LIVE files instead of accreting DML churn
-      if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
-      if (ArrowDataSource.isTableLog(dir))
-        ArrowDelete.sweepEmptyDirs(dir)
-      // deletion-vector sidecars: reclaim vectors no live-or-historic
-      // dv event references (superseded by a newer cumulative vector,
-      // or their file was removed/vacuumed) plus stale change-feed
-      // diff sidecars (cdf_*, re-derivable on demand). Grace-guarded
-      // like data files — an in-flight read may hold a just-superseded
-      // vector.
+      if (!dryRun) victims.foreach(Files.deleteIfExists)
+      deleted ++= victims
+      if (!dryRun) {
+        if (victims.nonEmpty && ArrowDataSource.isTableLog(dir))
+          ArrowDataSource.compactLog(root,
+            ArrowDataSource.latestCommittedEpoch(root),
+            onlyExisting = true)
+        // AFTER the log fold (which also folds per-epoch stats
+        // fragments into the root sidecar): forget reclaimed files so
+        // the sidecar stays bounded by LIVE files
+        if (victims.nonEmpty) FooterIndexFile.prune(root, victims)
+        if (ArrowDataSource.isTableLog(dir))
+          ArrowDelete.sweepEmptyDirs(dir)
+      }
+      // deletion-vector sidecars: reclaim vectors no surviving dv
+      // event references (superseded by a newer cumulative vector, or
+      // their data file was just reclaimed — the real run's history
+      // prune drops those events, so the plan here must ALSO discount
+      // dv events of victim/missing files or the dry run under-reports
+      // what the real run deletes). Grace-guarded like data files.
       val dvDir = root.resolve(ArrowDataSource.DvDirName)
       if (Files.isDirectory(dvDir)) {
+        val victimSet = victims.map(_.toAbsolutePath.normalize).toSet
         val referenced = ArrowDataSource.committedHistory(root)
+          .filter { en =>
+            val f = root.resolve(en.rel).normalize
+            Files.exists(f) && !victimSet(f)
+          }
           .flatMap(_.dv.map { case (dvRel, _) =>
             root.resolve(dvRel).normalize.toString
           }).toSet
@@ -155,7 +135,10 @@ object ArrowOptimize {
           .filter(p => p.getFileName.toString.endsWith(".dv"))
           .filterNot(p => referenced(p.toAbsolutePath.normalize.toString))
           .filter(oldEnough)
-          .foreach { p => Files.deleteIfExists(p); deleted += p }
+          .foreach { p =>
+            if (!dryRun) Files.deleteIfExists(p)
+            deleted += p
+          }
       }
     }
     deleted.toSeq

@@ -116,8 +116,10 @@ class ArrowRowLevelOperation(path: String, tableSchema: StructType,
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
-    val infos = ArrowDataSource.visibleIpcFiles(path)
-      .map(ArrowDataSource.footerInfo)
+    // footer-stats sidecar first: DML planning on a 100k-file table
+    // must not pay an O(files) footer sweep for a bucket/codec check
+    val memo = new FooterIndex(path)
+    val infos = memo.files.map(memo.info)
     if (infos.exists(_.bucket.isDefined))
       throw new UnsupportedOperationException(
         s"arrow: $path is a bucketed layout; a copy-on-write rewrite " +

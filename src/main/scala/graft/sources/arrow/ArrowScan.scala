@@ -685,7 +685,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
           s"those epochs were reclaimed; earliest readable epoch is " +
           s"${horizon + 1}")
       return ArrowChanges.changePartitions(path, root, partSchema,
-        footerIdx, from, to)
+        footerIdx, from, to, (partFilters ++ runtimeFilters).toSeq)
     }
     val bucketed = bucketLayout.isDefined
     // Pushed-limit truncation: stop emitting splits once the footers'
@@ -789,7 +789,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     if (changeFeed)
       new ArrowChangesMicroBatchStream(path, schema, partSchema,
-        startingEpoch, maxFilesPerTrigger)
+        startingEpoch, maxFilesPerTrigger, partFilters.toSeq)
     else
       new ArrowMicroBatchStream(path, schema, filters, partFilters,
         partSchema, maxFilesPerTrigger, ignoreChanges)

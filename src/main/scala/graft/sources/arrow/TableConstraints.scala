@@ -112,9 +112,12 @@ object TableConstraints {
     val schema = spark.read.format("arrow").load(dir).schema
     resolve(spark, sql, schema) // fail fast on a malformed expression
     if (validate) {
-      import org.apache.spark.sql.functions.{expr, not}
+      import org.apache.spark.sql.functions.{expr, lit}
+      // identical three-valued semantics to the writer's gate: only
+      // rows where the expression is exactly FALSE violate (NULL
+      // passes both here and at write time)
       val bad = spark.read.format("arrow").load(dir)
-        .filter(not(expr(sql) <=> true)).limit(1).count()
+        .filter(expr(sql) <=> lit(false)).limit(1).count()
       require(bad == 0L,
         s"add_constraint: existing rows of $dir violate '$sql' — " +
           "clean the data first or add with validate => false")

@@ -248,6 +248,79 @@ class ArrowDvSpec extends AnyFunSuite {
       spark.read.format("arrow").load(dir)))
   }
 
+  test("change-feed remove/add splits apply the vector at their epoch " +
+      "boundary: no double-delivered deletes, restore resurrections " +
+      "reach the feed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dv_cdf_exact").toString
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1) // ONE file: full-mask then remove is reachable
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val e0 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 15") // dv epoch
+    val e1 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id >= 1") // full mask -> REMOVE
+    val e2 = ArrowDataSource.latestCommittedEpoch(root)
+    val feed = spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", e0 + 1).load(dir)
+    // epoch e1 deletes 1..15 (dv diff); epoch e2's REMOVE split must
+    // deliver ONLY the rows still visible before it (16..40) — not
+    // re-deliver 1..15
+    assert(feed.filter(col(ArrowChanges.CommitEpochCol) === e1)
+      .count() == 15)
+    val removeRows = feed.filter(col(ArrowChanges.CommitEpochCol) === e2)
+    assert(removeRows.count() == 25,
+      s"remove split re-delivered masked rows: ${removeRows.count()}")
+    assert(removeRows.agg(min(col("id"))).collect()(0).getLong(0) == 16L)
+
+    // restore to the mid-history dv state: the resurrection of rows
+    // 16..40 (and nothing else) must reach the feed as net inserts
+    spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+      s"epoch => $e1)").collect()
+    val e3 = ArrowDataSource.latestCommittedEpoch(root)
+    val rfeed = spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", e3).option("endingEpoch", e3).load(dir)
+    val net = rfeed.groupBy(col("id"))
+      .agg(sum(when(col(ArrowChanges.ChangeTypeCol) === "insert", 1L)
+        .otherwise(-1L)).as("net"))
+      .filter(col("net") =!= 0)
+    assert(net.filter(col("net") > 0).count() == 25,
+      "restore's resurrection of masked rows missing from the feed")
+    assert(net.filter(col("net") < 0).count() == 0)
+    assert(net.agg(min(col("id"))).collect()(0).getLong(0) == 16L)
+  }
+
+  test("batch change feed honors partition-column filters exactly " +
+      "(pushed filters must not silently widen to every partition)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dv_cdf_part").toString
+    (1 to 60).map(i => (i.toLong, s"p${i % 3}", s"v$i"))
+      .toDF("id", "part", "tag")
+      .write.format("arrow").partitionBy("part")
+      .option("optimizeWrite", "true").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val e0 = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 30")
+    val feed = spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", e0 + 1).load(dir)
+    val p1 = feed.filter(col("part") === "p1")
+    assert(p1.select(col("part")).distinct()
+      .as[String].collect().toSeq == Seq("p1"),
+      "partition filter leaked other partitions' churn")
+    // and the filtered window is complete for its partition: p1's
+    // churned files' delete+insert rows all belong to p1
+    assert(p1.count() > 0)
+    val full = feed.filter(col("part").isNotNull)
+    assert(full.filter(col("part") === "p1").count() == p1.count())
+  }
+
   test("CDC replication and incremental views ride vector epochs " +
       "exactly (the feed's dv deletes are row-exact)") {
     import spark.implicits._
