@@ -1053,6 +1053,35 @@ object ArrowDataSource {
     epoch
   }
 
+  /** Blind-append commit with conflict REBASE (Delta's concurrency
+    * rule): a pure append — no removes, no dv events — conflicts with
+    * nothing (it touches no file any concurrent commit could have
+    * read or replaced), so losing the epoch race just means re-basing
+    * on the new head and committing again. DML/overwrite commits must
+    * NOT rebase: their read snapshot may be stale (lost update), so
+    * they keep failing fast for the caller to re-plan. Bounded
+    * retries guard against livelock under pathological contention. */
+  def commitAppendWithRebase(dir: String, expectedBase: Long,
+      adds: Seq[String],
+      compactInterval: Int = DefaultCompactInterval,
+      maxRetries: Int = 20): Long = {
+    var base = expectedBase
+    var attempt = 0
+    while (true) {
+      try {
+        return commitTableEpoch(dir, base, adds, Seq.empty,
+          compactInterval)
+      } catch {
+        case _: java.util.ConcurrentModificationException
+            if attempt < maxRetries =>
+          attempt += 1
+          base = latestCommittedEpoch(
+            Paths.get(dir).toAbsolutePath.normalize)
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Upgrade a flat directory to a logged TABLE in one atomic step:
     * stage `_graft_metadata` under a temp name with the table marker
     * and an epoch-0 manifest snapshotting every current file, then

@@ -276,10 +276,17 @@ class ArrowBatchWrite(path: String, schema: StructType,
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
     val epoch =
-      if (loggedBase >= -1L)
-        Some(ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
-          loggedRemoves))
-      else None
+      if (loggedBase >= -1L) {
+        // blind appends REBASE on an epoch-race loss (they conflict
+        // with nothing); truncating overwrites keep failing fast —
+        // their captured remove set is a stale read snapshot
+        if (loggedRemoves.isEmpty)
+          Some(ArrowDataSource.commitAppendWithRebase(path, loggedBase,
+            adds))
+        else
+          Some(ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
+            loggedRemoves))
+      } else None
     if (!stageOnly) {
       // Persist the tasks' footer stats so the NEXT planning of this
       // directory is one metadata read, not O(files) footer opens.

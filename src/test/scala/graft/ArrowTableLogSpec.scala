@@ -88,6 +88,55 @@ class ArrowTableLogSpec extends AnyFunSuite {
     assert(spark.read.format("arrow").load(dir).count() == 16)
   }
 
+  test("concurrent blind appends REBASE past the epoch race — every " +
+      "append lands; stale-snapshot removes still fail fast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("log_rebase").toString
+    (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+
+    // deterministic stale-base rebase at the API level: the log moves
+    // on while an appender holds an old base — the append re-bases
+    val staleBase = ArrowDataSource.latestCommittedEpoch(root)
+    val f1 = Paths.get(dir, "part-rebase-a.arrow")
+    val f2 = Paths.get(dir, "part-rebase-b.arrow")
+    Files.copy(ArrowDataSource.listIpcFiles(dir).head, f1)
+    Files.copy(ArrowDataSource.listIpcFiles(dir).head, f2)
+    ArrowDataSource.commitTableEpoch(dir, staleBase,
+      Seq(f1.toString), Seq.empty) // someone else wins the race
+    val e = ArrowDataSource.commitAppendWithRebase(dir, staleBase,
+      Seq(f2.toString)) // stale base: must rebase, not throw
+    assert(e == staleBase + 2)
+    val live = ArrowDataSource.liveEntries(root, None).map(_._2).toSet
+    assert(live.exists(_.contains("part-rebase-a")) &&
+      live.exists(_.contains("part-rebase-b")),
+      "a rebased append lost a file")
+
+    // stale-snapshot removes (overwrite/DML shape) still refuse
+    intercept[java.util.ConcurrentModificationException] {
+      ArrowDataSource.commitTableEpoch(dir, staleBase, Seq.empty,
+        Seq(f1.toString))
+    }
+
+    // end-to-end: genuinely concurrent SQL INSERTs all land
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val inserts = (1 to 8).map { i =>
+      Future {
+        spark.sql(
+          s"INSERT INTO graft.arrow.`$dir` VALUES (${100L + i}, 'c$i')")
+        ()
+      }
+    }
+    Await.result(Future.sequence(inserts), 120.seconds)
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") >= 100).count() == 8,
+      "a concurrent INSERT lost its rows to the epoch race")
+  }
+
   test("optimistic concurrency: a commit against a stale base epoch " +
       "throws instead of clobbering") {
     val dir = freshTable(10)
