@@ -191,11 +191,65 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** The end-to-end training-corpus curation composite — the pipeline
+    * every pretraining dataset actually runs, as ONE declared plan:
+    * quality gate (the `text_quality_filter` rules) → exact dedup
+    * (keep the smallest doc_id per identical text) → mixture sampling
+    * (the `mix_weighted` integer-exact rate algebra, computed over the
+    * CURATED per-language mass, membership by the deterministic
+    * multiplicative hash). Output: per language, curated count, the
+    * sampling rate, and the sampled doc/word mass.
+    *
+    * Scale: three hash shuffles end-to-end (quality is a narrow map;
+    * dedup groups by text — at 100 TB by a 128-bit text hash, same
+    * plan; rates are a broadcast of |langs| rows; sampling is a
+    * narrow filter). No stage holds more than one pass over the
+    * corpus, and every decision is engine-independent, so the same
+    * mixture reproduces anywhere. */
+  def corpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(expr("replace(text, ' ', '')")).cast("long")
+          .as("n_letters"),
+        regexp_count(col("text"), lit(StopPattern)).cast("long")
+          .as("n_stop"))
+      .withColumn("mean_wlen", round(col("n_letters") / col("n_words"), 4))
+      .withColumn("stop_ratio", round(col("n_stop") / col("n_words"), 4))
+      .filter(col("n_words").between(25, 90) &&
+        col("mean_wlen").between(4.2, 4.8) && col("stop_ratio") >= 0.02)
+    val keep = q.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+    val curated = q.join(keep, Seq("text", "doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("n_words"))
+    val weights = spark.createDataFrame(MixWeights).toDF("lang", "w_mille")
+    val avail = curated.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("t_chars"))
+      .join(broadcast(weights), "lang")
+    val rates = avail
+      .crossJoin(broadcast(avail.select(col("t_chars").as("tm"),
+        col("w_mille").as("wm"))))
+      .groupBy(col("lang"))
+      .agg(min(expr("tm * w_mille * 1000000 DIV (wm * t_chars)"))
+        .as("rate_ppm"))
+    curated
+      .withColumn("h",
+        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+      .join(broadcast(rates), "lang")
+      .withColumn("sampled", (col("h") < col("rate_ppm")).cast("long"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_curated"),
+        sum(col("sampled")).as("n_sampled"),
+        sum(when(col("sampled") === 1L, col("n_words")).otherwise(0L))
+          .as("words_sampled"))
+      .orderBy(col("lang"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "text_decontam" -> (textDecontam _),
     "text_quality_filter" -> (textQualityFilter _),
-    "mix_weighted" -> (mixWeighted _))
+    "mix_weighted" -> (mixWeighted _),
+    "pipeline_corpus_curation" -> (corpusCuration _))
 
   val sql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -264,5 +318,37 @@ object PipelineQueries {
         | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         |FROM documents d JOIN rates r ON d.lang = r.lang
         |WHERE d.doc_id * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
-        |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin)
+        |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin,
+    "pipeline_corpus_curation" ->
+      """WITH m AS (SELECT doc_id, lang, text, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|and|of)\b')) AS BIGINT) AS n_stop
+        | FROM documents),
+        |q AS (SELECT * FROM m
+        |  WHERE n_words BETWEEN 25 AND 90
+        |    AND round(n_letters / n_words, 4) BETWEEN 4.2 AND 4.8
+        |    AND round(n_stop / n_words, 4) >= 0.02),
+        |keepd AS (SELECT text, MIN(doc_id) AS doc_id FROM q GROUP BY text),
+        |curated AS (SELECT q.doc_id, q.lang, q.n_chars, q.n_words
+        |  FROM q JOIN keepd
+        |    ON q.text = keepd.text AND q.doc_id = keepd.doc_id),
+        |wts(lang, w_mille) AS (VALUES
+        |  ('en', 300), ('de', 200), ('es', 200), ('fr', 150), ('zh', 150)),
+        |avail AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars, w_mille
+        |  FROM curated JOIN wts USING (lang) GROUP BY lang, w_mille),
+        |rates AS (
+        |  SELECT a.lang,
+        |   CAST(MIN(m2.t_chars * a.w_mille * 1000000
+        |     // (m2.w_mille * a.t_chars)) AS BIGINT) AS rate_ppm
+        |  FROM avail a CROSS JOIN avail m2 GROUP BY a.lang)
+        |SELECT c.lang, r.rate_ppm, COUNT(*) AS n_curated,
+        | CAST(SUM(CASE WHEN c.doc_id * 2654435761 % 4294967296 % 1000000
+        |   < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        | CAST(SUM(CASE WHEN c.doc_id * 2654435761 % 4294967296 % 1000000
+        |   < r.rate_ppm THEN c.n_words ELSE 0 END) AS BIGINT)
+        |   AS words_sampled
+        |FROM curated c JOIN rates r ON c.lang = r.lang
+        |GROUP BY c.lang, r.rate_ppm ORDER BY c.lang""".stripMargin)
 }
