@@ -180,6 +180,34 @@ object SourceQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Derived (hidden) time partitioning end-to-end — Iceberg's
+    * `days(ts)` transform on the Arrow writer: events route into
+    * `day=YYYY-MM-DD/` dirs computed from the timestamp (nothing
+    * materialized by the caller, the source column stays in the
+    * files), and a day-range filter prunes whole directories at
+    * planning. The oracle restates the window as a date cast over the
+    * raw events, proving the derived layout is lossless AND the
+    * day→instant mapping exact. The 100 TB shape: time-range queries
+    * and retention sweeps touch only their days' directories. */
+  def arrowTransformPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowtpart", dir)
+    graft.Fixtures.once(out) {
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .write.format("arrow")
+        .option("partitionTransform", "days(ts) AS day")
+        .option("optimizeWrite", "true")
+        .mode("overwrite").save(out)
+    }
+    spark.read.format("arrow").load(out)
+      .filter(col("day").between("2024-01-10", "2024-01-14"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bucketed Arrow layout end-to-end: both join sides written with the
     * same `bucket(8, key)` layout (footer-stamped), read through the
     * graft V2 catalog so Catalyst resolves the reported bucket
@@ -378,6 +406,7 @@ object SourceQueries {
     "arrow_agg_pushdown" -> (arrowAggPushdown _),
     "arrow_dict_agg" -> (arrowDictAgg _),
     "arrow_partitioned_prune" -> (arrowPartitionedPrune _),
+    "arrow_transform_prune" -> (arrowTransformPrune _),
     "csv_infer_agg" -> (csvInferAgg _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
@@ -437,6 +466,14 @@ object SourceQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "arrow_transform_prune" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
+        |  AND DATE '2024-01-14'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,

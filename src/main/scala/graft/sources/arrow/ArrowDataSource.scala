@@ -372,6 +372,20 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     if (bucket.nonEmpty && partitionCols.nonEmpty)
       throw new UnsupportedOperationException(
         "arrow: bucketBy cannot combine with partitionBy")
+    val transform = Option(info.options.get("partitionTransform"))
+      .map(PartitionTransform.parse)
+    if (transform.nonEmpty && (bucket.nonEmpty || partitionCols.nonEmpty))
+      throw new UnsupportedOperationException(
+        "arrow: partitionTransform cannot combine with partitionBy " +
+          "or bucketBy")
+    transform.foreach { t =>
+      require(info.schema().fieldNames.contains(t.srcCol),
+        s"arrow partitionTransform: column ${t.srcCol} not in the " +
+          s"write schema ${info.schema().fieldNames.mkString(",")}")
+      require(!info.schema().fieldNames.contains(t.dirCol),
+        s"arrow partitionTransform: derived column ${t.dirCol} " +
+          "collides with a data column")
+    }
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
       Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192),
@@ -384,7 +398,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
         .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
       Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty),
       Option(info.options.get("optimizeWrite")).exists(_.toBoolean),
-      Option(info.options.get("stageOnly")).exists(_.toBoolean))
+      Option(info.options.get("stageOnly")).exists(_.toBoolean),
+      transform)
   }
 }
 

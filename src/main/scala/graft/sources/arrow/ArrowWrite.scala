@@ -55,7 +55,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     sortCol: Option[String] = None,
     optimizeWrite: Boolean = false,
-    stageOnly: Boolean = false)
+    stageOnly: Boolean = false,
+    transform: Option[PartitionTransform] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -75,7 +76,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def requiredDistribution()
         : org.apache.spark.sql.connector.distributions.Distribution =
       org.apache.spark.sql.connector.distributions.Distributions
-        .clustered(partitionCols.toArray.map(c =>
+        .clustered(transform.map(t => Seq(t.srcCol))
+          .getOrElse(partitionCols).toArray.map(c =>
           org.apache.spark.sql.connector.expressions.Expressions
             .column(c): org.apache.spark.sql.connector.expressions
             .Expression))
@@ -86,7 +88,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
   }
 
   override def build(): Write =
-    if (optimizeWrite && partitionCols.nonEmpty)
+    if (optimizeWrite && (partitionCols.nonEmpty || transform.isDefined))
       new ArrowWriteImpl with ClusterByPartitions
     else new ArrowWriteImpl
 
@@ -94,7 +96,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols, maxOpenWriters, bucket, bloomCols, sortCol,
-        stageOnly)
+        stageOnly, transform)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -206,7 +208,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
     bucket: Option[(String, Int)] = None,
     bloomCols: Seq[String] = Seq.empty,
     sortCol: Option[String] = None,
-    stageOnly: Boolean = false)
+    stageOnly: Boolean = false,
+    transform: Option[PartitionTransform] = None)
     extends BatchWrite {
 
   // Logged-table state, captured at factory creation on the driver:
@@ -269,7 +272,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
     new ArrowWriterFactory(path, schema, codec, batchRows, partitionCols,
       maxOpenWriters, bucket, bloomCols, sortCol,
       TableConstraints.bound(
-        org.apache.spark.sql.SparkSession.active, path, schema))
+        org.apache.spark.sql.SparkSession.active, path, schema),
+      transform)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -332,7 +336,8 @@ class ArrowWriterFactory(path: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     sortCol: Option[String] = None,
     checks: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    transform: Option[PartitionTransform] = None)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : DataWriter[InternalRow] =
@@ -340,6 +345,10 @@ class ArrowWriterFactory(path: String, schema: StructType,
       case Some((col, n)) =>
         new ArrowBucketedWriter(path, schema, codec, batchRows,
           partitionId, taskId, col, n, bloomCols, sortCol)
+      case None if transform.isDefined =>
+        new ArrowPartitionedWriter(path, schema, codec, batchRows,
+          partitionId, taskId, Seq.empty, maxOpenWriters, bloomCols,
+          sortCol, transform)
       case None if partitionCols.isEmpty =>
         new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
           taskId, null, Map.empty, bloomCols, sortCol)
@@ -419,18 +428,77 @@ class ArrowBucketedWriter(path: String, schema: StructType,
   * solves this by sort-spilling instead; an LRU cap keeps the
   * single-pass shape and degrades to more, smaller files under true
   * high cardinality.) */
+/** Derived (hidden) time partitioning — Iceberg's transform shape:
+  * `option("partitionTransform", "days(event_time) AS event_day")`
+  * routes rows into `event_day=YYYY-MM-DD/` directories computed from
+  * the TIMESTAMP/DATE column per row, while the source column stays in
+  * the files (nothing to materialize, nothing stripped). The derived
+  * directory column reads back as an ordinary partition column, so
+  * planning-time pruning, partition-scoped OPTIMIZE, and metadata-only
+  * retention DELETE (`WHERE event_day < '2026-01-01'` — ISO values
+  * compare chronologically as strings) all apply unchanged. Kinds:
+  * years / months / days / hours. */
+final case class PartitionTransform(kind: String, srcCol: String,
+    dirCol: String) {
+  import org.apache.spark.sql.types._
+  def dirValue(dt: DataType, row: org.apache.spark.sql.catalyst
+      .InternalRow, ord: Int): String = {
+    val epochDayOrMicros: Long = dt match {
+      case DateType => row.getInt(ord).toLong * 86400L * 1000000L
+      case TimestampType | TimestampNTZType => row.getLong(ord)
+      case other => throw new UnsupportedOperationException(
+        s"partitionTransform over $other — needs DATE or TIMESTAMP")
+    }
+    val days = java.lang.Math.floorDiv(epochDayOrMicros,
+      86400L * 1000000L)
+    val d = java.time.LocalDate.ofEpochDay(days)
+    kind match {
+      case "years" => f"${d.getYear}%04d"
+      case "months" => f"${d.getYear}%04d-${d.getMonthValue}%02d"
+      case "days" => d.toString // YYYY-MM-DD
+      case "hours" =>
+        val micros = epochDayOrMicros - days * 86400L * 1000000L
+        f"${d.toString}-${micros / 3600000000L}%02d"
+      case other => throw new UnsupportedOperationException(
+        s"partitionTransform kind '$other' — years|months|days|hours")
+    }
+  }
+}
+
+object PartitionTransform {
+  private val Syntax =
+    """(?i)\s*(years|months|days|hours)\s*\(\s*([^)\s]+)\s*\)\s+AS\s+(\w+)\s*""".r
+
+  /** Parse `days(event_time) AS event_day`. */
+  def parse(s: String): PartitionTransform = s match {
+    case Syntax(kind, src, dir) =>
+      PartitionTransform(kind.toLowerCase, src, dir)
+    case _ => throw new IllegalArgumentException(
+      s"partitionTransform: '$s' — expected " +
+        "'years|months|days|hours(<tsCol>) AS <dirCol>'")
+  }
+}
+
 class ArrowPartitionedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,
     bloomCols: Seq[String] = Seq.empty,
-    sortCol: Option[String] = None)
+    sortCol: Option[String] = None,
+    transform: Option[PartitionTransform] = None)
     extends DataWriter[InternalRow] {
 
+  // TRANSFORM (hidden/derived) partitioning: the dir value derives
+  // from a time column per row and the source column STAYS in the
+  // file — Iceberg's days(ts) shape. Plain column partitioning strips
+  // the partition columns from file content as before.
   private val partOrdinals: Array[Int] =
-    partitionCols.map(schema.fieldIndex).toArray
+    if (transform.isDefined) Array.empty
+    else partitionCols.map(schema.fieldIndex).toArray
   private val dataOrdinals: Array[Int] = schema.fields.indices
     .filterNot(partOrdinals.contains(_)).toArray
   private val dataSchema = StructType(dataOrdinals.map(schema.fields(_)))
+  private val transformOrd: Int =
+    transform.map(t => schema.fieldIndex(t.srcCol)).getOrElse(-1)
 
   private val writers =
     scala.collection.mutable.LinkedHashMap.empty[String, ArrowDataWriter]
@@ -454,9 +522,17 @@ class ArrowPartitionedWriter(path: String, schema: StructType,
   }
 
   override def write(row: InternalRow): Unit = {
-    val rel = partitionCols.zip(partOrdinals)
-      .map { case (c, o) => s"$c=${partValue(row, o)}" }
-      .mkString("/")
+    val rel = transform match {
+      case Some(t) =>
+        val v =
+          if (row.isNullAt(transformOrd)) ArrowDataSource.NullPartValue
+          else t.dirValue(schema.fields(transformOrd).dataType,
+            row, transformOrd)
+        s"${t.dirCol}=$v"
+      case None => partitionCols.zip(partOrdinals)
+        .map { case (c, o) => s"$c=${partValue(row, o)}" }
+        .mkString("/")
+    }
     // LRU discipline: re-insert on access so the map's head is always
     // the least-recently-written partition.
     val w = writers.remove(rel) match {
