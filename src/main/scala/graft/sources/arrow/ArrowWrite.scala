@@ -223,10 +223,16 @@ class ArrowBatchWrite(path: String, schema: StructType,
       : DataWriterFactory = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    // Age-guarded like vacuum: a CONCURRENT writer's in-flight temp is
+    // seconds old and must survive another write's planning sweep —
+    // deleting it mid-task was a lost-write race (concurrent blind
+    // appends). Crash debris is hours old and still goes.
+    val tmpCutoff = System.currentTimeMillis() - 3600L * 1000
     def sweepTmp(d: java.io.File): Unit =
       Option(d.listFiles()).foreach(_.foreach { f =>
         if (f.isDirectory) sweepTmp(f)
-        else if (f.getName.endsWith(".inprogress")) f.delete()
+        else if (f.getName.endsWith(".inprogress") &&
+            f.lastModified() <= tmpCutoff) f.delete()
       })
     if (stageOnly) {
       // maintenance rewrites (compact/zorder) land files with NO

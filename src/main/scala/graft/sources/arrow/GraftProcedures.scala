@@ -50,7 +50,8 @@ object GraftProcedures {
     * window, documented). */
   private[arrow] def loggedRewrite(path: String,
       replaced: Seq[java.nio.file.Path],
-      partitionCols: Seq[String] = Seq.empty)(
+      partitionCols: Seq[String] = Seq.empty,
+      sortCol: Option[String] = None)(
       df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
     // Preserve the Hive partition LAYOUT through maintenance: a
     // rewrite that drops partitionBy would flatten col=value dirs into
@@ -58,7 +59,8 @@ object GraftProcedures {
     // files) but planning-time partition pruning is silently destroyed,
     // exactly the property a 100 TB layout was partitioned FOR.
     def writer(d: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]) = {
-      val w = d.write.format("arrow").mode("append")
+      val w0 = d.write.format("arrow").mode("append")
+      val w = sortCol.fold(w0)(c => w0.option("sortBy", c))
       if (partitionCols.nonEmpty)
         w.partitionBy(partitionCols: _*).option("optimizeWrite", "true")
       else w
@@ -190,8 +192,36 @@ object GraftProcedures {
       }
       val n = df.count() // footer-stat pushdown: metadata-only
       val nFiles = math.max(1L, (n + target - 1) / target).toInt
-      GraftProcedures.loggedRewrite(path, before, partCols)(
-        df.repartition(nFiles))
+      // SORT-PRESERVING compaction: when every input file carries the
+      // same verified sort stamp (and the layout is neither bucketed
+      // nor partitioned), the rewrite range-partitions + re-sorts on
+      // that column and writes with sortBy — the folded files come out
+      // stamped again, so the zero-sort join property survives
+      // OPTIMIZE instead of silently degrading to plain files
+      val memo = new FooterIndex(path)
+      val sortCol: Option[String] =
+        if (partCols.nonEmpty || selector.nonEmpty) None
+        else {
+          val stamps = before.map(f => memo.info(f))
+          if (stamps.nonEmpty && stamps.forall(i =>
+              i.sort.isDefined && i.bucket.isEmpty))
+            stamps.flatMap(_.sort).distinct match {
+              case Seq(one) => Some(one)
+              case _ => None
+            }
+          else None
+        }
+      sortCol match {
+        case Some(c) =>
+          import org.apache.spark.sql.functions.col
+          GraftProcedures.loggedRewrite(path, before, partCols,
+            sortCol = Some(c))(
+            df.repartitionByRange(nFiles, col(c))
+              .sortWithinPartitions(col(c)))
+        case None =>
+          GraftProcedures.loggedRewrite(path, before, partCols)(
+            df.repartition(nFiles))
+      }
       result(out, Array(new GenericInternalRow(Array[Any](
         before.length.toLong,
         ArrowDataSource.visibleIpcFiles(path).length.toLong, n))))

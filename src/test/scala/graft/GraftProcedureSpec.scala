@@ -119,6 +119,32 @@ class GraftProcedureSpec extends AnyFunSuite {
       s"unexpected: $err")
   }
 
+  test("CALL compact PRESERVES a uniform sort stamp — the zero-sort " +
+      "join property survives OPTIMIZE") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("proc_sorted_compact").toString
+    // 6 sorted splinter files (range partitioning keeps per-task order)
+    (1 to 6000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, col("k")).sortWithinPartitions(col("k"))
+      .write.format("arrow").option("sortBy", "k")
+      .mode("overwrite").save(dir)
+    val before = ArrowDataSource.visibleIpcFiles(dir)
+    assert(before.length == 6)
+    assert(before.forall(f =>
+      ArrowDataSource.footerInfo(f).sort.contains("k")))
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 100000)").collect()
+    val after = ArrowDataSource.visibleIpcFiles(dir)
+    assert(after.length < before.length, "compaction did not fold")
+    assert(after.forall(f =>
+      ArrowDataSource.footerInfo(f).sort.contains("k")),
+      "OPTIMIZE dropped the sort stamp — zero-sort joins degrade")
+    assert(spark.read.format("arrow").load(dir).count() == 6000)
+    assert(spark.read.format("arrow").load(dir)
+      .agg(sum(col("k"))).collect()(0).getLong(0) ==
+      (1L to 6000L).sum)
+  }
+
   test("CALL dictionary_encode rewrites with default args applied") {
     val in = Files.createTempDirectory("proc_dict_in").toString
     val out = Files.createTempDirectory("proc_dict_out").toString
