@@ -608,6 +608,13 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       case DoubleType => Some(v.toDouble)
       case _ => None
     }
+    // ANALYZE-persisted NDVs (ColumnStatsFile): the one table-level
+    // statistic footers cannot fold (per-file NDVs over-count shared
+    // values). distinctCount is what the CBO's join-cardinality
+    // estimates key on.
+    val ndvs: Map[String, Long] = ColumnStatsFile.load(
+      java.nio.file.Paths.get(path).toAbsolutePath.normalize)
+      .map(_._2).getOrElse(Map.empty)
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       ColumnStatistics]()
@@ -616,11 +623,15 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         nulls.get(c.name) else None
       val mnv = mins.get(c.name).flatMap(internal(_, c.dataType))
       val mxv = maxs.get(c.name).flatMap(internal(_, c.dataType))
-      if (nc.isDefined || mnv.isDefined || mxv.isDefined) {
+      val dc = ndvs.get(c.name)
+      if (nc.isDefined || mnv.isDefined || mxv.isDefined || dc.isDefined) {
         colStats.put(
           org.apache.spark.sql.connector.expressions.Expressions
             .column(c.name),
           new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              dc.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty())
             override def nullCount(): java.util.OptionalLong =
               nc.map(java.util.OptionalLong.of)
                 .getOrElse(java.util.OptionalLong.empty())

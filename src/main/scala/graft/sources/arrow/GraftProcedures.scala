@@ -514,6 +514,55 @@ object GraftProcedures {
     }
   }
 
+  val Analyze: UnboundProcedure = new SimpleProcedure("analyze",
+    "ANALYZE: one approx-distinct pass computes per-column NDV and " +
+      "persists it; scans then serve distinctCount to the CBO (join " +
+      "cardinality / aggregate output estimates). cols '' = every " +
+      "atomic column") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("cols", StringType)
+        .defaultValue("''").build())
+    private val out = StructType(Seq(
+      StructField("column", StringType, nullable = false),
+      StructField("ndv", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+      val path = input.getUTF8String(0).toString
+      val spark = SparkSession.active
+      val df = spark.read.format("arrow").load(path)
+      val wanted = Option(input.getUTF8String(1)).map(_.toString)
+        .filter(_.nonEmpty)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(df.schema.fields.toSeq.collect {
+          // atomic = non-nested (approx_count_distinct's domain here)
+          case f if !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.ArrayType] &&
+            !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.MapType] &&
+            !f.dataType.isInstanceOf[
+              org.apache.spark.sql.types.StructType] => f.name
+        })
+      require(wanted.nonEmpty, s"analyze: no atomic columns in $path")
+      wanted.foreach(c => require(df.schema.fieldNames.contains(c),
+        s"analyze: column $c not in ${df.schema.fieldNames.mkString(",")}"))
+      // ONE pass: every NDV sketch plus the row count share a scan
+      val aggs = count(lit(1)).as("__rows") +:
+        wanted.map(c => approx_count_distinct(col(c)).as(c))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val rows = row.getLong(0)
+      val ndv = wanted.zipWithIndex.map { case (c, i) =>
+        c -> row.getLong(i + 1)
+      }
+      ColumnStatsFile.write(
+        java.nio.file.Paths.get(path).toAbsolutePath.normalize,
+        rows, ndv)
+      result(out, ndv.map { case (c, n) =>
+        new GenericInternalRow(Array[Any](utf8(c), n)): InternalRow
+      }.toArray)
+    }
+  }
+
   val Detail: UnboundProcedure = new SimpleProcedure("detail",
     "one-row operational summary of a table: visible files/bytes/" +
       "rows, committed epochs, travel horizon, deletion-vector count " +
@@ -676,6 +725,7 @@ object GraftProcedures {
     "restore" -> Restore,
     "clone" -> Clone,
     "set_dv" -> SetDv,
+    "analyze" -> Analyze,
     "detail" -> Detail,
     "set_auto_compact" -> SetAutoCompact,
     "add_constraint" -> AddConstraint,

@@ -237,6 +237,34 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(messages.contains("commit log"))
   }
 
+  test("CALL analyze persists NDVs and the scan serves distinctCount " +
+      "to the optimizer's column statistics") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("proc_analyze").toString
+    (1 to 1000).map(i => (i.toLong, (i % 7).toLong, s"v${i % 13}"))
+      .toDF("id", "grp", "tag")
+      .coalesce(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    val res = spark.sql(s"CALL graft.system.analyze(path => '$dir')")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // approx_count_distinct is within a few percent at these scales
+    assert(math.abs(res("id") - 1000L) <= 50, s"id ndv ${res("id")}")
+    assert(res("grp") == 7L && res("tag") == 13L, s"$res")
+    // the NDVs reach Catalyst: with CBO on, attributeStats carry them
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.read.format("arrow").load(dir)
+        .queryExecution.optimizedPlan.stats
+      val byName = stats.attributeStats.map { case (a, s) =>
+        a.name -> s
+      }
+      assert(byName.get("grp").exists(_.distinctCount
+        .contains(BigInt(7))),
+        s"grp distinctCount missing from plan stats: $byName")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("an unknown procedure names the available ones") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.no_such_proc()")
