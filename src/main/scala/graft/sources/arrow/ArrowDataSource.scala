@@ -385,6 +385,13 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       require(!info.schema().fieldNames.contains(t.dirCol),
         s"arrow partitionTransform: derived column ${t.dirCol} " +
           "collides with a data column")
+      // refuse at PLAN time, not per row inside a launched job
+      val dt = info.schema()(t.srcCol).dataType
+      require(dt == org.apache.spark.sql.types.DateType ||
+        dt == org.apache.spark.sql.types.TimestampType ||
+        dt == org.apache.spark.sql.types.TimestampNTZType,
+        s"arrow partitionTransform: ${t.kind}(${t.srcCol}) needs a " +
+          s"DATE or TIMESTAMP column, got ${dt.simpleString}")
     }
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
@@ -399,7 +406,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(info.options.get("sortBy")).map(_.trim).filter(_.nonEmpty),
       Option(info.options.get("optimizeWrite")).exists(_.toBoolean),
       Option(info.options.get("stageOnly")).exists(_.toBoolean),
-      transform)
+      transform,
+      Option(info.options.get("stageToken")))
   }
 }
 
@@ -1067,6 +1075,15 @@ object ArrowDataSource {
       compactLog(root, epoch)
     epoch
   }
+
+  /** Staged-write handoff: a `stageOnly` job tags itself with a
+    * unique `stageToken` and its driver-side commit records EXACTLY
+    * the files its tasks committed, keyed by the token. The
+    * maintenance procedure that launched the job collects them here —
+    * never by dir-diffing, which could claim a CONCURRENT appender's
+    * renamed-but-uncommitted files into the maintenance epoch. */
+  val stagedFiles =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
   /** Blind-append commit with conflict REBASE (Delta's concurrency
     * rule): a pure append — no removes, no dv events — conflicts with

@@ -56,7 +56,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     sortCol: Option[String] = None,
     optimizeWrite: Boolean = false,
     stageOnly: Boolean = false,
-    transform: Option[PartitionTransform] = None)
+    transform: Option[PartitionTransform] = None,
+    stageToken: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -96,7 +97,7 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols, maxOpenWriters, bucket, bloomCols, sortCol,
-        stageOnly, transform)
+        stageOnly, transform, stageToken)
     override def toStreaming: streaming.StreamingWrite = {
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
@@ -116,7 +117,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
             "writeStream into it would collide with table epochs. " +
             "Stream into a fresh directory instead.")
       new ArrowStreamingWrite(path, schema, codec, batchRows,
-        partitionCols, maxOpenWriters, compactInterval, bloomCols)
+        partitionCols, maxOpenWriters, compactInterval, bloomCols,
+        transform)
     }
   }
 }
@@ -137,7 +139,8 @@ class ArrowStreamingWrite(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
     maxOpenWriters: Int = 64,
     compactInterval: Int = ArrowDataSource.DefaultCompactInterval,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    transform: Option[PartitionTransform] = None)
     extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
@@ -146,7 +149,8 @@ class ArrowStreamingWrite(path: String, schema: StructType,
     new ArrowStreamingWriterFactory(path, schema, codec, batchRows,
       partitionCols, maxOpenWriters, bloomCols,
       TableConstraints.bound(
-        org.apache.spark.sql.SparkSession.active, path, schema))
+        org.apache.spark.sql.SparkSession.active, path, schema),
+      transform)
   }
 
   override def commit(epochId: Long,
@@ -180,12 +184,17 @@ class ArrowStreamingWriterFactory(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionCols: Seq[String],
     maxOpenWriters: Int = 64, bloomCols: Seq[String] = Seq.empty,
     checks: Seq[(String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Seq.empty,
+    transform: Option[PartitionTransform] = None)
     extends streaming.StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long,
       epochId: Long): DataWriter[InternalRow] =
     TableConstraints.enforcing(
-      if (partitionCols.isEmpty)
+      if (transform.isDefined)
+        new ArrowPartitionedWriter(path, schema, codec, batchRows,
+          partitionId, taskId, Seq.empty, maxOpenWriters, bloomCols,
+          None, transform)
+      else if (partitionCols.isEmpty)
         new ArrowDataWriter(path, schema, codec, batchRows, partitionId,
           taskId, null, Map.empty, bloomCols)
       else
@@ -209,7 +218,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
     bloomCols: Seq[String] = Seq.empty,
     sortCol: Option[String] = None,
     stageOnly: Boolean = false,
-    transform: Option[PartitionTransform] = None)
+    transform: Option[PartitionTransform] = None,
+    stageToken: Option[String] = None)
     extends BatchWrite {
 
   // Logged-table state, captured at factory creation on the driver:
@@ -288,15 +298,31 @@ class ArrowBatchWrite(path: String, schema: StructType,
     val epoch =
       if (loggedBase >= -1L) {
         // blind appends REBASE on an epoch-race loss (they conflict
-        // with nothing); truncating overwrites keep failing fast —
-        // their captured remove set is a stale read snapshot
-        if (loggedRemoves.isEmpty)
+        // with nothing); truncating overwrites keep failing fast even
+        // when their captured remove set happens to be EMPTY (an
+        // overwrite of an empty table racing an append must not land
+        // on top of the appender's rows) — the mode, not the remove
+        // set, decides
+        if (!doTruncate && loggedRemoves.isEmpty)
           Some(ArrowDataSource.commitAppendWithRebase(path, loggedBase,
             adds))
         else
           Some(ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
             loggedRemoves))
       } else None
+    // staged-write handoff: record exactly this job's committed files
+    // for the launching maintenance procedure (see
+    // ArrowDataSource.stagedFiles) — dir-diffing could claim a
+    // concurrent appender's files
+    if (stageOnly) stageToken.foreach { t =>
+      ArrowDataSource.stagedFiles.put(t, adds); ()
+    }
+    // an overwrite replaces the DATA the analyzed NDVs describe:
+    // serving the old distinct counts would misestimate every join
+    // over the new contents — drop them with the rest of the stats
+    if (doTruncate)
+      Files.deleteIfExists(Paths.get(path).toAbsolutePath.normalize
+        .resolve(ColumnStatsFile.FileName))
     if (!stageOnly) {
       // Persist the tasks' footer stats so the NEXT planning of this
       // directory is one metadata read, not O(files) footer opens.
@@ -416,24 +442,6 @@ class ArrowBucketedWriter(path: String, schema: StructType,
   override def close(): Unit = writers.filter(_ != null).foreach(_.close())
 }
 
-/** Hive-style dynamic-partition routing: each row lands in
-  * `path/c1=v1/.../part-...arrow` with the partition columns stripped
-  * from the file (they live in the directory name — parquet's layout,
-  * so partition pruning happens at planning from paths alone). One
-  * open sub-writer per distinct combination seen by this task; tasks
-  * that receive pre-clustered input (repartition on the partition
-  * cols) keep that number at 1.
-  *
-  * Unclustered high-cardinality input is bounded too: at most
-  * `maxOpenWriters` sub-writers (one VectorSchemaRoot + open channel
-  * each) stay open per task; beyond that the least-recently-written
-  * one is SEALED — its footer lands in the `.inprogress` temp and its
-  * memory is freed — with the rename-visible step still deferred to
-  * task commit, so crash atomicity is unchanged. A re-seen partition
-  * simply opens a fresh uuid-named file. (Spark's own FileFormatWriter
-  * solves this by sort-spilling instead; an LRU cap keeps the
-  * single-pass shape and degrades to more, smaller files under true
-  * high cardinality.) */
 /** Derived (hidden) time partitioning — Iceberg's transform shape:
   * `option("partitionTransform", "days(event_time) AS event_day")`
   * routes rows into `event_day=YYYY-MM-DD/` directories computed from
@@ -485,6 +493,24 @@ object PartitionTransform {
   }
 }
 
+/** Hive-style dynamic-partition routing: each row lands in
+  * `path/c1=v1/.../part-...arrow` with the partition columns stripped
+  * from the file (they live in the directory name — parquet's layout,
+  * so partition pruning happens at planning from paths alone). One
+  * open sub-writer per distinct combination seen by this task; tasks
+  * that receive pre-clustered input (repartition on the partition
+  * cols) keep that number at 1.
+  *
+  * Unclustered high-cardinality input is bounded too: at most
+  * `maxOpenWriters` sub-writers (one VectorSchemaRoot + open channel
+  * each) stay open per task; beyond that the least-recently-written
+  * one is SEALED — its footer lands in the `.inprogress` temp and its
+  * memory is freed — with the rename-visible step still deferred to
+  * task commit, so crash atomicity is unchanged. A re-seen partition
+  * simply opens a fresh uuid-named file. (Spark's own FileFormatWriter
+  * solves this by sort-spilling instead; an LRU cap keeps the
+  * single-pass shape and degrades to more, smaller files under true
+  * high cardinality.) */
 class ArrowPartitionedWriter(path: String, schema: StructType,
     codec: Option[String], batchRows: Int, partitionId: Int, taskId: Long,
     partitionCols: Seq[String], maxOpenWriters: Int = 64,

@@ -29,7 +29,10 @@ object ColumnStatsFile {
         s"${java.util.Base64.getEncoder.encodeToString(
           c.getBytes(StandardCharsets.UTF_8))}\t$n"
       }).mkString("\n")
-    val tmp = root.resolve(FileName + ".inprogress")
+    // uuid-suffixed temp: two concurrent ANALYZE calls must not race
+    // on one staging name (last move wins either way — both are valid)
+    val tmp = root.resolve(FileName + "." +
+      java.util.UUID.randomUUID().toString.take(8) + ".inprogress")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, file(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

@@ -68,11 +68,15 @@ object GraftProcedures {
     if (ArrowDataSource.isTableLog(path)) {
       val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       val base = ArrowDataSource.latestCommittedEpoch(root)
-      val onDisk = ArrowDataSource.listIpcFiles(path)
-        .map(_.toString).toSet
-      writer(df).option("stageOnly", "true").save(path)
-      val adds = ArrowDataSource.listIpcFiles(path).map(_.toString)
-        .filterNot(onDisk)
+      // adds come from the staged job's OWN commit messages (token
+      // handoff), never a dir-diff — a concurrent appender's renamed-
+      // but-uncommitted files must not be claimed into this epoch
+      val token = java.util.UUID.randomUUID().toString
+      writer(df).option("stageOnly", "true")
+        .option("stageToken", token).save(path)
+      val adds = Option(ArrowDataSource.stagedFiles.remove(token))
+        .getOrElse(throw new IllegalStateException(
+          s"staged rewrite of $path returned no file manifest"))
       // maintenance rewrites carry the SAME row multiset — the
       // neutral flag makes commitTableEpoch write the marker before
       // the epoch's visibility flip, so change-feed consumers can

@@ -64,6 +64,33 @@ class ArrowTransformPartitionSpec extends AnyFunSuite {
       before, "retention DELETE moved data bytes — not metadata-only")
   }
 
+  test("the STREAMING sink honors partitionTransform: epochs land in " +
+      "derived day dirs with exactly-once visibility") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("tpart_stream_src").toString
+    val dst = Files.createTempDirectory("tpart_stream_dst").toString
+    val ckpt = Files.createTempDirectory("tpart_stream_ck").toString
+    val base = java.time.Instant.parse("2026-05-01T00:00:00Z")
+    (0 until 48).map { i =>
+      (i.toLong, java.sql.Timestamp.from(base.plusSeconds(i * 3600L)))
+    }.toDF("id", "ts")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(src)
+    val q = spark.readStream.format("arrow").load(src)
+      .writeStream.format("arrow")
+      .option("partitionTransform", "days(ts) AS day")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dst)
+    try q.processAllAvailable() finally q.stop()
+    val days = Option(new java.io.File(dst).listFiles()).get
+      .filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("day=")).sorted.toSeq
+    assert(days == Seq("day=2026-05-01", "day=2026-05-02"), s"$days")
+    val t = spark.read.format("arrow").load(dst)
+    assert(t.count() == 48)
+    assert(t.filter(col("day") === "2026-05-02").count() == 24)
+  }
+
   test("transform kinds map instants correctly; misuse refuses") {
     import spark.implicits._
     val t = PartitionTransform.parse("months(ts) AS m")
