@@ -518,6 +518,55 @@ object GraftProcedures {
     }
   }
 
+  val Partitions: UnboundProcedure = new SimpleProcedure("partitions",
+    "per-partition rollup (SHOW PARTITIONS with sizes): files, bytes, " +
+      "and footer-stat rows for every live col=value combination — a " +
+      "metadata pass, no data reads; flat tables report one '' row") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("files", LongType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      val memo = new FooterIndex(path)
+      def partOf(f: java.nio.file.Path): String = {
+        val rel = root.relativize(f.toAbsolutePath.normalize)
+        (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
+          .reverse.takeWhile(_.contains('=')).reverse.mkString("/")
+      }
+      def rowsOf(f: java.nio.file.Path): Option[Long] =
+        scala.util.Try {
+          val info = memo.info(f)
+          info.rowStats.filter(_.batches.length == info.sizes.length)
+            .map(_.batches.map(_._1).sum)
+        }.toOption.flatten
+      // live deletion vectors shrink the row answer per file
+      val dvs = if (ArrowDataSource.isTableLog(path))
+        ArrowDataSource.liveDvs(root, None) else Map.empty[String,
+        (String, Long)]
+      val rows = memo.files.groupBy(partOf).toSeq.sortBy(_._1)
+        .map { case (part, fs) =>
+          val bytes = fs.map(f => Files.size(f)).sum
+          val perFile = fs.map { f =>
+            rowsOf(f).map(_ - scala.util.Try(root.relativize(
+              f.toAbsolutePath.normalize).toString).toOption
+              .flatMap(dvs.get).map(_._2).getOrElse(0L))
+          }
+          val total: java.lang.Long =
+            if (perFile.forall(_.isDefined))
+              java.lang.Long.valueOf(perFile.flatten.sum)
+            else null
+          new GenericInternalRow(Array[Any](
+            utf8(part), fs.length.toLong, bytes, total)): InternalRow
+        }
+      result(out, rows.toArray)
+    }
+  }
+
   val Analyze: UnboundProcedure = new SimpleProcedure("analyze",
     "ANALYZE: one approx-distinct pass computes per-column NDV and " +
       "persists it; scans then serve distinctCount to the CBO (join " +
@@ -730,6 +779,7 @@ object GraftProcedures {
     "clone" -> Clone,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
+    "partitions" -> Partitions,
     "detail" -> Detail,
     "set_auto_compact" -> SetAutoCompact,
     "add_constraint" -> AddConstraint,

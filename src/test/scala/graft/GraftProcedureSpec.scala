@@ -265,6 +265,29 @@ class GraftProcedureSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.cbo.enabled", prev)
   }
 
+  test("CALL partitions rolls up files/bytes/rows per value dir, " +
+      "deletion-vector-adjusted, from metadata alone") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("proc_parts").toString
+    (1 to 90).map(i => (i.toLong, s"p${i % 3}")).toDF("id", "part")
+      .write.format("arrow").partitionBy("part")
+      .option("optimizeWrite", "true").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+      "WHERE part = 'p1' AND id <= 31") // masks ids 1,4,...,31: 11 rows
+    val loads = ArrowDataSource.recordBatchesLoaded.get()
+    val rows = spark.sql(s"CALL graft.system.partitions(path => '$dir')")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.get(3))).toMap
+    assert(ArrowDataSource.recordBatchesLoaded.get() == loads,
+      "partitions() read data batches — must be metadata-only")
+    assert(rows.keySet == Set("part=p0", "part=p1", "part=p2"))
+    assert(rows("part=p0")._2 == 30L && rows("part=p2")._2 == 30L)
+    assert(rows("part=p1")._2 == 19L,
+      s"dv-masked partition row count wrong: ${rows("part=p1")}")
+  }
+
   test("an unknown procedure names the available ones") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.no_such_proc()")
