@@ -479,6 +479,29 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** SHOW PARTITIONS under the hash gate: write orders partitioned by
+    * status to the Arrow layout, roll it up with the metadata-only
+    * `partitions` procedure (footer row stats, zero data-batch
+    * reads), and the per-partition row counts must equal the oracle's
+    * plain GROUP BY — proving the layout's metadata is an exact
+    * census of the data. */
+  def arrowPartitionsMeta(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("parts_meta", dir)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("arrow").partitionBy("o_orderstatus")
+        .option("optimizeWrite", "true")
+        .mode("overwrite").save(out)
+    }
+    spark.sql(s"CALL graft.system.partitions(path => '$out')")
+      .select(col("partition"), col("rows"))
+      .orderBy(col("partition"))
+  }
+
   /** Merge-on-read DELETE (deletion vectors), oracle-gated: a
     * `set_dv` table takes two DELETEs — the second overlapping files
     * the first already masked, accumulating cumulative vectors — and
@@ -705,6 +728,7 @@ object StorageQueries {
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
+    "arrow_partitions_meta" -> (arrowPartitionsMeta _),
     "arrow_restore" -> (arrowRestore _),
     "arrow_changes" -> (arrowChanges _),
     "arrow_delete_rows" -> (arrowDeleteRows _),
@@ -818,6 +842,11 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders WHERE o_orderkey >= 400
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_partitions_meta" ->
+      """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
+        | COUNT(*) AS rows
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY partition""".stripMargin,
     "arrow_delta_update" ->
       """WITH upd AS (
         |  SELECT o_orderkey,
