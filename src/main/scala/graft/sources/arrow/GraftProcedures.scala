@@ -544,17 +544,18 @@ object GraftProcedures {
           info.rowStats.filter(_.batches.length == info.sizes.length)
             .map(_.batches.map(_._1).sum)
         }.toOption.flatten
-      // live deletion vectors shrink the row answer per file
-      val dvs = if (ArrowDataSource.isTableLog(path))
-        ArrowDataSource.liveDvs(root, None) else Map.empty[String,
-        (String, Long)]
+      // live deletion vectors shrink the row answer per file — via
+      // the FooterIndex, which resolves the table's SINK ROOT (a
+      // partition-subdirectory path must still honor the log) and
+      // keys by absolute path
+      val dvs = memo.dvs
       val rows = memo.files.groupBy(partOf).toSeq.sortBy(_._1)
         .map { case (part, fs) =>
           val bytes = fs.map(f => Files.size(f)).sum
           val perFile = fs.map { f =>
-            rowsOf(f).map(_ - scala.util.Try(root.relativize(
-              f.toAbsolutePath.normalize).toString).toOption
-              .flatMap(dvs.get).map(_._2).getOrElse(0L))
+            rowsOf(f).map(_ - dvs
+              .get(f.toAbsolutePath.normalize.toString)
+              .map(_._2).getOrElse(0L))
           }
           val total: java.lang.Long =
             if (perFile.forall(_.isDefined))
@@ -637,34 +638,32 @@ object GraftProcedures {
       StructField("partition_columns", StringType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
-      val files = ArrowDataSource.visibleIpcFiles(path)
+      val memo = new FooterIndex(path)
+      val files = memo.files
       val bytes = files.map(f => Files.size(f)).sum
-      val idx = FooterIndexFile.load(
-        java.nio.file.Paths.get(path).toAbsolutePath.normalize)
       val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       def rowsOf(f: java.nio.file.Path): Option[Long] =
         scala.util.Try {
-          val info = scala.util.Try(
-            root.relativize(f.toAbsolutePath.normalize).toString).toOption
-            .flatMap(r => idx.flatMap(_.infoOf(r)))
-            .getOrElse(ArrowDataSource.footerInfo(f))
+          val info = memo.info(f)
           info.rowStats.filter(_.batches.length == info.sizes.length)
             .map(_.batches.map(_._1).sum)
         }.toOption.flatten // unreadable footer: rows stay unknown
       val perFile = files.map(rowsOf)
-      val dvs = if (ArrowDataSource.isTableLog(path))
-        ArrowDataSource.liveDvs(root, None) else Map.empty[String,
-        (String, Long)]
+      // FooterIndex.dvs resolves the SINK ROOT (subdirectory paths
+      // honor the log) and keys by absolute path
+      val dvs = memo.dvs
       val masked = dvs.values.map(_._2).sum
       val rows: java.lang.Long =
         if (perFile.forall(_.isDefined))
           java.lang.Long.valueOf(perFile.flatten.sum - masked)
         else null
-      val epochs = ArrowDataSource.latestCommittedEpoch(root)
-      val horizon =
-        if (ArrowDataSource.sinkRoot(path).isDefined)
-          ArrowDataSource.travelHorizon(root)
-        else 0L
+      // the SINK ROOT owns the log — a subdirectory path reports its
+      // table's epochs, not an empty log
+      val logRoot = ArrowDataSource.sinkRoot(path)
+      val epochs = logRoot
+        .map(ArrowDataSource.latestCommittedEpoch).getOrElse(-1L)
+      val horizon = logRoot
+        .map(ArrowDataSource.travelHorizon).getOrElse(0L)
       result(out, Array(new GenericInternalRow(Array[Any](
         files.length.toLong, bytes, rows,
         math.max(0L, epochs), horizon,

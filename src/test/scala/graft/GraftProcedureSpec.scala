@@ -286,6 +286,19 @@ class GraftProcedureSpec extends AnyFunSuite {
     assert(rows("part=p0")._2 == 30L && rows("part=p2")._2 == 30L)
     assert(rows("part=p1")._2 == 19L,
       s"dv-masked partition row count wrong: ${rows("part=p1")}")
+    // a partition-SUBDIRECTORY path must honor the table's log and
+    // vectors (sinkRoot climbs out of the col=value segment)
+    val sub = spark.sql(
+      s"CALL graft.system.partitions(path => '$dir/part=p1')")
+      .collect()
+    assert(sub.length == 1 && sub(0).getLong(3) == 19L,
+      s"subdirectory partitions() lost the vector adjustment: " +
+        s"${sub.toSeq}")
+    val subDetail = spark.sql(
+      s"CALL graft.system.detail(path => '$dir/part=p1')").collect()(0)
+    assert(subDetail.getAs[Long]("rows") == 19L &&
+      subDetail.getAs[Long]("epochs") > 0,
+      s"subdirectory detail() wrong: $subDetail")
   }
 
   test("an unknown procedure names the available ones") {
