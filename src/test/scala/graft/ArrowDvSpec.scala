@@ -196,6 +196,15 @@ class ArrowDvSpec extends AnyFunSuite {
     assert(ArrowDataSource.liveDvs(root, None).isEmpty,
       "compaction must purge deletion vectors")
     assert(spark.read.format("arrow").load(dir).count() == 75)
+    // zorder shares the maintenance rewrite path: it must purge too
+    val zdir = fixture("dv_zorder")
+    spark.sql(s"DELETE FROM graft.arrow.`$zdir` WHERE id <= 10")
+    spark.sql(s"CALL graft.system.zorder(path => '$zdir', " +
+      "cols => 'id,id')").collect()
+    assert(ArrowDataSource.liveDvs(
+      Paths.get(zdir).toAbsolutePath.normalize, None).isEmpty,
+      "zorder left deletion vectors behind")
+    assert(spark.read.format("arrow").load(zdir).count() == 90)
     spark.sql(s"CALL graft.system.vacuum(path => '$dir', " +
       "grace_ms => 0)").collect()
     val dvDir = root.resolve(ArrowDataSource.DvDirName)

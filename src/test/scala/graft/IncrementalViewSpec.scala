@@ -96,6 +96,38 @@ class IncrementalViewSpec extends AnyFunSuite {
         "serial application is back")
   }
 
+  test("a source RESTORE flows through the feed as churn the additive " +
+      "deltas absorb — the view converges to the restored aggregate") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ivm_restore_src").toString
+    val dst = Files.createTempDirectory("ivm_restore_dst").toString
+    val ckpt = Files.createTempDirectory("ivm_restore_ckpt").toString
+    (1 to 60).map(i => (i.toLong, if (i % 2 == 0) "x" else "y",
+      i.toLong)).toDF("id", "grp", "amt")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    def refresh(): Unit = {
+      val q = IncrementalView.maintain(spark, src, dst,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    refresh()
+    val root = Paths.get(src).toAbsolutePath.normalize
+    val preDml = ArrowDataSource.latestCommittedEpoch(root)
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id <= 40")
+    refresh()
+    assert(bagEqual(viewDf(dst), recompute(src)))
+    // roll the SOURCE back; the restore epoch's churn must net the
+    // view back to the pre-DML aggregate
+    spark.sql(s"CALL graft.system.restore(path => '$src', " +
+      s"epoch => $preDml)").collect()
+    refresh()
+    assert(bagEqual(viewDf(dst), recompute(src)),
+      "view diverged after the source was restored")
+    assert(viewDf(dst).agg(sum(col("n"))).collect()(0).getLong(0) == 60L)
+  }
+
   test("replayed micro-batch is gated exactly-once by the writer-txn " +
       "stamp — skipped before any job, not merely converged") {
     import spark.implicits._
