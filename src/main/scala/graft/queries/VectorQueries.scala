@@ -88,8 +88,10 @@ object VectorQueries {
   }
 
   /** ANN via random-hyperplane LSH: 8 sign bits → 256 buckets; nearest
-    * neighbor searched within the bucket only. Approximate (no oracle);
-    * ScalaTest measures recall against [[topK]]. */
+    * neighbor searched within the bucket only. The plane family is a
+    * fixed-seed constant, so the projection restates in SQL (plane
+    * literals in the oracle) and the query is HASH-GATED like the
+    * exact ops; ScalaTest additionally measures recall vs [[topK]]. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val ps = planes(8, 64)
     val e = withNorm(spark, dir)
@@ -415,6 +417,18 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** The LSH hyperplanes as DuckDB VALUES literals — the plane family
+    * is a fixed-seed CONSTANT of the operator (VectorFunctions.planes),
+    * so the "random" projection is fully restatable in SQL and the LSH
+    * query joins the exact-verification club: Double.toString is the
+    * shortest round-trip representation, so DuckDB parses bit-identical
+    * coefficients. */
+  private def planesSqlValues: String =
+    graft.functions.VectorFunctions.planes(8, 64).zipWithIndex
+      .map { case (p, i) =>
+        s"($i, [${p.map(_.toString).mkString(", ")}])"
+      }.mkString(",\n  ")
+
   private val cosExpr =
     """SUM(CAST(q.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)) /
       |   sqrt(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
@@ -465,6 +479,64 @@ object VectorQueries {
          | GROUP BY doc_id, bm25)
          |SELECT doc_id, bm25, cos, round(0.1*bm25 + cos, 6) AS hybrid
          |FROM cosd ORDER BY hybrid DESC, doc_id LIMIT 10""".stripMargin,
+    "sim_ann_lsh" ->
+      s"""WITH pl(pi, pv) AS (VALUES
+         |  $planesSqlValues),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |dots AS (
+         | SELECT e.vec_id, pl.pi,
+         |  SUM(CAST(e.embedding[i] AS DOUBLE) * pl.pv[i]) AS d
+         | FROM e, pl, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, pl.pi),
+         |bucket AS (
+         | SELECT vec_id,
+         |  CAST(SUM(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT)
+         |    AS bucket
+         | FROM dots GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM e JOIN bucket b ON e.vec_id = b.vec_id
+         |  WHERE e.vec_id < 20),
+         |t AS (SELECT e.vec_id AS tid, e.embedding AS tv, b.bucket AS tb
+         |  FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE tb = qb AND tid <> qid GROUP BY qid, tid),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "sim_ann_lsh_multiprobe" ->
+      s"""WITH pl(pi, pv) AS (VALUES
+         |  $planesSqlValues),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |dots AS (
+         | SELECT e.vec_id, pl.pi,
+         |  SUM(CAST(e.embedding[i] AS DOUBLE) * pl.pv[i]) AS d
+         | FROM e, pl, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, pl.pi),
+         |bucket AS (
+         | SELECT vec_id,
+         |  CAST(SUM(CASE WHEN d >= 0 THEN 1 << pi ELSE 0 END) AS BIGINT)
+         |    AS bucket
+         | FROM dots GROUP BY vec_id),
+         |q AS (SELECT e.vec_id AS qid, e.embedding AS qv, b.bucket AS qb
+         |  FROM e JOIN bucket b ON e.vec_id = b.vec_id
+         |  WHERE e.vec_id < 20),
+         |t AS (SELECT e.vec_id AS tid, e.embedding AS tv, b.bucket AS tb
+         |  FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE bit_count(xor(tb::UBIGINT, qb::UBIGINT)) <= 1
+         |   AND tid <> qid
+         | GROUP BY qid, tid),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
