@@ -14,27 +14,34 @@ import graft.queries._
   * `oracleSql` with IDENTICAL output column names and total ordering.
   */
 object SparkEntry {
-  private val modules: Seq[(Map[String, (SparkSession, String) => DataFrame],
-    Map[String, String])] = Seq(
-    (AggQueries.defs, AggQueries.sql),
-    (JoinQueries.defs, JoinQueries.sql),
-    (TpchQueries.defs, TpchQueries.sql),
-    (TpchDeepQueries.defs, TpchDeepQueries.sql),
-    (WindowQueries.defs, WindowQueries.sql),
-    (RelationalQueries.defs, RelationalQueries.sql),
-    (ScalarQueries.defs, ScalarQueries.sql),
-    (SourceQueries.defs, SourceQueries.sql),
-    (TextQueries.defs, TextQueries.sql),
-    (DedupQueries.defs, DedupQueries.sql),
-    (VectorQueries.defs, VectorQueries.sql),
-    (StreamQueries.defs, StreamQueries.sql),
-    (SqlQueries.defs, SqlQueries.sql),
-    (ReshapeQueries.defs, ReshapeQueries.sql),
-    (PipelineQueries.defs, PipelineQueries.sql),
-    (TimeseriesQueries.defs, TimeseriesQueries.sql),
-    (FunnelQueries.defs, FunnelQueries.sql),
-    (StorageQueries.defs, StorageQueries.sql),
-    (graft.multimodal.Multimodal.defs, graft.multimodal.Multimodal.sql))
+  /** `sql` is re-read per access (a thunk, not a captured value):
+    * VectorQueries' IVF oracles restate the fitted k-means centroids
+    * as SQL literals, so they exist only AFTER the queries ran —
+    * Verify dumps oracle_sql.json last, and assembling the map at
+    * dump time picks them up. */
+  private val modules
+      : Seq[(Map[String, (SparkSession, String) => DataFrame],
+        () => Map[String, String])] = Seq(
+    (AggQueries.defs, () => AggQueries.sql),
+    (JoinQueries.defs, () => JoinQueries.sql),
+    (TpchQueries.defs, () => TpchQueries.sql),
+    (TpchDeepQueries.defs, () => TpchDeepQueries.sql),
+    (WindowQueries.defs, () => WindowQueries.sql),
+    (RelationalQueries.defs, () => RelationalQueries.sql),
+    (ScalarQueries.defs, () => ScalarQueries.sql),
+    (SourceQueries.defs, () => SourceQueries.sql),
+    (TextQueries.defs, () => TextQueries.sql),
+    (DedupQueries.defs, () => DedupQueries.sql),
+    (VectorQueries.defs, () => VectorQueries.sql),
+    (StreamQueries.defs, () => StreamQueries.sql),
+    (SqlQueries.defs, () => SqlQueries.sql),
+    (ReshapeQueries.defs, () => ReshapeQueries.sql),
+    (PipelineQueries.defs, () => PipelineQueries.sql),
+    (TimeseriesQueries.defs, () => TimeseriesQueries.sql),
+    (FunnelQueries.defs, () => FunnelQueries.sql),
+    (StorageQueries.defs, () => StorageQueries.sql),
+    (graft.multimodal.Multimodal.defs,
+      () => graft.multimodal.Multimodal.sql))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -45,7 +52,8 @@ object SparkEntry {
     modules.iterator.flatMap(_._1).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  val oracleSql: Map[String, String] =
-    modules.iterator.flatMap(_._2).toMap
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * A def: see the note on [[modules]]. */
+  def oracleSql: Map[String, String] =
+    modules.iterator.flatMap(_._2()).toMap
 }

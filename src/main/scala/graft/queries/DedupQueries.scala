@@ -102,9 +102,11 @@ object DedupQueries {
     * ⊆ the exact pair set, missing only pairs whose every common
     * shingle is hot (at a sane dfMax those are boilerplate-only
     * matches, the pairs web-scale dedup deliberately ignores).
-    * Spec-only (DedupSimSpec pins containment, the fan-out bound, and
-    * the no-op equality at dfMax = max df); the declared
-    * `dedup_jaccard` stays uncut so its oracle is exact. */
+    * Declared (oracle-gated) as `dedup_jaccard_dfcut` at
+    * dfMax = [[DfCut]]; DedupSimSpec additionally pins containment,
+    * the fan-out bound, and the no-op equality at dfMax = max df.
+    * The declared `dedup_jaccard` stays uncut so its oracle is the
+    * exact pair set. */
   private[graft] def jaccardPairsDfBounded(spark: SparkSession,
       dir: String, dfMax: Long): DataFrame = {
     val sh = shingleIndex(spark, dir)
@@ -123,6 +125,18 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Declared cut for `dedup_jaccard_dfcut` — the shape that actually
+    * ships at 100 TB, where dfMax is tuned to the corpus (a few
+    * thousand for web text); 4 bites on the test fixture. */
+  private[graft] val DfCut = 4L
+
+  /** The df-bounded Jaccard as a first-class declared query: identical
+    * semantics to [[jaccardPairsDfBounded]] at dfMax = [[DfCut]],
+    * fully deterministic, restated exactly in DuckDB (same inverted
+    * index plus a `HAVING count(*) > dfMax` hot-shingle cut). */
+  def jaccardDedupDfCut(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsDfBounded(spark, dir, DfCut)
 
   private val NumHashes = graft.functions.MinHashAgg.NumHashes
   private val Bands = 8
@@ -412,6 +426,7 @@ object DedupQueries {
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_jaccard" -> (jaccardDedup _),
+    "dedup_jaccard_dfcut" -> (jaccardDedupDfCut _),
     "dedup_minhash" -> (minhashDedup _),
     "dedup_simhash" -> (simhashDedup _),
     "dedup_passage" -> (passageDedup _))
@@ -437,6 +452,26 @@ object DedupQueries {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_jaccard_dfcut" ->
+      s"""WITH $ShingleCtes,
+         |hot AS (SELECT shingle FROM sh GROUP BY shingle
+         |  HAVING COUNT(*) > $DfCut),
+         |cold AS (SELECT * FROM sh ANTI JOIN hot USING (shingle)),
+         |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM cold a JOIN cold b
+         |    ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (SELECT d1, d2, COUNT(*) AS common FROM cand
+         |  JOIN sh sa ON d1 = sa.doc_id
+         |  JOIN sh sb ON d2 = sb.doc_id AND sa.shingle = sb.shingle
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2,
+         |  CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN sizes s1 ON d1 = s1.doc_id
+         |JOIN sizes s2 ON d2 = s2.doc_id
+         |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
+         |ORDER BY d1, d2""".stripMargin,
     "dedup_minhash" -> minhashOracleSql,
     "dedup_simhash" -> simhashOracleSql,
     "dedup_passage" ->

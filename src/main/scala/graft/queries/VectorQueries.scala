@@ -165,14 +165,23 @@ object VectorQueries {
   private val ivfCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Seq[(Int, Seq[Double])]]
 
+  /** Most recent fit, kept so [[sql]] can restate the centroids as
+    * DuckDB VALUES literals AFTER the queries ran (Verify dumps
+    * oracle_sql.json last): the k-means fit is data-dependent, but
+    * once fitted the probe/score/rank pipeline is exactly restatable
+    * over the literal centroids — the same move that brought the LSH
+    * pair under the hash gate with fixed-seed hyperplane literals. */
+  @volatile private var fittedCentroids
+      : Option[Seq[(Int, Seq[Double])]] = None
+
   /** Fit IVF cells: a few Lloyd iterations of k-means over the corpus.
     * Centroids are index *metadata* (k × dim doubles — bytes, not
     * data), so collecting them to the driver and re-broadcasting per
     * iteration is the legitimate pattern: every heavy step (assignment,
     * per-cell means) is a distributed scan + hash aggregation. */
   private def ivfFit(spark: SparkSession, dir: String, k: Int = 16,
-      iters: Int = 4): Seq[(Int, Seq[Double])] =
-    ivfCache.getOrElseUpdate((spark, dir), {
+      iters: Int = 4): Seq[(Int, Seq[Double])] = {
+    val fitted = ivfCache.getOrElseUpdate((spark, dir), {
       graft.functions.DotProduct.register(spark)
       import spark.implicits._
       val e = Tables.embeddings(spark, dir)
@@ -193,7 +202,7 @@ object VectorQueries {
               - lit(2.0) * expr("graft_dot(embedding, centroid)"))
               .as("score"))
           .groupBy(col("vec_id"))
-          .agg(min_by(col("cell"), col("score")).as("cell"),
+          .agg(min(struct(col("score"), col("cell"))).getField("cell").as("cell"),
             first(col("embedding")).as("embedding"))
         cents = assigned
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "x")))
@@ -208,6 +217,9 @@ object VectorQueries {
       }
       cents
     })
+    fittedCentroids = Some(fitted)
+    fitted
+  }
 
   /** ANN via IVF: assign every vector to its nearest k-means cell, then
     * search the query's `nprobe` nearest cells. Same pipeline shape as
@@ -234,7 +246,7 @@ object VectorQueries {
           .as("score"))
     val assigned = cellScores
       .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), col("score")).as("cell"),
+      .agg(min(struct(col("score"), col("cell"))).getField("cell").as("cell"),
         first(col("embedding")).as("embedding"),
         first(col("nsq")).as("nsq"))
     // queries probe their nprobe nearest cells (deterministic tie-break)
@@ -300,7 +312,7 @@ object VectorQueries {
     val index = graft.Scratch.dir("ivf_index", dir)
     cellScores
       .groupBy(col("vec_id"))
-      .agg(min_by(col("cell"), col("score")).as("cell"),
+      .agg(min(struct(col("score"), col("cell"))).getField("cell").as("cell"),
         first(col("embedding")).as("embedding"),
         first(col("nsq")).as("nsq"))
       .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"))
@@ -434,7 +446,79 @@ object VectorQueries {
       |   sqrt(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))
       |       * SUM(CAST(t.tv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)))""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  /** The fitted k-means centroids as DuckDB VALUES literals —
+    * Double.toString is the shortest round-trip representation, so
+    * DuckDB parses bit-identical coefficients and the whole IVF
+    * probe/score/rank pipeline restates exactly over them. */
+  private def centroidSqlValues(cents: Seq[(Int, Seq[Double])]): String =
+    cents.sortBy(_._1).map { case (c, v) =>
+      s"($c, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n  ")
+
+  /** Oracle for the IVF family, available once [[ivfFit]] has run in
+    * this process (Verify runs every query before dumping oracle SQL,
+    * so the fit is always captured by then). The fit itself is taken
+    * as given — restated as centroid literals — and everything
+    * downstream is re-derived in SQL: cell assignment (argmin of
+    * |c|² − 2x·c with (score, cell) tie-break, exactly the Spark
+    * side's min(struct(score, cell))), the query-side nprobe nearest
+    * cells, candidate generation by cell equality, cosine scoring,
+    * and the (cos desc, tid asc) top-5 ranking. */
+  private def ivfSql(nprobe: Int): Option[String] =
+    fittedCentroids.map { cents =>
+      s"""WITH c(cell, cv) AS (VALUES
+         |  ${centroidSqlValues(cents)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |scores AS (
+         | SELECT e.vec_id, c.cell,
+         |  SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[i] AS DOUBLE)*c.cv[i]) AS score
+         | FROM e, c, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, c.cell),
+         |assigned AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM scores) WHERE rnc = 1),
+         |probes AS (
+         | SELECT vec_id AS qid, cell AS q_cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM scores WHERE vec_id < 20) WHERE rnc <= $nprobe),
+         |q AS (SELECT p.qid, p.q_cell, e.embedding AS qv
+         |  FROM probes p JOIN e ON e.vec_id = p.qid),
+         |t AS (SELECT a.vec_id AS tid, a.cell AS t_cell,
+         |   e.embedding AS tv
+         |  FROM assigned a JOIN e ON e.vec_id = a.vec_id),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE t.t_cell = q.q_cell AND tid <> qid
+         | GROUP BY qid, tid),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    }
+
+  /** A def, not a val: the IVF entries join the map only after the fit
+    * has run (SparkEntry.oracleSql is assembled at dump time). */
+  def sql: Map[String, String] =
+    baseSql ++
+      ivfSql(1).map(s => Map(
+        "sim_ann_ivf" -> s,
+        // the indexed variant's contract IS result-equality with
+        // sim_ann_ivf (same centroids, scoring, tie-breaks) — one
+        // oracle covers both pipelines
+        "sim_ann_ivf_indexed" -> s)).getOrElse(Map.empty) ++
+      ivfSql(3).map(s => Map("sim_ann_ivf_multiprobe" -> s))
+        .getOrElse(Map.empty)
+
+  private val baseSql: Map[String, String] = Map(
     "vec_quantize_int8" ->
       """WITH s AS (SELECT vec_id, embedding,
         |  CAST(list_min(embedding) AS DOUBLE) AS mn,

@@ -691,7 +691,11 @@ object ArrowDataSource {
   def withPendingTxn[T](dir: String, appId: String, version: Long)
       (body: => T): T = {
     val key = Paths.get(dir).toAbsolutePath.normalize.toString
-    val prev = pendingTxns.put(key, (appId, version))
+    // putIfAbsent, NOT put-then-check: a losing second registration
+    // must fail WITHOUT replacing the winner's stamp — otherwise the
+    // winner's epoch commits carrying the loser's (appId, version) and
+    // the replay gate later skips a batch that was never applied
+    val prev = pendingTxns.putIfAbsent(key, (appId, version))
     require(prev == null,
       s"arrow: nested writer transactions on $dir " +
         s"(${prev} already pending)")
@@ -1241,9 +1245,19 @@ object ArrowDataSource {
     // segments before the partition dirs
     files.headOption.toSeq.flatMap { f =>
       val rel = rootP.relativize(f)
-      (0 until rel.getNameCount - 1).map(rel.getName(_).toString)
-        .reverse.takeWhile(_.contains('=')).reverse
-        .map(_.split("=", 2)(0))
+      val segs = (0 until rel.getNameCount - 1)
+        .map(rel.getName(_).toString)
+      // borrowed (clone) entries walk `..`* up and then DOWN through
+      // the source table's own path — the segment right after the last
+      // `..` is the source-table root, never a partition dir, even
+      // when the source root itself is named `col=value` (e.g. a table
+      // living at /data/day=5). Partition segments can only start
+      // strictly below it.
+      val lastUp = segs.lastIndexWhere(_ == "..")
+      val minStart = if (lastUp >= 0) lastUp + 2 else 0
+      segs.zipWithIndex.reverse
+        .takeWhile { case (s, i) => i >= minStart && s.contains('=') }
+        .reverse.map(_._1.split("=", 2)(0))
     }
   }
 

@@ -229,6 +229,15 @@ class ArrowBatchWrite(path: String, schema: StructType,
   private var loggedBase: Long = -2L
   private var loggedRemoves: Seq[String] = Seq.empty
 
+  // The commit-log root governing this write: a write addressed at a
+  // partition SUBDIRECTORY of a logged table (`save(dir + "/c=1")`)
+  // must commit its epoch — and fold its footer stats — into the
+  // TABLE's log, not fabricate a nested log under the subdirectory
+  // (readers resolve visibility through sinkRoot, so a nested log's
+  // files would be invisible from the root).
+  private lazy val logDir: String =
+    ArrowDataSource.sinkRoot(path).map(_.toString).getOrElse(path)
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory = {
     val dir = Paths.get(path)
@@ -257,13 +266,24 @@ class ArrowBatchWrite(path: String, schema: StructType,
       // commit rename, so a mid-write reader still resolves the old
       // snapshot.
       loggedBase = ArrowDataSource.latestCommittedEpoch(
-        dir.toAbsolutePath.normalize)
+        Paths.get(logDir).toAbsolutePath.normalize)
       loggedRemoves =
         if (doTruncate)
           ArrowDataSource.visibleIpcFiles(path).map(_.toString)
         else Seq.empty
       sweepTmp(dir.toFile)
     } else if (doTruncate) {
+      // A truncate addressed at a partition SUBDIRECTORY of a
+      // streaming sink would delete files the sink root's log still
+      // lists (deleteManifests below only clears a log AT `path`) —
+      // every subsequent read of the root would fail or lie. Truncate
+      // the sink at its root, where the log is cleared with the data.
+      ArrowDataSource.sinkRoot(path).foreach { r =>
+        require(r == dir.toAbsolutePath.normalize,
+          s"arrow: $path is a partition subdirectory of the " +
+            s"streaming sink at $r — overwrite the sink at its root " +
+            "so its commit log is cleared with the data")
+      }
       // listIpcFiles is recursive, so partition subdirectories empty
       // out too (the dirs themselves are reused on rewrite); stale
       // .inprogress temps from crashed writers go with them, and so
@@ -272,9 +292,9 @@ class ArrowBatchWrite(path: String, schema: StructType,
       ArrowDataSource.listIpcFiles(path).foreach(Files.deleteIfExists)
       ArrowDataSource.deleteManifests(path)
       sweepTmp(dir.toFile)
-    } else if (Files.isDirectory(
-        dir.resolve(ArrowDataSource.MetadataDirName))) {
-      // An APPEND into a streaming-sink directory would write files no
+    } else if (ArrowDataSource.sinkRoot(path).isDefined) {
+      // An APPEND into a streaming-sink directory (or a partition
+      // subdirectory of one — sinkRoot climbs) would write files no
       // manifest ever lists — every reader hides them (visibleIpcFiles
       // honors the commit log), so the rows would vanish silently:
       // Spark's _spark_metadata gotcha. Refuse instead of losing data.
@@ -304,10 +324,10 @@ class ArrowBatchWrite(path: String, schema: StructType,
         // on top of the appender's rows) — the mode, not the remove
         // set, decides
         if (!doTruncate && loggedRemoves.isEmpty)
-          Some(ArrowDataSource.commitAppendWithRebase(path, loggedBase,
+          Some(ArrowDataSource.commitAppendWithRebase(logDir, loggedBase,
             adds))
         else
-          Some(ArrowDataSource.commitTableEpoch(path, loggedBase, adds,
+          Some(ArrowDataSource.commitTableEpoch(logDir, loggedBase, adds,
             loggedRemoves))
       } else None
     // staged-write handoff: record exactly this job's committed files
@@ -321,7 +341,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
     // serving the old distinct counts would misestimate every join
     // over the new contents — drop them with the rest of the stats
     if (doTruncate)
-      Files.deleteIfExists(Paths.get(path).toAbsolutePath.normalize
+      Files.deleteIfExists(Paths.get(logDir).toAbsolutePath.normalize
         .resolve(ColumnStatsFile.FileName))
     if (!stageOnly) {
       // Persist the tasks' footer stats so the NEXT planning of this
@@ -339,7 +359,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
           // compaction — NOT a full sidecar rewrite per commit (that
           // would be O(entries) per epoch, O(n²) over the log's life)
           case Some(e) =>
-            FooterIndexFile.appendEpochFragment(path, e, footSchema,
+            FooterIndexFile.appendEpochFragment(logDir, e, footSchema,
               pairs)
           // flat dir: one-shot write, root sidecar directly; truncate
           // replaces prior entries (their files are gone)
@@ -352,7 +372,7 @@ class ArrowBatchWrite(path: String, schema: StructType,
     // post-commit auto-compaction (opt-in table property): the data
     // above is already durable — this never fails the write
     if (epoch.isDefined)
-      AutoCompact.maybe(org.apache.spark.sql.SparkSession.active, path)
+      AutoCompact.maybe(org.apache.spark.sql.SparkSession.active, logDir)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

@@ -34,7 +34,12 @@ object TableConstraints {
   val FileName = "_constraints"
 
   private def file(dir: String): Path =
-    Paths.get(dir).toAbsolutePath.normalize
+    // resolve through the table's sink root (like dvEnabled /
+    // isTableLog do): a write addressed at a partition SUBDIRECTORY of
+    // a constrained logged table must bind the table's constraints,
+    // not silently find none under the subdirectory
+    ArrowDataSource.sinkRoot(dir)
+      .getOrElse(Paths.get(dir).toAbsolutePath.normalize)
       .resolve(ArrowDataSource.MetadataDirName).resolve(FileName)
 
   private def b64(s: String): String =

@@ -123,8 +123,15 @@ object IncrementalView {
     val sign = when(col(ArrowChanges.ChangeTypeCol) === "insert", 1L)
       .otherwise(-1L)
     val deltaNames = "__dn" +: sums.map { case (_, a) => s"__d_$a" }
+    // coalesce: a batch whose change rows all carry a NULL measure for
+    // a group sums to NULL, and `t.sum + NULL` would silently null the
+    // accumulated state — NULL measures contribute 0, matching SUM's
+    // ignore-NULLs semantics for any group that has at least one
+    // non-null value (the view's documented contract: integral units)
     val deltaAggs = sum(sign).as("__dn") +: sums.map {
-      case (e, a) => sum(sign * expr(e).cast(LongType)).as(s"__d_$a")
+      case (e, a) =>
+        coalesce(sum(sign * expr(e).cast(LongType)), lit(0L))
+          .as(s"__d_$a")
     }
     val zero = deltaNames.map(col(_) === 0L).reduce(_ && _)
     val delta = batch
@@ -138,8 +145,11 @@ object IncrementalView {
       val onKeys = groupCols // null-safe: NULL group keys are groups too
         .map(k => s"t.`$k` <=> s.`$k`").mkString(" AND ")
       val setN = s"`n` = t.`n` + s.`__dn`"
+      // coalesce(t.*) guards state written before the delta-side
+      // coalesce existed (a NULL already in the view must not stay
+      // sticky once deltas resume arriving)
       val setSums = sums.map { case (_, a) =>
-        s"`$a` = t.`$a` + s.`__d_$a`"
+        s"`$a` = coalesce(t.`$a`, 0) + s.`__d_$a`"
       }
       val insCols = (groupCols ++ Seq("n") ++ sums.map(_._2))
         .map(c => s"`$c`").mkString(", ")

@@ -153,4 +153,43 @@ class ArrowCloneSpec extends AnyFunSuite {
     assert(!scans.contains("part=p0") || !scans.contains("part=p2"),
       "partition pruning lost through the clone")
   }
+
+  test("a source table whose ROOT directory is col=value-shaped does " +
+      "not fabricate a partition column on its clone") {
+    import spark.implicits._
+    // the source table lives at .../day=5 — an unpartitioned table in
+    // a directory that merely LOOKS like a Hive partition segment. The
+    // clone's borrowed rels are `../day=5/part.arrow`; trailing
+    // col=value discovery must stop at the source-table root, not
+    // invent a 'day' column
+    val base = Files.createTempDirectory("clone_eqroot")
+    val src = base.resolve("day=5").toString
+    val dst = base.resolve("the_clone").toString
+    (1 to 40).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    val cloned = spark.read.format("arrow").load(dst)
+    assert(cloned.schema.fieldNames.toSeq == Seq("id", "tag"),
+      s"clone fabricated a partition column: " +
+        s"${cloned.schema.fieldNames.toSeq}")
+    assert(bagEqual(cloned, spark.read.format("arrow").load(src)))
+
+    // and a genuinely partitioned source under a col=value-shaped root
+    // keeps exactly its REAL partition columns through the clone
+    val src2 = base.resolve("day=6").toString
+    val dst2 = base.resolve("the_clone2").toString
+    (1 to 30).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part")
+      .write.format("arrow").partitionBy("part")
+      .mode("overwrite").save(src2)
+    ArrowDataSource.initTableLog(src2)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src2', " +
+      s"dst_path => '$dst2')").collect()
+    val cloned2 = spark.read.format("arrow").load(dst2)
+    assert(cloned2.schema.fieldNames.contains("part") &&
+      !cloned2.schema.fieldNames.contains("day"),
+      s"expected only 'part': ${cloned2.schema.fieldNames.toSeq}")
+    assert(cloned2.filter(col("part") === "p1").count() == 15)
+  }
 }

@@ -181,4 +181,36 @@ class ArrowConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("arrow").load(dst).count() == 4,
       "violating micro-batch leaked into the sink")
   }
+
+  test("a write addressed at a partition SUBDIRECTORY of a " +
+      "constrained table still enforces the table's constraints") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("con_subdir").toString
+    (1 to 40).map(i => (i.toLong, i * 10L, s"p${i % 2}"))
+      .toDF("id", "amount", "part")
+      .write.format("arrow").partitionBy("part")
+      .mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'amount_pos', expr => 'amount > 0')").collect()
+    // constraints must resolve through the SINK ROOT — addressed at
+    // dir/part=p1 the writer would otherwise find no _constraints
+    // file and silently skip enforcement
+    val err = intercept[Exception] {
+      Seq((900L, -5L)).toDF("id", "amount")
+        .write.format("arrow").mode("append").save(s"$dir/part=p1")
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+    assert(msgs.contains("amount_pos"),
+      s"subdirectory write bypassed CHECK enforcement: $msgs")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") === 900L).count() == 0,
+      "violating subdirectory write leaked rows")
+    // a valid subdirectory write still lands
+    Seq((901L, 5L)).toDF("id", "amount")
+      .write.format("arrow").mode("append").save(s"$dir/part=p1")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") === 901L).count() == 1)
+  }
 }

@@ -212,4 +212,72 @@ class IncrementalViewSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (991, 'c')")
     assert(ArrowDataSource.lastTxnVersion(root, "app_a").contains(12L))
   }
+
+  test("a batch whose change rows all carry NULL measures for a group " +
+      "contributes 0, not NULL — the accumulated sum is never poisoned") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("ivm_null_src").toString
+    val dst = Files.createTempDirectory("ivm_null_dst").toString
+    val ckpt = Files.createTempDirectory("ivm_null_ckpt").toString
+    (1 to 20).map(i => (i.toLong, if (i % 2 == 0) "x" else "y",
+      Some(i.toLong))).toDF("id", "grp", "amt")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    def refresh(): Unit = {
+      val q = IncrementalView.maintain(spark, src, dst,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    refresh()
+    val sumX = viewDf(dst).filter(col("grp") === "x")
+      .select(col("sum_amt")).as[Long].collect()(0)
+    // every change row of this epoch carries a NULL measure for 'x':
+    // the per-group delta SUM is NULL and, unguarded, `t.sum + NULL`
+    // nulls the state while the one-shot SUM (ignores NULLs) does not
+    spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES " +
+      "(101, 'x', NULL), (102, 'x', NULL)")
+    // and a brand-new group arriving with only NULL measures must
+    // INSERT with sum 0, not NULL
+    spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES (103, 'w', NULL)")
+    refresh()
+    val rowX = viewDf(dst).filter(col("grp") === "x")
+      .select(col("n"), col("sum_amt")).as[(Long, Long)].collect()
+    assert(rowX.toSeq == Seq((12L, sumX)),
+      s"NULL-measure batch corrupted the accumulated sum: ${rowX.toSeq}")
+    val rowW = viewDf(dst).filter(col("grp") === "w")
+      .select(col("n"), col("sum_amt")).collect()(0)
+    assert(rowW.getLong(0) == 1L && !rowW.isNullAt(1) &&
+      rowW.getLong(1) == 0L,
+      s"all-NULL new group must insert sum 0, got $rowW")
+  }
+
+  test("a losing concurrent txn registration fails WITHOUT replacing " +
+      "the winner's pending stamp") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivm_race").toString
+    (1 to 5).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    ArrowDataSource.withPendingTxn(dir, "winner", 7L) {
+      // second registration for the same table must throw AND leave
+      // the winner's (appId, version) in place — put-then-require
+      // would commit the epoch below under THE LOSER'S stamp
+      intercept[IllegalArgumentException] {
+        ArrowDataSource.withPendingTxn(dir, "loser", 99L) { () }
+      }
+      spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (10, 'w')")
+    }
+    assert(ArrowDataSource.lastTxnVersion(root, "winner").contains(7L),
+      "winner's epoch lost its stamp after a losing registration")
+    assert(ArrowDataSource.lastTxnVersion(root, "loser").isEmpty,
+      "loser's stamp leaked onto the winner's epoch — the replay " +
+        "gate would skip a batch that was never applied")
+    // the registry must be clean again: a fresh registration succeeds
+    ArrowDataSource.withPendingTxn(dir, "winner", 8L) {
+      spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (11, 'w')")
+    }
+    assert(ArrowDataSource.lastTxnVersion(root, "winner").contains(8L))
+  }
 }
