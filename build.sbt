@@ -1,5 +1,19 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+ThisBuild / scalacOptions ++= Seq("-deprecation", "-feature", "-unchecked")
+// Static-analysis gate on the MAIN sources (the reference enforces
+// warnings-as-errors via .clang-tidy:2; this is the scalac analogue —
+// no external linter resolves under the zero-egress build, and the
+// compiler's own lint + -Werror is the same contract: a style/lint
+// violation fails `sbt compile`, and therefore `sbt test`).
+Compile / compile / scalacOptions ++= Seq(
+  "-Xlint:adapted-args,constant,delayedinit-select,doc-detached," +
+    "inaccessible,infer-any,missing-interpolator,nullary-unit," +
+    "option-implicit,package-object-classes,poly-implicit-overload," +
+    "private-shadow,stars-align,type-parameter-shadow",
+  "-Wunused:imports,privates,locals,patvars",
+  "-Wdead-code",
+  "-Werror")
 name := "bossarrowstorageenginespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")

@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (driver contract): runs every declared query on
   * SPARK_GRAFT_SF_DIR, prints one JSON line
@@ -51,8 +50,23 @@ object Bench {
     }
     val p1 = names.map(n => n -> time(n)).toMap
     val results = names.map(n => n -> math.min(p1(n), time(n)))
-    val out = Bench.formatLine(results, new java.io.File(sfDir).getName,
-      failed.size)
+    val sfName = new java.io.File(sfDir).getName
+    val out = Bench.formatLine(results, sfName, failed.size)
+
+    // Full per-query sidecar: the stdout line is tail-compacted for
+    // the harness (fast queries collapse into "_others" past ~50
+    // entries), which blinds round-over-round regression tracking to
+    // most of the surface. The COMPLETE map always lands in a file
+    // the driver captures alongside the logs.
+    val full = results.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v)
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    }.mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":${BigDecimal(results.map(_._2).sum)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","failures":${failed.size},"queries":$full,"sf":"$sfName"}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
     // stop BEFORE printing: nothing (stray executor/shutdown WARNs
     // included) may land between the JSON line and the end of output.

@@ -90,21 +90,30 @@ object SqlQueries {
     spark.sql(havingSql)
   }
 
+  // The global rank used to be `RANK() OVER (ORDER BY bal DESC)` over
+  // the 25-row per-nation pre-aggregate — benign at any scale, but an
+  // empty window partition spec makes WindowExec WARN on every bench
+  // run (and a constant PARTITION BY folds away before execution), so
+  // the one harmless site buried real single-partition regressions in
+  // the logs. Restated as RANK's definition — 1 + count of strictly
+  // greater — over a self-join of the tiny CTE, which also exercises
+  // the CTE-referenced-twice reuse path the scaladoc advertises.
   private val cteSql =
     """WITH nat_bal AS (
       |  SELECT c_nationkey, COUNT(*) AS n_cust,
       |   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       |  FROM customer GROUP BY c_nationkey),
       |ranked AS (
-      |  SELECT c_nationkey, n_cust, bal,
-      |   CAST(RANK() OVER (ORDER BY bal DESC) AS INT) AS r
-      |  FROM nat_bal)
+      |  SELECT a.c_nationkey, a.n_cust, a.bal,
+      |   CAST(1 + COUNT(CASE WHEN b.bal > a.bal THEN 1 END) AS INT) AS r
+      |  FROM nat_bal a CROSS JOIN nat_bal b
+      |  GROUP BY a.c_nationkey, a.n_cust, a.bal)
       |SELECT c_nationkey, n_cust, bal, r FROM ranked
       |WHERE r <= 10 ORDER BY r, c_nationkey""".stripMargin
 
   /** WITH / common table expressions chained through an aggregation and
-    * a ranking window — Catalyst inlines CTEs (or reuses the subplan
-    * when referenced twice), so the shape stays a single pipeline. */
+    * a self-join global rank — the CTE is referenced twice, so Catalyst
+    * exercises its reuse-vs-inline choice on a real diamond shape. */
   def cteQ(spark: SparkSession, dir: String): DataFrame = {
     withViews(spark, dir, "customer")
     spark.sql(cteSql)

@@ -57,7 +57,7 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
           "a change feed")
       // CaseInsensitiveStringMap stores keys lowercased
       val base = inferSchema(new CaseInsensitiveStringMap(
-        (options.asScala - "readchangefeed").asJava))
+        (options.asScala.toMap - "readchangefeed").asJava))
       return StructType(base.fields ++ Seq(
         org.apache.spark.sql.types.StructField(ArrowChanges.ChangeTypeCol,
           org.apache.spark.sql.types.StringType, nullable = false),

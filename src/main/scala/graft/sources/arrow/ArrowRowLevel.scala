@@ -2,7 +2,6 @@ package graft.sources.arrow
 
 import java.nio.file.{Files, Paths}
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
@@ -10,7 +9,7 @@ import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** Group-based copy-on-write row-level operations for the Arrow source
@@ -221,10 +220,13 @@ class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
 
   private def candidates: Seq[java.nio.file.Path] = {
     val partCols = partSchema.fieldNames.toSet
-    val partF = triage.filter(f => f.references.nonEmpty &&
-      f.references.forall(partCols) && FilterEval.supported(partSchema, f))
-    val dataF = triage.filter(f => f.references.nonEmpty &&
-      !f.references.exists(partCols))
+    val partF = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      triage.filter(f => f.references.nonEmpty &&
+        f.references.forall(partCols) &&
+        FilterEval.supported(partSchema, f)))
+    val dataF = scala.collection.immutable.ArraySeq.unsafeWrapArray(
+      triage.filter(f => f.references.nonEmpty &&
+        !f.references.exists(partCols)))
     val pruned = ArrowDataSource.pruneByPartitionFilters(
       footerIdx.files, path, partSchema, partF)
     pruned.filter { f =>

@@ -506,6 +506,11 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         "from, to)")
     this
   }
+  /** The predicates this scan evaluates at/below file granularity —
+    * structural surface for plan audits (the stringified plan truncates
+    * [[description]], so string-matching under-counts DSv2 pushdown). */
+  def pushedPredicates: Seq[Filter] = (filters ++ partFilters).toSeq
+
   override def description(): String =
     s"graft-arrow $path pruned=[${schema.fieldNames.mkString(",")}] " +
       s"pushed=[${filters.mkString(",")}] " +

@@ -4,7 +4,6 @@ import java.nio.channels.FileChannel
 import java.nio.file.{Files, Path, Paths, StandardOpenOption}
 import java.util.UUID
 
-import scala.jdk.CollectionConverters._
 
 import org.apache.arrow.compression.CommonsCompressionFactory
 import org.apache.arrow.vector._

@@ -641,7 +641,6 @@ object GraftProcedures {
       val memo = new FooterIndex(path)
       val files = memo.files
       val bytes = files.map(f => Files.size(f)).sum
-      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       def rowsOf(f: java.nio.file.Path): Option[Long] =
         scala.util.Try {
           val info = memo.info(f)

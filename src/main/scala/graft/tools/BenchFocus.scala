@@ -1,33 +1,126 @@
 package graft.tools
 
-import graft.{Engine, SparkEntry}
+import org.apache.spark.sql.functions._
 
-/** Dev-only: repeat-time a subset of declared queries to separate real
-  * regressions from container noise. args = query names (default: the
-  * historically hot set); each runs REPS times after one warm-up.
+import graft.{Engine, SparkEntry, Tables}
+
+/** Focused scale-up bench: the heavyweight operators whose 100 TB
+  * story rests on O(churned bytes) / O(metadata) claims are measured
+  * at ~sf1 (10× the per-round bench's sf0.1), built by key-shifted
+  * replication of the sf0.1 fixtures into a temp dir. Emits one JSON
+  * line per measurement; numbers are recorded in BASELINE.md.
+  *
+  * What each point is evidence FOR:
+  *  - `cdc_replicate` / `cdc_incremental_agg`: the DML predicates hit
+  *    a FIXED key range, so churn is constant while the table grows
+  *    10× — if refresh cost were O(table) these would scale ~10×; the
+  *    O(churn) claim predicts the maintain phase stays flat and only
+  *    the fixture snapshot write (an explicit O(table) step) grows.
+  *  - `dedup_minhash`: per-copy tag words keep near-dup structure ~10×
+  *    (verbatim copies would square the bucket pairs instead).
+  *  - footer-index: a selective filtered count over a many-file Arrow
+  *    table, with the sidecar present vs deleted (per-file footer
+  *    opens) — the planning-path O(1)-metadata claim, measured.
   */
 object BenchFocus {
+  private val Copies = 10
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir =
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val names = if (args.nonEmpty) args.toSeq else Seq(
-      "dedup_jaccard", "dedup_minhash", "dedup_simhash", "agg_percentile",
-      "sim_cosine_neardup", "sim_ann_ivf", "sim_ann_lsh", "json_kv_agg",
-      "scalar_string", "set_except_all")
-    val spark = Engine.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    val spark =
+      Engine.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(n: String): Double = {
-      val t0 = System.nanoTime()
-      SparkEntry.queries(n)(spark, sfDir)
+
+    val scaled = graft.Scratch.dir("sf1_scaled", sfDir)
+    val root = new java.io.File(scaled)
+    if (!new java.io.File(root, "orders.parquet").exists()) {
+      root.mkdirs()
+      // orders: shift keys by 1e9 per copy (never collides with the
+      // IVM fixture's +2e7 synthetic inserts)
+      val o = Tables.orders(spark, sfDir)
+      (0 until Copies).map(i =>
+          o.withColumn("o_orderkey",
+            col("o_orderkey") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
+      // documents: shifted ids + a per-copy tag word appended so the
+      // near-dup structure scales ~linearly, not quadratically
+      val d = Tables.documents(spark, sfDir)
+      (0 until Copies).map(i =>
+          d.withColumn("doc_id",
+            col("doc_id") + lit(i.toLong * 10000000L))
+            .withColumn("text",
+              concat(col("text"), lit(s" copytag$i"))))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+    }
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def bench(name: String, dir: String): (Double, Double) = {
+      val fn = SparkEntry.queries(name)
+      def once() = fn(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      (time(once()), time(once()))
     }
-    try run("q1_pricing_summary") catch { case _: Throwable => () }
-    names.foreach { n =>
-      val ts = (1 to reps).map(_ => run(n))
-      println(f"FOCUS $n%-24s min=${ts.min}%6.2f med=${ts.sorted.apply(reps / 2)}%6.2f all=${ts.map(t => f"$t%.2f").mkString(",")}")
+
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "dedup_minhash")) {
+      val (s1a, s1b) = bench(q, sfDir)
+      val (s10a, s10b) = bench(q, scaled)
+      out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +
+        f""""sf1":${math.min(s10a, s10b)}%.2f}"""
     }
+
+    // footer-index planning claim: full metadata pass (load index +
+    // stats for every file) over a 512-file Arrow table, sidecar
+    // present vs deleted. Footer parses are memoized IN-PROCESS
+    // (ArrowScan), so an honest comparison needs a FRESH JVM per
+    // measurement — each child runs graft.tools.FooterProbe cold.
+    val arrowDir = graft.Scratch.dir("sf1_arrow", sfDir)
+    if (!new java.io.File(arrowDir).exists()) {
+      spark.read.parquet(s"$scaled/orders.parquet")
+        .repartition(512)
+        .write.format("arrow").mode("overwrite").save(arrowDir)
+    }
+    // tiny sibling dir used only to warm classloading inside the probe
+    val warmDir = graft.Scratch.dir("sf1_arrow_warm", sfDir)
+    if (!new java.io.File(warmDir).exists()) {
+      spark.read.parquet(s"$scaled/orders.parquet").limit(100)
+        .coalesce(1)
+        .write.format("arrow").mode("overwrite").save(warmDir)
+    }
+    def probe(): Double = {
+      val javaBin = java.nio.file.Paths
+        .get(System.getProperty("java.home"), "bin", "java").toString
+      val p = new ProcessBuilder(javaBin, "-cp",
+        System.getProperty("java.class.path"),
+        "graft.sources.arrow.FooterProbe", warmDir, arrowDir)
+        .redirectErrorStream(true).start()
+      val outTxt = new String(p.getInputStream.readAllBytes, "UTF-8")
+      require(p.waitFor() == 0, s"FooterProbe failed: $outTxt")
+      outTxt.linesIterator.collectFirst {
+        case l if l.startsWith("FOOTER_PROBE_SEC=") =>
+          l.stripPrefix("FOOTER_PROBE_SEC=").toDouble
+      }.get
+    }
+    val withIdx = probe()
+    val sidecar = java.nio.file.Paths.get(arrowDir)
+      .resolve(graft.sources.arrow.FooterIndexFile.FileName)
+    val saved = java.nio.file.Files.readAllBytes(sidecar)
+    java.nio.file.Files.delete(sidecar)
+    val noIdx = probe()
+    java.nio.file.Files.write(sidecar, saved)
+    out("footer_metadata_pass_512files") =
+      f"""{"with_sidecar":$withIdx%.3f,"per_file_footers":$noIdx%.3f}"""
+
     spark.stop()
+    println(out.map { case (k, v) => s""""$k":$v""" }
+      .mkString("""{"metric":"focus_sf1",""", ",", "}"))
   }
 }

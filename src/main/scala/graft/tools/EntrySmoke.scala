@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev smoke for the driver's `SparkEntry.entry` contract (rows > 0). */
 object EntrySmoke {

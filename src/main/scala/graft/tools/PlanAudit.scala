@@ -33,8 +33,39 @@ object PlanAudit {
         val plan = finalPlan.toString
         val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
           .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
-        val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
-          .count(!_.contains("[]"))
+        // Pushdown is counted STRUCTURALLY, not by string-matching the
+        // plan dump: DSv2 BatchScan nodes truncate their scan
+        // description, so `pushed=[...]` often never appears in the
+        // string and arrow queries used to report pushedScans=0
+        // spuriously. Walk the executed plan (descending into AQE
+        // query stages, which are leaf-like wrappers `collect` does
+        // not traverse) and ask each scan node directly.
+        def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[Int] = p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(if (f.metadata.get("PushedFilters")
+              .exists(v => v != "[]" && v.nonEmpty)) 1 else 0)
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec =>
+            Seq(b.scan match {
+              case s: graft.sources.arrow.ArrowScan =>
+                if (s.pushedPredicates.nonEmpty ||
+                  b.runtimeFilters.nonEmpty) 1 else 0
+              // a pushed-aggregate scan IS the deepest pushdown: the
+              // source answered the query from footer stats
+              case _: graft.sources.arrow.ArrowAggScan => 1
+              case other =>
+                if (other.description().matches(
+                  "(?s).*(pushed|Pushed)[A-Za-z]*[=:]\\s*\\[[^\\]]+\\].*"))
+                  1
+                else 0
+            })
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scansOf(q.plan)
+          case s: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scansOf(s.executedPlan)
+        }.flatten
+        val pushed = scansOf(finalPlan).sum
         val exchanges = "Exchange ".r.findAllIn(plan).size
         // codegen'd operators print as `*(stageId) Operator` in the
         // executed plan string (WholeStageCodegenExec collapses to the
