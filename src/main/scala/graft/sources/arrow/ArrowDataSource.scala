@@ -215,6 +215,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     val path = properties.getOrElse("path",
       throw new IllegalArgumentException("arrow: path required"))
+    ArrowDataSource.requireTableRootForDml(path,
+      s"row-level ${info.command}")
     new ArrowRowLevelOperationBuilder(path, schema, info)
   }
 
@@ -333,6 +335,7 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
           s"(${ArrowDataSource.MetadataDirName}); DELETE would desync " +
           "the manifests — rewrite the directory with a batch " +
           "overwrite instead")
+    ArrowDataSource.requireTableRootForDml(path, "DELETE")
     val ps = partSchemaOf(path)
     require(canDeleteWhere(filters),
       s"arrow DELETE needs FilterEval-supported predicates, got " +
@@ -543,6 +546,22 @@ object ArrowDataSource {
   def isTableLog(dir: String): Boolean =
     sinkRoot(dir).exists(r => Files.exists(
       r.resolve(MetadataDirName).resolve(TableMarkerName)))
+
+  /** Row-level DML must address the TABLE ROOT: addressed at a
+    * partition subdirectory it would compute its base epoch against —
+    * and commit its removes into — a nested log the root's readers
+    * never consult, so the "deleted" rows would stay visible (batch
+    * APPENDS at a subdirectory are supported — they resolve through
+    * [[sinkRoot]] — but a partial-table REWRITE's scan/replace set is
+    * only coherent at the root). Partition-scoped DML is first-class
+    * via predicates: `WHERE part = 'v'` even deletes metadata-only. */
+  def requireTableRootForDml(dir: String, op: String): Unit =
+    sinkRoot(dir).foreach { r =>
+      require(r == Paths.get(dir).toAbsolutePath.normalize,
+        s"arrow: $op addressed at $dir, a partition subdirectory of " +
+          s"the logged table at $r — address the table root and scope " +
+          "with a partition predicate (WHERE col = value) instead")
+    }
 
   /** Earliest exactly-addressable epoch (0 until a prune advances it). */
   def travelHorizon(root: Path): Long = {

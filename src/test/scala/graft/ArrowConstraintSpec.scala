@@ -213,4 +213,38 @@ class ArrowConstraintSpec extends AnyFunSuite {
     assert(spark.read.format("arrow").load(dir)
       .filter(col("id") === 901L).count() == 1)
   }
+
+  test("overwrite addressed at a partition SUBDIRECTORY of a logged " +
+      "table replaces exactly that partition in one atomic epoch") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("part_ow").toString
+    (1 to 40).map(i => (i.toLong, i * 10L, s"p${i % 2}"))
+      .toDF("id", "amount", "part")
+      .write.format("arrow").partitionBy("part")
+      .mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val before = ArrowDataSource.latestCommittedEpoch(root)
+    // replace p1's contents wholesale; p0 must be untouched
+    Seq((500L, 7L), (501L, 9L)).toDF("id", "amount")
+      .write.format("arrow").mode("overwrite").save(s"$dir/part=p1")
+    assert(ArrowDataSource.latestCommittedEpoch(root) == before + 1,
+      "partition overwrite must be ONE table epoch at the sink root, " +
+        "not a nested log")
+    assert(!Files.isDirectory(root.resolve("part=p1")
+      .resolve(ArrowDataSource.MetadataDirName)))
+    val now = spark.read.format("arrow").load(dir)
+    assert(now.filter(col("part") === "p0").count() == 20,
+      "sibling partition churned by a scoped overwrite")
+    assert(now.filter(col("part") === "p1")
+      .select(col("id")).as[Long].collect().sorted.toSeq ==
+      Seq(500L, 501L))
+    // and the epoch is time-travelable: the pre-overwrite p1 resolves
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    val old = spark.sql(
+      s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF $before")
+    assert(old.filter(col("part") === "p1").count() == 20,
+      "pre-overwrite partition lost from version history")
+  }
 }

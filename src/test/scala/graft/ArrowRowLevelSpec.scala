@@ -254,4 +254,32 @@ class ArrowRowLevelSpec extends AnyFunSuite {
     assert(e.getMessage.contains("bucket"),
       s"must name the bucket contract, got: ${e.getMessage}")
   }
+
+  test("row-level DML addressed at a partition SUBDIRECTORY refuses — " +
+      "its removes would land in a nested log root readers never see") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_rlo_subdir").toString
+    (1 to 40).map(i => (i.toLong, i * 10L, s"p${i % 2}"))
+      .toDF("id", "amount", "part")
+      .write.format("arrow").partitionBy("part")
+      .mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    for (stmt <- Seq(
+        s"DELETE FROM graft.arrow.`$dir/part=p1` WHERE id <= 10",
+        s"UPDATE graft.arrow.`$dir/part=p1` SET amount = 0 WHERE id <= 10")) {
+      val e = intercept[Exception] { spark.sql(stmt) }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+      assert(msgs.contains("subdirectory"),
+        s"expected the table-root guidance, got: $msgs")
+    }
+    // nothing leaked: no nested log, table unchanged
+    assert(!Files.isDirectory(java.nio.file.Paths.get(
+      dir, "part=p1", "_graft_metadata")),
+      "refused DML still fabricated a nested log")
+    assert(spark.read.format("arrow").load(dir).count() == 40)
+    // the ROOT-addressed partition-scoped DML is the supported path
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE part = 'p1'")
+    assert(spark.read.format("arrow").load(dir).count() == 20)
+  }
 }
