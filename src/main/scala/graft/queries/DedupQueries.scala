@@ -177,20 +177,24 @@ object DedupQueries {
     * references it on BOTH sides, and without the cache the whole
     * signature aggregation (the expensive pass over every shingle) runs
     * twice — at corpus scale you materialize signatures once. */
+  /** (doc, band, sig) rows for LSH banding — the shape both the batch
+    * near-dup query and the incremental ingest index build from. */
+  private def bandTable(spark: SparkSession, sh: DataFrame): DataFrame = {
+    val sigs = minhashSignatures(spark, sh)
+    val bandCols = (0 until Bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(":", (0 until RowsPerBand)
+          .map(j => col(s"mh${b * RowsPerBand + j}")): _*).as("sig"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"),
+        col("bs.sig").as("sig"))
+  }
+
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingleIndex(spark, dir)
-    val bands = bandCache.getOrElseUpdate((spark, dir), {
-      val sigs = minhashSignatures(spark, sh)
-      val bandCols = (0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          concat_ws(":", (0 until RowsPerBand)
-            .map(j => col(s"mh${b * RowsPerBand + j}")): _*).as("sig"))
-      }
-      sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bs"))
-        .select(col("doc_id"), col("bs.band").as("band"),
-          col("bs.sig").as("sig"))
-        .persist()
-    })
+    val bands = bandCache.getOrElseUpdate((spark, dir),
+      bandTable(spark, sh).persist())
     val candidates = bands.as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -201,6 +205,58 @@ object DedupQueries {
       .filter(col("jaccard") >= 0.5)
       .orderBy(col("d1"), col("d2"))
   }
+
+  /** Incremental near-dup detection over a GROWING corpus — the shape
+    * ingest-time dedup actually runs at 100 TB: the existing corpus's
+    * MinHash band index is PERSISTED (built once, here as an Arrow
+    * layout; in production maintained by appending each batch's
+    * bands), and a new ingest batch — the last ~10% of doc ids —
+    * does full-text work (shingles → signatures) for ITS OWN docs
+    * only. Candidates are (new × index) via the band-bucket equi-join
+    * plus (new × new) within the batch; old×old pairs are never
+    * re-examined, so per-ingest cost is O(batch + collisions), not
+    * O(corpus²) re-dedup. Verification stays exact (true Jaccard over
+    * the union shingle index, ≥ 0.5), output ⊆ `dedup_minhash`'s pair
+    * set restricted to pairs touching the batch — fully deterministic
+    * and hash-gated by the same splitmix64-literal oracle with the
+    * batch cut restated as integer arithmetic. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    // the ingest cut: docs with id >= (9·max)/10 are "the new batch";
+    // integer arithmetic, restated identically in the oracle
+    val maxId = graft.Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cut = maxId * 9L / 10L
+    // persisted base index — built once per process (read-only
+    // fixture), read back like any table the pipeline maintains
+    val indexDir = graft.Scratch.dir("mh_index", dir)
+    graft.Fixtures.once(indexDir) {
+      bandTable(spark, sh.filter(col("doc_id") < cut))
+        .write.format("arrow").mode("overwrite").save(indexDir)
+    }
+    val oldBands = spark.read.format("arrow").load(indexDir)
+    val newBands = newBandCache.getOrElseUpdate((spark, dir),
+      bandTable(spark, sh.filter(col("doc_id") >= cut)).persist())
+    // new × existing: the index side is only ever probed by band+sig
+    val crossCand = newBands.as("x")
+      .join(oldBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig"))
+      .select(col("y.doc_id").as("d1"), col("x.doc_id").as("d2"))
+    // new × new: dups inside one ingest batch
+    val selfCand = newBands.as("x")
+      .join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    val candidates = crossCand.unionByName(selfCand).distinct()
+    verifyJaccard(candidates, sh)
+      .filter(col("jaccard") >= 0.5)
+      .orderBy(col("d1"), col("d2"))
+  }
+
+  private val newBandCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
 
   /** Exact Jaccard for an explicit candidate-pair set. */
   private def verifyJaccard(pairs: DataFrame, sh: DataFrame): DataFrame = {
@@ -322,7 +378,13 @@ object DedupQueries {
       |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i))""".stripMargin
 
-  private[graft] def minhashOracleSql: String = {
+  private[graft] def minhashOracleSql: String = minhashOracleSql("")
+
+  /** `extraCand` appends to the candidate join condition — the
+    * incremental variant cuts candidate generation to pairs whose
+    * greater id is in the ingest batch (old×old pairs are exactly the
+    * ones the persisted index never re-examines). */
+  private[graft] def minhashOracleSql(extraCand: String): String = {
     // splitmix64 chains as lateral column aliases, one per permutation
     val mixCols = (0 until NumHashes).flatMap { i =>
       val seed = java.lang.Long.toUnsignedString(
@@ -354,7 +416,8 @@ object DedupQueries {
        |  $bandSelects),
        |cand AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
        |  FROM bands x JOIN bands y
-       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id),
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+       |  $extraCand),
        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
        |common AS (SELECT c.d1, c.d2, COUNT(*) AS common
        |  FROM cand c
@@ -428,6 +491,7 @@ object DedupQueries {
     "dedup_jaccard" -> (jaccardDedup _),
     "dedup_jaccard_dfcut" -> (jaccardDedupDfCut _),
     "dedup_minhash" -> (minhashDedup _),
+    "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashDedup _),
     "dedup_passage" -> (passageDedup _))
 
@@ -473,6 +537,8 @@ object DedupQueries {
          |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
          |ORDER BY d1, d2""".stripMargin,
     "dedup_minhash" -> minhashOracleSql,
+    "dedup_incremental" -> minhashOracleSql(
+      "AND y.doc_id >= (SELECT (MAX(doc_id) * 9) // 10 FROM documents)"),
     "dedup_simhash" -> simhashOracleSql,
     "dedup_passage" ->
       """WITH toks AS (

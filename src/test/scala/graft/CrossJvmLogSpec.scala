@@ -83,4 +83,39 @@ class CrossJvmLogSpec extends AnyFunSuite {
     assert(afterCompact == expected,
       "compaction after the cross-JVM race changed the visible set")
   }
+
+  test("a stale-base REMOVE epoch planned before another PROCESS " +
+      "committed fails fast instead of landing on the moved table") {
+    val dir = Files.createTempDirectory("xjvm_stale").toString
+    ArrowDataSource.initTableLog(dir)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    CrossJvmLogRacer.commitMany(dir, "seed", 2)
+    val plannedBase = ArrowDataSource.latestCommittedEpoch(root)
+    val victim = root.resolve("seed_1.arrow").toString
+
+    // another JVM commits while our remove epoch is 'in flight'
+    val javaBin = Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    val child = new ProcessBuilder(
+      javaBin, "-cp", System.getProperty("java.class.path"),
+      "graft.CrossJvmLogRacer", dir, "interloper", "1")
+      .redirectErrorStream(true).start()
+    assert(child.waitFor() == 0)
+
+    // removes are NOT blind appends: the snapshot this delete planned
+    // against is gone, so the commit must refuse (cross-process
+    // optimistic concurrency), never silently drop the interloper
+    intercept[java.util.ConcurrentModificationException] {
+      ArrowDataSource.commitTableEpoch(dir, plannedBase,
+        Seq.empty, Seq(victim))
+    }
+    // re-planned against the CURRENT state it lands
+    val nowBase = ArrowDataSource.latestCommittedEpoch(root)
+    ArrowDataSource.commitTableEpoch(dir, nowBase, Seq.empty, Seq(victim))
+    val visible = ArrowDataSource.visibleIpcFiles(dir)
+      .map(_.getFileName.toString).toSet
+    assert(!visible.contains("seed_1.arrow"))
+    assert(visible.contains("interloper_1.arrow"),
+      "the other process's commit was lost")
+  }
 }

@@ -230,4 +230,27 @@ class DedupSimSpec extends AnyFunSuite {
     assert(a == b, "Aggregator and 64-sum signatures diverge")
     assert(a.nonEmpty)
   }
+
+  test("incremental dedup over the persisted index equals the batch " +
+      "LSH pair set restricted to pairs touching the ingest batch") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val maxId = Tables.documents(spark, sf)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cut = maxId * 9L / 10L
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("d1"), col("d2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = pairs(DedupQueries.minhashDedup(spark, sf)
+      .filter(col("d2") >= cut))
+    val incr = pairs(DedupQueries.incrementalDedup(spark, sf))
+    // same banding, same verification, candidate cut = d2 in batch:
+    // probing the PERSISTED index must lose and invent nothing
+    assert(incr == batch,
+      s"incremental diverged: missing ${batch -- incr}, " +
+        s"extra ${incr -- batch}")
+    assert(incr.nonEmpty, "fixture has no pairs touching the batch")
+    assert(incr.forall { case (_, d2) => d2 >= cut },
+      "a pair with no batch member leaked into the incremental output")
+  }
 }

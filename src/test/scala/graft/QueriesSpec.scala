@@ -32,7 +32,8 @@ class QueriesSpec extends AnyFunSuite {
       // set_intersect legitimately can be small; everything must be >= 0
       // and the bulk of queries must produce data.
       assert(n >= 0)
-      if (!Set("set_intersect", "dedup_jaccard", "dedup_minhash",
+      if (!Set("set_intersect", "dedup_jaccard", "dedup_jaccard_dfcut",
+        "dedup_minhash", "dedup_incremental",
         "dedup_simhash", "sim_cosine_neardup", "dedup_cluster",
         "text_decontam", "q7_volume_shipping").contains(name)) {
         assert(n > 0, s"$name returned no rows")
