@@ -136,6 +136,28 @@ class DedupSimSpec extends AnyFunSuite {
       "cell filter pruned no index files")
   }
 
+  test("incrementally maintained IVF index: the batch append touches " +
+      "no existing file and probing answers exactly like full IVF") {
+    import org.apache.spark.sql.functions.col
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val mem = rows(VectorQueries.annIvf(spark, TestSession.Sf))
+    // first call builds base + appends the batch (Fixtures.once)
+    val incr = rows(VectorQueries.annIvfIncremental(spark, TestSession.Sf))
+    assert(incr == mem,
+      s"incremental index diverged: only-mem=${mem -- incr} " +
+        s"only-incr=${incr -- mem}")
+    // the maintained index holds every vector exactly once, and its
+    // file set splits into base + appended batch (append created new
+    // files inside existing cell dirs rather than rewriting them)
+    val index = graft.Scratch.dir("ivf_incr_index", TestSession.Sf)
+    val idx = spark.read.format("arrow").load(index)
+    val n = Tables.embeddings(spark, TestSession.Sf).count()
+    assert(idx.count() == n, "maintained index lost or duplicated rows")
+    assert(idx.select(col("vec_id")).distinct().count() == n)
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
