@@ -131,12 +131,20 @@ object DedupQueries {
     * thousand for web text); 4 bites on the test fixture. */
   private[graft] val DfCut = 4L
 
+  private val dfcutCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String), DataFrame]
+
   /** The df-bounded Jaccard as a first-class declared query: identical
     * semantics to [[jaccardPairsDfBounded]] at dfMax = [[DfCut]],
     * fully deterministic, restated exactly in DuckDB (same inverted
-    * index plus a `HAVING count(*) > dfMax` hot-shingle cut). */
+    * index plus a `HAVING count(*) > dfMax` hot-shingle cut).
+    * Persisted once per (session, dataset) like [[jaccardDedup]]: at
+    * corpus scale the scored pair table is materialized once, not per
+    * consumer. */
   def jaccardDedupDfCut(spark: SparkSession, dir: String): DataFrame =
-    jaccardPairsDfBounded(spark, dir, DfCut)
+    dfcutCache.getOrElseUpdate((spark, dir),
+      jaccardPairsDfBounded(spark, dir, DfCut).persist())
 
   private val NumHashes = graft.functions.MinHashAgg.NumHashes
   private val Bands = 8
@@ -177,6 +185,17 @@ object DedupQueries {
     * references it on BOTH sides, and without the cache the whole
     * signature aggregation (the expensive pass over every shingle) runs
     * twice — at corpus scale you materialize signatures once. */
+  /** LSH bands for an arbitrary (doc_id, text) frame — the unit of
+    * index maintenance: a streaming micro-batch of freshly ingested
+    * docs turns into exactly these rows, probes the maintained index,
+    * and then appends itself (StreamingSpec drives the loop). */
+  def bandsOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    bandTable(spark,
+      graft.functions.ShingleGenExpr(
+        fanOut(docs).select(col("doc_id"), words(col("text")).as("w")),
+        col("w"), 3)
+        .select(col("doc_id"), col("shingle")))
+
   /** (doc, band, sig) rows for LSH banding — the shape both the batch
     * near-dup query and the incremental ingest index build from. */
   private def bandTable(spark: SparkSession, sh: DataFrame): DataFrame = {

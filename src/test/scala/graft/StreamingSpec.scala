@@ -365,4 +365,95 @@ class StreamingSpec extends AnyFunSuite {
     assert(seen.get() == eventsBatch.count())
     assert(batches.get() >= 1)
   }
+
+  test("streaming ingest dedup: each micro-batch probes the maintained " +
+      "band index for near-dup candidates, then appends its own bands") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cut = maxId * 8L / 10L // base 80%, stream the last 20% in epochs
+
+    val src = java.nio.file.Files
+      .createTempDirectory("stream_dedup_src").toString
+    val index = java.nio.file.Files
+      .createTempDirectory("stream_dedup_idx").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("stream_dedup_ckpt").toString
+    // base corpus; the index starts EMPTY (schema-only seed) and is
+    // built by the maintenance loop itself — the snapshot epoch streams
+    // the base docs as the first micro-batch
+    docs.filter(col("doc_id") < cut).coalesce(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    graft.queries.DedupQueries.bandsOf(spark, docs.limit(0))
+      .coalesce(1).write.format("arrow").mode("overwrite").save(index)
+
+    // the ingest: two later epochs of new docs
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val mid = cut + (maxId - cut) / 2
+    val found = scala.collection.mutable.Set.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("arrow").load(src)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          val newBands = graft.queries.DedupQueries
+            .bandsOf(spark, batch.select(col("doc_id"), col("text")))
+            .persist()
+          val idx = spark.read.format("arrow").load(index)
+          // candidates: new×index ∪ new×new — old×old never re-examined
+          val cross = newBands.as("x").join(idx.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.sig") === col("y.sig") &&
+                col("x.doc_id") =!= col("y.doc_id"))
+            .select(least(col("x.doc_id"), col("y.doc_id")).as("d1"),
+              greatest(col("x.doc_id"), col("y.doc_id")).as("d2"))
+          val self = newBands.as("x").join(newBands.as("y"),
+              col("x.band") === col("y.band") &&
+                col("x.sig") === col("y.sig") &&
+                col("x.doc_id") < col("y.doc_id"))
+            .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+          found ++= cross.unionByName(self).distinct().collect()
+            .map(r => (r.getLong(0), r.getLong(1)))
+          // maintenance: the batch's bands join the index
+          newBands.write.format("arrow").mode("append").save(index)
+          newBands.unpersist(); ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain() // snapshot epoch: the base corpus itself streams first
+    val baseFound = found.toSet // pairs found while draining the base
+    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
+      s"SELECT doc_id, text FROM parquet.`$sf/documents.parquet` " +
+      s"WHERE doc_id >= $cut AND doc_id < $mid")
+    drain()
+    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
+      s"SELECT doc_id, text FROM parquet.`$sf/documents.parquet` " +
+      s"WHERE doc_id >= $mid")
+    drain()
+
+    // ground truth: the full-corpus band-collision pair set
+    val all = graft.queries.DedupQueries.bandsOf(spark, docs).persist()
+    val expected = all.as("x").join(all.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.toSet == expected,
+      s"streamed candidates diverge from one-shot: missing " +
+        s"${expected -- found}, extra ${found.toSet -- expected}")
+    assert((found.toSet -- baseFound)
+      .forall { case (_, d2) => d2 >= cut },
+      "a post-base epoch surfaced a pair not touching its batch")
+    // the maintained index converged to the full band table
+    val finalIdx = spark.read.format("arrow").load(index)
+    assert(finalIdx.count() == all.count(),
+      "maintained index lost or duplicated band rows")
+    all.unpersist(); ()
+  }
 }
