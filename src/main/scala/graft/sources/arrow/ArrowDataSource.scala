@@ -1231,7 +1231,12 @@ object ArrowDataSource {
         sb += c
       else sb ++= f"%%${b & 0xFF}%02X"
     }
-    sb.toString
+    // a REAL string equal to the NULL sentinel would otherwise escape
+    // to itself and read back as SQL NULL (partitionValuesOf maps the
+    // bare sentinel to None) — force one escaped byte so the encodings
+    // stay disjoint; unescape is byte-wise, so the round trip holds
+    val out = sb.toString
+    if (out == NullPartValue) "%5F" + out.substring(1) else out
   }
 
   def unescapePartValue(s: String): String = {
