@@ -81,7 +81,10 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     // covered file; only uncovered files (foreign writers, maintenance
     // rewrites) open footers. Stored schemas are what readFooterSchema
     // surfaced at write commit, so a hit is bit-identical to a sweep.
-    val sidecarRoot = Paths.get(root).toAbsolutePath.normalize
+    // Anchor at the SINK ROOT (sidecar keys are table-root-relative) so
+    // a read addressed at a partition subdirectory still hits the index
+    val sidecarRoot = ArrowDataSource.sinkRoot(root)
+      .getOrElse(Paths.get(root).toAbsolutePath.normalize)
     val sidecarIdx = FooterIndexFile.load(sidecarRoot)
     def idxSchema(f: Path): Option[StructType] =
       sidecarIdx.flatMap { ix =>

@@ -47,8 +47,13 @@ private[arrow] class FooterIndex(path: String,
     * manifest/as-of-resolved visible set. */
   lazy val files: Seq[java.nio.file.Path] =
     explicit.getOrElse(ArrowDataSource.visibleIpcFiles(path, asOf))
+  // Sidecar keys are TABLE-ROOT-relative: a read addressed at a
+  // partition subdirectory must load (and relativize against) the sink
+  // root's sidecar, or every lookup misses and planning silently pays
+  // the per-file footer sweep the index exists to avoid.
   private lazy val root =
-    Paths.get(path).toAbsolutePath.normalize
+    ArrowDataSource.sinkRoot(path).getOrElse(
+      Paths.get(path).toAbsolutePath.normalize)
   // The write-time footer-stats sidecar: ONE metadata read replaces
   // the per-file footer sweep for every file it covers. Files it does
   // not cover (foreign writers, maintenance rewrites) fall back to a

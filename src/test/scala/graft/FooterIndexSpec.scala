@@ -261,4 +261,24 @@ class FooterIndexSpec extends AnyFunSuite {
     assert(n == 250)
     assert(ArrowDataSource.footerOpens.get == before)
   }
+
+  test("a read addressed at a partition SUBDIRECTORY of a logged " +
+      "table still resolves from the root sidecar — zero footer opens") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fidx_subdir").toString
+    (1L to 1000L).map(i => (i, s"p${i % 4}")).toDF("k", "p")
+      .repartition(2)
+      .write.format("arrow").partitionBy("p")
+      .option("optimizeWrite", "true")
+      .mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // sidecar keys are table-root-relative; the subdirectory read must
+    // anchor at the sink root, or every lookup misses silently
+    val before = ArrowDataSource.footerOpens.get
+    val n = spark.read.format("arrow").load(s"$dir/p=p2").count()
+    assert(n == 250)
+    assert(ArrowDataSource.footerOpens.get == before,
+      "subdirectory read swept data-file footers despite the root " +
+        "sidecar")
+  }
 }
