@@ -1180,12 +1180,21 @@ object ArrowDataSource {
     * conflict (the caller promised an empty target), not a silent
     * defer. */
   def initCloneLog(dstRoot: Path, rels: Seq[String],
-      dvs: Seq[(String, String, Long)] = Seq.empty): Unit = {
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      partCols: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(dstRoot)
     val tmp = dstRoot.resolve(MetadataDirName + ".clone.inprogress")
     if (Files.exists(tmp)) listDir(tmp).foreach(Files.deleteIfExists)
     else Files.createDirectories(tmp)
     Files.createFile(tmp.resolve(TableMarkerName))
+    // The clone's partition columns are RECORDED, not re-derived: the
+    // borrowed rels walk `..`* down through the source's own path, and
+    // no trailing col=value heuristic can tell a source-root segment
+    // named `day=5` (or a whole nested `a=1/b=2` source path) from a
+    // real partition dir. The file is authoritative even when EMPTY —
+    // an unpartitioned clone of a col=value-named source discovers
+    // zero columns. (`[[discoverPartitionCols]]` consults it first.)
+    Files.write(tmp.resolve(PartColsFileName), partCols.asJava)
     // borrowed deletion vectors ride the epoch-0 manifest like any
     // dv event — a clone of a merge-on-read table must not resurrect
     // the source's masked rows
@@ -1256,6 +1265,11 @@ object ArrowDataSource {
 
   val NullPartValue = "__HIVE_DEFAULT_PARTITION__"
 
+  /** Metadata file recording a table's partition column names in
+    * layout order (one per line, possibly none) — written by clone
+    * bootstrap, authoritative over path-shape discovery. */
+  val PartColsFileName = "_partcols"
+
   /** Partition column names in layout order, read off the first file's
     * relative path (`c1=v1/c2=v2/part-....arrow`); empty for flat
     * layouts. */
@@ -1265,6 +1279,21 @@ object ArrowDataSource {
   def discoverPartitionCols(root: String, files: Seq[Path]): Seq[String] = {
     val rootP = Paths.get(root)
     if (!Files.isDirectory(rootP)) return Seq.empty
+    // recorded metadata wins (clone bootstrap writes it — see
+    // initCloneLog): path-shape discovery cannot classify borrowed
+    // `../` rels whose source path itself contains col=value segments.
+    // Only at the table ROOT — a read addressed at a partition
+    // subdirectory deliberately drops the partition columns above it
+    // (its rel paths carry no col=value segments to align against).
+    sinkRoot(root).filter(_ == rootP.toAbsolutePath.normalize)
+      .foreach { r =>
+        val f = r.resolve(MetadataDirName).resolve(PartColsFileName)
+        if (Files.exists(f)) {
+          import scala.jdk.CollectionConverters._
+          return Files.readAllLines(f).asScala.toSeq
+            .map(_.trim).filter(_.nonEmpty)
+        }
+      }
     // the TRAILING run of col=value segments just above the file name:
     // identical to the leading run for in-root layouts (every interior
     // segment is col=value), and the only correct read for CLONED

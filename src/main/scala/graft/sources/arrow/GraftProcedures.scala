@@ -488,7 +488,11 @@ object GraftProcedures {
             dstRoot.relativize(srcRoot.resolve(dvRel).normalize).toString,
             n)
       }
-      ArrowDataSource.initCloneLog(dstRoot, rels, dvs)
+      ArrowDataSource.initCloneLog(dstRoot, rels, dvs,
+        // recorded at bootstrap: discovery at the SOURCE root is
+        // reliable (in-root layouts; a cloned source consults its own
+        // recorded list), while the dst's `../` rels are not
+        ArrowDataSource.discoverPartitionCols(src))
       FooterIndexFile.cloneTo(srcRoot, dstRoot, files)
       val bytes = files.map(f => Files.size(f)).sum
       result(out, Array(new GenericInternalRow(Array[Any](

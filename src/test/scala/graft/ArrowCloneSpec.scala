@@ -191,5 +191,21 @@ class ArrowCloneSpec extends AnyFunSuite {
       !cloned2.schema.fieldNames.contains("day"),
       s"expected only 'part': ${cloned2.schema.fieldNames.toSeq}")
     assert(cloned2.filter(col("part") === "p1").count() == 15)
+
+    // the hard case no path heuristic can classify: the source table
+    // root sits at a NESTED all-col=value path. The clone's recorded
+    // partition list (epoch-0 metadata) is the only correct answer.
+    val src3 = base.resolve("a=1").resolve("b=2").toString
+    val dst3 = base.resolve("the_clone3").toString
+    (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(src3)
+    ArrowDataSource.initTableLog(src3)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src3', " +
+      s"dst_path => '$dst3')").collect()
+    val cloned3 = spark.read.format("arrow").load(dst3)
+    assert(cloned3.schema.fieldNames.toSeq == Seq("id", "tag"),
+      s"nested col=value source path fabricated partition columns: " +
+        s"${cloned3.schema.fieldNames.toSeq}")
+    assert(cloned3.count() == 20)
   }
 }
