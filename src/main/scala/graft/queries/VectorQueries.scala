@@ -155,6 +155,34 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Filtered (metadata-constrained) top-k — RAG's "nearest neighbors
+    * WITHIN a predicate": each query's candidates are restricted to
+    * targets sharing its label (tenant / language / source filters at
+    * 100 TB). Pre-filtering beats post-filtering top-k (which can
+    * return < k survivors); the label equi-condition simply joins the
+    * broadcast query side, and at scale it composes with IVF cell
+    * pruning (filter first, probe cells second) or a label-partitioned
+    * index layout. Exact over the filtered corpus → plain SQL oracle. */
+  def topKFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"), col("label").as("q_label"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("nsq").as("t_nsq"), col("label").as("t_label"))
+    val scored = t.join(broadcast(q),
+        col("t_label") === col("q_label") && col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Per-label, per-dimension centroid, mean rounded to 6 decimals.
     * (Float→decimal casts disagree between engines — Spark rounds the
     * shortest double repr — so the sum runs in plain double; with ~100s
@@ -428,6 +456,7 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
+    "sim_ann_filtered" -> (topKFiltered _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
@@ -681,6 +710,20 @@ object VectorQueries {
          | WHERE bit_count(xor(tb::UBIGINT, qb::UBIGINT)) <= 1
          |   AND tid <> qid
          | GROUP BY qid, tid),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "sim_ann_filtered" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv, label AS q_label
+         |  FROM embeddings WHERE vec_id < 20),
+         |t AS (SELECT vec_id AS tid, embedding AS tv, label AS t_label
+         |  FROM embeddings),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE t_label = q_label AND tid <> qid GROUP BY qid, tid),
          |ranked AS (SELECT qid, tid, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
          | FROM scored)
