@@ -95,6 +95,11 @@ class PruningSoundnessSpec extends AnyFunSuite {
         .option("batchRows", "64").partitionBy("p")
         .mode("overwrite").save(d)
       graft.sources.arrow.ArrowDataSource.initTableLog(d)
+      // odd iterations run merge-on-read: deletes become deletion
+      // vectors the reader masks, a wholly different execution path
+      // that must keep identical semantics
+      if (i % 2 == 1)
+        graft.sources.arrow.ArrowDataSource.setDeletionVectors(d, true)
       // DELETE removes rows where p is TRUE; survivors are the rows
       // where p is FALSE **or NULL** (SQL three-valued semantics)
       val expected = base -- truth.filter(expr(p)).collect()
@@ -103,9 +108,46 @@ class PruningSoundnessSpec extends AnyFunSuite {
       val got = spark.read.format("arrow").load(d)
         .collect().map(_.toString).toSet
       assert(got == expected,
-        s"DELETE #$i ($p) diverged: " +
+        s"DELETE #$i ($p, dv=${i % 2 == 1}) diverged: " +
           s"resurrected=${(got -- expected).take(3)} " +
           s"lost=${(expected -- got).take(3)}")
+    }
+  }
+
+  test("10 random UPDATE predicates: the rewritten table equals the " +
+      "row-wise expectation, on copy-on-write AND merge-on-read paths") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val params = Gen.Parameters.default
+    var seed = Seed(555L)
+    for (i <- 1 to 10) {
+      val p = predGen.pureApply(params, seed)
+      seed = seed.next
+      val d = java.nio.file.Files
+        .createTempDirectory(s"prune_upd_$i").toString
+      truth.write.format("arrow")
+        .option("batchRows", "64").partitionBy("p")
+        .mode("overwrite").save(d)
+      graft.sources.arrow.ArrowDataSource.initTableLog(d)
+      if (i % 2 == 1)
+        graft.sources.arrow.ArrowDataSource.setDeletionVectors(d, true)
+      // matched rows double f and null s; everything else unchanged
+      val expected = truth
+        .withColumn("hit", expr(p) <=> lit(true))
+        .select(col("k"),
+          when(col("hit"), lit(null: String)).otherwise(col("s")).as("s"),
+          when(col("hit"), col("f") * 2).otherwise(col("f")).as("f"),
+          col("p"))
+        .collect().map(_.toString).sorted.toSeq
+      spark.sql(s"UPDATE graft.arrow.`$d` " +
+        s"SET f = f * CAST(2 AS FLOAT), s = NULL WHERE $p")
+      val got = spark.read.format("arrow").load(d)
+        .select(col("k"), col("s"), col("f"), col("p"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected,
+        s"UPDATE #$i ($p, dv=${i % 2 == 1}) diverged: " +
+          s"missing=${expected.diff(got).take(3)} " +
+          s"extra=${got.diff(expected).take(3)}")
     }
   }
 
