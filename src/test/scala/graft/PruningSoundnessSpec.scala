@@ -151,6 +151,34 @@ class PruningSoundnessSpec extends AnyFunSuite {
     }
   }
 
+  test("pushed global aggregates answer from footer stats exactly — " +
+      "including over a deletion-vector-masked table") {
+    // MIN/MAX/COUNT pushdown serves results from metadata; any
+    // divergence from the row-wise computation is silent wrongness.
+    def aggRow(df: DataFrame) = df.agg(
+      min(col("k")), max(col("k")), count(lit(1)),
+      count(col("s")), min(col("f")), max(col("f"))).collect()(0)
+    val expected = aggRow(truth)
+    val got = aggRow(spark.read.format("arrow").load(dir))
+    assert(got == expected, s"pushed agg diverged: $got vs $expected")
+    // now with rows masked by deletion vectors: pushdown must either
+    // adjust exactly or fall back to scanning — never overcount
+    val d = java.nio.file.Files
+      .createTempDirectory("prune_agg_dv").toString
+    truth.write.format("arrow").option("batchRows", "64")
+      .mode("overwrite").save(d)
+    graft.sources.arrow.ArrowDataSource.initTableLog(d)
+    graft.sources.arrow.ArrowDataSource.setDeletionVectors(d, true)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.sql(s"DELETE FROM graft.arrow.`$d` WHERE k >= 400 OR s IS NULL")
+    val expectedDv = aggRow(
+      truth.filter(!(col("k") >= 400 || col("s").isNull) <=> lit(true)))
+    val gotDv = aggRow(spark.read.format("arrow").load(d))
+    assert(gotDv == expectedDv,
+      s"pushed agg over DV table diverged: $gotDv vs $expectedDv")
+  }
+
   test("200 random predicates: the pruned arrow scan returns exactly " +
       "the unpruned rows — no skip ever drops a matching row") {
     val params = Gen.Parameters.default
