@@ -90,4 +90,80 @@ class TimeTravelPropertySpec extends AnyFunSuite {
           s"extra=${(got -- expected).take(3)}")
     }
   }
+
+  test("an incremental view AND a CDC replica follow a 10-step random " +
+      "DML walk, converging to the full recompute after every step") {
+    import spark.implicits._
+    val src = java.nio.file.Files
+      .createTempDirectory("walk_src").toString
+    val view = java.nio.file.Files
+      .createTempDirectory("walk_view").toString
+    val replica = java.nio.file.Files
+      .createTempDirectory("walk_replica").toString
+    val ck1 = java.nio.file.Files
+      .createTempDirectory("walk_ck1").toString
+    val ck2 = java.nio.file.Files
+      .createTempDirectory("walk_ck2").toString
+    (1 to 200).map(i => (i.toLong, (i % 5).toLong, (i * 3).toLong))
+      .toDF("id", "grp", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    (1 to 0).map(i => (i.toLong, 0L, 0L)).toDF("id", "grp", "amt")
+      .coalesce(1).write.format("arrow").mode("overwrite").save(replica)
+
+    def refreshView(): Unit = {
+      val q = graft.streaming.IncrementalView.maintain(spark, src, view,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ck1)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def refreshReplica(): Unit = {
+      val q = graft.streaming.ChangeReplication.replicate(spark, src,
+        replica, keyCols = Seq("id"), checkpoint = ck2)
+      try q.processAllAvailable() finally q.stop()
+    }
+    def bag(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.collect().map(_.toString).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+
+    val params = Gen.Parameters.default
+    var seed = Seed(77L)
+    var nextId = 5000L
+    for (step <- 1 to 10) {
+      val op = Gen.choose(0, 3).pureApply(params, seed); seed = seed.next
+      val g = Gen.choose(0, 4).pureApply(params, seed); seed = seed.next
+      val lo = Gen.choose(0L, 250L).pureApply(params, seed)
+      seed = seed.next
+      op match {
+        case 0 => spark.sql(s"DELETE FROM graft.arrow.`$src` " +
+          s"WHERE grp = $g AND id >= $lo AND id < ${lo + 80}")
+        case 1 => spark.sql(s"UPDATE graft.arrow.`$src` " +
+          s"SET amt = amt + 7 WHERE grp = $g AND id < $lo")
+        case 2 =>
+          spark.sql(s"INSERT INTO graft.arrow.`$src` VALUES " +
+            (0 until 15).map(j =>
+              s"(${nextId + j}, ${j % 5}, ${j * 11})").mkString(", "))
+          nextId += 100
+        case 3 => spark.sql(s"CALL graft.system.compact(" +
+          s"path => '$src', target_rows => 150)").collect()
+      }
+      refreshView()
+      refreshReplica()
+      val expectView = bag(spark.read.format("arrow").load(src)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))
+        .select(col("grp"), col("n"), col("sum_amt")))
+      val gotView = bag(graft.streaming.IncrementalView
+        .read(spark, view)
+        .select(col("grp"), col("n"), col("sum_amt")))
+      assert(gotView == expectView,
+        s"step $step (op $op): incremental view diverged from " +
+          s"recompute")
+      val expectRep = bag(spark.read.format("arrow").load(src))
+      val gotRep = bag(spark.read.format("arrow").load(replica))
+      assert(gotRep == expectRep,
+        s"step $step (op $op): replica diverged from source")
+    }
+  }
 }
