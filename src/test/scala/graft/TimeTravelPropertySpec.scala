@@ -131,7 +131,7 @@ class TimeTravelPropertySpec extends AnyFunSuite {
     var seed = Seed(77L)
     var nextId = 5000L
     for (step <- 1 to 10) {
-      val op = Gen.choose(0, 3).pureApply(params, seed); seed = seed.next
+      val op = Gen.choose(0, 4).pureApply(params, seed); seed = seed.next
       val g = Gen.choose(0, 4).pureApply(params, seed); seed = seed.next
       val lo = Gen.choose(0L, 250L).pureApply(params, seed)
       seed = seed.next
@@ -147,6 +147,20 @@ class TimeTravelPropertySpec extends AnyFunSuite {
           nextId += 100
         case 3 => spark.sql(s"CALL graft.system.compact(" +
           s"path => '$src', target_rows => 150)").collect()
+        case 4 =>
+          // keyed MERGE: half the source rows collide with existing
+          // ids (update), half are new (insert)
+          val vals = (0 until 10).map(j =>
+            s"(${lo + j * 20}, ${j % 5}, ${j * 13})") ++
+            (0 until 5).map(j =>
+              s"(${nextId + j}, ${j % 5}, ${j * 17})")
+          spark.sql(s"MERGE INTO graft.arrow.`$src` t USING " +
+            s"(SELECT * FROM VALUES ${vals.mkString(", ")} " +
+            "AS v(id, grp, amt)) s ON t.id = s.id " +
+            "WHEN MATCHED THEN UPDATE SET amt = t.amt + s.amt " +
+            "WHEN NOT MATCHED THEN INSERT (id, grp, amt) " +
+            "VALUES (s.id, s.grp, s.amt)")
+          nextId += 100
       }
       refreshView()
       refreshReplica()
