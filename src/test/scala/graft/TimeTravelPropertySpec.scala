@@ -91,6 +91,73 @@ class TimeTravelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("netted change-feed diffs between random epoch pairs equal the " +
+      "multiset state difference (piggybacks on the walk's history)") {
+    // a fresh short walk with its own seed, then diff random windows
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("tt_diff").toString
+    (1 to 150).map(i => (i.toLong, (i % 4).toLong, s"v$i"))
+      .toDF("id", "grp", "tag")
+      .repartition(2).write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    def bag(df: org.apache.spark.sql.DataFrame): Map[String, Int] =
+      df.collect().map(_.toString).groupBy(identity)
+        .map { case (k, v) => k -> v.length }
+    val params = Gen.Parameters.default
+    var seed = Seed(31L)
+    var nextId = 2000L
+    val states = scala.collection.mutable.Map[Long, Map[String, Int]](
+      ArrowDataSource.latestCommittedEpoch(root) ->
+        bag(spark.read.format("arrow").load(dir)))
+    for (step <- 1 to 8) {
+      val op = Gen.choose(0, 3).pureApply(params, seed); seed = seed.next
+      val lo = Gen.choose(0L, 160L).pureApply(params, seed)
+      seed = seed.next
+      op match {
+        case 0 => spark.sql(s"DELETE FROM graft.arrow.`$dir` " +
+          s"WHERE id >= $lo AND id < ${lo + 40}")
+        case 1 => spark.sql(s"UPDATE graft.arrow.`$dir` " +
+          s"SET tag = concat(tag, '_$step') WHERE id < $lo")
+        case 2 =>
+          spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES " +
+            (0 until 10).map(j =>
+              s"(${nextId + j}, ${j % 4}, 'w$step$j')").mkString(", "))
+          nextId += 50
+        case 3 => spark.sql(s"CALL graft.system.compact(" +
+          s"path => '$dir', target_rows => 100)").collect()
+      }
+      states(ArrowDataSource.latestCommittedEpoch(root)) =
+        bag(spark.read.format("arrow").load(dir))
+    }
+    val eps = states.keys.toSeq.sorted
+    // every adjacent pair plus a few random long windows
+    val pairs = eps.sliding(2).map(p => (p.head, p.last)).toSeq ++
+      Seq((eps.head, eps.last), (eps.head, eps(eps.size / 2)))
+    for ((a, b) <- pairs if a < b) {
+      val diff = graft.sources.arrow.ArrowChanges
+        .between(spark, dir, a, b)
+      val ins = bag(diff.filter(col(graft.sources.arrow.ArrowChanges
+        .ChangeTypeCol) === "insert").drop(
+        graft.sources.arrow.ArrowChanges.ChangeTypeCol))
+      val del = bag(diff.filter(col(graft.sources.arrow.ArrowChanges
+        .ChangeTypeCol) === "delete").drop(
+        graft.sources.arrow.ArrowChanges.ChangeTypeCol))
+      // multiset identity: state(b) = state(a) - deletes + inserts,
+      // and the netted diff carries no self-cancelling pair
+      val sa = states(a); val sb = states(b)
+      val expectIns = sb.map { case (k, n) =>
+        k -> (n - sa.getOrElse(k, 0)) }.filter(_._2 > 0)
+      val expectDel = sa.map { case (k, n) =>
+        k -> (n - sb.getOrElse(k, 0)) }.filter(_._2 > 0)
+      assert(ins == expectIns,
+        s"window ($a,$b] inserts diverge: $ins vs $expectIns")
+      assert(del == expectDel,
+        s"window ($a,$b] deletes diverge: $del vs $expectDel")
+    }
+  }
+
   test("an incremental view AND a CDC replica follow a 10-step random " +
       "DML walk, converging to the full recompute after every step") {
     import spark.implicits._
