@@ -89,6 +89,39 @@ class TimeTravelPropertySpec extends AnyFunSuite {
           s"epoch $e was the head: missing=${(expected -- got).take(3)} " +
           s"extra=${(got -- expected).take(3)}")
     }
+
+    // vacuum the random history: replaced files reclaim, the travel
+    // horizon advances, and the contract must split EXACTLY there —
+    // pre-horizon versions refuse loudly, post-horizon stay bit-exact
+    spark.sql(s"CALL graft.system.vacuum(path => '$dir', " +
+      "grace_ms => 0)").collect()
+    val horizon = ArrowDataSource.travelHorizon(root)
+    val head = ArrowDataSource.latestCommittedEpoch(root)
+    assert(horizon > 0,
+      "the walk's CoW churn left nothing to reclaim — the pre-horizon " +
+        "refusal branch below would silently not exercise")
+    assert(byEpoch(head) == state(),
+      "vacuum changed the CURRENT table state")
+    for ((e, expected) <- byEpoch.toSeq.sortBy(_._1)) {
+      if (e < horizon) {
+        val err = intercept[Exception] {
+          spark.sql(
+            s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF $e")
+            .collect()
+        }
+        val msgs = Iterator.iterate(err: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(String.valueOf).mkString("\n")
+        assert(msgs.contains("horizon"),
+          s"pre-horizon VERSION AS OF $e (horizon $horizon) must " +
+            s"refuse with horizon guidance, got: ${msgs.take(300)}")
+      } else {
+        val got = spark.sql(
+          s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF $e")
+          .collect().map(_.toString).toSet
+        assert(got == expected,
+          s"post-horizon VERSION AS OF $e diverged after vacuum")
+      }
+    }
   }
 
   test("netted change-feed diffs between random epoch pairs equal the " +
