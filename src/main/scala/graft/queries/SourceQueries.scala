@@ -51,6 +51,36 @@ object SourceQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** parquet → XML → read back with an explicit schema → aggregate:
+    * Spark 4's built-in XML source (spark-xml merged into core), the
+    * semi-structured format enterprise feeds still arrive in. Write
+    * emits one `<order>` row element per record; the read declares the
+    * schema (XML inference samples types TEXT-first, and the oracle
+    * needs exact LONG/DOUBLE/STRING typing). */
+  def xmlRoundtripAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("xml", dir)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+        .write.format("xml").option("rowTag", "order")
+        .mode("overwrite").save(out)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("o_orderkey",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("o_orderstatus",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o_totalprice",
+        org.apache.spark.sql.types.DoubleType)))
+    spark.read.format("xml").option("rowTag", "order")
+      .schema(schema).load(out)
+      .filter(col("o_orderkey") <= 3000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** parquet → headered CSV → read back with schema inference → aggregate
     * (the classic storage-engine `Load` with inferred schema). */
   def csvInferAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -409,6 +439,7 @@ object SourceQueries {
     "arrow_transform_prune" -> (arrowTransformPrune _),
     "csv_infer_agg" -> (csvInferAgg _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
+    "xml_roundtrip_agg" -> (xmlRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
     "json_kv_agg" -> (jsonKvAgg _),
     "json_variant_agg" -> (jsonVariantAgg _))
@@ -474,6 +505,11 @@ object SourceQueries {
         |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10'
         |  AND DATE '2024-01-14'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "xml_roundtrip_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderkey <= 3000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "orc_roundtrip_agg" ->
       """SELECT l_returnflag,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
