@@ -623,7 +623,8 @@ object ArrowDataSource {
   /** Every known epoch→commit-millis mapping under `root`'s log:
     * explicit `.ts` markers win, then compact-snapshot `#ts` headers,
     * then manifest mtimes (pre-stamping epochs). */
-  def epochTimestamps(root: Path): Map[Long, Long] = {
+  def epochTimestamps(root: Path): Map[Long, Long] =
+      retryVanishedLogRead {
     val md = root.resolve(MetadataDirName)
     if (!Files.isDirectory(md)) return Map.empty
     val files = listDir(md)
@@ -672,7 +673,29 @@ object ArrowDataSource {
   }
 
   /** Epochs marked data-neutral (markers + compact-snapshot headers). */
-  def neutralEpochs(root: Path): Set[Long] = {
+  /** Re-run a log read that raced a CONCURRENT PROCESS's compactLog:
+    * between our directory listing and the file read, the compactor
+    * deletes covered manifests / `.ts` / `.neutral` markers / older
+    * snapshots (their content is folded into the NEW snapshot, so a
+    * fresh listing sees a complete log again). In-process races cannot
+    * do this (commit + compaction serialize per table through the
+    * epoch reservation), but a second JVM's sweep can land mid-read —
+    * observed as NoSuchFileException on a `.ts` marker under a 3-JVM
+    * commit soak. Bounded: each retry needs ANOTHER whole compaction
+    * to land inside our read window. */
+  private def retryVanishedLogRead[T](what: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return what
+      catch {
+        case _: java.nio.file.NoSuchFileException if attempt < 8 =>
+          attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  def neutralEpochs(root: Path): Set[Long] = retryVanishedLogRead {
     val md = root.resolve(MetadataDirName)
     if (!Files.isDirectory(md)) return Set.empty
     val names = listDir(md).map(_.getFileName.toString)
@@ -727,7 +750,8 @@ object ArrowDataSource {
   /** Every recorded `(epoch, appId, version)` stamp: manifest `#txn`
     * headers (tail epochs) plus compact-snapshot `#txn` headers
     * (folded epochs). */
-  def txnStamps(root: Path): Seq[(Long, String, Long)] = {
+  def txnStamps(root: Path): Seq[(Long, String, Long)] =
+      retryVanishedLogRead {
     val md = root.resolve(MetadataDirName)
     if (!Files.isDirectory(md)) return Seq.empty
     val names = listDir(md).map(_.getFileName.toString)
@@ -804,7 +828,8 @@ object ArrowDataSource {
     * compact snapshot plus every per-epoch manifest past it. One
     * directory listing; O(1) snapshot read + O(tail) manifest reads,
     * independent of how many epochs the log has lived. */
-  def committedHistory(root: Path): Seq[LogEntry] = {
+  def committedHistory(root: Path): Seq[LogEntry] =
+      retryVanishedLogRead {
     val md = root.resolve(MetadataDirName)
     if (!Files.isDirectory(md)) return Seq.empty
     val names = listDir(md).map(_.getFileName.toString)
@@ -1015,8 +1040,15 @@ object ArrowDataSource {
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
     Files.write(ctmp,
       (stamps ++ neutrals ++ txns ++ entries.map(compactLine)).asJava)
-    Files.move(ctmp, md.resolve(s"$epochId.compact"),
+    try Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        // a replayed (or racing same-epoch) fold already landed this
+        // snapshot — its coverage is identical; defer to the winner
+        Files.deleteIfExists(ctmp)
+        return
+    }
     // covered metadata is now redundant: older snapshots and every
     // manifest (and stamp marker) at or below this snapshot's epoch
     listDir(md).foreach { f =>

@@ -41,35 +41,45 @@ object CrossJvmLogRacer {
   * shared table on a real cluster depends on. */
 class CrossJvmLogSpec extends AnyFunSuite {
 
-  test("two JVMs racing blind appends on one table: every commit " +
-      "lands, no epoch or add is lost, the log folds cleanly") {
+  test("three JVMs racing blind appends on one table: every commit " +
+      "lands, no epoch or add is lost, mid-read compaction sweeps " +
+      "are survived, the log folds cleanly") {
     val dir = Files.createTempDirectory("xjvm_log").toString
     ArrowDataSource.initTableLog(dir)
     val root = Paths.get(dir).toAbsolutePath.normalize
-    val n = 30
+    val n = 50 // crosses many compaction intervals: each process's
+    // fold SWEEPS covered manifests/.ts markers while the others are
+    // mid-read — the window that crashed log reads before
+    // retryVanishedLogRead (NoSuchFileException on a .ts marker,
+    // reproduced 6/6 under this load pre-fix)
 
     val java = Paths.get(System.getProperty("java.home"), "bin", "java")
       .toString
     val cp = System.getProperty("java.class.path")
-    val child = new ProcessBuilder(
-      java, "-cp", cp, "graft.CrossJvmLogRacer", dir, "child", n.toString)
-      .redirectErrorStream(true).start()
-    // parent races in-thread while the child runs
+    val kids = Seq("c1", "c2").map { tag =>
+      new ProcessBuilder(
+        java, "-cp", cp, "graft.CrossJvmLogRacer", dir, tag, n.toString)
+        .redirectErrorStream(true).start()
+    }
+    // parent races in-thread while both children run
     CrossJvmLogRacer.commitMany(dir, "parent", n)
-    val out = new String(child.getInputStream.readAllBytes, "UTF-8")
-    assert(child.waitFor() == 0, s"child JVM failed:\n$out")
-    assert(out.contains("RACER_DONE child"), s"child never finished:\n$out")
+    kids.foreach { child =>
+      val out = new String(child.getInputStream.readAllBytes, "UTF-8")
+      assert(child.waitFor() == 0, s"child JVM failed:\n$out")
+      assert(out.contains("RACER_DONE"), s"child never finished:\n$out")
+    }
 
-    // every commit landed as its own epoch: 2n epochs after the init
+    // every commit landed as its own epoch: 3n epochs after the init
     // snapshot, none skipped, none double-numbered (createFile on the
     // manifest name is the cross-process mutex)
-    assert(ArrowDataSource.latestCommittedEpoch(root) == 2L * n,
+    assert(ArrowDataSource.latestCommittedEpoch(root) == 3L * n,
       "a racing commit overwrote or skipped an epoch")
-    // every add from both processes is visible exactly once
+    // every add from all three processes is visible exactly once
     val visible = ArrowDataSource.visibleIpcFiles(dir)
       .map(_.getFileName.toString).sorted
     val expected = ((1 to n).map(i => s"parent_$i.arrow") ++
-      (1 to n).map(i => s"child_$i.arrow")).sorted
+      (1 to n).map(i => s"c1_$i.arrow") ++
+      (1 to n).map(i => s"c2_$i.arrow")).sorted
     assert(visible == expected,
       s"lost/duplicated adds across JVMs: got ${visible.size}, " +
         s"missing ${expected.toSet -- visible.toSet}, " +
