@@ -4,6 +4,7 @@ import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{bridge => graft_bridge}
 
 /** Training-data pipeline operators beyond per-pair dedup (SURVEY.md §2b
   * LLM-pipeline extensions): duplicate-cluster resolution (connected
@@ -84,24 +85,22 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
-  /** Train/benchmark decontamination: flag every non-benchmark document
-    * sharing at least one 5-word shingle with the benchmark slice
-    * (source = src0), with how many distinct shingles and benchmark docs
-    * it collides with. */
-  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
-    // native Generator (ShingleGenExpr) instead of explode(shingles()):
-    // distinct 5-grams stream out of GenerateExec per doc with no
-    // intermediate array materialization; < 5-word docs vanish like the
-    // non-outer generate they are
-    val sh = graft.functions.ShingleGenExpr(
+  /** The shared 5-gram shingle stream: (doc_id, source, shingle) via the
+    * native Generator (ShingleGenExpr) instead of explode(shingles()) —
+    * distinct 5-grams stream out of GenerateExec per doc with no
+    * intermediate array materialization; < 5-word docs vanish like the
+    * non-outer generate they are. */
+  private def shingleStream(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.ShingleGenExpr(
       fanOut(Tables.documents(spark, dir))
         .select(col("doc_id"), col("source"), words(col("text")).as("w")),
       col("w"), 5)
       .select(col("doc_id"), col("source"), col("shingle"))
-    val bench = sh.filter(col("source") === "src0")
-      .select(col("shingle"), col("doc_id").as("bench_id"))
-    val train = sh.filter(col("source") =!= "src0")
-      .select(col("doc_id").as("train_id"), col("shingle"))
+
+  /** The shared decontamination tail: candidate train shingles join the
+    * exact benchmark index; per-doc distinct-collision counts. */
+  private def decontamConfirm(train: DataFrame, bench: DataFrame)
+      : DataFrame =
     train.join(bench, "shingle")
       .groupBy(col("train_id"))
       .agg(count_distinct(col("shingle")).as("n_shared"),
@@ -109,6 +108,59 @@ object PipelineQueries {
       .select(col("train_id").as("doc_id"), col("n_shared"),
         col("n_bench_docs"))
       .orderBy(col("doc_id"))
+
+  /** Train/benchmark decontamination: flag every non-benchmark document
+    * sharing at least one 5-word shingle with the benchmark slice
+    * (source = src0), with how many distinct shingles and benchmark docs
+    * it collides with. */
+  def textDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleStream(spark, dir)
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    decontamConfirm(train, bench)
+  }
+
+  /** Bloom-prefiltered decontamination — the 100 TB shape of
+    * [[textDecontam]]. The benchmark side is a FIXED eval set (tiny
+    * relative to the corpus), so instead of shuffling every train
+    * shingle into the inverted-index join, build one Bloom filter over
+    * xxhash64(benchmark shingle) (a few MB regardless of corpus size),
+    * ship it once as a plan literal, and drop ~all clean shingles in a
+    * narrow codegen'd pass BEFORE the shuffle. Semantics stay EXACT: the
+    * Bloom has no false negatives and survivors are re-checked by the
+    * exact equi join, so false positives only cost shuffle bytes — the
+    * declared oracle is [[textDecontam]]'s SQL verbatim.
+    *
+    * Same probe machinery as joinQueries.bloomPrefilterJoin: the native
+    * BloomFilterMightContain expression (what InjectRuntimeFilter
+    * plants) over xxhash64(shingle), NOT a Scala UDF — it stays inside
+    * whole-stage codegen and the serialized sketch ships once as a
+    * literal instead of per-task via a closure. Eager at construction
+    * like every sketch build: the sizing count and the Bloom aggregation
+    * are Spark jobs over the SMALL benchmark side only. */
+  def textDecontamBloom(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleStream(spark, dir)
+    val bench = sh.filter(col("source") === "src0")
+      .select(col("shingle"), col("doc_id").as("bench_id"))
+    val benchHashes = bench
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val expected = math.max(benchHashes.count(), 64L)
+    val bf = benchHashes.stat.bloomFilter("h", expected, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val might = graft_bridge.column(BloomFilterMightContain(
+      Literal(bytes, org.apache.spark.sql.types.BinaryType),
+      graft_bridge.expression(spark, xxhash64(col("shingle")))))
+    val train = sh.filter(col("source") =!= "src0")
+      .select(col("doc_id").as("train_id"), col("shingle"))
+      .filter(might)
+    decontamConfirm(train, bench)
   }
 
   private val StopPattern = "\\b(the|a|and|of)\\b"
@@ -247,9 +299,24 @@ object PipelineQueries {
   val defs: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
     "text_decontam" -> (textDecontam _),
+    "text_decontam_bloom" -> (textDecontamBloom _),
     "text_quality_filter" -> (textQualityFilter _),
     "mix_weighted" -> (mixWeighted _),
     "pipeline_corpus_curation" -> (corpusCuration _))
+
+  private val DecontamSql =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 5),
+      |sh AS (SELECT DISTINCT doc_id, source,
+      |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
+      |  FROM w, UNNEST(range(1, len(w) - 3)) AS t(i)),
+      |bench AS (SELECT shingle, doc_id AS bench_id FROM sh WHERE source = 'src0'),
+      |train AS (SELECT doc_id AS train_id, shingle FROM sh WHERE source <> 'src0')
+      |SELECT train_id AS doc_id,
+      | COUNT(DISTINCT t.shingle) AS n_shared,
+      | COUNT(DISTINCT bench_id) AS n_bench_docs
+      |FROM train t JOIN bench b ON t.shingle = b.shingle
+      |GROUP BY train_id ORDER BY doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
     "dedup_cluster" ->
@@ -272,19 +339,10 @@ object PipelineQueries {
         |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
-    "text_decontam" ->
-      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 5),
-        |sh AS (SELECT DISTINCT doc_id, source,
-        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS shingle
-        |  FROM w, UNNEST(range(1, len(w) - 3)) AS t(i)),
-        |bench AS (SELECT shingle, doc_id AS bench_id FROM sh WHERE source = 'src0'),
-        |train AS (SELECT doc_id AS train_id, shingle FROM sh WHERE source <> 'src0')
-        |SELECT train_id AS doc_id,
-        | COUNT(DISTINCT t.shingle) AS n_shared,
-        | COUNT(DISTINCT bench_id) AS n_bench_docs
-        |FROM train t JOIN bench b ON t.shingle = b.shingle
-        |GROUP BY train_id ORDER BY doc_id""".stripMargin,
+    "text_decontam" -> DecontamSql,
+    // the Bloom pass is exact (no false negatives + equi-join confirm):
+    // same oracle verbatim
+    "text_decontam_bloom" -> DecontamSql,
     "text_quality_filter" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,

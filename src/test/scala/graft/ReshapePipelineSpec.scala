@@ -75,6 +75,16 @@ class ReshapePipelineSpec extends AnyFunSuite {
     assert(rows.forall(r => !benchIds.contains(r.getLong(0))))
   }
 
+  test("text_decontam_bloom equals the exact join and probes pre-shuffle") {
+    val exact = queries.PipelineQueries.textDecontam(spark, Sf01)
+    val bloom = queries.PipelineQueries.textDecontamBloom(spark, Sf01)
+    assert(bloom.collect().toSeq == exact.collect().toSeq)
+    // the sketch probe must be planned (a narrow filter before the join),
+    // not optimized away
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no Bloom probe in:\n$plan")
+  }
+
   test("text_quality_filter keep bit agrees with the reason ladder") {
     val rows = queries.PipelineQueries.textQualityFilter(spark, Sf01).collect()
     rows.foreach { r =>
