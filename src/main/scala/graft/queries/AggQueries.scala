@@ -260,7 +260,33 @@ object AggQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** EXACT frequent items (tokens occurring in > 3% of the corpus) via
+    * the two-pass sketch-then-confirm shape — the way heavy hitters are
+    * found at 100 TB without shuffling the full token domain:
+    *  - pass 1: Misra–Gries candidate sketch (`stat.freqItems`) — a
+    *    bounded ~1/support-counter summary per partition merged on the
+    *    driver, guaranteed a SUPERSET of every item with frequency >
+    *    support·n regardless of traversal order;
+    *  - pass 2: exact counts restricted to the candidates (broadcast
+    *    IN-list pushed to the scan) — the confirm shuffle carries
+    *    O(candidates × partitions) rows, never the domain. False
+    *    positives die on the integer threshold; false negatives cannot
+    *    exist. The final answer is therefore exact and hash-gated. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(Tables.documents(spark, dir))
+      .select(explode(split(col("text"), " ")).as("token"))
+    val cands = toks.stat.freqItems(Seq("token"), 0.03)
+      .head().getSeq[String](0)
+    val n = toks.count()
+    toks.filter(col("token").isin(cands: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) > lit(n) * lit(3L))
+      .orderBy(col("cnt").desc, col("token"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "agg_heavy_hitters" -> (heavyHitters _),
     "agg_mode" -> (modeAgg _),
     "agg_stats" -> (statsAgg _),
     "agg_histogram" -> (histogramAgg _),
@@ -290,6 +316,12 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT token, COUNT(*) AS cnt FROM t
+        |GROUP BY token
+        |HAVING COUNT(*) * 100 > (SELECT COUNT(*) FROM t) * 3
+        |ORDER BY cnt DESC, token""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
         | COUNT(*) AS n,

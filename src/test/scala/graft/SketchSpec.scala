@@ -107,4 +107,20 @@ class SketchSpec extends AnyFunSuite {
     assert(trulyFrequent.subsetOf(found),
       s"missing frequent items: ${trulyFrequent diff found}")
   }
+
+  test("the DECLARED agg_heavy_hitters equals the sketch-free exact plan") {
+    val sf = "/root/testdata/sf0.01"
+    val declared = queries.AggQueries.heavyHitters(spark, sf).collect().toSeq
+    // ground truth: full-domain groupBy with the same integer threshold,
+    // no candidate sketch anywhere
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("token"))
+    val n = toks.count()
+    val exact = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * lit(100L) > lit(n) * lit(3L))
+      .orderBy(col("cnt").desc, col("token")).collect().toSeq
+    assert(declared == exact)
+    assert(declared.nonEmpty, "fixture produced no heavy hitters")
+  }
 }
