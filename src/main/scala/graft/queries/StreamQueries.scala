@@ -67,11 +67,28 @@ object StreamQueries {
         Tables.events(spark, dir), Tables.customer(spark, dir))
       .orderBy(col("nation"))
 
+  /** LEFT OUTER variant of [[streamJoin]], declared through the EXACT
+    * transform the streaming path runs
+    * ([[graft.streaming.StreamingOps.clickPurchaseLeftJoin]]): purchases
+    * with no same-user click in the preceding hour survive with a NULL
+    * click_id — in streaming they emit once the watermark proves no
+    * match can arrive (StreamingSpec drives that progression). Nulls
+    * sort FIRST on both sides (Spark's asc default, restated NULLS FIRST
+    * in DuckDB). */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    graft.streaming.StreamingOps.clickPurchaseLeftJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_sessions" -> (sessions _),
     "stream_join" -> (streamJoin _),
+    "stream_join_outer" -> (streamJoinOuter _),
     "stream_enrich" -> (streamEnrich _))
 
   val sql: Map[String, String] = Map(
@@ -112,6 +129,14 @@ object StreamQueries {
         | AND c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "stream_join_outer" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | p.user_id AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
     "stream_enrich" ->
       """SELECT c_nationkey AS nation, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

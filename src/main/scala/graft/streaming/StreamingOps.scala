@@ -75,6 +75,32 @@ object StreamingOps {
         col("p_user").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits — once
+    * per same-user click in the preceding hour, or once with a NULL
+    * click_id. Outer emission is WATERMARK-DRIVEN: the null row for an
+    * unmatched purchase is released only after the watermark proves no
+    * matching click can still arrive (purchase-ts + delay passed), which
+    * is exactly what keeps it correct — emitting earlier could require a
+    * retraction append mode cannot express — and lets the state store
+    * evict both sides on the same time bound as the inner join. On batch
+    * inputs this is a plain left outer join (the declared oracle). */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"))
+  }
+
   /** Stream-static dimension enrichment: events joined to a static
     * customer dimension, rolled up per nation. The static side is
     * re-planned on every micro-batch and — being a dimension —

@@ -202,6 +202,49 @@ class StreamingSpec extends AnyFunSuite {
       "stream-stream join must equal the batch interval join")
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched rows only after " +
+    "the watermark proves no match can arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingOps.clickPurchaseLeftJoin(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_outer_out").start()
+    try {
+      // batch 1: one matched purchase (user 1), one unmatched (user 2)
+      clicks.addData(
+        Event(10L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 0))
+      purchases.addData(
+        Event(20L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 0),
+        Event(21L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L, "purchase", 0))
+      q.processAllAvailable()
+      val early = spark.table("ssjoin_outer_out").collect()
+      // the matched row may emit now; the unmatched one MUST NOT yet —
+      // a click for user 2 could still arrive within the watermark delay
+      assert(!early.exists(r => r.getLong(0) == 21L),
+        s"unmatched purchase emitted before watermark: ${early.mkString}")
+      // batch 2: advance event time far past purchase-ts + join window +
+      // watermark delay so the outer side can be finalized
+      clicks.addData(
+        Event(11L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "click", 0))
+      purchases.addData(
+        Event(22L, Timestamp.valueOf("2024-01-01 13:00:00"), 9L, "purchase", 0))
+      q.processAllAvailable()
+      // one more cycle so the advanced watermark is applied to state
+      purchases.addData(
+        Event(23L, Timestamp.valueOf("2024-01-01 13:01:00"), 9L, "purchase", 0))
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin_outer_out").collect()
+      val unmatched = rows.filter(r => r.getLong(0) == 21L)
+      assert(unmatched.length == 1 && unmatched.head.isNullAt(1),
+        s"expected exactly one null-click row for purchase 21 in: ${rows.mkString}")
+      val matched = rows.filter(r => r.getLong(0) == 20L)
+      assert(matched.length == 1 && matched.head.getLong(1) == 10L)
+    } finally q.stop()
+  }
+
   test("checkpoint recovery resumes offsets and aggregate state across a restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("events_ckpt_src").toString
