@@ -436,6 +436,34 @@ object VectorQueries {
     ivfProbeIndexed(spark, cellScores, index)
   }
 
+  /** DELETE maintenance on the persisted IVF index — the third leg of
+    * build / append / delete: vectors retired from the corpus are
+    * removed from the cell-partitioned index by a MERGE-ON-READ
+    * deletion-vector DELETE, so NO cell file is rewritten — a DV
+    * sidecar masks the retired rows and probes remain planning-time
+    * file-pruned scans of the original layout. At 100 TB this is the
+    * only viable shape: nightly retirements cost O(deleted rows) of
+    * sidecar metadata, never an index rebuild (and never a rewrite of
+    * the petabyte of live cells). The retired set is a deterministic
+    * slice (vec_id % 7 = 3), so the oracle is the sim_ann_ivf pipeline
+    * with the same cut on the target side; DedupSimSpec pins that the
+    * base cell files are byte-untouched after the DELETE. */
+  def annIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val cellScores = ivfCellScores(spark, dir)
+    val index = graft.Scratch.dir("ivf_del_index", dir)
+    graft.Fixtures.once(index) {
+      ivfAssign(cellScores)
+        .write.format("arrow").partitionBy("cell")
+        .mode("overwrite").save(index)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.arrow.GraftCatalog].getName)
+      graft.sources.arrow.ArrowDataSource.initTableLog(index)
+      spark.sql(s"CALL graft.system.set_dv(path => '$index')").collect()
+      spark.sql(s"DELETE FROM graft.arrow.`$index` WHERE vec_id % 7 = 3")
+    }
+    ivfProbeIndexed(spark, cellScores, index)
+  }
+
   /** The typed [[graft.functions.VectorMeanAgg]] Aggregator on the
     * declared (oracle-checked) surface: single-pass per-label centroid,
     * first three dimensions exposed as scalars. The oracle recomputes
@@ -464,6 +492,7 @@ object VectorQueries {
     "sim_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "sim_ann_ivf_indexed" -> (annIvfIndexed _),
     "sim_ann_ivf_incremental" -> (annIvfIncremental _),
+    "sim_ann_ivf_delete" -> (annIvfDelete _),
     "sim_centroids" -> (centroids _),
     "sim_hybrid_search" -> (hybridSearch _),
     "vec_quantize_int8" -> (vectorQuantize _),
@@ -557,7 +586,7 @@ object VectorQueries {
     * side's min(struct(score, cell))), the query-side nprobe nearest
     * cells, candidate generation by cell equality, cosine scoring,
     * and the (cos desc, tid asc) top-5 ranking. */
-  private def ivfSql(nprobe: Int): Option[String] =
+  private def ivfSql(nprobe: Int, tidWhere: String = ""): Option[String] =
     fittedCentroids.map { cents =>
       s"""WITH c(cell, cv) AS (VALUES
          |  ${centroidSqlValues(cents)}),
@@ -584,7 +613,7 @@ object VectorQueries {
          |  FROM probes p JOIN e ON e.vec_id = p.qid),
          |t AS (SELECT a.vec_id AS tid, a.cell AS t_cell,
          |   e.embedding AS tv
-         |  FROM assigned a JOIN e ON e.vec_id = a.vec_id),
+         |  FROM assigned a JOIN e ON e.vec_id = a.vec_id$tidWhere),
          |scored AS (
          | SELECT qid, tid, round($cosExpr, 6) AS cos
          | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
@@ -610,7 +639,11 @@ object VectorQueries {
         "sim_ann_ivf_indexed" -> s,
         "sim_ann_ivf_incremental" -> s)).getOrElse(Map.empty) ++
       ivfSql(3).map(s => Map("sim_ann_ivf_multiprobe" -> s))
-        .getOrElse(Map.empty)
+        .getOrElse(Map.empty) ++
+      // the DV DELETE masks the retired slice; everything else is the
+      // sim_ann_ivf pipeline verbatim
+      ivfSql(1, " WHERE a.vec_id % 7 <> 3")
+        .map(s => Map("sim_ann_ivf_delete" -> s)).getOrElse(Map.empty)
 
   private val baseSql: Map[String, String] = Map(
     "vec_quantize_int8" ->

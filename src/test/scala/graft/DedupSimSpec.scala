@@ -158,6 +158,37 @@ class DedupSimSpec extends AnyFunSuite {
     assert(idx.select(col("vec_id")).distinct().count() == n)
   }
 
+  test("DV DELETE on the IVF index rewrites no cell file and masks " +
+      "exactly the retired slice") {
+    import org.apache.spark.sql.functions.col
+    val index = graft.Scratch.dir("ivf_del_index", TestSession.Sf)
+    val first = VectorQueries.annIvfDelete(spark, TestSession.Sf).collect()
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val files = walk(new java.io.File(index))
+    val dataFiles = files.filter(_.getName.endsWith(".arrow"))
+    val dvFiles = files.filter(_.getName.endsWith(".dv"))
+    // merge-on-read: the DELETE produced DV sidecars, and every cell
+    // data file predates them — a copy-on-write DELETE would have
+    // written replacement .arrow files AFTER the delete
+    assert(dvFiles.nonEmpty, "no deletion-vector sidecars under the index")
+    val earliestDv = dvFiles.map(_.lastModified()).min
+    assert(dataFiles.nonEmpty &&
+      dataFiles.forall(_.lastModified() <= earliestDv),
+      "a cell data file was rewritten after the DV delete")
+    // the DELETE masked exactly vec_id % 7 == 3
+    val live = spark.read.format("arrow").load(index)
+    assert(live.filter(col("vec_id") % 7 === 3).count() == 0)
+    val total = Tables.embeddings(spark, TestSession.Sf).count()
+    val retired = Tables.embeddings(spark, TestSession.Sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    assert(retired > 0 && live.count() == total - retired)
+    // idempotent probe: a second invocation is probe-only (Fixtures.once)
+    // and answers identically
+    val again = VectorQueries.annIvfDelete(spark, TestSession.Sf).collect()
+    assert(again.toSeq == first.toSeq)
+  }
+
   test("multi-probe LSH recall is at least single-probe recall") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
