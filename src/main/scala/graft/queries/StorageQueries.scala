@@ -479,6 +479,58 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Incremental SCD TYPE-2 dimension maintenance, oracle-gated: the
+    * full version history of a logged orders table is maintained from
+    * its change feed ([[graft.streaming.Scd2Maintain]]) — snapshot,
+    * then DELETE / UPDATE / INSERT epochs turn into half-open
+    * [valid_from, valid_to) epoch intervals through one idempotent
+    * MERGE per refresh. The oracle re-derives the exact history the
+    * deterministic DML must produce: snapshot versions at epoch 0,
+    * deletions closing at 1, updates closing at 2 and reopening at 2,
+    * inserts opening at 3. The 100 TB shape: a petabyte dimension
+    * absorbs a day of churn as O(churned keys) MERGE work; closed
+    * history is never rewritten. */
+  def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("scd2_src", dir)
+    val dim = graft.Scratch.dir("scd2_dim", dir)
+    val ckpt = graft.Scratch.dir("scd2_ckpt", dir)
+    graft.Scratch.reset(src, dim, ckpt)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    base.repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    // empty dimension carrying the SCD2 schema
+    base.limit(0)
+      .withColumn(graft.streaming.Scd2Maintain.ValidFromCol, lit(0L))
+      .withColumn(graft.streaming.Scd2Maintain.ValidToCol,
+        lit(null).cast("long"))
+      .withColumn(graft.streaming.Scd2Maintain.IsCurrentCol, lit(true))
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dim)
+    def refresh(): Unit = {
+      val q = graft.streaming.Scd2Maintain.maintain(spark, src, dim,
+        keyCols = Seq("o_orderkey"), checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    refresh() // snapshot epoch → versions open at 0
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
+    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+      "AND o_orderstatus = 'F'")
+    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
+      s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
+      s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
+    refresh() // the 3-epoch backlog lands as ONE MERGE
+    spark.read.format("arrow").load(dim)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("o_orderkey"), col("valid_from"))
+  }
+
   /** SHOW PARTITIONS under the hash gate: write orders partitioned by
     * status to the Arrow layout, roll it up with the metadata-only
     * `partitions` procedure (footer row stats, zero data-batch
@@ -725,6 +777,7 @@ object StorageQueries {
     "arrow_timestamp_travel" -> (arrowTimestampTravel _),
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "cdc_scd2" -> (cdcScd2 _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -911,6 +964,37 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_scd2" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(CASE
+        |      WHEN o_orderkey < 400 THEN 1
+        |      WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |        AND o_orderstatus = 'F' THEN 2
+        |      ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 0.0 AS o_totalprice, o_orderstatus,
+        |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'),
+        |ins AS (
+        |  SELECT o_orderkey + 20000000 AS o_orderkey,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      AND o_orderstatus = 'F' THEN 0.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    'Z' AS o_orderstatus,
+        |    CAST(3 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM orders WHERE o_orderkey % 251 = 0 AND o_orderkey >= 400),
+        |hist AS (
+        |  SELECT * FROM snap UNION ALL
+        |  SELECT * FROM upd UNION ALL
+        |  SELECT * FROM ins)
+        |SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |  valid_from, valid_to, (valid_to IS NULL) AS is_current
+        |FROM hist ORDER BY o_orderkey, valid_from""".stripMargin,
     "arrow_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
