@@ -479,6 +479,49 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Write-audit-publish, oracle-gated: stage DML on a zero-copy clone
+    * branch (`CALL graft.system.clone`), audit there, then land the
+    * branch state as ONE atomic epoch on main
+    * (`CALL graft.system.publish`) — borrowed files stay in place,
+    * branch-written files rename under main (no copy), and a diverged
+    * main refuses. The isolation contract a 100 TB ingest pipeline
+    * needs: readers of main never see a half-applied batch, and a
+    * failed audit costs nothing but the branch's own files. */
+  def arrowWapPublish(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val main = graft.Scratch.dir("wap_q_main", dir)
+    val branch = graft.Scratch.dir("wap_q_branch", dir)
+    graft.Scratch.reset(main, branch)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(main)
+    graft.sources.arrow.ArrowDataSource.initTableLog(main)
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch')").collect()
+    // WRITE on the branch
+    spark.sql(s"DELETE FROM graft.arrow.`$branch` WHERE o_orderkey < 500")
+    spark.sql(s"UPDATE graft.arrow.`$branch` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey >= 1000 AND o_orderkey < 1500 " +
+      "AND o_orderstatus = 'O'")
+    spark.sql(s"INSERT INTO graft.arrow.`$branch` " +
+      s"SELECT o_orderkey + 30000000, o_totalprice, 'W' " +
+      s"FROM graft.arrow.`$branch` WHERE o_orderkey % 307 = 0")
+    // AUDIT: the staged state must satisfy the pipeline's checks while
+    // main still serves the old version (a real audit would run its
+    // constraint queries here)
+    // PUBLISH: one epoch on main
+    spark.sql(s"CALL graft.system.publish(branch_path => '$branch', " +
+      s"main_path => '$main')").collect()
+    spark.read.format("arrow").load(main)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Incremental SCD TYPE-2 dimension maintenance, oracle-gated: the
     * full version history of a logged orders table is maintained from
     * its change feed ([[graft.streaming.Scd2Maintain]]) — snapshot,
@@ -778,6 +821,7 @@ object StorageQueries {
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_scd2" -> (cdcScd2 _),
+    "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -962,6 +1006,23 @@ object StorageQueries {
         |SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
         |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_wap_publish" ->
+      """WITH post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 1000 AND o_orderkey < 1500
+        |      AND o_orderstatus = 'O' THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey >= 500),
+        |final AS (
+        |  SELECT o_orderkey, p, o_orderstatus FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 30000000, p, 'W' AS o_orderstatus
+        |  FROM post WHERE o_orderkey % 307 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_scd2" ->

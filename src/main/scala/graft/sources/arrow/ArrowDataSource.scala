@@ -1211,9 +1211,26 @@ object ArrowDataSource {
     * [[initTableLog]], but a concurrent log at the destination is a
     * conflict (the caller promised an empty target), not a silent
     * defer. */
+  /** `_clone_src` metadata: where (and at which epoch) this table was
+    * cloned from — the branch lineage [[GraftProcedures]]' `publish`
+    * needs to validate a write-audit-publish merge-back. */
+  val CloneSrcFileName = "_clone_src"
+
+  /** The recorded clone lineage, if this table was created by clone:
+    * (source root, source epoch at clone; -1 for a flat source). */
+  def cloneSource(root: Path): Option[(Path, Long)] = {
+    val f = root.resolve(MetadataDirName).resolve(CloneSrcFileName)
+    if (!Files.isRegularFile(f)) None
+    else Files.readAllLines(f).asScala.toList match {
+      case p :: e :: _ => Some((Paths.get(p), e.toLong))
+      case _ => None
+    }
+  }
+
   def initCloneLog(dstRoot: Path, rels: Seq[String],
       dvs: Seq[(String, String, Long)] = Seq.empty,
-      partCols: Seq[String] = Seq.empty): Unit = {
+      partCols: Seq[String] = Seq.empty,
+      src: Option[(Path, Long)] = None): Unit = {
     Files.createDirectories(dstRoot)
     val tmp = dstRoot.resolve(MetadataDirName + ".clone.inprogress")
     if (Files.exists(tmp)) listDir(tmp).foreach(Files.deleteIfExists)
@@ -1227,6 +1244,10 @@ object ArrowDataSource {
     // an unpartitioned clone of a col=value-named source discovers
     // zero columns. (`[[discoverPartitionCols]]` consults it first.)
     Files.write(tmp.resolve(PartColsFileName), partCols.asJava)
+    src.foreach { case (srcRoot, srcEpoch) =>
+      Files.write(tmp.resolve(CloneSrcFileName), java.util.List.of(
+        srcRoot.toAbsolutePath.normalize.toString, srcEpoch.toString))
+    }
     // borrowed deletion vectors ride the epoch-0 manifest like any
     // dv event — a clone of a merge-on-read table must not resurrect
     // the source's masked rows

@@ -1,6 +1,6 @@
 package graft.sources.arrow
 
-import java.nio.file.Files
+import java.nio.file.{Files, Path, Paths}
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
@@ -492,11 +492,102 @@ object GraftProcedures {
         // recorded at bootstrap: discovery at the SOURCE root is
         // reliable (in-root layouts; a cloned source consults its own
         // recorded list), while the dst's `../` rels are not
-        ArrowDataSource.discoverPartitionCols(src))
+        ArrowDataSource.discoverPartitionCols(src),
+        // lineage for write-audit-publish: which table, at which epoch
+        src = Some((srcRoot,
+          if (ArrowDataSource.isTableLog(src))
+            asOf.getOrElse(ArrowDataSource.latestCommittedEpoch(srcRoot))
+          else -1L)))
       FooterIndexFile.cloneTo(srcRoot, dstRoot, files)
       val bytes = files.map(f => Files.size(f)).sum
       result(out, Array(new GenericInternalRow(Array[Any](
         files.length.toLong, bytes, 0L))))
+    }
+  }
+
+  val Publish: UnboundProcedure = new SimpleProcedure("publish",
+    "WRITE-AUDIT-PUBLISH merge-back: atomically land a clone branch's " +
+      "current state as ONE new epoch on the table it was cloned from. " +
+      "Stage writes on a zero-copy branch (CALL clone), AUDIT them " +
+      "there (queries, CHECK constraints), then publish: borrowed " +
+      "files stay in place, branch-written files MOVE under the main " +
+      "root (a rename, no data copy), deletion-vector masks carry " +
+      "over, and the epoch commits against the RECORDED clone base — " +
+      "if main advanced since the clone, publish fails with a " +
+      "concurrent-modification error and nothing becomes visible " +
+      "(moved-but-uncommitted files are invisible and vacuumable). " +
+      "After a publish the branch is spent: re-clone to stage again") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("branch_path", StringType).build(),
+      ProcedureParameter.in("main_path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("published_epoch", LongType, nullable = false),
+      StructField("files_added", LongType, nullable = false),
+      StructField("files_removed", LongType, nullable = false),
+      StructField("bytes_moved", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val branch = input.getUTF8String(0).toString
+      val main = input.getUTF8String(1).toString
+      val branchRoot = Paths.get(branch).toAbsolutePath.normalize
+      val mainRoot = Paths.get(main).toAbsolutePath.normalize
+      val (srcRoot, baseEpoch) = ArrowDataSource.cloneSource(branchRoot)
+        .getOrElse(throw new IllegalArgumentException(
+          s"publish: $branch records no clone lineage — only a table " +
+            "created by CALL graft.system.clone can publish"))
+      require(srcRoot.toAbsolutePath.normalize == mainRoot,
+        s"publish: $branch was cloned from $srcRoot, not $main")
+      require(baseEpoch >= 0L,
+        s"publish: $branch was cloned from a flat (un-logged) " +
+          "directory — publish needs a logged main to commit into")
+      // branch state to land
+      val files = ArrowDataSource.visibleIpcFiles(branch, None)
+        .map(_.toAbsolutePath.normalize)
+      val masks = ArrowDataSource.liveDvs(branchRoot, None)
+      // fail fast before moving anything (the commit re-checks
+      // atomically via the exclusive manifest create)
+      val latest = ArrowDataSource.latestCommittedEpoch(mainRoot)
+      if (latest != baseEpoch)
+        throw new java.util.ConcurrentModificationException(
+          s"publish: $main advanced from epoch $baseEpoch to $latest " +
+            "since the branch was cloned; re-clone and re-apply " +
+            "(publish never merges divergent histories)")
+      var bytesMoved = 0L
+      def intoMain(abs: Path): Path =
+        if (abs.startsWith(mainRoot)) abs
+        else {
+          val dst = mainRoot.resolve(branchRoot.relativize(abs))
+          Files.createDirectories(dst.getParent)
+          bytesMoved += Files.size(abs)
+          Files.move(abs, dst)
+          dst
+        }
+      val landed = files.map(f => f -> intoMain(f)).toMap
+      val dvLanded = masks.toSeq.map { case (rel, (dvRel, n)) =>
+        val fAbs = branchRoot.resolve(rel).normalize
+        val dvAbs = branchRoot.resolve(dvRel).normalize
+        (landed.getOrElse(fAbs, fAbs).toString,
+          intoMain(dvAbs).toString, n)
+      }
+      // adds = branch-written files; removes = main files the branch
+      // replaced or deleted; borrowed survivors stay visible untouched
+      val mainVisible = ArrowDataSource
+        .visibleIpcFiles(main, Some(baseEpoch))
+        .map(_.toAbsolutePath.normalize).toSet
+      val adds = landed.values.toSeq.map(_.toString)
+        .filterNot(p => mainVisible(Paths.get(p)))
+      val removes = (mainVisible -- landed.values.toSet)
+        .toSeq.map(_.toString)
+      val epoch = ArrowDataSource.commitTableEpoch(main, baseEpoch,
+        adds.sorted, removes.sorted, dvs = dvLanded.sortBy(_._1))
+      // moved files' footer stats ride the epoch's sidecar fragment so
+      // main keeps one-metadata-read planning
+      if (adds.nonEmpty)
+        FooterIndexFile.appendEpochFragment(main, epoch,
+          ArrowDataSource.readFooterSchema(Paths.get(adds.head)),
+          adds.map(a => a -> FooterIndexFile.encodeInfo(
+            ArrowDataSource.footerInfo(Paths.get(a)))))
+      result(out, Array(new GenericInternalRow(Array[Any](
+        epoch, adds.length.toLong, removes.length.toLong, bytesMoved))))
     }
   }
 
@@ -779,6 +870,7 @@ object GraftProcedures {
     "history" -> History,
     "restore" -> Restore,
     "clone" -> Clone,
+    "publish" -> Publish,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
     "partitions" -> Partitions,

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** WRITE-AUDIT-PUBLISH (`CALL graft.system.publish`): stage DML on a
+  * zero-copy clone branch, audit it there, then land the branch state
+  * as ONE atomic epoch on main — borrowed files stay put, branch-
+  * written files rename (no copy), DV masks carry, and a main that
+  * advanced since the clone refuses the publish with nothing visible. */
+class WapSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def bagEqual(a: DataFrame, b: DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  private def freshPair(): (String, String) = {
+    val main = Files.createTempDirectory("wap_main").toString
+    val branch = Files.createTempDirectory("wap_branch").toString
+    Files.delete(Paths.get(branch))
+    (main, branch)
+  }
+
+  private def build(main: String): Unit = {
+    import spark.implicits._
+    (1 to 100).map(i => (i.toLong, (i % 7).toLong, s"v$i"))
+      .toDF("id", "grp", "tag")
+      .repartition(3)
+      .write.format("arrow").mode("overwrite").save(main)
+    ArrowDataSource.initTableLog(main)
+  }
+
+  test("publish lands staged DML (insert + DV delete + update) as one " +
+      "epoch; main equals the audited branch; only branch bytes move") {
+    val (main, branch) = freshPair()
+    build(main)
+    spark.sql(s"CALL graft.system.set_dv(path => '$main')").collect()
+    val epochBefore = ArrowDataSource.latestCommittedEpoch(
+      Paths.get(main).toAbsolutePath.normalize)
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch')").collect()
+    // stage on the branch: the WRITE phase
+    spark.sql(s"INSERT INTO graft.arrow.`$branch` VALUES " +
+      "(201, 1, 'staged'), (202, 2, 'staged')")
+    spark.sql(s"DELETE FROM graft.arrow.`$branch` WHERE id <= 10")
+    spark.sql(s"UPDATE graft.arrow.`$branch` SET tag = 'audited' " +
+      "WHERE grp = 3")
+    // AUDIT on the branch while main still serves the old version
+    val branchDf = spark.read.format("arrow").load(branch)
+    assert(branchDf.count() == 92)
+    assert(spark.read.format("arrow").load(main).count() == 100,
+      "main must be untouched while the branch stages")
+    val staged = branchDf.collect().toSet
+    // PUBLISH
+    val row = spark.sql(s"CALL graft.system.publish(" +
+      s"branch_path => '$branch', main_path => '$main')").collect().head
+    val mainRoot = Paths.get(main).toAbsolutePath.normalize
+    assert(ArrowDataSource.latestCommittedEpoch(mainRoot) ==
+      epochBefore + 1, "publish must be exactly ONE epoch on main")
+    val published = spark.read.format("arrow").load(main)
+    assert(published.collect().toSet == staged,
+      "main after publish must equal the audited branch state")
+    assert(row.getLong(3) > 0L, "branch-written files should have moved")
+    // time travel still serves the pre-publish version
+    val old = spark.read.format("arrow")
+      .option("epochAsOf", epochBefore.toString).load(main)
+    assert(old.count() == 100, "pre-publish version must stay readable")
+    // and the DV delete carried as a mask on borrowed files
+    assert(published.filter(col("id") <= 10).count() == 0)
+  }
+
+  test("publish refuses a diverged main and a spent branch, atomically") {
+    val (main, branch) = freshPair()
+    build(main)
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$branch` VALUES (300, 0, 'b')")
+    // main advances AFTER the clone: publish must refuse
+    spark.sql(s"INSERT INTO graft.arrow.`$main` VALUES (400, 0, 'm')")
+    val mainBefore = spark.read.format("arrow").load(main).collect().toSet
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.publish(" +
+        s"branch_path => '$branch', main_path => '$main')").collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.contains("re-clone"),
+      s"unexpected error: ${e.getMessage}")
+    assert(spark.read.format("arrow").load(main).collect().toSet ==
+      mainBefore, "a refused publish must leave main untouched")
+
+    // happy path on a fresh branch, then the SAME branch is spent:
+    // main advanced past its recorded base, so a second publish refuses
+    val branch2 = Files.createTempDirectory("wap_branch2").toString
+    Files.delete(Paths.get(branch2))
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch2')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$branch2` WHERE id = 1")
+    spark.sql(s"CALL graft.system.publish(" +
+      s"branch_path => '$branch2', main_path => '$main')").collect()
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.publish(" +
+        s"branch_path => '$branch2', main_path => '$main')").collect()
+    }
+  }
+
+  test("publish refuses a non-clone table") {
+    val (main, other) = freshPair()
+    build(main)
+    build(other) // a real table, but not a clone of main
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.publish(" +
+        s"branch_path => '$other', main_path => '$main')").collect()
+    }
+    assert(e.getMessage.contains("clone lineage"))
+  }
+}
