@@ -89,6 +89,41 @@ object DedupQueries {
       .orderBy(col("d1"), col("d2"))
   }
 
+  /** Asymmetric CONTAINMENT dedup — doc-in-doc / quote detection:
+    * containment = |sh(A) ∩ sh(B)| / min(|sh(A)|, |sh(B)|), the
+    * smaller document's coverage by the pair's common shingles. Flags
+    * near-complete INCLUSION that symmetric Jaccard misses entirely: a
+    * 50-word passage embedded verbatim in a 5000-word page scores
+    * Jaccard ≈ 0.01 but containment ≈ 1.0 — the shape quote/boilerplate
+    * removal in a pretraining pipeline actually hunts. Same shared
+    * inverted index and candidate join as the Jaccard path (one index
+    * materialization serves all dedup consumers); the extra cost over
+    * [[jaccardPairs]] is one `least`. Small-int ratio → bit-exact in
+    * any engine. */
+  def containmentDedup(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingleIndex(spark, dir)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .select(
+        when(col("s1.n_sh") <= col("s2.n_sh"), col("d1"))
+          .otherwise(col("d2")).as("contained_id"),
+        when(col("s1.n_sh") <= col("s2.n_sh"), col("d2"))
+          .otherwise(col("d1")).as("container_id"),
+        (col("common").cast("double") /
+          least(col("s1.n_sh"), col("s2.n_sh")).cast("double"))
+          .as("containment"))
+      .filter(col("containment") >= 0.8)
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** The web-scale skew bound named in the file doc, executable: drop
     * shingles occurring in more than `dfMax` documents from CANDIDATE
     * GENERATION (the self-join), keeping verification exact over the
@@ -508,6 +543,7 @@ object DedupQueries {
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_jaccard" -> (jaccardDedup _),
+    "dedup_containment" -> (containmentDedup _),
     "dedup_jaccard_dfcut" -> (jaccardDedupDfCut _),
     "dedup_minhash" -> (minhashDedup _),
     "dedup_incremental" -> (incrementalDedup _),
@@ -535,6 +571,26 @@ object DedupQueries {
         |JOIN sizes s2 ON d2 = s2.doc_id
         |WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5
         |ORDER BY d1, d2""".stripMargin,
+    "dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT
+        |   CASE WHEN s1.n_sh <= s2.n_sh THEN d1 ELSE d2 END AS contained_id,
+        |   CASE WHEN s1.n_sh <= s2.n_sh THEN d2 ELSE d1 END AS container_id,
+        |   CAST(common AS DOUBLE) / LEAST(s1.n_sh, s2.n_sh) AS containment
+        |  FROM common
+        |  JOIN sizes s1 ON d1 = s1.doc_id
+        |  JOIN sizes s2 ON d2 = s2.doc_id)
+        |SELECT contained_id, container_id, containment FROM sc
+        |WHERE containment >= 0.8
+        |ORDER BY contained_id, container_id""".stripMargin,
     "dedup_jaccard_dfcut" ->
       s"""WITH $ShingleCtes,
          |hot AS (SELECT shingle FROM sh GROUP BY shingle
