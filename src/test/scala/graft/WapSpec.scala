@@ -112,6 +112,53 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("publish racing a concurrent append serializes: every outcome " +
+      "is one of the two legal histories") {
+    import spark.implicits._
+    for (round <- 1 to 4) {
+      val (main, branch) = freshPair()
+      build(main)
+      spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+        s"dst_path => '$branch')").collect()
+      spark.sql(s"DELETE FROM graft.arrow.`$branch` WHERE id <= 50")
+      val start = new java.util.concurrent.CountDownLatch(1)
+      @volatile var publishErr: Option[Throwable] = None
+      val publisher = new Thread(() => {
+        start.await()
+        try spark.sql(s"CALL graft.system.publish(" +
+          s"branch_path => '$branch', main_path => '$main')").collect()
+        catch { case t: Throwable => publishErr = Some(t) }
+      })
+      val appender = new Thread(() => {
+        start.await()
+        // blind append: rebases past a winning publish, never conflicts
+        (900 to 902).map(i => (i.toLong, 0L, "raced"))
+          .toDF("id", "grp", "tag")
+          .write.format("arrow").mode("append").save(main)
+      })
+      publisher.start(); appender.start()
+      start.countDown()
+      publisher.join(120000); appender.join(120000)
+      val ids = spark.read.format("arrow").load(main)
+        .select(col("id")).collect().map(_.getLong(0)).toSet
+      val appended = Set(900L, 901L, 902L)
+      val expected =
+        if (publishErr.isEmpty) (51L to 100L).toSet ++ appended
+        else (1L to 100L).toSet ++ appended
+      assert(ids == expected,
+        s"round $round (publish ${publishErr.fold("won")(e =>
+          s"refused: ${e.getMessage.take(60)}")}): " +
+          s"diff=${(ids diff expected) ++ (expected diff ids)}")
+      // a refused publish must be a clean concurrent-modification error
+      publishErr.foreach { e =>
+        assert(e.getMessage != null && (
+          e.getMessage.contains("re-clone") ||
+            e.getMessage.contains("retry against")),
+          s"unexpected failure mode: $e")
+      }
+    }
+  }
+
   test("publish refuses a non-clone table") {
     val (main, other) = freshPair()
     build(main)
