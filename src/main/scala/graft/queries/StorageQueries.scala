@@ -522,6 +522,38 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Metadata-only ADD COLUMN, oracle-gated: evolve the declared
+    * schema (`CALL graft.system.add_column`), then mix pre-evolution
+    * files (serve the column as nulls), post-evolution inserts, and a
+    * CoW UPDATE that materializes it — the per-flag rollup must equal
+    * DuckDB's restatement of the same history. The 100 TB shape:
+    * adding a column to a petabyte table is one metadata write; no
+    * file is rewritten until a row-level operation touches it. */
+  def arrowAddColumn(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("addcol_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    spark.sql(s"CALL graft.system.add_column(path => '$out', " +
+      "name => 'o_flag', type => 'string')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$out` " +
+      s"SELECT o_orderkey + 40000000, o_totalprice, 'Q', 'inserted' " +
+      s"FROM graft.arrow.`$out` WHERE o_orderkey % 401 = 0")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_flag = 'updated' " +
+      "WHERE o_orderkey < 300")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_flag"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_flag").asc_nulls_first)
+  }
+
   /** Incremental SCD TYPE-2 dimension maintenance, oracle-gated: the
     * full version history of a logged orders table is maintained from
     * its change feed ([[graft.streaming.Scd2Maintain]]) — snapshot,
@@ -822,6 +854,7 @@ object StorageQueries {
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
+    "arrow_add_column" -> (arrowAddColumn _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -1008,6 +1041,19 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_add_column" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CASE WHEN o_orderkey < 300 THEN 'updated' ELSE NULL END AS o_flag
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000, o_totalprice, 'inserted'
+        |  FROM orders WHERE o_orderkey % 401 = 0)
+        |SELECT o_flag, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM evolved GROUP BY o_flag
+        |ORDER BY o_flag NULLS FIRST""".stripMargin,
     "arrow_wap_publish" ->
       """WITH post AS (
         |  SELECT o_orderkey,

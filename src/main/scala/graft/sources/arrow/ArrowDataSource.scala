@@ -92,6 +92,29 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
           sidecarRoot.relativize(f.toAbsolutePath.normalize).toString)
           .toOption.flatMap(ix.schemaOf)
       }
+    // A DECLARED schema (metadata-only ADD COLUMN) is authoritative:
+    // files predating an added column serve it as nulls via the
+    // by-name reader. Every footer must still be a name+type SUBSET of
+    // the declaration — real type drift stays a loud error.
+    ArrowDataSource.declaredSchema(sidecarRoot).foreach { ds =>
+      val declared = ds.fields.map(f => (f.name, f.dataType)).toSet
+      val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+      files.asJava.parallelStream().forEach { f =>
+        if (bad.get() == null) {
+          val got = idxSchema(f)
+            .getOrElse(ArrowDataSource.readFooterSchema(f))
+          got.fields.find(g => !declared((g.name, g.dataType))).foreach(
+            g => bad.compareAndSet(null,
+              s"arrow: $f carries ${g.name}:${g.dataType.simpleString} " +
+                s"which the declared schema of $root does not — " +
+                "declared-schema tables evolve via " +
+                "CALL graft.system.add_column, not writer drift"))
+        }
+      }
+      Option(bad.get()).foreach(m => throw new IllegalArgumentException(m))
+      val partCols = ArrowDataSource.discoverPartitionSchema(root)
+      return StructType(ds.fields ++ partCols.fields)
+    }
     // Schema evolution, read side (`option("mergeSchema", true)` —
     // parquet's contract): the table schema is the UNION of every
     // footer schema, first-appearance field order, all fields
@@ -1211,6 +1234,32 @@ object ArrowDataSource {
     * [[initTableLog]], but a concurrent log at the destination is a
     * conflict (the caller promised an empty target), not a silent
     * defer. */
+  /** `_schema` metadata: the DECLARED data schema of an evolved table
+    * (`CALL graft.system.add_column`). When present it is authoritative
+    * for schema inference: files written before an added column simply
+    * lack it and the by-name reader serves it as nulls — Delta's
+    * metadata-only ADD COLUMN, no file rewritten. Stored as a single
+    * DDL line; anchored at the sink root like the constraints file. */
+  val SchemaFileName = "_schema"
+
+  def declaredSchema(root: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val f = root.resolve(MetadataDirName).resolve(SchemaFileName)
+    if (!Files.isRegularFile(f)) None
+    else Files.readAllLines(f).asScala.headOption
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+  }
+
+  def setDeclaredSchema(root: Path,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val md = root.resolve(MetadataDirName)
+    Files.createDirectories(md)
+    val tmp = md.resolve(SchemaFileName + ".inprogress")
+    Files.write(tmp, java.util.List.of(schema.toDDL))
+    Files.move(tmp, md.resolve(SchemaFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** `_clone_src` metadata: where (and at which epoch) this table was
     * cloned from — the branch lineage [[GraftProcedures]]' `publish`
     * needs to validate a write-audit-publish merge-back. */

@@ -591,6 +591,47 @@ object GraftProcedures {
     }
   }
 
+  val AddColumn: UnboundProcedure = new SimpleProcedure("add_column",
+    "metadata-only ADD COLUMN (Delta's schema evolution): append a " +
+      "nullable column to the table's DECLARED schema without " +
+      "rewriting a single file — existing files simply lack the " +
+      "column and the by-name reader serves it as nulls; new writes " +
+      "carry it; aggregate pushdown over it refuses conservatively " +
+      "until footers hold its stats. Type is a DDL string " +
+      "(e.g. 'bigint', 'string', 'array<double>')") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("type", StringType).build())
+    private val out = StructType(Seq(
+      StructField("n_columns", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val colName = input.getUTF8String(1).toString
+      val ddl = input.getUTF8String(2).toString
+      val root = ArrowDataSource.sinkRoot(path)
+        .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+      val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ddl)
+      val current = ArrowDataSource.declaredSchema(root).getOrElse {
+        val files = ArrowDataSource.visibleIpcFiles(path)
+        require(files.nonEmpty,
+          s"add_column: no visible files under $path to infer the " +
+            "current schema from")
+        ArrowDataSource.readFooterSchema(files.head)
+      }
+      val partCols =
+        ArrowDataSource.discoverPartitionCols(root.toString).toSet
+      require(!current.fieldNames.contains(colName) &&
+        !partCols(colName),
+        s"add_column: column $colName already exists on $path")
+      ArrowDataSource.setDeclaredSchema(root, StructType(
+        current.fields :+ StructField(colName, dt, nullable = true)))
+      result(out, Array(new GenericInternalRow(Array[Any](
+        current.fields.length + 1L))))
+    }
+  }
+
   val SetDv: UnboundProcedure = new SimpleProcedure("set_dv",
     "enable/disable merge-on-read DELETE (deletion vectors, Delta's " +
       "enableDeletionVectors) on a logged table: enabled, DELETE " +
@@ -871,6 +912,7 @@ object GraftProcedures {
     "restore" -> Restore,
     "clone" -> Clone,
     "publish" -> Publish,
+    "add_column" -> AddColumn,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
     "partitions" -> Partitions,

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** Metadata-only ADD COLUMN (`CALL graft.system.add_column`): the
+  * declared schema evolves without touching a file; old files serve
+  * the new column as nulls, new writes carry it, DML materializes it,
+  * and writer drift against the declaration fails loudly. */
+class ArrowAddColumnSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  test("add_column evolves reads, writes, and DML without a rewrite") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("addcol").toString
+    (1L to 50L).map(i => (i, i * 3L)).toDF("id", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val filesBefore = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    val n = spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'note', type => 'string')").collect().head.getLong(0)
+    assert(n == 3L)
+    // metadata-only: no data file touched
+    assert(ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap ==
+      filesBefore)
+    // old files serve the new column as nulls
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt", "note"))
+    assert(df.filter(col("note").isNull).count() == 50)
+
+    // new writes carry it; mixed read resolves per file by name
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES " +
+      "(100, 7, 'fresh'), (101, 9, NULL)")
+    val mixed = spark.read.format("arrow").load(dir)
+    assert(mixed.count() == 52)
+    assert(mixed.filter(col("note") === "fresh").select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(100L))
+    // filters on the evolved column stay correct over old files
+    assert(mixed.filter(col("note").isNull).count() == 51)
+
+    // DML materializes the column through copy-on-write
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET note = 'flagged' " +
+      "WHERE id <= 5")
+    val upd = spark.read.format("arrow").load(dir)
+    assert(upd.filter(col("note") === "flagged").count() == 5)
+    assert(upd.filter(col("note").isNull).count() == 46)
+
+    // aggregates over the evolved column answer correctly (pushdown
+    // refuses conservatively where footers lack its stats)
+    val agg = upd.agg(count(col("note")), min(col("note"))).collect().head
+    assert(agg.getLong(0) == 6L && agg.getString(1) == "flagged")
+
+    // duplicate refuses
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'note', type => 'string')").collect()
+    }
+    assert(e.getMessage.contains("already exists"))
+
+    // a second evolution stacks on the declaration
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'score', type => 'double')").collect()
+    assert(spark.read.format("arrow").load(dir).schema.fieldNames.toSeq ==
+      Seq("id", "amt", "note", "score"))
+  }
+
+  test("writer drift against the declared schema fails loudly") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("addcol_drift").toString
+    (1L to 10L).map(i => (i, i)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'note', type => 'string')").collect()
+    // a foreign writer lands note as a LONG — type drift, not evolution
+    (11L to 12L).map(i => (i, i, i * 10L)).toDF("id", "amt", "note")
+      .write.format("arrow").mode("append").save(dir)
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir).collect()
+    }
+    assert(e.getMessage.contains("declared schema"),
+      s"expected a declared-schema drift error, got: ${e.getMessage}")
+  }
+}
