@@ -98,12 +98,14 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     // the declaration — real type drift stays a loud error.
     ArrowDataSource.declaredSchema(sidecarRoot).foreach { ds =>
       val declared = ds.fields.map(f => (f.name, f.dataType)).toSet
+      val dropped = ArrowDataSource.droppedColumns(sidecarRoot)
       val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
       files.asJava.parallelStream().forEach { f =>
         if (bad.get() == null) {
           val got = idxSchema(f)
             .getOrElse(ArrowDataSource.readFooterSchema(f))
-          got.fields.find(g => !declared((g.name, g.dataType))).foreach(
+          got.fields.find(g => !declared((g.name, g.dataType)) &&
+              !dropped(g.name)).foreach(
             g => bad.compareAndSet(null,
               s"arrow: $f carries ${g.name}:${g.dataType.simpleString} " +
                 s"which the declared schema of $root does not — " +
@@ -1249,12 +1251,28 @@ object ArrowDataSource {
       .map(org.apache.spark.sql.types.StructType.fromDDL)
   }
 
+  /** Column names DROPPED from the declared schema (line 2+ of
+    * `_schema`, tab-separated): files still carrying them pass the
+    * drift sweep, and `add_column` refuses to re-use them — without
+    * per-column ids, re-adding a dropped name would RESURRECT the old
+    * files' values. */
+  def droppedColumns(root: Path): Set[String] = {
+    val f = root.resolve(MetadataDirName).resolve(SchemaFileName)
+    if (!Files.isRegularFile(f)) Set.empty
+    else Files.readAllLines(f).asScala.drop(1)
+      .flatMap(_.split("\t").filter(_.nonEmpty)).toSet
+  }
+
   def setDeclaredSchema(root: Path,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      dropped: Set[String] = Set.empty): Unit = {
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
     val tmp = md.resolve(SchemaFileName + ".inprogress")
-    Files.write(tmp, java.util.List.of(schema.toDDL))
+    val lines = schema.toDDL +:
+      (if (dropped.isEmpty) Seq.empty
+       else Seq(dropped.toSeq.sorted.mkString("\t")))
+    Files.write(tmp, lines.asJava)
     Files.move(tmp, md.resolve(SchemaFileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -625,10 +625,50 @@ object GraftProcedures {
       require(!current.fieldNames.contains(colName) &&
         !partCols(colName),
         s"add_column: column $colName already exists on $path")
+      val dropped = ArrowDataSource.droppedColumns(root)
+      require(!dropped(colName),
+        s"add_column: $colName was previously DROPPED from $path — " +
+          "re-adding the name would resurrect old files' values " +
+          "(no per-column ids); pick a fresh name")
       ArrowDataSource.setDeclaredSchema(root, StructType(
-        current.fields :+ StructField(colName, dt, nullable = true)))
+        current.fields :+ StructField(colName, dt, nullable = true)),
+        dropped)
       result(out, Array(new GenericInternalRow(Array[Any](
         current.fields.length + 1L))))
+    }
+  }
+
+  val DropColumn: UnboundProcedure = new SimpleProcedure("drop_column",
+    "metadata-only DROP COLUMN: remove a column from the declared " +
+      "schema without rewriting a file — old files keep the bytes " +
+      "(reclaimed as rewrites happen), readers stop seeing it, and " +
+      "the name is LEDGERED so add_column refuses to resurrect it") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    private val out = StructType(Seq(
+      StructField("n_columns", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val colName = input.getUTF8String(1).toString
+      val root = ArrowDataSource.sinkRoot(path)
+        .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+      val current = ArrowDataSource.declaredSchema(root).getOrElse {
+        val files = ArrowDataSource.visibleIpcFiles(path)
+        require(files.nonEmpty,
+          s"drop_column: no visible files under $path to infer the " +
+            "current schema from")
+        ArrowDataSource.readFooterSchema(files.head)
+      }
+      require(current.fieldNames.contains(colName),
+        s"drop_column: no column $colName on $path")
+      require(current.fields.length > 1,
+        s"drop_column: cannot drop the last column of $path")
+      ArrowDataSource.setDeclaredSchema(root,
+        StructType(current.fields.filterNot(_.name == colName)),
+        ArrowDataSource.droppedColumns(root) + colName)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        current.fields.length - 1L))))
     }
   }
 
@@ -913,6 +953,7 @@ object GraftProcedures {
     "clone" -> Clone,
     "publish" -> Publish,
     "add_column" -> AddColumn,
+    "drop_column" -> DropColumn,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
     "partitions" -> Partitions,

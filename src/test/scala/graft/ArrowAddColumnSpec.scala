@@ -76,6 +76,41 @@ class ArrowAddColumnSpec extends AnyFunSuite {
       Seq("id", "amt", "note", "score"))
   }
 
+  test("drop_column hides history without a rewrite and the name " +
+      "cannot resurrect") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dropcol").toString
+    (1L to 20L).map(i => (i, i * 2L, s"t$i")).toDF("id", "amt", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val filesBefore = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+      "name => 'tag')").collect()
+    assert(ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap ==
+      filesBefore, "drop_column must not touch data files")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt"))
+    assert(df.count() == 20)
+    // writes to the shrunk schema work; the old files' extra column
+    // passes the sweep via the dropped ledger
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (100, 7)")
+    assert(spark.read.format("arrow").load(dir).count() == 21)
+    // resurrection refused
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'tag', type => 'string')").collect()
+    }
+    assert(e.getMessage.contains("DROPPED"))
+    // a fresh name is fine
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'tag2', type => 'string')").collect()
+    assert(spark.read.format("arrow").load(dir).schema.fieldNames.toSeq ==
+      Seq("id", "amt", "tag2"))
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
