@@ -554,6 +554,37 @@ object StorageQueries {
       .orderBy(col("o_flag").asc_nulls_first)
   }
 
+  /** Metadata-only RENAME COLUMN, oracle-gated: rename the measure on
+    * a logged table (`CALL graft.system.rename_column`) — pre-rename
+    * files serve their bytes under the new name via the reader's
+    * ledgered physical fallback, a post-rename insert carries the new
+    * name natively, and a CoW UPDATE materializes it. No file is
+    * rewritten by the rename itself. */
+  def arrowRenameColumn(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("renamecol_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    spark.sql(s"CALL graft.system.rename_column(path => '$out', " +
+      "old_name => 'o_totalprice', new_name => 'price')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$out` " +
+      s"SELECT o_orderkey + 50000000, price, 'R' " +
+      s"FROM graft.arrow.`$out` WHERE o_orderkey % 509 = 0")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET price = 0.0 " +
+      "WHERE o_orderkey < 250")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("price")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Incremental SCD TYPE-2 dimension maintenance, oracle-gated: the
     * full version history of a logged orders table is maintained from
     * its change feed ([[graft.streaming.Scd2Maintain]]) — snapshot,
@@ -855,6 +886,7 @@ object StorageQueries {
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
+    "arrow_rename_column" -> (arrowRenameColumn _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -1041,6 +1073,20 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_rename_column" ->
+      """WITH renamed AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey < 250 THEN 0.0 ELSE o_totalprice END AS price,
+        |    o_orderstatus
+        |  FROM orders
+        |  UNION ALL
+        |  -- the insert snapshots prices BEFORE the update epoch
+        |  SELECT o_orderkey + 50000000, o_totalprice, 'R'
+        |  FROM orders WHERE o_orderkey % 509 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM renamed GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_add_column" ->
       """WITH evolved AS (
         |  SELECT o_orderkey, o_totalprice,

@@ -97,7 +97,16 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     // by-name reader. Every footer must still be a name+type SUBSET of
     // the declaration — real type drift stays a loud error.
     ArrowDataSource.declaredSchema(sidecarRoot).foreach { ds =>
-      val declared = ds.fields.map(f => (f.name, f.dataType)).toSet
+      // tolerated history: dropped names (any type — they are never
+      // served) and every pre-rename physical AT the logical's type
+      // (it IS served, under the new name)
+      val aliasTyped = ArrowDataSource.aliasColumns(sidecarRoot)
+        .flatMap { case (logical, physicals) =>
+          ds.fields.find(_.name == logical).toSeq
+            .flatMap(f => physicals.map(p => (p, f.dataType)))
+        }.toSet
+      val declared = ds.fields.map(f => (f.name, f.dataType)).toSet ++
+        aliasTyped
       val dropped = ArrowDataSource.droppedColumns(sidecarRoot)
       val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
       files.asJava.parallelStream().forEach { f =>
@@ -1251,31 +1260,89 @@ object ArrowDataSource {
       .map(org.apache.spark.sql.types.StructType.fromDDL)
   }
 
-  /** Column names DROPPED from the declared schema (line 2+ of
-    * `_schema`, tab-separated): files still carrying them pass the
-    * drift sweep, and `add_column` refuses to re-use them — without
+  /** Column names DROPPED from the declared schema (`drop` ledger
+    * lines of `_schema`): files still carrying them pass the drift
+    * sweep, and `add_column` refuses to re-use them — without
     * per-column ids, re-adding a dropped name would RESURRECT the old
     * files' values. */
-  def droppedColumns(root: Path): Set[String] = {
+  def droppedColumns(root: Path): Set[String] =
+    schemaLedger(root)._1
+
+  /** RENAME ledger: logical name → the physical names files written
+    * before (each of) its renames carry. The reader resolves a
+    * requested logical column by trying its own name first, then each
+    * ledgered physical — Delta column mapping's effect without
+    * per-column ids, for the rename-only case. */
+  def aliasColumns(root: Path): Map[String, Seq[String]] =
+    schemaLedger(root)._2
+
+  private def schemaLedger(root: Path)
+      : (Set[String], Map[String, Seq[String]]) = {
     val f = root.resolve(MetadataDirName).resolve(SchemaFileName)
-    if (!Files.isRegularFile(f)) Set.empty
-    else Files.readAllLines(f).asScala.drop(1)
-      .flatMap(_.split("\t").filter(_.nonEmpty)).toSet
+    if (!Files.isRegularFile(f)) (Set.empty, Map.empty)
+    else {
+      val dropped = Set.newBuilder[String]
+      val aliases = Map.newBuilder[String, Seq[String]]
+      Files.readAllLines(f).asScala.drop(1).foreach { line =>
+        line.split("\t").toList match {
+          case "drop" :: name :: Nil => dropped += name; ()
+          case "alias" :: logical :: physicals if physicals.nonEmpty =>
+            aliases += (logical -> physicals); ()
+          case _ => ()
+        }
+      }
+      (dropped.result(), aliases.result())
+    }
   }
 
   def setDeclaredSchema(root: Path,
       schema: org.apache.spark.sql.types.StructType,
-      dropped: Set[String] = Set.empty): Unit = {
+      dropped: Set[String] = Set.empty,
+      aliases: Map[String, Seq[String]] = Map.empty): Unit = {
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
     val tmp = md.resolve(SchemaFileName + ".inprogress")
     val lines = schema.toDDL +:
-      (if (dropped.isEmpty) Seq.empty
-       else Seq(dropped.toSeq.sorted.mkString("\t")))
+      (dropped.toSeq.sorted.map(n => s"drop\t$n") ++
+        aliases.toSeq.sortBy(_._1).map { case (l, ps) =>
+          (Seq("alias", l) ++ ps).mkString("\t")
+        })
     Files.write(tmp, lines.asJava)
     Files.move(tmp, md.resolve(SchemaFileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    aliasCache.clear() // renames are rare; re-read ledgers lazily
+  }
+
+  /** Per-JVM memo of rename ledgers for the READER's miss path, keyed
+    * by table root with the ledger file's mtime as the staleness
+    * check. Only consulted when a requested column is absent from a
+    * file's own fields (evolved tables), so ordinary scans never pay
+    * the lookup. */
+  private val aliasCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.nio.file.attribute.FileTime, Map[String, Seq[String]])]()
+
+  /** The rename ledger governing `file`, resolved by walking ancestors
+    * for a `_graft_metadata/_schema` (partition subdirs sit under the
+    * table root). Empty for never-evolved tables. */
+  def aliasColumnsForFile(file: Path): Map[String, Seq[String]] = {
+    var dir = file.toAbsolutePath.normalize.getParent
+    var depth = 0
+    while (dir != null && depth < 6) {
+      val ledger = dir.resolve(MetadataDirName).resolve(SchemaFileName)
+      if (Files.isRegularFile(ledger)) {
+        val mtime = Files.getLastModifiedTime(ledger)
+        val key = dir.toString
+        val cached = aliasCache.get(key)
+        if (cached != null && cached._1 == mtime) return cached._2
+        val parsed = schemaLedger(dir)._2
+        aliasCache.put(key, (mtime, parsed))
+        return parsed
+      }
+      dir = dir.getParent
+      depth += 1
+    }
+    Map.empty
   }
 
   /** `_clone_src` metadata: where (and at which epoch) this table was

@@ -1135,7 +1135,16 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
             n == ArrowChanges.ChangeTypeCol => Left(-3)
         case None if partition.changeType != null &&
             n == ArrowChanges.CommitEpochCol => Left(-4)
-        case None => Left(fileFields.indexOf(n))
+        case None => fileFields.indexOf(n) match {
+          // miss: a RENAMED column may live in this file under its
+          // pre-rename physical name (memoized ledger; only evolved
+          // tables ever reach this lookup) — else null-fill (-1)
+          case -1 => Left(
+            ArrowDataSource.aliasColumnsForFile(Paths.get(partition.file))
+              .getOrElse(n, Seq.empty)
+              .map(fileFields.indexOf).find(_ >= 0).getOrElse(-1))
+          case i => Left(i)
+        }
       }
     }
   }

@@ -626,13 +626,15 @@ object GraftProcedures {
         !partCols(colName),
         s"add_column: column $colName already exists on $path")
       val dropped = ArrowDataSource.droppedColumns(root)
-      require(!dropped(colName),
-        s"add_column: $colName was previously DROPPED from $path — " +
-          "re-adding the name would resurrect old files' values " +
-          "(no per-column ids); pick a fresh name")
+      val aliases = ArrowDataSource.aliasColumns(root)
+      require(!dropped(colName) &&
+        !aliases.values.exists(_.contains(colName)),
+        s"add_column: $colName was previously DROPPED from or RENAMED " +
+          s"on $path — re-adding the name would resurrect old files' " +
+          "values (no per-column ids); pick a fresh name")
       ArrowDataSource.setDeclaredSchema(root, StructType(
         current.fields :+ StructField(colName, dt, nullable = true)),
-        dropped)
+        dropped, aliases)
       result(out, Array(new GenericInternalRow(Array[Any](
         current.fields.length + 1L))))
     }
@@ -664,11 +666,70 @@ object GraftProcedures {
         s"drop_column: no column $colName on $path")
       require(current.fields.length > 1,
         s"drop_column: cannot drop the last column of $path")
+      // dropping a renamed column also retires its physical history:
+      // the alias physicals join the drop ledger so neither name can
+      // resurrect
+      val aliases = ArrowDataSource.aliasColumns(root)
       ArrowDataSource.setDeclaredSchema(root,
         StructType(current.fields.filterNot(_.name == colName)),
-        ArrowDataSource.droppedColumns(root) + colName)
+        ArrowDataSource.droppedColumns(root) + colName ++
+          aliases.getOrElse(colName, Seq.empty),
+        aliases - colName)
       result(out, Array(new GenericInternalRow(Array[Any](
         current.fields.length - 1L))))
+    }
+  }
+
+  val RenameColumn: UnboundProcedure = new SimpleProcedure("rename_column",
+    "metadata-only RENAME COLUMN (the rename case of Delta column " +
+      "mapping): the declared schema renames the field and LEDGERS " +
+      "the old physical name — readers resolve the new name per file, " +
+      "falling back to each ledgered physical, so no file is " +
+      "rewritten and old data serves under the new name. Neither the " +
+      "old nor the new name can later be re-added (resurrection " +
+      "guard); stats-based pushdowns refuse conservatively over " +
+      "pre-rename files") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("old_name", StringType).build(),
+      ProcedureParameter.in("new_name", StringType).build())
+    private val out = StructType(Seq(
+      StructField("n_physical_names", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val oldName = input.getUTF8String(1).toString
+      val newName = input.getUTF8String(2).toString
+      val root = ArrowDataSource.sinkRoot(path)
+        .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+      val current = ArrowDataSource.declaredSchema(root).getOrElse {
+        val files = ArrowDataSource.visibleIpcFiles(path)
+        require(files.nonEmpty,
+          s"rename_column: no visible files under $path to infer the " +
+            "current schema from")
+        ArrowDataSource.readFooterSchema(files.head)
+      }
+      require(current.fieldNames.contains(oldName),
+        s"rename_column: no column $oldName on $path")
+      val partCols =
+        ArrowDataSource.discoverPartitionCols(root.toString).toSet
+      val dropped = ArrowDataSource.droppedColumns(root)
+      val aliases = ArrowDataSource.aliasColumns(root)
+      require(!current.fieldNames.contains(newName) &&
+        !partCols(newName) && !dropped(newName) &&
+        !aliases.values.exists(_.contains(newName)),
+        s"rename_column: $newName is already used (or was used) on " +
+          s"$path — renaming onto a historical name would resurrect " +
+          "old files' values; pick a fresh name")
+      // the new logical inherits the old name's physical chain plus
+      // the old name itself (files written between renames carry the
+      // then-current logical)
+      val chain = oldName +: aliases.getOrElse(oldName, Seq.empty)
+      ArrowDataSource.setDeclaredSchema(root,
+        StructType(current.fields.map(f =>
+          if (f.name == oldName) f.copy(name = newName) else f)),
+        dropped, (aliases - oldName) + (newName -> chain))
+      result(out, Array(new GenericInternalRow(Array[Any](
+        chain.length.toLong))))
     }
   }
 
@@ -954,6 +1015,7 @@ object GraftProcedures {
     "publish" -> Publish,
     "add_column" -> AddColumn,
     "drop_column" -> DropColumn,
+    "rename_column" -> RenameColumn,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
     "partitions" -> Partitions,

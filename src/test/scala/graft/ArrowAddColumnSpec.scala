@@ -111,6 +111,57 @@ class ArrowAddColumnSpec extends AnyFunSuite {
       Seq("id", "amt", "tag2"))
   }
 
+  test("rename_column serves old data under the new name, survives a " +
+      "rename chain with mid-chain writes, and blocks resurrection") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("renamecol").toString
+    (1L to 30L).map(i => (i, i * 5L)).toDF("id", "v1")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val filesBefore = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'v1', new_name => 'v2')").collect()
+    assert(ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap ==
+      filesBefore, "rename_column must not touch data files")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v2"))
+    // old files' v1 bytes serve under v2
+    assert(df.agg(sum(col("v2"))).head.getLong(0) ==
+      (1L to 30L).map(_ * 5L).sum)
+    assert(df.filter(col("v2") === 25L).select("id")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // mid-chain write carries the then-current logical name v2
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (100, 999)")
+    // second rename: v2 -> v3; files now carry v1 (oldest) AND v2
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'v2', new_name => 'v3')").collect()
+    val chained = spark.read.format("arrow").load(dir)
+    assert(chained.schema.fieldNames.toSeq == Seq("id", "v3"))
+    assert(chained.agg(sum(col("v3"))).head.getLong(0) ==
+      (1L to 30L).map(_ * 5L).sum + 999L)
+    // DML through the renamed schema: CoW materializes v3
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET v3 = 0 WHERE id <= 10")
+    val upd = spark.read.format("arrow").load(dir)
+    assert(upd.agg(sum(col("v3"))).head.getLong(0) ==
+      (11L to 30L).map(_ * 5L).sum + 999L)
+    // neither historical name can come back
+    for (dead <- Seq("v1", "v2")) {
+      val e = intercept[Exception] {
+        spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+          s"name => '$dead', type => 'bigint')").collect()
+      }
+      assert(e.getMessage.contains("RENAMED") ||
+        e.getMessage.contains("DROPPED"), e.getMessage)
+    }
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+        "old_name => 'id', new_name => 'v1')").collect()
+    }
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
