@@ -70,7 +70,8 @@ object BenchFocus {
     }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "dedup_minhash")) {
+    for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
+        "arrow_wap_publish", "dedup_minhash")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +
