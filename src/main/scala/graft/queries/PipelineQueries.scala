@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.{bridge => graft_bridge}
 
@@ -163,6 +164,50 @@ object PipelineQueries {
     decontamConfirm(train, bench)
   }
 
+  /** WebDataset-style SHARD PACKING: assign documents (in doc_id
+    * order) to fixed-byte-budget training shards — the layout step
+    * between curation and the dataloader. The global running byte sum
+    * is computed as a DISTRIBUTED PREFIX SUM, not a global-order
+    * window (which would funnel 100 TB through one partition):
+    *  1. deterministic range buckets from the key itself (doc_id div
+    *     span — no RangePartitioner sampling, so the two passes cannot
+    *     disagree on boundaries);
+    *  2. per-bucket byte totals — a 16-row aggregate;
+    *  3. driver prefix-sums the 16 longs, broadcasts bucket offsets;
+    *  4. per-bucket running sum + offset = the exact global cumsum,
+    *     every bucket in parallel.
+    * shard_id = (cum − n_bytes) / budget, i.e. a doc starts the next
+    * shard when the budget is exhausted. Pure integer arithmetic. */
+  def shardPack(spark: SparkSession, dir: String): DataFrame = {
+    val Budget = 16384L
+    val Buckets = 16L
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
+    val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val span = maxId / Buckets + 1L
+    val bucketed = d.withColumn("bkt", expr(s"doc_id div $span"))
+    val totals = bucketed.groupBy(col("bkt"))
+      .agg(sum(col("n_bytes")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val offsets = (0L until Buckets).scanLeft(0L)(
+      (acc, b) => acc + totals.getOrElse(b, 0L)).dropRight(1)
+    val offDf = broadcast(
+      spark.createDataFrame(spark.sparkContext.parallelize(
+          (0L until Buckets).map(b => org.apache.spark.sql.Row(b, offsets(b.toInt))), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bkt",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("off",
+            org.apache.spark.sql.types.LongType, nullable = false)))))
+    val w = Window.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(offDf, "bkt")
+      .withColumn("cum", sum(col("n_bytes")).over(w) + col("off"))
+      .select(col("doc_id"), col("n_bytes"),
+        expr(s"(cum - n_bytes) div $Budget").as("shard_id"))
+      .orderBy(col("doc_id"))
+  }
+
   private val StopPattern = "\\b(the|a|and|of)\\b"
 
   /** C4-style quality gate: word-count bounds, mean-word-length band,
@@ -301,6 +346,7 @@ object PipelineQueries {
     "text_decontam" -> (textDecontam _),
     "text_decontam_bloom" -> (textDecontamBloom _),
     "text_quality_filter" -> (textQualityFilter _),
+    "pipeline_shard_pack" -> (shardPack _),
     "mix_weighted" -> (mixWeighted _),
     "pipeline_corpus_curation" -> (corpusCuration _))
 
@@ -343,6 +389,15 @@ object PipelineQueries {
     // the Bloom pass is exact (no false negatives + equi-join confirm):
     // same oracle verbatim
     "text_decontam_bloom" -> DecontamSql,
+    "pipeline_shard_pack" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_bytes FROM documents),
+        |c AS (SELECT doc_id, n_bytes,
+        |  SUM(n_bytes) OVER (ORDER BY doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum FROM b)
+        |SELECT doc_id, n_bytes,
+        |  CAST((cum - n_bytes) // 16384 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
     "text_quality_filter" ->
       """WITH m AS (SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
