@@ -83,12 +83,24 @@ object StreamQueries {
       .orderBy(col("purchase_id"), col("click_id").asc_nulls_first)
   }
 
+  /** FULL OUTER variant: unmatched purchases AND unmatched clicks both
+    * survive null-padded (watermark-released in streaming). */
+  def streamJoinFull(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    graft.streaming.StreamingOps.clickPurchaseFullJoin(
+        e.filter(col("event_type") === "click"),
+        e.filter(col("event_type") === "purchase"))
+      .orderBy(col("purchase_id").asc_nulls_first,
+        col("click_id").asc_nulls_first)
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_tumbling" -> (tumbling _),
     "stream_sliding" -> (sliding _),
     "stream_sessions" -> (sessions _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
+    "stream_join_full" -> (streamJoinFull _),
     "stream_enrich" -> (streamEnrich _))
 
   val sql: Map[String, String] = Map(
@@ -137,6 +149,14 @@ object StreamQueries {
         | ON c.user_id = p.user_id
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
         |ORDER BY purchase_id, click_id NULLS FIRST""".stripMargin,
+    "stream_join_full" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        | COALESCE(p.user_id, c.user_id) AS user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        | ON c.user_id = p.user_id
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |ORDER BY purchase_id NULLS FIRST, click_id NULLS FIRST""".stripMargin,
     "stream_enrich" ->
       """SELECT c_nationkey AS nation, COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -101,6 +101,28 @@ object StreamingOps {
         col("p_user").as("user_id"))
   }
 
+  /** FULL OUTER stream-stream interval join: both unmatched purchases
+    * AND unmatched clicks emit null-padded once the watermark closes
+    * their join window — the audit shape ("every click and every
+    * purchase, matched where possible"). Same eviction bound as the
+    * inner/left variants. */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = {
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    p.join(c,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(col("purchase_id"), col("click_id"),
+        coalesce(col("p_user"), col("c_user")).as("user_id"))
+  }
+
   /** Stream-static dimension enrichment: events joined to a static
     * customer dimension, rolled up per nation. The static side is
     * re-planned on every micro-batch and — being a dimension —

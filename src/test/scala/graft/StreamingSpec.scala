@@ -245,6 +245,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("FULL OUTER stream-stream join null-pads both sides after the " +
+    "watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val joined = StreamingOps.clickPurchaseFullJoin(
+      clicks.toDF(), purchases.toDF())
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_full_out").start()
+    try {
+      // matched pair (user 1); unmatched purchase (user 2); unmatched
+      // click (user 3)
+      clicks.addData(
+        Event(10L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "click", 0),
+        Event(11L, Timestamp.valueOf("2024-01-01 10:00:00"), 3L, "click", 0))
+      purchases.addData(
+        Event(20L, Timestamp.valueOf("2024-01-01 10:30:00"), 1L, "purchase", 0),
+        Event(21L, Timestamp.valueOf("2024-01-01 10:30:00"), 2L, "purchase", 0))
+      q.processAllAvailable()
+      // push the watermark far forward on both sides, twice, so state
+      // for all three users finalizes
+      for (h <- Seq("14:00:00", "15:00:00")) {
+        clicks.addData(
+          Event(90L, Timestamp.valueOf(s"2024-01-01 $h"), 9L, "click", 0))
+        purchases.addData(
+          Event(91L, Timestamp.valueOf(s"2024-01-01 $h"), 8L, "purchase", 0))
+        q.processAllAvailable()
+      }
+      val rows = spark.table("ssjoin_full_out").collect()
+      def one(p: java.lang.Long, c: java.lang.Long): Int = rows.count(r =>
+        (if (p == null) r.isNullAt(0) else !r.isNullAt(0) && r.getLong(0) == p) &&
+          (if (c == null) r.isNullAt(1) else !r.isNullAt(1) && r.getLong(1) == c))
+      assert(one(20L, 10L) == 1, s"matched pair: ${rows.mkString}")
+      assert(one(21L, null) == 1, s"unmatched purchase: ${rows.mkString}")
+      assert(one(null, 11L) == 1, s"unmatched click: ${rows.mkString}")
+    } finally q.stop()
+  }
+
   test("checkpoint recovery resumes offsets and aggregate state across a restart") {
     import java.nio.file.{Files, Paths}
     val src = Files.createTempDirectory("events_ckpt_src").toString
