@@ -107,11 +107,50 @@ object TimeseriesQueries {
       .orderBy(col("user_id"), col("hr"))
   }
 
+  /** OHLC resampling: per (user, hour) candlesticks — open/close are
+    * the values of the bucket's FIRST/LAST event with a total
+    * (ts, event_id) tie-break so ties cannot flap between engines,
+    * taken via lexicographic struct min/max inside the ONE hash
+    * aggregation (no per-bucket window pass, no second shuffle). The
+    * values pass through untouched (no arithmetic) so doubles compare
+    * bit-exactly. */
+  def tsOhlc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour"),
+        col("ts"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("hour"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max(struct(col("ts"), col("event_id"), col("value")))
+          .getField("value").as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("user_id"), col("hour"))
+
   val defs: Map[String, Q] = Map(
+    "ts_ohlc" -> (tsOhlc _),
     "ts_gapfill" -> (tsGapfill _),
     "ts_interpolate" -> (tsInterpolate _))
 
   val sql: Map[String, String] = Map(
+    "ts_ohlc" ->
+      """WITH e AS (SELECT user_id,
+        |  CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS hour,
+        |  ts, event_id, value FROM events),
+        |r AS (SELECT *,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, hour
+        |    ORDER BY ts, event_id) AS rn_a,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, hour
+        |    ORDER BY ts DESC, event_id DESC) AS rn_d FROM e)
+        |SELECT user_id, hour,
+        | MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+        | MAX(value) AS high, MIN(value) AS low,
+        | MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+        | COUNT(*) AS n
+        |FROM r GROUP BY user_id, hour
+        |ORDER BY user_id, hour""".stripMargin,
     "ts_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id, date_trunc('hour', ts) AS hr,
