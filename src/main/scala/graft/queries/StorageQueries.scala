@@ -134,6 +134,30 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** String zone-map skipping, oracle-gated: a priority-clustered
+    * layout answers a string equality + prefix predicate from few
+    * batches (per-batch UTF-8-byte min/max recorded in the footer —
+    * ZoneMapSpec pins the actual batch pruning); the categorical
+    * predicate shape (status codes, languages, tenants) a 100 TB scan
+    * meets constantly. */
+  def arrowZonemapString(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("zm_str", dir)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .repartition(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderpriority"), col("o_orderkey"))
+        .write.format("arrow").option("batchRows", 2048)
+        .mode("overwrite").save(out)
+    }
+    spark.read.format("arrow").load(out)
+      .filter(col("o_orderpriority") === "1-URGENT" ||
+        col("o_orderpriority").startsWith("3"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Small-file compaction — the operational fix for the classic
     * many-small-files problem (a 100 TB table accreting thousands of
     * micro-files per ingest hour scans footer-bound, not data-bound).
@@ -903,7 +927,8 @@ object StorageQueries {
     "merge_upsert" -> (mergeUpsert _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_intervals" -> (scd2Intervals _),
-    "arrow_zonemap_scan" -> (arrowZonemapScan _))
+    "arrow_zonemap_scan" -> (arrowZonemapScan _),
+    "arrow_zonemap_string" -> (arrowZonemapString _))
 
   private val updatesSql =
     """SELECT o_orderkey,
@@ -1229,5 +1254,12 @@ object StorageQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_zonemap_string" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority = '1-URGENT'
+        |   OR o_orderpriority LIKE '3%'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
 }

@@ -702,6 +702,12 @@ class ArrowDataWriter(path: String, schema: StructType,
   private val zmLongMax = Array.fill(zmCols.length)(Long.MinValue)
   private val zmDblMin = Array.fill(zmCols.length)(Double.MaxValue)
   private val zmDblMax = Array.fill(zmCols.length)(-Double.MaxValue)
+  // string bounds in UTF8String (binary) order; row buffers are
+  // reused, so stored extrema must be CLONES
+  private val zmStrMin =
+    new Array[org.apache.spark.unsafe.types.UTF8String](zmCols.length)
+  private val zmStrMax =
+    new Array[org.apache.spark.unsafe.types.UTF8String](zmCols.length)
   private val zmSeen = Array.fill(zmCols.length)(false)
   private val zmPoisoned = Array.fill(zmCols.length)(false)
   private val zmBatches =
@@ -722,6 +728,13 @@ class ArrowDataWriter(path: String, schema: StructType,
           }
           if (v < zmLongMin(j)) zmLongMin(j) = v
           if (v > zmLongMax(j)) zmLongMax(j) = v
+          zmSeen(j) = true
+        } else if (zmKind(j) == ZoneMaps.KindString) {
+          val v = row.getUTF8String(ord)
+          if (zmStrMin(j) == null || v.compareTo(zmStrMin(j)) < 0)
+            zmStrMin(j) = v.clone()
+          if (zmStrMax(j) == null || v.compareTo(zmStrMax(j)) > 0)
+            zmStrMax(j) = v.clone()
           zmSeen(j) = true
         } else {
           val v = fields(col).dataType match {
@@ -853,13 +866,25 @@ class ArrowDataWriter(path: String, schema: StructType,
       if (!zmSeen(j) || zmPoisoned(j)) None
       else if (zmKind(j) == ZoneMaps.KindLong)
         Some((zmLongMin(j).toString, zmLongMax(j).toString))
-      else
+      else if (zmKind(j) == ZoneMaps.KindString) {
+        // long extrema are not recorded: skipping stays exact without
+        // prefix-truncation successor arithmetic, and the columns
+        // string skipping serves (ids, categories) are short
+        if (zmStrMin(j).numBytes > ZoneMaps.MaxStringStat ||
+            zmStrMax(j).numBytes > ZoneMaps.MaxStringStat) None
+        else Some((ZoneMaps.escapeStat(zmStrMin(j).toString),
+          ZoneMaps.escapeStat(zmStrMax(j).toString)))
+      } else
         Some((zmDblMin(j).toString, zmDblMax(j).toString))
     }
     java.util.Arrays.fill(zmLongMin, Long.MaxValue)
     java.util.Arrays.fill(zmLongMax, Long.MinValue)
     java.util.Arrays.fill(zmDblMin, Double.MaxValue)
     java.util.Arrays.fill(zmDblMax, -Double.MaxValue)
+    java.util.Arrays.fill(
+      zmStrMin.asInstanceOf[Array[Object]], null)
+    java.util.Arrays.fill(
+      zmStrMax.asInstanceOf[Array[Object]], null)
     java.util.Arrays.fill(zmSeen, false)
     java.util.Arrays.fill(zmPoisoned, false)
   }

@@ -41,12 +41,73 @@ object ZoneMaps {
   final val KindNone = 0
   final val KindLong = 1 // integral + temporal (micros / days)
   final val KindDouble = 2
+  final val KindString = 3 // UTF-8 byte order (Spark's string order)
 
   def kindOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          TimestampType | TimestampNTZType | DateType => KindLong
     case FloatType | DoubleType => KindDouble
+    case org.apache.spark.sql.types.StringType => KindString
     case _ => KindNone
+  }
+
+  /** String stats longer than this are not recorded (batch stat None):
+    * categorical/id columns — the columns string skipping actually
+    * serves — are short, and skipping truncation keeps the bounds
+    * exact (no successor arithmetic). */
+  final val MaxStringStat = 64
+
+  /** Escape a string stat so the line/cell delimiters stay structural:
+    * '%' plus the five delimiter bytes become %XX. UTF-8 multibyte
+    * sequences contain no ASCII bytes, so byte-level escaping of the
+    * ASCII delimiters round-trips any string. */
+  def escapeStat(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case c @ (',' | ';' | ':' | '\n' | '\r' | '%') =>
+        sb.append(f"%%${c.toInt}%02X"); ()
+      case c => sb.append(c); ()
+    }
+    sb.toString
+  }
+
+  def unescapeStat(s: String): String =
+    if (!s.contains('%')) s
+    else {
+      val sb = new StringBuilder(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+
+  /** Unsigned byte-wise comparison — Spark's UTF8String order. */
+  def byteCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Compare only `a`'s first `b.length` bytes against `b` (prefix
+    * test for StartsWith pruning); 0 when `a` is shorter and a prefix. */
+  private def prefixCmp(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    if (a.length >= b.length) 0 else a.length - b.length
   }
 
   def trackable(name: String, dt: DataType): Boolean =
@@ -95,51 +156,72 @@ object ZoneMaps {
   }
 
   /** Can `filter` possibly match a row of batch `batch`? Conservative:
-    * unknown filters/columns/literals answer true. */
+    * unknown filters/columns/literals answer true. The comparisons run
+    * in the column's own stat domain — BigDecimal for numeric/temporal,
+    * unsigned UTF-8 bytes for strings (Spark's string order). */
   def mayMatch(filter: Filter, schema: StructType, zm: ZoneMap,
       batch: Int): Boolean = filter match {
     case And(l, r) =>
       mayMatch(l, schema, zm, batch) && mayMatch(r, schema, zm, batch)
     case Or(l, r) =>
       mayMatch(l, schema, zm, batch) || mayMatch(r, schema, zm, batch)
-    case EqualTo(a, v) => rangeTest(a, v, schema, zm, batch) {
-      case (mn, mx, x) => mn <= x && x <= mx
-    }
-    case GreaterThan(a, v) => rangeTest(a, v, schema, zm, batch) {
-      case (_, mx, x) => mx > x
-    }
-    case GreaterThanOrEqual(a, v) => rangeTest(a, v, schema, zm, batch) {
-      case (_, mx, x) => mx >= x
-    }
-    case LessThan(a, v) => rangeTest(a, v, schema, zm, batch) {
-      case (mn, _, x) => mn < x
-    }
-    case LessThanOrEqual(a, v) => rangeTest(a, v, schema, zm, batch) {
-      case (mn, _, x) => mn <= x
-    }
+    case EqualTo(a, v) => bounds(a, v, schema, zm, batch)
+      .forall { case (cMn, cMx) => cMn <= 0 && cMx >= 0 }
+    case GreaterThan(a, v) =>
+      bounds(a, v, schema, zm, batch).forall(_._2 > 0)
+    case GreaterThanOrEqual(a, v) =>
+      bounds(a, v, schema, zm, batch).forall(_._2 >= 0)
+    case LessThan(a, v) =>
+      bounds(a, v, schema, zm, batch).forall(_._1 < 0)
+    case LessThanOrEqual(a, v) =>
+      bounds(a, v, schema, zm, batch).forall(_._1 <= 0)
     case In(a, vs) =>
-      vs.isEmpty || vs.exists(v => rangeTest(a, v, schema, zm, batch) {
-        case (mn, mx, x) => mn <= x && x <= mx
-      })
-    // IsNull/IsNotNull/Not/strings: undecidable from min/max alone
+      vs.isEmpty || vs.exists(v => bounds(a, v, schema, zm, batch)
+        .forall { case (cMn, cMx) => cMn <= 0 && cMx >= 0 })
+    // prefix pruning: [mn, mx] can hold a p-prefixed string iff
+    // mx >= p (full compare) and mn's first |p| bytes are <= p
+    case org.apache.spark.sql.sources.StringStartsWith(a, p)
+        if p != null =>
+      (zm.stat(batch, a), schema.find(_.name == a).map(_.dataType)) match {
+        case (Some((mnE, mxE)),
+            Some(org.apache.spark.sql.types.StringType)) =>
+          val pb = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mn = unescapeStat(mnE)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val mx = unescapeStat(mxE)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          byteCmp(mx, pb) >= 0 && prefixCmp(mn, pb) <= 0
+        case _ => true
+      }
+    // IsNull/IsNotNull/Not: undecidable from min/max alone
     case _ => true
   }
 
-  /** Evaluate `test(min, max, literal)` as BigDecimal (exact for both
-    * long and double round-trips); any parse/convert failure → true. */
-  private def rangeTest(col: String, v: Any, schema: StructType,
-      zm: ZoneMap, batch: Int)(
-      test: ((BigDecimal, BigDecimal, BigDecimal)) => Boolean): Boolean =
-    zm.stat(batch, col) match {
-      case None => true
-      case Some((mn, mx)) =>
-        val dt = schema.find(_.name == col).map(_.dataType)
-        (dt, literal(dt, v)) match {
-          case (Some(_), Some(x)) =>
-            try test((BigDecimal(mn), BigDecimal(mx), x))
-            catch { case _: NumberFormatException => true }
-          case _ => true
+  /** compare(min, literal) and compare(max, literal) in the column's
+    * stat domain; None (→ keep the batch) when not comparable. */
+  private def bounds(col: String, v: Any, schema: StructType,
+      zm: ZoneMap, batch: Int): Option[(Int, Int)] =
+    zm.stat(batch, col).flatMap { case (mn, mx) =>
+      schema.find(_.name == col).map(_.dataType) match {
+        case Some(org.apache.spark.sql.types.StringType) => v match {
+          case s: String =>
+            val x = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            Some((
+              byteCmp(unescapeStat(mn)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8), x),
+              byteCmp(unescapeStat(mx)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8), x)))
+          case _ => None
         }
+        case dt =>
+          literal(dt, v) match {
+            case Some(x) =>
+              try Some((BigDecimal(mn).compare(x),
+                BigDecimal(mx).compare(x)))
+              catch { case _: NumberFormatException => None }
+            case None => None
+          }
+      }
     }
 
   /** Per-batch row/null-count stats (footer key `graft.rowstats`) —

@@ -62,6 +62,10 @@ class PruningSoundnessSpec extends AnyFunSuite {
       s"s IN (${vs.map(v => s"'s$v'").mkString(", ")})"),
     Gen.const("s IS NULL"),
     Gen.const("s IS NOT NULL"),
+    // string zone-map leaves: range + prefix in UTF-8 byte order
+    Gen.choose(0, 70).map(v => s"s < 's$v'"),
+    Gen.choose(0, 70).map(v => s"s >= 's$v'"),
+    Gen.choose(0, 6).map(v => s"s LIKE 's$v%'"),
     Gen.choose(-80, 80).map(c => s"f > $c"),
     Gen.oneOf(0, 1, 2).map(v => s"p = 'p$v'"),
     Gen.oneOf(0, 1, 2).map(v => s"p != 'p$v'"),

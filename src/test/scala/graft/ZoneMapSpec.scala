@@ -66,6 +66,70 @@ class ZoneMapSpec extends AnyFunSuite {
         .filter(col("o_totalprice") < 1000.0).count())
   }
 
+  test("string zone maps prune equality, range, IN, and prefix " +
+      "predicates in UTF-8 byte order — and stay exact") {
+    // clerk-sorted layout: string-clustered batches
+    val d = java.nio.file.Files.createTempDirectory("zonemap_str").toString
+    val base = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderstatus"))
+    base.repartition(1)
+      .sortWithinPartitions(col("o_orderpriority"))
+      .write.format("arrow").option("batchRows", 250)
+      .mode("overwrite").save(d)
+    def rd = spark.read.format("arrow")
+      .option("maxSplitBytes", 1).load(d)
+    val total = rd.rdd.getNumPartitions
+    assert(total >= 4)
+    val somePriority = base.orderBy(col("o_orderpriority")).limit(1)
+      .collect().head.getString(1)
+    // equality on the FIRST clerk overlaps only the leading batch(es)
+    val eq = rd.filter(col("o_orderpriority") === somePriority)
+    assert(eq.rdd.getNumPartitions < total,
+      s"string equality pruned nothing (${eq.rdd.getNumPartitions}/$total)")
+    assert(eq.count() == base.filter(col("o_orderpriority") === somePriority).count())
+    // range below the minimum clerk prunes everything
+    val none = rd.filter(col("o_orderpriority") < somePriority)
+    assert(none.rdd.getNumPartitions == 0 ||
+      none.rdd.getNumPartitions < total)
+    assert(none.count() == 0)
+    // IN and StartsWith stay exact under pruning
+    val in = rd.filter(col("o_orderpriority").isin(somePriority, "no#such#priority"))
+    assert(in.count() ==
+      base.filter(col("o_orderpriority") === somePriority).count())
+    val prefix = somePriority.take(3)
+    val sw = rd.filter(col("o_orderpriority").startsWith(prefix))
+    assert(sw.count() ==
+      base.filter(col("o_orderpriority").startsWith(prefix)).count())
+  }
+
+  test("string zone-map bounds follow UTF-8 byte order where it " +
+      "diverges from UTF-16") {
+    import spark.implicits._
+    // U+FFFD is a single UTF-16 unit (0xFFFD) ABOVE the emoji's lead
+    // surrogate (0xD83D), but in UTF-8/code-point order the emoji
+    // (U+1F600) sorts ABOVE U+FFFD — bounds computed with Java String
+    // comparison would invert these batches' ranges and drop rows
+    val d = java.nio.file.Files
+      .createTempDirectory("zonemap_utf8").toString
+    val vals = Seq("a", "z", "�", "😀", "😁")
+    vals.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "s")
+      .repartition(1)
+      .sortWithinPartitions(col("s")) // Spark sorts in UTF-8 order
+      .write.format("arrow").option("batchRows", 1)
+      .mode("overwrite").save(d)
+    def rd = spark.read.format("arrow")
+      .option("maxSplitBytes", 1).load(d)
+    assert(rd.rdd.getNumPartitions == 5)
+    // rows above U+FFFD are exactly the two emoji
+    val above = rd.filter(col("s") > "�")
+    assert(above.count() == 2, "UTF-8-order range dropped the emoji")
+    // equality on the emoji survives pruning
+    assert(rd.filter(col("s") === "😀").count() == 1)
+    // and below "b" only "a" remains
+    assert(rd.filter(col("s") < "b").count() == 1)
+  }
+
   test("impossible predicate plans an empty scan") {
     val none = read.filter(col("o_orderkey") < 0L)
     assert(none.rdd.getNumPartitions == 0)
