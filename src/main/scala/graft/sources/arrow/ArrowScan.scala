@@ -260,7 +260,10 @@ class ArrowScanBuilder(path: String, schema: StructType,
     }
     def minMaxable(name: String): Option[DataType] =
       schema.find(_.name == name).map(_.dataType)
-        .filter(dt => ZoneMaps.kindOf(dt) == ZoneMaps.KindLong)
+        .filter { dt =>
+          val k = ZoneMaps.kindOf(dt)
+          k == ZoneMaps.KindLong || k == ZoneMaps.KindString
+        }
 
     val ops = aggregation.aggregateExpressions.map {
       case m: Min => singleCol(m.column)
@@ -297,6 +300,35 @@ class ArrowScanBuilder(path: String, schema: StructType,
           if (vals.isEmpty) Right(null)
           else Right(internalValue(
             if (pickMin) vals.min else vals.max, dt))
+        case _ => Left(())
+      }
+    // STRING extrema: a statless batch is all-null for KindLong, but
+    // for strings it may instead hold over-64-byte values the writer
+    // declined to record — those could BE the true extremum, so the
+    // push refuses unless every statless batch is provably all-null
+    // (row/null counts agree).
+    def minMaxStrFromZm(info: ArrowDataSource.FooterInfo, c: String,
+        nBatches: Int, pickMin: Boolean): Either[Unit, Any] =
+      (info.zoneMap, info.rowStats) match {
+        case (Some(zm), Some(rs)) if zm.batches.length == nBatches &&
+            zm.cols.contains(c) && rs.batches.length == nBatches &&
+            rs.cols.contains(c) =>
+          val stats = (0 until nBatches).map(b => (zm.stat(b, c), b))
+          val hidden = stats.exists {
+            case (None, b) =>
+              rs.nullCount(b, c).forall(n => rs.rowCount(b) - n > 0)
+            case _ => false
+          }
+          if (hidden) Left(())
+          else {
+            val bytes = stats.flatMap(_._1).map(r =>
+              ZoneMaps.unescapeStat(if (pickMin) r._1 else r._2)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (bytes.isEmpty) Right(null)
+            else Right(org.apache.spark.unsafe.types.UTF8String
+              .fromBytes(bytes.reduce((a, b) =>
+                if ((ZoneMaps.byteCmp(a, b) < 0) == pickMin) a else b)))
+          }
         case _ => Left(())
       }
 
@@ -345,12 +377,16 @@ class ArrowScanBuilder(path: String, schema: StructType,
             case _ => ok = false
           }
           case MinOp(c, dt) =>
-            minMaxFromZm(info, c, dt, nBatches, pickMin = true) match {
+            (if (dt == org.apache.spark.sql.types.StringType)
+              minMaxStrFromZm(info, c, nBatches, pickMin = true)
+            else minMaxFromZm(info, c, dt, nBatches, pickMin = true)) match {
               case Right(v) => row(i) = v
               case Left(()) => ok = false
             }
           case MaxOp(c, dt) =>
-            minMaxFromZm(info, c, dt, nBatches, pickMin = false) match {
+            (if (dt == org.apache.spark.sql.types.StringType)
+              minMaxStrFromZm(info, c, nBatches, pickMin = false)
+            else minMaxFromZm(info, c, dt, nBatches, pickMin = false)) match {
               case Right(v) => row(i) = v
               case Left(()) => ok = false
             }

@@ -48,6 +48,39 @@ class ArrowAggPushdownSpec extends AnyFunSuite {
     assert(r == expected, s"$r != $expected")
   }
 
+  test("STRING min/max answer from footer string bounds — zero data " +
+      "batches; over-long values refuse conservatively") {
+    import spark.implicits._
+    val expected = Tables.orders(spark, TestSession.Sf)
+      .agg(min(col("o_orderpriority")), max(col("o_orderpriority")),
+        min(col("o_orderstatus")), max(col("o_orderstatus")))
+      .collect()(0)
+    val pushed = spark.read.format("arrow").load(dir)
+      .agg(min(col("o_orderpriority")), max(col("o_orderpriority")),
+        min(col("o_orderstatus")), max(col("o_orderstatus")))
+    assert(pushedTo(pushed),
+      s"string aggregate was not pushed:\n${pushed.queryExecution.executedPlan}")
+    val before = ArrowDataSource.recordBatchesLoaded.get()
+    val r = pushed.collect()(0)
+    assert(ArrowDataSource.recordBatchesLoaded.get() == before,
+      "pushed string aggregate loaded data batches")
+    assert(r == expected, s"$r != $expected")
+    // a column with >64-byte values has no recorded bounds for those
+    // batches: the push must REFUSE (fall back to a real scan) rather
+    // than return a wrong extremum
+    val d2 = java.nio.file.Files.createTempDirectory("arrowaggstr").toString
+    Seq((1L, "zz_" + ("y" * 100)), (2L, "aa"))
+      .toDF("id", "s")
+      .coalesce(1)
+      .write.format("arrow").option("batchRows", 1)
+      .mode("overwrite").save(d2)
+    val longAgg = spark.read.format("arrow").load(d2)
+      .agg(min(col("s")), max(col("s")))
+    val r2 = longAgg.collect()(0)
+    assert(r2.getString(0) == "aa" && r2.getString(1).startsWith("zz_"),
+      s"wrong extrema under over-long values: $r2")
+  }
+
   test("a filtered aggregate does NOT push and stays exact") {
     val q = spark.read.format("arrow").load(dir)
       .filter(col("o_orderkey") <= 500)
