@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Rule[LogicalPlan] extension point: specialize self-dots into a
     // single-traversal norm (bit-transparent; see CollapseSelfDot).
     e.injectOptimizerRule(_ => graft.plans.CollapseSelfDot)
+    // Rule[LogicalPlan]: answer a registered grouped aggregate from
+    // its incrementally maintained view, gated on table-log freshness
+    // (see MaterializedViews).
+    e.injectOptimizerRule(_ => graft.plans.RewriteToMaterializedView)
     // SparkStrategy extension point: plans the custom TopKPerGroupNode
     // as bounded-heap partial/final physical operators.
     e.injectPlannerStrategy(_ => graft.operators.TopKPerGroupStrategy)

@@ -546,6 +546,47 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Materialized-view query rewrite, oracle-gated: maintain a
+    * per-status rollup of a logged orders table incrementally
+    * (change feed → additive deltas), REGISTER it, and run the plain
+    * `GROUP BY o_orderstatus` aggregate — the optimizer answers it
+    * from the few-row view (the query REQUIRES the rewrite to have
+    * fired), while DuckDB recomputes from the base table: a hash match
+    * proves the rewritten plan is answer-identical to the fact scan.
+    * DML after the refresh re-arms through a second refresh, so the
+    * final answer reflects the churn. */
+  def mvRewriteAgg(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("mvq_src", dir)
+    val view = graft.Scratch.dir("mvq_view", dir)
+    val ckpt = graft.Scratch.dir("mvq_ckpt", dir)
+    graft.Scratch.reset(src, view, ckpt)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    def refresh(): Unit =
+      graft.plans.MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("o_orderstatus"),
+        sums = Seq(("o_orderkey", "sum_key")), checkpoint = ckpt)
+    refresh()
+    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 700")
+    refresh() // churn folded; rewrite re-armed at the new epoch
+    val out = spark.read.format("arrow").load(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+    val viewPath = java.nio.file.Paths.get(view)
+      .toAbsolutePath.normalize.toString
+    require(out.queryExecution.optimizedPlan.toString.contains(viewPath),
+      "mv_rewrite_agg: the aggregate was NOT answered by the " +
+        "materialized view — rewrite did not fire")
+    out
+  }
+
   /** Metadata-only ADD COLUMN, oracle-gated: evolve the declared
     * schema (`CALL graft.system.add_column`), then mix pre-evolution
     * files (serve the column as nulls), post-evolution inserts, and a
@@ -911,6 +952,7 @@ object StorageQueries {
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
     "arrow_rename_column" -> (arrowRenameColumn _),
+    "mv_rewrite_agg" -> (mvRewriteAgg _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -1098,6 +1140,11 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "mv_rewrite_agg" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders WHERE o_orderkey >= 700
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_rename_column" ->
       """WITH renamed AS (
         |  SELECT o_orderkey,

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.MaterializedViews
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** Materialized-view query rewrite ([[graft.plans
+  * .RewriteToMaterializedView]]): a registered maintained view answers
+  * the exact aggregate it maintains; staleness (any new source epoch)
+  * disarms the rewrite until the next refresh; non-matching shapes
+  * fall through untouched. */
+class MvRewriteSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  private def agg(src: String): DataFrame =
+    spark.read.format("arrow").load(src)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("s"))
+      .orderBy(col("grp"))
+
+  private def usesView(df: DataFrame, view: String): Boolean =
+    df.queryExecution.optimizedPlan.toString.contains(
+      java.nio.file.Paths.get(view).toAbsolutePath.normalize.toString)
+
+  test("fresh view answers the aggregate; staleness disarms; refresh " +
+      "re-arms; other shapes untouched") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mv_src").toString
+    val view = Files.createTempDirectory("mv_view").toString
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    try {
+      (1L to 90L).map(i => (i, "g" + (i % 3), i * 10L))
+        .toDF("id", "grp", "amt")
+        .repartition(2)
+        .write.format("arrow").mode("overwrite").save(src)
+      ArrowDataSource.initTableLog(src)
+      MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+
+      val q1 = agg(src)
+      assert(usesView(q1, view),
+        s"rewrite did not fire:\n${q1.queryExecution.optimizedPlan}")
+      val r1 = q1.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(r1 == Seq(("g0", 30L, (3L to 90L by 3).map(_ * 10).sum),
+        ("g1", 30L, (1L to 88L by 3).map(_ * 10).sum),
+        ("g2", 30L, (2L to 89L by 3).map(_ * 10).sum)))
+
+      // staleness: one DML epoch disarms the rewrite and the answer
+      // reflects the new data immediately
+      spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE grp = 'g0'")
+      val q2 = agg(src)
+      assert(!usesView(q2, view),
+        "stale view must NOT answer the aggregate")
+      assert(q2.collect().length == 2)
+
+      // refresh re-arms
+      MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      val q3 = agg(src)
+      assert(usesView(q3, view), "refreshed view should answer again")
+      val r3 = q3.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(r3 == Seq(("g1", 30L, (1L to 88L by 3).map(_ * 10).sum),
+        ("g2", 30L, (2L to 89L by 3).map(_ * 10).sum)))
+
+      // a filtered aggregate is a different query: no rewrite, exact
+      val filtered = spark.read.format("arrow").load(src)
+        .filter(col("id") > 50L)
+        .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+      assert(!usesView(filtered, view))
+      assert(filtered.collect().map(_.getLong(1)).sum ==
+        (51L to 90L).count(_ % 3 != 0))
+
+      // an unregistered aggregate shape (different measure) falls back
+      val otherSum = spark.read.format("arrow").load(src)
+        .groupBy(col("grp")).agg(sum(col("id")).as("s"))
+      assert(!usesView(otherSum, view))
+    } finally MaterializedViews.clear()
+  }
+}
