@@ -111,22 +111,47 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
     // freshness gate: the table log decides, not trust
     if (ArrowDataSource.latestCommittedEpoch(
         java.nio.file.Paths.get(e.srcDir)) != e.syncedEpoch) return None
-    // grouping must be bare attributes covering exactly the view's keys
+    // grouping must be bare attributes; EXACT key match reads the view
+    // straight, a SUBSET (incl. global) ROLLS UP from it — counts and
+    // integral sums re-aggregate losslessly from the finer grain
     val groupAttrs = groups.map {
       case a: AttributeReference => a
       case _ => return None
     }
-    if (groupAttrs.map(_.name).toSet != e.groupCols.toSet) return None
+    val names = groupAttrs.map(_.name).toSet
+    if (names == e.groupCols.toSet)
+      rewriteExact(aggExprs, e)
+    else if (names.subsetOf(e.groupCols.toSet))
+      rewriteRollup(groupAttrs, aggExprs, e)
+    else None
+  }
 
-    // the view's relation + its columns by name
+  private def viewRelation(e: Entry): DataSourceV2Relation = {
     val provider = new ArrowDataSource()
     val opts = new CaseInsensitiveStringMap(
       Map("path" -> e.viewDir).asJava)
     val table = provider.getTable(provider.inferSchema(opts),
       Array.empty, Map("path" -> e.viewDir).asJava)
-    val viewRel = DataSourceV2Relation.create(table, None, None, opts)
+    DataSourceV2Relation.create(table, None, None, opts)
+  }
+
+  /** sum(measure) pattern → measure name, when registered. */
+  private def sumMeasure(e: Entry, x: Expression): Option[String] = {
+    val sumAlias = e.sums.toMap
+    x match {
+      case a: AttributeReference => sumAlias.get(a.name).map(_ => a.name)
+      case Cast(a: AttributeReference, LongType, _, _) =>
+        sumAlias.get(a.name).map(_ => a.name)
+      case _ => None
+    }
+  }
+
+  /** Exact-grain rewrite: Project straight off the view. */
+  private def rewriteExact(aggExprs: Seq[NamedExpression], e: Entry)
+      : Option[LogicalPlan] = {
+    val viewRel = viewRelation(e)
     val viewCol = viewRel.output.map(a => a.name -> a).toMap
-    val sumAlias = e.sums.toMap // measure column -> view column
+    val sumAlias = e.sums.toMap
 
     def asView(col: String, nonNull: Boolean,
         name: String, id: org.apache.spark.sql.catalyst.expressions.ExprId,
@@ -134,13 +159,6 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
       val v = viewCol.getOrElse(col, return null)
       Alias(if (nonNull) KnownNotNull(v) else v, name)(exprId = id,
         qualifier = qual)
-    }
-
-    def sumMeasure(x: Expression): Option[String] = x match {
-      case a: AttributeReference => sumAlias.get(a.name).map(_ => a.name)
-      case Cast(a: AttributeReference, LongType, _, _) =>
-        sumAlias.get(a.name).map(_ => a.name)
-      case _ => None
     }
 
     val out = aggExprs.map {
@@ -154,7 +172,7 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
         asView("n", nonNull = true, al.name, al.exprId, al.qualifier)
       case al @ Alias(AggregateExpression(
           Sum(x, _), _, false, None, _), _) =>
-        sumMeasure(x) match {
+        sumMeasure(e, x) match {
           case Some(m) =>
             asView(sumAlias(m), nonNull = false, al.name, al.exprId,
               al.qualifier)
@@ -166,5 +184,54 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
     logInfo(s"rewriting aggregate over ${e.srcDir} to materialized " +
       s"view ${e.viewDir} (synced epoch ${e.syncedEpoch})")
     Some(Project(out, viewRel))
+  }
+
+  /** Coarser-grain rewrite: re-aggregate the view — `count(*)` becomes
+    * `sum(n)` and `sum(m)` becomes `sum(view alias)`, both lossless
+    * for counts/integral sums. The empty-relation edge is honored:
+    * a GLOBAL count over an empty view must be 0, not NULL, so the
+    * rolled-up count wraps in coalesce. */
+  private def rewriteRollup(groupAttrs: Seq[AttributeReference],
+      aggExprs: Seq[NamedExpression], e: Entry): Option[LogicalPlan] = {
+    val viewRel = viewRelation(e)
+    val viewCol = viewRel.output.map(a => a.name -> a).toMap
+    val sumAlias = e.sums.toMap
+
+    def vcol(c: String): AttributeReference =
+      viewCol.getOrElse(c, return null)
+    def sumOf(c: String): Expression = AggregateExpression(
+      Sum(vcol(c)), org.apache.spark.sql.catalyst.expressions.aggregate
+        .Complete, isDistinct = false)
+
+    val newGroups: Seq[Expression] = groupAttrs.map(a => vcol(a.name))
+    if (newGroups.contains(null)) return None
+    val out = aggExprs.map {
+      case a: AttributeReference if a.name != "n" &&
+          e.groupCols.contains(a.name) =>
+        Alias(KnownNotNull(vcol(a.name)), a.name)(exprId = a.exprId,
+          qualifier = a.qualifier)
+      case al @ Alias(a: AttributeReference, _)
+          if e.groupCols.contains(a.name) =>
+        Alias(KnownNotNull(vcol(a.name)), al.name)(exprId = al.exprId,
+          qualifier = al.qualifier)
+      case al @ Alias(AggregateExpression(
+          Count(Seq(Literal(1, _))), _, false, None, _), _) =>
+        Alias(KnownNotNull(org.apache.spark.sql.catalyst.expressions
+          .Coalesce(Seq(sumOf("n"), Literal(0L)))), al.name)(
+          exprId = al.exprId, qualifier = al.qualifier)
+      case al @ Alias(AggregateExpression(
+          Sum(x, _), _, false, None, _), _) =>
+        sumMeasure(e, x) match {
+          case Some(m) =>
+            Alias(sumOf(sumAlias(m)), al.name)(exprId = al.exprId,
+              qualifier = al.qualifier)
+          case None => return None
+        }
+      case _ => return None
+    }
+    if (out.contains(null)) return None
+    logInfo(s"rolling up aggregate over ${e.srcDir} from materialized " +
+      s"view ${e.viewDir} (synced epoch ${e.syncedEpoch})")
+    Some(Aggregate(newGroups, out, viewRel))
   }
 }

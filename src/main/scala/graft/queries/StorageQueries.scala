@@ -587,6 +587,42 @@ object StorageQueries {
     out
   }
 
+  /** Materialized-view ROLLUP rewrite, oracle-gated: the view is
+    * maintained at the FINER (status, priority) grain; the declared
+    * query groups by status only, and the optimizer answers it by
+    * re-aggregating the view (count → sum(n), sum → sum(sum_key)) —
+    * one small-view pass instead of the fact scan, lossless for
+    * counts and integral sums. The query REQUIRES the rollup to have
+    * fired; DuckDB recomputes from the base table. */
+  def mvRewriteRollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val src = graft.Scratch.dir("mvr_src", dir)
+    val view = graft.Scratch.dir("mvr_view", dir)
+    val ckpt = graft.Scratch.dir("mvr_ckpt", dir)
+    graft.Scratch.reset(src, view, ckpt)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_orderpriority"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(src)
+    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    graft.plans.MaterializedViews.refreshAndRegister(spark, src, view,
+      groupCols = Seq("o_orderstatus", "o_orderpriority"),
+      sums = Seq(("o_orderkey", "sum_key")), checkpoint = ckpt)
+    val out = spark.read.format("arrow").load(src)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+    val viewPath = java.nio.file.Paths.get(view)
+      .toAbsolutePath.normalize.toString
+    require(out.queryExecution.optimizedPlan.toString.contains(viewPath),
+      "mv_rewrite_rollup: the coarser aggregate was NOT rolled up " +
+        "from the materialized view")
+    out
+  }
+
   /** Metadata-only ADD COLUMN, oracle-gated: evolve the declared
     * schema (`CALL graft.system.add_column`), then mix pre-evolution
     * files (serve the column as nulls), post-evolution inserts, and a
@@ -953,6 +989,7 @@ object StorageQueries {
     "arrow_add_column" -> (arrowAddColumn _),
     "arrow_rename_column" -> (arrowRenameColumn _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
+    "mv_rewrite_rollup" -> (mvRewriteRollup _),
     "arrow_clone" -> (arrowClone _),
     "arrow_delete_dv" -> (arrowDeleteDv _),
     "arrow_delta_update" -> (arrowDeltaUpdate _),
@@ -1140,6 +1177,11 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "mv_rewrite_rollup" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "mv_rewrite_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key

@@ -89,4 +89,47 @@ class MvRewriteSpec extends AnyFunSuite {
       assert(!usesView(otherSum, view))
     } finally MaterializedViews.clear()
   }
+
+  test("coarser groupings ROLL UP from the view, including the global " +
+      "aggregate; a superset grouping falls through") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mvr_src").toString
+    val view = Files.createTempDirectory("mvr_view").toString
+    val ckpt = Files.createTempDirectory("mvr_ckpt").toString
+    try {
+      (1L to 120L).map(i => (i, "g" + (i % 3), "p" + (i % 2), i * 7L))
+        .toDF("id", "grp", "pg", "amt")
+        .repartition(2)
+        .write.format("arrow").mode("overwrite").save(src)
+      ArrowDataSource.initTableLog(src)
+      // view at the FINER grain (grp, pg)
+      MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("grp", "pg"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      // coarser: by grp only
+      val byGrp = spark.read.format("arrow").load(src)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("s"))
+        .orderBy(col("grp"))
+      assert(usesView(byGrp, view),
+        s"rollup did not fire:\n${byGrp.queryExecution.optimizedPlan}")
+      val expect = (1L to 120L).groupBy(i => "g" + (i % 3))
+        .map { case (g, is) => (g, is.size.toLong, is.map(_ * 7L).sum) }
+        .toSeq.sortBy(_._1)
+      assert(byGrp.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == expect)
+      // global
+      val global = spark.read.format("arrow").load(src)
+        .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("s"))
+      assert(usesView(global, view))
+      val g = global.collect().head
+      assert(g.getLong(0) == 120L && g.getLong(1) == (1L to 120L).map(_ * 7L).sum)
+      // a SUPERSET grouping (finer than the view) cannot be answered
+      val finer = spark.read.format("arrow").load(src)
+        .groupBy(col("grp"), col("pg"), col("id"))
+        .agg(count(lit(1)).as("cnt"))
+      assert(!usesView(finer, view))
+      assert(finer.count() == 120)
+    } finally MaterializedViews.clear()
+  }
 }
