@@ -96,6 +96,48 @@ object SourceQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** FEDERATED query — one declarative plan over FOUR storage formats:
+    * the orders fact from the Arrow DSv2 (filter pushed into the
+    * custom source), the customer dimension from CSV (inferred
+    * schema), nation from the original parquet, region from ORC — the
+    * lake reality where history, dimensions, and feeds live in
+    * different formats and the engine must plan them as one graph.
+    * Catalyst treats every source uniformly: the dims broadcast, the
+    * fact scan prunes columns and takes the pushed filter, and the
+    * whole thing is one join tree — no per-format staging. */
+  def federatedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val arrowOrders = tmp("fed_arrow", dir)
+    val csvCust = tmp("fed_csv", dir)
+    val orcRegion = tmp("fed_orc", dir)
+    graft.Fixtures.once(arrowOrders) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .write.format("arrow").mode("overwrite").save(arrowOrders)
+    }
+    graft.Fixtures.once(csvCust) {
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))
+        .write.option("header", "true").mode("overwrite").csv(csvCust)
+    }
+    graft.Fixtures.once(orcRegion) {
+      Tables.region(spark, dir).write.mode("overwrite").orc(orcRegion)
+    }
+    val orders = spark.read.format("arrow").load(arrowOrders)
+      .filter(col("o_orderstatus") === "O")
+    val cust = spark.read.option("header", "true")
+      .option("inferSchema", "true").csv(csvCust)
+    val nation = Tables.nation(spark, dir)
+    val region = spark.read.orc(orcRegion)
+    orders
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("r_name"))
+  }
+
   /** JSON-lines source: the raw props strings written as a text file,
     * read back with `spark.read.json` (schema inferred from the lines
     * themselves — the reference's dynamic, expression-carried schema
@@ -438,6 +480,7 @@ object SourceQueries {
     "arrow_partitioned_prune" -> (arrowPartitionedPrune _),
     "arrow_transform_prune" -> (arrowTransformPrune _),
     "csv_infer_agg" -> (csvInferAgg _),
+    "federated_join" -> (federatedJoin _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "xml_roundtrip_agg" -> (xmlRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
@@ -516,6 +559,15 @@ object SourceQueries {
         | COUNT(*) AS n
         |FROM lineitem WHERE l_quantity >= 10.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "federated_join" ->
+      """SELECT r_name, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "csv_infer_agg" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
