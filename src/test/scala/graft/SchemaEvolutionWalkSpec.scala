@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
+
+/** Randomized soundness walk over the metadata-only schema-evolution
+  * surface: a seeded sequence of add_column / rename_column /
+  * drop_column interleaved with INSERT / UPDATE / DELETE, with an
+  * in-memory model checked against the table read after EVERY step —
+  * the interactions a hand-written spec cannot enumerate (DML through
+  * a renamed column over mixed-generation files, inserts after a drop,
+  * updates materializing an added column, rename chains with
+  * mid-chain writes). Any divergence is silent data corruption. */
+class SchemaEvolutionWalkSpec extends AnyFunSuite {
+  private lazy val spark = {
+    val s = TestSession.spark
+    s.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+    s
+  }
+
+  test("40-step random evolution+DML walk matches the model at every step") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(271828L)
+    val dir = Files.createTempDirectory("evo_walk").toString
+
+    // model: ordered column list (logical names) + rows keyed by id
+    var cols = Vector("id", "c0", "c1")
+    var rows = scala.collection.mutable.LinkedHashMap(
+      (1L to 40L).map(i =>
+        i -> scala.collection.mutable.Map[String, Any](
+          "id" -> i, "c0" -> i * 3L, "c1" -> (i % 7L))): _*)
+    var nextId = 100L
+    var nameSeq = 2
+    val everUsed = scala.collection.mutable.Set("id", "c0", "c1")
+    // the original tuple-derived columns are NON-nullable in the table
+    // schema (and Spark rightly refuses NULL inserts into them); only
+    // added columns accept NULLs. Rename preserves nullability.
+    val nullableCols = scala.collection.mutable.Set.empty[String]
+
+    (1L to 40L).map(i => (i, i * 3L, i % 7L)).toDF("id", "c0", "c1")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+
+    def freshName(): String = {
+      nameSeq += 1
+      val n = s"c$nameSeq"
+      everUsed += n
+      n
+    }
+    def sqlLit(v: Any): String = v match {
+      case null => "CAST(NULL AS BIGINT)"
+      case x => x.toString
+    }
+    def check(step: Int): Unit = {
+      val df = spark.read.format("arrow").load(dir)
+      assert(df.schema.fieldNames.toSeq == cols,
+        s"step $step: schema ${df.schema.fieldNames.toSeq} != $cols")
+      val got = df.collect().map { r =>
+        cols.map(c => if (r.isNullAt(r.fieldIndex(c))) null
+          else r.getLong(r.fieldIndex(c))).toVector
+      }.sortBy(_.head.asInstanceOf[Long])
+      val want = rows.values.toVector
+        .map(m => cols.map(c => m.getOrElse(c, null)).toVector)
+        .sortBy(_.head.asInstanceOf[Long])
+      assert(got.toSeq == want.toSeq,
+        s"step $step diverged: got ${got.take(4)}... want ${want.take(4)}...")
+    }
+
+    for (step <- 1 to 40) {
+      rnd.nextInt(6) match {
+        case 0 => // add_column (fresh name)
+          val n = freshName()
+          spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+            s"name => '$n', type => 'bigint')").collect()
+          cols = cols :+ n
+          nullableCols += n
+        case 1 => // rename a non-id column
+          val old = cols.drop(1)(rnd.nextInt(cols.length - 1))
+          val n = freshName()
+          spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+            s"old_name => '$old', new_name => '$n')").collect()
+          cols = cols.map(c => if (c == old) n else c)
+          if (nullableCols.remove(old)) nullableCols += n
+          rows.values.foreach { m =>
+            if (m.contains(old)) { m(n) = m(old); m.remove(old) }; ()
+          }
+        case 2 if cols.length > 2 => // drop a non-id column
+          val victim = cols.drop(1)(rnd.nextInt(cols.length - 1))
+          spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+            s"name => '$victim')").collect()
+          cols = cols.filterNot(_ == victim)
+          rows.values.foreach { m => m.remove(victim); () }
+        case 3 => // insert 3 rows with the CURRENT schema
+          val newRows = (0 until 3).map { _ =>
+            val id = nextId; nextId += 1
+            id -> scala.collection.mutable.Map[String, Any](
+              (cols.map { c =>
+                c -> (if (c == "id") id
+                  else if (nullableCols(c) && rnd.nextInt(5) == 0) null
+                  else rnd.nextInt(1000).toLong)
+              }): _*)
+          }
+          val values = newRows.map { case (_, m) =>
+            cols.map(c => sqlLit(m(c))).mkString("(", ", ", ")")
+          }.mkString(", ")
+          spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES $values")
+          newRows.foreach { case (id, m) => rows(id) = m }
+        case 4 => // update a random column on an id slice
+          val c = cols.drop(1)(rnd.nextInt(cols.length - 1))
+          val k = 2 + rnd.nextInt(5)
+          val r = rnd.nextInt(k)
+          val v = rnd.nextInt(10000).toLong
+          spark.sql(s"UPDATE graft.arrow.`$dir` SET `$c` = $v " +
+            s"WHERE id % $k = $r")
+          rows.values.foreach { m =>
+            if (m("id").asInstanceOf[Long] % k == r) m(c) = v
+          }
+        case _ => // delete a thin slice (keep the table populated)
+          val k = 7 + rnd.nextInt(6)
+          val r = rnd.nextInt(k)
+          spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id % $k = $r")
+          rows = rows.filterNot(_._2("id").asInstanceOf[Long] % k == r)
+      }
+      check(step)
+    }
+    // the walk must have actually exercised evolution
+    assert(ArrowDataSource.droppedColumns(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize).nonEmpty ||
+      ArrowDataSource.aliasColumns(
+        java.nio.file.Paths.get(dir).toAbsolutePath.normalize).nonEmpty,
+      "walk never evolved the schema — widen the op mix")
+  }
+}
