@@ -219,7 +219,38 @@ object TextQueries {
       .orderBy(col("domain"))
   }
 
+  /** Count-based BIGRAM language-model estimation — the classic
+    * distributed LM-training job (KenLM's count pass): per-document
+    * bigram streams fold into corpus-wide count tables, and the
+    * conditional probability p(w2|w1) = count(w1,w2)/count(w1·) falls
+    * out of one join between the bigram and unigram-prefix aggregates.
+    * Scale: two hash shuffles (bigram counts, prefix counts) over
+    * fixed-width token pairs — the corpus text itself never shuffles;
+    * the model (the output table) is vocabulary-sized, not
+    * corpus-sized. Top-50 by count with total tie-break; probability
+    * is a small-int ratio rounded at 6dp — engine-exact. */
+  def textNgramLm(spark: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val bigrams = toks
+      .select(posexplode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+        .as(Seq("i", "bg")))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val prefix = counts.groupBy(col("w1"))
+      .agg(sum(col("n_bigram")).as("n_prefix"))
+    counts.join(prefix, "w1")
+      .select(col("w1"), col("w2"), col("n_bigram"),
+        round(col("n_bigram").cast("double") / col("n_prefix"), 6)
+          .as("p_cond"))
+      .orderBy(col("n_bigram").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   val defs: Map[String, Q] = Map(
+    "text_ngram_lm" -> (textNgramLm _),
     "text_chunk" -> (textChunk _),
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
@@ -271,6 +302,17 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "text_ngram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT w[i] AS w1, w[i+1] AS w2
+        |  FROM w, UNNEST(range(1, len(w))) AS t(i)),
+        |c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |p AS (SELECT w1, SUM(n_bigram) AS n_prefix FROM c GROUP BY 1)
+        |SELECT c.w1, c.w2, n_bigram,
+        | round(CAST(n_bigram AS DOUBLE) / n_prefix, 6) AS p_cond
+        |FROM c JOIN p ON c.w1 = p.w1
+        |ORDER BY n_bigram DESC, c.w1, w2 LIMIT 50""".stripMargin,
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE text IS NOT NULL),
