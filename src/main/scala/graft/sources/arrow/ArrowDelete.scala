@@ -196,7 +196,15 @@ object ArrowDelete {
       : Option[Seq[String]] = {
     val src = Paths.get(file)
     val info = ArrowDataSource.footerInfo(src)
-    val dataSchema = ArrowDataSource.readFooterSchema(src)
+    // schema-evolved tables: predicates arrive under LOGICAL names
+    // (renamed/added columns), so read AND rewrite under the declared
+    // schema — the reader's alias fallback serves a pre-rename file's
+    // physical column, absent added columns read as nulls, and the
+    // replacement file materializes the current logical schema.
+    val dataSchema = ArrowDataSource.declaredSchema(
+      ArrowDataSource.sinkRoot(root)
+        .getOrElse(Paths.get(root).toAbsolutePath.normalize))
+      .getOrElse(ArrowDataSource.readFooterSchema(src))
     val dataF = filters.filterNot(f =>
       f.references.forall(partSchema.fieldNames.contains(_)) &&
         FilterEval.supported(partSchema, f))

@@ -97,7 +97,13 @@ object DeletionVectors {
       : Option[(Array[java.util.BitSet], Long, Long)] = {
     val src = Paths.get(file)
     val info = ArrowDataSource.footerInfo(src)
-    val dataSchema = ArrowDataSource.readFooterSchema(src)
+    // evolved tables: evaluate the predicate under the declared
+    // LOGICAL schema (alias fallback / null-fill in the reader), like
+    // ArrowDelete.rewriteFile
+    val dataSchema = ArrowDataSource.declaredSchema(
+      ArrowDataSource.sinkRoot(root)
+        .getOrElse(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
+      .getOrElse(ArrowDataSource.readFooterSchema(src))
     val readSchema = StructType(dataSchema.fields ++ partSchema.fields)
     val partValues = ArrowDataSource
       .partitionValuesOf(root, src, partSchema.length).map(_.orNull).toArray

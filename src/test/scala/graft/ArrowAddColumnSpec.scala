@@ -162,6 +162,45 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     }
   }
 
+  test("DML predicates on a RENAMED column resolve over pre-rename " +
+      "files (triage stays conservative, rewrite reads through the " +
+      "alias)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("renamedml").toString
+    (1L to 40L).map(i => (i, i * 2L)).toDF("id", "v1")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'v1', new_name => 'v2')").collect()
+    // DELETE keyed on the renamed column: rows live only in old files
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE v2 <= 20")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.count() == 30, s"wrong survivor count: ${df.count()}")
+    assert(df.agg(min(col("v2"))).head.getLong(0) == 22L)
+    // UPDATE with a renamed-column predicate AND assignment
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET v2 = 0 WHERE v2 >= 70")
+    val upd = spark.read.format("arrow").load(dir)
+    assert(upd.filter(col("v2") === 0L).count() == 6)
+    assert(upd.agg(sum(col("v2"))).head.getLong(0) ==
+      (22L to 68L by 2).sum)
+    // MERGE keyed on id but updating the renamed measure
+    Seq((25L, 999L)).toDF("mid", "mv")
+      .createOrReplaceTempView("rename_merge_src")
+    spark.sql(s"MERGE INTO graft.arrow.`$dir` t " +
+      "USING rename_merge_src s ON t.id = s.mid " +
+      "WHEN MATCHED THEN UPDATE SET v2 = s.mv")
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("id") === 25L).head.getLong(1) == 999L)
+    // and the DELETION-VECTOR path: a MoR delete keyed on the renamed
+    // column must mask the right ordinals of pre-rename files
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE v2 = 999")
+    val dv = spark.read.format("arrow").load(dir)
+    assert(dv.filter(col("id") === 25L).count() == 0)
+    assert(dv.count() == 29)
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString

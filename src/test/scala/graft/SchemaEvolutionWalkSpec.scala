@@ -110,15 +110,23 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
           }.mkString(", ")
           spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES $values")
           newRows.foreach { case (id, m) => rows(id) = m }
-        case 4 => // update a random column on an id slice
+        case 4 => // update a random column; predicate on id OR on an
+          // evolved data column (exercises alias resolution in the
+          // CoW rewrite's filter eval)
           val c = cols.drop(1)(rnd.nextInt(cols.length - 1))
           val k = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(k)
           val v = rnd.nextInt(10000).toLong
+          val predCol =
+            if (rnd.nextBoolean()) "id"
+            else cols.drop(1)(rnd.nextInt(cols.length - 1))
           spark.sql(s"UPDATE graft.arrow.`$dir` SET `$c` = $v " +
-            s"WHERE id % $k = $r")
+            s"WHERE `$predCol` % $k = $r")
           rows.values.foreach { m =>
-            if (m("id").asInstanceOf[Long] % k == r) m(c) = v
+            m.get(predCol) match {
+              case Some(x: Long) if x % k == r => m(c) = v
+              case _ => ()
+            }
           }
         case _ => // delete a thin slice (keep the table populated)
           val k = 7 + rnd.nextInt(6)
