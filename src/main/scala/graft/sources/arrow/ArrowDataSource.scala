@@ -1381,6 +1381,16 @@ object ArrowDataSource {
     src.foreach { case (srcRoot, srcEpoch) =>
       Files.write(tmp.resolve(CloneSrcFileName), java.util.List.of(
         srcRoot.toAbsolutePath.normalize.toString, srcEpoch.toString))
+      // an EVOLVED source's declared schema + ledgers must travel with
+      // the clone: without them, inference over the borrowed
+      // mixed-generation files fails the consistency sweep, and
+      // renamed physicals would not resolve for branch-local files
+      val srcSchema = srcRoot.toAbsolutePath.normalize
+        .resolve(MetadataDirName).resolve(SchemaFileName)
+      if (Files.isRegularFile(srcSchema)) {
+        Files.copy(srcSchema, tmp.resolve(SchemaFileName))
+        ()
+      }
     }
     // borrowed deletion vectors ride the epoch-0 manifest like any
     // dv event — a clone of a merge-on-read table must not resurrect

@@ -539,6 +539,22 @@ object GraftProcedures {
       require(baseEpoch >= 0L,
         s"publish: $branch was cloned from a flat (un-logged) " +
           "directory — publish needs a logged main to commit into")
+      // publish moves DATA state only: a branch that evolved its
+      // DECLARED schema past the clone point cannot land (main's
+      // inference would break on the new-generation files) — schema
+      // changes re-apply on main through the procedures
+      def ledger(r: Path): Seq[String] = {
+        val f = r.resolve(ArrowDataSource.MetadataDirName)
+          .resolve(ArrowDataSource.SchemaFileName)
+        if (Files.isRegularFile(f))
+          scala.jdk.CollectionConverters
+            .ListHasAsScala(Files.readAllLines(f)).asScala.toSeq
+        else Seq.empty
+      }
+      require(ledger(branchRoot) == ledger(mainRoot),
+        s"publish: $branch evolved its declared schema after the " +
+          "clone — schema changes do not publish; re-apply them on " +
+          s"$main (add_column/rename_column/drop_column) and re-clone")
       // branch state to land
       val files = ArrowDataSource.visibleIpcFiles(branch, None)
         .map(_.toAbsolutePath.normalize)

@@ -159,6 +159,48 @@ class WapSpec extends AnyFunSuite {
     }
   }
 
+  test("an EVOLVED table clones with its declared schema; staged DML " +
+      "on renamed columns publishes; branch-side evolution refuses") {
+    import spark.implicits._
+    val (main, branch) = freshPair()
+    (1L to 30L).map(i => (i, i * 2L)).toDF("id", "v1")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(main)
+    ArrowDataSource.initTableLog(main)
+    spark.sql(s"CALL graft.system.rename_column(path => '$main', " +
+      "old_name => 'v1', new_name => 'v2')").collect()
+    spark.sql(s"CALL graft.system.add_column(path => '$main', " +
+      "name => 'note', type => 'string')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$main` VALUES (100, 5, 'x')")
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch')").collect()
+    // the clone carries the declared schema + ledgers: mixed-generation
+    // borrowed files read under the evolved names
+    val b = spark.read.format("arrow").load(branch)
+    assert(b.schema.fieldNames.toSeq == Seq("id", "v2", "note"))
+    assert(b.count() == 31)
+    // staged DML keyed on the RENAMED column, then publish
+    spark.sql(s"DELETE FROM graft.arrow.`$branch` WHERE v2 <= 10")
+    spark.sql(s"CALL graft.system.publish(branch_path => '$branch', " +
+      s"main_path => '$main')").collect()
+    val m = spark.read.format("arrow").load(main)
+    // 5 seed rows (v2 = 2..10) plus the inserted row (v2 = 5) matched
+    assert(m.count() == 25 && m.agg(min(col("v2"))).head.getLong(0) == 12L)
+
+    // a branch that EVOLVES its schema cannot publish
+    val branch2 = Files.createTempDirectory("wap_evo2").toString
+    Files.delete(Paths.get(branch2))
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch2')").collect()
+    spark.sql(s"CALL graft.system.add_column(path => '$branch2', " +
+      "name => 'extra', type => 'bigint')").collect()
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.publish(branch_path => '$branch2', " +
+        s"main_path => '$main')").collect()
+    }
+    assert(e.getMessage.contains("schema"), e.getMessage)
+  }
+
   test("publish refuses a non-clone table") {
     val (main, other) = freshPair()
     build(main)
