@@ -201,6 +201,36 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     assert(dv.count() == 29)
   }
 
+  test("maintenance rewrites (compact, zorder) of an evolved table " +
+      "write logical-schema files and preserve every row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evo_maint").toString
+    (1L to 60L).map(i => (i, i * 3L)).toDF("id", "v1")
+      .repartition(6) // many small files for compact to fold
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'v1', new_name => 'v2')").collect()
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'note', type => 'string')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (100, 1, 'z')")
+    def state() = spark.read.format("arrow").load(dir)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet
+    val before = state()
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      "target_rows => 1000)").collect()
+    assert(state() == before, "compact changed the evolved table's rows")
+    // the compacted files carry the LOGICAL schema: a fresh read
+    // without the ledger-era files must still see v2/note
+    assert(spark.read.format("arrow").load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "v2", "note"))
+    spark.sql(s"CALL graft.system.zorder(path => '$dir', " +
+      "cols => 'id,v2')").collect()
+    assert(state() == before, "zorder changed the evolved table's rows")
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
