@@ -231,6 +231,35 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     assert(state() == before, "zorder changed the evolved table's rows")
   }
 
+  test("the change feed serves an evolved table under logical names") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evo_cdf").toString
+    (1L to 20L).map(i => (i, i * 4L)).toDF("id", "v1")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'v1', new_name => 'v2')").collect()
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'note', type => 'string')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE v2 <= 16")
+    val feed = spark.read.format("arrow")
+      .option("readChangeFeed", "true")
+      .option("startingEpoch", 1).load(dir)
+    assert(feed.schema.fieldNames.toSeq ==
+      Seq("id", "v2", "note", "_change_type", "_commit_epoch"))
+    // the delete epoch nets to exactly the 4 removed rows, with the
+    // renamed column's values served from pre-rename files
+    val deletes = feed.filter(col("_change_type") === "delete")
+      .select(col("id"), col("v2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inserts = feed.filter(col("_change_type") === "insert")
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    assert((deletes.map(_._1) -- inserts) == Set(1L, 2L, 3L, 4L),
+      s"net deletes wrong: $deletes minus $inserts")
+    assert(deletes.filter(d => d._1 <= 4).forall(d => d._2 == d._1 * 4))
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
