@@ -682,6 +682,7 @@ object GraftProcedures {
         s"drop_column: no column $colName on $path")
       require(current.fields.length > 1,
         s"drop_column: cannot drop the last column of $path")
+      requireNoConstraintOn(path, colName, "drop_column")
       // dropping a renamed column also retires its physical history:
       // the alias physicals join the drop ledger so neither name can
       // resurrect
@@ -695,6 +696,25 @@ object GraftProcedures {
         current.fields.length - 1L))))
     }
   }
+
+  /** A CHECK constraint referencing a column pins its name: renaming
+    * or dropping the column would make every later write fail at
+    * constraint-bind time — refuse up front with guidance instead. */
+  private def requireNoConstraintOn(path: String, colName: String,
+      proc: String): Unit =
+    TableConstraints.list(path).foreach { case (cname, expr) =>
+      val refs = scala.util.Try(
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseExpression(expr).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.nameParts.head
+          }.toSet).getOrElse(Set.empty[String])
+      require(!refs(colName),
+        s"$proc: CHECK constraint $cname ($expr) references " +
+          s"$colName — drop the constraint first " +
+          "(CALL graft.system.drop_constraint), then evolve and " +
+          "re-add it under the new name")
+    }
 
   val RenameColumn: UnboundProcedure = new SimpleProcedure("rename_column",
     "metadata-only RENAME COLUMN (the rename case of Delta column " +
@@ -736,6 +756,7 @@ object GraftProcedures {
         s"rename_column: $newName is already used (or was used) on " +
           s"$path — renaming onto a historical name would resurrect " +
           "old files' values; pick a fresh name")
+      requireNoConstraintOn(path, oldName, "rename_column")
       // the new logical inherits the old name's physical chain plus
       // the old name itself (files written between renames carry the
       // then-current logical)

@@ -260,6 +260,30 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     assert(deletes.filter(d => d._1 <= 4).forall(d => d._2 == d._1 * 4))
   }
 
+  test("rename/drop refuse while a CHECK constraint pins the column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evo_constraint").toString
+    (1L to 10L).map(i => (i, i)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.add_constraint(path => '$dir', " +
+      "name => 'amt_pos', expr => 'amt >= 0')").collect()
+    for (stmt <- Seq(
+      s"CALL graft.system.rename_column(path => '$dir', " +
+        "old_name => 'amt', new_name => 'amount')",
+      s"CALL graft.system.drop_column(path => '$dir', name => 'amt')")) {
+      val e = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(e.getMessage.contains("amt_pos"), e.getMessage)
+    }
+    // unpin → evolve works
+    spark.sql(s"CALL graft.system.drop_constraint(path => '$dir', " +
+      "name => 'amt_pos')").collect()
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'amt', new_name => 'amount')").collect()
+    assert(spark.read.format("arrow").load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "amount"))
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
