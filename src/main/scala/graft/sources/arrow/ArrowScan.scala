@@ -487,7 +487,17 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     else {
       val stamps = files.map(f => footerIdx.info(f).sort)
       if (stamps.exists(_.isEmpty)) None
-      else stamps.flatten.distinct match {
+      else stamps.flatten.distinct.map { phys =>
+        // a RENAMED sort column keeps its ordering claim: translate
+        // the footer's physical stamp to the current logical name so
+        // sorted-merge reads survive schema evolution
+        if (schema.fieldNames.contains(phys)) phys
+        else ArrowDataSource.aliasColumnsForFile(files.head)
+          .collectFirst { case (logical, physicals)
+            if physicals.contains(phys) &&
+              schema.fieldNames.contains(logical) => logical }
+          .getOrElse(phys)
+      }.distinct match {
         case Seq(c) if schema.fieldNames.contains(c) =>
           bucketLayout match {
             case Some(_) =>

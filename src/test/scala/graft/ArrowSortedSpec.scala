@@ -145,6 +145,28 @@ class ArrowSortedSpec extends AnyFunSuite {
       Tables.load(spark, TestSession.Sf, "orders").count())
   }
 
+  test("a RENAMED sort column keeps the reported order under its " +
+      "logical name") {
+    val dir = tmpDir()
+    Tables.load(spark, TestSession.Sf, "orders")
+      .select("o_orderkey", "o_totalprice").repartition(2)
+      .sortWithinPartitions("o_orderkey")
+      .write.format("arrow").option("sortBy", "o_orderkey")
+      .mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'o_orderkey', new_name => 'okey')").collect()
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.queryExecution.executedPlan.toString
+      .contains("sorted=[okey]"),
+      s"renamed sort column lost its ordering claim:\n" +
+        s"${df.queryExecution.executedPlan}")
+    assert(df.count() ==
+      Tables.load(spark, TestSession.Sf, "orders").count())
+  }
+
   test("NULLS FIRST discipline: null after a value voids the stamp") {
     import spark.implicits._
     val okDir = tmpDir(); val badDir = tmpDir()
