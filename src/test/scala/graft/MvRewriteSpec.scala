@@ -90,6 +90,43 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MaterializedViews.clear()
   }
 
+  test("the rewrite fires under surrounding operators (HAVING) and " +
+      "for partial consumption (sum only)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mvh_src").toString
+    val view = Files.createTempDirectory("mvh_view").toString
+    val ckpt = Files.createTempDirectory("mvh_ckpt").toString
+    try {
+      (1L to 60L).map(i => (i, "g" + (i % 4), i))
+        .toDF("id", "grp", "amt")
+        .write.format("arrow").mode("overwrite").save(src)
+      ArrowDataSource.initTableLog(src)
+      MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("grp"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      // HAVING = Filter above the Aggregate: the child aggregate still
+      // rewrites, the filter applies to the view-served values
+      spark.read.format("arrow").load(src)
+        .createOrReplaceTempView("mvh_base")
+      val having = spark.sql(
+        "SELECT grp, COUNT(*) AS cnt, SUM(amt) AS s FROM mvh_base " +
+          "GROUP BY grp HAVING SUM(amt) > 450 ORDER BY grp")
+      assert(usesView(having, view),
+        s"HAVING blocked the rewrite:\n${having.queryExecution.optimizedPlan}")
+      val expect = (1L to 60L).groupBy(i => "g" + (i % 4))
+        .map { case (g, is) => (g, is.size.toLong, is.sum) }
+        .filter(_._3 > 450).toSeq.sortBy(_._1)
+      assert(having.collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2))).toSeq == expect)
+      // partial consumption: only the sum, no count
+      val sumOnly = spark.read.format("arrow").load(src)
+        .groupBy(col("grp")).agg(sum(col("amt")).as("s"))
+        .orderBy(col("grp"))
+      assert(usesView(sumOnly, view))
+      assert(sumOnly.collect().map(_.getLong(1)).sum == (1L to 60L).sum)
+    } finally MaterializedViews.clear()
+  }
+
   test("coarser groupings ROLL UP from the view, including the global " +
       "aggregate; a superset grouping falls through") {
     import spark.implicits._
