@@ -891,6 +891,111 @@ object GraftProcedures {
     }
   }
 
+  val Fsck: UnboundProcedure = new SimpleProcedure("fsck",
+    "table integrity verification (Delta FSCK's shape): re-derive the " +
+      "visible state from the commit log and check it against disk — " +
+      "every referenced data file exists and parses a footer, every " +
+      "live deletion vector parses and masks no more batches than the " +
+      "file has, every footer schema is consistent with the declared " +
+      "schema (or the first file when none is declared), and every " +
+      "partition directory value decodes. Emits one row per finding " +
+      "plus an 'ok' summary row; a healthy table returns exactly the " +
+      "summary. READ-ONLY: fsck never repairs (restore/vacuum/re-clone " +
+      "are the repair verbs)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build())
+    private val out = StructType(Seq(
+      StructField("check", StringType, nullable = false),
+      StructField("status", StringType, nullable = false),
+      StructField("detail", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val root = ArrowDataSource.sinkRoot(path)
+        .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+      val findings = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, String)]
+      def bad(check: String, detail: String): Unit = {
+        findings += ((check, "FAIL", detail)); ()
+      }
+      // re-derive the referenced set from the LOG, not the disk
+      // listing (visibleIpcFiles intersects with what exists — a
+      // dangling manifest entry would vanish from it silently, which
+      // is exactly the corruption fsck exists to surface)
+      val files: Seq[Path] =
+        if (ArrowDataSource.isTableLog(root.toString))
+          ArrowDataSource.liveEntries(root, None)
+            .map { case (_, rel) => root.resolve(rel).normalize }
+        else ArrowDataSource.listIpcFiles(root.toString)
+          .map(_.toAbsolutePath.normalize)
+      // 1. referenced data files exist and carry a parsable footer
+      val schemas = files.flatMap { f =>
+        if (!Files.isRegularFile(f)) { bad("file-exists", f.toString); None }
+        else scala.util.Try(ArrowDataSource.readFooterSchema(f))
+          .toOption.orElse { bad("footer-parses", f.toString); None }
+          .map(f -> _)
+      }
+      // 2. schema consistency vs the declared schema (alias/drop
+      // ledgers applied) or the first footer
+      ArrowDataSource.declaredSchema(root) match {
+        case Some(ds) =>
+          val dropped = ArrowDataSource.droppedColumns(root)
+          val aliasOk = ArrowDataSource.aliasColumns(root)
+            .flatMap { case (l, ps) => ds.fields.find(_.name == l).toSeq
+              .flatMap(fl => ps.map(p => (p, fl.dataType))) }.toSet
+          val declared = ds.fields.map(f => (f.name, f.dataType)).toSet ++
+            aliasOk
+          schemas.foreach { case (f, s) =>
+            s.fields.filterNot(g => declared((g.name, g.dataType)) ||
+              dropped(g.name)).foreach(g =>
+              bad("schema-vs-declared", s"$f carries ${g.name}:" +
+                s"${g.dataType.simpleString}"))
+          }
+        case None =>
+          schemas.headOption.foreach { case (_, first) =>
+            val sig = first.fields.map(f => (f.name, f.dataType)).toSet
+            schemas.foreach { case (f, s) =>
+              if (s.fields.map(x => (x.name, x.dataType)).toSet != sig)
+                bad("schema-consistent", f.toString)
+            }
+          }
+      }
+      // 3. live deletion vectors parse and fit their files
+      if (ArrowDataSource.isTableLog(root.toString))
+        ArrowDataSource.liveDvs(root, None).foreach {
+          case (rel, (dvRel, _)) =>
+            val dvAbs = root.resolve(dvRel).normalize
+            if (!Files.isRegularFile(dvAbs))
+              bad("dv-exists", s"$rel -> $dvRel")
+            else scala.util.Try(DeletionVectors.read(dvAbs)) match {
+              case scala.util.Failure(e) =>
+                bad("dv-parses", s"$dvRel: ${e.getMessage}")
+              case scala.util.Success(mask) =>
+                val fAbs = root.resolve(rel).normalize
+                scala.util.Try(ArrowDataSource.footerInfo(fAbs))
+                  .foreach { info =>
+                    if (mask.length > info.sizes.length)
+                      bad("dv-fits-file", s"$dvRel masks ${mask.length} " +
+                        s"batches but $rel has ${info.sizes.length}")
+                  }
+            }
+        }
+      // 4. partition directory values decode
+      val nPart = ArrowDataSource.discoverPartitionCols(root.toString).length
+      if (nPart > 0) files.foreach { f =>
+        if (scala.util.Try(ArrowDataSource
+          .partitionValuesOf(root.toString, f, nPart)).isFailure)
+          bad("partition-values-decode", f.toString)
+      }
+      val rows = (findings.toSeq :+
+        (("ok", if (findings.isEmpty) "PASS" else "FAIL",
+          s"${files.length} files checked, ${findings.length} findings")))
+        .map { case (c, s, d) => new GenericInternalRow(Array[Any](
+          UTF8String.fromString(c), UTF8String.fromString(s),
+          UTF8String.fromString(d))): InternalRow }
+      result(out, rows.toArray)
+    }
+  }
+
   val Detail: UnboundProcedure = new SimpleProcedure("detail",
     "one-row operational summary of a table: visible files/bytes/" +
       "rows, committed epochs, travel horizon, deletion-vector count " +
@@ -1055,6 +1160,7 @@ object GraftProcedures {
     "rename_column" -> RenameColumn,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
+    "fsck" -> Fsck,
     "partitions" -> Partitions,
     "detail" -> Detail,
     "set_auto_compact" -> SetAutoCompact,
