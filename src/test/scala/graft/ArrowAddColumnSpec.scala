@@ -147,6 +147,14 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     val upd = spark.read.format("arrow").load(dir)
     assert(upd.agg(sum(col("v3"))).head.getLong(0) ==
       (11L to 30L).map(_ * 5L).sum + 999L)
+    // TIME TRAVEL across the evolution: a pre-rename epoch reads under
+    // the CURRENT logical schema (schema is table metadata, not
+    // versioned state) with values served through the alias
+    val old = spark.read.format("arrow")
+      .option("epochAsOf", "0").load(dir)
+    assert(old.schema.fieldNames.toSeq == Seq("id", "v3"))
+    assert(old.count() == 30 &&
+      old.agg(sum(col("v3"))).head.getLong(0) == (1L to 30L).map(_ * 5L).sum)
     // neither historical name can come back
     for (dead <- Seq("v1", "v2")) {
       val e = intercept[Exception] {
