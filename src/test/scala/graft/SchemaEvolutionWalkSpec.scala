@@ -23,8 +23,17 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
   }
 
   test("40-step random evolution+DML walk matches the model at every step") {
+    runWalk(dvEnabled = false, seed = 271828L)
+  }
+
+  test("the same walk under MERGE-ON-READ (deletion vectors + " +
+      "delta-based row ops) matches the model at every step") {
+    runWalk(dvEnabled = true, seed = 314159L)
+  }
+
+  private def runWalk(dvEnabled: Boolean, seed: Long): Unit = {
     import spark.implicits._
-    val rnd = new scala.util.Random(271828L)
+    val rnd = new scala.util.Random(seed)
     val dir = Files.createTempDirectory("evo_walk").toString
 
     // model: ordered column list (logical names) + rows keyed by id
@@ -45,6 +54,8 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
       .repartition(2)
       .write.format("arrow").mode("overwrite").save(dir)
     ArrowDataSource.initTableLog(dir)
+    if (dvEnabled)
+      spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
 
     def freshName(): String = {
       nameSeq += 1
