@@ -177,7 +177,26 @@ object SqlQueries {
         |ORDER BY o_orderstatus""".stripMargin)
   }
 
+  /** The SQL PIVOT clause (distinct from the DataFrame pivot of
+    * `pivot_wide`): per-status order counts and exact price sums
+    * pivoted across the five priorities — Catalyst rewrites the clause
+    * into the same conditional aggregation the oracle states. */
+  def pivotSql(spark: SparkSession, dir: String): DataFrame = {
+    withViews(spark, dir, "orders")
+    spark.sql(
+      """SELECT * FROM (
+        |  SELECT o_orderstatus, o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders)
+        |PIVOT (COUNT(*) AS n, CAST(SUM(p) AS DOUBLE) AS sum_price
+        |  FOR o_orderpriority IN (
+        |    '1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium,
+        |    '4-NOT SPECIFIED' AS notspec, '5-LOW' AS low))
+        |ORDER BY o_orderstatus""".stripMargin)
+  }
+
   val defs: Map[String, Q] = Map(
+    "sql_pivot" -> (pivotSql _),
     "sql_recursive_cte" -> (recursiveCte _),
     "sql_lateral" -> (lateralQ _),
     "agg_listagg_median" -> (listaggMedian _),
@@ -189,6 +208,25 @@ object SqlQueries {
     "skew_salted_agg" -> (saltedAgg _))
 
   val sql: Map[String, String] = Map(
+    "sql_pivot" ->
+      """SELECT o_orderstatus,
+        | COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS urgent_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_sum_price,
+        | COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS high_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (o_orderpriority = '2-HIGH') AS DOUBLE) AS high_sum_price,
+        | COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS medium_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (o_orderpriority = '3-MEDIUM') AS DOUBLE) AS medium_sum_price,
+        | COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS notspec_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (o_orderpriority = '4-NOT SPECIFIED') AS DOUBLE) AS notspec_sum_price,
+        | COUNT(*) FILTER (o_orderpriority = '5-LOW') AS low_n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low_sum_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "sql_recursive_cte" -> recursiveSql,
     "sql_lateral" -> lateralSql,
     "agg_listagg_median" ->
