@@ -1391,6 +1391,16 @@ object ArrowDataSource {
         Files.copy(srcSchema, tmp.resolve(SchemaFileName))
         ()
       }
+      // ... and so must CHECK constraints: a write-audit-publish
+      // branch that did not inherit the source's constraints would be
+      // an unguarded side door — staged rows would bypass the gates
+      // the source enforces on every direct writer
+      val srcConstraints = srcRoot.toAbsolutePath.normalize
+        .resolve(MetadataDirName).resolve(TableConstraints.FileName)
+      if (Files.isRegularFile(srcConstraints)) {
+        Files.copy(srcConstraints, tmp.resolve(TableConstraints.FileName))
+        ()
+      }
     }
     // borrowed deletion vectors ride the epoch-0 manifest like any
     // dv event — a clone of a merge-on-read table must not resurrect

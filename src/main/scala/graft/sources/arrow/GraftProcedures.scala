@@ -555,6 +555,15 @@ object GraftProcedures {
         s"publish: $branch evolved its declared schema after the " +
           "clone — schema changes do not publish; re-apply them on " +
           s"$main (add_column/rename_column/drop_column) and re-clone")
+      // the branch staged under the constraints it inherited at clone
+      // time; if main's constraints changed since (or the branch
+      // altered its own), the staged rows were never checked against
+      // the current gates — refuse rather than land unaudited data
+      require(TableConstraints.list(branch).toSet ==
+        TableConstraints.list(main).toSet,
+        s"publish: constraints on $branch and $main diverged since " +
+          "the clone — staged rows were not checked against the " +
+          "current gates; align the constraints and re-clone")
       // branch state to land
       val files = ArrowDataSource.visibleIpcFiles(branch, None)
         .map(_.toAbsolutePath.normalize)

@@ -201,6 +201,48 @@ class WapSpec extends AnyFunSuite {
     assert(e.getMessage.contains("schema"), e.getMessage)
   }
 
+  test("branches inherit CHECK constraints; constraint divergence " +
+      "refuses the publish") {
+    import spark.implicits._
+    val (main, branch) = freshPair()
+    build(main)
+    spark.sql(s"CALL graft.system.add_constraint(path => '$main', " +
+      "name => 'id_pos', expr => 'id > 0')").collect()
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch')").collect()
+    // the inherited gate blocks a violating stage on the BRANCH
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.arrow.`$branch` VALUES (-5, 0, 'bad')")
+    }
+    assert(String.valueOf(e.getMessage).contains("id_pos") ||
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .exists(t => String.valueOf(t.getMessage).contains("id_pos")),
+      s"violating stage was not gated: $e")
+    // a clean stage publishes
+    spark.sql(s"INSERT INTO graft.arrow.`$branch` VALUES (300, 0, 'ok')")
+    spark.sql(s"CALL graft.system.publish(branch_path => '$branch', " +
+      s"main_path => '$main')").collect()
+    assert(spark.read.format("arrow").load(main).count() == 101)
+
+    // diverged constraints refuse: main tightens after the clone
+    val branch2 = Files.createTempDirectory("wap_cons2").toString
+    Files.delete(Paths.get(branch2))
+    spark.sql(s"CALL graft.system.clone(src_path => '$main', " +
+      s"dst_path => '$branch2')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$branch2` WHERE id = 2")
+    spark.sql(s"CALL graft.system.add_constraint(path => '$main', " +
+      "name => 'id_cap', expr => 'id < 1000000', " +
+      "validate => false)").collect()
+    // main advanced? add_constraint is metadata-only (no epoch), so
+    // the base-epoch check alone would not catch it — the constraint
+    // ledger comparison must
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.publish(branch_path => '$branch2', " +
+        s"main_path => '$main')").collect()
+    }
+    assert(e2.getMessage.contains("constraints"), e2.getMessage)
+  }
+
   test("publish refuses a non-clone table") {
     val (main, other) = freshPair()
     build(main)
