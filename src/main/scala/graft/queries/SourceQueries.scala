@@ -440,6 +440,30 @@ object SourceQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** TOP-N pushdown (`SupportsPushDownTopN`): `ORDER BY key LIMIT 20`
+    * over a key-sorted arrow layout — split planning proves from
+    * per-batch footer stats which batches can hold a top-N row and
+    * drops the rest, so the petabyte version of this query reads a
+    * handful of record batches. The query REQUIRES the push to have
+    * been planned; the oracle is the plain ordered limit. */
+  def arrowTopnScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowtopn", dir)
+    graft.Fixtures.once(out) {
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        .repartition(1)
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.format("arrow").option("batchRows", 1024)
+        .mode("overwrite").save(out)
+    }
+    val df = spark.read.format("arrow").load(out)
+      .orderBy(col("o_orderkey")).limit(20)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    require(df.queryExecution.executedPlan.toString.contains("topN=["),
+      "arrow_topn_scan: the ORDER BY LIMIT was not pushed to the scan")
+    df
+  }
+
   /** Read-side schema evolution (`mergeSchema`): two write
     * generations of orders — the old one without o_orderstatus, the
     * new one with it — land in one directory; the merged read unions
@@ -481,6 +505,7 @@ object SourceQueries {
     "arrow_transform_prune" -> (arrowTransformPrune _),
     "csv_infer_agg" -> (csvInferAgg _),
     "federated_join" -> (federatedJoin _),
+    "arrow_topn_scan" -> (arrowTopnScan _),
     "orc_roundtrip_agg" -> (orcRoundtripAgg _),
     "xml_roundtrip_agg" -> (xmlRoundtripAgg _),
     "json_lines_agg" -> (jsonLinesAgg _),
@@ -559,6 +584,9 @@ object SourceQueries {
         | COUNT(*) AS n
         |FROM lineitem WHERE l_quantity >= 10.0
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "arrow_topn_scan" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_orderkey LIMIT 20""".stripMargin,
     "federated_join" ->
       """SELECT r_name, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

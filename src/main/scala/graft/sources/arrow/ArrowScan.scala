@@ -99,7 +99,8 @@ class ArrowScanBuilder(path: String, schema: StructType,
     endingEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private val footerIdx = new FooterIndex(path, epochAsOf, explicitFiles)
 
@@ -151,6 +152,33 @@ class ArrowScanBuilder(path: String, schema: StructType,
     else { limit = Some(l); true }
 
   override def isPartiallyPushed(): Boolean = true
+
+  private var topN: Option[(String, Boolean, Int)] = None
+
+  /** TOP-N pushdown, PARTIAL (Spark keeps its Sort+Limit above; the
+    * scan only prunes batches that PROVABLY hold no top-N row). Only a
+    * single-column ordering can ride the verified sorted layout; the
+    * actual soundness decision happens at split planning, where the
+    * sorted stamp and the per-batch stats live — accepting here merely
+    * records the request, and an unsorted layout simply prunes
+    * nothing. The 100 TB payoff: `ORDER BY k LIMIT 10` over a sorted
+    * petabyte reads a handful of record batches, not the table. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (pushed.nonEmpty || changeFeed || footerIdx.dvs.nonEmpty ||
+      orders.length != 1) return false
+    orders.head.expression match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        topN = Some((nr.fieldNames.head,
+          orders.head.direction ==
+            org.apache.spark.sql.connector.expressions.SortDirection
+              .ASCENDING, l))
+        true
+      case _ => false
+    }
+  }
 
   override def pruneColumns(required: StructType): Unit = {
     // Preserve file field order for stable reader ordinals. `_file` is
@@ -434,7 +462,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
       schema.fields.filter(f => filterRefs(f.name) && !have(f.name)))
     new ArrowScan(path, withRefs, pushed, pushedPart, partSchema,
       maxSplitBytes, footerIdx, limit, maxFilesPerTrigger,
-      ignoreChanges, changeFeed, startingEpoch, endingEpoch)
+      ignoreChanges, changeFeed, startingEpoch, endingEpoch, topN)
   }
 }
 
@@ -448,7 +476,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     ignoreChanges: Boolean = false,
     changeFeed: Boolean = false,
     startingEpoch: Option[Long] = None,
-    endingEpoch: Option[Long] = None)
+    endingEpoch: Option[Long] = None,
+    topN: Option[(String, Boolean, Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering with SupportsReportPartitioning
     with SupportsReportOrdering {
@@ -568,6 +597,8 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       s"partFilters=[${partFilters.mkString(",")}]" +
       bucketLayout.fold("") { case (c, n) => s" bucketed=[$c,$n]" } +
       limit.fold("")(l => s" limit=[$l]") +
+      topN.fold("")(t =>
+        s" topN=[${t._1} ${if (t._2) "asc" else "desc"} ${t._3}]") +
       sortedCol.fold("")(c => s" sorted=[$c]")
 
   /** Runtime (DPP-style) filters: Spark hands the build side's actual
@@ -772,7 +803,10 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       if (bucketed && sortedCol.isDefined) Long.MaxValue else maxSplitBytes
     var proven = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
-    val fileIt = survivingFiles.iterator
+    val sFiles = survivingFiles
+    // TOP-N pushdown: per-file allowed batch sets (None = no pruning)
+    val topAllowed = topNAllowed(sFiles)
+    val fileIt = sFiles.iterator
     while (fileIt.hasNext && proven < target) {
       val p = fileIt.next()
       val partVals: Array[String] =
@@ -802,13 +836,19 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
         out += ArrowFilePartition(p.toString, Array.empty, partVals,
           bucketId, dvFile = dvFile)
       } else {
-        val keep: Int => Boolean =
+        val filterKeep: Int => Boolean =
           if (filters.isEmpty) _ => true
           else zoneMap match {
             case Some(zm) if zm.batches.length == blocks.length =>
               idx => filters.forall(ZoneMaps.mayMatch(_, schema, zm, idx))
             case _ => _ => true
           }
+        val keep: Int => Boolean = topAllowed match {
+          case Some(m) =>
+            val bs = m.getOrElse(p.toString, null)
+            idx => filterKeep(idx) && (bs == null || bs.get(idx))
+          case None => filterKeep
+        }
         var current = scala.collection.mutable.ArrayBuffer.empty[Int]
         var bytes = 0L
         val it = blocks.zipWithIndex.iterator
@@ -832,6 +872,85 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       }
     }
     out.toArray
+  }
+
+  /** TOP-N batch selection (see the builder's pushTopN). Returns the
+    * per-file allowed batch sets, or None when pruning cannot engage.
+    * SOUNDNESS rests only on per-batch footer stats, never on layout:
+    * stat-KNOWN batches (min/max recorded, zero nulls, row count
+    * known) are sorted by their bound (min asc / max desc) and
+    * accumulated until their own row counts cover N — all N of those
+    * rows are then provably inside the accumulated bound T, so any
+    * stat-known batch strictly beyond T holds no top-N row. "Murky"
+    * batches (missing/unparsable stats, nulls present) are ALWAYS
+    * allowed and never counted toward the coverage proof. A sorted
+    * layout makes the cut surgical; an unsorted one just prunes less. */
+  private def topNAllowed(files: Seq[java.nio.file.Path])
+      : Option[Map[String, java.util.BitSet]] = {
+    val (col, asc, n) = topN.getOrElse(return None)
+    if (filters.nonEmpty || bucketLayout.isDefined) return None
+    val dt = schema.find(_.name == col).map(_.dataType)
+      .getOrElse(return None)
+    val kind = ZoneMaps.kindOf(dt)
+    if (kind == ZoneMaps.KindNone) return None
+    def key(s: String): AnyRef = kind match {
+      case ZoneMaps.KindLong => java.lang.Long.valueOf(s.toLong)
+      case ZoneMaps.KindDouble => java.lang.Double.valueOf(s.toDouble)
+      case _ => ZoneMaps.unescapeStat(s)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def cmp(a: AnyRef, b: AnyRef): Int = (a, b) match {
+      case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+      case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+      case (x: Array[Byte], y: Array[Byte]) => ZoneMaps.byteCmp(x, y)
+      case _ => 0
+    }
+    final case class Known(file: String, idx: Int, lo: AnyRef,
+      hi: AnyRef, rows: Long)
+    val murky = scala.collection.mutable.Map
+      .empty[String, java.util.BitSet]
+    val known = scala.collection.mutable.ArrayBuffer.empty[Known]
+    files.foreach { f =>
+      val info = footerIdx.info(f)
+      val bs = new java.util.BitSet()
+      murky(f.toString) = bs
+      val zm = info.zoneMap
+      val rs = info.rowStats
+      info.sizes.indices.foreach { i =>
+        val k = for {
+          z <- zm if z.batches.length == info.sizes.length
+          (mn, mx) <- z.stat(i, col)
+          r <- rs if r.batches.length == info.sizes.length
+          nulls <- r.nullCount(i, col) if nulls == 0L
+          lo <- scala.util.Try(key(mn)).toOption
+          hi <- scala.util.Try(key(mx)).toOption
+        } yield Known(f.toString, i, lo, hi, r.rowCount(i))
+        k match {
+          case Some(e) => known += e; ()
+          case None => bs.set(i)
+        }
+      }
+    }
+    // accumulate stat-known coverage toward N
+    val ordered = known.sortWith((a, b) =>
+      if (asc) cmp(a.lo, b.lo) < 0 else cmp(a.hi, b.hi) > 0)
+    var cum = 0L
+    var t: AnyRef = null
+    val it = ordered.iterator
+    while (it.hasNext && cum < n) {
+      val e = it.next()
+      cum += e.rows
+      t = if (t == null) (if (asc) e.hi else e.lo)
+      else if (asc) { if (cmp(e.hi, t) > 0) e.hi else t }
+      else { if (cmp(e.lo, t) < 0) e.lo else t }
+    }
+    if (cum < n || t == null) return None // cannot prove coverage
+    val out = murky
+    ordered.foreach { e =>
+      val in = if (asc) cmp(e.lo, t) <= 0 else cmp(e.hi, t) >= 0
+      if (in) out(e.file).set(e.idx)
+    }
+    Some(out.toMap)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
