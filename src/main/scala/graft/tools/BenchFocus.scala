@@ -110,6 +110,31 @@ object BenchFocus {
           l.stripPrefix("FOOTER_PROBE_SEC=").toDouble
       }.get
     }
+    // TOP-N pushdown claim: ORDER BY k LIMIT 10 over a SORTED ~sf1
+    // arrow layout (batch-sliver scan) vs the same data+layout in
+    // parquet (no top-n pushdown: full scan into TakeOrdered)
+    val sortedArrow = graft.Scratch.dir("sf1_arrow_sorted", sfDir)
+    val sortedParquet = graft.Scratch.dir("sf1_parquet_sorted", sfDir)
+    if (!new java.io.File(sortedArrow).exists()) {
+      val base = spark.read.parquet(s"$scaled/orders.parquet")
+        .repartitionByRange(32, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+      base.write.format("arrow").option("sortBy", "o_orderkey")
+        .mode("overwrite").save(sortedArrow)
+      base.write.mode("overwrite").parquet(sortedParquet)
+    }
+    def topn(df: org.apache.spark.sql.DataFrame): Double = time {
+      df.orderBy(col("o_orderkey")).limit(10)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val arrowDf = spark.read.format("arrow").load(sortedArrow)
+    val parquetDf = spark.read.parquet(sortedParquet)
+    val (aw1, aw2) = (topn(arrowDf), topn(arrowDf))
+    val (pw1, pw2) = (topn(parquetDf), topn(parquetDf))
+    out("topn_sorted_sf1") =
+      f"""{"arrow_pushed":${math.min(aw1, aw2)}%.3f,""" +
+        f""""parquet_full":${math.min(pw1, pw2)}%.3f}"""
+
     val withIdx = probe()
     val sidecar = java.nio.file.Paths.get(arrowDir)
       .resolve(graft.sources.arrow.FooterIndexFile.FileName)
