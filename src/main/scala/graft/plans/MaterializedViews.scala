@@ -92,12 +92,20 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
     }
 
   /** The arrow relation's normalized path, when `plan` is one (or a
-    * pure-attribute Project over one). */
+    * pure-attribute Project over one) reading the table's CURRENT
+    * state. A relation carrying time-travel, change-feed, or
+    * explicit-file options answers a DIFFERENT question than the
+    * maintained view — the rewrite must never touch it. */
   private def relationPath(plan: LogicalPlan): Option[String] = plan match {
     case Project(ps, inner) if ps.forall(_.isInstanceOf[AttributeReference]) =>
       relationPath(inner)
     case r: DataSourceV2Relation =>
-      Option(r.table.name).filter(_.startsWith("arrow:"))
+      val opts = r.options
+      val nonCurrent = Seq("epochAsOf", "timestampAsOf", "readChangeFeed",
+        "files", "startingEpoch", "endingEpoch", "startingTimestamp",
+        "endingTimestamp").exists(k => opts.containsKey(k))
+      if (nonCurrent) None
+      else Option(r.table.name).filter(_.startsWith("arrow:"))
         .map(n => java.nio.file.Paths.get(n.stripPrefix("arrow:"))
           .toAbsolutePath.normalize.toString)
     case _ => None
@@ -205,14 +213,19 @@ object RewriteToMaterializedView extends Rule[LogicalPlan] {
 
     val newGroups: Seq[Expression] = groupAttrs.map(a => vcol(a.name))
     if (newGroups.contains(null)) return None
+    // group keys keep their original nullability: a nullable group key
+    // really can be NULL in the view (NULL groups are maintained), so
+    // KnownNotNull only when the source attribute proved non-null
+    def groupOut(a: AttributeReference): Expression =
+      if (a.nullable) vcol(a.name) else KnownNotNull(vcol(a.name))
     val out = aggExprs.map {
       case a: AttributeReference if a.name != "n" &&
           e.groupCols.contains(a.name) =>
-        Alias(KnownNotNull(vcol(a.name)), a.name)(exprId = a.exprId,
+        Alias(groupOut(a), a.name)(exprId = a.exprId,
           qualifier = a.qualifier)
       case al @ Alias(a: AttributeReference, _)
           if e.groupCols.contains(a.name) =>
-        Alias(KnownNotNull(vcol(a.name)), al.name)(exprId = al.exprId,
+        Alias(groupOut(a), al.name)(exprId = al.exprId,
           qualifier = al.qualifier)
       case al @ Alias(AggregateExpression(
           Count(Seq(Literal(1, _))), _, false, None, _), _) =>

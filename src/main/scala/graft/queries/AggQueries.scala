@@ -277,7 +277,11 @@ object AggQueries {
       .select(explode(split(col("text"), " ")).as("token"))
     val cands = toks.stat.freqItems(Seq("token"), 0.03)
       .head().getSeq[String](0)
-    val n = toks.count()
+    // total tokens WITHOUT another explode pass: size(split) per doc,
+    // a narrow aggregate — at corpus scale this is the difference
+    // between two and three full explode passes per run
+    val n = Tables.documents(spark, dir)
+      .agg(sum(size(split(col("text"), " ")))).head().getLong(0)
     toks.filter(col("token").isin(cands: _*))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("cnt"))

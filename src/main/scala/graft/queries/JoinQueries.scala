@@ -4,7 +4,6 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{bridge => graft_bridge}
 
 /** Join surface (SURVEY.md §2b "Joins"): equi inner/outer/semi/anti,
   * broadcast, theta, cross, interval, as-of.
@@ -216,19 +215,7 @@ object JoinQueries {
     // pay the same build pass), then the sketch build
     val expected = math.max(dim.count(), 64L)
     val bf = dim.stat.bloomFilter("c_custkey", expected, 0.01)
-    // The probe-side test is the native BloomFilterMightContain
-    // expression (what InjectRuntimeFilter plants), NOT a Scala UDF:
-    // it stays inside whole-stage codegen and the serialized sketch
-    // ships once as a literal instead of per-task via a closure.
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val might = graft_bridge.column(BloomFilterMightContain(
-      Literal(bytes, org.apache.spark.sql.types.BinaryType),
-      graft_bridge.expression(spark, col("o_custkey"))))
+    val might = bloomMightContain(spark, bf, col("o_custkey"))
     Tables.orders(spark, dir)
       .filter(might)
       .join(dim, col("o_custkey") === col("c_custkey"))

@@ -5,7 +5,6 @@ import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.{bridge => graft_bridge}
 
 /** Training-data pipeline operators beyond per-pair dedup (SURVEY.md §2b
   * LLM-pipeline extensions): duplicate-cluster resolution (connected
@@ -149,15 +148,7 @@ object PipelineQueries {
       .select(xxhash64(col("shingle")).as("h")).distinct()
     val expected = math.max(benchHashes.count(), 64L)
     val bf = benchHashes.stat.bloomFilter("h", expected, 0.01)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bf.writeTo(bos)
-      bos.toByteArray
-    }
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    val might = graft_bridge.column(BloomFilterMightContain(
-      Literal(bytes, org.apache.spark.sql.types.BinaryType),
-      graft_bridge.expression(spark, xxhash64(col("shingle")))))
+    val might = bloomMightContain(spark, bf, xxhash64(col("shingle")))
     val train = sh.filter(col("source") =!= "src0")
       .select(col("doc_id").as("train_id"), col("shingle"))
       .filter(might)
@@ -183,7 +174,11 @@ object PipelineQueries {
     val Buckets = 16L
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_bytes"))
-    val maxId = d.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val maxRow = d.agg(max(col("doc_id"))).collect()(0)
+    if (maxRow.isNullAt(0)) // empty corpus: empty shard plan
+      return d.select(col("doc_id"), col("n_bytes"),
+        lit(0L).as("shard_id")).limit(0)
+    val maxId = maxRow.getLong(0)
     val span = maxId / Buckets + 1L
     val bucketed = d.withColumn("bkt", expr(s"doc_id div $span"))
     val totals = bucketed.groupBy(col("bkt"))

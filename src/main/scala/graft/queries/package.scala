@@ -46,4 +46,22 @@ package object queries {
   def fanOut(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** The native `might_contain` probe over a driver-built Bloom
+    * sketch — what InjectRuntimeFilter plants, NOT a Scala UDF: it
+    * stays inside whole-stage codegen and the serialized sketch ships
+    * once as a plan literal instead of per-task via a closure. Shared
+    * by the runtime-filter join (`join_bloom_prefilter`) and the
+    * decontamination prefilter (`text_decontam_bloom`). */
+  def bloomMightContain(spark: org.apache.spark.sql.SparkSession,
+      bf: org.apache.spark.util.sketch.BloomFilter,
+      probe: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    org.apache.spark.sql.graft.bridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.bridge.expression(spark, probe)))
+  }
 }

@@ -97,17 +97,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     // by-name reader. Every footer must still be a name+type SUBSET of
     // the declaration — real type drift stays a loud error.
     ArrowDataSource.declaredSchema(sidecarRoot).foreach { ds =>
-      // tolerated history: dropped names (any type — they are never
-      // served) and every pre-rename physical AT the logical's type
-      // (it IS served, under the new name)
-      val aliasTyped = ArrowDataSource.aliasColumns(sidecarRoot)
-        .flatMap { case (logical, physicals) =>
-          ds.fields.find(_.name == logical).toSeq
-            .flatMap(f => physicals.map(p => (p, f.dataType)))
-        }.toSet
-      val declared = ds.fields.map(f => (f.name, f.dataType)).toSet ++
-        aliasTyped
-      val dropped = ArrowDataSource.droppedColumns(sidecarRoot)
+      val (declared, dropped) =
+        ArrowDataSource.toleratedFooterFields(sidecarRoot, ds)
       val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
       files.asJava.parallelStream().forEach { f =>
         if (bad.get() == null) {
@@ -1293,6 +1284,24 @@ object ArrowDataSource {
       }
       (dropped.result(), aliases.result())
     }
+  }
+
+  /** What a footer may legitimately carry on a declared-schema table:
+    * the (name, type) pairs of the declaration plus each pre-rename
+    * physical AT ITS LOGICAL'S TYPE (it is served under the new name,
+    * so a type mismatch would misread), and the dropped-name set (any
+    * type — dropped columns are never served). ONE definition shared
+    * by schema inference's drift sweep and fsck, so the two can never
+    * diverge on what counts as drift. */
+  def toleratedFooterFields(root: Path,
+      ds: org.apache.spark.sql.types.StructType)
+      : (Set[(String, org.apache.spark.sql.types.DataType)], Set[String]) = {
+    val aliasTyped = aliasColumns(root).flatMap { case (logical, physicals) =>
+      ds.fields.find(_.name == logical).toSeq
+        .flatMap(f => physicals.map(p => (p, f.dataType)))
+    }.toSet
+    (ds.fields.map(f => (f.name, f.dataType)).toSet ++ aliasTyped,
+      droppedColumns(root))
   }
 
   def setDeclaredSchema(root: Path,

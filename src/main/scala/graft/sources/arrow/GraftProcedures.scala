@@ -577,6 +577,12 @@ object GraftProcedures {
             "since the branch was cloned; re-clone and re-apply " +
             "(publish never merges divergent histories)")
       var bytesMoved = 0L
+      // every move is journaled so a lost commit race can UNDO it —
+      // a refused publish must leave the BRANCH intact too (its log
+      // still references these files), not strand the staged state as
+      // vacuumable orphans under main
+      val moved = scala.collection.mutable.ArrayBuffer
+        .empty[(Path, Path)]
       def intoMain(abs: Path): Path =
         if (abs.startsWith(mainRoot)) abs
         else {
@@ -584,6 +590,7 @@ object GraftProcedures {
           Files.createDirectories(dst.getParent)
           bytesMoved += Files.size(abs)
           Files.move(abs, dst)
+          moved += ((abs, dst))
           dst
         }
       val landed = files.map(f => f -> intoMain(f)).toMap
@@ -602,8 +609,20 @@ object GraftProcedures {
         .filterNot(p => mainVisible(Paths.get(p)))
       val removes = (mainVisible -- landed.values.toSet)
         .toSeq.map(_.toString)
-      val epoch = ArrowDataSource.commitTableEpoch(main, baseEpoch,
-        adds.sorted, removes.sorted, dvs = dvLanded.sortBy(_._1))
+      val epoch =
+        try ArrowDataSource.commitTableEpoch(main, baseEpoch,
+          adds.sorted, removes.sorted, dvs = dvLanded.sortBy(_._1))
+        catch {
+          case t: Throwable =>
+            // lost the epoch race in the move-to-commit window: move
+            // everything back so the branch stays readable and main
+            // holds no orphans — a refused publish costs NOTHING
+            moved.reverseIterator.foreach { case (src, dst) =>
+              try { Files.move(dst, src); () }
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+            throw t
+        }
       // moved files' footer stats ride the epoch's sidecar fragment so
       // main keeps one-metadata-read planning
       if (adds.nonEmpty)
@@ -638,13 +657,7 @@ object GraftProcedures {
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
       val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(ddl)
-      val current = ArrowDataSource.declaredSchema(root).getOrElse {
-        val files = ArrowDataSource.visibleIpcFiles(path)
-        require(files.nonEmpty,
-          s"add_column: no visible files under $path to infer the " +
-            "current schema from")
-        ArrowDataSource.readFooterSchema(files.head)
-      }
+      val current = currentDataSchema(path, root, "add_column")
       val partCols =
         ArrowDataSource.discoverPartitionCols(root.toString).toSet
       require(!current.fieldNames.contains(colName) &&
@@ -680,13 +693,7 @@ object GraftProcedures {
       val colName = input.getUTF8String(1).toString
       val root = ArrowDataSource.sinkRoot(path)
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
-      val current = ArrowDataSource.declaredSchema(root).getOrElse {
-        val files = ArrowDataSource.visibleIpcFiles(path)
-        require(files.nonEmpty,
-          s"drop_column: no visible files under $path to infer the " +
-            "current schema from")
-        ArrowDataSource.readFooterSchema(files.head)
-      }
+      val current = currentDataSchema(path, root, "drop_column")
       require(current.fieldNames.contains(colName),
         s"drop_column: no column $colName on $path")
       require(current.fields.length > 1,
@@ -705,6 +712,25 @@ object GraftProcedures {
         current.fields.length - 1L))))
     }
   }
+
+  /** The data schema a schema-evolution procedure evolves FROM: the
+    * declared schema when present, else the mergeSchema UNION of every
+    * footer — never a single file's footer, which on a mixed-generation
+    * (mergeSchema-read) directory would declare a PARTIAL schema and
+    * brick every subsequent read on the drift sweep. */
+  private def currentDataSchema(path: String, root: Path,
+      proc: String): StructType =
+    ArrowDataSource.declaredSchema(root).getOrElse {
+      require(ArrowDataSource.visibleIpcFiles(path).nonEmpty,
+        s"$proc: no visible files under $path to infer the current " +
+          "schema from")
+      val full = org.apache.spark.sql.SparkSession.active
+        .read.format("arrow").option("mergeSchema", "true")
+        .load(path).schema
+      val partCols =
+        ArrowDataSource.discoverPartitionCols(root.toString).toSet
+      StructType(full.fields.filterNot(f => partCols(f.name)))
+    }
 
   /** A CHECK constraint referencing a column pins its name: renaming
     * or dropping the column would make every later write fail at
@@ -746,13 +772,7 @@ object GraftProcedures {
       val newName = input.getUTF8String(2).toString
       val root = ArrowDataSource.sinkRoot(path)
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
-      val current = ArrowDataSource.declaredSchema(root).getOrElse {
-        val files = ArrowDataSource.visibleIpcFiles(path)
-        require(files.nonEmpty,
-          s"rename_column: no visible files under $path to infer the " +
-            "current schema from")
-        ArrowDataSource.readFooterSchema(files.head)
-      }
+      val current = currentDataSchema(path, root, "rename_column")
       require(current.fieldNames.contains(oldName),
         s"rename_column: no column $oldName on $path")
       val partCols =
@@ -947,12 +967,10 @@ object GraftProcedures {
       // ledgers applied) or the first footer
       ArrowDataSource.declaredSchema(root) match {
         case Some(ds) =>
-          val dropped = ArrowDataSource.droppedColumns(root)
-          val aliasOk = ArrowDataSource.aliasColumns(root)
-            .flatMap { case (l, ps) => ds.fields.find(_.name == l).toSeq
-              .flatMap(fl => ps.map(p => (p, fl.dataType))) }.toSet
-          val declared = ds.fields.map(f => (f.name, f.dataType)).toSet ++
-            aliasOk
+          // same tolerance set the reader's drift sweep uses — fsck
+          // and inference can never diverge on what counts as drift
+          val (declared, dropped) =
+            ArrowDataSource.toleratedFooterFields(root, ds)
           schemas.foreach { case (f, s) =>
             s.fields.filterNot(g => declared((g.name, g.dataType)) ||
               dropped(g.name)).foreach(g =>

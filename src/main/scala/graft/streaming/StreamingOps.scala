@@ -53,39 +53,17 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
-  /** Stream-stream interval join: each purchase matched to the same
-    * user's clicks in the preceding hour. Both sides carry watermarks
-    * and the join condition time-bounds the match, so Spark can evict
-    * click state once the watermark passes click-ts + 1h — without the
-    * bound, the click side's state grows with the whole stream. Works
-    * identically on batch inputs (the spec's oracle). */
-  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
-      : DataFrame = {
-    val c = clicks.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-    val p = purchases.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"))
-    p.join(c,
-      col("c_user") === col("p_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
-      .select(col("purchase_id"), col("click_id"),
-        col("p_user").as("user_id"))
-  }
-
-  /** LEFT OUTER stream-stream interval join: every purchase emits — once
-    * per same-user click in the preceding hour, or once with a NULL
-    * click_id. Outer emission is WATERMARK-DRIVEN: the null row for an
-    * unmatched purchase is released only after the watermark proves no
-    * matching click can still arrive (purchase-ts + delay passed), which
-    * is exactly what keeps it correct — emitting earlier could require a
-    * retraction append mode cannot express — and lets the state store
-    * evict both sides on the same time bound as the inner join. On batch
-    * inputs this is a plain left outer join (the declared oracle). */
-  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame)
-      : DataFrame = {
+  /** The shared stream-stream interval-join body: each purchase
+    * matched to the same user's clicks in the preceding hour. Both
+    * sides carry watermarks and the join condition time-bounds the
+    * match, so Spark can evict click state once the watermark passes
+    * click-ts + 1h — without the bound, the click side's state grows
+    * with the whole stream. The coalesce on user_id is a no-op for
+    * inner/left (the purchase side is always present there) and the
+    * correct fill for full outer. Works identically on batch inputs
+    * (each variant's declared oracle). */
+  private def clickPurchaseJoinOf(joinType: String)(
+      clicks: DataFrame, purchases: DataFrame): DataFrame = {
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))
@@ -96,32 +74,31 @@ object StreamingOps {
       col("c_user") === col("p_user") &&
         col("c_ts") <= col("p_ts") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
-      "left_outer")
-      .select(col("purchase_id"), col("click_id"),
-        col("p_user").as("user_id"))
-  }
-
-  /** FULL OUTER stream-stream interval join: both unmatched purchases
-    * AND unmatched clicks emit null-padded once the watermark closes
-    * their join window — the audit shape ("every click and every
-    * purchase, matched where possible"). Same eviction bound as the
-    * inner/left variants. */
-  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame)
-      : DataFrame = {
-    val c = clicks.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
-        col("ts").as("c_ts"))
-    val p = purchases.withWatermark("ts", "10 minutes")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user"), col("ts").as("p_ts"))
-    p.join(c,
-      col("c_user") === col("p_user") &&
-        col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
-      "full_outer")
+      joinType)
       .select(col("purchase_id"), col("click_id"),
         coalesce(col("p_user"), col("c_user")).as("user_id"))
   }
+
+  /** Inner stream-stream interval join (see [[clickPurchaseJoinOf]]). */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = clickPurchaseJoinOf("inner")(clicks, purchases)
+
+  /** LEFT OUTER variant: every purchase emits — once per matching
+    * click, or once with a NULL click_id. Outer emission is
+    * WATERMARK-DRIVEN: the null row is released only after the
+    * watermark proves no matching click can still arrive (emitting
+    * earlier could require a retraction append mode cannot express),
+    * and the state store evicts on the same time bound as the inner
+    * join. */
+  def clickPurchaseLeftJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = clickPurchaseJoinOf("left_outer")(clicks, purchases)
+
+  /** FULL OUTER variant: both unmatched purchases AND unmatched clicks
+    * emit null-padded once the watermark closes their join window —
+    * the audit shape ("every click and every purchase, matched where
+    * possible"). */
+  def clickPurchaseFullJoin(clicks: DataFrame, purchases: DataFrame)
+      : DataFrame = clickPurchaseJoinOf("full_outer")(clicks, purchases)
 
   /** Stream-static dimension enrichment: events joined to a static
     * customer dimension, rolled up per nation. The static side is

@@ -127,6 +127,52 @@ class MvRewriteSpec extends AnyFunSuite {
     } finally MaterializedViews.clear()
   }
 
+  test("time-travel and change-feed aggregates are NEVER answered by " +
+      "the view; NULL group keys survive the rollup rewrite") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("mvtt_src").toString
+    val view = Files.createTempDirectory("mvtt_view").toString
+    val ckpt = Files.createTempDirectory("mvtt_ckpt").toString
+    try {
+      // grp has a genuine NULL group; the finer view keys on (grp, pg)
+      (1L to 60L).map(i =>
+          (i, if (i % 5 == 0) null else "g" + (i % 2), "p" + (i % 2), i))
+        .toDF("id", "grp", "pg", "amt")
+        .write.format("arrow").mode("overwrite").save(src)
+      ArrowDataSource.initTableLog(src)
+      spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE id > 50") // epoch 1
+      MaterializedViews.refreshAndRegister(spark, src, view,
+        groupCols = Seq("grp", "pg"), sums = Seq(("amt", "sum_amt")),
+        checkpoint = ckpt)
+      // current-state rollup: rewritten, NULL group intact
+      val byGrp = spark.read.format("arrow").load(src)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("cnt"), sum(col("amt")).as("s"))
+      assert(usesView(byGrp, view))
+      val got = byGrp.collect().map(r =>
+        (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+        .toMap
+      assert(got(null) == (1L to 50L).count(_ % 5 == 0),
+        s"NULL group corrupted by the rewrite: $got")
+      assert(got.values.sum == 50L)
+      // a TIME-TRAVEL aggregate answers from the historical snapshot,
+      // never the (current-state) view
+      val old = spark.read.format("arrow")
+        .option("epochAsOf", "0").load(src)
+        .agg(count(lit(1)).as("cnt"))
+      assert(!usesView(old, view),
+        "epochAsOf aggregate was answered by the current-state view")
+      assert(old.head.getLong(0) == 60L)
+      // a CHANGE-FEED aggregate is a different multiset entirely
+      val feed = spark.read.format("arrow")
+        .option("readChangeFeed", "true").option("startingEpoch", "0")
+        .load(src)
+        .groupBy(col("grp")).agg(count(lit(1)).as("cnt"))
+      assert(!usesView(feed, view),
+        "change-feed aggregate was answered by the table-state view")
+    } finally MaterializedViews.clear()
+  }
+
   test("coarser groupings ROLL UP from the view, including the global " +
       "aggregate; a superset grouping falls through") {
     import spark.implicits._
