@@ -97,11 +97,20 @@ object WapRace {
                 t.isInstanceOf[java.util.ConcurrentModificationException] ||
                   String.valueOf(t.getMessage).contains("re-clone")) =>
           refused += 1
-          // a refused publish must leave the staged slice intact
+          // a refused publish must leave the staged slice intact on
+          // main AND the branch fully readable (the move rollback
+          // restored its files)
           val still = spark.read.format("arrow").load(main)
             .filter(col("id") >= lo && col("id") < lo + 20).count()
           require(still == 20,
             s"round $k: refused publish mutated main (slice=$still)")
+          val branchRows = spark.read.format("arrow").load(branch).count()
+          require(branchRows > 0 &&
+            spark.read.format("arrow").load(branch)
+              .filter(col("id") >= lo && col("id") < lo + 20)
+              .count() == 0,
+            s"round $k: refused publish broke the branch " +
+              s"(rows=$branchRows)")
       }
     }
     val childOut = new String(child.getInputStream.readAllBytes, "UTF-8")
