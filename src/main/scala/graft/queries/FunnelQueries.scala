@@ -91,12 +91,73 @@ object FunnelQueries {
       .orderBy(col("n_sessions"))
   }
 
+  /** LAST-TOUCH channel attribution — marketing analytics' workhorse:
+    * each purchase's value credits the channel of the user's most
+    * recent click within the preceding hour, else 'direct'. Channel is
+    * a deterministic function of the click id (id mod 3), so the whole
+    * pipeline restates in SQL. The join-free union-and-carry shape
+    * (tag both event kinds, ONE per-user ordered pass carrying the
+    * last click's ts and id forward) is linear in events per user —
+    * the purchase×clicks join it replaces is quadratic in the hot
+    * users a 100 TB clickstream always has. */
+  def eventsAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .currentRow)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+      .withColumn("lc_ts",
+        max(when(col("tag") === 0, col("ts"))).over(w))
+      .withColumn("lc_id",
+        last(when(col("tag") === 0, col("event_id")), ignoreNulls = true)
+          .over(w))
+      .filter(col("tag") === 1)
+      .withColumn("channel",
+        when(col("lc_ts").isNotNull &&
+          col("lc_ts") >= col("ts") - expr("INTERVAL 1 HOUR"),
+          element_at(array(lit("search"), lit("social"), lit("email")),
+            (pmod(col("lc_id"), lit(3)) + 1).cast("int")))
+          .otherwise(lit("direct")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        dsum(col("value")).as("attributed_value"))
+      .orderBy(col("channel"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "events_attribution" -> (eventsAttribution _),
     "events_funnel" -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+        |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
+        | FROM events WHERE event_type IN ('click', 'purchase')),
+        |c AS (SELECT *,
+        |  max(CASE WHEN tag = 0 THEN ts END) OVER w AS lc_ts,
+        |  last_value(CASE WHEN tag = 0 THEN event_id END IGNORE NULLS)
+        |    OVER w AS lc_id
+        | FROM e
+        | WINDOW w AS (PARTITION BY user_id
+        |   ORDER BY ts, tag, event_id ROWS UNBOUNDED PRECEDING)),
+        |p AS (SELECT value,
+        |  CASE WHEN lc_ts IS NOT NULL
+        |    AND lc_ts >= ts - INTERVAL 1 HOUR THEN
+        |    CASE CAST(lc_id % 3 AS INT) WHEN 0 THEN 'search'
+        |      WHEN 1 THEN 'social' ELSE 'email' END
+        |  ELSE 'direct' END AS channel
+        | FROM c WHERE tag = 1)
+        |SELECT channel, COUNT(*) AS n_purchases,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS attributed_value
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "events_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id,
