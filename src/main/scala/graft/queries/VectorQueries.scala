@@ -464,6 +464,40 @@ object VectorQueries {
     ivfProbeIndexed(spark, cellScores, index)
   }
 
+  /** Semantic (embedding-space) dedup — the SemDeDup shape: cluster
+    * the corpus into the fitted IVF cells, then find near-duplicates
+    * ONLY within a cell. A document is reported (as a drop candidate)
+    * iff an EARLIER same-cell document's cosine is ≥ 0.4 against it;
+    * `kept_by` is the lowest-id such near-dup (chains of drops resolve
+    * to a kept representative by induction on id). This is the scale
+    * path the guarded O(N²) `sim_cosine_neardup` points at: candidate
+    * pairs are bounded by Σ|cell|²/2 ≈ N²/(2k) instead of N²/2, and at
+    * 100 TB the assignment persists as the cell-partitioned layout
+    * (`sim_ann_ivf_indexed`) so each cell's pair generation is local
+    * to its own partition — no corpus-wide shuffle. Hash-gated: the
+    * fitted centroids restate as SQL literals (the IVF oracle move),
+    * and everything downstream — assignment, intra-cell pairing,
+    * cosine, the ≥ 0.4 cut — re-derives exactly in DuckDB. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val assigned = ivfAssign(ivfCellScores(spark, dir))
+    val a = assigned.select(col("vec_id").as("d1"),
+      col("embedding").as("v1"), col("nsq").as("nsq1"), col("cell"))
+    val b = assigned.select(col("vec_id").as("d2"),
+      col("embedding").as("v2"), col("nsq").as("nsq2"),
+      col("cell").as("cell2"))
+    a.join(b, col("cell") === col("cell2") && col("d2") < col("d1"))
+      .select(col("d1"), col("cell"), col("d2"),
+        round(expr("graft_dot(v1, v2)") /
+          sqrt(col("nsq1") * col("nsq2")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+      .groupBy(col("d1"), col("cell"))
+      .agg(min(col("d2")).as("kept_by"), max(col("cos")).as("max_cos"),
+        count(lit(1)).as("n_dups"))
+      .select(col("d1").as("vec_id"), col("cell"), col("kept_by"),
+        col("max_cos"), col("n_dups"))
+      .orderBy(col("vec_id"))
+  }
+
   /** The typed [[graft.functions.VectorMeanAgg]] Aggregator on the
     * declared (oracle-checked) surface: single-pass per-label centroid,
     * first three dimensions exposed as scalars. The oracle recomputes
@@ -493,6 +527,7 @@ object VectorQueries {
     "sim_ann_ivf_indexed" -> (annIvfIndexed _),
     "sim_ann_ivf_incremental" -> (annIvfIncremental _),
     "sim_ann_ivf_delete" -> (annIvfDelete _),
+    "dedup_semantic" -> (semanticDedup _),
     "sim_centroids" -> (centroids _),
     "sim_hybrid_search" -> (hybridSearch _),
     "vec_quantize_int8" -> (vectorQuantize _),
@@ -627,10 +662,50 @@ object VectorQueries {
          |ORDER BY qid, rn""".stripMargin
     }
 
+  /** Oracle for [[semanticDedup]] — the IVF assignment CTEs verbatim,
+    * then the intra-cell (earlier-id) self-join, cosine, ≥ 0.4 cut,
+    * and the per-dropped-doc rollup. */
+  private def semanticDedupSql: Option[String] =
+    fittedCentroids.map { cents =>
+      s"""WITH c(cell, cv) AS (VALUES
+         |  ${centroidSqlValues(cents)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |scores AS (
+         | SELECT e.vec_id, c.cell,
+         |  SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[i] AS DOUBLE)*c.cv[i]) AS score
+         | FROM e, c, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, c.cell),
+         |assigned AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM scores) WHERE rnc = 1),
+         |v AS (SELECT a.vec_id, a.cell, e.embedding AS v
+         |  FROM assigned a JOIN e ON e.vec_id = a.vec_id),
+         |pairs AS (
+         | SELECT x.vec_id AS d1, x.cell AS cell, y.vec_id AS d2,
+         |  round(SUM(CAST(x.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE)) /
+         |    sqrt(SUM(CAST(x.v[i] AS DOUBLE) * CAST(x.v[i] AS DOUBLE))
+         |       * SUM(CAST(y.v[i] AS DOUBLE) * CAST(y.v[i] AS DOUBLE))),
+         |    6) AS cos
+         | FROM v x JOIN v y
+         |   ON y.cell = x.cell AND y.vec_id < x.vec_id,
+         |  UNNEST(range(1, len(x.v) + 1)) AS r(i)
+         | GROUP BY x.vec_id, x.cell, y.vec_id)
+         |SELECT d1 AS vec_id, cell, MIN(d2) AS kept_by,
+         | MAX(cos) AS max_cos, COUNT(*) AS n_dups
+         |FROM pairs WHERE cos >= 0.4
+         |GROUP BY d1, cell ORDER BY vec_id""".stripMargin
+    }
+
   /** A def, not a val: the IVF entries join the map only after the fit
     * has run (SparkEntry.oracleSql is assembled at dump time). */
   def sql: Map[String, String] =
     baseSql ++
+      semanticDedupSql.map(s => Map("dedup_semantic" -> s))
+        .getOrElse(Map.empty) ++
       ivfSql(1).map(s => Map(
         "sim_ann_ivf" -> s,
         // the indexed/incremental variants' contract IS

@@ -40,6 +40,32 @@ class DedupSimSpec extends AnyFunSuite {
     assert(VectorQueries.cosineNearDup(spark, TestSession.Sf).count() > 0)
   }
 
+  test("semantic dedup reports only true near-dups of the exact " +
+      "baseline, bounded by the cell cut") {
+    // brute-force ground truth: all cos>=0.4 pairs (d1 < d2)
+    val brute = VectorQueries.cosineNearDup(spark, TestSession.Sf)
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val sem = VectorQueries.semanticDedup(spark, TestSession.Sf).collect()
+    assert(sem.nonEmpty, "fixture should contain same-cell near-dups")
+    sem.foreach { r =>
+      val v = r.getAs[Long]("vec_id")
+      val kept = r.getAs[Long]("kept_by")
+      val maxCos = r.getAs[Double]("max_cos")
+      val nDups = r.getAs[Long]("n_dups")
+      // the canonical representative must be a genuine near-dup
+      assert(brute.contains((kept, v)),
+        s"kept_by ($kept,$v) is not a brute-force near-dup")
+      // earlier near-dups of v in the full (uncut) pair set
+      val earlier = brute.collect { case ((a, b), c) if b == v => (a, c) }
+      // the cell cut can only REMOVE candidates, never invent them
+      assert(nDups <= earlier.size,
+        s"doc $v: $nDups in-cell dups > ${earlier.size} total near-dups")
+      assert(maxCos <= earlier.values.max + 1e-9,
+        s"doc $v: in-cell max_cos $maxCos exceeds global max")
+    }
+  }
+
   test("simhash flags pairs that exact Jaccard also flags") {
     val sim = DedupQueries.simhashDedup(spark, TestSession.Sf)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
