@@ -38,6 +38,7 @@ object SparkEntry {
     (ReshapeQueries.defs, () => ReshapeQueries.sql),
     (PipelineQueries.defs, () => PipelineQueries.sql),
     (TimeseriesQueries.defs, () => TimeseriesQueries.sql),
+    (GraphQueries.defs, () => GraphQueries.sql),
     (FunnelQueries.defs, () => FunnelQueries.sql),
     (StorageQueries.defs, () => StorageQueries.sql),
     (graft.multimodal.Multimodal.defs,

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Graph analytics over the order graph (SURVEY.md §2b): PageRank —
+  * the link-analysis score a web-scale training-data pipeline uses to
+  * prioritize crawl/corpus sources by importance. The graph is the
+  * customer↔supplier bipartite relation (an edge per distinct
+  * (customer, supplier) trading pair, symmetrized), which at TPC-H
+  * scale has the same power-law-ish degree shape a host-link graph
+  * has.
+  *
+  * Scale design (100 TB): this is the canonical Pregel-on-DataFrames
+  * iteration — edges are weighted ONCE (w = 1/outdeg), repartitioned
+  * on src and persisted, and each of the fixed iterations is one
+  * shuffle: rank joins the edge partitioning, contributions hash-
+  * aggregate on dst. Iteration count is a constant of the operator
+  * (3), so the whole computation is a static 3-stage plan — no
+  * driver-side convergence loop, no lineage growth. Rank sums use the
+  * repo-wide exact-decimal-sum pattern ([[graft.queries.dsum]] note):
+  * contributions cast to DECIMAL(38,18) before SUM, so partition
+  * order never moves a ulp and the query hash-matches DuckDB.
+  */
+object GraphQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** PageRank (damping 0.85, 3 iterations) over the symmetrized
+    * customer↔supplier graph. Customer nodes are offset by 1,000,000
+    * to disjoin the key spaces. Emits every node's rank (rounded to
+    * 6dp) in node order — the full rank vector, so the oracle match
+    * covers every node, not a top-k slice. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") + lit(1000000L)).as("c"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey").cast("long").as("s"))
+    val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("c"), col("s")).distinct()
+    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // n is index metadata (one scalar), not data — same footing as the
+    // IVF centroids: collected once, re-broadcast as a plan literal.
+    val n = deg.count().toDouble
+    // weight each edge once; repartition on src so every iteration's
+    // rank join lands on a stable co-located layout
+    val w = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      .repartition(col("src"))
+      .persist()
+    var r = deg.select(col("src").as("node"),
+      (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 0 until 3) {
+      r = w.join(r, col("src") === col("node"))
+        .select(col("dst"),
+          (col("w") * col("r")).cast(DecimalType(38, 18)).as("contrib"))
+        .groupBy(col("dst"))
+        .agg((lit(0.15) / lit(n) + lit(0.85) *
+          sum(col("contrib")).cast(DoubleType)).as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    r.select(col("node"), round(col("r"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  val defs: Map[String, Q] = Map(
+    "graph_pagerank" -> (pageRank _))
+
+  /** One unrolled rank iteration as a DuckDB CTE body. */
+  private def iterSql(prev: String, out: String): String =
+    s"""$out AS (
+       | SELECT w.dst AS node,
+       |  0.15/(SELECT n FROM n) + 0.85*CAST(
+       |    SUM(CAST(w.w * $prev.r AS DECIMAL(38,18))) AS DOUBLE) AS r
+       | FROM w JOIN $prev ON w.src = $prev.node
+       | GROUP BY w.dst)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "graph_pagerank" ->
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey + 1000000 AS c,
+         |   CAST(l_suppkey AS BIGINT) AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM e0
+         |      UNION ALL SELECT s AS src, c AS dst FROM e0),
+         |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg),
+         |w AS (SELECT e.src, e.dst, 1.0/deg.d AS w
+         |  FROM e JOIN deg ON e.src = deg.src),
+         |r0 AS (SELECT src AS node, 1.0/(SELECT n FROM n) AS r FROM deg),
+         |${iterSql("r0", "r1")},
+         |${iterSql("r1", "r2")},
+         |${iterSql("r2", "r3")}
+         |SELECT node, round(r, 6) AS rank FROM r3
+         |ORDER BY node""".stripMargin)
+}
