@@ -85,6 +85,31 @@ object PipelineQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/eval split: an 80/20 document split where
+    * near-duplicates NEVER straddle the boundary — the split key is
+    * the dup-cluster representative ([[dedupCluster]]'s min-label
+    * component id, the doc's own id when unclustered), hashed with
+    * the repo's engine-independent multiplicative hash. Splitting on
+    * the raw doc id leaks eval content into training whenever a
+    * near-copy lands on the other side; splitting on the component
+    * id closes that by construction. At 100 TB this is the same two
+    * shuffles the cluster pass already costs plus one hash-join of
+    * the (small) cluster map back to the corpus — the hash itself is
+    * a pushdown-friendly integer filter, reproducible in any engine. */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupCluster(spark, dir)
+      .select(col("doc_id"), col("cluster_rep"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
+      .withColumn("split",
+        when(col("rep") * 2654435761L % 4294967296L % 10 < 8,
+          lit("train")).otherwise(lit("eval")))
+      .select(col("doc_id"), col("rep"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The shared 5-gram shingle stream: (doc_id, source, shingle) via the
     * native Generator (ShingleGenExpr) instead of explode(shingles()) —
     * distinct 5-grams stream out of GenerateExec per doc with no
@@ -338,6 +363,7 @@ object PipelineQueries {
 
   val defs: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "sample_split_safe" -> (splitLeakageSafe _),
     "text_decontam" -> (textDecontam _),
     "text_decontam_bloom" -> (textDecontamBloom _),
     "text_quality_filter" -> (textQualityFilter _),
@@ -359,27 +385,43 @@ object PipelineQueries {
       |FROM train t JOIN bench b ON t.shingle = b.shingle
       |GROUP BY train_id ORDER BY doc_id""".stripMargin
 
+  /** The connected-components transitive closure over the exact-Jaccard
+    * ≥ 0.5 graph, shared by the `dedup_cluster` oracle and the
+    * leakage-safe split oracle. */
+  private val ClusterCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id,
+      |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (SELECT d1, d2 FROM common
+      |  JOIN sizes s1 ON d1 = s1.doc_id
+      |  JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |  UNION SELECT d2, d1 FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
   val sql: Map[String, String] = Map(
     "dedup_cluster" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3),
-        |sh AS (SELECT DISTINCT doc_id,
-        |   w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM w, UNNEST(range(1, len(w) - 1)) AS t(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (SELECT d1, d2 FROM common
-        |  JOIN sizes s1 ON d1 = s1.doc_id
-        |  JOIN sizes s2 ON d2 = s2.doc_id
-        |  WHERE CAST(common AS DOUBLE) / CAST(s1.n_sh + s2.n_sh - common AS DOUBLE) >= 0.5),
-        |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
-        |  UNION SELECT d2, d1 FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      s"""WITH RECURSIVE $ClusterCtes
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+    "sample_split_safe" ->
+      s"""WITH RECURSIVE $ClusterCtes,
+         |clusters AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep
+         |  FROM reach GROUP BY a),
+         |r AS (SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS rep
+         |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
+         |SELECT doc_id, rep,
+         | CASE WHEN rep * 2654435761 % 4294967296 % 10 < 8
+         |  THEN 'train' ELSE 'eval' END AS split
+         |FROM r ORDER BY doc_id""".stripMargin,
     "text_decontam" -> DecontamSql,
     // the Bloom pass is exact (no false negatives + equi-join confirm):
     // same oracle verbatim

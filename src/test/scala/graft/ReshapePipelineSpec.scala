@@ -65,6 +65,26 @@ class ReshapePipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sample_split_safe never splits a near-dup pair across train/eval") {
+    val split = queries.PipelineQueries.splitLeakageSafe(spark, Sf01)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // covers EVERY document, not just clustered ones
+    val nDocs = Tables.documents(spark, Sf01).count()
+    assert(split.size == nDocs)
+    // the leakage property: both ends of every near-dup pair land on
+    // the same side of the split
+    val ps = queries.DedupQueries.jaccardDedup(spark, Sf01)
+      .select(col("d1"), col("d2"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dup pair ($a,$b) leaked across the split")
+    }
+    // both sides are populated (80/20 target)
+    val train = split.valuesIterator.count(_ == "train")
+    assert(train > 0 && train < split.size)
+  }
+
   test("text_decontam only flags non-benchmark docs with real collisions") {
     val df = queries.PipelineQueries.textDecontam(spark, Sf01)
     val rows = df.collect()
