@@ -249,8 +249,53 @@ object TextQueries {
       .limit(50)
   }
 
+  /** LM-based quality scoring (the CCNet filter shape): every document
+    * scored by its mean negative log-likelihood under the corpus
+    * bigram LM ([[textNgramLm]]'s counts) — fluent, predictable text
+    * scores low; gibberish and boilerplate-free noise score high. No
+    * smoothing is needed: the LM is trained on the scored corpus, so
+    * every bigram has mass. Scale shape: the LM is vocabulary²-bounded
+    * (corpus-independent once counts saturate — broadcastable), the
+    * scoring join shuffles on the bigram key once, and the per-doc
+    * score is one hash aggregation.
+    *
+    * Determinism (this one bit twice, so the contract is explicit):
+    * the score is INTEGER END TO END. Each term quantizes to
+    * tenth-milli-nats — round(-ln(p)·10⁴) as a BIGINT (the only
+    * cross-engine float op left is that one rounded ln; a straddle
+    * needs a ~1-ulp libm disagreement to land within 1e-12 of a .5
+    * integer boundary). Terms LONG-sum exactly, and the mean is the
+    * FLOORED integer division (sum·100) div n — micro-nats. The naive
+    * round(mean, 6) formulation is unusable: a mean of 1e-4-grid
+    * terms over n lands EXACTLY on 6dp half-points for ~1 doc in 5,
+    * where Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply
+    * round legitimately disagree. Floor of exact integers cannot. */
+  def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), words(col("text")).as("w"))
+    val bg = toks
+      .select(col("doc_id"), posexplode(expr(
+        "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
+        .as(Seq("i", "bg")))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_bigram"))
+    val prefix = counts.groupBy(col("w1"))
+      .agg(sum(col("n_bigram")).as("n_prefix"))
+    val lm = counts.join(prefix, "w1")
+    bg.join(lm, Seq("w1", "w2"))
+      .select(col("doc_id"),
+        round(-log(col("n_bigram").cast("double") / col("n_prefix"))
+          * 10000, 0).cast("long").as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("(sum(lp) * 100) div count(1)").as("nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "text_ngram_lm" -> (textNgramLm _),
+    "text_perplexity" -> (textPerplexity _),
     "text_chunk" -> (textChunk _),
     "text_stats" -> (textStats _),
     "text_langid" -> (langId _),
@@ -313,6 +358,22 @@ object TextQueries {
         | round(CAST(n_bigram AS DOUBLE) / n_prefix, 6) AS p_cond
         |FROM c JOIN p ON c.w1 = p.w1
         |ORDER BY n_bigram DESC, c.w1, w2 LIMIT 50""".stripMargin,
+    "text_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM w, UNNEST(range(1, len(w))) AS t(i)),
+        |c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+        |p AS (SELECT w1, SUM(n_bigram) AS n_prefix FROM c GROUP BY 1),
+        |lm AS (SELECT c.w1, c.w2, n_bigram, n_prefix
+        |  FROM c JOIN p ON c.w1 = p.w1),
+        |terms AS (SELECT bg.doc_id,
+        |  CAST(round(-ln(CAST(n_bigram AS DOUBLE) / n_prefix) * 10000, 0)
+        |   AS BIGINT) AS lp
+        | FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        | (SUM(lp) * 100) // COUNT(*) AS nll_micro
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE text IS NOT NULL),
