@@ -94,8 +94,27 @@ object StreamQueries {
         col("click_id").asc_nulls_first)
   }
 
+  /** Exactly-once repair of an at-least-once feed, declared through
+    * the EXACT transform the streaming path runs
+    * ([[graft.streaming.StreamingOps.dedupWithinWatermark]] —
+    * StreamingSpec drives it on micro-batches with RocksDB state):
+    * a re-delivered slice (every 10th event appended again) must be
+    * collapsed by the event_id dedup, so the per-type aggregate
+    * equals the clean feed's — which is exactly what the oracle
+    * computes. In streaming, state is bounded by the watermark
+    * horizon, not the stream length. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val redelivered = e.unionAll(e.filter(col("event_id") % 10 === 0))
+    graft.streaming.StreamingOps.dedupWithinWatermark(redelivered)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val defs: Map[String, Q] = Map(
     "stream_tumbling" -> (tumbling _),
+    "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (sliding _),
     "stream_sessions" -> (sessions _),
     "stream_join" -> (streamJoin _),
@@ -104,6 +123,12 @@ object StreamQueries {
     "stream_enrich" -> (streamEnrich _))
 
   val sql: Map[String, String] = Map(
+    // the dedup must exactly cancel the injected re-delivery, so the
+    // oracle is the CLEAN feed's aggregate
+    "stream_dedup" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "stream_tumbling" ->
       """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS w_start,
         | event_type, COUNT(*) AS n,

@@ -48,10 +48,17 @@ object StreamingOps {
       .select(col("w.start").as("session_start"), col("user_id"), col("n"))
   }
 
-  /** Stateful dedup by event_id within the watermark horizon. */
-  def dedupWithinWatermark(events: DataFrame): DataFrame =
-    events.withWatermark("ts", "10 minutes")
-      .dropDuplicatesWithinWatermark("event_id")
+  /** Stateful dedup by event_id within the watermark horizon. The
+    * within-watermark variant exists only for streams (state eviction
+    * is its whole point); on a batch input the same contract is plain
+    * dropDuplicates — the one transform serves both the declared
+    * batch-parity query (`stream_dedup`) and StreamingSpec's
+    * micro-batch execution. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame = {
+    val wm = events.withWatermark("ts", "10 minutes")
+    if (events.isStreaming) wm.dropDuplicatesWithinWatermark("event_id")
+    else wm.dropDuplicates("event_id")
+  }
 
   /** The shared stream-stream interval-join body: each purchase
     * matched to the same user's clicks in the preceding hour. Both

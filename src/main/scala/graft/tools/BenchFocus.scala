@@ -59,6 +59,22 @@ object BenchFocus {
         .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
     }
 
+    // lineitem: shifted orderkeys matching the orders shift, so the
+    // customer↔supplier edge set (graph_pagerank) grows ~10× — a
+    // fixed-iteration rank pass should scale ~linearly with edges.
+    // Guarded independently of the orders/documents block: the scaled
+    // dir may predate this table.
+    if (!new java.io.File(root, "lineitem.parquet").exists()) {
+      root.mkdirs()
+      val li = Tables.lineitem(spark, sfDir)
+      (0 until Copies).map(i =>
+          li.withColumn("l_orderkey",
+            col("l_orderkey") + lit(i.toLong * 1000000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
+    }
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -71,7 +87,7 @@ object BenchFocus {
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
-        "arrow_wap_publish", "dedup_minhash")) {
+        "arrow_wap_publish", "dedup_minhash", "graph_pagerank")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +
