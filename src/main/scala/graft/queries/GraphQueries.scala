@@ -14,13 +14,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * has.
   *
   * Scale design (100 TB): this is the canonical Pregel-on-DataFrames
-  * iteration — edges are weighted ONCE (w = 1/outdeg), repartitioned
-  * on src and persisted, and each of the fixed iterations is one
-  * shuffle: rank joins the edge partitioning, contributions hash-
-  * aggregate on dst. Iteration count is a constant of the operator
-  * (3), so the whole computation is a static 3-stage plan — no
-  * driver-side convergence loop, no lineage growth. Rank sums use the
-  * repo-wide exact-decimal-sum pattern ([[graft.queries.dsum]] note):
+  * iteration — edges are weighted ONCE (w = 1/outdeg) and persisted;
+  * each fixed iteration is one superstep exchange (edges and ranks
+  * hash to the join key, contributions hash-aggregate on dst — the
+  * same per-round cost GraphX/Pregel pays). Under AQE a cached
+  * plan's partitioning is not visible to the join, so pre-
+  * repartitioning the cache buys nothing (verified in the executed
+  * plan — the join re-exchanged anyway); the way to actually delete
+  * the per-round edge shuffle at cluster scale is the persisted
+  * BUCKETED layout (the `arrow_bucketed_join` storage-partitioned
+  * path), exactly like the IVF index amortizes its assignment.
+  * Iteration count is a constant of the operator (3), so the whole
+  * computation is a static 3-stage plan — no driver-side convergence
+  * loop, no lineage growth. Rank sums use the repo-wide
+  * exact-decimal-sum pattern ([[graft.queries.dsum]] note):
   * contributions cast to DECIMAL(38,18) before SUM, so partition
   * order never moves a ulp and the query hash-matches DuckDB.
   */
@@ -46,11 +53,10 @@ object GraphQueries {
     // n is index metadata (one scalar), not data — same footing as the
     // IVF centroids: collected once, re-broadcast as a plan literal.
     val n = deg.count().toDouble
-    // weight each edge once; repartition on src so every iteration's
-    // rank join lands on a stable co-located layout
+    // weight each edge once and persist — iterations re-read the
+    // cache, never recompute the join/distinct that built it
     val w = edges.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
-      .repartition(col("src"))
       .persist()
     var r = deg.select(col("src").as("node"),
       (lit(1.0) / lit(n)).as("r"))
