@@ -34,12 +34,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** PageRank (damping 0.85, 3 iterations) over the symmetrized
-    * customer↔supplier graph. Customer nodes are offset by 1,000,000
-    * to disjoin the key spaces. Emits every node's rank (rounded to
-    * 6dp) in node order — the full rank vector, so the oracle match
-    * covers every node, not a top-k slice. */
-  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+  /** The weighted symmetrized edge set: (src, dst, w = 1/outdeg(src)).
+    * Customer nodes are offset by 1,000,000 to disjoin the key
+    * spaces. */
+  private def weightedEdges(spark: SparkSession, dir: String)
+      : DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         (col("o_custkey") + lit(1000000L)).as("c"))
@@ -50,16 +49,16 @@ object GraphQueries {
     val edges = e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    // n is index metadata (one scalar), not data — same footing as the
-    // IVF centroids: collected once, re-broadcast as a plan literal.
-    val n = deg.count().toDouble
-    // weight each edge once and persist — iterations re-read the
-    // cache, never recompute the join/distinct that built it
-    val w = edges.join(deg, "src")
+    edges.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
-      .persist()
-    var r = deg.select(col("src").as("node"),
-      (lit(1.0) / lit(n)).as("r"))
+  }
+
+  /** The fixed 3-iteration rank loop over a weighted edge frame. `n`
+    * is index metadata (one scalar) — same footing as the IVF
+    * centroids: collected once, re-broadcast as a plan literal. */
+  private def rankLoop(w: DataFrame, n: Double): DataFrame = {
+    var r = w.select(col("src")).distinct()
+      .select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 0 until 3) {
       r = w.join(r, col("src") === col("node"))
         .select(col("dst"),
@@ -73,8 +72,50 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  /** PageRank (damping 0.85, 3 iterations) over the symmetrized
+    * customer↔supplier graph. Emits every node's rank (rounded to
+    * 6dp) in node order — the full rank vector, so the oracle match
+    * covers every node, not a top-k slice. */
+  def pageRank(spark: SparkSession, dir: String): DataFrame = {
+    // weight each edge once and persist — iterations re-read the
+    // cache, never recompute the join/distinct that built it
+    val w = weightedEdges(spark, dir).persist()
+    val n = w.select(col("src")).distinct().count().toDouble
+    rankLoop(w, n)
+  }
+
+  /** PageRank over a PERSISTED BUCKETED edge index — the graph twin
+    * of `sim_ann_ivf_indexed`: the weighted edge set is written once
+    * as a `bucket(8, src)` Arrow layout, and every iteration's rank
+    * join becomes a storage-partitioned join — the (petabyte) edge
+    * side is never exchanged again; only the (node-sized) rank side
+    * shuffles, hashed by the layout's own V2 bucket function
+    * (`v2.bucketing.shuffle`). At 100 TB this deletes the dominant
+    * per-superstep cost: the edge shuffle is paid once at write time
+    * and amortized over every later rank pass (and every other
+    * src-keyed join against the graph). Answers identically to
+    * [[pageRank]] — one oracle covers both; GraphSpec pins the
+    * single-exchange join shape and the result equality. */
+  def pageRankIndexed(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "true")
+    val index = graft.Scratch.dir("pagerank_edges", dir)
+    graft.Fixtures.once(index) {
+      weightedEdges(spark, dir)
+        .write.format("arrow").option("bucketBy", "src")
+        .option("numBuckets", "8").mode("overwrite").save(index)
+    }
+    val w = spark.table(s"graft.arrow.`$index`")
+    val n = w.select(col("src")).distinct().count().toDouble
+    rankLoop(w, n)
+  }
+
   val defs: Map[String, Q] = Map(
-    "graph_pagerank" -> (pageRank _))
+    "graph_pagerank" -> (pageRank _),
+    "graph_pagerank_indexed" -> (pageRankIndexed _))
 
   /** One unrolled rank iteration as a DuckDB CTE body. */
   private def iterSql(prev: String, out: String): String =
@@ -85,8 +126,11 @@ object GraphQueries {
        | FROM w JOIN $prev ON w.src = $prev.node
        | GROUP BY w.dst)""".stripMargin
 
-  val sql: Map[String, String] = Map(
-    "graph_pagerank" ->
+  /** The indexed variant's contract IS result-equality with the
+    * in-memory pass (same edge weights, iterations, tie-breaks; the
+    * bucketed layout round-trips the doubles bit-exactly) — one
+    * oracle covers both, the `sim_ann_ivf_indexed` move. */
+  private val PageRankSql: String =
       s"""WITH e0 AS (SELECT DISTINCT o_custkey + 1000000 AS c,
          |   CAST(l_suppkey AS BIGINT) AS s
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -101,5 +145,9 @@ object GraphQueries {
          |${iterSql("r1", "r2")},
          |${iterSql("r2", "r3")}
          |SELECT node, round(r, 6) AS rank FROM r3
-         |ORDER BY node""".stripMargin)
+         |ORDER BY node""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "graph_pagerank" -> PageRankSql,
+    "graph_pagerank_indexed" -> PageRankSql)
 }

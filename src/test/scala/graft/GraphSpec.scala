@@ -8,6 +8,35 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraphSpec extends AnyFunSuite {
   private lazy val spark = TestSession.spark
 
+  test("indexed pagerank equals the in-memory pass and storage-" +
+      "partitions its rank join (edge side never re-exchanged)") {
+    val mem = GraphQueries.pageRank(spark, TestSession.Sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val idx = GraphQueries.pageRankIndexed(spark, TestSession.Sf)
+    // plan shape under deterministic (non-adaptive) planning: every
+    // rank-iteration SortMergeJoin reads the bucketed layout directly
+    // — exchanges exist only on the rank/aggregate side, never
+    // directly above a BatchScan of the edge index
+    val prev = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val planned = GraphQueries.pageRankIndexed(spark, TestSession.Sf)
+      val plan = planned.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.matches(
+        "(?s).*Exchange hashpartitioning\\(src#[0-9]+L.*"),
+        s"edge side of the rank join was re-exchanged:\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+    assert(idx.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sameElements(mem),
+      "bucketed-index pagerank diverged from the in-memory pass")
+  }
+
   test("pagerank conserves probability mass and covers both node kinds") {
     val rows = GraphQueries.pageRank(spark, TestSession.Sf).collect()
     assert(rows.nonEmpty)
