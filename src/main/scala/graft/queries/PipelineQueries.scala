@@ -308,6 +308,40 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Temperature-scaled multilingual mixture (the XLM-R/mT5 α-sampling
+    * shape, α = 0.7): instead of fixed target weights
+    * ([[mixWeighted]]), the keep rate is DERIVED from the data —
+    * languages sample at (q_min/q_i)^(1−α), so low-resource languages
+    * keep everything and high-resource ones downsample toward a
+    * flattened distribution. Rates resolve to integer ppm (one pow per
+    * LANGUAGE, not per row — a floor-boundary flip would need a ~1-ulp
+    * libm disagreement landing within 1e-12 of an integer), membership
+    * is the engine-independent multiplicative hash, so the exact same
+    * corpus reproduces anywhere. Scale: one per-lang aggregate, a
+    * |langs|-row broadcast, then a narrow filter — a single corpus
+    * pass. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val avail = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("t_chars"))
+    val rates = avail
+      .crossJoin(broadcast(avail.agg(min(col("t_chars")).as("q_min"))))
+      .select(col("lang"),
+        floor(pow(col("q_min").cast("double") / col("t_chars"), 0.3)
+          * 1000000).cast("long").as("rate_ppm"))
+    docs
+      .withColumn("h",
+        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+      .join(broadcast(rates), "lang")
+      .filter(col("h") < col("rate_ppm"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("chars_kept"))
+      .select(col("lang"), col("rate_ppm"), col("n_docs"),
+        col("chars_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** The end-to-end training-corpus curation composite — the pipeline
     * every pretraining dataset actually runs, as ONE declared plan:
     * quality gate (the `text_quality_filter` rules) → exact dedup
@@ -369,6 +403,7 @@ object PipelineQueries {
     "text_quality_filter" -> (textQualityFilter _),
     "pipeline_shard_pack" -> (shardPack _),
     "mix_weighted" -> (mixWeighted _),
+    "mix_temperature" -> (mixTemperature _),
     "pipeline_corpus_curation" -> (corpusCuration _))
 
   private val DecontamSql =
@@ -453,6 +488,19 @@ object PipelineQueries {
         |      AND mean_wlen BETWEEN 4.2 AND 4.8
         |      AND stop_ratio >= 0.02 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "mix_temperature" ->
+      """WITH avail AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars
+        |  FROM documents GROUP BY lang),
+        |qm AS (SELECT MIN(t_chars) AS q_min FROM avail),
+        |rates AS (SELECT lang,
+        |  CAST(floor(pow(CAST(q_min AS DOUBLE) / t_chars, 0.3) * 1000000)
+        |   AS BIGINT) AS rate_ppm
+        | FROM avail, qm)
+        |SELECT d.lang, r.rate_ppm, COUNT(*) AS n_docs,
+        | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |WHERE d.doc_id * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
+        |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin,
     "mix_weighted" ->
       """WITH wts(lang, w_mille) AS (VALUES
         |  ('en', 300), ('de', 200), ('es', 200), ('fr', 150), ('zh', 150)),
