@@ -129,13 +129,61 @@ object FunnelQueries {
       .orderBy(col("channel"))
   }
 
+  /** Traffic anomaly detection: hourly event counts per type, each
+    * hour z-scored against its type's own hourly distribution, hours
+    * with |z| ≥ 2 flagged. The statistics are INTEGER-EXACT up to one
+    * final deterministic float step: counts and squared-count sums
+    * are exact longs, variance is the exact integer rational
+    * (n·Σc² − (Σc)²)/n² cast to double once, and sqrt is IEEE
+    * correctly-rounded (unlike ln/pow, both engines MUST agree) — so
+    * the z-scores hash-match. Scale: two hash aggregations (hourly,
+    * then per-type) and a |types|-row broadcast back onto the hourly
+    * frame; the corpus is read once. */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"),
+        sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n_hours")).as("mean"),
+        sqrt((col("n_hours") * col("s2") - col("s1") * col("s1"))
+          .cast("double") / (col("n_hours") * col("n_hours"))).as("std"))
+    hourly.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("hour"), col("n_events"),
+        round((col("n_events").cast("double") - col("mean")) / col("std"),
+          4).as("z"))
+      .filter(abs(col("z")) >= 2.0)
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   val defs: Map[String, Q] = Map(
     "events_attribution" -> (eventsAttribution _),
+    "events_anomaly" -> (eventsAnomaly _),
     "events_funnel" -> (eventsFunnel _),
     "events_sessionize" -> (eventsSessionize _),
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  COUNT(*) AS n_events FROM events GROUP BY 1, 2),
+        |stats AS (SELECT event_type, COUNT(*) AS n_hours,
+        |  SUM(n_events) AS s1, SUM(n_events * n_events) AS s2
+        | FROM hourly GROUP BY 1),
+        |st AS (SELECT event_type,
+        |  CAST(s1 AS DOUBLE) / n_hours AS mean,
+        |  sqrt(CAST(n_hours * s2 - s1 * s1 AS DOUBLE)
+        |    / (n_hours * n_hours)) AS std
+        | FROM stats),
+        |z AS (SELECT h.event_type, h.hour, h.n_events,
+        |  round((CAST(h.n_events AS DOUBLE) - mean) / std, 4) AS z
+        | FROM hourly h JOIN st USING (event_type))
+        |SELECT event_type, hour, n_events, z FROM z WHERE abs(z) >= 2
+        |ORDER BY event_type, hour""".stripMargin,
     "events_attribution" ->
       """WITH e AS (SELECT event_id, user_id, ts, value,
         |  CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS tag
