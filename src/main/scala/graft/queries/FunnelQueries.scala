@@ -140,10 +140,14 @@ object FunnelQueries {
     * then per-type) and a |types|-row broadcast back onto the hourly
     * frame; the corpus is read once. */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    // persisted: hourly feeds BOTH join sides (stats build + probe),
+    // and Spark does no cross-join-side CSE — without the persist the
+    // corpus scan and first aggregation would run twice
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n_events"))
+      .persist()
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"),
         sum(col("n_events")).as("s1"),

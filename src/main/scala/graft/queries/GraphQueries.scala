@@ -35,13 +35,13 @@ object GraphQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** The weighted symmetrized edge set: (src, dst, w = 1/outdeg(src)).
-    * Customer nodes are offset by 1,000,000 to disjoin the key
+    * Customer nodes are offset by 10^12 to disjoin the key
     * spaces. */
   private def weightedEdges(spark: SparkSession, dir: String)
       : DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"),
-        (col("o_custkey") + lit(1000000L)).as("c"))
+        (col("o_custkey") + lit(1000000000000L)).as("c"))
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_suppkey").cast("long").as("s"))
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -139,7 +139,7 @@ object GraphQueries {
     * bucketed layout round-trips the doubles bit-exactly) — one
     * oracle covers both, the `sim_ann_ivf_indexed` move. */
   private val PageRankSql: String =
-      s"""WITH e0 AS (SELECT DISTINCT o_custkey + 1000000 AS c,
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey + 1000000000000 AS c,
          |   CAST(l_suppkey AS BIGINT) AS s
          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
          |e AS (SELECT c AS src, s AS dst FROM e0

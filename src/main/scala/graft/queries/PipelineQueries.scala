@@ -295,17 +295,7 @@ object PipelineQueries {
       .groupBy(col("lang"))
       .agg(min(expr("tm * w_mille * 1000000 DIV (wm * t_chars)"))
         .as("rate_ppm"))
-    docs
-      .withColumn("h",
-        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
-      .join(broadcast(rates), "lang")
-      .filter(col("h") < col("rate_ppm"))
-      .groupBy(col("lang"), col("rate_ppm"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_chars")).as("chars_kept"))
-      .select(col("lang"), col("rate_ppm"), col("n_docs"),
-        col("chars_kept"))
-      .orderBy(col("lang"))
+    sampleByRatePpm(docs, rates)
   }
 
   /** Temperature-scaled multilingual mixture (the XLM-R/mT5 α-sampling
@@ -329,6 +319,14 @@ object PipelineQueries {
       .select(col("lang"),
         floor(pow(col("q_min").cast("double") / col("t_chars"), 0.3)
           * 1000000).cast("long").as("rate_ppm"))
+    sampleByRatePpm(docs, rates)
+  }
+
+  /** The shared mixture tail: ppm-rate membership by the
+    * multiplicative hash, rolled up per language — [[mixWeighted]]
+    * and [[mixTemperature]] differ only in how `rates` is derived. */
+  private def sampleByRatePpm(docs: DataFrame, rates: DataFrame)
+      : DataFrame =
     docs
       .withColumn("h",
         expr("doc_id * 2654435761 % 4294967296 % 1000000"))
@@ -340,7 +338,6 @@ object PipelineQueries {
       .select(col("lang"), col("rate_ppm"), col("n_docs"),
         col("chars_kept"))
       .orderBy(col("lang"))
-  }
 
   /** The end-to-end training-corpus curation composite — the pipeline
     * every pretraining dataset actually runs, as ONE declared plan:

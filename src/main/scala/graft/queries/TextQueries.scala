@@ -278,8 +278,14 @@ object TextQueries {
         "transform(slice(w, 1, size(w) - 1), (x, i) -> struct(x AS w1, w[i + 1] AS w2))"))
         .as(Seq("i", "bg")))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // persisted: counts feeds both sides of the LM join (itself and
+    // the prefix rollup) — vocabulary²-bounded, so caching it is cheap
+    // at any corpus scale, unlike the exploded bigram stream, which is
+    // corpus-sized and deliberately recomputed (a narrow re-explode
+    // beats caching 100 TB of bigrams)
     val counts = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_bigram"))
+      .persist()
     val prefix = counts.groupBy(col("w1"))
       .agg(sum(col("n_bigram")).as("n_prefix"))
     val lm = counts.join(prefix, "w1")

@@ -40,9 +40,15 @@ object BenchFocus {
       // orders: shift keys by 1e9 per copy (never collides with the
       // IVM fixture's +2e7 synthetic inserts)
       val o = Tables.orders(spark, sfDir)
+      // customers shift per copy too (custkey max at sf0.1 is 15k):
+      // pagerank's NODE set must grow with the copies, else the
+      // edge-level distinct() collapses the 10 copies back to the
+      // sf0.1 graph and the "10× edges" point measures nothing
       (0 until Copies).map(i =>
           o.withColumn("o_orderkey",
-            col("o_orderkey") + lit(i.toLong * 1000000000L)))
+            col("o_orderkey") + lit(i.toLong * 1000000000L))
+            .withColumn("o_custkey",
+              col("o_custkey") + lit(i.toLong * 200000L)))
         .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/orders.parquet")
@@ -67,9 +73,13 @@ object BenchFocus {
     if (!new java.io.File(root, "lineitem.parquet").exists()) {
       root.mkdirs()
       val li = Tables.lineitem(spark, sfDir)
+      // suppliers shift per copy (suppkey max at sf0.1 is 1k), same
+      // reason as the o_custkey shift above
       (0 until Copies).map(i =>
           li.withColumn("l_orderkey",
-            col("l_orderkey") + lit(i.toLong * 1000000000L)))
+            col("l_orderkey") + lit(i.toLong * 1000000000L))
+            .withColumn("l_suppkey",
+              col("l_suppkey") + lit(i * 10000)))
         .reduce(_ unionAll _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")

@@ -47,9 +47,9 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(total - 1.0) <= 5e-7 * n,
       s"rank mass $total drifted from 1.0 over $n nodes")
     // both sides of the bipartite graph are ranked (customers offset
-    // by 1,000,000), and every rank is positive (teleport floor)
-    assert(rows.exists(_.getLong(0) >= 1000000L))
-    assert(rows.exists(_.getLong(0) < 1000000L))
+    // by 10^12), and every rank is positive (teleport floor)
+    assert(rows.exists(_.getLong(0) >= 1000000000000L))
+    assert(rows.exists(_.getLong(0) < 1000000000000L))
     assert(rows.forall(_.getDouble(1) > 0.0))
   }
 }
