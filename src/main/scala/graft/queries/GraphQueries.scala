@@ -55,8 +55,10 @@ object GraphQueries {
 
   /** The fixed 3-iteration rank loop over a weighted edge frame. `n`
     * is index metadata (one scalar) — same footing as the IVF
-    * centroids: collected once, re-broadcast as a plan literal. */
-  private def rankLoop(w: DataFrame, n: Double): DataFrame = {
+    * centroids: collected once, re-broadcast as a plan literal.
+    * `private[graft]` so GraphSpec can pin mass conservation on
+    * synthetic graphs beyond the fixture. */
+  private[graft] def rankLoop(w: DataFrame, n: Double): DataFrame = {
     var r = w.select(col("src")).distinct()
       .select(col("src").as("node"), (lit(1.0) / lit(n)).as("r"))
     for (_ <- 0 until 3) {

@@ -1,6 +1,7 @@
 package graft
 
 import graft.queries.GraphQueries
+import org.apache.spark.sql.functions.{col, count, lit}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** PageRank invariants the SQL oracle's hash match does not state
@@ -35,6 +36,29 @@ class GraphSpec extends AnyFunSuite {
     assert(idx.collect().map(r => (r.getLong(0), r.getDouble(1)))
       .sameElements(mem),
       "bucketed-index pagerank diverged from the in-memory pass")
+  }
+
+  test("rank loop conserves mass on an arbitrary synthetic symmetric graph") {
+    // a deterministic pseudo-random sparse graph on ~500 nodes — the
+    // conservation invariant must hold for ANY symmetric graph, not
+    // just the fixture's trading relation
+    val e0 = spark.range(0, 3000)
+      .select((col("id") * 2654435761L % 500).as("a"),
+        (col("id") * 40503L % 500).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val edges = e0.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(e0.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val w = edges.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+    val n = w.select(col("src")).distinct().count().toDouble
+    val ranks = GraphQueries.rankLoop(w, n).collect()
+    assert(ranks.length == n.toLong)
+    val total = ranks.map(_.getDouble(1)).sum
+    assert(math.abs(total - 1.0) <= 5e-7 * n,
+      s"synthetic graph rank mass $total drifted from 1.0")
+    assert(ranks.forall(_.getDouble(1) > 0.0))
   }
 
   test("pagerank conserves probability mass and covers both node kinds") {
