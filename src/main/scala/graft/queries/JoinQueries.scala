@@ -293,7 +293,35 @@ object JoinQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Salted fact-dim join, declared under the hash gate — the manual
+    * hot-key defense when AQE's runtime skew split can't help (it
+    * splits oversized PARTITIONS, not one oversized KEY): the fact
+    * side salts on a row-level hash, the small side explodes across
+    * all 8 salts, and the join key becomes (key, salt), spreading a
+    * hot key over 8 reducers for an 8× dim replication bounded by the
+    * SMALL side's size. The salt values are engine-internal, but the
+    * RESULT is salt-invariant (every fact row still matches exactly
+    * its dim row), so the oracle is the plain join — a hash match
+    * proves the rewrite is lossless. SkewJoinSpec additionally pins
+    * the per-reducer spread. */
+  def joinSkewSalted(spark: SparkSession, dir: String): DataFrame = {
+    val salt = 8
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("salt",
+        pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(salt)))
+    val dim = Tables.part(spark, dir)
+      .withColumn("salt", explode(array((0 until salt).map(lit): _*)))
+    li.join(dim,
+        li("l_partkey") === dim("p_partkey") &&
+          li("salt") === dim("salt"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("p_brand"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "join_skew_salted" -> (joinSkewSalted _),
     "join_time_bucket" -> (timeBucketJoin _),
     "join_fuzzy" -> (fuzzyJoin _),
     "join_bloom_prefilter" -> (bloomPrefilterJoin _),
@@ -311,6 +339,13 @@ object JoinQueries {
     "join_asof" -> (asofJoin _))
 
   val sql: Map[String, String] = Map(
+    // the salted rewrite is lossless, so the oracle is the PLAIN join
+    "join_skew_salted" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS sum_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_time_bucket" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         | epoch_ms(c.ts) - epoch_ms(p.ts) AS diff_ms
