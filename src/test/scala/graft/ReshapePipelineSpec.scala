@@ -85,6 +85,24 @@ class ReshapePipelineSpec extends AnyFunSuite {
     assert(train > 0 && train < split.size)
   }
 
+  test("mix_temperature: min-resource language keeps everything, rates " +
+      "fall monotonically with language mass") {
+    val rates = queries.PipelineQueries.mixTemperature(spark, Sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mass = Tables.documents(spark, Sf01).groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rates.keySet == mass.keySet,
+      "every language must survive sampling at these rates")
+    // (q_min/q_min)^0.3 = 1 exactly: the scarcest language is untouched
+    val minLang = mass.minBy(_._2)._1
+    assert(rates(minLang) == 1000000L)
+    // temperature flattening: more mass -> lower (or equal) keep rate
+    val byMass = mass.toSeq.sortBy(_._2).map { case (l, _) => rates(l) }
+    assert(byMass.zip(byMass.tail).forall { case (a, b) => a >= b },
+      s"rates not monotone in language mass: $byMass")
+  }
+
   test("text_decontam only flags non-benchmark docs with real collisions") {
     val df = queries.PipelineQueries.textDecontam(spark, Sf01)
     val rows = df.collect()
