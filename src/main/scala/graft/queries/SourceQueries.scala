@@ -374,6 +374,30 @@ object SourceQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Nested STRUCT columns through the Arrow source — the typed-
+    * metadata shape a multimodal corpus carries next to its binary
+    * payloads (media struct<w,h,codec,...>). Two nesting levels
+    * (struct inside struct) round-trip, and the aggregate reads
+    * leaf fields by dotted path. The oracle recomputes from the flat
+    * events table, so a hash match proves the nested layout is
+    * lossless. */
+  def arrowStructAgg(spark: SparkSession, dir: String): DataFrame = {
+    val out = tmp("arrowstruct", dir)
+    graft.Fixtures.once(out) {
+      Tables.events(spark, dir)
+        .select(col("event_id"),
+          struct(col("event_type"),
+            struct(col("user_id"), col("value")).as("inner")).as("ev"))
+        .write.format("arrow").mode("overwrite").save(out)
+    }
+    spark.read.format("arrow").load(out)
+      .groupBy(col("ev.event_type").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("ev.inner.user_id")).as("sum_user"),
+        dsum(col("ev.inner.value"), 6).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Per-file Bloom pruning on a high-cardinality key: orders written
     * hash-distributed (every file spans the full o_custkey range, so
     * zone maps prune NOTHING) with a footer bloom on o_custkey; the
@@ -498,6 +522,7 @@ object SourceQueries {
     "arrow_bloom_scan" -> (arrowBloomScan _),
     "arrow_bucketed_join" -> (arrowBucketedJoin _),
     "arrow_map_agg" -> (arrowMapAgg _),
+    "arrow_struct_agg" -> (arrowStructAgg _),
     "arrow_roundtrip_agg" -> (arrowRoundtripAgg _),
     "arrow_agg_pushdown" -> (arrowAggPushdown _),
     "arrow_dict_agg" -> (arrowDictAgg _),
@@ -541,6 +566,11 @@ object SourceQueries {
         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "arrow_struct_agg" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(user_id) AS BIGINT) AS sum_user,
+        | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "arrow_map_agg" ->
       """SELECT event_type,
         | CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -1,5 +1,7 @@
 package graft.queries
 
+import scala.jdk.CollectionConverters._
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -977,7 +979,56 @@ object StorageQueries {
       .orderBy(col("change_type"), col("o_orderstatus"))
   }
 
+  /** Idempotent COPY INTO (Delta's landing-zone ingest contract),
+    * oracle-gated end to end: stage two parquet files in a landing
+    * dir, load them, RE-RUN the identical call (the orchestrator's
+    * retry — both files must skip via the manifest-carried `#copy`
+    * ledger), land a third file, and run the catch-up sweep that
+    * re-lists everything (loads exactly the new file). The final
+    * aggregate equals the oracle over the union of the slices ONLY if
+    * no file ever double-loaded — the hash match IS the idempotence
+    * proof. The 100 TB shape: retrying ingestion over a petabyte
+    * landing zone costs a listing + ledger lookup, never a re-load. */
+  def arrowCopyInto(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val landing = graft.Scratch.dir("copy_landing", dir)
+    val table = graft.Scratch.dir("copy_target", dir)
+    // mutation fixture: rebuild from zero each invocation (a stale
+    // ledger plus re-generated landing files would skip-as-loaded)
+    graft.Scratch.reset(landing, table)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    def land(df: DataFrame, name: String): Unit = {
+      val stage = s"$landing/_stage_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val f = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(stage))
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.head
+        finally s.close()
+      }
+      java.nio.file.Files.move(f,
+        java.nio.file.Paths.get(landing, s"$name.parquet"))
+      graft.Scratch.reset(stage)
+    }
+    land(o.filter(col("o_orderkey") % 3 === 0), "b0")
+    land(o.filter(col("o_orderkey") % 3 === 1), "b1")
+    def copy(): Unit = spark.sql(
+      s"CALL graft.system.copy_into(path => '$table', " +
+        s"source => '$landing')").collect()
+    copy() // initial load: b0 + b1
+    copy() // orchestrator retry: both ledgered, zero loads
+    land(o.filter(col("o_orderkey") % 3 === 2), "b2")
+    copy() // catch-up sweep re-lists all three: loads ONLY b2
+    spark.read.format("arrow").load(table)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "arrow_copy_into" -> (arrowCopyInto _),
     "arrow_cdf_batch" -> (arrowCdfBatch _),
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_time_travel" -> (arrowTimeTravel _),
@@ -1028,6 +1079,12 @@ object StorageQueries {
        |FULL OUTER JOIN ($updatesSql) u ON b.o_orderkey = u.o_orderkey""".stripMargin
 
   val sql: Map[String, String] = Map(
+    // the three slices partition orders exactly; a double-loaded file
+    // would double its slice's counts/sums and hash-mismatch
+    "arrow_copy_into" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_delete_partition" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -772,6 +772,58 @@ object ArrowDataSource {
     try body finally { pendingTxns.remove(key); () }
   }
 
+  /** COPY INTO's loaded-file ledger (Delta's COPY INTO idempotence):
+    * the procedure registers the source-file keys it is loading, and
+    * [[commitTableEpoch]] writes one `#copy<TAB>key<TAB>size` header
+    * per file INSIDE the ingest epoch's manifest — atomic with the
+    * visibility flip, so a crashed load ledgers nothing and a landed
+    * one can never lose its ledger. A re-run consults
+    * [[copiedFiles]] and skips already-ledgered paths: retrying a
+    * 100 TB landing-zone ingest is a metadata no-op, never a
+    * double-load. [[compactLog]] carries EVERY folded key forward
+    * (unlike `#txn`, where only the max per appId matters). */
+  private val pendingCopies =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, Long)]]()
+
+  /** Run `body` with commits to `dir` ledgering `keys` as loaded
+    * source files (key = base64 of the absolute source path). */
+  def withPendingCopies[T](dir: String, keys: Seq[(String, Long)])
+      (body: => T): T = {
+    val key = Paths.get(dir).toAbsolutePath.normalize.toString
+    val prev = pendingCopies.putIfAbsent(key, keys)
+    require(prev == null,
+      s"arrow: nested COPY INTO ledger registrations on $dir")
+    try body finally { pendingCopies.remove(key); () }
+  }
+
+  /** Every ledgered source file: `(epoch, b64 path, size)` from
+    * manifest `#copy` headers (tail epochs) plus compact-snapshot
+    * `#copy` headers (folded epochs). */
+  def copiedFiles(root: Path): Seq[(Long, String, Long)] =
+      retryVanishedLogRead {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Seq.empty
+    val names = listDir(md).map(_.getFileName.toString)
+    val folded = names.filter(_.endsWith(".compact")).map(epochOf)
+      .sorted.lastOption.toSeq.flatMap { e =>
+        Files.readAllLines(md.resolve(s"$e.compact")).asScala
+          .filter(_.startsWith("#copy\t"))
+          .flatMap(_.split('\t') match {
+            case Array(_, ep, k, sz) => Some((ep.toLong, k, sz.toLong))
+            case _ => None
+          })
+      }
+    val tail = names.filter(_.endsWith(".manifest")).flatMap { n =>
+      scala.util.Try(Files.readAllLines(md.resolve(n)).asScala
+        .filter(_.startsWith("#copy\t"))
+        .flatMap(_.split('\t') match {
+          case Array(_, k, sz) => Some((epochOf(n), k, sz.toLong))
+          case _ => None
+        })).getOrElse(Seq.empty)
+    }
+    folded ++ tail
+  }
+
   /** Every recorded `(epoch, appId, version)` stamp: manifest `#txn`
     * headers (tail epochs) plus compact-snapshot `#txn` headers
     * (folded epochs). */
@@ -1062,9 +1114,17 @@ object ArrowDataSource {
     val txns = txnStamps(root).filter(_._1 <= epochId)
       .groupBy(_._2).values.map(_.maxBy(s => (s._3, s._1))).toSeq
       .sortBy(_._1).map { case (e, a, v) => s"#txn\t$e\t$a\t$v" }
+    // EVERY ledgered COPY INTO key survives the fold (first epoch per
+    // key wins): the skip-already-loaded check must keep answering
+    // after the ingest manifests are reclaimed
+    val copies = copiedFiles(root).filter(_._1 <= epochId)
+      .groupBy(_._2).values.map(_.minBy(_._1)).toSeq
+      .sortBy(c => (c._1, c._2))
+      .map { case (e, k, sz) => s"#copy\t$e\t$k\t$sz" }
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
     Files.write(ctmp,
-      (stamps ++ neutrals ++ txns ++ entries.map(compactLine)).asJava)
+      (stamps ++ neutrals ++ txns ++ copies ++
+        entries.map(compactLine)).asJava)
     try Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     catch {
@@ -1132,7 +1192,9 @@ object ArrowDataSource {
     // writer-transaction stamp travels INSIDE the manifest: atomic
     // with the visibility flip (see withPendingTxn scaladoc)
     val txnHeader = Option(pendingTxns.get(root.toString)).toSeq
-      .map { case (a, v) => s"#txn\t$a\t$v" }
+      .map { case (a, v) => s"#txn\t$a\t$v" } ++
+      Option(pendingCopies.get(root.toString)).toSeq.flatten
+        .map { case (k, sz) => s"#copy\t$k\t$sz" }
     // line order IS fold order within the epoch: removes, adds, then
     // dv events (so a replace-and-remask in one epoch lands masked)
     val lines = txnHeader ++

@@ -1412,7 +1412,21 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
               new DictStringVector(
                 v.asInstanceOf[org.apache.arrow.vector.IntVector],
                 dictionaryValues(enc)): ColumnVector
-            case None => new ArrowColumnVector(v): ColumnVector
+            case None => v match {
+              // struct vectors must not be closed between batch loads:
+              // Spark's columnar consumers close each handed-out batch,
+              // and StructVector.close() CLEARS THE CHILDREN MAP — the
+              // next VectorLoader.load into the reused root then fails
+              // ("should have as many children as in the schema").
+              // Flat/list/map vectors survive close+reload (buffers are
+              // simply re-assigned), so only structs need the shield;
+              // their memory is released at reader close like every
+              // other column (loadBuffers drops prior buffers on each
+              // load, closeAll() closes the root last).
+              case _: org.apache.arrow.vector.complex.StructVector =>
+                new NonClosingVector(new ArrowColumnVector(v)): ColumnVector
+              case _ => new ArrowColumnVector(v): ColumnVector
+            }
           }
       }
       val nRows = root.getRowCount
@@ -1484,6 +1498,35 @@ private[arrow] final class PositionVector(blockIdx: Int)
   * the same selection; arrays/maps/strings resolve through the
   * remapped top-level accessor, which already yields
   * offset-independent views. */
+/** Delegates every accessor and suppresses `close()` — see the struct
+  * case in [[ArrowReaderBase.nextBatch]]: a batch-reused StructVector
+  * must outlive the consumer's per-batch close. */
+private[arrow] final class NonClosingVector(under: ColumnVector)
+    extends ColumnVector(under.dataType()) {
+  override def hasNull: Boolean = under.hasNull
+  override def numNulls: Int = under.numNulls
+  override def isNullAt(i: Int): Boolean = under.isNullAt(i)
+  override def getBoolean(i: Int): Boolean = under.getBoolean(i)
+  override def getByte(i: Int): Byte = under.getByte(i)
+  override def getShort(i: Int): Short = under.getShort(i)
+  override def getInt(i: Int): Int = under.getInt(i)
+  override def getLong(i: Int): Long = under.getLong(i)
+  override def getFloat(i: Int): Float = under.getFloat(i)
+  override def getDouble(i: Int): Double = under.getDouble(i)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = under.getArray(i)
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = under.getMap(i)
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal =
+    under.getDecimal(i, precision, scale)
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = under.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = under.getBinary(i)
+  override def getChild(ordinal: Int): ColumnVector = under.getChild(ordinal)
+  override def close(): Unit = ()
+}
+
 private[arrow] final class SelectedVector(under: ColumnVector,
     sel: Array[Int]) extends ColumnVector(under.dataType()) {
   override def hasNull: Boolean = under.hasNull

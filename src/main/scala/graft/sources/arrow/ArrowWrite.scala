@@ -912,6 +912,7 @@ class ArrowDataWriter(path: String, schema: StructType,
         case v: BaseFixedWidthVector => v.setNull(idx)
         case v: BaseVariableWidthVector => v.setNull(idx)
         case v: ListVector => v.setNull(idx)
+        case v: complex.StructVector => v.setNull(idx)
         case v => throw new UnsupportedOperationException(s"null for $v")
       }
       return
@@ -939,10 +940,29 @@ class ArrowDataWriter(path: String, schema: StructType,
           row.getDecimal(col, d.precision, d.scale).toJavaBigDecimal)
       case (v: complex.MapVector, MapType(kt, vt, _)) =>
         writeMap(v, kt, vt, row.getMap(col), idx)
+      case (v: complex.StructVector, st: StructType) =>
+        writeStruct(v, st, row.getStruct(col, st.size), idx)
       case (v: ListVector, ArrayType(elem, _)) =>
         writeList(v, elem, row.getArray(col), idx)
       case (v, t) => throw new UnsupportedOperationException(
         s"graft arrow writer: $t into ${v.getClass.getSimpleName}")
+    }
+  }
+
+  /** Nested struct column (the typed-metadata shape a multimodal
+    * corpus carries next to its binary payloads): Arrow's struct
+    * layout is just the child vectors plus a validity bitmap, so the
+    * write recurses [[writeValue]] into each child at the same row
+    * index — any supported type (scalars, lists, maps, deeper structs)
+    * nests for free. */
+  private def writeStruct(v: complex.StructVector, st: StructType,
+      s: InternalRow, idx: Int): Unit = {
+    v.setIndexDefined(idx)
+    var j = 0
+    while (j < st.size) {
+      writeValue(v.getChildByOrdinal(j).asInstanceOf[FieldVector],
+        st.fields(j).dataType, s, j, idx)
+      j += 1
     }
   }
 

@@ -1173,7 +1173,39 @@ object GraftProcedures {
     }
   }
 
+  val CopyInto: UnboundProcedure = new SimpleProcedure("copy_into",
+    "idempotently load external data files into a logged arrow table " +
+      "(Delta's COPY INTO): each loaded file's path+size is ledgered " +
+      "atomically inside the ingest epoch's manifest, so re-running " +
+      "the call skips already-loaded files — ingest retries and " +
+      "landing-zone catch-up sweeps never double-load") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("source", StringType).build(),
+      ProcedureParameter.in("format", StringType)
+        .defaultValue("'parquet'").build(),
+      ProcedureParameter.in("pattern", StringType)
+        .defaultValue("''")
+        .comment("optional glob over file names (default *.<format>)")
+        .build())
+    private val out = StructType(Seq(
+      StructField("files_total", LongType, nullable = false),
+      StructField("files_loaded", LongType, nullable = false),
+      StructField("files_skipped", LongType, nullable = false),
+      StructField("rows_loaded", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (t, l, s, r) = ArrowCopyInto.run(SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString,
+        input.getUTF8String(2).toString,
+        input.getUTF8String(3).toString)
+      result(out, Array[InternalRow](
+        new GenericInternalRow(Array[Any](t, l, s, r))))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
+    "copy_into" -> CopyInto,
     "vacuum" -> Vacuum,
     "compact" -> Compact,
     "dictionary_encode" -> DictionaryEncode,
