@@ -123,9 +123,66 @@ object GraphQueries {
     rankLoop(w, nNodes(spark, dir, w))
   }
 
+  /** Per-node triangle counts over the CO-PURCHASE graph (parts that
+    * appear in the same order) — the clustering/community signal a
+    * corpus-source graph analysis computes next to PageRank. The
+    * classic distributed algorithm: orient each undirected edge from
+    * its lower-(degree, id) endpoint to the higher one, enumerate
+    * WEDGES as self-joins of the oriented edge list on the source,
+    * and close each wedge against the undirected edge set. Degree
+    * orientation is the scale lever: a hub of degree d contributes
+    * O(d²) wedges under naive enumeration, but oriented out-degrees
+    * are bounded by O(√E) on any graph, so wedge volume is O(E^1.5)
+    * worst case — the same bound GraphX/Spark's own triangleCount
+    * relies on. Three hash-keyed shuffles end to end (edges, wedges,
+    * close); per-order part fan-out bounds the edge build. Fully
+    * deterministic → plain SQL oracle. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    val e = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("x"), col("b.pk").as("y"))
+      .distinct()
+    triangleCounts(e)
+  }
+
+  /** The orientation + wedge + close pipeline over a canonical edge
+    * frame `(x, y)` with `x < y`, one row per undirected edge.
+    * `private[graft]` so GraphSpec can pin exact counts on synthetic
+    * graphs (cliques, triangle-free paths) beyond the fixture. */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("x").as("node"))
+      .unionAll(e.select(col("y").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val lowFirst = col("dx") < col("dy") ||
+      (col("dx") === col("dy") && col("x") < col("y"))
+    val oe = e
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), "y")
+      .select(when(lowFirst, col("x")).otherwise(col("y")).as("src"),
+        when(lowFirst, col("y")).otherwise(col("x")).as("dst"))
+      .persist()
+    // wedges (src, v, w) with v < w by part id; the closing edge is
+    // looked up in canonical x<y orientation
+    val tri = oe.as("o1").join(oe.as("o2"),
+        col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
+      .select(col("o1.src").as("a"), col("o1.dst").as("b"),
+        col("o2.dst").as("c"))
+      .join(e, col("x") === col("b") && col("y") === col("c"))
+      .select(col("a"), col("b"), col("c"))
+    tri.select(col("a").as("node"))
+      .unionAll(tri.select(col("b").as("node")))
+      .unionAll(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+      .orderBy(col("node"))
+  }
+
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (pageRank _),
-    "graph_pagerank_indexed" -> (pageRankIndexed _))
+    "graph_pagerank_indexed" -> (pageRankIndexed _),
+    "graph_triangles" -> (triangles _))
 
   /** One unrolled rank iteration as a DuckDB CTE body. */
   private def iterSql(prev: String, out: String): String =
@@ -159,5 +216,29 @@ object GraphQueries {
 
   val sql: Map[String, String] = Map(
     "graph_pagerank" -> PageRankSql,
-    "graph_pagerank_indexed" -> PageRankSql)
+    "graph_pagerank_indexed" -> PageRankSql,
+    "graph_triangles" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS x, b.pk AS y
+        |  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT node, COUNT(*) AS d FROM (
+        |  SELECT x AS node FROM e UNION ALL SELECT y AS node FROM e)
+        |  GROUP BY node),
+        |oe AS (SELECT
+        |  CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |    THEN e.x ELSE e.y END AS src,
+        |  CASE WHEN dx.d < dy.d OR (dx.d = dy.d AND e.x < e.y)
+        |    THEN e.y ELSE e.x END AS dst
+        | FROM e JOIN deg dx ON dx.node = e.x
+        |        JOIN deg dy ON dy.node = e.y),
+        |tri AS (SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+        | FROM oe o1 JOIN oe o2
+        |   ON o1.src = o2.src AND o1.dst < o2.dst
+        | JOIN e ON e.x = o1.dst AND e.y = o2.dst)
+        |SELECT node, COUNT(*) AS triangles FROM (
+        | SELECT a AS node FROM tri
+        | UNION ALL SELECT b AS node FROM tri
+        | UNION ALL SELECT c AS node FROM tri)
+        |GROUP BY node ORDER BY node""".stripMargin)
 }

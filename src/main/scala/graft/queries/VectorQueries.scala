@@ -183,6 +183,144 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  // ---- Product quantization (sim_pq_adc) ---------------------------
+  // PQ splits each 64-dim vector into M=4 16-dim subvectors and
+  // quantizes each against its own K=16-centroid codebook: a vector
+  // compresses from 256 bytes of float32 to 4 CODE BYTES (64×), and
+  // similarity search scans codes against a per-query lookup table
+  // (asymmetric distance computation) instead of raw vectors — the
+  // memory layout IVF-PQ systems (Faiss) use to hold billion-vector
+  // indexes in RAM. At 100 TB the code table is the only thing the
+  // scan reads; the codebooks (M×K×16 doubles) broadcast everywhere.
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 16
+
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Int, Int, Seq[Double])]]
+
+  /** Most recent PQ fit — restated as SQL literals by [[sql]], the
+    * same move as the IVF centroid oracle. */
+  @volatile private var fittedPqCodebooks
+      : Option[Seq[(Int, Int, Seq[Double])]] = None
+
+  /** Per-(vector, subspace) slices: `(vec_id, m, sub)` where `sub` is
+    * the m-th 16-dim slice of the embedding. Narrow generate — the
+    * corpus never shuffles for this. */
+  private def subvectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.DotProduct.register(spark)
+    fanOut(Tables.embeddings(spark, dir))
+      .select(col("vec_id"),
+        explode(array((0 until PqM).map(lit): _*)).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        expr(s"slice(embedding, m * $PqSub + 1, $PqSub)").as("sub"))
+  }
+
+  /** Fit the M per-subspace codebooks: k-means over subvectors,
+    * initialized from the first K vectors' slices (deterministic),
+    * 3 Lloyd iterations. Codebooks are index METADATA (M×K×16
+    * doubles) — collected to the driver and re-broadcast per
+    * iteration exactly like the IVF centroids. */
+  private def pqFit(spark: SparkSession, dir: String)
+      : Seq[(Int, Int, Seq[Double])] = {
+    val fitted = pqCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      val subs = subvectors(spark, dir)
+      var cents: Seq[(Int, Int, Seq[Double])] =
+        subs.filter(col("vec_id") < PqK)
+          .collect()
+          .map(r => (r.getInt(1), r.getLong(0).toInt,
+            r.getSeq[Float](2).map(_.toDouble).toSeq))
+          .sortBy(c => (c._1, c._2)).toSeq
+      for (_ <- 0 until 3) {
+        val cdf = broadcast(cents.toDF("m", "code", "cent"))
+        // per-subspace argmin of ||s-c||² = |s|² - 2s·c + |c|²
+        // (|s|² constant per subvector → rank by |c|² - 2s·c)
+        val assigned = subs.join(cdf, "m")
+          .select(col("vec_id"), col("m"), col("sub"), col("code"),
+            (expr("graft_dot(cent, cent)")
+              - lit(2.0) * expr("graft_dot(sub, cent)")).as("score"))
+          .groupBy(col("vec_id"), col("m"))
+          .agg(min(struct(col("score"), col("code"))).getField("code")
+            .as("code"),
+            first(col("sub")).as("sub"))
+        cents = assigned
+          .select(col("m"), col("code"),
+            posexplode(col("sub")).as(Seq("pos", "x")))
+          .groupBy(col("m"), col("code"), col("pos"))
+          .agg(avg(col("x").cast(DoubleType)).as("mean"))
+          .groupBy(col("m"), col("code"))
+          .agg(collect_list(struct(col("pos"), col("mean"))).as("pm"))
+          .select(col("m"), col("code"),
+            expr("transform(array_sort(pm, (a, b) -> a.pos - b.pos), " +
+              "p -> p.mean)").as("cent"))
+          .as[(Int, Int, Seq[Double])].collect().toSeq
+          .sortBy(c => (c._1, c._2))
+      }
+      cents
+    })
+    fittedPqCodebooks = Some(fitted)
+    fitted
+  }
+
+  /** ANN via product quantization + asymmetric distance: encode every
+    * corpus vector as M=4 code bytes, build each query's (m, code) →
+    * partial-dot lookup table against the codebooks, and rank
+    * candidates by the RECONSTRUCTED cosine — adot/√(|q|²·|recon|²),
+    * where both adot and |recon|² fold from per-subspace table
+    * entries. The scan side touches ONLY the code table (64× smaller
+    * than the vectors) plus broadcast LUTs: the Faiss-style memory
+    * shape that holds a billion-vector index in RAM at 100 TB.
+    * Everything after the fit is exactly restatable over the codebook
+    * literals, so the query is hash-gated like the IVF family;
+    * DedupSimSpec additionally pins recall against brute force. */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = pqFit(spark, dir)
+    val cdf = broadcast(cents.toDF("m", "code", "cent"))
+    // encode: per-(vector, subspace) nearest code, (score, code)
+    // tie-break — identical to the fit's assignment step
+    val codes = subvectors(spark, dir).join(cdf, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        (expr("graft_dot(cent, cent)")
+          - lit(2.0) * expr("graft_dot(sub, cent)")).as("score"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("code"))).getField("code")
+        .as("code"))
+    // |centroid|² per (m, code): folded from the same literals on both
+    // engines (ascending-position sum order)
+    val cn = broadcast(cents
+      .map { case (m, c, v) => (m, c, v.map(x => x * x).sum) }
+      .toDF("m", "code", "cnorm"))
+    val q = withNorm(spark, dir).filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"))
+    // per-query LUT: partial dot of the query's m-th slice with every
+    // centroid — 20 queries × 64 codebook rows, broadcast
+    val lut = broadcast(q.crossJoin(cdf)
+      .select(col("qid"), col("m"), col("code"),
+        expr(s"graft_dot(slice(qv, m * $PqSub + 1, $PqSub), cent)")
+          .as("contrib")))
+    val sc0 = codes.join(lut, Seq("m", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(cn, Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adot"), sum(col("cnorm")).as("tn"))
+    val scored = sc0
+      .join(broadcast(q.select(col("qid"), col("q_nsq"))), "qid")
+      .select(col("qid"), col("vec_id").as("tid"),
+        round(col("adot") / sqrt(col("q_nsq") * col("tn")), 6)
+          .as("cos_hat"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_hat").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos_hat"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+  // ------------------------------------------------------------------
+
   /** Per-label, per-dimension centroid, mean rounded to 6 decimals.
     * (Float→decimal casts disagree between engines — Spark rounds the
     * shortest double repr — so the sum runs in plain double; with ~100s
@@ -523,6 +661,7 @@ object VectorQueries {
     "sim_ann_lsh" -> (annLsh _),
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
+    "sim_pq_adc" -> (pqAdc _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "sim_ann_ivf_indexed" -> (annIvfIndexed _),
     "sim_ann_ivf_incremental" -> (annIvfIncremental _),
@@ -700,10 +839,71 @@ object VectorQueries {
          |GROUP BY d1, cell ORDER BY vec_id""".stripMargin
     }
 
+  /** The PQ codebooks as DuckDB VALUES literals — `(m, code, [cv...])`
+    * rows, Double.toString shortest round-trip like the IVF
+    * centroids. */
+  private def codebookSqlValues(cb: Seq[(Int, Int, Seq[Double])]): String =
+    cb.sortBy(c => (c._1, c._2)).map { case (m, c, v) =>
+      s"($m, $c, [${v.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n  ")
+
+  /** Oracle for [[pqAdc]]: the fit restates as codebook literals, then
+    * encoding (per-(vector, subspace) argmin with (score, code)
+    * tie-break), the per-query LUT, the ADC fold (Σ contrib,
+    * Σ |centroid|²), the reconstructed cosine, and the (cos_hat desc,
+    * tid asc) top-5 ranking are all re-derived in SQL. */
+  private def pqSql: Option[String] =
+    fittedPqCodebooks.map { cb =>
+      s"""WITH c(m, code, cv) AS (VALUES
+         |  ${codebookSqlValues(cb)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |scores AS (
+         | SELECT e.vec_id, c.m, c.code,
+         |  SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[c.m*$PqSub + i] AS DOUBLE)*c.cv[i])
+         |    AS score
+         | FROM e, c, UNNEST(range(1, $PqSub + 1)) AS r(i)
+         | GROUP BY e.vec_id, c.m, c.code),
+         |codes AS (
+         | SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |     ORDER BY score, code) AS rnc
+         |  FROM scores) WHERE rnc = 1),
+         |cn AS (SELECT m, code, SUM(cv[i]*cv[i]) AS cnorm
+         | FROM c, UNNEST(range(1, $PqSub + 1)) AS r(i) GROUP BY m, code),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+         | WHERE vec_id < 20),
+         |qn AS (SELECT qid,
+         |  SUM(CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE)) AS q_nsq
+         | FROM q, UNNEST(range(1, len(qv) + 1)) AS r(i) GROUP BY qid),
+         |lut AS (SELECT q.qid, c.m, c.code,
+         |  SUM(CAST(q.qv[c.m*$PqSub + i] AS DOUBLE) * c.cv[i]) AS contrib
+         | FROM q, c, UNNEST(range(1, $PqSub + 1)) AS r(i)
+         | GROUP BY q.qid, c.m, c.code),
+         |sc0 AS (SELECT l.qid, t.vec_id AS tid,
+         |  SUM(l.contrib) AS adot, SUM(cn.cnorm) AS tn
+         | FROM codes t
+         | JOIN lut l ON l.m = t.m AND l.code = t.code
+         | JOIN cn ON cn.m = t.m AND cn.code = t.code
+         | WHERE t.vec_id <> l.qid
+         | GROUP BY l.qid, t.vec_id),
+         |scored AS (SELECT sc0.qid, tid,
+         |  round(adot / sqrt(qn.q_nsq * tn), 6) AS cos_hat
+         | FROM sc0 JOIN qn ON qn.qid = sc0.qid),
+         |ranked AS (SELECT qid, tid, cos_hat,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_hat DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos_hat, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+    }
+
   /** A def, not a val: the IVF entries join the map only after the fit
     * has run (SparkEntry.oracleSql is assembled at dump time). */
   def sql: Map[String, String] =
     baseSql ++
+      pqSql.map(s => Map("sim_pq_adc" -> s)).getOrElse(Map.empty) ++
       semanticDedupSql.map(s => Map("dedup_semantic" -> s))
         .getOrElse(Map.empty) ++
       ivfSql(1).map(s => Map(

@@ -287,6 +287,26 @@ class DedupSimSpec extends AnyFunSuite {
     assert(multi.groupBy(_._1).values.forall(_.size <= 5))
   }
 
+  test("PQ-ADC ranking preserves similarity signal at 32x compression") {
+    val brute = VectorQueries.topK(spark, TestSession.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pq = VectorQueries.pqAdc(spark, TestSession.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // shape contract: exactly 5 per query, deterministic re-run
+    assert(pq.groupBy(_._1).values.forall(_.size == 5))
+    val again = VectorQueries.pqAdc(spark, TestSession.Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.sameElements(again), "PQ ranking is nondeterministic")
+    // signal preservation: 8 code bytes stand in for 256 float bytes;
+    // on the near-random fixture absolute top-5 recall is necessarily
+    // modest (most cosines tie near 0, so any quantization scrambles
+    // the tail), but PQ must still recover a clearly-better-than-
+    // chance slice of the exact top-5 (chance ≈ 5/500 = 1%)
+    val bruteSet = brute.map { case (q, t, _) => (q, t) }.toSet
+    val recall = pq.count(bruteSet.contains).toDouble / brute.length
+    assert(recall >= 0.1, s"PQ top-5 recall $recall < 0.1 floor")
+  }
+
   test("typed SimHashAgg signatures are bit-equal to the 64-sum formulation") {
     val viaAgg = DedupQueries.simhashDedup(spark, TestSession.Sf) // warms path
     viaAgg.collect() // force; result shape irrelevant here

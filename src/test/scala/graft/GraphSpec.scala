@@ -76,4 +76,26 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(0) < 1000000000000L))
     assert(rows.forall(_.getDouble(1) > 0.0))
   }
+
+  test("triangle counts are exact on known synthetic graphs") {
+    import spark.implicits._
+    // K4 (4-clique): 4 triangles total, each node in exactly 3;
+    // a disjoint path 10-11-12-13: triangle-free, contributes nothing
+    val k4 = for {
+      i <- 0L to 3L; j <- 0L to 3L if i < j
+    } yield (i, j)
+    val path = Seq((10L, 11L), (11L, 12L), (12L, 13L))
+    val e = (k4 ++ path).toDF("x", "y")
+    val got = GraphQueries.triangleCounts(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 3L), (1L, 3L), (2L, 3L), (3L, 3L)),
+      s"K4+path triangle counts wrong: $got")
+    // a hub star (no triangles) plus one closed fan blade: degree
+    // orientation must not miscount around the hub
+    val star = (1L to 8L).map(i => (0L, i)) :+ ((1L, 2L))
+    val gotStar = GraphQueries.triangleCounts(star.toDF("x", "y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotStar == Seq((0L, 1L), (1L, 1L), (2L, 1L)),
+      s"star+blade triangle counts wrong: $gotStar")
+  }
 }
