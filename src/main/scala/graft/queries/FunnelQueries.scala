@@ -164,7 +164,42 @@ object FunnelQueries {
       .orderBy(col("event_type"), col("hour"))
   }
 
+  /** Ordered SEQUENCE-PATTERN detection (the MATCH_RECOGNIZE workhorse
+    * case): per user, count completed view→click→purchase chains
+    * where each step follows the previous within 24 hours. The
+    * naive formulation is a cubic three-way self-join; this is the
+    * linear carry-forward shape instead — ONE per-user ordered pass
+    * carries (a) the latest view's time and (b) the latest QUALIFIED
+    * click's time (a click within the window of a view) via ignore-nulls
+    * last() windows, and purchases test the carried state. Both
+    * window passes share one (user_id) partitioning → one shuffle end
+    * to end, state is two longs per row: at 100 TB the cost is the
+    * per-user sort, same as sessionization. Frames are explicit ROWS
+    * (not RANGE) so engine tie semantics can't differ. */
+  def eventsPattern(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        col("ts"), col("ts").cast("long").as("sec"))
+    val s1 = ev.withColumn("lv",
+      last(when(col("event_type") === "view", col("sec")),
+        ignoreNulls = true).over(w))
+    val s2 = s1.withColumn("lqc",
+      last(when(col("event_type") === "click" &&
+          col("sec") - col("lv") <= 86400L, col("sec")),
+        ignoreNulls = true).over(w))
+    s2.filter(col("event_type") === "purchase" &&
+        col("lqc").isNotNull && col("sec") - col("lqc") <= 86400L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_chains"))
+      .orderBy(col("user_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "events_pattern" -> (eventsPattern _),
     "events_attribution" -> (eventsAttribution _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_funnel" -> (eventsFunnel _),
@@ -172,6 +207,24 @@ object FunnelQueries {
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_pattern" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type, ts,
+        |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |s1 AS (SELECT *, last_value(
+        |  CASE WHEN event_type = 'view' THEN sec END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        | FROM ev),
+        |s2 AS (SELECT *, last_value(
+        |  CASE WHEN event_type = 'click' AND sec - lv <= 86400
+        |    THEN sec END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lqc
+        | FROM s1)
+        |SELECT user_id, COUNT(*) AS n_chains FROM s2
+        |WHERE event_type = 'purchase' AND lqc IS NOT NULL
+        |  AND sec - lqc <= 86400
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
     "events_anomaly" ->
       """WITH hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
         |  COUNT(*) AS n_events FROM events GROUP BY 1, 2),
