@@ -1027,8 +1027,48 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Partition evolution (Iceberg's flagship layout feature),
+    * oracle-gated end to end: a FLAT table takes on a partition spec
+    * (`CALL graft.system.set_partitioning`) as ONE metadata write —
+    * no rewrite — and a later plain append routes into `col=value`
+    * dirs. The final filtered aggregate spans BOTH generations: the
+    * old one serves the evolved column from file BYTES (the filter
+    * stays residual there), the new one from its path (pruned at
+    * planning). A generation served wrong — nulled bytes, dropped
+    * residual, double-exposed column — moves counts/sums and fails
+    * the hash. The 100 TB shape: re-partitioning a petabyte table
+    * costs one metadata write; pruning coverage then grows with
+    * ordinary OPTIMIZE traffic. */
+  def arrowPartitionEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("part_evolution", dir)
+    graft.Scratch.reset(out)
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    o.filter(col("o_orderkey") <= 2000)
+      .write.format("arrow").mode("overwrite").save(out)
+    spark.sql("CALL graft.system.set_partitioning(path => " +
+      s"'$out', cols => 'o_orderstatus')").collect()
+    // path-based V2 appends resolve by position; evolution moves the
+    // partition column to the schema tail — append in table order
+    val tableOrder = spark.read.format("arrow").load(out)
+      .schema.fieldNames.toSeq
+    o.filter(col("o_orderkey") > 2000)
+      .select(tableOrder.map(col): _*)
+      .write.format("arrow").mode("append").save(out)
+    spark.read.format("arrow").load(out)
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_copy_into" -> (arrowCopyInto _),
+    "arrow_partition_evolution" -> (arrowPartitionEvolution _),
     "arrow_cdf_batch" -> (arrowCdfBatch _),
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_time_travel" -> (arrowTimeTravel _),
@@ -1085,6 +1125,11 @@ object StorageQueries {
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_partition_evolution" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders WHERE o_orderstatus IN ('F', 'O')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_delete_partition" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -145,7 +145,7 @@ object ArrowChanges {
         val f = root.resolve(en.rel).normalize
         val partVals: Array[String] =
           if (partSchema.isEmpty) Array.empty
-          else ArrowDataSource.partitionValuesOf(path, f, partSchema.length)
+          else ArrowDataSource.partitionValuesOf(path, f, partSchema.fieldNames.toSeq)
             .map(_.orNull).toArray
         val nBlocks = footerMemo.info(f).sizes.length
         en.dv match {

@@ -115,7 +115,12 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
       }
       Option(bad.get()).foreach(m => throw new IllegalArgumentException(m))
       val partCols = ArrowDataSource.discoverPartitionSchema(root)
-      return StructType(ds.fields ++ partCols.fields)
+      // partition evolution: an evolved column may sit in the declared
+      // data schema (pre-evolution generations carry it in bytes) —
+      // it must surface ONCE, through the partition machinery, whose
+      // reader falls back to file bytes where the dir value is absent
+      return StructType(ds.fields.filterNot(f =>
+        partCols.fieldNames.contains(f.name)) ++ partCols.fields)
     }
     // Schema evolution, read side (`option("mergeSchema", true)` —
     // parquet's contract): the table schema is the UNION of every
@@ -141,10 +146,22 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
             "do not merge")
       }
       val partCols = ArrowDataSource.discoverPartitionSchema(root)
-      return StructType(out.values.toArray ++ partCols.fields)
+      return StructType(out.values.toArray.filterNot(f =>
+        partCols.fieldNames.contains(f.name)) ++ partCols.fields)
     }
-    val dataSchema = idxSchema(files.head)
-      .getOrElse(ArrowDataSource.readFooterSchema(files.head))
+    // Partition evolution: generations written BEFORE a column joined
+    // the partition spec carry it in file BYTES; later generations
+    // carry it in their directory path. The data portion of the table
+    // schema is footer-minus-partition-columns, and the consistency
+    // sweep compares footers on that same projection — each file may
+    // carry any subset of the partition union in bytes (XOR its path).
+    val partColNames = ArrowDataSource.discoverPartitionCols(root, files)
+    def dataPart(s: StructType): StructType =
+      if (partColNames.isEmpty) s
+      else StructType(s.fields.filterNot(f =>
+        partColNames.contains(f.name)))
+    val dataSchema = dataPart(idxSchema(files.head)
+      .getOrElse(ArrowDataSource.readFooterSchema(files.head)))
     // Fail fast on a mixed-schema directory (two writers, schema
     // drift): every footer must agree with the first file on names and
     // types, else the constant-ordinal readers would silently misread.
@@ -163,8 +180,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
         new java.util.concurrent.atomic.AtomicReference[String](null)
       files.tail.asJava.parallelStream().forEach { f =>
         if (mismatch.get() == null) {
-          val got = sig(idxSchema(f)
-            .getOrElse(ArrowDataSource.readFooterSchema(f)))
+          val got = sig(dataPart(idxSchema(f)
+            .getOrElse(ArrowDataSource.readFooterSchema(f))))
           if (got != expected) mismatch.compareAndSet(null,
             s"arrow: inconsistent schema under $root — $f has " +
               s"${got.map { case (n, t) => s"$n:${t.simpleString}" }
@@ -177,7 +194,7 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
     }
     // Hive-style layout: partition columns live in the directory names,
     // appended after the file columns (parquet's convention)
-    val partCols = ArrowDataSource.discoverPartitionSchema(root)
+    val partCols = ArrowDataSource.discoverPartitionSchema(root, files)
     StructType(dataSchema.fields ++ partCols.fields)
   }
 
@@ -375,7 +392,16 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     ArrowDataSource.initTableLog(path)
     val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
     val base = ArrowDataSource.latestCommittedEpoch(root)
-    if (!partitionOnly(ps, filters)) {
+    // metadata-only unlink is sound ONLY when every visible file
+    // exposes every referenced column in its PATH — under partition
+    // evolution, pre-evolution generations carry the column in bytes,
+    // so their matching rows must go through the copy-on-write path
+    // (which evaluates the real byte values)
+    val refs = filters.flatMap(_.references).toSet
+    val dirComplete = ArrowDataSource.visibleIpcFiles(path).forall(f =>
+      refs.subsetOf(
+        ArrowDataSource.partitionValueMap(path, f).keySet))
+    if (!partitionOnly(ps, filters) || !dirComplete) {
       ArrowDelete.deleteWhere(
         org.apache.spark.sql.SparkSession.active, path, ps,
         filters.toSeq, base)
@@ -424,10 +450,21 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
         s"arrow partitionTransform: ${t.kind}(${t.srcCol}) needs a " +
           s"DATE or TIMESTAMP column, got ${dt.simpleString}")
     }
+    // Partition evolution: a writer that names NO layout of its own
+    // routes by the table's recorded partition spec
+    // (CALL graft.system.set_partitioning) — plain appends land in the
+    // current col=value layout without every ingest job re-declaring
+    // it. Explicit partitionBy/bucketBy/partitionTransform wins.
+    val effectivePartCols =
+      if (partitionCols.nonEmpty || bucket.nonEmpty || transform.nonEmpty)
+        partitionCols
+      else ArrowDataSource.sinkRoot(path)
+        .map(ArrowDataSource.recordedPartitionSpec).getOrElse(Seq.empty)
+        .map(_._1).filter(info.schema().fieldNames.contains(_))
     new ArrowWriteBuilder(path, info.schema(),
       Option(info.options.get("codec")),
       Option(info.options.get("batchRows")).map(_.toInt).getOrElse(8192),
-      partitionCols,
+      effectivePartCols,
       Option(info.options.get("maxOpenWriters")).map(_.toInt).getOrElse(64),
       Option(info.options.get("manifestCompactInterval")).map(_.toInt)
         .getOrElse(ArrowDataSource.DefaultCompactInterval),
@@ -1595,59 +1632,84 @@ object ArrowDataSource {
     }
   }
 
-  /** Partition values of one file, aligned with
-    * [[discoverPartitionCols]]; None = SQL NULL. A file that does not
-    * sit at the discovered partition depth (someone wrote flat files
-    * into a partitioned dir, or vice versa) fails with a diagnosable
-    * layout error, not an index crash. */
-  def partitionValuesOf(root: String, file: Path,
-      nCols: Int): Seq[Option[String]] = {
+  /** The file's OWN trailing run of `col=value` segments as a map
+    * (clone-aware: segments can only start strictly below the last
+    * `..`-walk of a borrowed path). Inner None = explicit NULL
+    * partition value (`__HIVE_DEFAULT_PARTITION__`-style marker);
+    * an ABSENT key means this file predates the column's partition
+    * spec (partition evolution) — its values then live in the file's
+    * BYTES, never in the path. */
+  def partitionValueMap(root: String, file: Path)
+      : Map[String, Option[String]] = {
     val rel = Paths.get(root).relativize(file)
-    require(rel.getNameCount > nCols,
-      s"inconsistent partition layout under $root: $file sits above " +
-        s"the $nCols-level col=value depth of the first-listed file")
-    // trailing alignment, matching discoverPartitionCols: the nCols
-    // segments just above the file name (cloned entries carry `../`
-    // prefix segments before the partition dirs)
-    val base = rel.getNameCount - 1 - nCols
-    (0 until nCols).map { i =>
-      val segment = rel.getName(base + i).toString
-      val eq = segment.indexOf('=')
-      require(eq > 0,
-        s"inconsistent partition layout under $root: segment " +
-          s"'$segment' of $file is not col=value")
-      val seg = segment.substring(eq + 1)
-      if (seg == NullPartValue) None else Some(unescapePartValue(seg))
-    }
+    val segs = (0 until rel.getNameCount - 1)
+      .map(rel.getName(_).toString)
+    val lastUp = segs.lastIndexWhere(_ == "..")
+    val minStart = if (lastUp >= 0) lastUp + 2 else 0
+    segs.zipWithIndex.reverse
+      .takeWhile { case (s, i) => i >= minStart && s.contains('=') }
+      .map { case (s, _) =>
+        val eq = s.indexOf('=')
+        val v = s.substring(eq + 1)
+        s.substring(0, eq) ->
+          (if (v == NullPartValue) None else Some(unescapePartValue(v)))
+      }.toMap
+  }
+
+  /** Partition values of one file for the requested columns, by NAME;
+    * None = SQL NULL *or* column absent from this file's path (the
+    * reader falls back to the file's bytes for absentees —
+    * generation-exact under partition evolution). */
+  def partitionValuesOf(root: String, file: Path,
+      cols: Seq[String]): Seq[Option[String]] = {
+    val m = partitionValueMap(root, file)
+    cols.map(c => m.get(c).flatten)
   }
 
   /** The single place partition filters prune files — used by the
     * batch builder, the batch scan (static + runtime filters), and
-    * the micro-batch stream, so the semantics cannot drift. */
+    * the micro-batch stream, so the semantics cannot drift.
+    *
+    * Evolution-conservative: a predicate referencing a column this
+    * file does NOT carry in its path cannot prune the file — the
+    * column's values live in the file's bytes (pre-evolution
+    * generation), so the file stays planned and Catalyst's residual
+    * filter evaluates the real values exactly. Pruning is an
+    * optimization for the generations that have the layout; never a
+    * correctness dependency. */
   def pruneByPartitionFilters(files: Seq[Path], root: String,
       partSchema: StructType,
       filters: Seq[org.apache.spark.sql.sources.Filter]): Seq[Path] =
     if (filters.isEmpty || partSchema.isEmpty) files
     else {
-      val preds = filters.map(FilterEval.compile(partSchema, _))
+      val preds = filters.map(f =>
+        (f.references.toSeq, FilterEval.compile(partSchema, f)))
       files.filter { f =>
-        val row = partitionRow(root, f, partSchema)
-        preds.forall(_(row))
+        val m = partitionValueMap(root, f)
+        lazy val row = partitionRowFromMap(m, partSchema)
+        preds.forall { case (refs, p) =>
+          !refs.forall(m.contains) || p(row)
+        }
       }
     }
+
+  private def partitionRowFromMap(m: Map[String, Option[String]],
+      partSchema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
+    val cells: Array[Any] = partSchema.fields.map { f =>
+      m.get(f.name).flatten match {
+        case None => null
+        case Some(v) => partValueToInternal(f.dataType, v)
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cells)
+  }
 
   /** One file's partition values as a typed InternalRow matching
     * `partSchema` — the row partition-filter predicates evaluate
     * against (exact file-level pruning at planning time). */
   def partitionRow(root: String, file: Path,
-      partSchema: StructType): org.apache.spark.sql.catalyst.InternalRow = {
-    val vals = partitionValuesOf(root, file, partSchema.length)
-    val cells: Array[Any] = partSchema.fields.zip(vals).map {
-      case (_, None) => null
-      case (f, Some(v)) => partValueToInternal(f.dataType, v)
-    }
-    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(cells)
-  }
+      partSchema: StructType): org.apache.spark.sql.catalyst.InternalRow =
+    partitionRowFromMap(partitionValueMap(root, file), partSchema)
 
   /** One escaped-and-decoded partition value as its Catalyst-internal
     * representation for `dt` — the single conversion the planner's
@@ -1664,7 +1726,98 @@ object ArrowDataSource {
     case _ => org.apache.spark.unsafe.types.UTF8String.fromString(v)
   }
 
-  /** Partition columns as a schema: LongType when every value parses
+  /** `_graft_metadata/_partition_spec`: the CURRENT write-time
+    * partition spec (`CALL graft.system.set_partitioning`). One
+    * `name<TAB>ddl-type` line per column; future writers that name no
+    * partitioning route by it, and the recorded type is authoritative
+    * for the partition column's read schema (the pre-evolution
+    * generation serves the column from file BYTES, so dir-value
+    * inference alone could disagree with the byte type). */
+  val PartSpecFileName = "_partition_spec"
+
+  def recordedPartitionSpec(root: Path)
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val f = root.resolve(MetadataDirName).resolve(PartSpecFileName)
+    if (!Files.isRegularFile(f)) return Seq.empty
+    Files.readAllLines(f).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val Array(n, t) = l.split('\t')
+        n -> org.apache.spark.sql.types.DataType.fromDDL(t)
+      }
+  }
+
+  /** Record a new write-time partition spec — Iceberg's PARTITION
+    * EVOLUTION: future writers that name no layout route `cols` into
+    * `col=value` directories, while every existing file keeps its
+    * layout and stays exactly readable. The invariant that makes
+    * mixed generations sound: each visible file carries every
+    * partition-union column either in its PATH (written under a spec
+    * naming it) or in its BYTES (written before the column joined the
+    * spec) — the reader serves path values as constants and falls
+    * back to bytes for absentees, and partition filters prune only
+    * the files that expose the column in their path (older
+    * generations stay planned; the residual filter evaluates their
+    * real byte values). OPTIMIZE naturally migrates old files into
+    * the current layout (its rewrite routes by the union), so pruning
+    * coverage improves with ordinary maintenance. At 100 TB,
+    * re-partitioning a petabyte table is ONE metadata write, not a
+    * rewrite. */
+  def setPartitioning(spark: org.apache.spark.sql.SparkSession,
+      path: String, cols: Seq[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    require(cols.nonEmpty, "set_partitioning: no columns given")
+    if (sinkRoot(path).isDefined && !isTableLog(path))
+      throw new UnsupportedOperationException(
+        s"arrow: $path is a streaming sink; its layout is owned by " +
+          "the running stream's writer options")
+    val root = Paths.get(path).toAbsolutePath.normalize
+    initTableLog(path)
+    // bucketed layouts refuse: partitionBy cannot combine with
+    // bucketBy on the write path either
+    val idx = new FooterIndex(path)
+    require(!idx.files.exists(f => idx.info(f).bucket.isDefined),
+      s"arrow: $path carries a bucketed layout; bucketing and " +
+        "partition evolution do not compose")
+    val schema = scala.util.Try(
+      spark.read.format("arrow").load(path).schema)
+      .getOrElse(throw new IllegalArgumentException(
+        s"set_partitioning: $path has no readable schema yet — load " +
+          "data first (an empty table takes its layout from its " +
+          "first writer's partitionBy)"))
+    import org.apache.spark.sql.types._
+    val supported: Set[DataType] = Set(LongType, IntegerType,
+      ShortType, ByteType, BooleanType, StringType)
+    val spec = cols.map { c =>
+      require(schema.fieldNames.contains(c),
+        s"set_partitioning: column $c is not in the table schema " +
+          schema.fieldNames.mkString("[", ",", "]"))
+      val dt = schema(c).dataType
+      require(supported(dt),
+        s"set_partitioning: $c has unsupported partition type " +
+          dt.simpleString)
+      c -> dt
+    }
+    val md = root.resolve(MetadataDirName)
+    // read-union FIRST (computed before the spec lands), then the
+    // spec: a crash between the two leaves a table whose reads know
+    // the union but whose writers keep the old layout — sound (the
+    // XOR invariant holds), just not yet evolved
+    val union = (discoverPartitionCols(path) ++ cols).distinct
+    val utmp = md.resolve(PartColsFileName + ".set.inprogress")
+    Files.write(utmp, union.asJava)
+    Files.move(utmp, md.resolve(PartColsFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val stmp = md.resolve(PartSpecFileName + ".inprogress")
+    Files.write(stmp, spec.map { case (c, t) => s"$c\t${t.sql}" }.asJava)
+    Files.move(stmp, md.resolve(PartSpecFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    spec
+  }
+
+  /** Partition columns as a schema: the recorded spec's type wins
+    * (partition evolution), else LongType when every dir value parses
     * as a long, else StringType (the minimal useful inference). */
   def discoverPartitionSchema(root: String): StructType =
     discoverPartitionSchema(root, visibleIpcFiles(root))
@@ -1672,15 +1825,19 @@ object ArrowDataSource {
   def discoverPartitionSchema(root: String, files: Seq[Path]): StructType = {
     val cols = discoverPartitionCols(root, files)
     if (cols.isEmpty) return StructType(Seq.empty)
+    val recorded = sinkRoot(root)
+      .map(recordedPartitionSpec).getOrElse(Seq.empty).toMap
     // one path parse per file, not per (file, column)
     val perFile = files
-      .map(f => partitionValuesOf(root, f, cols.length))
-    val types = cols.indices.map { i =>
-      val vals = perFile.map(_(i)).collect { case Some(v) => v }
-      if (vals.nonEmpty && vals.forall(v => v.nonEmpty &&
-          scala.util.Try(v.toLong).isSuccess))
-        org.apache.spark.sql.types.LongType
-      else org.apache.spark.sql.types.StringType
+      .map(f => partitionValuesOf(root, f, cols))
+    val types = cols.zipWithIndex.map { case (c, i) =>
+      recorded.getOrElse(c, {
+        val vals = perFile.map(_(i)).collect { case Some(v) => v }
+        if (vals.nonEmpty && vals.forall(v => v.nonEmpty &&
+            scala.util.Try(v.toLong).isSuccess))
+          org.apache.spark.sql.types.LongType
+        else org.apache.spark.sql.types.StringType
+      })
     }
     StructType(cols.zip(types).map { case (n, t) =>
       org.apache.spark.sql.types.StructField(n, t, nullable = true)

@@ -201,10 +201,17 @@ object ArrowDelete {
     // schema — the reader's alias fallback serves a pre-rename file's
     // physical column, absent added columns read as nulls, and the
     // replacement file materializes the current logical schema.
-    val dataSchema = ArrowDataSource.declaredSchema(
+    // partition evolution: THIS FILE's byte/path split decides the
+    // rewrite schema — a column the file carries in its path must not
+    // be materialized into the replacement's bytes (layout preserved),
+    // and a column it carries in bytes (pre-evolution generation) must
+    // stay there (values preserved)
+    val dirCols = ArrowDataSource.partitionValueMap(root, src).keySet
+    val dataSchema = StructType(ArrowDataSource.declaredSchema(
       ArrowDataSource.sinkRoot(root)
         .getOrElse(Paths.get(root).toAbsolutePath.normalize))
       .getOrElse(ArrowDataSource.readFooterSchema(src))
+      .fields.filterNot(f => dirCols.contains(f.name)))
     val dataF = filters.filterNot(f =>
       f.references.forall(partSchema.fieldNames.contains(_)) &&
         FilterEval.supported(partSchema, f))
@@ -212,12 +219,17 @@ object ArrowDelete {
 
     // full row = file columns ++ directory-carried partition columns,
     // the same composition the scan serves — so the predicate may mix
-    // partition and data columns freely. An existing deletion vector
-    // applies through the partition: masked rows are neither kept nor
-    // re-tested (they are already logically gone).
-    val readSchema = StructType(dataSchema.fields ++ partSchema.fields)
+    // partition and data columns freely (each name ONCE: a partition
+    // column this generation still carries in bytes binds its data
+    // ordinal, and the reader serves the real byte values). An
+    // existing deletion vector applies through the partition: masked
+    // rows are neither kept nor re-tested (they are already logically
+    // gone).
+    val readSchema = StructType(dataSchema.fields ++
+      partSchema.fields.filterNot(f =>
+        dataSchema.fieldNames.contains(f.name)))
     val partValues = ArrowDataSource
-      .partitionValuesOf(root, src, partSchema.length).map(_.orNull).toArray
+      .partitionValuesOf(root, src, partSchema.fieldNames.toSeq).map(_.orNull).toArray
     val partition =
       ArrowFilePartition(file, info.sizes.indices.toArray, partValues,
         dvFile = dvFile.orNull)

@@ -244,7 +244,7 @@ class ArrowCoWScan(op: ArrowRowLevelOperation, path: String,
     files.map { f =>
       val nBlocks = footerIdx.info(f).sizes.length
       val partVals = ArrowDataSource
-        .partitionValuesOf(path, f, partSchema.length).map(_.orNull).toArray
+        .partitionValuesOf(path, f, partSchema.fieldNames.toSeq).map(_.orNull).toArray
       // a DV'd file's masked rows must not resurrect through the CoW
       // rewrite: the replacement materializes only live rows, and the
       // replaced file's vector dies with it at the epoch commit

@@ -216,7 +216,19 @@ class ArrowScanBuilder(path: String, schema: StructType,
         FilterEval.supported(dataSchema, f))
     pushedPart = partF
     pushed = dataF
-    rest // Data filters are residual: Catalyst re-evaluates them.
+    // Claiming a partition filter as EXACT (not returned) lets
+    // Catalyst drop the residual — sound only while every visible
+    // file exposes every referenced column in its PATH. Under
+    // partition evolution, pre-evolution generations carry the
+    // column in BYTES: pruning still applies (conservative), but the
+    // filter must stay residual so Catalyst re-evaluates the byte
+    // values the reader serves for those files.
+    val partRefs = partF.flatMap(_.references).toSet
+    val exactPart = partRefs.isEmpty || footerIdx.files.forall(f =>
+      partRefs.subsetOf(
+        ArrowDataSource.partitionValueMap(path, f).keySet))
+    if (exactPart) rest // Data filters are residual: Catalyst re-evaluates.
+    else partF ++ rest
   }
 
   override def pushedFilters(): Array[Filter] = pushedPart ++ pushed
@@ -372,7 +384,7 @@ class ArrowScanBuilder(path: String, schema: StructType,
       val row = new Array[Any](nGroup + resolved.length)
       if (nGroup > 0) {
         val vals = ArrowDataSource.partitionValuesOf(path, f,
-          partSchema.length)
+          partSchema.fieldNames.toSeq)
         groupCols.zipWithIndex.foreach { case (c, gi) =>
           val pi = partSchema.fieldIndex(c)
           row(gi) = vals(pi) match {
@@ -811,7 +823,7 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       val p = fileIt.next()
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
-        else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
+        else ArrowDataSource.partitionValuesOf(path, p, partSchema.fieldNames.toSeq)
           .map(_.orNull).toArray
       val dvFile: String = footerIdx.dvs
         .get(p.toAbsolutePath.normalize.toString).map(_._1).orNull
@@ -1195,7 +1207,7 @@ class ArrowMicroBatchStream(path: String, schema: StructType,
       val p = java.nio.file.Paths.get(f)
       val partVals: Array[String] =
         if (partSchema.isEmpty) Array.empty
-        else ArrowDataSource.partitionValuesOf(path, p, partSchema.length)
+        else ArrowDataSource.partitionValuesOf(path, p, partSchema.fieldNames.toSeq)
           .map(_.orNull).toArray
       val nBlocks = footerMemo.info(p).sizes.length
       ArrowFilePartition(f, (0 until nBlocks).toArray, partVals)
@@ -1290,6 +1302,16 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
     val fileFields = root.getSchema.getFields.asScala.map(_.getName)
     schema.fieldNames.map { n =>
       partIdx.get(n) match {
+        // Partition evolution: a file from BEFORE a column joined the
+        // partition spec has no dir value for it — the real values
+        // live in the file's BYTES (the writer only extracts CURRENT
+        // spec columns to directories), so read them there. A genuine
+        // NULL dir value cannot collide: a file written WITH the
+        // column in its spec never carries it in bytes.
+        case Some(pi) if (pi >= partition.partValues.length ||
+            partition.partValues(pi) == null) &&
+            fileFields.contains(n) =>
+          Left(fileFields.indexOf(n))
         case Some(pi) => Right(pi)
         case None if n == ArrowDataSource.FileMetaCol => Left(-2)
         case None if n == ArrowDataSource.PosMetaCol => Left(-5)

@@ -104,9 +104,13 @@ object DeletionVectors {
       ArrowDataSource.sinkRoot(root)
         .getOrElse(java.nio.file.Paths.get(root).toAbsolutePath.normalize))
       .getOrElse(ArrowDataSource.readFooterSchema(src))
-    val readSchema = StructType(dataSchema.fields ++ partSchema.fields)
+    // each name once: an evolved partition column a pre-evolution file
+    // still carries in bytes binds its data ordinal (the reader serves
+    // the byte values); later generations get the dir constant
+    val readSchema = StructType(dataSchema.fields.filterNot(f =>
+      partSchema.fieldNames.contains(f.name)) ++ partSchema.fields)
     val partValues = ArrowDataSource
-      .partitionValuesOf(root, src, partSchema.length).map(_.orNull).toArray
+      .partitionValuesOf(root, src, partSchema.fieldNames.toSeq).map(_.orNull).toArray
     val compiled = filters.map(FilterEval.compile(readSchema, _))
     def matches(r: InternalRow): Boolean = compiled.forall(_(r))
     val nBatches = info.sizes.length

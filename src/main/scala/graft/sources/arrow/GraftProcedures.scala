@@ -1007,10 +1007,10 @@ object GraftProcedures {
             }
         }
       // 4. partition directory values decode
-      val nPart = ArrowDataSource.discoverPartitionCols(root.toString).length
-      if (nPart > 0) files.foreach { f =>
+      val partNames = ArrowDataSource.discoverPartitionCols(root.toString)
+      if (partNames.nonEmpty) files.foreach { f =>
         if (scala.util.Try(ArrowDataSource
-          .partitionValuesOf(root.toString, f, nPart)).isFailure)
+          .partitionValuesOf(root.toString, f, partNames)).isFailure)
           bad("partition-values-decode", f.toString)
       }
       val rows = (findings.toSeq :+
@@ -1204,8 +1204,36 @@ object GraftProcedures {
     }
   }
 
+  val SetPartitioning: UnboundProcedure = new SimpleProcedure(
+    "set_partitioning",
+    "record a new write-time partition spec (Iceberg's partition " +
+      "evolution): future writes route the named columns to " +
+      "col=value directories; existing files keep their layout and " +
+      "stay exactly readable (path XOR bytes per column); filters " +
+      "prune the generations that expose the layout") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("cols", StringType)
+        .comment("comma-separated partition column names, in layout " +
+          "order").build())
+    private val out = StructType(Seq(
+      StructField("col", StringType, nullable = false),
+      StructField("type", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val spec = ArrowDataSource.setPartitioning(SparkSession.active,
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty))
+      result(out, spec.map { case (c, t) =>
+        new GenericInternalRow(
+          Array[Any](utf8(c), utf8(t.simpleString))): InternalRow
+      }.toArray)
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "copy_into" -> CopyInto,
+    "set_partitioning" -> SetPartitioning,
     "vacuum" -> Vacuum,
     "compact" -> Compact,
     "dictionary_encode" -> DictionaryEncode,
