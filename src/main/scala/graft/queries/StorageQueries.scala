@@ -1066,9 +1066,37 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Named version refs (Iceberg's tags), oracle-gated: snapshot a
+    * table, `CALL graft.system.tag(path, 'pre_delete')`, run a DELETE
+    * epoch, then read `VERSION AS OF 'pre_delete'` — the tag resolves
+    * through the table's ref file to the pre-delete epoch, so the
+    * aggregate equals the oracle over the UNTOUCHED data. The 100 TB
+    * shape: "the corpus the model trained on" is a name, not a number
+    * someone has to remember; resolution is one metadata read. */
+  def arrowTagTravel(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("arrow_tag_travel", dir)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    spark.sql("CALL graft.system.tag(path => " +
+      s"'$out', name => 'pre_delete')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$out` WHERE o_orderkey < 400")
+    spark.sql(
+      s"SELECT * FROM graft.arrow.`$out` VERSION AS OF 'pre_delete'")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val defs: Map[String, Q] = Map(
     "arrow_copy_into" -> (arrowCopyInto _),
     "arrow_partition_evolution" -> (arrowPartitionEvolution _),
+    "arrow_tag_travel" -> (arrowTagTravel _),
     "arrow_cdf_batch" -> (arrowCdfBatch _),
     "arrow_delete_partition" -> (arrowDeletePartition _),
     "arrow_time_travel" -> (arrowTimeTravel _),
@@ -1130,6 +1158,12 @@ object StorageQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderstatus IN ('F', 'O')
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // the tag resolves to the PRE-delete epoch: the aggregate must
+    // cover every order, including the deleted key range
+    "arrow_tag_travel" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_delete_partition" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -1746,6 +1746,59 @@ object ArrowDataSource {
       }
   }
 
+  /** `_graft_metadata/_tags`: named epoch refs (Iceberg's TAGS) —
+    * `VERSION AS OF 'name'` resolves through them, so releases,
+    * audits, and reproducibility pins address a version by MEANING
+    * ("v1-training-snapshot") instead of a raw epoch number. A tag is
+    * one TSV line; retargeting/removing rewrites the file atomically.
+    * Tags do not pin data against VACUUM (matching our VERSION AS OF
+    * contract: pre-horizon versions refuse loudly) — they are names,
+    * not retention policy. */
+  val TagsFileName = "_tags"
+
+  def tags(root: Path): Map[String, Long] = {
+    val f = root.resolve(MetadataDirName).resolve(TagsFileName)
+    if (!Files.isRegularFile(f)) return Map.empty
+    Files.readAllLines(f).asScala.toSeq.map(_.trim).filter(_.nonEmpty)
+      .map { l =>
+        val Array(n, e) = l.split('\t')
+        n -> e.toLong
+      }.toMap
+  }
+
+  private def writeTags(root: Path, t: Map[String, Long]): Unit = {
+    val md = root.resolve(MetadataDirName)
+    val tmp = md.resolve(TagsFileName + ".inprogress")
+    Files.write(tmp,
+      t.toSeq.sortBy(_._1).map { case (n, e) => s"$n\t$e" }.asJava)
+    Files.move(tmp, md.resolve(TagsFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create or retarget a tag; `epoch` None = current latest. */
+  def setTag(path: String, name: String,
+      epoch: Option[Long] = None): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"arrow tag names are [A-Za-z0-9._-]+, got '$name'")
+    initTableLog(path)
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val latest = latestCommittedEpoch(root)
+    val e = epoch.getOrElse(latest)
+    require(e >= 0 && e <= latest,
+      s"arrow tag $name: epoch $e does not exist (latest is $latest)")
+    writeTags(root, tags(root) + (name -> e))
+    e
+  }
+
+  def dropTag(path: String, name: String): Boolean = {
+    val root = Paths.get(path).toAbsolutePath.normalize
+    val t = tags(root)
+    if (!t.contains(name)) return false
+    writeTags(root, t - name)
+    true
+  }
+
   /** Record a new write-time partition spec — Iceberg's PARTITION
     * EVOLUTION: future writers that name no layout route `cols` into
     * `col=value` directories, while every existing file keeps its

@@ -185,9 +185,18 @@ class GraftCatalog extends TableCatalog with FunctionCatalog
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         ident)
+    // named refs first (Iceberg's tags): `VERSION AS OF 'v1-training'`
+    // resolves through the table's _tags file, numbers stay epochs
     val epoch = try version.toLong catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft arrow versions are sink epochs (integers), got '$version'")
+      case _: NumberFormatException =>
+        val root = java.nio.file.Paths.get(path)
+          .toAbsolutePath.normalize
+        ArrowDataSource.tags(root).getOrElse(version,
+          throw new IllegalArgumentException(
+            s"graft arrow: '$version' is neither an epoch number nor " +
+              s"a tag of $path (tags: " +
+              s"${ArrowDataSource.tags(root).keys.toSeq.sorted
+                .mkString(", ")})"))
     }
     val opts = new CaseInsensitiveStringMap(Map("path" -> path).asJava)
     val schema = new ArrowDataSource().inferSchema(opts)

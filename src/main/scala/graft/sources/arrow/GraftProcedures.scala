@@ -1231,9 +1231,50 @@ object GraftProcedures {
     }
   }
 
+  val Tag: UnboundProcedure = new SimpleProcedure("tag",
+    "create or retarget a NAMED epoch ref (Iceberg's tags): " +
+      "VERSION AS OF 'name' then resolves through it — releases and " +
+      "reproducibility pins address versions by meaning, not number; " +
+      "epoch -1 tags the current latest") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("epoch", LongType)
+        .defaultValue("-1").build())
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("epoch", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val name = input.getUTF8String(1).toString
+      val e = ArrowDataSource.setTag(
+        input.getUTF8String(0).toString, name,
+        Some(input.getLong(2)).filter(_ >= 0))
+      result(out, Array[InternalRow](
+        new GenericInternalRow(Array[Any](utf8(name), e))))
+    }
+  }
+
+  val DropTag: UnboundProcedure = new SimpleProcedure("drop_tag",
+    "remove a named epoch ref; the data it pointed at is untouched") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    private val out = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dropped = ArrowDataSource.dropTag(
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      result(out, Array[InternalRow](
+        new GenericInternalRow(Array[Any](dropped))))
+    }
+  }
+
   val all: Map[String, UnboundProcedure] = Map(
     "copy_into" -> CopyInto,
     "set_partitioning" -> SetPartitioning,
+    "tag" -> Tag,
+    "drop_tag" -> DropTag,
     "vacuum" -> Vacuum,
     "compact" -> Compact,
     "dictionary_encode" -> DictionaryEncode,

@@ -205,4 +205,53 @@ class ArrowTimeTravelSpec extends AnyFunSuite {
     assert(spark.read.format("arrow")
       .option("timestampAsOf", marks(3).toString).load(dir).count() == 30L)
   }
+
+  test("named tags resolve VERSION AS OF by meaning; retarget, drop, " +
+      "and unknown-tag refusal behave") {
+    val dir = Files.createTempDirectory("tt_tags").toString
+    spark.range(10).toDF("id")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.tag(path => '$dir', " +
+      "name => 'v1')").collect()
+    val taggedEpoch = ArrowDataSource.latestCommittedEpoch(
+      Paths.get(dir).toAbsolutePath.normalize)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id < 5").collect()
+    // tag == the epoch it named, current state differs
+    assert(spark.sql(
+      s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF 'v1'")
+      .count() == 10L)
+    assert(spark.sql(
+      s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF $taggedEpoch")
+      .count() == 10L)
+    assert(spark.read.format("arrow").load(dir).count() == 5L)
+    // retarget to latest: the tag now sees the post-delete state
+    spark.sql(s"CALL graft.system.tag(path => '$dir', " +
+      "name => 'v1')").collect()
+    assert(spark.sql(
+      s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF 'v1'")
+      .count() == 5L)
+    // unknown tag refuses with the available names in the message
+    val e = intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF 'nope'")
+        .count()
+    }
+    assert(e.getMessage.contains("neither an epoch number nor a tag"),
+      e.getMessage)
+    // drop: the name stops resolving, the data is untouched
+    spark.sql(s"CALL graft.system.drop_tag(path => '$dir', " +
+      "name => 'v1')").collect()
+    intercept[Exception] {
+      spark.sql(
+        s"SELECT * FROM graft.arrow.`$dir` VERSION AS OF 'v1'").count()
+    }
+    assert(spark.read.format("arrow").load(dir).count() == 5L)
+    // a tag on a nonexistent epoch refuses at definition time
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.tag(path => '$dir', " +
+        "name => 'future', epoch => 999)").collect()
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
 }
