@@ -198,8 +198,32 @@ object FunnelQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Behavior PATH ANALYSIS: the frequency of every ordered 3-step
+    * event-type sequence (trigram) across user streams — the Markov
+    * transition table product analytics builds to find dominant
+    * journeys and dead ends. Two lead() taps over ONE per-user window
+    * partitioning (same single-shuffle shape as sessionization), then
+    * a hash aggregate whose cardinality is |types|³ — independent of
+    * data volume, the right output shape at any scale. Explicit
+    * (ts, event_id) ordering keeps engine tie semantics identical. */
+  def eventsTrigrams(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(w))
+      .withColumn("s3", lead(col("s1"), 2).over(w))
+      .filter(col("s2").isNotNull && col("s3").isNotNull)
+      .groupBy(col("s1"), col("s2"), col("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("s1"), col("s2"), col("s3"))
+  }
+
   val defs: Map[String, Q] = Map(
     "events_pattern" -> (eventsPattern _),
+    "events_trigrams" -> (eventsTrigrams _),
     "events_attribution" -> (eventsAttribution _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_funnel" -> (eventsFunnel _),
@@ -207,6 +231,16 @@ object FunnelQueries {
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type AS s1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS s2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS s3
+        | FROM events)
+        |SELECT s1, s2, s3, COUNT(*) AS n FROM s
+        |WHERE s2 IS NOT NULL AND s3 IS NOT NULL
+        |GROUP BY s1, s2, s3 ORDER BY s1, s2, s3""".stripMargin,
     "events_pattern" ->
       """WITH ev AS (SELECT user_id, event_id, event_type, ts,
         |  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),

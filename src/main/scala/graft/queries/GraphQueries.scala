@@ -152,7 +152,11 @@ object GraphQueries {
     * frame `(x, y)` with `x < y`, one row per undirected edge.
     * `private[graft]` so GraphSpec can pin exact counts on synthetic
     * graphs (cliques, triangle-free paths) beyond the fixture. */
-  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+  private[graft] def triangleCounts(e0: DataFrame): DataFrame = {
+    // e feeds FOUR subtrees (degree build, both orientation joins, the
+    // wedge closure) and Spark does no cross-branch CSE — persist so
+    // the edge build runs once
+    val e = e0.persist()
     val deg = e.select(col("x").as("node"))
       .unionAll(e.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -166,15 +170,21 @@ object GraphQueries {
       .persist()
     // wedges (src, v, w) with v < w by part id; the closing edge is
     // looked up in canonical x<y orientation
+    // the wedge stream is the big intermediate (O(E^1.5) rows) — the
+    // closure probes it against the EDGE set, which is E rows: hash
+    // the small side, never shuffle the wedges (at cluster scale the
+    // same asymmetry holds; if E outgrows executor memory the hint
+    // falls back to a shuffled join on (b, c) — correct, just slower)
     val tri = oe.as("o1").join(oe.as("o2"),
         col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
       .select(col("o1.src").as("a"), col("o1.dst").as("b"),
         col("o2.dst").as("c"))
-      .join(e, col("x") === col("b") && col("y") === col("c"))
+      .join(broadcast(e), col("x") === col("b") && col("y") === col("c"))
       .select(col("a"), col("b"), col("c"))
-    tri.select(col("a").as("node"))
-      .unionAll(tri.select(col("b").as("node")))
-      .unionAll(tri.select(col("c").as("node")))
+    // ONE pass over the (expensive) wedge pipeline: explode each
+    // triangle into its three member nodes — a 3-way union of `tri`
+    // would re-run the whole self-join + closure per branch
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("node"))
   }

@@ -129,12 +129,74 @@ object TimeseriesQueries {
         count(lit(1)).as("n"))
       .orderBy(col("user_id"), col("hour"))
 
+  /** Truncated-kernel EWMA (α = 1/2, 8 taps): the exponentially
+    * weighted moving average every monitoring/trading pipeline runs,
+    * spelled as a FIXED 8-term lag sum so it is engine-exact — the
+    * recursive form y_t = αx_t + (1-α)y_{t-1} carries unbounded
+    * history (and float state) across rows, while the truncated
+    * kernel's weights 2⁻¹…2⁻⁸ are exactly representable doubles and
+    * the remaining mass (2⁻⁸) is below the 6-dp output rounding. The
+    * taps are written in the SAME order on both engines, so even the
+    * association is identical. One per-user window shuffle; per-row
+    * state is 8 lags — constant, at any scale. */
+  def tsEwma(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val x = col("value").cast("double")
+    // k-th tap: weight 2^-(k+1); rows with fewer than 8 predecessors
+    // renormalize over the taps present (coalesce each lag to the
+    // current value would bias — instead divide by the present mass)
+    val taps = (0 until 8).map { k =>
+      val xv = if (k == 0) x else lag(x, k).over(w)
+      (xv * lit(math.pow(0.5, k + 1)),
+        when(if (k == 0) x.isNotNull
+        else lag(x, k).over(w).isNotNull,
+          lit(math.pow(0.5, k + 1))).otherwise(lit(0.0)))
+    }
+    val num = taps.map(_._1).map(t => coalesce(t, lit(0.0)))
+      .reduceLeft(_ + _)
+    val mass = taps.map(_._2).reduceLeft(_ + _)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("ewma", round(num / mass, 6))
+      .select(col("user_id"), col("event_id"), col("ewma"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "ts_ewma" -> (tsEwma _),
     "ts_ohlc" -> (tsOhlc _),
     "ts_gapfill" -> (tsGapfill _),
     "ts_interpolate" -> (tsInterpolate _))
 
+  /** ts_ewma oracle, generated so the 2⁻ᵏ weights and the tap ORDER
+    * are byte-identical with the Spark side (left-associated sums —
+    * even float association matches). */
+  private val tsEwmaSql: String = {
+    val lags = (1 until 8)
+      .map(k => s"lag(x, $k) OVER w AS x$k").mkString(", ")
+    val num = (0 until 8).map { k =>
+      val xv = if (k == 0) "x" else s"x$k"
+      s"coalesce($xv * ${math.pow(0.5, k + 1)}, 0)"
+    }.mkString(" + ")
+    val mass = (0 until 8).map { k =>
+      val xv = if (k == 0) "x" else s"x$k"
+      s"(CASE WHEN $xv IS NOT NULL THEN ${math.pow(0.5, k + 1)} " +
+        "ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_id, ts,
+       |  CAST(value AS DOUBLE) AS x FROM events WHERE user_id < 20),
+       |l AS (SELECT user_id, event_id, x, $lags
+       | FROM e WINDOW w AS (PARTITION BY user_id
+       |   ORDER BY ts, event_id))
+       |SELECT user_id, event_id,
+       | round(($num) / ($mass), 6) AS ewma
+       |FROM l ORDER BY user_id, event_id""".stripMargin
+  }
+
   val sql: Map[String, String] = Map(
+    "ts_ewma" -> tsEwmaSql,
     "ts_ohlc" ->
       """WITH e AS (SELECT user_id,
         |  CAST(time_bucket(INTERVAL 1 HOUR, ts) AS TIMESTAMP) AS hour,
