@@ -322,6 +322,44 @@ object PipelineQueries {
     sampleByRatePpm(docs, rates)
   }
 
+  /** UPSAMPLING mixture — the other half of multilingual balancing:
+    * low-resource languages REPEAT (multiple training epochs over the
+    * same documents) toward the largest language's mass, capped at 4
+    * epochs (unbounded repetition degrades models; the cap is the
+    * standard knob). Integer-exact end to end: the per-language rate
+    * is `min(4e6, q_max·10⁶ DIV q_i)` ppm (≥ 10⁶ by construction),
+    * each doc emits `rate DIV 10⁶` full copies plus one more when its
+    * multiplicative hash lands under the fractional part — the same
+    * engine-independent membership as the downsampling mixers. The
+    * Spark side actually EMITS the copies (explode over a sequence —
+    * the plan a training-data writer runs); the oracle folds the same
+    * copy counts arithmetically, so the hash match proves the
+    * emission is exactly the declared multiset. Scale: one corpus
+    * pass, a |langs|-row broadcast, output bounded by 4× input. */
+  def mixUpsample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val avail = docs.groupBy(col("lang"))
+      .agg(sum(col("n_chars")).as("t_chars"))
+    val rates = avail
+      .crossJoin(broadcast(avail.agg(max(col("t_chars")).as("q_max"))))
+      .select(col("lang"),
+        least(lit(4000000L), expr("q_max * 1000000 DIV t_chars"))
+          .as("rate_ppm"))
+    docs
+      .withColumn("h",
+        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+      .join(broadcast(rates), "lang")
+      .withColumn("n_copies",
+        expr("rate_ppm DIV 1000000") +
+          when(col("h") < col("rate_ppm") % 1000000, 1L).otherwise(0L))
+      .select(col("lang"), col("rate_ppm"), col("n_chars"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+      .groupBy(col("lang"), col("rate_ppm"))
+      .agg(count(lit(1)).as("n_docs_emitted"),
+        sum(col("n_chars")).as("chars_emitted"))
+      .orderBy(col("lang"))
+  }
+
   /** The shared mixture tail: ppm-rate membership by the
     * multiplicative hash, rolled up per language — [[mixWeighted]]
     * and [[mixTemperature]] differ only in how `rates` is derived. */
@@ -401,6 +439,7 @@ object PipelineQueries {
     "pipeline_shard_pack" -> (shardPack _),
     "mix_weighted" -> (mixWeighted _),
     "mix_temperature" -> (mixTemperature _),
+    "mix_upsample" -> (mixUpsample _),
     "pipeline_corpus_curation" -> (corpusCuration _))
 
   private val DecontamSql =
@@ -485,6 +524,26 @@ object PipelineQueries {
         |      AND mean_wlen BETWEEN 4.2 AND 4.8
         |      AND stop_ratio >= 0.02 THEN 1 ELSE 0 END AS INT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    "mix_upsample" ->
+      """WITH avail AS (SELECT lang, SUM(n_chars) AS t_chars
+        |  FROM documents GROUP BY lang),
+        |q AS (SELECT MAX(t_chars) AS q_max FROM avail),
+        |rates AS (SELECT lang,
+        |  LEAST(4000000, q_max * 1000000 // t_chars) AS rate_ppm
+        | FROM avail, q),
+        |d AS (SELECT doc_id, lang, n_chars,
+        |  doc_id * 2654435761 % 4294967296 % 1000000 AS h
+        | FROM documents),
+        |c AS (SELECT d.lang, r.rate_ppm,
+        |  (r.rate_ppm // 1000000) +
+        |  (CASE WHEN d.h < r.rate_ppm % 1000000 THEN 1 ELSE 0 END)
+        |    AS n_copies,
+        |  d.n_chars
+        | FROM d JOIN rates r ON r.lang = d.lang)
+        |SELECT lang, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+        | CAST(SUM(n_copies) AS BIGINT) AS n_docs_emitted,
+        | CAST(SUM(n_chars * n_copies) AS BIGINT) AS chars_emitted
+        |FROM c GROUP BY lang, rate_ppm ORDER BY lang""".stripMargin,
     "mix_temperature" ->
       """WITH avail AS (SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS t_chars
         |  FROM documents GROUP BY lang),

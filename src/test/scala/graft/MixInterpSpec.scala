@@ -78,4 +78,33 @@ class MixInterpSpec extends AnyFunSuite {
         s"gap value outside neighbor bounds: $r")
     }
   }
+
+  test("mix_upsample: rates in [1, 4] epochs, the largest language " +
+      "emits exactly once, every language emits at least its source") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSession.Sf)
+    val srcCounts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"),
+      sum(col("n_chars")).as("t")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val biggest = srcCounts.maxBy(_._2._2)._1
+    val rows = graft.queries.PipelineQueries
+      .mixUpsample(spark, TestSession.Sf).collect()
+    assert(rows.map(_.getString(0)).toSet == srcCounts.keySet,
+      "a language vanished from the upsampled mixture")
+    rows.foreach { r =>
+      val (lang, rate, emitted) =
+        (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(rate >= 1000000L && rate <= 4000000L,
+        s"$lang rate $rate outside [1e6, 4e6] ppm")
+      val srcN = srcCounts(lang)._1
+      assert(emitted >= srcN,
+        s"$lang upsample lost documents: $emitted < $srcN")
+      assert(emitted <= 4 * srcN + 1,
+        s"$lang exceeded the 4-epoch cap: $emitted vs $srcN source")
+      if (lang == biggest)
+        assert(rate == 1000000L && emitted == srcN,
+          s"largest language must emit exactly once: $rate, " +
+            s"$emitted vs $srcN")
+    }
+  }
 }
