@@ -137,6 +137,51 @@ object StreamingOps {
   /** Gap between a user's last event and session eviction. */
   val SessionGapMs: Long = 30L * 60 * 1000
 
+  final case class ChainState(lastViewSec: Long, lastQualClickSec: Long)
+  final case class ChainMatch(user_id: Long, event_id: Long)
+
+  /** Streaming twin of the batch `events_pattern` query: per-user
+    * view→click→purchase chain detection with a per-step window,
+    * carried as TWO LONGS of state per user (the latest view time and
+    * the latest QUALIFIED click time) — the same carry-forward
+    * semantics the batch window formulation computes, so results
+    * agree when events arrive in order (StreamingSpec pins this
+    * equality). Rows within a micro-batch are sorted by
+    * (ts, event_id) before folding (arrival order is not event
+    * order); cross-batch ordering is the watermark contract every
+    * streaming sequence detector lives by. State is O(1) per user and
+    * never grows with history — the property that lets this run
+    * against an unbounded 100 TB clickstream. */
+  def patternChains(events: Dataset[Event],
+      windowSec: Long = 86400L): Dataset[ChainMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ChainState, ChainMatch](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event],
+            state: GroupState[ChainState]) =>
+          var st = state.getOption.getOrElse(ChainState(-1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[ChainMatch]
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
+            e =>
+              val sec = Math.floorDiv(e.ts.getTime, 1000L)
+              e.event_type match {
+                case "view" => st = st.copy(lastViewSec = sec)
+                case "click" if st.lastViewSec >= 0 &&
+                    sec - st.lastViewSec <= windowSec =>
+                  st = st.copy(lastQualClickSec = sec)
+                case "purchase" if st.lastQualClickSec >= 0 &&
+                    sec - st.lastQualClickSec <= windowSec =>
+                  out += ChainMatch(uid, e.event_id)
+                case _ => ()
+              }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Arbitrary stateful processing: per-user session summaries via
     * flatMapGroupsWithState with an event-time timeout — the session
     * closes (and its state is evicted) once the watermark passes

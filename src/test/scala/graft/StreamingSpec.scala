@@ -184,6 +184,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.get(2L).contains((1, 4.0)), s"got $results")
   }
 
+  test("stateful pattern chains equal the batch events_pattern " +
+      "formulation across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val out = StreamingOps.patternChains(mem.toDS(), windowSec = 3600L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("chains_out").start()
+    def ev(id: Long, t: String, uid: Long, tpe: String) =
+      Event(id, Timestamp.valueOf(t), uid, tpe, 1.0)
+    try {
+      // batch 1: user 1 view→click (qualified); user 2 click with no
+      // view (never qualifies)
+      mem.addData(
+        ev(1, "2024-01-01 10:00:00", 1, "view"),
+        ev(2, "2024-01-01 10:10:00", 1, "click"),
+        ev(3, "2024-01-01 10:00:00", 2, "click"))
+      q.processAllAvailable()
+      // batch 2: the chain COMPLETES ACROSS THE BATCH BOUNDARY for
+      // user 1; user 2's purchase has no qualified click; user 1's
+      // second purchase falls outside the window
+      mem.addData(
+        ev(4, "2024-01-01 10:30:00", 1, "purchase"),
+        ev(5, "2024-01-01 10:30:00", 2, "purchase"),
+        ev(6, "2024-01-01 13:00:00", 1, "purchase"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("chains_out")
+      .as[StreamingOps.ChainMatch].collect()
+      .map(m => (m.user_id, m.event_id)).toSet
+    assert(got == Set((1L, 4L)), s"chains: $got")
+  }
+
   test("stream-stream interval join equals the batch join") {
     val clicksS = eventsStream.filter(col("event_type") === "click")
     val purchS = eventsStream.filter(col("event_type") === "purchase")
