@@ -225,9 +225,9 @@ object VectorQueries {
   }
 
   // ---- Product quantization (sim_pq_adc) ---------------------------
-  // PQ splits each 64-dim vector into M=4 16-dim subvectors and
+  // PQ splits each 64-dim vector into M=8 8-dim subvectors and
   // quantizes each against its own K=16-centroid codebook: a vector
-  // compresses from 256 bytes of float32 to 4 CODE BYTES (64×), and
+  // compresses from 256 bytes of float32 to 8 CODE BYTES (32×), and
   // similarity search scans codes against a per-query lookup table
   // (asymmetric distance computation) instead of raw vectors — the
   // memory layout IVF-PQ systems (Faiss) use to hold billion-vector
@@ -306,11 +306,11 @@ object VectorQueries {
   }
 
   /** ANN via product quantization + asymmetric distance: encode every
-    * corpus vector as M=4 code bytes, build each query's (m, code) →
+    * corpus vector as M=8 code bytes, build each query's (m, code) →
     * partial-dot lookup table against the codebooks, and rank
     * candidates by the RECONSTRUCTED cosine — adot/√(|q|²·|recon|²),
     * where both adot and |recon|² fold from per-subspace table
-    * entries. The scan side touches ONLY the code table (64× smaller
+    * entries. The scan side touches ONLY the code table (32× smaller
     * than the vectors) plus broadcast LUTs: the Faiss-style memory
     * shape that holds a billion-vector index in RAM at 100 TB.
     * Everything after the fit is exactly restatable over the codebook

@@ -94,17 +94,29 @@ object ArrowCopyInto {
         .option("inferSchema", "true").format(fmt)
       case _ => spark.read.format(fmt)
     }
-    val df = reader.load(fresh.map(_.toString): _*)
+    val df0 = reader.load(fresh.map(_.toString): _*)
     // schema gate: a landing file whose shape drifted from the table
     // must fail the LOAD, not a later read (empty tables have no
-    // schema yet — the first load defines it)
+    // schema yet — the first load defines it). Compare by NAME→TYPE —
+    // column order and nullability are landing-zone noise (partition
+    // evolution legitimately reorders the table schema) — then
+    // reorder to the table's order, because the path-based V2 append
+    // resolves BY POSITION.
     val existing = scala.util.Try(
       spark.read.format("arrow").load(table).schema)
       .getOrElse(org.apache.spark.sql.types.StructType(Seq.empty))
-    if (existing.nonEmpty && existing != df.schema)
-      throw new IllegalStateException(
-        s"copy_into: source schema ${df.schema.simpleString} does not " +
-          s"match table schema ${existing.simpleString}")
+    val df =
+      if (existing.isEmpty) df0
+      else {
+        def sig(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(f => f.name -> f.dataType).toMap
+        if (sig(existing) != sig(df0.schema))
+          throw new IllegalStateException(
+            s"copy_into: source schema ${df0.schema.simpleString} " +
+              s"does not match table schema ${existing.simpleString}")
+        df0.select(existing.fieldNames.toIndexedSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+      }
     // row count via an observation on the write itself — no extra
     // scan job for reporting
     val obs = Observation()

@@ -398,9 +398,12 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
     // so their matching rows must go through the copy-on-write path
     // (which evaluates the real byte values)
     val refs = filters.flatMap(_.references).toSet
-    val dirComplete = ArrowDataSource.visibleIpcFiles(path).forall(f =>
-      refs.subsetOf(
-        ArrowDataSource.partitionValueMap(path, f).keySet))
+    val dirComplete = !java.nio.file.Files.isRegularFile(
+      root.resolve(ArrowDataSource.MetadataDirName)
+        .resolve(ArrowDataSource.PartSpecFileName)) ||
+      ArrowDataSource.visibleIpcFiles(path).forall(f =>
+        refs.subsetOf(
+          ArrowDataSource.partitionValueMap(path, f).keySet))
     if (!partitionOnly(ps, filters) || !dirComplete) {
       ArrowDelete.deleteWhere(
         org.apache.spark.sql.SparkSession.active, path, ps,
@@ -1746,6 +1749,30 @@ object ArrowDataSource {
       }
   }
 
+  /** `_graft_metadata/_partition_types`: the authoritative type LEDGER
+    * for every column that has EVER been in a partition spec — unlike
+    * `_partition_spec` (the current write spec, replaced on each
+    * evolution), the ledger only accumulates: a second evolution must
+    * not drop the first column's recorded type, or dir-value inference
+    * could re-type it against its byte-carried generations (e.g.
+    * numeric-looking strings inferring LongType). */
+  val PartTypesFileName = "_partition_types"
+
+  def recordedPartitionTypes(root: Path)
+      : Map[String, org.apache.spark.sql.types.DataType] = {
+    val f = root.resolve(MetadataDirName).resolve(PartTypesFileName)
+    val ledger =
+      if (!Files.isRegularFile(f)) Map.empty[String,
+        org.apache.spark.sql.types.DataType]
+      else Files.readAllLines(f).asScala.toSeq.map(_.trim)
+        .filter(_.nonEmpty).map { l =>
+          val Array(n, t) = l.split('\t')
+          n -> org.apache.spark.sql.types.DataType.fromDDL(t)
+        }.toMap
+    // older tables recorded types only in the write spec
+    recordedPartitionSpec(root).toMap ++ ledger
+  }
+
   /** `_graft_metadata/_tags`: named epoch refs (Iceberg's TAGS) —
     * `VERSION AS OF 'name'` resolves through them, so releases,
     * audits, and reproducibility pins address a version by MEANING
@@ -1852,13 +1879,26 @@ object ArrowDataSource {
     }
     val md = root.resolve(MetadataDirName)
     // read-union FIRST (computed before the spec lands), then the
-    // spec: a crash between the two leaves a table whose reads know
-    // the union but whose writers keep the old layout — sound (the
-    // XOR invariant holds), just not yet evolved
+    // type LEDGER, then the write spec: a crash between steps leaves a
+    // table whose reads know more than its writers — sound (the XOR
+    // invariant holds), just not yet evolved
     val union = (discoverPartitionCols(path) ++ cols).distinct
     val utmp = md.resolve(PartColsFileName + ".set.inprogress")
     Files.write(utmp, union.asJava)
     Files.move(utmp, md.resolve(PartColsFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the ledger ACCUMULATES: every union column's type, resolvable
+    // from the current read schema (prior entries win nothing — they
+    // were recorded from the same authority), so repeated evolutions
+    // never orphan an earlier column's type
+    val ledger = recordedPartitionTypes(root) ++
+      union.flatMap(c => schema.fields.find(_.name == c)
+        .map(f => c -> f.dataType))
+    val ltmp = md.resolve(PartTypesFileName + ".inprogress")
+    Files.write(ltmp, ledger.toSeq.sortBy(_._1)
+      .map { case (c, t) => s"$c\t${t.sql}" }.asJava)
+    Files.move(ltmp, md.resolve(PartTypesFileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stmp = md.resolve(PartSpecFileName + ".inprogress")
@@ -1879,7 +1919,7 @@ object ArrowDataSource {
     val cols = discoverPartitionCols(root, files)
     if (cols.isEmpty) return StructType(Seq.empty)
     val recorded = sinkRoot(root)
-      .map(recordedPartitionSpec).getOrElse(Seq.empty).toMap
+      .map(recordedPartitionTypes).getOrElse(Map.empty)
     // one path parse per file, not per (file, column)
     val perFile = files
       .map(f => partitionValuesOf(root, f, cols))

@@ -223,10 +223,15 @@ class ArrowScanBuilder(path: String, schema: StructType,
     // column in BYTES: pruning still applies (conservative), but the
     // filter must stay residual so Catalyst re-evaluates the byte
     // values the reader serves for those files.
+    // cheap short-circuit: only EVOLVED tables (a recorded write
+    // spec exists) can hold mixed generations — everything else keeps
+    // the pre-evolution exactness without an O(files) path sweep
     val partRefs = partF.flatMap(_.references).toSet
-    val exactPart = partRefs.isEmpty || footerIdx.files.forall(f =>
-      partRefs.subsetOf(
-        ArrowDataSource.partitionValueMap(path, f).keySet))
+    val exactPart = partRefs.isEmpty ||
+      !ArrowScanBuilder.maybeEvolved(path) ||
+      footerIdx.files.forall(f =>
+        partRefs.subsetOf(
+          ArrowDataSource.partitionValueMap(path, f).keySet))
     if (exactPart) rest // Data filters are residual: Catalyst re-evaluates.
     else partF ++ rest
   }
@@ -284,6 +289,16 @@ class ArrowScanBuilder(path: String, schema: StructType,
           partColSet(r.fieldNames.head) => r.fieldNames.head
       case _ => return false
     }
+    // partition evolution: a file whose PATH lacks a group column
+    // carries its values in BYTES — footer partials cannot attribute
+    // that file to one group (serving null would silently mis-group
+    // the whole pre-evolution generation), so refuse the push and let
+    // the ordinary scan read the real values
+    if (groupCols.nonEmpty && ArrowScanBuilder.maybeEvolved(path) &&
+        footerIdx.files.exists(f =>
+          !groupCols.forall(
+            ArrowDataSource.partitionValueMap(path, f).contains)))
+      return false
 
     // Translate each agg func to (output field, per-file evaluator).
     sealed trait Op
@@ -476,6 +491,18 @@ class ArrowScanBuilder(path: String, schema: StructType,
       maxSplitBytes, footerIdx, limit, maxFilesPerTrigger,
       ignoreChanges, changeFeed, startingEpoch, endingEpoch, topN)
   }
+}
+
+object ArrowScanBuilder {
+  /** Can `path` hold MIXED partition generations? Only once a write
+    * spec was ever recorded (`set_partitioning`) — one metadata stat,
+    * so pre-evolution tables skip the O(files) path sweeps the
+    * exactness checks otherwise need. */
+  private[arrow] def maybeEvolved(path: String): Boolean =
+    ArrowDataSource.sinkRoot(path).exists(r =>
+      java.nio.file.Files.isRegularFile(r
+        .resolve(ArrowDataSource.MetadataDirName)
+        .resolve(ArrowDataSource.PartSpecFileName)))
 }
 
 class ArrowScan(path: String, schema: StructType, filters: Array[Filter],

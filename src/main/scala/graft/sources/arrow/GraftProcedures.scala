@@ -1007,10 +1007,21 @@ object GraftProcedures {
             }
         }
       // 4. partition directory values decode
-      val partNames = ArrowDataSource.discoverPartitionCols(root.toString)
-      if (partNames.nonEmpty) files.foreach { f =>
-        if (scala.util.Try(ArrowDataSource
-          .partitionValuesOf(root.toString, f, partNames)).isFailure)
+      // decode AND type-check: the name-keyed parser tolerates any
+      // layout (partition evolution), so the integrity signal is a
+      // dir VALUE the recorded/discovered column type cannot decode —
+      // a corrupt `o_custkey=abc` under a BIGINT column would
+      // otherwise pass fsck and crash every scan's constant vector
+      val partSchema = ArrowDataSource
+        .discoverPartitionSchema(root.toString)
+      if (partSchema.nonEmpty) files.foreach { f =>
+        val decodes = scala.util.Try {
+          val m = ArrowDataSource.partitionValueMap(root.toString, f)
+          partSchema.fields.foreach(fd =>
+            m.get(fd.name).flatten.foreach(v =>
+              ArrowDataSource.partValueToInternal(fd.dataType, v)))
+        }
+        if (decodes.isFailure)
           bad("partition-values-decode", f.toString)
       }
       val rows = (findings.toSeq :+
@@ -1246,9 +1257,15 @@ object GraftProcedures {
       StructField("epoch", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val name = input.getUTF8String(1).toString
+      val rawEpoch = input.getLong(2)
+      // ONLY -1 means "latest": any other negative is a caller bug
+      // (a typo'd epoch must refuse, never silently pin the wrong
+      // snapshot)
+      require(rawEpoch >= -1,
+        s"tag: epoch $rawEpoch is not a valid epoch (-1 = latest)")
       val e = ArrowDataSource.setTag(
         input.getUTF8String(0).toString, name,
-        Some(input.getLong(2)).filter(_ >= 0))
+        Some(rawEpoch).filter(_ >= 0))
       result(out, Array[InternalRow](
         new GenericInternalRow(Array[Any](utf8(name), e))))
     }

@@ -168,6 +168,61 @@ class ArrowPartitionEvolutionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("bucketed"), e2.getMessage)
   }
 
+  test("grouped aggregate over an evolved partition column refuses " +
+      "the footer push and stays exact (no NULL-group mis-grouping)") {
+    val dir = tmpDir()
+    val o = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"), col("o_orderstatus"))
+    o.filter(col("o_orderkey") <= 700)
+      .write.format("arrow").mode("overwrite").save(dir)
+    setPartitioning(dir, "o_orderstatus")
+    val tableOrder = spark.read.format("arrow").load(dir)
+      .schema.fieldNames.toSeq
+    o.filter(col("o_orderkey") > 700)
+      .select(tableOrder.map(col): _*)
+      .write.format("arrow").mode("append").save(dir)
+    // GROUP BY the evolved column: footer partials can only attribute
+    // NEW-generation files to a group — a pushed answer would dump
+    // every pre-evolution row into a NULL group
+    val got = spark.read.format("arrow").load(dir)
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val exp = o.groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(!got.contains(None), s"NULL group appeared: $got")
+    assert(got == exp, s"evolved group-by drifted: $got vs $exp")
+  }
+
+  test("a second evolution keeps the first column's recorded type " +
+      "(numeric-looking strings stay strings)") {
+    val dir = tmpDir()
+    val df = spark.range(100).toDF("id")
+      .withColumn("code", format_string("%02d", col("id") % 3))
+      .withColumn("tag", concat(lit("t"), col("id") % 2))
+    df.filter(col("id") < 40)
+      .write.format("arrow").mode("overwrite").save(dir)
+    setPartitioning(dir, "code")
+    def order() = spark.read.format("arrow").load(dir)
+      .schema.fieldNames.toSeq
+    df.filter(col("id") >= 40 && col("id") < 70)
+      .select(order().map(col): _*)
+      .write.format("arrow").mode("append").save(dir)
+    // second evolution: the write spec moves to `tag`; `code` must
+    // KEEP its recorded StringType even though every code dir value
+    // ("00".."02") would infer as a long
+    setPartitioning(dir, "tag")
+    df.filter(col("id") >= 70)
+      .select(order().map(col): _*)
+      .write.format("arrow").mode("append").save(dir)
+    val back = spark.read.format("arrow").load(dir)
+    assert(back.schema("code").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"code re-typed: ${back.schema("code").dataType}")
+    assert(bagEqual(back, df), "three-generation read drifted")
+    assert(bagEqual(back.filter(col("code") === "01"),
+      df.filter(col("code") === "01")), "string-typed filter drifted")
+  }
+
   test("OPTIMIZE migrates pre-evolution files into the current " +
       "layout without changing answers") {
     val dir = tmpDir()
