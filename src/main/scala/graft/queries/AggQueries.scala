@@ -76,13 +76,24 @@ object AggQueries {
       .orderBy(col("lvl_st"), col("lvl_pr"),
         col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
 
-  /** Approximate distinct (HyperLogLog++). Not DuckDB-hash-comparable
-    * (different sketch) → no oracle entry; rows-only check + ScalaTest
-    * bounds it against exact countDistinct. */
+  /** Approximate distinct (HyperLogLog++), HARD-GATED: DuckDB's HLL is
+    * a different sketch, so the raw estimate can never hash-match an
+    * oracle — instead the compared output carries the EXACT distinct
+    * count plus a `within_rsd` column folding the estimate into the
+    * gated plan: the oracle states 1, so an estimate outside the
+    * 3×rsd band (rsd 0.02 → 6%) flips the bit and fails the hash gate
+    * (VERDICT r12 #4 — retires the last two no_oracle rows). The
+    * estimate still computes distributively; only its band membership
+    * is compared. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("est"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("est") - col("exact_orders"))
+          <= col("exact_orders").cast("double") * lit(0.06))
+          .cast("int").as("within_rsd"))
       .orderBy(col("l_returnflag"))
 
   /** Mergeable-sketch rollup (Datasketches HLL): build one HLL sketch
@@ -94,16 +105,28 @@ object AggQueries {
     * re-scan. Merge is exact w.r.t. the sketch (register-wise max is
     * associative/commutative: SketchSpec asserts union-of-monthly ==
     * one-global-sketch bit-for-bit), so pre-aggregation loses nothing.
-    * Estimate is approximate → rows-only driver check; the error bound
-    * vs exact distinct is spec-checked. */
+    * Estimate is approximate, but the row is HARD-GATED like
+    * [[approxDistinct]]: the compared output is the exact per-priority
+    * distinct (one extra aggregation the oracle restates) plus a
+    * `within_rsd` band check on the merged-sketch estimate (default
+    * Datasketches lgK=12 → rsd ≈ 1.6%, banded at 5% ≈ 3σ, the
+    * SketchSpec bound). */
   def hllRollup(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"),
         date_trunc("month", col("o_orderdate")).as("m"))
       .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
-    monthly.groupBy(col("o_orderpriority"))
+    val merged = monthly.groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_months"),
-        expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_cust"))
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("exact_cust"))
+    merged.join(exact, "o_orderpriority")
+      .select(col("o_orderpriority"), col("n_months"), col("exact_cust"),
+        (abs(col("est") - col("exact_cust"))
+          <= col("exact_cust").cast("double") * lit(0.05))
+          .cast("int").as("within_rsd"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -320,6 +343,19 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | COUNT(DISTINCT l_orderkey) AS exact_orders,
+        | 1 AS within_rsd
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "agg_hll_rollup" ->
+      """SELECT o_orderpriority,
+        | COUNT(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+        | COUNT(DISTINCT o_custkey) AS exact_cust,
+        | 1 AS within_rsd
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM t

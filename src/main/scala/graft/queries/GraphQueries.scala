@@ -152,11 +152,28 @@ object GraphQueries {
     * frame `(x, y)` with `x < y`, one row per undirected edge.
     * `private[graft]` so GraphSpec can pin exact counts on synthetic
     * graphs (cliques, triangle-free paths) beyond the fixture. */
-  private[graft] def triangleCounts(e0: DataFrame): DataFrame = {
+  /** Broadcast the closing edge set only below this edge count
+    * (~2 longs × 4M ≈ 64 MB hashed — well inside executor memory and
+    * the 8 GB broadcast ceiling). `private[graft]` so GraphSpec can
+    * force the shuffled-hash path on synthetic graphs. */
+  private[graft] val BroadcastEdgeLimit: Long = 4L * 1000 * 1000
+
+  private[graft] def triangleCounts(e0: DataFrame): DataFrame =
+    triangleCounts(e0, BroadcastEdgeLimit)
+
+  private[graft] def triangleCounts(e0: DataFrame,
+      broadcastLimit: Long): DataFrame = {
     // e feeds FOUR subtrees (degree build, both orientation joins, the
     // wedge closure) and Spark does no cross-branch CSE — persist so
     // the edge build runs once
     val e = e0.persist()
+    // one action to warm the cache AND size-gate the closure join: an
+    // explicit broadcast() hint is honored unconditionally (it does
+    // NOT degrade to a shuffle when the side is huge — it dies on the
+    // broadcast ceiling), so above the limit the closure becomes a
+    // SHUFFLED HASH join with the E-row edge side as the build side —
+    // the wedge stream (O(E^1.5) rows) is the streamed probe either way
+    val edgeCount = e.count()
     val deg = e.select(col("x").as("node"))
       .unionAll(e.select(col("y").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -169,24 +186,32 @@ object GraphQueries {
         when(lowFirst, col("y")).otherwise(col("x")).as("dst"))
       .persist()
     // wedges (src, v, w) with v < w by part id; the closing edge is
-    // looked up in canonical x<y orientation
-    // the wedge stream is the big intermediate (O(E^1.5) rows) — the
-    // closure probes it against the EDGE set, which is E rows: hash
-    // the small side, never shuffle the wedges (at cluster scale the
-    // same asymmetry holds; if E outgrows executor memory the hint
-    // falls back to a shuffled join on (b, c) — correct, just slower)
+    // looked up in canonical x<y orientation against the (much
+    // smaller) edge set — hash the edge side, never sort the wedges
+    val closeSide =
+      if (edgeCount <= broadcastLimit) broadcast(e)
+      else e.hint("shuffle_hash")
     val tri = oe.as("o1").join(oe.as("o2"),
         col("o1.src") === col("o2.src") && col("o1.dst") < col("o2.dst"))
       .select(col("o1.src").as("a"), col("o1.dst").as("b"),
         col("o2.dst").as("c"))
-      .join(broadcast(e), col("x") === col("b") && col("y") === col("c"))
+      .join(closeSide, col("x") === col("b") && col("y") === col("c"))
       .select(col("a"), col("b"), col("c"))
     // ONE pass over the (expensive) wedge pipeline: explode each
     // triangle into its three member nodes — a 3-way union of `tri`
     // would re-run the whole self-join + closure per branch
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val res = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
       .orderBy(col("node"))
+      .persist()
+    // materialize the (|V|-bounded) result while the big intermediates
+    // are cached, then release them — cached edge/orientation blocks
+    // must not accumulate across a bench run (ADVICE r12)
+    res.count()
+    oe.unpersist(false)
+    e.unpersist(false)
+    res
   }
 
   val defs: Map[String, Q] = Map(

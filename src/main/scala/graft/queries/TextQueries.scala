@@ -74,9 +74,11 @@ object TextQueries {
 
   /** Within-document repetition score (training-data quality signal):
     * share of repeated 3-gram occurrences, 1 − distinct/total. High
-    * ratio = templated / degenerate text. Narrow map, no shuffle. */
+    * ratio = templated / degenerate text. Narrow map after the fan-out
+    * exchange (the shingle build dominates the one cheap rebalance —
+    * same treatment as the sibling shingle/word-explode queries). */
   def repetitionQ(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
@@ -259,17 +261,27 @@ object TextQueries {
     * scoring join shuffles on the bigram key once, and the per-doc
     * score is one hash aggregation.
     *
-    * Determinism (this one bit twice, so the contract is explicit):
-    * the score is INTEGER END TO END. Each term quantizes to
-    * tenth-milli-nats — round(-ln(p)·10⁴) as a BIGINT (the only
-    * cross-engine float op left is that one rounded ln; a straddle
-    * needs a ~1-ulp libm disagreement to land within 1e-12 of a .5
-    * integer boundary). Terms LONG-sum exactly, and the mean is the
-    * FLOORED integer division (sum·100) div n — micro-nats. The naive
-    * round(mean, 6) formulation is unusable: a mean of 1e-4-grid
-    * terms over n lands EXACTLY on 6dp half-points for ~1 doc in 5,
-    * where Spark's BigDecimal HALF_UP and DuckDB's scaled-multiply
-    * round legitimately disagree. Floor of exact integers cannot. */
+    * Determinism (this one bit THREE times, so the contract is now
+    * absolute): the score is INTEGER END TO END with NO runtime
+    * transcendental in EITHER engine. Round 12's formulation still
+    * evaluated one libm `ln` per engine — round(-ln(p)·10⁴) — and the
+    * driver's DuckDB disagreed with Spark's JDK on one bigram's
+    * half-point (the "improbable" 1-ulp straddle happened; see
+    * VERDICT r12 #1). Now the quantized term table is FITTED once on
+    * the driver: the distinct (n_bigram, n_prefix) count pairs are
+    * collected (LM metadata — bounded by the number of distinct
+    * integer count pairs, far below vocabulary², the same
+    * bounded-metadata move as the IVF centroid fit), `lp =
+    * round(-ln(nb/np)·10⁴)` is computed by ONE JVM, and both engines
+    * consume the identical BIGINT literals — Spark via a broadcast
+    * lookup join, DuckDB via a restated VALUES table (the
+    * fitted-constant oracle pattern of the IVF/PQ/LSH family). Terms
+    * LONG-sum exactly; the mean is the FLOORED integer division
+    * (sum·100) div n — micro-nats. The naive round(mean, 6)
+    * formulation stays unusable: a mean of 1e-4-grid terms over n
+    * lands EXACTLY on 6dp half-points for ~1 doc in 5, where Spark's
+    * BigDecimal HALF_UP and DuckDB's scaled-multiply round
+    * legitimately disagree. Floor of exact integers cannot. */
   def textPerplexity(spark: SparkSession, dir: String): DataFrame = {
     val toks = fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), words(col("text")).as("w"))
@@ -289,15 +301,33 @@ object TextQueries {
     val prefix = counts.groupBy(col("w1"))
       .agg(sum(col("n_bigram")).as("n_prefix"))
     val lm = counts.join(prefix, "w1")
+    val pairs = lpCache.getOrElseUpdate((spark, dir), {
+      lm.select(col("n_bigram"), col("n_prefix")).distinct()
+        .collect()
+        .map { r =>
+          val nb = r.getLong(0); val np = r.getLong(1)
+          (nb, np, Math.round(-Math.log(nb.toDouble / np) * 10000.0))
+        }
+        .sortBy(t => (t._1, t._2)).toSeq
+    })
+    fittedLpPairs = Some(pairs)
+    import spark.implicits._
+    val lpDf = pairs.toDF("n_bigram", "n_prefix", "lp")
     bg.join(lm, Seq("w1", "w2"))
-      .select(col("doc_id"),
-        round(-log(col("n_bigram").cast("double") / col("n_prefix"))
-          * 10000, 0).cast("long").as("lp"))
+      .join(broadcast(lpDf), Seq("n_bigram", "n_prefix"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("(sum(lp) * 100) div count(1)").as("nll_micro"))
       .orderBy(col("doc_id"))
   }
+
+  /** Fitted quantized-LM term table, keyed like the IVF centroid
+    * cache; the @volatile copy is what [[sql]] restates as VALUES
+    * literals after the query has run (Verify dumps oracle SQL last). */
+  private val lpCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Seq[(Long, Long, Long)]]
+  @volatile private var fittedLpPairs
+      : Option[Seq[(Long, Long, Long)]] = None
 
   val defs: Map[String, Q] = Map(
     "text_ngram_lm" -> (textNgramLm _),
@@ -352,7 +382,41 @@ object TextQueries {
       |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  /** The perplexity oracle restated over the fitted lp literals —
+    * available once [[textPerplexity]] ran in this process (Verify
+    * dumps oracle SQL after all queries), absent otherwise so a
+    * subset run can't emit a stale-constant oracle. DuckDB re-derives
+    * the LM counts in SQL and joins the driver-fitted (n_bigram,
+    * n_prefix) → lp table exactly as the Spark side does: zero
+    * transcendentals run in either engine's compared plan. */
+  private def perplexitySql: Option[String] =
+    fittedLpPairs.map { pairs =>
+      val values = pairs
+        .map { case (nb, np, lp) => s"($nb, $np, $lp)" }
+        .mkString(",\n  ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE len(string_split(text, ' ')) >= 2),
+         |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+         |  FROM w, UNNEST(range(1, len(w))) AS t(i)),
+         |c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
+         |p AS (SELECT w1, SUM(n_bigram) AS n_prefix FROM c GROUP BY 1),
+         |lm AS (SELECT c.w1, c.w2, n_bigram, n_prefix
+         |  FROM c JOIN p ON c.w1 = p.w1),
+         |lpt(n_bigram, n_prefix, lp) AS (VALUES
+         |  $values),
+         |terms AS (SELECT bg.doc_id, lpt.lp
+         | FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2
+         | JOIN lpt ON lm.n_bigram = lpt.n_bigram
+         |         AND lm.n_prefix = lpt.n_prefix)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         | (SUM(lp) * 100) // COUNT(*) AS nll_micro
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
+
+  def sql: Map[String, String] =
+    staticSql ++ perplexitySql.map("text_perplexity" -> _)
+
+  private val staticSql: Map[String, String] = Map(
     "text_ngram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
         |  WHERE len(string_split(text, ' ')) >= 2),
@@ -364,22 +428,6 @@ object TextQueries {
         | round(CAST(n_bigram AS DOUBLE) / n_prefix, 6) AS p_cond
         |FROM c JOIN p ON c.w1 = p.w1
         |ORDER BY n_bigram DESC, c.w1, w2 LIMIT 50""".stripMargin,
-    "text_perplexity" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 2),
-        |bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        |  FROM w, UNNEST(range(1, len(w))) AS t(i)),
-        |c AS (SELECT w1, w2, COUNT(*) AS n_bigram FROM bg GROUP BY 1, 2),
-        |p AS (SELECT w1, SUM(n_bigram) AS n_prefix FROM c GROUP BY 1),
-        |lm AS (SELECT c.w1, c.w2, n_bigram, n_prefix
-        |  FROM c JOIN p ON c.w1 = p.w1),
-        |terms AS (SELECT bg.doc_id,
-        |  CAST(round(-ln(CAST(n_bigram AS DOUBLE) / n_prefix) * 10000, 0)
-        |   AS BIGINT) AS lp
-        | FROM bg JOIN lm ON bg.w1 = lm.w1 AND bg.w2 = lm.w2)
-        |SELECT doc_id, COUNT(*) AS n_bigrams,
-        | (SUM(lp) * 100) // COUNT(*) AS nll_micro
-        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_chunk" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents WHERE text IS NOT NULL),

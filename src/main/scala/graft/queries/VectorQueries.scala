@@ -246,8 +246,8 @@ object VectorQueries {
       : Option[Seq[(Int, Int, Seq[Double])]] = None
 
   /** Per-(vector, subspace) slices: `(vec_id, m, sub)` where `sub` is
-    * the m-th 16-dim slice of the embedding. Narrow generate — the
-    * corpus never shuffles for this. */
+    * the m-th `PqSub`-dim (8-dim) slice of the embedding. Narrow
+    * generate — the corpus never shuffles for this. */
   private def subvectors(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.DotProduct.register(spark)
     fanOut(Tables.embeddings(spark, dir))
@@ -260,8 +260,8 @@ object VectorQueries {
 
   /** Fit the M per-subspace codebooks: k-means over subvectors,
     * initialized from the first K vectors' slices (deterministic),
-    * 3 Lloyd iterations. Codebooks are index METADATA (M×K×16
-    * doubles) — collected to the driver and re-broadcast per
+    * 3 Lloyd iterations. Codebooks are index METADATA (M×K×`PqSub` =
+    * 8×16×8 doubles) — collected to the driver and re-broadcast per
     * iteration exactly like the IVF centroids. */
   private def pqFit(spark: SparkSession, dir: String)
       : Seq[(Int, Int, Seq[Double])] = {
@@ -321,11 +321,17 @@ object VectorQueries {
     val cents = pqFit(spark, dir)
     val cdf = broadcast(cents.toDF("m", "code", "cent"))
     // encode: per-(vector, subspace) nearest code, (score, code)
-    // tie-break — identical to the fit's assignment step
+    // tie-break. The score is ROUNDED to 6dp before the argmin (on
+    // both engines): the two sides fold the distance with different
+    // FP association (graft_dot's two separate dots here vs the
+    // oracle's single term-by-term SUM), so near-equidistant codes
+    // could otherwise flip the tie-break on association noise
+    // (~1e-14) — after rounding, such codes compare EQUAL and the
+    // deterministic code tie-break decides identically (ADVICE r12)
     val codes = subvectors(spark, dir).join(cdf, "m")
       .select(col("vec_id"), col("m"), col("code"),
-        (expr("graft_dot(cent, cent)")
-          - lit(2.0) * expr("graft_dot(sub, cent)")).as("score"))
+        round(expr("graft_dot(cent, cent)")
+          - lit(2.0) * expr("graft_dot(sub, cent)"), 6).as("score"))
       .groupBy(col("vec_id"), col("m"))
       .agg(min(struct(col("score"), col("code"))).getField("code")
         .as("code"))
@@ -901,9 +907,9 @@ object VectorQueries {
          |e AS (SELECT vec_id, embedding FROM embeddings),
          |scores AS (
          | SELECT e.vec_id, c.m, c.code,
-         |  SUM(c.cv[i]*c.cv[i]
-         |      - 2.0*CAST(e.embedding[c.m*$PqSub + i] AS DOUBLE)*c.cv[i])
-         |    AS score
+         |  round(SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[c.m*$PqSub + i] AS DOUBLE)*c.cv[i]),
+         |    6) AS score
          | FROM e, c, UNNEST(range(1, $PqSub + 1)) AS r(i)
          | GROUP BY e.vec_id, c.m, c.code),
          |codes AS (

@@ -1502,6 +1502,22 @@ object ArrowDataSource {
         Files.copy(srcSchema, tmp.resolve(SchemaFileName))
         ()
       }
+      // ... and so must the PARTITION EVOLUTION record: without the
+      // source's write spec + type ledger, the clone looks
+      // pre-evolution to maybeEvolved() — pushFilters would claim
+      // partition filters EXACT over borrowed byte-carried
+      // generations (silently dropping rows), pushAggregation would
+      // skip the evolution guard, and dir-value inference could
+      // re-type a string partition column as Long against its
+      // byte-carried generation (ADVICE r12, high)
+      Seq(PartSpecFileName, PartTypesFileName).foreach { fn =>
+        val f = srcRoot.toAbsolutePath.normalize
+          .resolve(MetadataDirName).resolve(fn)
+        if (Files.isRegularFile(f)) {
+          Files.copy(f, tmp.resolve(fn))
+          ()
+        }
+      }
       // ... and so must CHECK constraints: a write-audit-publish
       // branch that did not inherit the source's constraints would be
       // an unguarded side door — staged rows would bypass the gates
@@ -1878,16 +1894,17 @@ object ArrowDataSource {
       c -> dt
     }
     val md = root.resolve(MetadataDirName)
-    // read-union FIRST (computed before the spec lands), then the
-    // type LEDGER, then the write spec: a crash between steps leaves a
-    // table whose reads know more than its writers — sound (the XOR
-    // invariant holds), just not yet evolved
+    // write ORDER is the crash contract: type LEDGER first (harmless
+    // standalone — extra typed entries are consulted only per
+    // discovered column), then the read-union, then the write spec
+    // LAST. A column thus becomes discoverable only after its
+    // authoritative type is durable (partcols-first left a window
+    // where dir-value inference could re-type a string column as Long
+    // against its byte-carried generation — ADVICE r12), and writers
+    // start routing by the new spec only after reads fully
+    // reconstruct it (spec-first would strip the column to the path
+    // while readers don't yet serve path values)
     val union = (discoverPartitionCols(path) ++ cols).distinct
-    val utmp = md.resolve(PartColsFileName + ".set.inprogress")
-    Files.write(utmp, union.asJava)
-    Files.move(utmp, md.resolve(PartColsFileName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     // the ledger ACCUMULATES: every union column's type, resolvable
     // from the current read schema (prior entries win nothing — they
     // were recorded from the same authority), so repeated evolutions
@@ -1899,6 +1916,11 @@ object ArrowDataSource {
     Files.write(ltmp, ledger.toSeq.sortBy(_._1)
       .map { case (c, t) => s"$c\t${t.sql}" }.asJava)
     Files.move(ltmp, md.resolve(PartTypesFileName),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val utmp = md.resolve(PartColsFileName + ".set.inprogress")
+    Files.write(utmp, union.asJava)
+    Files.move(utmp, md.resolve(PartColsFileName),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val stmp = md.resolve(PartSpecFileName + ".inprogress")

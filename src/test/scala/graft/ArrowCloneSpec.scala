@@ -208,4 +208,73 @@ class ArrowCloneSpec extends AnyFunSuite {
         s"${cloned3.schema.fieldNames.toSeq}")
     assert(cloned3.count() == 20)
   }
+
+  test("cloning a partition-EVOLVED source carries the write spec and " +
+      "type ledger: filters stay exact over byte-carried generations " +
+      "and the recorded type survives") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("clone_evo_src").toString
+    val dst = Files.createTempDirectory("clone_evo_dst").toString
+    Files.delete(Paths.get(dst))
+    // `bucket` holds NUMERIC-LOOKING strings: without the type ledger,
+    // the clone's dir-value inference would re-type it LongType and
+    // misbind the old generation's byte-carried StringType vector
+    val d = (1 to 200).map(i => (i.toLong, (i % 4).toString, i * 2L))
+      .toDF("id", "bucket", "amt")
+    d.filter(col("id") <= 120) // old generation: bucket in BYTES
+      .write.format("arrow").mode("overwrite").save(src)
+    spark.sql("CALL graft.system.set_partitioning(path => " +
+      s"'$src', cols => 'bucket')").collect()
+    val tableOrder = spark.read.format("arrow").load(src)
+      .schema.fieldNames.toSeq
+    d.filter(col("id") > 120) // new generation: bucket in PATH
+      .select(tableOrder.map(col): _*)
+      .write.format("arrow").mode("append").save(src)
+
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    val dstRoot = Paths.get(dst).toAbsolutePath.normalize
+    val md = dstRoot.resolve(ArrowDataSource.MetadataDirName)
+    // the evolution record travels with the clone (ADVICE r12, high):
+    // without it maybeEvolved() is false and pushFilters claims
+    // partition filters EXACT over borrowed byte-carried files
+    assert(Files.isRegularFile(
+      md.resolve(ArrowDataSource.PartSpecFileName)),
+      "clone dropped the source's _partition_spec")
+    assert(Files.isRegularFile(
+      md.resolve(ArrowDataSource.PartTypesFileName)),
+      "clone dropped the source's _partition_types ledger")
+    assert(ArrowDataSource.recordedPartitionTypes(dstRoot)
+      .get("bucket").contains(org.apache.spark.sql.types.StringType),
+      "clone lost the authoritative StringType for bucket")
+
+    val cloned = spark.read.format("arrow").load(dst)
+    assert(cloned.schema("bucket").dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"clone re-typed bucket: ${cloned.schema("bucket").dataType}")
+    assert(bagEqual(cloned, spark.read.format("arrow").load(src)))
+    // the filter must evaluate the OLD generation's byte values, not
+    // claim EXACT on path values the borrowed files don't expose:
+    // 50 matches in each generation = 50 total per bucket value
+    val f = cloned.filter(col("bucket") === "1")
+    assert(f.count() == 50,
+      s"evolved-clone filter dropped byte-generation rows: ${f.count()}")
+    // exceptAll is positional and evolution reorders the schema
+    // (partition column last) — align on d's column order by name
+    assert(bagEqual(f.select(d.columns.map(col).toIndexedSeq: _*),
+      d.filter(col("bucket") === "1")),
+      "evolved-clone filtered rows drifted")
+    // grouped aggregate over the evolved column: exact groups from
+    // BOTH generations (the evolution guard must see the clone as
+    // evolved and keep the group column off the pushed path)
+    val g = cloned.groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("amt")).as("s"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val exp = d.groupBy(col("bucket"))
+      .agg(org.apache.spark.sql.functions.sum(col("amt")).as("s"))
+      .orderBy(col("bucket"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(g == exp, s"evolved-clone grouped aggregate drifted: $g vs $exp")
+  }
 }

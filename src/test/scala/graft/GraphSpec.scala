@@ -98,4 +98,30 @@ class GraphSpec extends AnyFunSuite {
     assert(gotStar == Seq((0L, 1L), (1L, 1L), (2L, 1L)),
       s"star+blade triangle counts wrong: $gotStar")
   }
+
+  test("triangle closure above the broadcast edge limit takes the " +
+      "shuffled-hash path and still counts exactly") {
+    // the broadcast() hint is honored UNCONDITIONALLY by Spark — above
+    // the gate the closure must degrade to a shuffled hash join, not
+    // die on the broadcast ceiling at 100× edges (VERDICT r12 #2).
+    // broadcastLimit=0 forces every edge set down the fallback path.
+    import spark.implicits._
+    val k5 = for {
+      i <- 0L to 4L; j <- 0L to 4L if i < j
+    } yield (i, j)
+    val e = (k5 ++ Seq((20L, 21L), (21L, 22L))).toDF("x", "y")
+    val res = GraphQueries.triangleCounts(e, broadcastLimit = 0L)
+    // the degree/orientation joins may legitimately broadcast (tiny
+    // stat-planned sides); the gated join is the CLOSURE on (b, c) —
+    // that one must be shuffled-hash, never a broadcast of the edges
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*ShuffledHashJoin \\[b#\\d+L, c#\\d+L\\].*"),
+      s"closure join is not shuffled-hash:\n$plan")
+    assert(!plan.matches("(?s).*BroadcastHashJoin \\[b#\\d+L, c#\\d+L\\].*"),
+      s"forced-fallback triangle closure still broadcasts:\n$plan")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // K5: C(4,2)=6 triangles per node; the path is triangle-free
+    assert(got == (0L to 4L).map(i => (i, 6L)),
+      s"K5 shuffled-path triangle counts wrong: $got")
+  }
 }

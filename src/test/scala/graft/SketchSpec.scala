@@ -32,46 +32,47 @@ class SketchSpec extends AnyFunSuite {
 
   test("the DECLARED agg_approx_distinct lands within the configured " +
       "rsd band of the exact per-group distinct count") {
-    // agg_approx_distinct carries no DuckDB oracle (different sketch);
-    // this is its correctness gate: run the exact declared query and
-    // bound every group's estimate against exact countDistinct. rsd is
-    // 0.02; the data is fixed so the estimate is deterministic — 3σ
-    // (6%) headroom keeps the pin tight but not flaky across sketch
-    // implementation updates.
-    val est = SparkEntry.queries("agg_approx_distinct")(
+    // agg_approx_distinct is now HARD-GATED in CORRECTNESS (the query
+    // emits exact_orders + within_rsd and the oracle states the band
+    // verdict); this spec pins the same contract in-process: every
+    // group present, every within_rsd bit set, exact counts matching
+    // a direct countDistinct. rsd 0.02 → 3σ (6%) band inside the query.
+    val out = SparkEntry.queries("agg_approx_distinct")(
       spark, TestSession.Sf).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2)))).toMap
     val exact = Tables.lineitem(spark, TestSession.Sf)
       .groupBy(col("l_returnflag"))
       .agg(countDistinct(col("l_orderkey")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
+    assert(out.keySet == exact.keySet)
     exact.foreach { case (flag, n) =>
-      val e = est(flag)
-      assert(math.abs(e - n).toDouble / n <= 0.06,
-        s"agg_approx_distinct($flag) = $e vs exact $n: outside 3×rsd")
+      val (e, within) = out(flag)
+      assert(e == n, s"agg_approx_distinct($flag) exact_orders $e != $n")
+      assert(within == 1,
+        s"agg_approx_distinct($flag): estimate outside 3×rsd band")
     }
   }
 
   test("the DECLARED agg_hll_rollup merged estimate lands within the " +
       "sketch's rsd band of the exact per-priority distinct count") {
-    // Default Datasketches lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; bound at
-    // 5% (≈3σ). SketchSpec's union test already proves merge
-    // losslessness bit-for-bit; this ties the declared query's final
-    // ESTIMATE to ground truth, upgrading its gate from rows-only.
-    val est = SparkEntry.queries("agg_hll_rollup")(
+    // Default Datasketches lgK=12 → rsd ≈ 1.04/√4096 ≈ 1.6%; the query
+    // bands the merged estimate at 5% (≈3σ) and emits the verdict bit
+    // the oracle now hash-gates. SketchSpec's union test already
+    // proves merge losslessness bit-for-bit; this ties the declared
+    // query's band bit + exact counts to ground truth in-process.
+    val out = SparkEntry.queries("agg_hll_rollup")(
       spark, TestSession.Sf).collect()
-      .map(r => r.getString(0) ->
-        r.get(2).asInstanceOf[Number].doubleValue()).toMap
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getInt(3)))).toMap
     val exact = Tables.orders(spark, TestSession.Sf)
       .groupBy(col("o_orderpriority"))
       .agg(countDistinct(col("o_custkey")).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(est.keySet == exact.keySet)
+    assert(out.keySet == exact.keySet)
     exact.foreach { case (prio, n) =>
-      val e = est(prio)
-      assert(math.abs(e - n) / n <= 0.05,
-        s"agg_hll_rollup($prio) = $e vs exact $n: outside rsd band")
+      val (e, within) = out(prio)
+      assert(e == n, s"agg_hll_rollup($prio) exact_cust $e != $n")
+      assert(within == 1,
+        s"agg_hll_rollup($prio): merged estimate outside rsd band")
     }
   }
 
