@@ -415,7 +415,8 @@ object StorageQueries {
   }
 
   /** CDC replication end-to-end under the correctness gate: a logged
-    * source takes a snapshot + DELETE + UPDATE epoch history, a fresh
+    * source takes a snapshot + DELETE + UPDATE + INSERT epoch history
+    * (the shared [[cdcSource]] fixture), a fresh
     * empty replica drains the STREAMING change feed via
     * [[graft.streaming.ChangeReplication.replicate]] (keyed MERGE
     * apply, coalesced to two MERGEs per micro-batch), and the
@@ -425,27 +426,53 @@ object StorageQueries {
     * feed→MERGE round trip. The 100 TB shape: a day of DML against a
     * petabyte table replicates as O(churned bytes) through two keyed
     * MERGEs per trigger. */
-  def cdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+  /** The SHARED multi-epoch CDC source the three cdc_* consumers tail
+    * (VERDICT r12 #5): a logged orders snapshot plus the canonical
+    * DELETE / UPDATE / INSERT epoch backlog (epochs 0-3), built ONCE
+    * per (process, sf) via [[graft.Fixtures.once]]. Sound to share
+    * because every consumer only READS the change feed (fresh
+    * per-invocation dst + checkpoint each); the apply algebras are
+    * multi-epoch-batch capable by design, so draining 0-3 in one pass
+    * equals the old build-interleaved two-drain histories exactly —
+    * the oracles pin that. Cuts the bench's per-query fixture DML
+    * from 3× to 1× without touching any measured maintenance path. */
+  private def cdcSource(spark: SparkSession, dir: String): String = {
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.arrow.GraftCatalog].getName)
-    val src = graft.Scratch.dir("cdc_repl_src", dir)
+    val src = graft.Scratch.dir("cdc_shared_src", dir)
+    graft.Fixtures.once(src) {
+      graft.Scratch.reset(src)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.format("arrow").mode("overwrite").save(src)
+      graft.sources.arrow.ArrowDataSource.initTableLog(src)
+      spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
+      spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
+        "AND o_orderstatus = 'F'")
+      spark.sql(s"INSERT INTO graft.arrow.`$src` " +
+        s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
+        s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
+      ()
+    }
+    src
+  }
+
+  def cdcReplicate(spark: SparkSession, dir: String): DataFrame = {
+    val src = cdcSource(spark, dir)
     val dst = graft.Scratch.dir("cdc_repl_dst", dir)
     val ckpt = graft.Scratch.dir("cdc_repl_ckpt", dir)
-    // Fresh replica + checkpoint every invocation: a reused checkpoint
-    // would see the rebuilt source's epochs as already consumed.
-    graft.Scratch.reset(src, dst, ckpt)
-    val base = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    base.repartitionByRange(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.format("arrow").mode("overwrite").save(src)
+    // Fresh replica + checkpoint every invocation; the SOURCE is the
+    // shared immutable fixture.
+    graft.Scratch.reset(dst, ckpt)
     // empty replica carrying the schema
-    base.limit(0).coalesce(1)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .limit(0).coalesce(1)
       .write.format("arrow").mode("overwrite").save(dst)
-    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
-    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
-      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
-      "AND o_orderstatus = 'F'")
     val q = graft.streaming.ChangeReplication.replicate(
       spark, src, dst, keyCols = Seq("o_orderkey"), checkpoint = ckpt)
     try q.processAllAvailable() finally q.stop()
@@ -466,38 +493,20 @@ object StorageQueries {
     * SUM. The 100 TB shape: a petabyte fact table's rollup refreshes
     * at O(churned bytes) per day, not O(table). */
   def cdcIncrementalAgg(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[graft.sources.arrow.GraftCatalog].getName)
-    val src = graft.Scratch.dir("ivm_src", dir)
+    val src = cdcSource(spark, dir)
     val dst = graft.Scratch.dir("ivm_dst", dir)
     val ckpt = graft.Scratch.dir("ivm_ckpt", dir)
-    // fresh source + view + checkpoint per invocation: a reused
-    // checkpoint would treat the rebuilt source's epochs as consumed
-    graft.Scratch.reset(src, dst, ckpt)
-    Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .repartitionByRange(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.format("arrow").mode("overwrite").save(src)
-    // the change feed tails a commit LOG: epoch 0 = this snapshot
-    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    // fresh view + checkpoint per invocation over the shared source:
+    // the snapshot + DML backlog (epochs 0-3) folds through ONE
+    // exactly-once incremental MERGE — additive deltas net the same
+    // whether drained in one batch or epoch by epoch
+    graft.Scratch.reset(dst, ckpt)
     val sums = Seq(
       ("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "sum_cents"),
       ("o_orderkey", "sum_key"))
-    def refresh(): Unit = {
-      val q = graft.streaming.IncrementalView.maintain(spark, src, dst,
-        groupCols = Seq("o_orderstatus"), sums = sums, checkpoint = ckpt)
-      try q.processAllAvailable() finally q.stop()
-    }
-    refresh() // snapshot epoch
-    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
-    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
-      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
-      "AND o_orderstatus = 'F'")
-    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
-      s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
-      s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
-    refresh() // DML backlog folds in one incremental MERGE
+    val q = graft.streaming.IncrementalView.maintain(spark, src, dst,
+      groupCols = Seq("o_orderstatus"), sums = sums, checkpoint = ckpt)
+    try q.processAllAvailable() finally q.stop()
     graft.streaming.IncrementalView.read(spark, dst)
       .select(col("o_orderstatus"), col("n"),
         (col("sum_cents").cast("double") / 100.0).as("sum_price"),
@@ -700,40 +709,28 @@ object StorageQueries {
     * absorbs a day of churn as O(churned keys) MERGE work; closed
     * history is never rewritten. */
   def cdcScd2(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.catalog.graft",
-      classOf[graft.sources.arrow.GraftCatalog].getName)
-    val src = graft.Scratch.dir("scd2_src", dir)
+    val src = cdcSource(spark, dir)
     val dim = graft.Scratch.dir("scd2_dim", dir)
     val ckpt = graft.Scratch.dir("scd2_ckpt", dir)
-    graft.Scratch.reset(src, dim, ckpt)
-    val base = Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-    base.repartitionByRange(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .write.format("arrow").mode("overwrite").save(src)
-    graft.sources.arrow.ArrowDataSource.initTableLog(src)
+    graft.Scratch.reset(dim, ckpt)
     // empty dimension carrying the SCD2 schema
-    base.limit(0)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .limit(0)
       .withColumn(graft.streaming.Scd2Maintain.ValidFromCol, lit(0L))
       .withColumn(graft.streaming.Scd2Maintain.ValidToCol,
         lit(null).cast("long"))
       .withColumn(graft.streaming.Scd2Maintain.IsCurrentCol, lit(true))
       .coalesce(1)
       .write.format("arrow").mode("overwrite").save(dim)
-    def refresh(): Unit = {
-      val q = graft.streaming.Scd2Maintain.maintain(spark, src, dim,
-        keyCols = Seq("o_orderkey"), checkpoint = ckpt)
-      try q.processAllAvailable() finally q.stop()
-    }
-    refresh() // snapshot epoch → versions open at 0
-    spark.sql(s"DELETE FROM graft.arrow.`$src` WHERE o_orderkey < 400")
-    spark.sql(s"UPDATE graft.arrow.`$src` SET o_totalprice = 0.0 " +
-      "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
-      "AND o_orderstatus = 'F'")
-    spark.sql(s"INSERT INTO graft.arrow.`$src` " +
-      s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
-      s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
-    refresh() // the 3-epoch backlog lands as ONE MERGE
+    // ONE drain over the shared source's whole epoch history 0-3: the
+    // apply algebra is multi-epoch by design (per-key lead(epoch)
+    // intervals within the batch), so the produced history is
+    // IDENTICAL to the old snapshot-drain + backlog-drain split — the
+    // oracle pins the exact valid_from/valid_to epochs either way
+    val q = graft.streaming.Scd2Maintain.maintain(spark, src, dim,
+      keyCols = Seq("o_orderkey"), checkpoint = ckpt)
+    try q.processAllAvailable() finally q.stop()
     spark.read.format("arrow").load(dim)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"),
         col("valid_from"), col("valid_to"), col("is_current"))
@@ -1237,13 +1234,25 @@ object StorageQueries {
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "cdc_replicate" ->
-      """SELECT o_orderstatus, COUNT(*) AS n,
-        | CAST(SUM(CAST(CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
-        |   AND o_orderstatus = 'F' THEN 0.0 ELSE o_totalprice END
-        |   AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      // the replica drains the shared source's FULL epoch history —
+      // snapshot, delete, update AND the insert epoch (the insert
+      // snapshots post-update prices, so 'Z' rows carry `p`)
+      """WITH post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      AND o_orderstatus = 'F' THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_orderstatus
+        |  FROM orders WHERE o_orderkey >= 400),
+        |final AS (
+        |  SELECT o_orderkey, p, o_orderstatus FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, p, 'Z' AS o_orderstatus
+        |  FROM post WHERE o_orderkey % 251 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
-        |FROM orders WHERE o_orderkey >= 400
-        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+        |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "arrow_partitions_meta" ->
       """SELECT 'o_orderstatus=' || o_orderstatus AS partition,
         | COUNT(*) AS rows

@@ -1398,12 +1398,22 @@ object ArrowDataSource {
   def toleratedFooterFields(root: Path,
       ds: org.apache.spark.sql.types.StructType)
       : (Set[(String, org.apache.spark.sql.types.DataType)], Set[String]) = {
-    val aliasTyped = aliasColumns(root).flatMap { case (logical, physicals) =>
+    val aliases = aliasColumns(root)
+    val aliasTyped = aliases.flatMap { case (logical, physicals) =>
       ds.fields.find(_.name == logical).toSeq
         .flatMap(f => physicals.map(p => (p, f.dataType)))
     }.toSet
-    (ds.fields.map(f => (f.name, f.dataType)).toSet ++ aliasTyped,
-      droppedColumns(root))
+    // partition evolution: the declared DATA schema excludes partition
+    // columns, but pre-evolution generations legitimately carry them
+    // in BYTES (the path-XOR-bytes invariant) — tolerate every
+    // partition-union column at its ledgered type, under its current
+    // name or any pre-rename physical name
+    val partTypes = recordedPartitionTypes(root)
+    val partTyped = partTypes.toSet ++ partTypes.flatMap { case (l, t) =>
+      aliases.getOrElse(l, Seq.empty).map(p => (p, t))
+    }
+    (ds.fields.map(f => (f.name, f.dataType)).toSet ++ aliasTyped ++
+      partTyped, droppedColumns(root))
   }
 
   def setDeclaredSchema(root: Path,

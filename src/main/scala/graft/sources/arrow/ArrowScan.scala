@@ -1334,11 +1334,21 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
         // live in the file's BYTES (the writer only extracts CURRENT
         // spec columns to directories), so read them there. A genuine
         // NULL dir value cannot collide: a file written WITH the
-        // column in its spec never carries it in bytes.
-        case Some(pi) if (pi >= partition.partValues.length ||
-            partition.partValues(pi) == null) &&
-            fileFields.contains(n) =>
-          Left(fileFields.indexOf(n))
+        // column in its spec never carries it in bytes. The byte
+        // lookup resolves the RENAME ledger too: a column renamed and
+        // THEN evolved lives in pre-rename files under its physical
+        // name (the walk spec's restore+evolve interleaving hits
+        // this); only a file carrying it under NO name null-fills.
+        case Some(pi) if pi >= partition.partValues.length ||
+            partition.partValues(pi) == null =>
+          val fi = fileFields.indexOf(n) match {
+            case -1 => ArrowDataSource
+              .aliasColumnsForFile(Paths.get(partition.file))
+              .getOrElse(n, Seq.empty)
+              .map(fileFields.indexOf).find(_ >= 0).getOrElse(-1)
+            case i => i
+          }
+          if (fi >= 0) Left(fi) else Right(pi)
         case Some(pi) => Right(pi)
         case None if n == ArrowDataSource.FileMetaCol => Left(-2)
         case None if n == ArrowDataSource.PosMetaCol => Left(-5)

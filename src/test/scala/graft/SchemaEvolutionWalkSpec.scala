@@ -9,12 +9,23 @@ import graft.sources.arrow.{ArrowDataSource, GraftCatalog}
 
 /** Randomized soundness walk over the metadata-only schema-evolution
   * surface: a seeded sequence of add_column / rename_column /
-  * drop_column interleaved with INSERT / UPDATE / DELETE, with an
-  * in-memory model checked against the table read after EVERY step —
-  * the interactions a hand-written spec cannot enumerate (DML through
-  * a renamed column over mixed-generation files, inserts after a drop,
-  * updates materializing an added column, rename chains with
-  * mid-chain writes). Any divergence is silent data corruption. */
+  * drop_column / set_partitioning / tag / restore interleaved with
+  * INSERT / UPDATE / DELETE, with an in-memory model checked against
+  * the table read after EVERY step — the interactions a hand-written
+  * spec cannot enumerate (DML through a renamed column over
+  * mixed-generation files, inserts after a drop, updates
+  * materializing an added column, rename chains with mid-chain
+  * writes, a restore replaying old files through the CURRENT
+  * schema/alias/partition ledgers). Any divergence is silent data
+  * corruption.
+  *
+  * Restore semantics the model encodes: restore rewinds the FILE
+  * manifest only — the schema ledgers (adds/drops/renames) and the
+  * partition spec are not epoch-versioned, so restored rows read
+  * through the CURRENT schema. A tag therefore snapshots the model's
+  * ROWS; later renames/drops apply to the snapshots too (the ledger
+  * governs how the old files re-read), and columns added after the
+  * tag surface as NULL on restored rows (old files lack them). */
 class SchemaEvolutionWalkSpec extends AnyFunSuite {
   private lazy val spark = {
     val s = TestSession.spark
@@ -22,7 +33,8 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
     s
   }
 
-  test("40-step random evolution+DML walk matches the model at every step") {
+  test("48-step random evolution+DML walk (with partition evolution, " +
+      "tags and restores) matches the model at every step") {
     runWalk(dvEnabled = false, seed = 271828L)
   }
 
@@ -45,6 +57,17 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
     var nextId = 100L
     var nameSeq = 2
     val everUsed = scala.collection.mutable.Set("id", "c0", "c1")
+    // partition-evolution state: evolved columns move to the schema
+    // TAIL in union order; once a column partitions, the walk no
+    // longer renames/drops/SETs it (out of the declared surface)
+    var partCols = Vector.empty[String]
+    // tag name -> model-row snapshot; snapshots TRACK later
+    // renames/drops (the ledger governs how restored files re-read)
+    val tagSnaps = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[
+        Long, scala.collection.mutable.Map[String, Any]]]
+    def snapshotRows() = scala.collection.mutable.LinkedHashMap(
+      rows.toSeq.map { case (k, m) => k -> m.clone() }: _*)
     // the original tuple-derived columns are NON-nullable in the table
     // schema (and Spark rightly refuses NULL inserts into them); only
     // added columns accept NULLs. Rename preserves nullability.
@@ -82,30 +105,48 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
         s"step $step diverged: got ${got.take(4)}... want ${want.take(4)}...")
     }
 
-    for (step <- 1 to 40) {
-      rnd.nextInt(6) match {
+    // columns still eligible for rename/drop/SET: data columns only —
+    // never id, never a (current or former) partition column
+    def mutableCols: Vector[String] =
+      cols.drop(1).filterNot(partCols.contains)
+    // a restore adopts a CLONE of the tag's snapshot, so post-restore
+    // DML never mutates the stored snapshot (tags stay restorable)
+    def snapshotOf(name: String) = scala.collection.mutable
+      .LinkedHashMap(tagSnaps(name).toSeq
+        .map { case (k, m) => k -> m.clone() }: _*)
+
+    for (step <- 1 to 48) {
+      rnd.nextInt(9) match {
         case 0 => // add_column (fresh name)
           val n = freshName()
           spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
             s"name => '$n', type => 'bigint')").collect()
-          cols = cols :+ n
+          // partition columns stay at the schema TAIL — an added data
+          // column slots in before them
+          cols = cols.filterNot(partCols.contains) ++
+            Vector(n) ++ partCols
           nullableCols += n
-        case 1 => // rename a non-id column
-          val old = cols.drop(1)(rnd.nextInt(cols.length - 1))
+        case 1 if mutableCols.nonEmpty => // rename a data column
+          val old = mutableCols(rnd.nextInt(mutableCols.length))
           val n = freshName()
           spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
             s"old_name => '$old', new_name => '$n')").collect()
           cols = cols.map(c => if (c == old) n else c)
           if (nullableCols.remove(old)) nullableCols += n
-          rows.values.foreach { m =>
+          // the alias ledger governs every file, including files a
+          // later RESTORE re-adds — renames propagate to tag snapshots
+          (rows.values ++ tagSnaps.values.flatMap(_.values)).foreach { m =>
             if (m.contains(old)) { m(n) = m(old); m.remove(old) }; ()
           }
-        case 2 if cols.length > 2 => // drop a non-id column
-          val victim = cols.drop(1)(rnd.nextInt(cols.length - 1))
+        case 2 if mutableCols.length > 1 => // drop a data column
+          val victim = mutableCols(rnd.nextInt(mutableCols.length))
           spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
             s"name => '$victim')").collect()
           cols = cols.filterNot(_ == victim)
-          rows.values.foreach { m => m.remove(victim); () }
+          // drops hide the column on restored files too
+          (rows.values ++ tagSnaps.values.flatMap(_.values)).foreach { m =>
+            m.remove(victim); ()
+          }
         case 3 => // insert 3 rows with the CURRENT schema
           val newRows = (0 until 3).map { _ =>
             val id = nextId; nextId += 1
@@ -121,10 +162,12 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
           }.mkString(", ")
           spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES $values")
           newRows.foreach { case (id, m) => rows(id) = m }
-        case 4 => // update a random column; predicate on id OR on an
-          // evolved data column (exercises alias resolution in the
-          // CoW rewrite's filter eval)
-          val c = cols.drop(1)(rnd.nextInt(cols.length - 1))
+        case 4 if mutableCols.nonEmpty => // update a random data
+          // column; predicate on id OR on an evolved data column
+          // (exercises alias resolution in the CoW rewrite's filter
+          // eval; partition columns serve as predicates elsewhere,
+          // never as SET targets)
+          val c = mutableCols(rnd.nextInt(mutableCols.length))
           val k = 2 + rnd.nextInt(5)
           val r = rnd.nextInt(k)
           val v = rnd.nextInt(10000).toLong
@@ -139,6 +182,35 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
               case _ => ()
             }
           }
+        case 6 if partCols.length < 2 &&
+            mutableCols.exists(c => !nullableCols(c)) =>
+          // PARTITION EVOLUTION: route future writes by a non-null
+          // data column. The read schema moves evolved columns to the
+          // TAIL in union order; existing files keep the column in
+          // bytes (mixed generations), which the restore case then
+          // replays through the evolved layout
+          val eligible = mutableCols.filter(c => !nullableCols(c))
+          val c = eligible(rnd.nextInt(eligible.length))
+          spark.sql(s"CALL graft.system.set_partitioning(" +
+            s"path => '$dir', cols => '$c')").collect()
+          partCols = (partCols :+ c).distinct
+          cols = cols.filterNot(partCols.contains) ++ partCols
+        case 7 => // TAG the current version; snapshot the model rows
+          val name = s"walk_t$step"
+          spark.sql(s"CALL graft.system.tag(path => '$dir', " +
+            s"name => '$name')").collect()
+          tagSnaps(name) = snapshotRows()
+        case 8 if tagSnaps.nonEmpty => // RESTORE to a random tag: the
+          // file manifest rewinds; the current schema/alias/partition
+          // ledgers keep governing how the re-added files read
+          val names = tagSnaps.keys.toVector
+          val name = names(rnd.nextInt(names.length))
+          val root = java.nio.file.Paths.get(dir)
+            .toAbsolutePath.normalize
+          val epoch = ArrowDataSource.tags(root)(name)
+          spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+            s"epoch => $epoch)").collect()
+          rows = snapshotOf(name)
         case _ => // delete a thin slice (keep the table populated)
           val k = 7 + rnd.nextInt(6)
           val r = rnd.nextInt(k)
@@ -147,11 +219,17 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
       }
       check(step)
     }
-    // the walk must have actually exercised evolution
+    // the walk must have actually exercised all three evolution axes
+    // (both fixed seeds do; a seed change that loses one should fail
+    // loudly, not silently shrink coverage)
     assert(ArrowDataSource.droppedColumns(
       java.nio.file.Paths.get(dir).toAbsolutePath.normalize).nonEmpty ||
       ArrowDataSource.aliasColumns(
         java.nio.file.Paths.get(dir).toAbsolutePath.normalize).nonEmpty,
       "walk never evolved the schema — widen the op mix")
+    assert(partCols.nonEmpty,
+      "walk never evolved the partitioning — widen the op mix")
+    assert(tagSnaps.nonEmpty,
+      "walk never tagged a version — widen the op mix")
   }
 }
