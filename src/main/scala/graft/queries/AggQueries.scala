@@ -85,16 +85,25 @@ object AggQueries {
     * (VERDICT r12 #4 — retires the last two no_oracle rows). The
     * estimate still computes distributively; only its band membership
     * is compared. */
-  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // dedup FIRST (map-side partial + one shuffle on the pair), then
+    // count and sketch the distinct pairs in one pass: HLL is
+    // set-based, so sketching the deduped keys produces the identical
+    // estimate, while countDistinct NEXT TO another aggregate would
+    // force an Expand that doubles the scanned rows
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .groupBy(col("l_returnflag"), col("l_orderkey")).agg(lit(1))
+    pairs
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("est"),
-        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .agg(count(lit(1)).as("exact_orders"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("est"))
       .select(col("l_returnflag"), col("exact_orders"),
         (abs(col("est") - col("exact_orders"))
           <= col("exact_orders").cast("double") * lit(0.06))
           .cast("int").as("within_rsd"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** Mergeable-sketch rollup (Datasketches HLL): build one HLL sketch
     * of the customer set per (priority, month), then UNION the monthly
@@ -127,6 +136,61 @@ object AggQueries {
         (abs(col("est") - col("exact_cust"))
           <= col("exact_cust").cast("double") * lit(0.05))
           .cast("int").as("within_rsd"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Mergeable QUANTILE sketch rollup — the quantile sibling of
+    * [[hllRollup]], FULLY hash-gated because the sketch itself is
+    * deterministic: a bottom-k sample by the Knuth multiplicative
+    * hash of the (unique) order key. bottom-k is a semilattice
+    * (union-then-truncate is associative, commutative, idempotent),
+    * so the two-level shape loses nothing: per-(priority, month)
+    * partials at ingest grain re-truncate to the EXACT same k-sample
+    * one global pass would pick — SketchSpec pins that equality — and
+    * any coarser quantile is a kilobyte merge, never a re-scan. The
+    * median estimate is the sample's lower median (a value plucked
+    * from the data, no arithmetic), and its exact rank in the full
+    * group is re-derived by one counting pass — every output column
+    * is integer/plucked-double, so DuckDB restates the whole pipeline
+    * literally (no band bit needed; the spec separately pins the
+    * ±3σ rank band the sample size implies). */
+  def quantileSketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_orderkey"), col("o_totalprice"))
+      .withColumn("h",
+        col("o_orderkey") * lit(2654435761L) % lit(4294967296L))
+    // level 1: ingest-grain partials — bottom-K by hash per month
+    val w1 = Window.partitionBy(col("o_orderpriority"), col("m"))
+      .orderBy(col("h"), col("o_orderkey"))
+    val partial = o.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= K)
+    // level 2: merge = union + re-truncate to bottom-K per priority
+    val w2 = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("h"), col("o_orderkey"))
+    val merged = partial.withColumn("rk2", row_number().over(w2))
+      .filter(col("rk2") <= K)
+    // estimate: the sample's lower median by value
+    val w3 = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val est = merged
+      .withColumn("vr", row_number().over(w3))
+      .withColumn("sample_n", count(lit(1))
+        .over(Window.partitionBy(col("o_orderpriority"))))
+      .filter(col("vr") === expr("(sample_n + 1) div 2"))
+      .select(col("o_orderpriority"),
+        col("o_totalprice").as("est_median"), col("sample_n"))
+    // exact rank of the estimate: one counting pass over the group
+    Tables.orders(spark, dir)
+      .join(broadcast(est), "o_orderpriority")
+      .groupBy(col("o_orderpriority"), col("est_median"), col("sample_n"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("o_totalprice") <= col("est_median"), 1L)
+          .otherwise(0L)).as("rank_le"))
+      .select(col("o_orderpriority"), col("n"), col("sample_n"),
+        col("est_median"), col("rank_le"))
       .orderBy(col("o_orderpriority"))
   }
 
@@ -325,6 +389,7 @@ object AggQueries {
     "agg_cube" -> (cubeAgg _),
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_rollup" -> (hllRollup _),
+    "agg_quantile_sketch" -> (quantileSketchRollup _),
     "agg_collect" -> (collectAgg _))
 
   private val q1Sql =
@@ -356,6 +421,34 @@ object AggQueries {
         | 1 AS within_rsd
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "agg_quantile_sketch" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |  date_trunc('month', o_orderdate) AS m, o_orderkey,
+        |  o_totalprice,
+        |  (o_orderkey * 2654435761) % 4294967296 AS h FROM orders),
+        |p1 AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY o_orderpriority, m
+        |  ORDER BY h, o_orderkey) AS rk FROM o),
+        |partial AS (SELECT * FROM p1 WHERE rk <= 256),
+        |m1 AS (SELECT *, ROW_NUMBER() OVER (
+        |  PARTITION BY o_orderpriority
+        |  ORDER BY h, o_orderkey) AS rk2 FROM partial),
+        |merged AS (SELECT * FROM m1 WHERE rk2 <= 256),
+        |s AS (SELECT o_orderpriority, o_totalprice,
+        |  ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS vr,
+        |  COUNT(*) OVER (PARTITION BY o_orderpriority) AS sample_n
+        | FROM merged),
+        |est AS (SELECT o_orderpriority, o_totalprice AS est_median,
+        |  sample_n FROM s WHERE vr = (sample_n + 1) // 2)
+        |SELECT o.o_orderpriority, COUNT(*) AS n, e.sample_n,
+        | e.est_median,
+        | SUM(CASE WHEN o.o_totalprice <= e.est_median
+        |   THEN 1 ELSE 0 END) AS rank_le
+        |FROM orders o JOIN est e
+        |  ON o.o_orderpriority = e.o_orderpriority
+        |GROUP BY o.o_orderpriority, e.sample_n, e.est_median
+        |ORDER BY o.o_orderpriority""".stripMargin,
     "agg_heavy_hitters" ->
       """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |SELECT token, COUNT(*) AS cnt FROM t

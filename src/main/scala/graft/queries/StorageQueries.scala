@@ -444,7 +444,7 @@ object StorageQueries {
       graft.Scratch.reset(src)
       Tables.orders(spark, dir)
         .select(col("o_orderkey"), col("o_totalprice"),
-          col("o_orderstatus"))
+          col("o_orderstatus"), col("o_custkey"))
         .repartitionByRange(4, col("o_orderkey"))
         .sortWithinPartitions(col("o_orderkey"))
         .write.format("arrow").mode("overwrite").save(src)
@@ -454,7 +454,7 @@ object StorageQueries {
         "WHERE o_orderkey >= 600 AND o_orderkey < 900 " +
         "AND o_orderstatus = 'F'")
       spark.sql(s"INSERT INTO graft.arrow.`$src` " +
-        s"SELECT o_orderkey + 20000000, o_totalprice, 'Z' " +
+        s"SELECT o_orderkey + 20000000, o_totalprice, 'Z', o_custkey " +
         s"FROM graft.arrow.`$src` WHERE o_orderkey % 251 = 0")
       ()
     }
@@ -468,9 +468,10 @@ object StorageQueries {
     // Fresh replica + checkpoint every invocation; the SOURCE is the
     // shared immutable fixture.
     graft.Scratch.reset(dst, ckpt)
-    // empty replica carrying the schema
+    // empty replica carrying the (shared source's) schema
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_custkey"))
       .limit(0).coalesce(1)
       .write.format("arrow").mode("overwrite").save(dst)
     val q = graft.streaming.ChangeReplication.replicate(
@@ -512,6 +513,43 @@ object StorageQueries {
         (col("sum_cents").cast("double") / 100.0).as("sum_price"),
         col("sum_key"))
       .orderBy(col("o_orderstatus"))
+  }
+
+  /** Incremental JOIN-view maintenance, oracle-gated: the per-market-
+    * segment rollup of fact ⋈ dim (shared cdc source ⋈ customer) is
+    * maintained from the FACT's change feed alone — each change row
+    * broadcast-enriches with its (immutable) dim attributes before the
+    * signed-delta fold, the classic IVM join-view case: a fact delta
+    * joined to a static dim IS the view delta, so the O(churned
+    * bytes) + O(affected groups) refresh bound survives the join.
+    * The oracle recomputes the joined rollup from scratch. The 100 TB
+    * shape: petabyte fact, broadcast-sized (or lookup-served) dims —
+    * the everyday star-schema rollup refreshed without re-scanning
+    * the fact table. Dim CHANGES are out of contract by construction
+    * (documented in [[graft.streaming.IncrementalView.maintain]]). */
+  def cdcIncrementalJoinAgg(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val src = cdcSource(spark, dir)
+    val dst = graft.Scratch.dir("ivmj_dst", dir)
+    val ckpt = graft.Scratch.dir("ivmj_ckpt", dir)
+    graft.Scratch.reset(dst, ckpt)
+    val dim = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val enrich: DataFrame => DataFrame = df =>
+      df.join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+        .drop("c_custkey")
+    val sums = Seq(
+      ("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "sum_cents"),
+      ("o_orderkey", "sum_key"))
+    val q = graft.streaming.IncrementalView.maintain(spark, src, dst,
+      groupCols = Seq("c_mktsegment"), sums = sums, checkpoint = ckpt,
+      enrich = enrich)
+    try q.processAllAvailable() finally q.stop()
+    graft.streaming.IncrementalView.read(spark, dst)
+      .select(col("c_mktsegment"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"),
+        col("sum_key"))
+      .orderBy(col("c_mktsegment"))
   }
 
   /** Write-audit-publish, oracle-gated: stage DML on a zero-copy clone
@@ -713,9 +751,11 @@ object StorageQueries {
     val dim = graft.Scratch.dir("scd2_dim", dir)
     val ckpt = graft.Scratch.dir("scd2_ckpt", dir)
     graft.Scratch.reset(dim, ckpt)
-    // empty dimension carrying the SCD2 schema
+    // empty dimension carrying the SCD2 schema (shared source's data
+    // columns + the three interval columns)
     Tables.orders(spark, dir)
-      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .select(col("o_orderkey"), col("o_totalprice"),
+        col("o_orderstatus"), col("o_custkey"))
       .limit(0)
       .withColumn(graft.streaming.Scd2Maintain.ValidFromCol, lit(0L))
       .withColumn(graft.streaming.Scd2Maintain.ValidToCol,
@@ -1100,6 +1140,7 @@ object StorageQueries {
     "arrow_timestamp_travel" -> (arrowTimestampTravel _),
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
+    "cdc_incremental_join_agg" -> (cdcIncrementalJoinAgg _),
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
@@ -1322,6 +1363,25 @@ object StorageQueries {
         |   AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "cdc_incremental_join_agg" ->
+      """WITH post AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      AND o_orderstatus = 'F' THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_orderstatus, o_custkey
+        |  FROM orders WHERE o_orderkey >= 400),
+        |final AS (
+        |  SELECT o_orderkey, p, o_custkey FROM post
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000, p, o_custkey
+        |  FROM post WHERE o_orderkey % 251 = 0)
+        |SELECT c.c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
+        |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM final JOIN customer c ON final.o_custkey = c.c_custkey
+        |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
     "mv_rewrite_rollup" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key

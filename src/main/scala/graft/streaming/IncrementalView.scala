@@ -54,15 +54,18 @@ object IncrementalView {
   }
 
   /** Create an empty view table at `viewDir` if absent (schema from
-    * the source's), so the first MERGE has a target to commit into. */
+    * the ENRICHED source's), so the first MERGE has a target to
+    * commit into. */
   def ensureView(spark: SparkSession, srcDir: String, viewDir: String,
-      groupCols: Seq[String], sums: Seq[(String, String)]): Unit = {
+      groupCols: Seq[String], sums: Seq[(String, String)],
+      enrich: DataFrame => DataFrame = identity): Unit = {
     val d = new java.io.File(viewDir)
     val hasData = Option(d.listFiles())
       .exists(_.exists(f => f.getName.endsWith(".arrow") ||
         f.getName == ArrowDataSource.MetadataDirName))
     if (!hasData) {
-      val srcSchema = spark.read.format("arrow").load(srcDir).schema
+      val srcSchema =
+        enrich(spark.read.format("arrow").load(srcDir)).schema
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         viewSchema(srcSchema, groupCols, sums))
@@ -72,28 +75,38 @@ object IncrementalView {
   }
 
   /** Start maintaining `viewDir` = `SELECT groupCols, COUNT(*) AS n,
-    * SUM(expr) AS alias... FROM srcDir GROUP BY groupCols` off the
-    * source's streaming change feed. `availableNow` drains everything
-    * committed at start and stops (batch-style refresh); otherwise the
-    * view follows the source continuously. */
+    * SUM(expr) AS alias... FROM enrich(srcDir) GROUP BY groupCols` off
+    * the source's streaming change feed. `availableNow` drains
+    * everything committed at start and stops (batch-style refresh);
+    * otherwise the view follows the source continuously.
+    *
+    * `enrich` extends the self-maintainable family to JOIN VIEWS over
+    * immutable dimensions (the classic IVM case): it must be a
+    * deterministic per-row 1:1 mapping of each fact row — e.g. a
+    * broadcast lookup join to a STATIC dim — so a row's delete change
+    * enriches exactly like its insert did and the signed deltas still
+    * telescope. A mutating dim would need re-enrichment of untouched
+    * fact rows (not expressible as a fact-feed delta) and is out of
+    * contract; `_change_type`/`_commit_epoch` must pass through. */
   def maintain(spark: SparkSession, srcDir: String, viewDir: String,
       groupCols: Seq[String], sums: Seq[(String, String)],
       checkpoint: String, startingEpoch: Long = 0L,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      enrich: DataFrame => DataFrame = identity): StreamingQuery = {
     require(groupCols.nonEmpty, "incremental view needs group columns")
     if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
       spark.conf.set("spark.sql.catalog.graft",
         classOf[GraftCatalog].getName)
-    ensureView(spark, srcDir, viewDir, groupCols, sums)
+    ensureView(spark, srcDir, viewDir, groupCols, sums, enrich)
     // identity = the checkpoint: Spark's batchId sequence is scoped to
     // it, so the stamp's appId must be too (a fresh checkpoint restarts
     // batch numbering AND the replay gate together)
     val appId = "graft_ivm_" + java.util.UUID
       .nameUUIDFromBytes(checkpoint.getBytes("UTF-8")).toString
-    val feed = spark.readStream.format("arrow")
+    val feed = enrich(spark.readStream.format("arrow")
       .option("readChangeFeed", "true")
       .option("startingEpoch", startingEpoch)
-      .load(srcDir)
+      .load(srcDir))
     val writer = feed.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

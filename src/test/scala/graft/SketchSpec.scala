@@ -78,9 +78,15 @@ class SketchSpec extends AnyFunSuite {
 
   test("HLL sketch union of monthly partials equals the global sketch") {
     val o = Tables.orders(spark, TestSession.Sf)
-    // two-level: per-month sketches merged per priority
-    val merged = queries.AggQueries.hllRollup(spark, TestSession.Sf)
-      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // two-level: per-month sketches merged per priority (the declared
+    // query's shape, recomputed here because the query now emits the
+    // hash-gated exact+band columns, not the raw estimate)
+    val merged = o.groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // one-level: a single sketch straight over the rows
     val direct = o.groupBy(col("o_orderpriority"))
       .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))").as("e"))
@@ -94,6 +100,47 @@ class SketchSpec extends AnyFunSuite {
       assert(math.abs(merged(k) - n).toDouble <= math.max(4.0, 0.05 * n),
         s"HLL estimate off for $k: ${merged(k)} vs exact $n")
     }
+  }
+
+  test("bottom-k quantile sketch: monthly partials re-truncate to the " +
+      "EXACT global sample, and the median estimate's true rank sits " +
+      "in the sample-size band") {
+    val o = Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        date_trunc("month", col("o_orderdate")).as("m"))
+      .withColumn("h",
+        col("o_orderkey") * lit(2654435761L) % lit(4294967296L))
+    val k = 256
+    // one-level: global bottom-k by hash per priority
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"))
+      .orderBy(col("h"), col("o_orderkey"))
+    val global = o.withColumn("rk", row_number().over(wG))
+      .filter(col("rk") <= k)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+    // two-level: per-month bottom-k, union, re-truncate
+    val wM = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderpriority"), col("m"))
+      .orderBy(col("h"), col("o_orderkey"))
+    val twoLevel = o.withColumn("rk", row_number().over(wM))
+      .filter(col("rk") <= k)
+      .withColumn("rk2", row_number().over(wG))
+      .filter(col("rk2") <= k)
+      .select(col("o_orderpriority"), col("o_orderkey"))
+    // bottom-k is a semilattice: the merge is LOSSLESS, not just close
+    assert(global.exceptAll(twoLevel).isEmpty &&
+      twoLevel.exceptAll(global).isEmpty,
+      "two-level bottom-k diverged from the global sample")
+    // the declared query's estimate rank: sample of ~256 → rank sd
+    // ≈ √(p(1-p)/k) ≈ 3.1% of n at the median; 3σ ≈ 9.4%, pin at 10%
+    SparkEntry.queries("agg_quantile_sketch")(spark, TestSession.Sf)
+      .collect().foreach { r =>
+        val n = r.getLong(1).toDouble
+        val rank = r.getLong(4).toDouble
+        assert(math.abs(rank - 0.5 * n) <= 0.10 * n,
+          s"median estimate rank off for ${r.getString(0)}: " +
+            s"$rank of $n")
+      }
   }
 
   test("freqItems returns a superset of the truly frequent values") {
