@@ -320,7 +320,84 @@ object JoinQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** EXACT set-similarity self-join with PREFIX FILTERING (the
+    * AllPairs/PPJoin family): document pairs whose word-set Jaccard is
+    * ≥ 0.6, found WITHOUT the all-pairs cross join. Tokens order
+    * globally rarest-first (doc-frequency, ties by token); two sets
+    * with jac ≥ t must share a token within their first
+    * |x| − ceil(t·|x|) + 1 tokens of that order, so only prefix-token
+    * collisions become candidates — frequent tokens (stopwords) fall
+    * outside most prefixes, which is what kills the candidate blowup
+    * at corpus scale. Sizes prune further via the theorem's integer
+    * form (5·|B| ≥ 3·|A| for t = 3/5). Verification is exact integer
+    * arithmetic end to end — the threshold test 8·|A∩B| ≥ 3·(|A|+|B|)
+    * never touches a float — and the displayed jaccard rounds at 6dp.
+    * The prefix length uses the integer ceil ((3·sz + 4) div 5):
+    * double 0.6·sz rounds UP across exact multiples and would shorten
+    * prefixes, silently dropping pairs. Unlike [[fuzzyJoin]]'s
+    * blocked edit distance and the MinHash/LSH families, this is the
+    * EXACT-threshold join: the oracle restates the same plan and
+    * SetSimilaritySpec pins it against the brute-force all-pairs.
+    *
+    * Universe and output shape: the fixture corpus is ~90% shared
+    * boilerplate templates, so the TRUE pair set is quadratic in
+    * template-cluster size (7M pairs at sf0.1 — inherent to the data,
+    * not the algorithm; in production you near-dedup first). The
+    * declared query therefore joins a deterministic 10% systematic
+    * slice (`doc_id % 10 = 0` — same integer-hashless slice family as
+    * the sampling ops) and reports the per-document ROLLUP (partner
+    * count, best jaccard, first partner), keeping the compared result
+    * O(docs) while the join under test still runs in full. */
+  def setSimilarityJoin(spark: SparkSession, dir: String): DataFrame = {
+    val tok = fanOut(Tables.documents(spark, dir))
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+      .filter(col("token") =!= "")
+    setSimilarityPairs(tok)
+      .groupBy(col("da"))
+      .agg(count(lit(1)).as("n_partners"),
+        max(col("jaccard")).as("best_jac"),
+        min(col("db")).as("first_partner"))
+      .orderBy(col("da"))
+  }
+
+  /** The prefix-filtered exact-threshold pair pipeline over a
+    * `(doc_id, token)` set frame (tokens distinct per doc).
+    * `private[graft]` so SetSimilaritySpec can pin the pair set
+    * against the brute-force all-pairs join on small corpora. */
+  private[graft] def setSimilarityPairs(tok: DataFrame): DataFrame = {
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val wd = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(freq, "token")
+      .withColumn("pos", row_number().over(
+        wd.orderBy(col("tf"), col("token"))))
+      .withColumn("sz", count(lit(1)).over(wd))
+    val prefix = ranked.filter(
+      col("pos") <= col("sz") - expr("(3 * sz + 4) div 5") + lit(1))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.token") === col("b.token") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          lit(5) * col("a.sz") >= lit(3) * col("b.sz") &&
+          lit(5) * col("b.sz") >= lit(3) * col("a.sz"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.sz").as("na"), col("b.sz").as("nb"))
+      .distinct()
+    val inter = cand
+      .join(tok.as("ta"), col("da") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("db") === col("tb.doc_id") &&
+        col("ta.token") === col("tb.token"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .filter(lit(8) * col("inter") >= lit(3) * (col("na") + col("nb")))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "join_set_similarity" -> (setSimilarityJoin _),
     "join_skew_salted" -> (joinSkewSalted _),
     "join_time_bucket" -> (timeBucketJoin _),
     "join_fuzzy" -> (fuzzyJoin _),
@@ -354,6 +431,39 @@ object JoinQueries {
         | AND c.ts >= p.ts - INTERVAL 30 MINUTE
         | AND c.ts <= p.ts + INTERVAL 30 MINUTE
         |ORDER BY purchase_id, click_id""".stripMargin,
+    "join_set_similarity" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, t.token
+        |  FROM documents, UNNEST(string_split(text, ' ')) AS t(token)
+        |  WHERE t.token <> '' AND doc_id % 10 = 0),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY token),
+        |ranked AS (
+        |  SELECT tok.doc_id, tok.token,
+        |    ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+        |      ORDER BY f.tf, tok.token) AS pos,
+        |    COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+        |  FROM tok JOIN freq f ON tok.token = f.token),
+        |pfx AS (SELECT * FROM ranked
+        |  WHERE pos <= sz - ((3*sz + 4) // 5) + 1),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db,
+        |    a.sz AS na, b.sz AS nb
+        |  FROM pfx a JOIN pfx b ON a.token = b.token
+        |   AND a.doc_id < b.doc_id
+        |   AND 5*a.sz >= 3*b.sz AND 5*b.sz >= 3*a.sz),
+        |ix AS (
+        |  SELECT c.da, c.db, c.na, c.nb, COUNT(*) AS inter
+        |  FROM cand c
+        |  JOIN tok ta ON c.da = ta.doc_id
+        |  JOIN tok tb ON c.db = tb.doc_id AND ta.token = tb.token
+        |  GROUP BY c.da, c.db, c.na, c.nb),
+        |pairs AS (
+        | SELECT da, db,
+        |  round(CAST(inter AS DOUBLE)/(na + nb - inter), 6) AS jaccard
+        | FROM ix WHERE 8*inter >= 3*(na + nb))
+        |SELECT da, COUNT(*) AS n_partners, MAX(jaccard) AS best_jac,
+        | MIN(db) AS first_partner
+        |FROM pairs GROUP BY da ORDER BY da""".stripMargin,
     "join_fuzzy" ->
       """SELECT a.p_brand, a.p_partkey AS k1, b.p_partkey AS k2,
         | CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist

@@ -122,7 +122,69 @@ object RelationalQueries {
       .orderBy(col("l_orderkey"))
   }
 
+  /** 2-D SKYLINE (pareto frontier): the parts no other part beats on
+    * BOTH (cheaper-or-equal price, larger-or-equal size, strictly
+    * better in one). No O(n²) dominance self-join: for two dimensions
+    * the skyline is one sorted prefix-max pass — a part survives iff
+    * its size equals its price's best AND strictly exceeds every
+    * strictly-cheaper price's best. Distributed shape (the
+    * `pipeline_shard_pack` prefix pattern): hash-agg to per-price
+    * bests (the only corpus-wide pass), range-bucket the DISTINCT
+    * prices, per-bucket maxima prefix-fold on the driver (B longs),
+    * broadcast offsets, and the within-bucket running max is a
+    * partitioned window — no single-partition global window even when
+    * distinct prices reach the millions. The oracle is an INDEPENDENT
+    * formulation (NOT EXISTS dominance), so the hash match proves the
+    * prefix-max algebra, not just restates it. */
+  def skylinePareto(spark: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size")))
+
+  /** The two-phase prefix-max skyline over a `(p_partkey,
+    * p_retailprice, p_size)` frame — `private[graft]` so the spec can
+    * pin it against brute-force dominance on synthetic frontiers
+    * (ties, duplicates, bucket boundaries). */
+  private[graft] def skylineOf(p: DataFrame): DataFrame = {
+    val Buckets = 16
+    val spark = p.sparkSession
+    // per-price best size: the only pass over the full table
+    val best = p.groupBy(col("p_retailprice"))
+      .agg(max(col("p_size")).as("bs"))
+    val bounds = best.agg(min(col("p_retailprice")),
+      max(col("p_retailprice"))).collect()(0)
+    if (bounds.isNullAt(0))
+      return p.limit(0)
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    val span = math.max((hi - lo) / Buckets, 1e-9)
+    val bucketed = best.withColumn("bkt",
+      least(floor((col("p_retailprice") - lit(lo)) / lit(span)),
+        lit(Buckets - 1L)).cast("long"))
+    // driver prefix-max over B bucket maxima: rmoff(bkt) = best size
+    // among all strictly-cheaper buckets
+    val bucketMax = bucketed.groupBy(col("bkt"))
+      .agg(max(col("bs")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val offsets = (0 until Buckets).scanLeft(Int.MinValue)(
+      (acc, b) => math.max(acc, bucketMax.getOrElse(b.toLong, Int.MinValue)))
+    import spark.implicits._
+    val offDf = broadcast((0 until Buckets)
+      .map(b => (b.toLong, offsets(b))).toDF("bkt", "rmoff"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bkt")).orderBy(col("p_retailprice"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val rm = bucketed.join(offDf, "bkt")
+      .withColumn("rm", greatest(
+        coalesce(max(col("bs")).over(w), lit(Int.MinValue)),
+        col("rmoff")))
+    p.join(rm, "p_retailprice")
+      .filter(col("p_size") === col("bs") && col("p_size") > col("rm"))
+      .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "skyline_pareto" -> (skylinePareto _),
     "scan_project" -> (scanProject _),
     "filter_predicates" -> (filterPredicates _),
     "filter_nulls" -> (filterNulls _),
@@ -137,6 +199,15 @@ object RelationalQueries {
     "set_intersect_all" -> (intersectAllQ _))
 
   val sql: Map[String, String] = Map(
+    "skyline_pareto" ->
+      """SELECT p_partkey, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice
+        |         OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice, p_partkey""".stripMargin,
     "scan_project" ->
       """SELECT l_orderkey AS okey, l_linenumber AS line,
         | l_extendedprice*(1.0-l_discount) AS net_price, l_returnflag
