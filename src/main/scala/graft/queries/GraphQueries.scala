@@ -90,9 +90,15 @@ object GraphQueries {
     * covers every node, not a top-k slice. */
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // weight each edge once and persist — iterations re-read the
-    // cache, never recompute the join/distinct that built it
+    // cache, never recompute the join/distinct that built it; the
+    // (|V|-bounded) rank vector materializes while the edges are
+    // cached, then the edge blocks release (the graph_triangles
+    // pattern — cached edges must not accumulate across a bench run)
     val w = weightedEdges(spark, dir).persist()
-    rankLoop(w, nNodes(spark, dir, w))
+    val res = rankLoop(w, nNodes(spark, dir, w)).persist()
+    res.count()
+    w.unpersist(false)
+    res
   }
 
   /** PageRank over a PERSISTED BUCKETED edge index — the graph twin

@@ -25,14 +25,45 @@ object PlanAudit {
         // codegen spans, runtime-chosen joins and coalesced exchanges.
         df.collect()
         val exec = df.queryExecution.executedPlan
-        val finalPlan = exec match {
+        def unwrapA(p: org.apache.spark.sql.execution.SparkPlan)
+            : org.apache.spark.sql.execution.SparkPlan = p match {
           case a: org.apache.spark.sql.execution.adaptive
             .AdaptiveSparkPlanExec => a.executedPlan
-          case p => p
+          case other => other
         }
-        val plan = finalPlan.toString
-        val joins = "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|BroadcastNestedLoopJoin|CartesianProduct)".r
-          .findAllIn(plan).toSeq.groupBy(identity).map { case (k, v) => s"$k×${v.size}" }
+        val finalPlan = unwrapA(exec)
+        // Every signal below is counted STRUCTURALLY by one walker
+        // that descends (a) AQE query stages, which `collect` treats
+        // as leaves, and (b) each distinct cached relation's plan —
+        // queries that persist-materialize-unpersist return an
+        // InMemoryTableScan whose STRING nests the whole cached tree,
+        // so string-counting would double/blow up the signals.
+        // Dedup is per `all` call (an IdentityHashMap per walk), so a
+        // relation scanned twice in one plan audits once.
+        def all[T](f: PartialFunction[
+            org.apache.spark.sql.execution.SparkPlan, Seq[T]]): Seq[T] = {
+          val seen = java.util.Collections.newSetFromMap(
+            new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+          def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[T] =
+            p.collect(f.orElse {
+              case q: org.apache.spark.sql.execution.adaptive
+                  .QueryStageExec => walk(q.plan)
+              case s: org.apache.spark.sql.execution.adaptive
+                  .AdaptiveSparkPlanExec => walk(s.executedPlan)
+              case i: org.apache.spark.sql.execution.columnar
+                  .InMemoryTableScanExec =>
+                if (seen.add(i.relation))
+                  walk(unwrapA(i.relation.cachedPlan))
+                else Seq.empty[T]
+            }).flatten
+          walk(finalPlan)
+        }
+        val joinNames = all {
+          case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+            Seq(j.getClass.getSimpleName.stripSuffix("Exec"))
+        }
+        val joins = joinNames.groupBy(identity)
+          .map { case (k, v) => s"$k×${v.size}" }
         // Pushdown is counted STRUCTURALLY, not by string-matching the
         // plan dump: DSv2 BatchScan nodes truncate their scan
         // description, so `pushed=[...]` often never appears in the
@@ -40,8 +71,7 @@ object PlanAudit {
         // spuriously. Walk the executed plan (descending into AQE
         // query stages, which are leaf-like wrappers `collect` does
         // not traverse) and ask each scan node directly.
-        def scansOf(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[Int] = p.collect {
+        val pushed = all[Int] {
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             Seq(if (f.metadata.get("PushedFilters")
               .exists(v => v != "[]" && v.nonEmpty)) 1 else 0)
@@ -60,18 +90,15 @@ object PlanAudit {
                   1
                 else 0
             })
-          case q: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => scansOf(q.plan)
-          case s: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => scansOf(s.executedPlan)
-        }.flatten
-        val pushed = scansOf(finalPlan).sum
-        val exchanges = "Exchange ".r.findAllIn(plan).size
-        // codegen'd operators print as `*(stageId) Operator` in the
-        // executed plan string (WholeStageCodegenExec collapses to the
-        // star prefix); distinct stage ids = whole-stage spans
-        val codegenSpans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
-          .map(_.group(1)).toSet.size
+        }.sum
+        val exchanges = all {
+          case _: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeLike => Seq(1)
+        }.size
+        val codegenSpans = all {
+          case w: org.apache.spark.sql.execution
+              .WholeStageCodegenExec => Seq(w.codegenStageId)
+        }.toSet.size
         println(s"PLAN $name joins=${joins.mkString("+")} " +
           s"pushedScans=$pushed exchanges=$exchanges codegen=$codegenSpans")
       } catch {
