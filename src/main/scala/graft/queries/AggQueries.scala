@@ -156,12 +156,18 @@ object AggQueries {
     * ±3σ rank band the sample size implies). */
   def quantileSketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val K = 256
+    // overflow-safe Knuth hash: keys are folded mod 2³¹ BEFORE the
+    // multiply (2³¹ · 2654435761 < Long.MAX), so petabyte-scale key
+    // domains (BenchFocus shifts keys past 10¹⁰) never trip ANSI
+    // overflow; the bare key·A form elsewhere documents a bounded
+    // key domain
     val o = Tables.orders(spark, dir)
       .select(col("o_orderpriority"),
         date_trunc("month", col("o_orderdate")).as("m"),
         col("o_orderkey"), col("o_totalprice"))
       .withColumn("h",
-        col("o_orderkey") * lit(2654435761L) % lit(4294967296L))
+        col("o_orderkey") % lit(2147483648L) * lit(2654435761L)
+          % lit(4294967296L))
     // level 1: ingest-grain partials — bottom-K by hash per month
     val w1 = Window.partitionBy(col("o_orderpriority"), col("m"))
       .orderBy(col("h"), col("o_orderkey"))
@@ -425,7 +431,8 @@ object AggQueries {
       """WITH o AS (SELECT o_orderpriority,
         |  date_trunc('month', o_orderdate) AS m, o_orderkey,
         |  o_totalprice,
-        |  (o_orderkey * 2654435761) % 4294967296 AS h FROM orders),
+        |  (o_orderkey % 2147483648 * 2654435761) % 4294967296 AS h
+        |  FROM orders),
         |p1 AS (SELECT *, ROW_NUMBER() OVER (
         |  PARTITION BY o_orderpriority, m
         |  ORDER BY h, o_orderkey) AS rk FROM o),

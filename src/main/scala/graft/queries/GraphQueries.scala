@@ -88,15 +88,33 @@ object GraphQueries {
     * customer↔supplier graph. Emits every node's rank (rounded to
     * 6dp) in node order — the full rank vector, so the oracle match
     * covers every node, not a top-k slice. */
+  /** Persist-materialize-release bookkeeping shared by [[pageRank]]
+    * and [[triangleCounts]]: the (small) RESULT persists so the
+    * consumer's later execution reads the materialized rows instead
+    * of recomputing the released big intermediates — but the PREVIOUS
+    * invocation's result must unpersist first, or (a) cached results
+    * accumulate across a bench run and (b) CacheManager's plan-keyed
+    * dedup would hand a re-invocation the old cache and the timed
+    * pass would measure a cache hit instead of the operator. */
+  private val lastResult = scala.collection.concurrent.TrieMap
+    .empty[String, DataFrame]
+  private def freshResult(key: String, df: DataFrame): DataFrame = {
+    lastResult.remove(key).foreach(_.unpersist(true))
+    val res = df.persist()
+    res.count()
+    lastResult(key) = res
+    res
+  }
+
   def pageRank(spark: SparkSession, dir: String): DataFrame = {
     // weight each edge once and persist — iterations re-read the
     // cache, never recompute the join/distinct that built it; the
     // (|V|-bounded) rank vector materializes while the edges are
-    // cached, then the edge blocks release (the graph_triangles
-    // pattern — cached edges must not accumulate across a bench run)
+    // cached, then the edge blocks release (cached edges must not
+    // accumulate across a bench run)
     val w = weightedEdges(spark, dir).persist()
-    val res = rankLoop(w, nNodes(spark, dir, w)).persist()
-    res.count()
+    val res = freshResult(s"pagerank|$dir",
+      rankLoop(w, nNodes(spark, dir, w)))
     w.unpersist(false)
     res
   }
@@ -205,16 +223,16 @@ object GraphQueries {
       .select(col("a"), col("b"), col("c"))
     // ONE pass over the (expensive) wedge pipeline: explode each
     // triangle into its three member nodes — a 3-way union of `tri`
-    // would re-run the whole self-join + closure per branch
-    val res = tri
-      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-      .orderBy(col("node"))
-      .persist()
-    // materialize the (|V|-bounded) result while the big intermediates
-    // are cached, then release them — cached edge/orientation blocks
-    // must not accumulate across a bench run (ADVICE r12)
-    res.count()
+    // would re-run the whole self-join + closure per branch.
+    // freshResult materializes the (|V|-bounded) counts while the big
+    // intermediates are cached (and evicts the previous invocation's
+    // cache), then the edge/orientation blocks release — they must
+    // not accumulate across a bench run (ADVICE r12)
+    val res = freshResult(
+      s"triangles|${e0.queryExecution.analyzed.semanticHash()}",
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+        .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+        .orderBy(col("node")))
     oe.unpersist(false)
     e.unpersist(false)
     res

@@ -85,6 +85,23 @@ object BenchFocus {
         .write.mode("overwrite").parquet(s"$scaled/lineitem.parquet")
     }
 
+    // part: shifted keys AND shifted prices per copy, so the skyline's
+    // per-price aggregate sees 10× distinct prices (identical copies
+    // would collapse in the groupBy and the 10× point would measure
+    // nothing)
+    if (!new java.io.File(root, "part.parquet").exists()) {
+      root.mkdirs()
+      val pt = Tables.part(spark, sfDir)
+      (0 until Copies).map(i =>
+          pt.withColumn("p_partkey",
+            col("p_partkey") + lit(i.toLong * 100000000L))
+            .withColumn("p_retailprice",
+              col("p_retailprice") + lit(i * 5000.0)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/part.parquet")
+    }
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -96,8 +113,14 @@ object BenchFocus {
     }
 
     val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // join_set_similarity is deliberately ABSENT: the scaled corpus's
+    // per-copy tag word leaves cross-copy pairs ~0.98-similar, so the
+    // TRUE qualifying pair set grows quadratically with copies — a
+    // data property, not an operator cost; its pruning claim is the
+    // SetSimilaritySpec equality + the sf0.1 bench point.
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
-        "arrow_wap_publish", "dedup_minhash", "graph_pagerank")) {
+        "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
+        "skyline_pareto", "agg_quantile_sketch")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

@@ -109,7 +109,8 @@ class SketchSpec extends AnyFunSuite {
       .select(col("o_orderpriority"), col("o_orderkey"),
         date_trunc("month", col("o_orderdate")).as("m"))
       .withColumn("h",
-        col("o_orderkey") * lit(2654435761L) % lit(4294967296L))
+        col("o_orderkey") % lit(2147483648L) * lit(2654435761L)
+          % lit(4294967296L))
     val k = 256
     // one-level: global bottom-k by hash per priority
     val wG = org.apache.spark.sql.expressions.Window
