@@ -777,6 +777,57 @@ object StorageQueries {
       .orderBy(col("o_orderkey"), col("valid_from"))
   }
 
+  /** POINT-IN-TIME (temporal) join against the maintained SCD2
+    * dimension, oracle-gated: every lineitem fact carries an as-of
+    * epoch (derived from its line number, spanning the dimension's
+    * whole 0-3 epoch history) and joins the version of its order that
+    * was CURRENT at that epoch — the everyday "join facts to the dim
+    * as it was when the event happened" warehouse shape, composed
+    * directly on [[cdcScd2]]'s machinery: the dimension is maintained
+    * once from the shared [[cdcSource]]'s change feed (Fixtures.once —
+    * it is immutable after the drain), and the join is a keyed equi
+    * join on the order key with the half-open interval residual
+    * `valid_from <= as_of < coalesce(valid_to, ∞)` — per-key version
+    * counts are small, so the residual prunes inside each hash
+    * bucket, never a range self-join. Facts hitting a deleted
+    * interval (keys removed at epoch 1, probed at as_of >= 1) drop
+    * out, exactly the point-in-time contract. The oracle re-derives
+    * the full version history arithmetically (the cdc_scd2 CTE) and
+    * restates the interval join. */
+  def joinTemporalScd2(spark: SparkSession, dir: String): DataFrame = {
+    val src = cdcSource(spark, dir)
+    val dim = graft.Scratch.dir("scd2_pit_dim", dir)
+    val ckpt = graft.Scratch.dir("scd2_pit_ckpt", dir)
+    graft.Fixtures.once(dim) {
+      graft.Scratch.reset(dim, ckpt)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_custkey"))
+        .limit(0)
+        .withColumn(graft.streaming.Scd2Maintain.ValidFromCol, lit(0L))
+        .withColumn(graft.streaming.Scd2Maintain.ValidToCol,
+          lit(null).cast("long"))
+        .withColumn(graft.streaming.Scd2Maintain.IsCurrentCol, lit(true))
+        .coalesce(1)
+        .write.format("arrow").mode("overwrite").save(dim)
+      val q = graft.streaming.Scd2Maintain.maintain(spark, src, dim,
+        keyCols = Seq("o_orderkey"), checkpoint = ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    val d = spark.read.format("arrow").load(dim)
+    val f = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity"),
+        (col("l_linenumber") % 4).cast("long").as("as_of"))
+    f.join(d, f("l_orderkey") === d("o_orderkey") &&
+        d("valid_from") <= f("as_of") &&
+        (d("valid_to").isNull || f("as_of") < d("valid_to")))
+      .groupBy(col("as_of"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("as_of"), col("o_orderstatus"))
+  }
+
   /** SHOW PARTITIONS under the hash gate: write orders partitioned by
     * status to the Arrow layout, roll it up with the metadata-only
     * `partitions` procedure (footer row stats, zero data-batch
@@ -1141,6 +1192,7 @@ object StorageQueries {
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_incremental_join_agg" -> (cdcIncrementalJoinAgg _),
+    "join_temporal_scd2" -> (joinTemporalScd2 _),
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
@@ -1467,6 +1519,46 @@ object StorageQueries {
         |SELECT o_orderkey, o_totalprice, o_orderstatus,
         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
         |FROM hist ORDER BY o_orderkey, valid_from""".stripMargin,
+    "join_temporal_scd2" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CAST(CASE
+        |      WHEN o_orderkey < 400 THEN 1
+        |      WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |        AND o_orderstatus = 'F' THEN 2
+        |      ELSE NULL END AS BIGINT) AS valid_to
+        |  FROM orders),
+        |upd AS (
+        |  SELECT o_orderkey, 0.0 AS o_totalprice, o_orderstatus,
+        |    CAST(2 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM orders
+        |  WHERE o_orderkey >= 600 AND o_orderkey < 900
+        |    AND o_orderstatus = 'F'),
+        |ins AS (
+        |  SELECT o_orderkey + 20000000 AS o_orderkey,
+        |    CASE WHEN o_orderkey >= 600 AND o_orderkey < 900
+        |      AND o_orderstatus = 'F' THEN 0.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    'Z' AS o_orderstatus,
+        |    CAST(3 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to
+        |  FROM orders WHERE o_orderkey % 251 = 0 AND o_orderkey >= 400),
+        |hist AS (
+        |  SELECT * FROM snap UNION ALL
+        |  SELECT * FROM upd UNION ALL
+        |  SELECT * FROM ins),
+        |f AS (SELECT l_orderkey, l_quantity,
+        |  CAST(l_linenumber % 4 AS BIGINT) AS as_of FROM lineitem)
+        |SELECT f.as_of, h.o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(h.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_qty
+        |FROM f JOIN hist h ON f.l_orderkey = h.o_orderkey
+        | AND h.valid_from <= f.as_of
+        | AND (h.valid_to IS NULL OR f.as_of < h.valid_to)
+        |GROUP BY f.as_of, h.o_orderstatus
+        |ORDER BY f.as_of, h.o_orderstatus""".stripMargin,
     "arrow_restore" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -81,4 +81,42 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q collapses to a single partition:\n${p.take(1500)}")
     }
   }
+
+  test("skyline never plans a dominance self-join; the prefix-max " +
+      "windows all partition") {
+    val p = plan("skyline_pareto")
+    // the whole point vs the oracle's NOT-EXISTS formulation: no
+    // quadratic join shape of ANY kind may appear
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"skyline degraded to a dominance self-join:\n${p.take(1500)}")
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.indexOf("Exchange SinglePartition") ==
+        p.lastIndexOf("Exchange SinglePartition"),
+      "skyline's windows collapsed to repeated single partitions")
+  }
+
+  test("set-similarity join generates candidates by hash equi join, " +
+      "never all-pairs") {
+    val p = plan("join_set_similarity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix filter lost — candidate generation went all-pairs:\n" +
+        p.take(1500))
+  }
+
+  test("the temporal SCD2 join stays a keyed equi join with an " +
+      "interval residual, not a range cross join") {
+    val p = plan("join_temporal_scd2")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"temporal join degraded to a non-equi cross:\n${p.take(1500)}")
+  }
+
+  test("the quantile sketch's partial windows partition by group keys") {
+    val p = plan("agg_quantile_sketch")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"bottom-k windows collapsed to a single partition:\n" +
+        p.take(1500))
+  }
 }
