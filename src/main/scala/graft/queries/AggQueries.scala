@@ -200,6 +200,32 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** EXACT mergeable distinct for dense key domains — the
+    * bitmap-index counterpart of [[hllRollup]]: per-(priority, month,
+    * bucket) bitmaps built at ingest grain
+    * (`bitmap_construct_agg(bitmap_bit_position(key))`), per-priority
+    * register-OR merge (`bitmap_or_agg` — associative/commutative
+    * like the HLL register max), and the distinct count is the SUM of
+    * per-bucket popcounts, EXACT rather than estimated. The 100 TB
+    * shape: pre-aggregate 4 KB bucket bitmaps at partition/day grain
+    * and any coarser distinct count is a bitmap OR, never a re-scan —
+    * the right tool when keys are dense integers (surrogate keys),
+    * with HLL as the sparse/unbounded-domain fallback. Exact → plain
+    * COUNT DISTINCT oracle; the bucket machinery stays Spark-side. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .selectExpr("o_orderpriority",
+        "date_trunc('month', o_orderdate) AS m",
+        "bitmap_bucket_number(o_custkey) AS bkt",
+        "bitmap_bit_position(o_custkey) AS pos")
+      .groupBy(col("o_orderpriority"), col("m"), col("bkt"))
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      .groupBy(col("o_orderpriority"), col("bkt"))
+      .agg(expr("bitmap_count(bitmap_or_agg(bm))").as("c"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("c")).as("exact_cust"))
+      .orderBy(col("o_orderpriority"))
+
   /** Vector re-assembly: per-order sorted list of line numbers as CSV
     * string (string form is hash-stable across engines; Spark
     * collect_list order is nondeterministic so we sort before joining). */
@@ -396,6 +422,7 @@ object AggQueries {
     "agg_approx_distinct" -> (approxDistinct _),
     "agg_hll_rollup" -> (hllRollup _),
     "agg_quantile_sketch" -> (quantileSketchRollup _),
+    "agg_bitmap_distinct" -> (bitmapDistinct _),
     "agg_collect" -> (collectAgg _))
 
   private val q1Sql =
@@ -414,6 +441,11 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        | COUNT(DISTINCT o_custkey) AS exact_cust
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "agg_approx_distinct" ->
       """SELECT l_returnflag,
         | COUNT(DISTINCT l_orderkey) AS exact_orders,

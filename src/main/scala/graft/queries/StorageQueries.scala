@@ -59,6 +59,55 @@ object StorageQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** FULL-SYNC MERGE, oracle-gated: reconcile a drifted replica to a
+    * source snapshot in ONE three-arm MERGE — `WHEN MATCHED UPDATE`
+    * refreshes stale rows, `WHEN NOT MATCHED INSERT` lands new keys,
+    * and `WHEN NOT MATCHED BY SOURCE DELETE` reaps orphans the source
+    * no longer has (the arm plain upsert lacks — without it the
+    * replica diverges monotonically). The replica is seeded WRONG on
+    * every axis: zeroed prices for a slice (stale), keys above the
+    * source window missing (gap), keys below it present (orphans) —
+    * after the MERGE it must equal the source snapshot EXACTLY, which
+    * is precisely what the oracle restates from `orders`. At 100 TB
+    * this is the periodic reconciliation pass: runtime group
+    * filtering bounds the rewrite to files holding churned keys. */
+  def mergeFullSync(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val dst = graft.Scratch.dir("sync_dst", dir)
+    graft.Scratch.reset(dst)
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // drifted replica: keys <= 2000 only (missing the tail), prices
+    // zeroed for a stale slice, plus orphan keys the source never had
+    base.filter(col("o_orderkey") <= 2000)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 3 === 0, 0.0)
+          .otherwise(col("o_totalprice")))
+      .unionAll(base.filter(col("o_orderkey") % 97 === 0)
+        .select((col("o_orderkey") + 50000000L).as("o_orderkey"),
+          col("o_totalprice"), col("o_orderstatus")))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(dst)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dst)
+    val srcView = "sync_src_" + java.util.UUID.randomUUID()
+      .toString.takeRight(12)
+    base.filter(col("o_orderkey") >= 500 && col("o_orderkey") <= 2500)
+      .createOrReplaceTempView(srcView)
+    spark.sql(
+      s"""MERGE INTO graft.arrow.`$dst` t
+         |USING $srcView s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    spark.catalog.dropTempView(srcView)
+    spark.read.format("arrow").load(dst)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CDC-style snapshot diff: classify every key as added / changed
     * between the base snapshot and the upserted one; unchanged rows
     * (the overwhelming majority at scale) never leave the join. */
@@ -1213,6 +1262,7 @@ object StorageQueries {
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
+    "merge_full_sync" -> (mergeFullSync _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_intervals" -> (scd2Intervals _),
     "arrow_zonemap_scan" -> (arrowZonemapScan _),
@@ -1519,6 +1569,14 @@ object StorageQueries {
         |SELECT o_orderkey, o_totalprice, o_orderstatus,
         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
         |FROM hist ORDER BY o_orderkey, valid_from""".stripMargin,
+    "merge_full_sync" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_orderkey >= 500 AND o_orderkey <= 2500
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "join_temporal_scd2" ->
       """WITH snap AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus,
