@@ -108,6 +108,38 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** Right-to-be-forgotten PURGE, oracle-gated: a logged table with
+    * real DML history takes `CALL graft.system.purge(path, predicate)`
+    * — hard delete + deletion-vector materialization + zero-grace
+    * vacuum in one audited pass — and the post-purge table must equal
+    * the oracle's complement EXACTLY while the purged keys' bytes are
+    * irrecoverable (ArrowPurgeSpec pins the horizon advance, the
+    * time-travel refusal, the empty vector set, and the zero-invisible
+    * file census; the compliance op Delta spells DELETE + REORG APPLY
+    * (PURGE) + VACUUM RETAIN 0). */
+  def arrowPurge(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("purge_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    // real pre-purge history: an epoch the purge's vacuum must be
+    // able to reclaim past
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey < 300")
+    spark.sql(s"CALL graft.system.purge(path => '$out', " +
+      "predicate => 'o_orderkey % 7 = 0')").collect()
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** CDC-style snapshot diff: classify every key as added / changed
     * between the base snapshot and the upserted one; unchanged rows
     * (the overwhelming majority at scale) never leave the join. */
@@ -1263,6 +1295,7 @@ object StorageQueries {
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
     "merge_full_sync" -> (mergeFullSync _),
+    "arrow_purge" -> (arrowPurge _),
     "snapshot_diff" -> (snapshotDiff _),
     "scd2_intervals" -> (scd2Intervals _),
     "arrow_zonemap_scan" -> (arrowZonemapScan _),
@@ -1569,6 +1602,15 @@ object StorageQueries {
         |SELECT o_orderkey, o_totalprice, o_orderstatus,
         |  valid_from, valid_to, (valid_to IS NULL) AS is_current
         |FROM hist ORDER BY o_orderkey, valid_from""".stripMargin,
+    "arrow_purge" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(CASE WHEN o_orderkey < 300 THEN 0.0
+        |   ELSE o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
+        |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders
+        |WHERE o_orderkey % 7 <> 0
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "merge_full_sync" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)

@@ -232,6 +232,62 @@ object GraftProcedures {
     }
   }
 
+  val Purge: UnboundProcedure = new SimpleProcedure("purge",
+    "right-to-be-forgotten HARD delete (Delta's DELETE + REORG APPLY " +
+      "(PURGE) + zero-retention VACUUM in one audited pass): DELETE " +
+      "the matching rows, MATERIALIZE any deletion-vector masks by " +
+      "rewriting only the vectored files (masked bytes must not " +
+      "outlive the purge), then vacuum with zero grace — every " +
+      "replaced file is reclaimed and the travel horizon advances, so " +
+      "no VERSION AS OF, change-feed rewind, or raw on-disk byte can " +
+      "resurrect the purged rows. The ONLY operation allowed to " +
+      "sacrifice history: compliance beats time travel") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("predicate", StringType)
+        .comment("SQL boolean over the table's columns; matching " +
+          "rows are irrecoverably removed").build())
+    private val out = StructType(Seq(
+      StructField("dv_files_materialized", LongType, nullable = false),
+      StructField("files_reclaimed", LongType, nullable = false),
+      StructField("travel_horizon", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val pred = input.getUTF8String(1).toString
+      val spark = SparkSession.active
+      require(ArrowDataSource.sinkRoot(path).isEmpty ||
+        ArrowDataSource.isTableLog(path),
+        s"purge: $path is a streaming sink; stop the stream and " +
+          "upgrade it to a logged table first")
+      spark.sql(s"DELETE FROM graft.arrow.`$path` WHERE $pred")
+      val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
+      // merge-on-read masks keep the purged BYTES in the data files —
+      // materialize them: one logged rewrite of ONLY the vectored
+      // files (the scan reads through the vectors, so the replacement
+      // files carry surviving rows only; the epoch drops the vectors)
+      val dvs = ArrowDataSource.liveDvs(root, None)
+      if (dvs.nonEmpty) {
+        val partCols = ArrowDataSource.discoverPartitionSchema(path)
+          .fieldNames.toSeq
+        val files = dvs.keys.toSeq.sorted
+          .map(rel => root.resolve(rel).normalize)
+        val schema = spark.read.format("arrow").load(path).schema
+        val df = spark.read.format("arrow").schema(schema)
+          .option("files", files.map(f => root.relativize(f).toString)
+            .mkString(","))
+          .load(path)
+        loggedRewrite(path, files, partCols)(
+          df.repartition(files.length))
+      }
+      // zero-grace vacuum: reclaim every replaced file NOW and
+      // advance the horizon past the purged rows' last version
+      val reclaimed = ArrowOptimize.vacuum(path, graceMs = 0L)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        dvs.size.toLong, reclaimed.length.toLong,
+        ArrowDataSource.travelHorizon(root)))))
+    }
+  }
+
   val DictionaryEncode: UnboundProcedure = new SimpleProcedure(
     "dictionary_encode",
     "rewrite in_path into out_path with string columns " +
@@ -1294,6 +1350,7 @@ object GraftProcedures {
     "drop_tag" -> DropTag,
     "vacuum" -> Vacuum,
     "compact" -> Compact,
+    "purge" -> Purge,
     "dictionary_encode" -> DictionaryEncode,
     "zorder" -> Zorder,
     "history" -> History,
