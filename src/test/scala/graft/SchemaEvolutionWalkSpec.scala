@@ -116,7 +116,7 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
         .map { case (k, m) => k -> m.clone() }: _*)
 
     for (step <- 1 to 48) {
-      rnd.nextInt(9) match {
+      rnd.nextInt(10) match {
         case 0 => // add_column (fresh name)
           val n = freshName()
           spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
@@ -211,6 +211,30 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
           spark.sql(s"CALL graft.system.restore(path => '$dir', " +
             s"epoch => $epoch)").collect()
           rows = snapshotOf(name)
+        case 9 if rows.size > 20 => // PURGE a slice: hard delete +
+          // (on the MoR walk) deletion-vector materialization +
+          // zero-grace vacuum. History is SACRIFICED by contract:
+          // every tag now points pre-horizon, so the model forgets
+          // the snapshots and a later restore to one must refuse —
+          // which the walk verifies immediately
+          val k = 4 + rnd.nextInt(4)
+          val r = rnd.nextInt(k)
+          spark.sql(s"CALL graft.system.purge(path => '$dir', " +
+            s"predicate => 'id % $k = $r')").collect()
+          rows = rows.filterNot(_._2("id").asInstanceOf[Long] % k == r)
+          if (tagSnaps.nonEmpty) {
+            val root = java.nio.file.Paths.get(dir)
+              .toAbsolutePath.normalize
+            val (name, _) = tagSnaps.head
+            val epoch = ArrowDataSource.tags(root)(name)
+            val horizon = ArrowDataSource.travelHorizon(root)
+            if (epoch < horizon)
+              assertThrows[Exception] {
+                spark.sql(s"CALL graft.system.restore(" +
+                  s"path => '$dir', epoch => $epoch)").collect()
+              }
+          }
+          tagSnaps.clear()
         case _ => // delete a thin slice (keep the table populated)
           val k = 7 + rnd.nextInt(6)
           val r = rnd.nextInt(k)
