@@ -60,12 +60,33 @@ object Scratch {
   * the pid, so the memo key is process-local like the paths it guards;
   * a failed build retracts the key so the next run retries. */
 object Fixtures {
-  private val built =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CountDownLatch]()
 
-  def once(key: String)(build: => Unit): Unit =
-    if (built.add(key)) {
-      try build
-      catch { case t: Throwable => built.remove(key); throw t }
+  /** Run `build` exactly once per key per process, with a
+    * happens-before for every caller: a concurrent second caller
+    * BLOCKS until the winning build completes rather than returning
+    * into a half-built fixture (the cdc consumers share one
+    * multi-epoch source — a parallel dispatcher must not drain a
+    * source whose DML epochs are still landing). A failed build
+    * releases the key so the next caller retries. */
+  def once(key: String)(build: => Unit): Unit = {
+    while (true) {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val prev = built.putIfAbsent(key, latch)
+      if (prev == null) {
+        var ok = false
+        try { build; ok = true }
+        finally {
+          if (!ok) built.remove(key, latch)
+          latch.countDown()
+        }
+        return
+      }
+      prev.await()
+      // still mapped to the latch we waited on → that build succeeded
+      if (built.get(key) eq prev) return
+      // else it failed and released the key — loop and contend again
     }
+  }
 }

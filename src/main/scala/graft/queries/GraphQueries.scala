@@ -96,13 +96,20 @@ object GraphQueries {
     // bounded by one edge set per dataset — while every invocation
     // still runs the full 3-iteration rank compute (results are never
     // cached)
-    val (w, n) = prEdgeCache.getOrElseUpdate((spark, dir), {
-      val w = weightedEdges(spark, dir).persist()
-      (w, nNodes(spark, dir, w))
-    })
+    val (w, n) = cacheLock.synchronized {
+      prEdgeCache.getOrElseUpdate((spark, dir), {
+        val w = weightedEdges(spark, dir).persist()
+        (w, nNodes(spark, dir, w))
+      })
+    }
     rankLoop(w, n)
   }
 
+  // builders run under one lock: TrieMap.getOrElseUpdate may evaluate
+  // a racing thunk twice, and the loser's persisted edge frame would
+  // leak in executor storage with nothing holding a reference to
+  // unpersist it
+  private val cacheLock = new Object
   private val prEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, Double)]
 
@@ -156,18 +163,20 @@ object GraphQueries {
     // dataset (never per invocation), while each invocation still
     // runs the full wedge + closure + count compute (results are
     // never cached — a timed pass measures the operator, not a hit)
-    val (e, oe, edgeCount) = triEdgeCache.getOrElseUpdate((spark, dir), {
-      val li = Tables.lineitem(spark, dir)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-        .select(col("a.pk").as("x"), col("b.pk").as("y"))
-        .distinct()
-        .persist()
-      val oe = orient(e).persist()
-      (e, oe, e.count())
-    })
+    val (e, oe, edgeCount) = cacheLock.synchronized {
+      triEdgeCache.getOrElseUpdate((spark, dir), {
+        val li = Tables.lineitem(spark, dir)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .distinct()
+        val e = li.as("a").join(li.as("b"),
+            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+          .select(col("a.pk").as("x"), col("b.pk").as("y"))
+          .distinct()
+          .persist()
+        val oe = orient(e).persist()
+        (e, oe, e.count())
+      })
+    }
     triangleClosure(e, oe, edgeCount, BroadcastEdgeLimit)
   }
 

@@ -241,7 +241,10 @@ object GraftProcedures {
       "replaced file is reclaimed and the travel horizon advances, so " +
       "no VERSION AS OF, change-feed rewind, or raw on-disk byte can " +
       "resurrect the purged rows. The ONLY operation allowed to " +
-      "sacrifice history: compliance beats time travel") {
+      "sacrifice history: compliance beats time travel. Scope is THIS " +
+      "table: on a shallow clone the purge materializes/unlinks its " +
+      "borrowed references, but the SOURCE table's own files are the " +
+      "source's to purge") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("predicate", StringType)
@@ -264,18 +267,27 @@ object GraftProcedures {
       // merge-on-read masks keep the purged BYTES in the data files —
       // materialize them: one logged rewrite of ONLY the vectored
       // files (the scan reads through the vectors, so the replacement
-      // files carry surviving rows only; the epoch drops the vectors)
+      // files carry surviving rows only; the epoch drops the vectors).
+      // Selection is by the `_file` metadata column, NOT the in-root
+      // `files` scan option: a shallow CLONE's vectors can sit on
+      // BORROWED `../` files, which the option's root guard rejects —
+      // the metadata-column path is exactly how CoW DML selects its
+      // victim files on clones, so purge composes the same way
       val dvs = ArrowDataSource.liveDvs(root, None)
       if (dvs.nonEmpty) {
         val partCols = ArrowDataSource.discoverPartitionSchema(path)
           .fieldNames.toSeq
         val files = dvs.keys.toSeq.sorted
           .map(rel => root.resolve(rel).normalize)
-        val schema = spark.read.format("arrow").load(path).schema
-        val df = spark.read.format("arrow").schema(schema)
-          .option("files", files.map(f => root.relativize(f).toString)
-            .mkString(","))
-          .load(path)
+        val fileSet = files.map(_.toString)
+        val full = spark.read.format("arrow").load(path)
+        val df = full
+          .select((full.columns.map(org.apache.spark.sql.functions.col)
+            .toIndexedSeq :+ org.apache.spark.sql.functions
+              .col(ArrowDataSource.FileMetaCol)): _*)
+          .where(org.apache.spark.sql.functions
+            .col(ArrowDataSource.FileMetaCol).isin(fileSet: _*))
+          .drop(ArrowDataSource.FileMetaCol)
         loggedRewrite(path, files, partCols)(
           df.repartition(files.length))
       }

@@ -77,6 +77,43 @@ class ArrowPurgeSpec extends AnyFunSuite {
           s"${onDisk diff visible}")
     }
 
+  test("purge works on a shallow CLONE whose deletion vectors sit on " +
+      "BORROWED files (the _file-based materialization path)") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("purge_clone_src").toString
+    val dst = Files.createTempDirectory("purge_clone_dst").toString
+    Files.delete(Paths.get(dst))
+    (1 to 300).map(i => (i.toLong, i * 3.0)).toDF("id", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(src)
+    ArrowDataSource.initTableLog(src)
+    spark.sql(s"CALL graft.system.clone(src_path => '$src', " +
+      s"dst_path => '$dst')").collect()
+    // vectors on the clone's BORROWED ../ files
+    spark.sql(s"CALL graft.system.set_dv(path => '$dst')").collect()
+    spark.sql(s"DELETE FROM graft.arrow.`$dst` WHERE id > 280")
+    val dstRoot = Paths.get(dst).toAbsolutePath.normalize
+    assert(ArrowDataSource.liveDvs(dstRoot, None).nonEmpty,
+      "fixture did not produce a vectored borrowed file")
+    val r = spark.sql(s"CALL graft.system.purge(path => '$dst', " +
+      "predicate => 'id % 5 = 0')").collect()(0)
+    assert(r.getLong(0) > 0, "borrowed vectored files not materialized")
+    val back = spark.read.format("arrow").load(dst)
+    assert(back.filter(col("id") % 5 === 0).count() == 0)
+    assert(back.count() == 280 - 280 / 5)
+    assert(ArrowDataSource.liveDvs(dstRoot, None).isEmpty,
+      "purge left vectors on the clone")
+    // the clone no longer REFERENCES any borrowed file (its visible
+    // set is root-local); the source's own files are the source's to
+    // purge — scope documented on the procedure
+    val root = dstRoot
+    assert(ArrowDataSource.visibleIpcFiles(dst)
+      .forall(_.toAbsolutePath.normalize.startsWith(root)),
+      "purged clone still references borrowed files")
+    // and the SOURCE is untouched
+    assert(spark.read.format("arrow").load(src).count() == 300)
+  }
+
   test("purge refuses on a streaming sink directory") {
     import spark.implicits._
     val dir = Files.createTempDirectory("purge_sink").toString
