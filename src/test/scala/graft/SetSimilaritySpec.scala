@@ -65,6 +65,40 @@ class SetSimilaritySpec extends AnyFunSuite {
       s"boundary pair handling wrong: $got")
   }
 
+  test("prefix filtering equals brute force on a seeded RANDOM " +
+      "universe (tiny sets, size-ratio and prefix-length boundaries)") {
+    import spark.implicits._
+    // 200 docs, set sizes 1..12 over a 40-token vocabulary: dense
+    // enough that candidates collide constantly, small enough that
+    // every size-ratio/prefix-length edge case (sz = 1..5, where the
+    // integer ceil matters most) occurs many times
+    val rnd = new scala.util.Random(8675309L)
+    val docs = (1 to 200).map { d =>
+      val sz = 1 + rnd.nextInt(12)
+      d.toLong -> Seq.fill(sz)(s"t${rnd.nextInt(40)}").distinct
+    }
+    val tok = docs.flatMap { case (d, ts) => ts.map(d -> _) }
+      .toDF("doc_id", "token")
+    val filtered = JoinQueries.setSimilarityPairs(tok)
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val t1 = tok.join(sz, "doc_id")
+      .select(col("doc_id").as("da"), col("token"), col("sz").as("na"))
+    val t2 = tok.join(sz, "doc_id")
+      .select(col("doc_id").as("db"), col("token"), col("sz").as("nb"))
+    val brute = t1.join(t2,
+        t1("token") === t2("token") && col("da") < col("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(lit(8) * col("inter") >= lit(3) * (col("na") + col("nb")))
+      .select(col("da"), col("db"),
+        round(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")), 6).as("jaccard"))
+    assert(bagEqual(filtered, brute),
+      "prefix filter diverged from brute force on the random universe")
+    assert(brute.count() > 0,
+      "random universe produced no qualifying pairs — widen the mix")
+  }
+
   test("skyline equals brute-force dominance on synthetic frontiers " +
       "with ties, duplicates, and bucket-spanning prices") {
     import spark.implicits._
