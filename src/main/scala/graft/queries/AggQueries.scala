@@ -482,8 +482,8 @@ object AggQueries {
         |  sample_n FROM s WHERE vr = (sample_n + 1) // 2)
         |SELECT o.o_orderpriority, COUNT(*) AS n, e.sample_n,
         | e.est_median,
-        | SUM(CASE WHEN o.o_totalprice <= e.est_median
-        |   THEN 1 ELSE 0 END) AS rank_le
+        | CAST(SUM(CASE WHEN o.o_totalprice <= e.est_median
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS rank_le
         |FROM orders o JOIN est e
         |  ON o.o_orderpriority = e.o_orderpriority
         |GROUP BY o.o_orderpriority, e.sample_n, e.est_median

@@ -409,7 +409,7 @@ object TextQueries {
          | JOIN lpt ON lm.n_bigram = lpt.n_bigram
          |         AND lm.n_prefix = lpt.n_prefix)
          |SELECT doc_id, COUNT(*) AS n_bigrams,
-         | (SUM(lp) * 100) // COUNT(*) AS nll_micro
+         | CAST((SUM(lp) * 100) // COUNT(*) AS BIGINT) AS nll_micro
          |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
     }
 

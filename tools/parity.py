@@ -30,6 +30,20 @@ def canon(df):
         out.append("|".join(vals))
     return out
 
+# DuckDB output types with no clean Spark counterpart. The driver's
+# hash-compare is type-sensitive (r13 verdict: integer SUM returns INT128
+# in DuckDB vs LONG in Spark — rows+schema green, hash red). pandas
+# coerces these silently, so the audit must run on DESCRIBE, not on the
+# materialized frame.
+BANNED_TYPES = ("HUGEINT", "UHUGEINT")
+
+def type_audit(con, name, sql):
+    """Return list of (column, dtype) pairs whose DuckDB output type Spark
+    can't produce — any hit means the oracle needs an explicit CAST."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [(r[0], r[1]) for r in rows
+            if any(b in r[1].upper() for b in BANNED_TYPES)]
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
@@ -41,6 +55,12 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            banned = type_audit(con, name, sql)
+            if banned:
+                n_fail += 1
+                print(f"FAIL {name}: oracle output has banned DuckDB types "
+                      f"(wrap in CAST): {banned}")
+                continue
             spark_df = pd.read_parquet(f"{out_dir}/{name}")
             duck_df = con.execute(sql).df()
             s, d = canon(spark_df), canon(duck_df)
