@@ -785,6 +785,36 @@ object StorageQueries {
       .orderBy(col("o_flag").asc_nulls_first)
   }
 
+  /** Write-side schema merge on append, oracle-gated: a drifted frame
+    * carrying a column the table has never seen lands through
+    * `.option("mergeSchema", true)` — the writer auto-evolves the
+    * DECLARED schema (nullable add, add_column ledger invariants,
+    * [[graft.sources.arrow.GraftProcedures.mergeWriteSchema]]) instead
+    * of requiring a prior `CALL add_column`. Pre-evolution files serve
+    * the new column as nulls; the appended rows carry it natively. */
+  def arrowMergeSchemaWrite(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("mergewrite_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 397 === 0)
+      .select((col("o_orderkey") + lit(60000000L)).as("o_orderkey"),
+        col("o_totalprice"), lit("M").as("o_orderstatus"),
+        lit("backfill").as("o_channel"))
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(out)
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_channel").asc_nulls_first)
+  }
+
   /** Metadata-only RENAME COLUMN, oracle-gated: rename the measure on
     * a logged table (`CALL graft.system.rename_column`) — pre-rename
     * files serve their bytes under the new name via the reader's
@@ -1277,6 +1307,7 @@ object StorageQueries {
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
+    "arrow_merge_schema_write" -> (arrowMergeSchemaWrite _),
     "arrow_rename_column" -> (arrowRenameColumn _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
@@ -1541,6 +1572,18 @@ object StorageQueries {
         | CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM renamed GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "arrow_merge_schema_write" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_channel
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 60000000, o_totalprice, 'backfill'
+        |  FROM orders WHERE o_orderkey % 397 = 0)
+        |SELECT o_channel, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM evolved GROUP BY o_channel
+        |ORDER BY o_channel NULLS FIRST""".stripMargin,
     "arrow_add_column" ->
       """WITH evolved AS (
         |  SELECT o_orderkey, o_totalprice,

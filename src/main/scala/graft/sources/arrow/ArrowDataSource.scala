@@ -478,7 +478,8 @@ class ArrowTable(schema: StructType, properties: Map[String, String],
       Option(info.options.get("optimizeWrite")).exists(_.toBoolean),
       Option(info.options.get("stageOnly")).exists(_.toBoolean),
       transform,
-      Option(info.options.get("stageToken")))
+      Option(info.options.get("stageToken")),
+      Option(info.options.get("mergeSchema")).exists(_.toBoolean))
   }
 }
 

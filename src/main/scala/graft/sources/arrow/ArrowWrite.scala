@@ -56,7 +56,8 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     optimizeWrite: Boolean = false,
     stageOnly: Boolean = false,
     transform: Option[PartitionTransform] = None,
-    stageToken: Option[String] = None)
+    stageToken: Option[String] = None,
+    mergeSchema: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
 
@@ -96,8 +97,15 @@ class ArrowWriteBuilder(path: String, schema: StructType,
     override def toBatch: BatchWrite =
       new ArrowBatchWrite(path, schema, codec, batchRows, doTruncate,
         partitionCols, maxOpenWriters, bucket, bloomCols, sortCol,
-        stageOnly, transform, stageToken)
+        stageOnly, transform, stageToken, mergeSchema)
     override def toStreaming: streaming.StreamingWrite = {
+      // Streaming epochs re-plan nothing between micro-batches, so a
+      // mid-stream schema merge could never take effect consistently —
+      // refuse rather than silently ignore the option.
+      if (mergeSchema) throw new UnsupportedOperationException(
+        "arrow: mergeSchema is a batch-write option; evolve a " +
+          "streaming sink's schema via CALL graft.system.add_column " +
+          "between runs")
       // Complete output mode calls truncate() expecting each epoch to
       // REPLACE the directory; the append-only epoch protocol below
       // cannot honor that, and silently appending every snapshot would
@@ -218,7 +226,8 @@ class ArrowBatchWrite(path: String, schema: StructType,
     sortCol: Option[String] = None,
     stageOnly: Boolean = false,
     transform: Option[PartitionTransform] = None,
-    stageToken: Option[String] = None)
+    stageToken: Option[String] = None,
+    mergeSchema: Boolean = false)
     extends BatchWrite {
 
   // Logged-table state, captured at factory creation on the driver:
@@ -241,6 +250,12 @@ class ArrowBatchWrite(path: String, schema: StructType,
       : DataWriterFactory = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
+    // Schema evolution on append: widen the DECLARED schema before any
+    // task can land a drifted footer (add_column invariants reused —
+    // see GraftProcedures.mergeWriteSchema).
+    if (mergeSchema)
+      GraftProcedures.mergeWriteSchema(path, schema,
+        partitionCols.toSet ++ transform.map(_.dirCol))
     // Age-guarded like vacuum: a CONCURRENT writer's in-flight temp is
     // seconds old and must survive another write's planning sweep —
     // deleting it mid-task was a lost-write race (concurrent blind

@@ -746,6 +746,58 @@ object GraftProcedures {
     }
   }
 
+  /** Write-side schema merge (`option("mergeSchema", true)` on the
+    * arrow WRITER — Delta's ergonomic append path): additively evolve
+    * the declared schema to the union of (current data schema ∪ the
+    * incoming frame's data columns) under the SAME invariants as
+    * `CALL add_column` — new columns land nullable, resurrections of
+    * DROPPED or RENAMED names refuse (no per-column ids, so re-adding
+    * a ledgered name would revive old files' bytes), and a same-name
+    * type conflict never merges. Runs on the driver at job start so
+    * the declaration is in place before any drifted footer can land;
+    * if the job then aborts, the widened schema is harmless metadata
+    * (the column reads as nulls until data arrives). A first write
+    * into an empty directory declares nothing — the footers are the
+    * schema until evolution actually happens. */
+  private[arrow] def mergeWriteSchema(path: String,
+      incoming: StructType, writePartCols: Set[String]): Unit = {
+    val root = ArrowDataSource.sinkRoot(path)
+      .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+    val declared = ArrowDataSource.declaredSchema(root)
+    if (declared.isEmpty && ArrowDataSource.visibleIpcFiles(path).isEmpty)
+      return // first write — the incoming schema IS the table schema
+    val current = currentDataSchema(path, root, "mergeSchema write")
+    val partCols = writePartCols ++
+      ArrowDataSource.discoverPartitionCols(root.toString)
+    val curByName = current.fields.map(f => f.name -> f).toMap
+    incoming.fields.foreach(f => curByName.get(f.name).foreach(g =>
+      require(g.dataType == f.dataType,
+        s"arrow mergeSchema write: column ${f.name} is " +
+          s"${g.dataType.simpleString} on $path but the incoming frame " +
+          s"carries ${f.dataType.simpleString} — type conflicts do " +
+          "not merge")))
+    val fresh = incoming.fields.filterNot(f =>
+      partCols(f.name) || curByName.contains(f.name))
+    if (fresh.isEmpty) return
+    // Evolving a bare (unlogged) directory first promotes it to a
+    // logged table: the declaration sidecar lives in _graft_metadata,
+    // and a metadata dir WITHOUT a table marker reads as a streaming
+    // sink whose guard refuses every later batch append. Promotion
+    // also buys the evolution atomic epoch semantics for free.
+    if (!ArrowDataSource.isTableLog(path))
+      ArrowDataSource.initTableLog(root.toString)
+    val dropped = ArrowDataSource.droppedColumns(root)
+    val aliases = ArrowDataSource.aliasColumns(root)
+    fresh.foreach(f => require(!dropped(f.name) &&
+      !aliases.values.exists(_.contains(f.name)),
+      s"arrow mergeSchema write: ${f.name} was previously DROPPED " +
+        s"from or RENAMED on $path — auto-evolving would resurrect " +
+        "old files' values; pick a fresh name"))
+    ArrowDataSource.setDeclaredSchema(root, StructType(
+      current.fields ++ fresh.map(_.copy(nullable = true))),
+      dropped, aliases)
+  }
+
   val DropColumn: UnboundProcedure = new SimpleProcedure("drop_column",
     "metadata-only DROP COLUMN: remove a column from the declared " +
       "schema without rewriting a file — old files keep the bytes " +

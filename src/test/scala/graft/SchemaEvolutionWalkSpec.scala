@@ -182,6 +182,34 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
               case _ => ()
             }
           }
+        case 5 => // WRITE-SIDE SCHEMA MERGE: a drifted path-based
+          // append carrying a fresh column auto-evolves the
+          // declaration (`option("mergeSchema", true)` — the same
+          // add_column invariants, no CALL), composing with whatever
+          // rename/drop/partition ledgers the walk built so far
+          val n = freshName()
+          val dfCols = cols :+ n
+          val newRows = (0 until 2).map { _ =>
+            val id = nextId; nextId += 1
+            id -> scala.collection.mutable.Map[String, Any](
+              (dfCols.map { c =>
+                c -> (if (c == "id") id else rnd.nextInt(1000).toLong)
+              }): _*)
+          }
+          val schema = org.apache.spark.sql.types.StructType(
+            dfCols.map(c => org.apache.spark.sql.types.StructField(
+              c, org.apache.spark.sql.types.LongType)))
+          val data = newRows.map { case (_, m) =>
+            org.apache.spark.sql.Row.fromSeq(dfCols.map(c => m(c)))
+          }
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(data, 1), schema)
+            .write.format("arrow").mode("append")
+            .option("mergeSchema", "true").save(dir)
+          cols = cols.filterNot(partCols.contains) ++
+            Vector(n) ++ partCols
+          nullableCols += n
+          newRows.foreach { case (id, m) => rows(id) = m }
         case 6 if partCols.length < 2 &&
             mutableCols.exists(c => !nullableCols(c)) =>
           // PARTITION EVOLUTION: route future writes by a non-null
