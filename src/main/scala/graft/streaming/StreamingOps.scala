@@ -160,26 +160,73 @@ object StreamingOps {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event],
             state: GroupState[ChainState]) =>
-          var st = state.getOption.getOrElse(ChainState(-1L, -1L))
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[ChainMatch]
-          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach {
-            e =>
-              val sec = Math.floorDiv(e.ts.getTime, 1000L)
-              e.event_type match {
-                case "view" => st = st.copy(lastViewSec = sec)
-                case "click" if st.lastViewSec >= 0 &&
-                    sec - st.lastViewSec <= windowSec =>
-                  st = st.copy(lastQualClickSec = sec)
-                case "purchase" if st.lastQualClickSec >= 0 &&
-                    sec - st.lastQualClickSec <= windowSec =>
-                  out += ChainMatch(uid, e.event_id)
-                case _ => ()
-              }
-          }
+          val st0 = state.getOption.getOrElse(ChainState(-1L, -1L))
+          val (st, out) = foldChain(uid, st0, rows, windowSec)
           state.update(st)
           out.iterator
       }
+  }
+
+  /** The per-batch chain fold shared by the flatMapGroupsWithState and
+    * transformWithState detectors — one definition, so the two state
+    * backends can never drift semantically. Rows sort by
+    * (ts, event_id) before folding (arrival order is not event
+    * order). */
+  private def foldChain(uid: Long, st0: ChainState,
+      rows: Iterator[Event], windowSec: Long)
+      : (ChainState, Seq[ChainMatch]) = {
+    var st = st0
+    val out = scala.collection.mutable.ArrayBuffer.empty[ChainMatch]
+    rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      val sec = Math.floorDiv(e.ts.getTime, 1000L)
+      e.event_type match {
+        case "view" => st = st.copy(lastViewSec = sec)
+        case "click" if st.lastViewSec >= 0 &&
+            sec - st.lastViewSec <= windowSec =>
+          st = st.copy(lastQualClickSec = sec)
+        case "purchase" if st.lastQualClickSec >= 0 &&
+            sec - st.lastQualClickSec <= windowSec =>
+          out += ChainMatch(uid, e.event_id)
+        case _ => ()
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  /** The pattern-chain detector on Spark 4's transformWithState API:
+    * the SAME two-longs-per-user carry as [[patternChains]] (shared
+    * [[foldChain]]), held in a typed ValueState on the RocksDB state
+    * store — the larger-than-heap state path. flatMapGroupsWithState
+    * keeps every group's state on the executor heap; transformWithState
+    * requires RocksDBStateStoreProvider, whose per-key state lives
+    * off-heap and spills to local disk with changelog checkpointing —
+    * at 100 TB clickstream scale, user cardinality is bounded by
+    * executor DISK, not heap. TimeMode.None: the chain window is
+    * event-time arithmetic on the carried seconds, no timers needed. */
+  class ChainProcessor(windowSec: Long)
+      extends StatefulProcessor[Long, Event, ChainMatch] {
+    @transient private var state: ValueState[ChainState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[ChainState](
+        "chain", Encoders.product[ChainState], TTLConfig.NONE)
+
+    override def handleInputRows(uid: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[ChainMatch] = {
+      val st0 = if (state.exists()) state.get() else ChainState(-1L, -1L)
+      val (st, out) = foldChain(uid, st0, rows, windowSec)
+      state.update(st)
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for [[ChainProcessor]]. */
+  def twsPatternChains(events: Dataset[Event],
+      windowSec: Long = 86400L): Dataset[ChainMatch] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new ChainProcessor(windowSec),
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Arbitrary stateful processing: per-user session summaries via

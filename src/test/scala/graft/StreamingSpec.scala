@@ -184,6 +184,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(results.get(2L).contains((1, 4.0)), s"got $results")
   }
 
+  test("transformWithState pattern chains on RocksDB recover their " +
+      "state across a query restart with exactly-once output") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("tws_chain_ckpt").toString
+      def ev(id: Long, t: String, uid: Long, tpe: String) =
+        Event(id, Timestamp.valueOf(t), uid, tpe, 1.0)
+      // memory sink refuses checkpoint recovery — collect through
+      // foreachBatch (checkpoint-recoverable) into a shared set
+      val gotRef =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      def start() = StreamingOps.twsPatternChains(mem.toDS(), 3600L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.ChainMatch],
+              _: Long) =>
+            df.collect().foreach(m =>
+              { gotRef.add((m.user_id, m.event_id)); () })
+            ()
+        }.start()
+      // run 1: user 1 completes a chain (emits 3); user 2 reaches
+      // view→click — the two longs of pending state the restart must
+      // recover from the RocksDB checkpoint
+      val q1 = start()
+      try {
+        mem.addData(
+          ev(1, "2024-01-01 10:00:00", 1, "view"),
+          ev(2, "2024-01-01 10:10:00", 1, "click"),
+          ev(3, "2024-01-01 10:20:00", 1, "purchase"),
+          ev(4, "2024-01-01 10:00:00", 2, "view"),
+          ev(5, "2024-01-01 10:05:00", 2, "click"))
+        q1.processAllAvailable()
+      } finally q1.stop()
+      // run 2, same checkpoint: user 2's purchase completes ACROSS the
+      // restart — it can only emit if ChainState recovered; and event 3
+      // must NOT re-emit (committed offsets replay nothing)
+      val q2 = start()
+      try {
+        mem.addData(
+          ev(6, "2024-01-01 10:30:00", 2, "purchase"),
+          ev(7, "2024-01-01 10:30:00", 3, "purchase"))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val got = scala.jdk.CollectionConverters
+        .CollectionHasAsScala(gotRef).asScala.toSeq.sorted
+      // run 1's chain completed once; run 2's chain can only emit if
+      // ChainState recovered from the RocksDB checkpoint; a replayed
+      // batch would surface as a DUPLICATE in the multiset; user 3's
+      // chainless purchase never emits
+      assert(got == Seq((1L, 3L), (2L, 6L)),
+        s"expected exactly the two chains once each, got: $got")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful pattern chains equal the batch events_pattern " +
       "formulation across micro-batch boundaries") {
     import spark.implicits._
