@@ -145,16 +145,23 @@ object RelationalQueries {
     * pin it against brute-force dominance on synthetic frontiers
     * (ties, duplicates, bucket boundaries). */
   private[graft] def skylineOf(p: DataFrame): DataFrame = {
-    val Buckets = 16
     val spark = p.sparkSession
     // per-price best size: the only pass over the full table
     val best = p.groupBy(col("p_retailprice"))
       .agg(max(col("p_size")).as("bs"))
     val bounds = best.agg(min(col("p_retailprice")),
-      max(col("p_retailprice"))).collect()(0)
+      max(col("p_retailprice")), count(lit(1))).collect()(0)
     if (bounds.isNullAt(0))
       return p.limit(0)
     val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
+    // Each bucket is ONE window partition, so B scales with the
+    // distinct-price count (already computed by the bounds agg):
+    // ~32k prices per bucket bounds the per-task sort at any corpus
+    // size, the floor of 16 keeps small inputs spread across cores,
+    // and the 64k cap keeps the driver prefix-fold and the broadcast
+    // offset frame at B longs — trivially small either way.
+    val Buckets = math.max(16, math.min(65536,
+      ((bounds.getLong(2) + 32767) / 32768).toInt))
     val span = math.max((hi - lo) / Buckets, 1e-9)
     val bucketed = best.withColumn("bkt",
       least(floor((col("p_retailprice") - lit(lo)) / lit(span)),

@@ -118,9 +118,16 @@ object BenchFocus {
     // TRUE qualifying pair set grows quadratically with copies — a
     // data property, not an operator cost; its pruning claim is the
     // SetSimilaritySpec equality + the sf0.1 bench point.
+    // join_temporal_scd2 / merge_full_sync: the cdc/merge predicates
+    // hit FIXED key ranges (copy 0 only), so churn stays constant
+    // while the table grows 10× — the O(churn) maintenance claim.
+    // agg_bitmap_distinct: per-copy custkey shifts grow the distinct
+    // set 10×; the bitmap partials stay mergeable per (month, bucket).
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
         "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
-        "skyline_pareto", "agg_quantile_sketch")) {
+        "skyline_pareto", "agg_quantile_sketch",
+        "join_temporal_scd2", "merge_full_sync", "agg_bitmap_distinct",
+        "layout_compaction")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

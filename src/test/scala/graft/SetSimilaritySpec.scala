@@ -130,4 +130,43 @@ class SetSimilaritySpec extends AnyFunSuite {
       "equal-(price,size) duplicates must both stay; the smaller-size " +
         "same-price point must not")
   }
+
+  test("skyline equals brute-force dominance on seeded RANDOM " +
+      "universes (duplicate-heavy, bucket-edge, and single-bucket " +
+      "price distributions)") {
+    import spark.implicits._
+    for (seed <- Seq(42L, 271828L, 314159L)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 150 + rnd.nextInt(150)
+      // three adversarial price shapes per seed: (0) a tiny grid where
+      // most prices duplicate, (1) a 6.25-step grid whose values land
+      // exactly on range-bucket boundaries, (2) a sub-unit cluster
+      // whose whole span fits inside ONE bucket's width
+      for (shape <- 0 to 2) {
+        val rows = (1 to n).map { i =>
+          val price = shape match {
+            case 0 => rnd.nextInt(33).toDouble
+            case 1 => rnd.nextInt(160) * 6.25
+            case _ => 100.0 + rnd.nextInt(4) * 0.25
+          }
+          (i.toLong + shape * 10000L, price, rnd.nextInt(60))
+        }
+        val p = rows.toDF("p_partkey", "p_retailprice", "p_size")
+        val got = RelationalQueries.skylineOf(p)
+        val q = p.select(col("p_partkey").as("qk"),
+          col("p_retailprice").as("qp"), col("p_size").as("qs"))
+        val dominated = p.join(q,
+          col("qp") <= col("p_retailprice") &&
+            col("qs") >= col("p_size") &&
+            (col("qp") < col("p_retailprice") ||
+              col("qs") > col("p_size")),
+          "left_semi")
+        val brute = p.exceptAll(dominated)
+        assert(bagEqual(got, brute),
+          s"skyline diverged from brute force (seed=$seed shape=$shape)")
+        assert(got.count() > 0,
+          s"empty skyline on a non-empty input (seed=$seed shape=$shape)")
+      }
+    }
+  }
 }
