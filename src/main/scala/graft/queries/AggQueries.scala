@@ -200,6 +200,90 @@ object AggQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** KMV (bottom-k) sketch INTERSECTION — the SET-OPERATION member of
+    * the sketch family ([[hllRollup]] = union/distinct,
+    * [[quantileSketchRollup]] = quantiles, [[bitmapDistinct]] = dense
+    * exact): estimate how many distinct customers two order segments
+    * SHARE from two kilobyte bottom-k samples, never co-shuffling the
+    * full key sets. θ = min over sides of the k-th smallest hash (or
+    * the hash-domain max M when a side's whole key set fits in the
+    * sample); each sample restricted to h ≤ θ is a uniform θ/M-rate
+    * sample of its side, so `|common hashes ≤ θ| · M / θ` estimates
+    * the intersection (the K-Minimum-Values estimator). Everything is
+    * deterministic — the overflow-safe Knuth hash, the semilattice
+    * bottom-k (per-month partials union-retruncate to exactly the
+    * global sample, as SketchSpec pins for the quantile twin) — so
+    * the gate is the r13 convention: compared columns are the EXACT
+    * per-side and intersection distincts (one distributed counting
+    * pass the oracle restates) plus a within-band bit on the
+    * estimate (k=256 → rsd ≈ √(U/I)/16; the fixture's high overlap
+    * keeps 25% ≈ 3σ, floored at ±16 for tiny intersections). The
+    * 100 TB shape: per-segment bottom-k partials at ingest grain are
+    * kilobytes; ANY later set-operation question (overlap of two
+    * cohorts, audience intersection) is a sample merge, not a
+    * re-scan of either segment. */
+  def sketchIntersection(spark: SparkSession, dir: String): DataFrame = {
+    val K = 256
+    val M = 4294967296L // Knuth-fold hash domain [0, 2^32)
+    val hashed = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("side"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_custkey"))
+      .withColumn("h",
+        col("o_custkey") % lit(2147483648L) * lit(2654435761L)
+          % lit(4294967296L))
+    // level 1: per-(side, month) DISTINCT keys, bottom-K by hash —
+    // the ingest-grain partial (months bound each window partition)
+    val d1 = hashed.groupBy(col("side"), col("m"), col("h"),
+      col("o_custkey")).agg(lit(1))
+    val w1 = Window.partitionBy(col("side"), col("m"))
+      .orderBy(col("h"), col("o_custkey"))
+    val partial = d1.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= K)
+    // level 2: merge per side = union, re-distinct, re-truncate
+    // (≤ K·months rows enter each side's window — bounded, not O(N))
+    val d2 = partial.groupBy(col("side"), col("h"), col("o_custkey"))
+      .agg(lit(1))
+    val w2 = Window.partitionBy(col("side"))
+      .orderBy(col("h"), col("o_custkey"))
+    val sample = d2.withColumn("rk2", row_number().over(w2))
+      .filter(col("rk2") <= K)
+    // θ per side: k-th smallest hash when the sample is FULL, else M
+    // (a short sample IS its side's whole key set)
+    val theta = sample.groupBy(col("side"))
+      .agg(max(col("rk2")).as("sk_n"),
+        max(when(col("rk2") === K, col("h"))).as("kth"))
+      .agg(min(when(col("sk_n") === K, col("kth")).otherwise(lit(M)))
+        .as("theta"))
+    val aS = sample.filter(col("side") === "O")
+      .select(col("h").as("ha"), col("o_custkey").as("ka"))
+    val bS = sample.filter(col("side") === "F")
+      .select(col("o_custkey").as("kb"))
+    val est = aS.join(bS, col("ka") === col("kb"))
+      .crossJoin(broadcast(theta))
+      .filter(col("ha") <= col("theta"))
+      .agg(count(lit(1)).as("c"), max(col("theta")).as("th"))
+      .select((col("c").cast("double") * lit(M.toDouble) /
+        col("th").cast("double")).as("est"))
+    // exact intersection: ONE counting pass, per-key presence flags
+    val exact = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+        .as("ia"),
+        max(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+          .as("ib"))
+      .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+        sum(col("ia") * col("ib")).as("exact_inter"))
+    exact.crossJoin(est)
+      .select(col("n_a"), col("n_b"), col("exact_inter"),
+        (abs(col("est") - col("exact_inter").cast("double")) <=
+          greatest(lit(16.0),
+            col("exact_inter").cast("double") * lit(0.25)))
+          .cast("int").as("within_band"))
+  }
+
   /** EXACT mergeable distinct for dense key domains — the
     * bitmap-index counterpart of [[hllRollup]]: per-(priority, month,
     * bucket) bitmaps built at ingest grain
@@ -420,6 +504,7 @@ object AggQueries {
     "agg_rollup" -> (rollupAgg _),
     "agg_cube" -> (cubeAgg _),
     "agg_approx_distinct" -> (approxDistinct _),
+    "agg_sketch_intersection" -> (sketchIntersection _),
     "agg_hll_rollup" -> (hllRollup _),
     "agg_quantile_sketch" -> (quantileSketchRollup _),
     "agg_bitmap_distinct" -> (bitmapDistinct _),
@@ -441,6 +526,17 @@ object AggQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "agg_sketch_intersection" ->
+      """WITH f AS (SELECT o_custkey,
+        |  MAX(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS ia,
+        |  MAX(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS ib
+        | FROM orders WHERE o_orderstatus IN ('O', 'F')
+        | GROUP BY o_custkey)
+        |SELECT CAST(SUM(ia) AS BIGINT) AS n_a,
+        | CAST(SUM(ib) AS BIGINT) AS n_b,
+        | CAST(SUM(ia * ib) AS BIGINT) AS exact_inter,
+        | 1 AS within_band
+        |FROM f""".stripMargin,
     "agg_bitmap_distinct" ->
       """SELECT o_orderpriority,
         | COUNT(DISTINCT o_custkey) AS exact_cust

@@ -221,7 +221,37 @@ object FunnelQueries {
       .orderBy(col("s1"), col("s2"), col("s3"))
   }
 
+  /** First-order Markov transition matrix over the event-type
+    * alphabet: per-user (ts, event_id)-ordered bigrams roll up to
+    * global transition counts, and each row normalizes to a
+    * probability in integer PARTS-PER-MILLION (`div`, exact in both
+    * engines — no float division in the compared plan). The scale
+    * shape: one lag window partitioned BY USER (the same bounded
+    * partitions every sessionization query uses), then a groupBy on an
+    * alphabet-sized key — the transition matrix itself is |types|²
+    * rows, so the normalizing window is metadata-sized no matter how
+    * many events feed it. */
+  def eventsMarkov(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wu = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val counts = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("s1"))
+      .withColumn("s2", lead(col("s1"), 1).over(wu))
+      .filter(col("s2").isNotNull)
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy(col("s1"))))
+      .select(col("s1"), col("s2"), col("n"),
+        expr("n * 1000000 div row_total").as("p_ppm"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "events_markov" -> (eventsMarkov _),
     "events_pattern" -> (eventsPattern _),
     "events_trigrams" -> (eventsTrigrams _),
     "events_attribution" -> (eventsAttribution _),
@@ -231,6 +261,17 @@ object FunnelQueries {
     "retention_cohort" -> (retentionCohort _))
 
   val sql: Map[String, String] = Map(
+    "events_markov" ->
+      """WITH s AS (SELECT user_id, event_type AS s1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS s2
+        | FROM events),
+        |c AS (SELECT s1, s2, COUNT(*) AS n FROM s
+        | WHERE s2 IS NOT NULL GROUP BY s1, s2)
+        |SELECT s1, s2, n,
+        | CAST(n * 1000000 // SUM(n) OVER (PARTITION BY s1) AS BIGINT)
+        |   AS p_ppm
+        |FROM c ORDER BY s1, s2""".stripMargin,
     "events_trigrams" ->
       """WITH s AS (SELECT user_id, event_type AS s1,
         |  lead(event_type, 1) OVER (PARTITION BY user_id

@@ -33,6 +33,41 @@ object VectorQueries {
       .withColumn("nsq", expr("graft_dot(embedding, embedding)"))
   }
 
+  /** SEMANTIC decontamination: flag training vectors whose cosine to
+    * ANY probe ("eval-set") vector reaches the near-dup threshold —
+    * the embedding-space twin of `text_decontam`'s n-gram overlap,
+    * catching the paraphrased benchmark leaks token overlap misses.
+    * Probes are the deterministic `vec_id % 97` slice standing in for
+    * a benchmark suite. The 100 TB shape: an eval set is ALWAYS the
+    * small side, so the plan is broadcast(probes) × ONE partitioned
+    * corpus scan (codegen'd graft_dot, no shuffle until the per-hit
+    * rollup, whose partitions are bounded by the probe count).
+    * Round-then-rank (6dp + probe-id tiebreak) picks the reported
+    * nearest probe so FP association order can't flip the witness. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val probes = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+        col("nsq").as("p_nsq"))
+    val train = e.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"),
+        col("nsq").as("t_nsq"))
+    val hits = train.join(broadcast(probes))
+      .select(col("tid"), col("pid"),
+        round(expr("graft_dot(pv, tv)") /
+          sqrt(col("p_nsq") * col("t_nsq")), 6).as("cos"))
+      .filter(col("cos") >= 0.4)
+    val w = Window.partitionBy(col("tid"))
+    hits
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("cos").desc, col("pid").asc)))
+      .withColumn("n_hits", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("tid"), col("pid").as("nearest_probe"),
+        col("cos").as("max_cos"), col("n_hits"))
+      .orderBy(col("tid"))
+  }
+
   /** Brute-force cosine top-5 per query (queries = vec_id < 20).
     * The query side is tiny → broadcast; corpus side stays partitioned;
     * ranking is a per-query-key window, no global sort. */
@@ -703,6 +738,7 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
+    "sim_decontam_semantic" -> (semanticDecontam _),
     "sim_ann_filtered" -> (topKFiltered _),
     "sim_cosine_neardup" -> (cosineNearDup _),
     "sim_ann_lsh" -> (annLsh _),
@@ -1111,6 +1147,24 @@ object VectorQueries {
          | FROM scored)
          |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
+    "sim_decontam_semantic" ->
+      s"""WITH q AS (SELECT vec_id AS pid, embedding AS qv FROM embeddings
+         |  WHERE vec_id % 97 = 0),
+         |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings
+         |  WHERE vec_id % 97 <> 0),
+         |scored AS (
+         | SELECT tid, pid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | GROUP BY tid, pid),
+         |hits AS (SELECT * FROM scored WHERE cos >= 0.4),
+         |rk AS (SELECT tid, pid, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY tid
+         |    ORDER BY cos DESC, pid ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY tid) AS nh
+         | FROM hits)
+         |SELECT tid, pid AS nearest_probe, cos AS max_cos,
+         | CAST(nh AS BIGINT) AS n_hits
+         |FROM rk WHERE rn = 1 ORDER BY tid""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),

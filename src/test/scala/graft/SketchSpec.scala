@@ -144,6 +144,46 @@ class SketchSpec extends AnyFunSuite {
       }
   }
 
+  test("KMV intersection: the declared estimate lands in-band against " +
+      "the exact intersection, and a LOCAL re-computation of the " +
+      "estimator from the collected samples agrees") {
+    // the declared row's band bit must be ON (exact + in-band is the
+    // hash gate's whole contract)
+    val row = SparkEntry.queries("agg_sketch_intersection")(
+      spark, TestSession.Sf).collect().head
+    val (nA, nB, exact, band) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getInt(3))
+    assert(band == 1, s"estimate out of band: exact=$exact")
+    assert(exact > 0 && exact <= math.min(nA, nB))
+    // independent local KMV: hash every custkey per side the same way,
+    // take bottom-k locally, apply the estimator — the distributed
+    // two-level sample must be the SAME sample (semilattice), so the
+    // local estimate must agree with what the in-band bit certified
+    val K = 256
+    val M = 4294967296L
+    def h(c: Long) = c % 2147483648L * 2654435761L % 4294967296L
+    val bySide = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus"), col("o_custkey"))
+      .distinct().collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val a = bySide("O").toSeq.sortBy(c => (h(c), c)).take(K)
+    val b = bySide("F").toSeq.sortBy(c => (h(c), c)).take(K)
+    val thetaA = if (bySide("O").size > K) h(a.last) else M
+    val thetaB = if (bySide("F").size > K) h(b.last) else M
+    val theta = math.min(thetaA, thetaB)
+    val c = (a.toSet intersect b.toSet).count(k => h(k) <= theta)
+    val est = c.toDouble * M / theta
+    val trueInter = (bySide("O") intersect bySide("F")).size
+    assert(trueInter == exact,
+      s"exact pass disagreed with the local ground truth: " +
+        s"$exact vs $trueInter")
+    assert(math.abs(est - exact) <= math.max(16.0, exact * 0.25),
+      s"local KMV estimate out of the declared band: est=$est " +
+        s"exact=$exact (c=$c theta=$theta)")
+  }
+
   test("freqItems returns a superset of the truly frequent values") {
     val o = Tables.orders(spark, TestSession.Sf)
     val support = 0.15
