@@ -222,66 +222,79 @@ object AggQueries {
     * kilobytes; ANY later set-operation question (overlap of two
     * cohorts, audience intersection) is a sample merge, not a
     * re-scan of either segment. */
-  def sketchIntersection(spark: SparkSession, dir: String): DataFrame = {
-    val K = 256
+  def sketchIntersection(spark: SparkSession, dir: String): DataFrame =
+    kmvIntersectOf(
+      Tables.orders(spark, dir)
+        .filter(col("o_orderstatus").isin("O", "F"))
+        .select(col("o_orderstatus").as("side"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          col("o_custkey").as("key")),
+      sideA = "O", sideB = "F")
+      // the raw estimate stays spec-only — only its band membership is
+      // engine-comparable
+      .select(col("n_a"), col("n_b"), col("exact_inter"),
+        col("within_band"))
+
+  /** The KMV pipeline over any `(side, m, key)` frame — `private[graft]`
+    * so SketchSpec can drive it over seeded RANDOM universes with
+    * controlled overlap, beyond the orders fixture. */
+  private[graft] def kmvIntersectOf(labeled: DataFrame,
+      sideA: String, sideB: String, K: Int = 256): DataFrame = {
     val M = 4294967296L // Knuth-fold hash domain [0, 2^32)
-    val hashed = Tables.orders(spark, dir)
-      .filter(col("o_orderstatus").isin("O", "F"))
-      .select(col("o_orderstatus").as("side"),
-        date_trunc("month", col("o_orderdate")).as("m"),
-        col("o_custkey"))
-      .withColumn("h",
-        col("o_custkey") % lit(2147483648L) * lit(2654435761L)
-          % lit(4294967296L))
+    val hashed = labeled.withColumn("h",
+      col("key") % lit(2147483648L) * lit(2654435761L)
+        % lit(4294967296L))
     // level 1: per-(side, month) DISTINCT keys, bottom-K by hash —
     // the ingest-grain partial (months bound each window partition)
     val d1 = hashed.groupBy(col("side"), col("m"), col("h"),
-      col("o_custkey")).agg(lit(1))
+      col("key")).agg(lit(1))
     val w1 = Window.partitionBy(col("side"), col("m"))
-      .orderBy(col("h"), col("o_custkey"))
+      .orderBy(col("h"), col("key"))
     val partial = d1.withColumn("rk", row_number().over(w1))
       .filter(col("rk") <= K)
     // level 2: merge per side = union, re-distinct, re-truncate
     // (≤ K·months rows enter each side's window — bounded, not O(N))
-    val d2 = partial.groupBy(col("side"), col("h"), col("o_custkey"))
+    val d2 = partial.groupBy(col("side"), col("h"), col("key"))
       .agg(lit(1))
     val w2 = Window.partitionBy(col("side"))
-      .orderBy(col("h"), col("o_custkey"))
+      .orderBy(col("h"), col("key"))
     val sample = d2.withColumn("rk2", row_number().over(w2))
       .filter(col("rk2") <= K)
+    // The merged sample is ≤ 2K rows BY CONSTRUCTION — kilobyte
+    // metadata regardless of corpus size, the same class as the
+    // driver-collected IVF centroids — so the estimator folds on the
+    // driver: keeping it in the plan would re-execute the whole
+    // two-level sample pipeline THREE times (the θ aggregate plus
+    // each side of the common-key join all reference `sample`, and
+    // results are never persisted by bench convention), which the
+    // round-14 plan audit surfaced as 16 exchanges for a 1-row query.
+    val rows = sample
+      .select(col("side"), col("h"), col("key")).collect()
+    val aBot = rows.filter(_.getString(0) == sideA)
+    val bBot = rows.filter(_.getString(0) == sideB)
     // θ per side: k-th smallest hash when the sample is FULL, else M
     // (a short sample IS its side's whole key set)
-    val theta = sample.groupBy(col("side"))
-      .agg(max(col("rk2")).as("sk_n"),
-        max(when(col("rk2") === K, col("h"))).as("kth"))
-      .agg(min(when(col("sk_n") === K, col("kth")).otherwise(lit(M)))
-        .as("theta"))
-    val aS = sample.filter(col("side") === "O")
-      .select(col("h").as("ha"), col("o_custkey").as("ka"))
-    val bS = sample.filter(col("side") === "F")
-      .select(col("o_custkey").as("kb"))
-    val est = aS.join(bS, col("ka") === col("kb"))
-      .crossJoin(broadcast(theta))
-      .filter(col("ha") <= col("theta"))
-      .agg(count(lit(1)).as("c"), max(col("theta")).as("th"))
-      .select((col("c").cast("double") * lit(M.toDouble) /
-        col("th").cast("double")).as("est"))
+    def thetaOf(side: Array[org.apache.spark.sql.Row]): Long =
+      if (side.length == K) side.map(_.getLong(1)).max else M
+    val theta = math.min(thetaOf(aBot), thetaOf(bBot))
+    val bKeys = bBot.map(_.getLong(2)).toSet
+    val c = aBot.count(r => bKeys(r.getLong(2)) && r.getLong(1) <= theta)
+    val est = c.toDouble * M.toDouble / theta.toDouble
     // exact intersection: ONE counting pass, per-key presence flags
-    val exact = Tables.orders(spark, dir)
-      .filter(col("o_orderstatus").isin("O", "F"))
-      .groupBy(col("o_custkey"))
-      .agg(max(when(col("o_orderstatus") === "O", 1L).otherwise(0L))
+    labeled
+      .groupBy(col("key"))
+      .agg(max(when(col("side") === sideA, 1L).otherwise(0L))
         .as("ia"),
-        max(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+        max(when(col("side") === sideB, 1L).otherwise(0L))
           .as("ib"))
       .agg(sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
         sum(col("ia") * col("ib")).as("exact_inter"))
-    exact.crossJoin(est)
       .select(col("n_a"), col("n_b"), col("exact_inter"),
-        (abs(col("est") - col("exact_inter").cast("double")) <=
+        (abs(lit(est) - col("exact_inter").cast("double")) <=
           greatest(lit(16.0),
             col("exact_inter").cast("double") * lit(0.25)))
-          .cast("int").as("within_band"))
+          .cast("int").as("within_band"),
+        lit(est).as("est"))
   }
 
   /** EXACT mergeable distinct for dense key domains — the

@@ -184,6 +184,66 @@ class SketchSpec extends AnyFunSuite {
         s"exact=$exact (c=$c theta=$theta)")
   }
 
+  test("KMV intersection on seeded RANDOM universes: the exact pass " +
+      "matches the constructed truth, the distributed estimate equals " +
+      "a local re-derivation, and error stays within the sample-size " +
+      "bound at every overlap level") {
+    import spark.implicits._
+    val M = 4294967296L
+    def h(c: Long) = c % 2147483648L * 2654435761L % 4294967296L
+    var relErrs = List.empty[Double]
+    for (seed <- Seq(7L, 8675309L); overlap <- Seq(0.1, 0.5, 0.9)) {
+      val rnd = new scala.util.Random(seed)
+      val nEach = 1500 + rnd.nextInt(1000)
+      val nShared = (nEach * overlap).toInt
+      // keys drawn sparse so the Knuth hash sees a realistic domain
+      def freshKey() = rnd.nextLong(1L << 40).abs + 1
+      val shared = Set.fill(nShared)(freshKey())
+      val onlyA = Set.fill(nEach - shared.size)(freshKey()) -- shared
+      val onlyB =
+        Set.fill(nEach - shared.size)(freshKey()) -- shared -- onlyA
+      val aKeys = shared ++ onlyA
+      val bKeys = shared ++ onlyB
+      val exactTruth = (aKeys intersect bKeys).size.toLong
+      // scatter each key into 1-3 random months (duplicates exercise
+      // the per-month distinct + semilattice re-truncate)
+      val rows = (aKeys.toSeq.map(("A", _)) ++ bKeys.toSeq.map(("B", _)))
+        .flatMap { case (s, k) =>
+          (0 to rnd.nextInt(3)).map(_ => (s, rnd.nextInt(12), k))
+        }
+      val labeled = rows.toDF("side", "m", "key")
+      val row = graft.queries.AggQueries
+        .kmvIntersectOf(labeled, "A", "B").collect().head
+      val (nA, nB, exact, est) = (row.getLong(0), row.getLong(1),
+        row.getLong(2), row.getDouble(4))
+      assert(nA == aKeys.size && nB == bKeys.size && exact == exactTruth,
+        s"exact pass wrong (seed=$seed overlap=$overlap): " +
+          s"($nA,$nB,$exact) vs (${aKeys.size},${bKeys.size},$exactTruth)")
+      // local re-derivation of the same estimator
+      val K = 256
+      val aBot = aKeys.toSeq.sortBy(k => (h(k), k)).take(K)
+      val bBot = bKeys.toSeq.sortBy(k => (h(k), k)).take(K)
+      val theta = math.min(
+        if (aKeys.size > K) h(aBot.last) else M,
+        if (bKeys.size > K) h(bBot.last) else M)
+      val c = (aBot.toSet intersect bBot.toSet).count(k => h(k) <= theta)
+      val localEst = c.toDouble * M / theta
+      assert(math.abs(est - localEst) < 1e-6,
+        s"distributed estimate diverged from the local one " +
+          s"(seed=$seed overlap=$overlap): $est vs $localEst (c=$c)")
+      // statistical sanity per-universe: 5σ of the binomial the
+      // estimator samples (σ_rel ≈ 1/√c), floored for tiny c
+      val bound = math.max(24.0, 5.0 * exact / math.sqrt(math.max(c, 1)))
+      assert(math.abs(est - exact) <= bound,
+        s"estimate outside 5σ (seed=$seed overlap=$overlap): " +
+          s"est=$est exact=$exact c=$c")
+      relErrs ::= math.abs(est - exact) / math.max(exact, 1L).toDouble
+    }
+    // and in aggregate the estimator is actually GOOD, not just bounded
+    assert(relErrs.sum / relErrs.size <= 0.15,
+      s"mean relative error too high: $relErrs")
+  }
+
   test("freqItems returns a superset of the truly frequent values") {
     val o = Tables.orders(spark, TestSession.Sf)
     val support = 0.15
