@@ -329,6 +329,20 @@ class ArrowBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
+    // Re-assert the schema merge at commit: setDeclaredSchema is a
+    // last-writer-wins file replace, so a CONCURRENT mergeSchema
+    // append landing between our job-start merge and now could have
+    // rebuilt the declaration from a snapshot without our column —
+    // then our committed footers would brick every read on the drift
+    // sweep. The re-run is idempotent (fresh-column set is empty when
+    // the declaration already holds ours) and re-reads the CURRENT
+    // ledgers, so it re-adds our column alongside the racer's. The
+    // residual window is two re-assertions interleaving — same class
+    // as any unlocked sidecar write, and read-side failure stays LOUD,
+    // never silent misreads.
+    if (mergeSchema)
+      GraftProcedures.mergeWriteSchema(path, schema,
+        partitionCols.toSet ++ transform.map(_.dirCol))
     val epoch =
       if (loggedBase >= -1L) {
         // blind appends REBASE on an epoch-race loss (they conflict

@@ -104,6 +104,30 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     assert(spark.read.format("arrow").load(dir).count() == 9)
   }
 
+  test("mergeSchema on OVERWRITE merges additively (Delta semantics): " +
+      "the declaration keeps the old columns, the data is replaced") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_ow").toString
+    (1L to 10L).map(i => (i, i * 2L)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    (11L to 15L).map(i => (i, s"n$i")).toDF("id", "note")
+      .write.format("arrow").mode("overwrite")
+      .option("mergeSchema", "true").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt", "note"))
+    assert(df.count() == 5, "overwrite must replace the data")
+    assert(df.filter(col("amt").isNull).count() == 5,
+      "replaced files lack amt — it must read as nulls, not old bytes")
+    assert(df.filter(col("note") === "n12").count() == 1)
+    // and VERSION AS OF 0 still reads the pre-overwrite rows through
+    // the current (merged) declaration
+    val old = spark.read.format("arrow")
+      .option("epochAsOf", "0").load(dir)
+    assert(old.count() == 10 &&
+      old.filter(col("note").isNull).count() == 10)
+  }
+
   test("the ledgers hold: dropped and renamed names refuse to " +
       "resurrect through a mergeSchema append") {
     import spark.implicits._
@@ -132,6 +156,31 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
       .schema.fieldNames.toSeq == Seq("id", "amount"))
   }
 
+  test("mergeSchema on a PARTITIONED table: the new column evolves the " +
+      "data schema, partition columns stay partition columns, and the " +
+      "drifted rows route into the layout") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_part").toString
+    (1L to 20L).map(i => (i, i % 3L, i * 2L)).toDF("id", "bucket", "amt")
+      .write.format("arrow").partitionBy("bucket")
+      .mode("overwrite").save(dir)
+    (21L to 24L).map(i => (i, i % 3L, i * 2L, s"x$i"))
+      .toDF("id", "bucket", "amt", "xtra")
+      .write.format("arrow").partitionBy("bucket").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+    // partition columns surface at the schema TAIL (layout contract);
+    // the evolved data column slots before them
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt", "xtra", "bucket"),
+      s"schema order wrong: ${df.schema.fieldNames.toSeq}")
+    assert(df.count() == 24)
+    assert(df.filter(col("xtra").isNotNull).count() == 4)
+    // the drifted rows landed inside the col=value layout and
+    // partition pruning still works across generations
+    assert(df.filter(col("bucket") === 0L && col("xtra").isNotNull)
+      .count() == (21L to 24L).count(_ % 3 == 0))
+  }
+
   test("a same-name type conflict never merges") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergewrite_type").toString
@@ -145,6 +194,42 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     }
     assertRefused(e, "type conflicts do not merge")
     assert(spark.read.format("arrow").load(dir).count() == 10)
+  }
+
+  test("a clobbered declaration fails reads LOUDLY and heals on the " +
+      "next mergeSchema append carrying the column") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_clobber").toString
+    (1L to 10L).map(i => (i, i * 2L)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    (11L to 12L).map(i => (i, i * 2L, s"c$i")).toDF("id", "amt", "c1")
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 12)
+    // simulate the LOSING side of a declaration race: a concurrent
+    // writer rebuilt the sidecar from a snapshot without c1
+    // (setDeclaredSchema is last-writer-wins)
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    ArrowDataSource.setDeclaredSchema(root,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("amt",
+          org.apache.spark.sql.types.LongType))))
+    // the drift sweep fails LOUDLY — never silent misreads
+    val e = intercept[Exception] {
+      spark.read.format("arrow").load(dir).collect()
+    }
+    assertRefused(e, "declared schema")
+    // the next merge append carrying c1 re-declares it (the same
+    // re-assertion ArrowBatchWrite.commit runs) and the table heals
+    (13L to 13L).map(i => (i, i * 2L, s"c$i")).toDF("id", "amt", "c1")
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val healed = spark.read.format("arrow").load(dir)
+    assert(healed.count() == 13)
+    assert(healed.filter(col("c1").isNotNull).count() == 3)
   }
 
   test("the streaming sink refuses mergeSchema") {
