@@ -241,8 +241,14 @@ object AggQueries {
   private[graft] def kmvIntersectOf(labeled: DataFrame,
       sideA: String, sideB: String, K: Int = 256): DataFrame = {
     val M = 4294967296L // Knuth-fold hash domain [0, 2^32)
+    // pmod, not %: Scala/Spark % preserves sign, so a negative key
+    // would hash NEGATIVE — the "bottom-k" would then sample the
+    // most-negative keys instead of uniformly, and θ itself could go
+    // negative while the band bit still printed a clean 0/1. The
+    // helper is documented for ANY key frame, so the fold must be
+    // total, not a positive-domain convention.
     val hashed = labeled.withColumn("h",
-      col("key") % lit(2147483648L) * lit(2654435761L)
+      pmod(col("key"), lit(2147483648L)) * lit(2654435761L)
         % lit(4294967296L))
     // level 1: per-(side, month) DISTINCT keys, bottom-K by hash —
     // the ingest-grain partial (months bound each window partition)

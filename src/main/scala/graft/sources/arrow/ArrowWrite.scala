@@ -252,8 +252,19 @@ class ArrowBatchWrite(path: String, schema: StructType,
     Files.createDirectories(dir)
     // Schema evolution on append: widen the DECLARED schema before any
     // task can land a drifted footer (add_column invariants reused —
-    // see GraftProcedures.mergeWriteSchema).
-    if (mergeSchema)
+    // see GraftProcedures.mergeWriteSchema). The merge must run BEFORE
+    // the logged-table branch below (promoting a bare dir changes
+    // which commit path this write takes), but a STREAMING-SINK
+    // directory is exempt: the append guard below refuses the write
+    // outright, and a refused write must not leave a phantom column in
+    // the sink's declaration (initTableLog also no-ops on sinks, so
+    // the promotion the merge relies on can't happen there anyway).
+    // Sink-root overwrites skip the merge too — the truncate deletes
+    // the very footers a merge would union, so a declaration built
+    // from them would resurrect the replaced schema as phantom nulls.
+    val sinkNotTable = ArrowDataSource.sinkRoot(path).isDefined &&
+      !ArrowDataSource.isTableLog(path)
+    if (mergeSchema && !sinkNotTable)
       GraftProcedures.mergeWriteSchema(path, schema,
         partitionCols.toSet ++ transform.map(_.dirCol))
     // Age-guarded like vacuum: a CONCURRENT writer's in-flight temp is
@@ -339,8 +350,11 @@ class ArrowBatchWrite(path: String, schema: StructType,
     // ledgers, so it re-adds our column alongside the racer's. The
     // residual window is two re-assertions interleaving — same class
     // as any unlocked sidecar write, and read-side failure stays LOUD,
-    // never silent misreads.
-    if (mergeSchema)
+    // never silent misreads. Same streaming-sink exemption as the
+    // job-start merge (a sink-root overwrite reaches commit with the
+    // old footers already truncated — nothing to merge).
+    if (mergeSchema && (ArrowDataSource.isTableLog(path) ||
+        ArrowDataSource.sinkRoot(path).isEmpty))
       GraftProcedures.mergeWriteSchema(path, schema,
         partitionCols.toSet ++ transform.map(_.dirCol))
     val epoch =

@@ -761,14 +761,45 @@ object GraftProcedures {
     * schema until evolution actually happens. */
   private[arrow] def mergeWriteSchema(path: String,
       incoming: StructType, writePartCols: Set[String]): Unit = {
-    val root = ArrowDataSource.sinkRoot(path)
-      .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+    // Root resolution must survive subdirectory addressing even on an
+    // UNLOGGED table (where sinkRoot finds no metadata dir and would
+    // fall back to the subdir itself — promoting THAT would plant a
+    // nested log inside a partition directory): climb `name=value`
+    // parents the same way sinkRoot does.
+    val root = ArrowDataSource.sinkRoot(path).getOrElse {
+      var p = Paths.get(path).toAbsolutePath.normalize
+      while (p.getParent != null && Option(p.getFileName)
+          .map(_.toString).exists(_.contains('=')))
+        p = p.getParent
+      p
+    }
     val declared = ArrowDataSource.declaredSchema(root)
-    if (declared.isEmpty && ArrowDataSource.visibleIpcFiles(path).isEmpty)
+    // Visibility and the current schema resolve at the TABLE ROOT, not
+    // the addressed path: a subdirectory-addressed append
+    // (`save(dir + "/c=1")`) on a table whose other partitions hold
+    // files is NOT a first write, and inferring from the subdir alone
+    // would declare a partial union that bricks the rest of the table
+    // on the drift sweep.
+    if (declared.isEmpty &&
+        ArrowDataSource.visibleIpcFiles(root.toString).isEmpty)
       return // first write — the incoming schema IS the table schema
-    val current = currentDataSchema(path, root, "mergeSchema write")
+    val current = currentDataSchema(root.toString, root,
+      "mergeSchema write")
     val partCols = writePartCols ++
       ArrowDataSource.discoverPartitionCols(root.toString)
+    // A partition-named incoming column must CARRY the partition's
+    // type — routing would otherwise stringify mismatched values into
+    // the layout and fail only at read time (add_column refuses the
+    // name collision loudly; the write path owes the same loudness).
+    val partSchema =
+      ArrowDataSource.discoverPartitionSchema(root.toString)
+    incoming.fields.foreach(f =>
+      partSchema.fields.find(_.name == f.name).foreach(g =>
+        require(g.dataType == f.dataType,
+          s"arrow mergeSchema write: partition column ${f.name} is " +
+            s"${g.dataType.simpleString} on $path but the incoming " +
+            s"frame carries ${f.dataType.simpleString} — partition " +
+            "types do not merge")))
     val curByName = current.fields.map(f => f.name -> f).toMap
     incoming.fields.foreach(f => curByName.get(f.name).foreach(g =>
       require(g.dataType == f.dataType,

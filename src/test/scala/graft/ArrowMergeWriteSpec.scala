@@ -181,6 +181,37 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
       .count() == (21L to 24L).count(_ % 3 == 0))
   }
 
+  test("a mergeSchema append addressed at a partition SUBDIRECTORY " +
+      "evolves the TABLE-root declaration, not a nested one") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_subdir").toString
+    (1L to 12L).map(i => (i, i % 2L, i * 2L)).toDF("id", "bucket", "amt")
+      .write.format("arrow").partitionBy("bucket")
+      .mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // drifted append INTO bucket=1 (partition value implied by the
+    // path, so the frame does not carry it); the table root has files
+    // even though nothing under bucket=1 changes that fact — this must
+    // NOT be treated as a first write, and the declaration must land
+    // at the ROOT
+    Seq((100L, 200L, "sub")).toDF("id", "amt", "xtra")
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(s"$dir/bucket=1")
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    assert(ArrowDataSource.declaredSchema(root).isDefined,
+      "declaration must land at the table root")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths
+      .get(dir, "bucket=1", "_graft_metadata")),
+      "no nested metadata dir inside a partition directory")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("id", "amt", "xtra", "bucket"))
+    assert(df.count() == 13)
+    assert(df.filter(col("xtra") === "sub")
+      .select(col("bucket")).head.getLong(0) == 1L)
+    assert(df.filter(col("xtra").isNull).count() == 12)
+  }
+
   test("a same-name type conflict never merges") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergewrite_type").toString
@@ -230,6 +261,36 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     val healed = spark.read.format("arrow").load(dir)
     assert(healed.count() == 13)
     assert(healed.filter(col("c1").isNotNull).count() == 3)
+  }
+
+  test("a REFUSED mergeSchema batch append into a streaming-sink " +
+      "directory leaves no phantom declaration behind") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mergewrite_sinkdir").toString
+    val ckpt = Files.createTempDirectory("mergewrite_sinkckpt").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    input.addData((1L, 2L))
+    val q = input.toDF().toDF("id", "amt").writeStream.format("arrow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    // the batch-append guard refuses writes into sink dirs; with
+    // mergeSchema set, the refusal must come WITHOUT first planting
+    // the drifted column in the sink's schema sidecar
+    val e = intercept[Exception] {
+      Seq((9L, 9L, "phantom")).toDF("id", "amt", "xtra")
+        .write.format("arrow").mode("append")
+        .option("mergeSchema", "true").save(dir)
+    }
+    assertRefused(e, "streaming commit log")
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    assert(ArrowDataSource.declaredSchema(root).isEmpty,
+      "refused write mutated the sink's declared schema")
+    assert(spark.read.format("arrow").load(dir)
+      .schema.fieldNames.toSeq == Seq("id", "amt"))
   }
 
   test("the streaming sink refuses mergeSchema") {

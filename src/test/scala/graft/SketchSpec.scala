@@ -161,7 +161,10 @@ class SketchSpec extends AnyFunSuite {
     // local estimate must agree with what the in-band bit certified
     val K = 256
     val M = 4294967296L
-    def h(c: Long) = c % 2147483648L * 2654435761L % 4294967296L
+    def h(c: Long) = {
+      val p = ((c % 2147483648L) + 2147483648L) % 2147483648L
+      p * 2654435761L % 4294967296L
+    }
     val bySide = Tables.orders(spark, TestSession.Sf)
       .filter(col("o_orderstatus").isin("O", "F"))
       .select(col("o_orderstatus"), col("o_custkey"))
@@ -190,14 +193,21 @@ class SketchSpec extends AnyFunSuite {
       "bound at every overlap level") {
     import spark.implicits._
     val M = 4294967296L
-    def h(c: Long) = c % 2147483648L * 2654435761L % 4294967296L
+    def h(c: Long) = {
+      val p = ((c % 2147483648L) + 2147483648L) % 2147483648L
+      p * 2654435761L % 4294967296L
+    }
     var relErrs = List.empty[Double]
     for (seed <- Seq(7L, 8675309L); overlap <- Seq(0.1, 0.5, 0.9)) {
       val rnd = new scala.util.Random(seed)
       val nEach = 1500 + rnd.nextInt(1000)
       val nShared = (nEach * overlap).toInt
-      // keys drawn sparse so the Knuth hash sees a realistic domain
-      def freshKey() = rnd.nextLong(1L << 40).abs + 1
+      // keys drawn sparse so the Knuth hash sees a realistic domain;
+      // the second seed draws NEGATIVE keys too (signed ids exist in
+      // the wild — the pmod fold must stay a uniform sample there)
+      def freshKey() =
+        if (seed == 8675309L) rnd.nextLong(1L << 40) - (1L << 39)
+        else rnd.nextLong(1L << 40) + 1
       val shared = Set.fill(nShared)(freshKey())
       val onlyA = Set.fill(nEach - shared.size)(freshKey()) -- shared
       val onlyB =
