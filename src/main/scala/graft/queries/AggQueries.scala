@@ -168,11 +168,20 @@ object AggQueries {
       .withColumn("h",
         col("o_orderkey") % lit(2147483648L) * lit(2654435761L)
           % lit(4294967296L))
-    // level 1: ingest-grain partials — bottom-K by hash per month
-    val w1 = Window.partitionBy(col("o_orderpriority"), col("m"))
-      .orderBy(col("h"), col("o_orderkey"))
-    val partial = o.withColumn("rk", row_number().over(w1))
-      .filter(col("rk") <= K)
+    // level 1: ingest-grain partials — bottom-K by hash per month,
+    // through the bounded-heap whole-operator rather than a
+    // row_number() window: a window has no partial aggregation, so
+    // each (priority, month)'s FULL key set would shuffle into and
+    // sort inside ONE task — linear single-core work at 100 TB.
+    // TopKPerGroupExec cuts every map partition to ≤ K candidates per
+    // group BEFORE the exchange, so the shuffle carries kilobytes and
+    // the final pass is a streaming scan. bottom-k is a semilattice,
+    // so the kept set is bit-identical to the window formulation
+    // (SketchSpec pins the equality; the (h, key) order is total).
+    val partial = graft.operators.TopKPerGroup(o,
+        Seq(col("o_orderpriority"), col("m")),
+        struct(col("h"), col("o_orderkey")), descending = false, k = K)
+      .drop("rn")
     // level 2: merge = union + re-truncate to bottom-K per priority
     val w2 = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("h"), col("o_orderkey"))
@@ -235,12 +244,25 @@ object AggQueries {
       .select(col("n_a"), col("n_b"), col("exact_inter"),
         col("within_band"))
 
-  /** The KMV pipeline over any `(side, m, key)` frame — `private[graft]`
-    * so SketchSpec can drive it over seeded RANDOM universes with
-    * controlled overlap, beyond the orders fixture. */
-  private[graft] def kmvIntersectOf(labeled: DataFrame,
-      sideA: String, sideB: String, K: Int = 256): DataFrame = {
-    val M = 4294967296L // Knuth-fold hash domain [0, 2^32)
+  /** The two-level bottom-k sample pipeline for any `(side, m, key)`
+    * frame — split out so PlanShapeSpec can pin the LEVEL-1 shape
+    * (bounded-heap TopKPerGroupExec, no Window over (side, m)).
+    *
+    * Level 1: per-(side, month) DISTINCT keys, bottom-K by hash — the
+    * ingest-grain partial. The distinct is a partial+final
+    * HashAggregate (map-side combine), and the bottom-K cut runs
+    * through the bounded-heap whole-operator instead of a
+    * row_number() window: the window would funnel each (side, month)'s
+    * entire distinct-key set through one task's sort, while
+    * TopKPerGroupExec bounds every map partition to ≤ K candidates per
+    * group before the exchange — the same kilobyte partial at any
+    * corpus size. (h, key) is a total order on the distinct rows, so
+    * the kept sample is bit-identical to the window formulation.
+    *
+    * Level 2: merge per side = union, re-distinct, re-truncate. The
+    * window here is fine: ≤ K·months rows enter each side's partition
+    * — bounded metadata, not O(N). */
+  private[graft] def kmvSample(labeled: DataFrame, K: Int): DataFrame = {
     // pmod, not %: Scala/Spark % preserves sign, so a negative key
     // would hash NEGATIVE — the "bottom-k" would then sample the
     // most-negative keys instead of uniformly, and θ itself could go
@@ -250,22 +272,27 @@ object AggQueries {
     val hashed = labeled.withColumn("h",
       pmod(col("key"), lit(2147483648L)) * lit(2654435761L)
         % lit(4294967296L))
-    // level 1: per-(side, month) DISTINCT keys, bottom-K by hash —
-    // the ingest-grain partial (months bound each window partition)
     val d1 = hashed.groupBy(col("side"), col("m"), col("h"),
       col("key")).agg(lit(1))
-    val w1 = Window.partitionBy(col("side"), col("m"))
-      .orderBy(col("h"), col("key"))
-    val partial = d1.withColumn("rk", row_number().over(w1))
-      .filter(col("rk") <= K)
-    // level 2: merge per side = union, re-distinct, re-truncate
-    // (≤ K·months rows enter each side's window — bounded, not O(N))
+    val partial = graft.operators.TopKPerGroup(d1,
+        Seq(col("side"), col("m")),
+        struct(col("h"), col("key")), descending = false, k = K)
+      .drop("rn")
     val d2 = partial.groupBy(col("side"), col("h"), col("key"))
       .agg(lit(1))
     val w2 = Window.partitionBy(col("side"))
       .orderBy(col("h"), col("key"))
-    val sample = d2.withColumn("rk2", row_number().over(w2))
+    d2.withColumn("rk2", row_number().over(w2))
       .filter(col("rk2") <= K)
+  }
+
+  /** The KMV pipeline over any `(side, m, key)` frame — `private[graft]`
+    * so SketchSpec can drive it over seeded RANDOM universes with
+    * controlled overlap, beyond the orders fixture. */
+  private[graft] def kmvIntersectOf(labeled: DataFrame,
+      sideA: String, sideB: String, K: Int = 256): DataFrame = {
+    val M = 4294967296L // Knuth-fold hash domain [0, 2^32)
+    val sample = kmvSample(labeled, K)
     // The merged sample is ≤ 2K rows BY CONSTRUCTION — kilobyte
     // metadata regardless of corpus size, the same class as the
     // driver-collected IVF centroids — so the estimator folds on the

@@ -242,11 +242,25 @@ object FunnelQueries {
       .filter(col("s2").isNotNull)
       .groupBy(col("s1"), col("s2"))
       .agg(count(lit(1)).as("n"))
+    markovPpm(counts)
+  }
+
+  /** ppm normalization of a `(s1, s2, n)` transition-count frame.
+    * `n * 1000000` is computed through DECIMAL(38,0), not LongType:
+    * under non-ANSI semantics a Long product silently wraps past
+    * ~9.2e12 events in one transition pair — real headroom risk at
+    * 100 TB. `div` on the decimal product still returns BIGINT, so
+    * the compared schema (and the DuckDB oracle) are unchanged.
+    * Split out so FunnelSpec can pin the no-wrap behavior with a
+    * synthetic count far past 2³¹. */
+  private[graft] def markovPpm(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     counts
       .withColumn("row_total",
         sum(col("n")).over(Window.partitionBy(col("s1"))))
       .select(col("s1"), col("s2"), col("n"),
-        expr("n * 1000000 div row_total").as("p_ppm"))
+        expr("cast(n as decimal(38,0)) * 1000000 div row_total")
+          .as("p_ppm"))
       .orderBy(col("s1"), col("s2"))
   }
 

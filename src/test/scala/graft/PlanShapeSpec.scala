@@ -119,4 +119,34 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bottom-k windows collapsed to a single partition:\n" +
         p.take(1500))
   }
+
+  test("the bottom-k sketches' LEVEL-1 partial plans as the bounded-heap " +
+      "operator — no Window over (group, month)") {
+    // r14 verdict's only scale-weak pair: a row_number() window over
+    // (group, month) funnels each month's full key set through ONE
+    // task's sort. Level 1 must plan as TopKPerGroupPartialExec
+    // (map-side K-bounded heaps), and the only Window nodes left are
+    // the bounded merge level, partitioned by the group alone.
+    import org.apache.spark.sql.functions._
+    val pq = plan("agg_quantile_sketch")
+    assert(pq.contains("TopKPerGroupPartial"),
+      s"quantile level-1 lost the bounded-heap partial:\n${pq.take(2000)}")
+    val qWin = pq.linesIterator.filter(_.contains("Window")).toList
+    assert(qWin.nonEmpty && qWin.forall(l => !l.contains("m#")),
+      s"a Window still partitions by month:\n${qWin.mkString("\n")}")
+    // KMV: the estimator folds on the driver, so pin the sample
+    // pipeline (the part that sees O(N) rows) directly
+    val labeled = Tables.orders(spark, TestSession.Sf)
+      .filter(col("o_orderstatus").isin("O", "F"))
+      .select(col("o_orderstatus").as("side"),
+        date_trunc("month", col("o_orderdate")).as("m"),
+        col("o_custkey").as("key"))
+    val pk = graft.queries.AggQueries.kmvSample(labeled, 256)
+      .queryExecution.executedPlan.toString
+    assert(pk.contains("TopKPerGroupPartial"),
+      s"KMV level-1 lost the bounded-heap partial:\n${pk.take(2000)}")
+    val kWin = pk.linesIterator.filter(_.contains("Window")).toList
+    assert(kWin.nonEmpty && kWin.forall(l => !l.contains("m#")),
+      s"a Window still partitions by month:\n${kWin.mkString("\n")}")
+  }
 }

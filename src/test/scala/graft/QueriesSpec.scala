@@ -53,6 +53,21 @@ class QueriesSpec extends AnyFunSuite {
       s"approx $approx vs exact $exact")
   }
 
+  test("markov ppm normalization survives counts past 2^31 without " +
+      "Long wraparound") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // n * 1e6 in LongType wraps past ~9.2e12; the DECIMAL(38,0) path
+    // must keep exact ppm for counts a 100 TB stream can reach
+    val big = 10_000_000_000_000L // 1e13 transitions on one pair
+    val counts = Seq(("a", "b", big), ("a", "c", big * 3))
+      .toDF("s1", "s2", "n")
+    val out = graft.queries.FunnelQueries.markovPpm(counts)
+      .collect().map(r => (r.getString(1), r.getLong(3))).toMap
+    assert(out == Map("b" -> 250000L, "c" -> 750000L),
+      s"ppm wrapped or misdivided: $out")
+  }
+
   test("q1 aggregates match a hand-computed slice") {
     import org.apache.spark.sql.functions._
     val df = SparkEntry.queries("q1_pricing_summary")(spark, TestSession.Sf)

@@ -173,8 +173,8 @@ class SketchSpec extends AnyFunSuite {
       .view.mapValues(_.map(_.getLong(1)).toSet).toMap
     val a = bySide("O").toSeq.sortBy(c => (h(c), c)).take(K)
     val b = bySide("F").toSeq.sortBy(c => (h(c), c)).take(K)
-    val thetaA = if (bySide("O").size > K) h(a.last) else M
-    val thetaB = if (bySide("F").size > K) h(b.last) else M
+    val thetaA = if (bySide("O").size >= K) h(a.last) else M
+    val thetaB = if (bySide("F").size >= K) h(b.last) else M
     val theta = math.min(thetaA, thetaB)
     val c = (a.toSet intersect b.toSet).count(k => h(k) <= theta)
     val est = c.toDouble * M / theta
@@ -234,8 +234,8 @@ class SketchSpec extends AnyFunSuite {
       val aBot = aKeys.toSeq.sortBy(k => (h(k), k)).take(K)
       val bBot = bKeys.toSeq.sortBy(k => (h(k), k)).take(K)
       val theta = math.min(
-        if (aKeys.size > K) h(aBot.last) else M,
-        if (bKeys.size > K) h(bBot.last) else M)
+        if (aKeys.size >= K) h(aBot.last) else M,
+        if (bKeys.size >= K) h(bBot.last) else M)
       val c = (aBot.toSet intersect bBot.toSet).count(k => h(k) <= theta)
       val localEst = c.toDouble * M / theta
       assert(math.abs(est - localEst) < 1e-6,
