@@ -815,6 +815,42 @@ object StorageQueries {
       .orderBy(col("o_channel").asc_nulls_first)
   }
 
+  /** NESTED schema evolution on append, oracle-gated: the table holds
+    * a STRUCT column (`meta`) and the drifted frame's struct carries
+    * one more LEAF — `option("mergeSchema", true)` merges the struct
+    * FIELD-WISE (new leaf lands nullable at the end, same-name leaves
+    * must agree on type), the multimodal-metadata shape a training
+    * corpus evolves first. Pre-evolution files serve the absent leaf
+    * as nulls through the reader's struct-leaf patch
+    * ([[graft.sources.arrow.StructLeafPatchVector]]); no file is
+    * rewritten. */
+  def arrowMergeSchemaNested(spark: SparkSession, dir: String): DataFrame = {
+    val out = graft.Scratch.dir("mergenested_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        struct(col("o_orderstatus").as("status")).as("meta"),
+        col("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    Tables.orders(spark, dir)
+      .where(col("o_orderkey") % 397 === 0)
+      .select((col("o_orderkey") + lit(70000000L)).as("o_orderkey"),
+        struct(lit("M").as("status"),
+          col("o_orderpriority").as("prio")).as("meta"),
+        col("o_totalprice"))
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(out)
+    spark.read.format("arrow").load(out)
+      .groupBy(col("meta.prio").as("prio"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"),
+        count(col("meta.status")).as("n_status"))
+      .orderBy(col("prio").asc_nulls_first)
+  }
+
   /** Metadata-only RENAME COLUMN, oracle-gated: rename the measure on
     * a logged table (`CALL graft.system.rename_column`) — pre-rename
     * files serve their bytes under the new name via the reader's
@@ -1308,6 +1344,7 @@ object StorageQueries {
     "arrow_wap_publish" -> (arrowWapPublish _),
     "arrow_add_column" -> (arrowAddColumn _),
     "arrow_merge_schema_write" -> (arrowMergeSchemaWrite _),
+    "arrow_merge_schema_nested" -> (arrowMergeSchemaNested _),
     "arrow_rename_column" -> (arrowRenameColumn _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
@@ -1584,6 +1621,20 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM evolved GROUP BY o_channel
         |ORDER BY o_channel NULLS FIRST""".stripMargin,
+    "arrow_merge_schema_nested" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey, o_orderstatus AS status,
+        |    CAST(NULL AS VARCHAR) AS prio, o_totalprice
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 70000000, 'M', o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 397 = 0)
+        |SELECT prio, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        | COUNT(status) AS n_status
+        |FROM evolved GROUP BY prio
+        |ORDER BY prio NULLS FIRST""".stripMargin,
     "arrow_add_column" ->
       """WITH evolved AS (
         |  SELECT o_orderkey, o_totalprice,

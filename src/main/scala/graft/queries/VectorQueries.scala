@@ -401,6 +401,87 @@ object VectorQueries {
       .select(col("qid"), col("tid"), col("cos_hat"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** IVF-PQ composed ANN (`sim_ann_ivfpq`) — the actual Faiss
+    * deployment shape: queries probe their `nprobe` nearest IVF cells
+    * (the fitted k-means centroids), and candidates are ranked INSIDE
+    * the probed cells by PQ asymmetric distance (per-query LUT over
+    * the fitted codebooks), never by the raw vectors. The two fitted
+    * structures compose their scale stories: IVF bounds the candidate
+    * set at nprobe × max-cell-size per query (a broadcast probe-set
+    * join against ONE pass over the cell assignment), and PQ bounds
+    * the bytes ranked — 8 code bytes per candidate plus kilobyte
+    * broadcast LUTs. At 100 TB that is the difference between
+    * scanning vectors and scanning an index. Hash-gated like both
+    * parents: everything after the fits restates over the centroid
+    * AND codebook literals; DedupSimSpec pins recall vs brute force
+    * at the bounded candidate budget. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nprobe = 3
+    val cents = ivfFit(spark, dir)
+    val cdf = broadcast(cents.toDF("cell", "centroid"))
+    val e = withNorm(spark, dir)
+    // IVF side: per-(vector, cell) distances → assignment + probes
+    val cellScores = e.crossJoin(cdf)
+      .select(col("vec_id"), col("embedding"), col("nsq"), col("cell"),
+        (expr("graft_dot(centroid, centroid)")
+          - lit(2.0) * expr("graft_dot(embedding, centroid)"))
+          .as("score"))
+    val assigned = cellScores
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).getField("cell")
+        .as("t_cell"))
+    val wq = Window.partitionBy(col("vec_id"))
+      .orderBy(col("score").asc, col("cell").asc)
+    // probe set: (qid, cell) pairs — index metadata, broadcast
+    val probes = cellScores.filter(col("vec_id") < 20)
+      .withColumn("cell_rank", row_number().over(wq))
+      .filter(col("cell_rank") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cell").as("q_cell"))
+    // PQ side: corpus codes + per-query LUT (same encode as pqAdc,
+    // same 6dp argmin rounding — see the association-noise note there)
+    val cb = pqFit(spark, dir)
+    val cbdf = broadcast(cb.toDF("m", "code", "cent"))
+    val codes = subvectors(spark, dir).join(cbdf, "m")
+      .select(col("vec_id"), col("m"), col("code"),
+        round(expr("graft_dot(cent, cent)")
+          - lit(2.0) * expr("graft_dot(sub, cent)"), 6).as("score"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("score"), col("code"))).getField("code")
+        .as("code"))
+    val cn = broadcast(cb
+      .map { case (m, c, v) => (m, c, v.map(x => x * x).sum) }
+      .toDF("m", "code", "cnorm"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"))
+    val lut = broadcast(q.crossJoin(cbdf)
+      .select(col("qid"), col("m"), col("code"),
+        expr(s"graft_dot(slice(qv, m * $PqSub + 1, $PqSub), cent)")
+          .as("contrib")))
+    // candidates: probed cells only, then ADC over the codes
+    val sc0 = codes
+      .join(assigned.withColumnRenamed("vec_id", "tid"),
+        col("vec_id") === col("tid"))
+      .join(broadcast(probes), col("q_cell") === col("t_cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .join(lut, Seq("qid", "m", "code"))
+      .join(cn, Seq("m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("contrib")).as("adot"), sum(col("cnorm")).as("tn"))
+    val scored = sc0
+      .join(broadcast(q.select(col("qid"), col("q_nsq"))), "qid")
+      .select(col("qid"), col("vec_id").as("tid"),
+        round(col("adot") / sqrt(col("q_nsq") * col("tn")), 6)
+          .as("cos_hat"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("cos_hat").desc, col("tid").asc)
+    scored.withColumn("rn", row_number().over(w2))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos_hat"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
   // ------------------------------------------------------------------
 
   /** Per-label, per-dimension centroid, mean rounded to 6 decimals.
@@ -745,6 +826,7 @@ object VectorQueries {
     "sim_ann_lsh_multiprobe" -> (annLshMultiprobe _),
     "sim_ann_ivf" -> (annIvf _),
     "sim_pq_adc" -> (pqAdc _),
+    "sim_ann_ivfpq" -> (annIvfPq _),
     "sim_matryoshka_rerank" -> (matryoshkaRerank _),
     "sim_ann_ivf_multiprobe" -> (annIvfMultiprobe _),
     "sim_ann_ivf_indexed" -> (annIvfIndexed _),
@@ -983,11 +1065,83 @@ object VectorQueries {
          |ORDER BY qid, rn""".stripMargin
     }
 
+  /** Oracle for [[annIvfPq]] — the IVF assignment/probe CTEs and the
+    * PQ code/LUT CTEs composed verbatim: candidates restrict to the
+    * probed cells, ranking is the ADC cosine. Needs BOTH fits. */
+  private def ivfPqSql(nprobe: Int): Option[String] =
+    for (cents <- fittedCentroids; cb <- fittedPqCodebooks) yield
+      s"""WITH ivfc(cell, cv) AS (VALUES
+         |  ${centroidSqlValues(cents)}),
+         |c(m, code, cv) AS (VALUES
+         |  ${codebookSqlValues(cb)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |cellscores AS (
+         | SELECT e.vec_id, ivfc.cell,
+         |  SUM(ivfc.cv[i]*ivfc.cv[i]
+         |      - 2.0*CAST(e.embedding[i] AS DOUBLE)*ivfc.cv[i]) AS score
+         | FROM e, ivfc, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, ivfc.cell),
+         |assigned AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM cellscores) WHERE rnc = 1),
+         |probes AS (
+         | SELECT vec_id AS qid, cell AS q_cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM cellscores WHERE vec_id < 20) WHERE rnc <= $nprobe),
+         |pqscores AS (
+         | SELECT e.vec_id, c.m, c.code,
+         |  round(SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[c.m*$PqSub + i] AS DOUBLE)*c.cv[i]),
+         |    6) AS score
+         | FROM e, c, UNNEST(range(1, $PqSub + 1)) AS r(i)
+         | GROUP BY e.vec_id, c.m, c.code),
+         |codes AS (
+         | SELECT vec_id, m, code FROM (
+         |  SELECT vec_id, m, code,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id, m
+         |     ORDER BY score, code) AS rnc
+         |  FROM pqscores) WHERE rnc = 1),
+         |cn AS (SELECT m, code, SUM(cv[i]*cv[i]) AS cnorm
+         | FROM c, UNNEST(range(1, $PqSub + 1)) AS r(i) GROUP BY m, code),
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM e
+         | WHERE vec_id < 20),
+         |qn AS (SELECT qid,
+         |  SUM(CAST(qv[i] AS DOUBLE)*CAST(qv[i] AS DOUBLE)) AS q_nsq
+         | FROM q, UNNEST(range(1, len(qv) + 1)) AS r(i) GROUP BY qid),
+         |lut AS (SELECT q.qid, c.m, c.code,
+         |  SUM(CAST(q.qv[c.m*$PqSub + i] AS DOUBLE) * c.cv[i]) AS contrib
+         | FROM q, c, UNNEST(range(1, $PqSub + 1)) AS r(i)
+         | GROUP BY q.qid, c.m, c.code),
+         |sc0 AS (SELECT p.qid, t.vec_id AS tid,
+         |  SUM(l.contrib) AS adot, SUM(cn.cnorm) AS tn
+         | FROM codes t
+         | JOIN assigned a ON a.vec_id = t.vec_id
+         | JOIN probes p ON p.q_cell = a.cell
+         | JOIN lut l ON l.qid = p.qid AND l.m = t.m AND l.code = t.code
+         | JOIN cn ON cn.m = t.m AND cn.code = t.code
+         | WHERE t.vec_id <> p.qid
+         | GROUP BY p.qid, t.vec_id),
+         |scored AS (SELECT sc0.qid, tid,
+         |  round(adot / sqrt(qn.q_nsq * tn), 6) AS cos_hat
+         | FROM sc0 JOIN qn ON qn.qid = sc0.qid),
+         |ranked AS (SELECT qid, tid, cos_hat,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos_hat DESC, tid ASC) AS INT) AS rn
+         | FROM scored)
+         |SELECT qid, tid, cos_hat, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin
+
   /** A def, not a val: the IVF entries join the map only after the fit
     * has run (SparkEntry.oracleSql is assembled at dump time). */
   def sql: Map[String, String] =
     baseSql ++
       pqSql.map(s => Map("sim_pq_adc" -> s)).getOrElse(Map.empty) ++
+      ivfPqSql(3).map(s => Map("sim_ann_ivfpq" -> s)).getOrElse(Map.empty) ++
       semanticDedupSql.map(s => Map("dedup_semantic" -> s))
         .getOrElse(Map.empty) ++
       ivfSql(1).map(s => Map(

@@ -104,7 +104,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
         if (bad.get() == null) {
           val got = idxSchema(f)
             .getOrElse(ArrowDataSource.readFooterSchema(f))
-          got.fields.find(g => !declared((g.name, g.dataType)) &&
+          got.fields.find(g =>
+              !ArrowDataSource.footerFieldTolerated(declared, g) &&
               !dropped(g.name)).foreach(
             g => bad.compareAndSet(null,
               s"arrow: $f carries ${g.name}:${g.dataType.simpleString} " +
@@ -136,14 +137,36 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
           .getOrElse(ArrowDataSource.readFooterSchema(files(i))))
       val out = scala.collection.mutable.LinkedHashMap
         .empty[String, org.apache.spark.sql.types.StructField]
+      // same-name STRUCT columns union field-wise (nested schema
+      // evolution — parquet's mergeSchema contract): first-appearance
+      // leaf order, everything nullable, leaf type conflicts refuse.
+      // The reader's struct-leaf patch serves absent leaves as nulls.
+      def unionType(name: String,
+          a: org.apache.spark.sql.types.DataType,
+          b: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType =
+        (a, b) match {
+          case (x, y) if x == y => x
+          case (x: StructType, y: StructType) =>
+            val extra = y.fields.filterNot(yf =>
+              x.fieldNames.contains(yf.name))
+            StructType(x.fields.map(xf =>
+              y.fields.find(_.name == xf.name) match {
+                case Some(yf) => xf.copy(dataType = unionType(
+                  s"$name.${xf.name}", xf.dataType, yf.dataType),
+                  nullable = true)
+                case None => xf.copy(nullable = true)
+              }) ++ extra.map(_.copy(nullable = true)))
+          case _ => throw new IllegalArgumentException(
+            s"arrow mergeSchema: column $name is " +
+              s"${a.simpleString} in one file under $root but " +
+              s"${b.simpleString} in another — type conflicts " +
+              "do not merge")
+        }
       for (s <- footers; f <- s.fields) out.get(f.name) match {
         case None => out(f.name) = f.copy(nullable = true)
-        case Some(g) if g.dataType == f.dataType => ()
-        case Some(g) => throw new IllegalArgumentException(
-          s"arrow mergeSchema: column ${f.name} is " +
-            s"${g.dataType.simpleString} in one file under $root but " +
-            s"${f.dataType.simpleString} in another — type conflicts " +
-            "do not merge")
+        case Some(g) => out(f.name) =
+          g.copy(dataType = unionType(f.name, g.dataType, f.dataType))
       }
       val partCols = ArrowDataSource.discoverPartitionSchema(root)
       return StructType(out.values.toArray.filterNot(f =>
@@ -1415,6 +1438,37 @@ object ArrowDataSource {
     }
     (ds.fields.map(f => (f.name, f.dataType)).toSet ++ aliasTyped ++
       partTyped, droppedColumns(root))
+  }
+
+  /** Whether a footer field is legitimate under the tolerated set:
+    * exact (name, type) membership, or — nested schema evolution — a
+    * same-name STRUCT whose leaves are a recursive subset of the
+    * declared struct's (files written before a leaf joined simply
+    * lack it; the reader null-fills absent leaves). Arrays and maps
+    * do not evolve element-wise (mergeWriteSchema refuses those
+    * deltas), so only struct types recurse. */
+  def footerFieldTolerated(
+      tolerated: Set[(String, org.apache.spark.sql.types.DataType)],
+      g: org.apache.spark.sql.types.StructField): Boolean =
+    tolerated.exists { case (n, t) =>
+      n == g.name && structSubsumes(t, g.dataType)
+    }
+
+  /** `declared` can serve every value a `footer`-typed file holds:
+    * equal types, or struct-wise — every footer leaf exists in the
+    * declared struct under the same name with a subsuming type.
+    * Nullability inside structs is ignored (a non-nullable-written
+    * leaf reads safely as nullable). */
+  def structSubsumes(declared: org.apache.spark.sql.types.DataType,
+      footer: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.StructType
+    (declared, footer) match {
+      case (d, f) if d == f => true
+      case (d: StructType, f: StructType) =>
+        f.fields.forall(ff => d.fields.find(_.name == ff.name)
+          .exists(df => structSubsumes(df.dataType, ff.dataType)))
+      case _ => false
+    }
   }
 
   def setDeclaredSchema(root: Path,

@@ -1464,7 +1464,7 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
               schema.fields(fi).dataType)
           cv.setNull()
           cv: ColumnVector
-        case (Left(i), _) =>
+        case (Left(i), fi) =>
           val v = root.getVector(i)
           Option(v.getField.getDictionary) match {
             case Some(enc) =>
@@ -1483,7 +1483,19 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
               // other column (loadBuffers drops prior buffers on each
               // load, closeAll() closes the root last).
               case _: org.apache.arrow.vector.complex.StructVector =>
-                new NonClosingVector(new ArrowColumnVector(v)): ColumnVector
+                // nested schema evolution: a file written before a
+                // struct LEAF joined the declaration carries a
+                // narrower struct — patch absent leaves as nulls,
+                // mapping declared leaf ordinals to file children by
+                // NAME (the flat-column analogue of Left(-1))
+                val patched = (schema.fields(fi).dataType,
+                    ArrowSchemas.fromArrowField(v.getField).dataType) match {
+                  case (d: StructType, f: StructType) =>
+                    StructLeafPatch(new ArrowColumnVector(v), d, f,
+                      root.getRowCount)
+                  case _ => new ArrowColumnVector(v): ColumnVector
+                }
+                new NonClosingVector(patched): ColumnVector
               case _ => new ArrowColumnVector(v): ColumnVector
             }
           }
@@ -1584,6 +1596,72 @@ private[arrow] final class NonClosingVector(under: ColumnVector)
   override def getBinary(i: Int): Array[Byte] = under.getBinary(i)
   override def getChild(ordinal: Int): ColumnVector = under.getChild(ordinal)
   override def close(): Unit = ()
+}
+
+/** Nested schema evolution, read side: view a file's NARROWER struct
+  * vector under the DECLARED struct type, serving leaves the file
+  * predates as null constants and resolving present leaves by NAME
+  * (recursively — a struct-in-struct leaf patches the same way).
+  * The no-op case (identical leaf names/order) returns the underlying
+  * vector unwrapped, so evolved-generation files pay nothing. */
+private[arrow] object StructLeafPatch {
+  def apply(under: ColumnVector, declared: StructType, file: StructType,
+      rows: Int): ColumnVector =
+    if (!needed(declared, file)) under
+    else new StructLeafPatchVector(under, declared, file, rows)
+
+  private def needed(declared: StructType, file: StructType): Boolean =
+    declared.fields.length != file.fields.length ||
+      declared.fields.zip(file.fields).exists { case (d, f) =>
+        d.name != f.name || ((d.dataType, f.dataType) match {
+          case (ds: StructType, fs: StructType) => needed(ds, fs)
+          case _ => false // leaf types already passed the drift sweep
+        })
+      }
+}
+
+private[arrow] final class StructLeafPatchVector(under: ColumnVector,
+    declared: StructType, file: StructType, rows: Int)
+    extends ColumnVector(declared) {
+  private val children: Array[ColumnVector] = declared.fields.map { df =>
+    file.fieldNames.indexOf(df.name) match {
+      case -1 => // leaf absent from this file: all null
+        val cv = new org.apache.spark.sql.execution.vectorized
+          .ConstantColumnVector(rows, df.dataType)
+        cv.setNull()
+        cv: ColumnVector
+      case i => (df.dataType, file.fields(i).dataType) match {
+        case (ds: StructType, fs: StructType) =>
+          StructLeafPatch(under.getChild(i), ds, fs, rows)
+        case _ => under.getChild(i)
+      }
+    }
+  }
+  override def hasNull: Boolean = under.hasNull
+  override def numNulls: Int = under.numNulls
+  override def isNullAt(i: Int): Boolean = under.isNullAt(i)
+  override def getChild(ordinal: Int): ColumnVector = children(ordinal)
+  // the arrow memory is owned by the reader's root (see the
+  // NonClosingVector rationale); constants are on-heap
+  override def close(): Unit = ()
+  private def unsupported = throw new UnsupportedOperationException(
+    "struct-typed arrow column: access through getChild")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getShort(i: Int): Short = unsupported
+  override def getInt(i: Int): Int = unsupported
+  override def getLong(i: Int): Long = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getDouble(i: Int): Double = unsupported
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = unsupported
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
 }
 
 private[arrow] final class SelectedVector(under: ColumnVector,

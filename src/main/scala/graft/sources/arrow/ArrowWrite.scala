@@ -264,6 +264,19 @@ class ArrowBatchWrite(path: String, schema: StructType,
     // from them would resurrect the replaced schema as phantom nulls.
     val sinkNotTable = ArrowDataSource.sinkRoot(path).isDefined &&
       !ArrowDataSource.isTableLog(path)
+    // mergeSchema against a streaming-sink directory cannot merge:
+    // an overwrite truncates the very footers a merge would union
+    // (the skip below), and an append is refused outright by the sink
+    // guard. Silently dropping the option would hand a user asking
+    // for overwrite-merge semantics plain replace semantics — refuse
+    // loudly instead, matching the streaming writer's own refusal.
+    if (mergeSchema && sinkNotTable)
+      throw new UnsupportedOperationException(
+        s"arrow: $path carries a streaming commit log " +
+          s"(${ArrowDataSource.MetadataDirName}) — mergeSchema has " +
+          "nothing to merge against here (an overwrite truncates the " +
+          "sink's footers; an append is refused). Drop the option, or " +
+          "overwrite without it and evolve afterwards.")
     if (mergeSchema && !sinkNotTable)
       GraftProcedures.mergeWriteSchema(path, schema,
         partitionCols.toSet ++ transform.map(_.dirCol))

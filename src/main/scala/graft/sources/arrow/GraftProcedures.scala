@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
@@ -728,9 +728,6 @@ object GraftProcedures {
       val current = currentDataSchema(path, root, "add_column")
       val partCols =
         ArrowDataSource.discoverPartitionCols(root.toString).toSet
-      require(!current.fieldNames.contains(colName) &&
-        !partCols(colName),
-        s"add_column: column $colName already exists on $path")
       val dropped = ArrowDataSource.droppedColumns(root)
       val aliases = ArrowDataSource.aliasColumns(root)
       require(!dropped(colName) &&
@@ -738,11 +735,46 @@ object GraftProcedures {
         s"add_column: $colName was previously DROPPED from or RENAMED " +
           s"on $path — re-adding the name would resurrect old files' " +
           "values (no per-column ids); pick a fresh name")
-      ArrowDataSource.setDeclaredSchema(root, StructType(
-        current.fields :+ StructField(colName, dt, nullable = true)),
-        dropped, aliases)
+      // A DOTTED name adds a nullable LEAF to an existing struct
+      // column (nested schema evolution — Delta's
+      // `ADD COLUMNS (meta.c bigint)`): metadata-only like the flat
+      // case, files written before the leaf serve it as nulls via the
+      // reader's struct-leaf patch, and the drift sweep tolerates
+      // their narrower struct footers (structSubsumes).
+      val evolved =
+        if (colName.contains('.')) {
+          def addLeaf(st: StructType, prefix: String,
+              ps: List[String]): StructType = ps match {
+            case leaf :: Nil =>
+              require(!st.fieldNames.contains(leaf),
+                s"add_column: column $colName already exists on $path")
+              StructType(st.fields :+ StructField(leaf, dt, nullable = true))
+            case p :: rest =>
+              val idx = st.fieldNames.indexOf(p)
+              require(idx >= 0,
+                s"add_column: no struct column $prefix$p on $path")
+              st.fields(idx).dataType match {
+                case inner: StructType => StructType(st.fields.updated(
+                  idx, st.fields(idx).copy(
+                    dataType = addLeaf(inner, s"$prefix$p.", rest))))
+                case other => throw new IllegalArgumentException(
+                  s"add_column: $prefix$p is ${other.simpleString} on " +
+                    s"$path, not a struct — only struct columns take " +
+                    "nested leaves")
+              }
+            case Nil => st
+          }
+          addLeaf(current, "", colName.split("\\.").toList)
+        } else {
+          require(!current.fieldNames.contains(colName) &&
+            !partCols(colName),
+            s"add_column: column $colName already exists on $path")
+          StructType(
+            current.fields :+ StructField(colName, dt, nullable = true))
+        }
+      ArrowDataSource.setDeclaredSchema(root, evolved, dropped, aliases)
       result(out, Array(new GenericInternalRow(Array[Any](
-        current.fields.length + 1L))))
+        evolved.fields.length.toLong))))
     }
   }
 
@@ -758,7 +790,23 @@ object GraftProcedures {
     * if the job then aborts, the widened schema is harmless metadata
     * (the column reads as nulls until data arrives). A first write
     * into an empty directory declares nothing — the footers are the
-    * schema until evolution actually happens. */
+    * schema until evolution actually happens.
+    *
+    * Struct columns merge FIELD-WISE (nested schema evolution): new
+    * leaves land nullable at the end of the struct, same-name leaves
+    * must agree on type recursively, dotted leaf names consult the
+    * drop/rename ledgers, and arrays/maps never evolve element-wise.
+    *
+    * CAVEAT (documented race): evolving an UNLOGGED directory
+    * implicitly promotes it to a logged table (initTableLog snapshots
+    * the current file list into manifest 0). A concurrent PLAIN
+    * append that planned against the bare directory and renames its
+    * file after that snapshot lands a file no epoch lists — invisible
+    * to readers. Same hazard class as an explicit concurrent
+    * initTableLog; `CALL fsck` now surfaces such files as
+    * `file-listed` findings, so the race degrades loudly post-hoc.
+    * Initialize the table log before admitting concurrent writers to
+    * avoid it entirely. */
   private[arrow] def mergeWriteSchema(path: String,
       incoming: StructType, writePartCols: Set[String]): Unit = {
     // Root resolution must survive subdirectory addressing even on an
@@ -793,23 +841,81 @@ object GraftProcedures {
     // name collision loudly; the write path owes the same loudness).
     val partSchema =
       ArrowDataSource.discoverPartitionSchema(root.toString)
+    // Names resolve with the SESSION's resolver (case-insensitive by
+    // default, like every Spark column lookup): an incoming `AMT`
+    // against a declared `amt` is the SAME column — declaring it fresh
+    // would produce a duplicate-modulo-case schema no case-insensitive
+    // read could disambiguate, and would sidestep the dropped/renamed
+    // resurrection guard for case variants.
+    val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+    // A resolver match under a DIFFERENT spelling refuses outright:
+    // the writer lands footers under the INCOMING name, and footers
+    // match the declaration case-sensitively — declaring the variant
+    // fresh would produce a duplicate-modulo-case schema, and landing
+    // it unmerged would brick the drift sweep. Either way, loud.
+    def requireExactCase(declaredName: String, incomingName: String): Unit =
+      require(declaredName == incomingName,
+        s"arrow mergeSchema write: incoming column $incomingName " +
+          s"resolves to declared column $declaredName on $path — " +
+          "align the column's case (footers match case-sensitively)")
     incoming.fields.foreach(f =>
-      partSchema.fields.find(_.name == f.name).foreach(g =>
+      partSchema.fields.find(g => resolver(g.name, f.name)).foreach { g =>
+        requireExactCase(g.name, f.name)
         require(g.dataType == f.dataType,
           s"arrow mergeSchema write: partition column ${f.name} is " +
             s"${g.dataType.simpleString} on $path but the incoming " +
             s"frame carries ${f.dataType.simpleString} — partition " +
-            "types do not merge")))
-    val curByName = current.fields.map(f => f.name -> f).toMap
-    incoming.fields.foreach(f => curByName.get(f.name).foreach(g =>
-      require(g.dataType == f.dataType,
-        s"arrow mergeSchema write: column ${f.name} is " +
-          s"${g.dataType.simpleString} on $path but the incoming frame " +
-          s"carries ${f.dataType.simpleString} — type conflicts do " +
-          "not merge")))
+            "types do not merge")
+      })
+    val dropped = ArrowDataSource.droppedColumns(root)
+    val aliases = ArrowDataSource.aliasColumns(root)
+    def requireNotLedgered(name: String): Unit =
+      require(!dropped.exists(resolver(_, name)) &&
+        !aliases.values.flatten.exists(resolver(_, name)),
+        s"arrow mergeSchema write: $name was previously DROPPED " +
+          s"from or RENAMED on $path — auto-evolving would resurrect " +
+          "old files' values; pick a fresh name")
+    // Same-name columns must carry the same type — except STRUCTS,
+    // which merge FIELD-WISE (nested schema evolution, Delta's struct
+    // merge): same-name leaves must agree recursively, new leaves land
+    // nullable at the end of the struct, and dropped/renamed leaf
+    // names (ledgered as dotted paths) refuse resurrection. Arrays and
+    // maps never evolve element-wise — without per-element ids a
+    // repositioned element would silently remap old files' values.
+    def mergeType(colPath: String, cur: DataType,
+        inc: DataType): DataType = (cur, inc) match {
+      case (c, i) if c == i => c
+      case (c: StructType, i: StructType) =>
+        val kept = c.fields.map { cf =>
+          i.fields.find(f => resolver(f.name, cf.name)) match {
+            case Some(f) =>
+              requireExactCase(cf.name, f.name)
+              cf.copy(dataType = mergeType(
+                s"$colPath.${cf.name}", cf.dataType, f.dataType))
+            case None => cf
+          }
+        }
+        val freshLeaves = i.fields.filterNot(f =>
+          c.fields.exists(cf => resolver(cf.name, f.name)))
+        freshLeaves.foreach(f => requireNotLedgered(s"$colPath.${f.name}"))
+        StructType(kept ++ freshLeaves.map(_.copy(nullable = true)))
+      case (c, i) => throw new IllegalArgumentException(
+        s"arrow mergeSchema write: column $colPath is " +
+          s"${c.simpleString} on $path but the incoming frame " +
+          s"carries ${i.simpleString} — type conflicts do not merge")
+    }
+    val merged = current.fields.map { cf =>
+      incoming.fields.find(f => resolver(f.name, cf.name)) match {
+        case Some(f) =>
+          requireExactCase(cf.name, f.name)
+          cf.copy(dataType = mergeType(cf.name, cf.dataType, f.dataType))
+        case None => cf
+      }
+    }
     val fresh = incoming.fields.filterNot(f =>
-      partCols(f.name) || curByName.contains(f.name))
-    if (fresh.isEmpty) return
+      partCols.exists(resolver(_, f.name)) ||
+        current.fields.exists(cf => resolver(cf.name, f.name)))
+    if (fresh.isEmpty && merged.toSeq == current.fields.toSeq) return
     // Evolving a bare (unlogged) directory first promotes it to a
     // logged table: the declaration sidecar lives in _graft_metadata,
     // and a metadata dir WITHOUT a table marker reads as a streaming
@@ -817,15 +923,9 @@ object GraftProcedures {
     // also buys the evolution atomic epoch semantics for free.
     if (!ArrowDataSource.isTableLog(path))
       ArrowDataSource.initTableLog(root.toString)
-    val dropped = ArrowDataSource.droppedColumns(root)
-    val aliases = ArrowDataSource.aliasColumns(root)
-    fresh.foreach(f => require(!dropped(f.name) &&
-      !aliases.values.exists(_.contains(f.name)),
-      s"arrow mergeSchema write: ${f.name} was previously DROPPED " +
-        s"from or RENAMED on $path — auto-evolving would resurrect " +
-        "old files' values; pick a fresh name"))
+    fresh.foreach(f => requireNotLedgered(f.name))
     ArrowDataSource.setDeclaredSchema(root, StructType(
-      current.fields ++ fresh.map(_.copy(nullable = true))),
+      merged ++ fresh.map(_.copy(nullable = true))),
       dropped, aliases)
   }
 
@@ -1123,7 +1223,8 @@ object GraftProcedures {
           val (declared, dropped) =
             ArrowDataSource.toleratedFooterFields(root, ds)
           schemas.foreach { case (f, s) =>
-            s.fields.filterNot(g => declared((g.name, g.dataType)) ||
+            s.fields.filterNot(g =>
+              ArrowDataSource.footerFieldTolerated(declared, g) ||
               dropped(g.name)).foreach(g =>
               bad("schema-vs-declared", s"$f carries ${g.name}:" +
                 s"${g.dataType.simpleString}"))
@@ -1157,7 +1258,27 @@ object GraftProcedures {
                   }
             }
         }
-      // 4. partition directory values decode
+      // 4. every physical IPC file is listed by SOME epoch manifest:
+      // a file NO epoch ever adopted is invisible to every reader —
+      // silent data loss. The reachable producer is the
+      // unlogged-table promotion race (a plain append planned against
+      // the bare directory renames its file AFTER a concurrent
+      // initTableLog/mergeSchema-promotion snapshots the file list);
+      // fsck turns that silence into a finding.
+      if (ArrowDataSource.isTableLog(root.toString)) {
+        val latest = ArrowDataSource.latestCommittedEpoch(root)
+        val listed = (0L to latest).flatMap(e =>
+          scala.util.Try(ArrowDataSource.liveEntries(root, Some(e)))
+            .toOption.getOrElse(Seq.empty).map(_._2)).toSet
+        ArrowDataSource.listIpcFiles(root.toString).foreach { f =>
+          val rel = root.relativize(f.toAbsolutePath.normalize).toString
+          if (!listed.contains(rel)) bad("file-listed",
+            s"$rel exists on disk but no epoch manifest lists it — " +
+              "invisible to every reader (promotion race or foreign " +
+              "writer); re-ingest it or vacuum it away")
+        }
+      }
+      // 5. partition directory values decode
       // decode AND type-check: the name-keyed parser tolerates any
       // layout (partition evolution), so the integrity signal is a
       // dir VALUE the recorded/discovered column type cannot decode —

@@ -201,8 +201,18 @@ object StreamingOps {
     * requires RocksDBStateStoreProvider, whose per-key state lives
     * off-heap and spills to local disk with changelog checkpointing —
     * at 100 TB clickstream scale, user cardinality is bounded by
-    * executor DISK, not heap. TimeMode.None: the chain window is
-    * event-time arithmetic on the carried seconds, no timers needed. */
+    * executor DISK, not heap — and, with the event-time timer below,
+    * by ACTIVE users, not lifetime users.
+    *
+    * State TTL: each batch (re)arms ONE event-time timer per user at
+    * last-activity + window; when the watermark passes it, the carry
+    * is cleared. Eviction is LOSSLESS under the watermark contract:
+    * any event the cleared carry could still have qualified
+    * (sec - lastSec ≤ window) carries an event time below the
+    * watermark that fired the timer, so the stream would have dropped
+    * it as late anyway. Without this, a 100 TB clickstream's user
+    * cardinality grows the RocksDB store without bound — spilled,
+    * but never reclaimed. */
   class ChainProcessor(windowSec: Long)
       extends StatefulProcessor[Long, Event, ChainMatch] {
     @transient private var state: ValueState[ChainState] = _
@@ -216,17 +226,37 @@ object StreamingOps {
       val st0 = if (state.exists()) state.get() else ChainState(-1L, -1L)
       val (st, out) = foldChain(uid, st0, rows, windowSec)
       state.update(st)
+      // re-arm the eviction timer at last-activity + window: delete
+      // any prior timer first so each user holds exactly one
+      val lastSec = math.max(st.lastViewSec, st.lastQualClickSec)
+      if (lastSec >= 0) {
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer((lastSec + windowSec) * 1000L)
+      }
       out.iterator
+    }
+
+    override def handleExpiredTimer(uid: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[ChainMatch] = {
+      // the timer is always the LATEST one armed (prior ones are
+      // deleted on every batch), so firing means the watermark passed
+      // this user's last activity + window — the carry is dead weight
+      state.clear()
+      Iterator.empty
     }
   }
 
-  /** transformWithState wiring for [[ChainProcessor]]. */
+  /** transformWithState wiring for [[ChainProcessor]]. The watermark
+    * is applied HERE (event-time timers require one); `lateness` is
+    * the out-of-orderness bound the caller's stream tolerates. */
   def twsPatternChains(events: Dataset[Event],
-      windowSec: Long = 86400L): Dataset[ChainMatch] = {
+      windowSec: Long = 86400L,
+      lateness: String = "0 seconds"): Dataset[ChainMatch] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events.withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
       .transformWithState(new ChainProcessor(windowSec),
-        TimeMode.None(), OutputMode.Append())
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Arbitrary stateful processing: per-user session summaries via

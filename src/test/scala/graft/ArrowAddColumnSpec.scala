@@ -18,6 +18,12 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     s
   }
 
+  private def errChain(t: Throwable): Seq[Throwable] =
+    Option(t).toSeq.flatMap(x => x +: errChain(x.getCause))
+  private def assertRefused(e: Throwable, needle: String): Unit =
+    assert(errChain(e).exists(t => Option(t.getMessage)
+      .exists(_.contains(needle))), s"expected '$needle' in: $e")
+
   test("add_column evolves reads, writes, and DML without a rewrite") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol").toString
@@ -290,6 +296,56 @@ class ArrowAddColumnSpec extends AnyFunSuite {
       "old_name => 'amt', new_name => 'amount')").collect()
     assert(spark.read.format("arrow").load(dir)
       .schema.fieldNames.toSeq == Seq("id", "amount"))
+  }
+
+  test("add_column with a DOTTED name adds a nullable struct LEAF " +
+      "metadata-only; guards stay loud") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("addleaf").toString
+    (1L to 12L).map(i => (i, (s"t$i", i * 2L))).toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<tag:string,amt:bigint>"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val filesBefore = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    val n = spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'meta.score', type => 'double')").collect().head.getLong(0)
+    assert(n == 2L) // top-level column count is unchanged
+    assert(ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap ==
+      filesBefore, "leaf addition must not touch a data file")
+
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("meta").dataType.catalogString ==
+      "struct<tag:string,amt:bigint,score:double>")
+    assert(df.filter(col("meta.score").isNotNull).count() == 0)
+    assert(df.agg(sum(col("meta.amt"))).head.getLong(0) ==
+      (1L to 12L).map(_ * 2).sum)
+
+    // a new write carries the evolved struct natively
+    Seq((13L, ("t13", 26L, 0.5))).toDF("id", "meta")
+      .select(col("id"),
+        col("meta").cast("struct<tag:string,amt:bigint,score:double>"))
+      .write.format("arrow").mode("append").save(dir)
+    val evolved = spark.read.format("arrow").load(dir)
+    assert(evolved.count() == 13)
+    assert(evolved.filter(col("meta.score") === 0.5).select("id")
+      .head.getLong(0) == 13L)
+
+    // guards: duplicate leaf, missing parent, non-struct parent
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'meta.amt', type => 'bigint')").collect()
+    }, "already exists")
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'nosuch.leaf', type => 'bigint')").collect()
+    }, "no struct column")
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'id.leaf', type => 'bigint')").collect()
+    }, "not a struct")
   }
 
   test("writer drift against the declared schema fails loudly") {

@@ -293,6 +293,116 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
       .schema.fieldNames.toSeq == Seq("id", "amt"))
   }
 
+  test("NESTED evolution: a struct column gains a leaf field-wise — " +
+      "old files serve the leaf as nulls, leaf type conflicts refuse") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_nested").toString
+    (1L to 20L).map(i => (i, (s"s$i", i * 2L)))
+      .toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<tag:string,amt:bigint>"))
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val before = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    (21L to 25L).map(i => (i, (s"s$i", i * 2L, s"new$i"))).toDF("id", "meta")
+      .select(col("id"),
+        col("meta").cast("struct<tag:string,amt:bigint,extra:string>"))
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+
+    val after = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    assert(before.forall { case (k, v) => after.get(k).contains(v) },
+      "nested mergeSchema append must not rewrite pre-existing files")
+
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("meta").dataType.catalogString ==
+      "struct<tag:string,amt:bigint,extra:string>")
+    assert(df.count() == 25)
+    assert(df.filter(col("meta.extra").isNull).count() == 20)
+    assert(df.filter(col("meta.extra") === "new23").select("id")
+      .head.getLong(0) == 23L)
+    // pre-evolution leaves still read from both generations
+    assert(df.agg(sum(col("meta.amt"))).head.getLong(0) ==
+      (1L to 25L).map(_ * 2).sum)
+
+    // an old-shape frame (narrower struct) still appends plainly:
+    // its footer is a tolerated SUBSET of the declared struct
+    (26L to 27L).map(i => (i, (s"s$i", i * 2L))).toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<tag:string,amt:bigint>"))
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 27)
+
+    // a LEAF type conflict refuses, naming the dotted path
+    val e = intercept[Exception] {
+      Seq((99L, ("x", "not-a-long"))).toDF("id", "meta")
+        .select(col("id"), col("meta").cast("struct<tag:string,amt:string>"))
+        .write.format("arrow").mode("append")
+        .option("mergeSchema", "true").save(dir)
+    }
+    assertRefused(e, "meta.amt")
+  }
+
+  test("names resolve case-insensitively: an incoming case variant " +
+      "refuses loudly, never declares a duplicate-modulo-case twin") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("mergewrite_case").toString
+    (1L to 10L).map(i => (i, i * 2L)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // a case variant resolves to the declared column but would land
+    // footers under the variant spelling (footers match
+    // case-sensitively) — refuse, don't declare a twin or let the
+    // footer drift brick later reads
+    val e = intercept[Exception] {
+      Seq((11L, 22L, "x")).toDF("id", "AMT", "note")
+        .write.format("arrow").mode("append")
+        .option("mergeSchema", "true").save(dir)
+    }
+    assertRefused(e, "align the column's case")
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    // the refusal happened before any declaration landed
+    assert(ArrowDataSource.declaredSchema(root).forall(
+      _.fieldNames.forall(n => n == n.toLowerCase)),
+      "refused case-variant write left a duplicate-modulo-case twin")
+    assert(spark.read.format("arrow").load(dir).count() == 10)
+    // aligned case merges normally
+    Seq((11L, 22L, "x")).toDF("id", "amt", "note")
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt", "note"))
+    assert(df.count() == 11)
+  }
+
+  test("a sink-root OVERWRITE with mergeSchema refuses loudly instead " +
+      "of silently dropping the option") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("mergewrite_sinkow").toString
+    val ckpt = Files.createTempDirectory("mergewrite_sinkowck").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long)]
+    input.addData((1L, 2L))
+    val q = input.toDF().toDF("id", "amt").writeStream.format("arrow")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(dir)
+    try q.processAllAvailable() finally q.stop()
+    val e = intercept[Exception] {
+      Seq((9L, 9L, "x")).toDF("id", "amt", "xtra")
+        .write.format("arrow").mode("overwrite")
+        .option("mergeSchema", "true").save(dir)
+    }
+    assertRefused(e, "nothing to merge")
+    // without the option, the overwrite (plain replace) still works
+    Seq((9L, 9L, "x")).toDF("id", "amt", "xtra")
+      .write.format("arrow").mode("overwrite").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 1)
+  }
+
   test("the streaming sink refuses mergeSchema") {
     import spark.implicits._
     val dir = Files.createTempDirectory("mergewrite_stream").toString

@@ -307,6 +307,36 @@ class DedupSimSpec extends AnyFunSuite {
     assert(recall >= 0.1, s"PQ top-5 recall $recall < 0.1 floor")
   }
 
+  test("IVF-PQ composes its parents' budgets: candidates confined to " +
+      "the probed cells, PQ-class recall at the bounded budget") {
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1)))
+    val brute = pairs(VectorQueries.topK(spark, TestSession.Sf).collect())
+    val ivfpq = pairs(VectorQueries.annIvfPq(spark, TestSession.Sf)
+      .collect())
+    // shape + determinism, the pqAdc contract
+    assert(ivfpq.groupBy(_._1).values.forall(_.size <= 5))
+    val again = pairs(VectorQueries.annIvfPq(spark, TestSession.Sf)
+      .collect())
+    assert(ivfpq.sameElements(again), "IVF-PQ ranking is nondeterministic")
+    // recall floor: the composition ranks by 8-byte ADC inside ~3/16
+    // of the corpus, so it cannot beat pqAdc, but on the fixture it
+    // must keep the clearly-better-than-chance slice (chance ≈ 1%)
+    val bruteSet = brute.toSet
+    val recall = ivfpq.count(bruteSet.contains).toDouble / brute.length
+    assert(recall >= 0.08, s"IVF-PQ top-5 recall $recall < 0.08 floor")
+    // budget sanity vs the exact-ranked multiprobe over the SAME fit:
+    // both pipelines draw candidates from the same probed cells, so
+    // they must agree on a healthy slice of their top-5s (fixed
+    // fixture + deterministic fits → this overlap is deterministic)
+    val ivfMulti = pairs(VectorQueries
+      .annIvfMultiprobe(spark, TestSession.Sf).collect()).toSet
+    val agree = ivfpq.count(ivfMulti.contains).toDouble / ivfpq.length
+    assert(agree >= 0.2,
+      s"IVF-PQ shares only $agree of its picks with exact-ranked " +
+        "multiprobe over the same cells — candidate pool likely wrong")
+  }
+
   test("typed SimHashAgg signatures are bit-equal to the 64-sum formulation") {
     val viaAgg = DedupQueries.simhashDedup(spark, TestSession.Sf) // warms path
     viaAgg.collect() // force; result shape irrelevant here

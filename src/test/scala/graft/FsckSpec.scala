@@ -73,4 +73,26 @@ class FsckSpec extends AnyFunSuite {
     assert(r2.exists(f => f._1 == "dv-parses" && f._2 == "FAIL"),
       r2.mkString("\n"))
   }
+
+  test("a physical file NO epoch lists is flagged (the promotion-race " +
+      "signature): invisible data must not stay silent") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fsck_unlisted").toString
+    (1L to 30L).map(i => (i, i)).toDF("id", "v")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"INSERT INTO graft.arrow.`$dir` VALUES (100, 1)")
+    assert(fsck(dir).last._2 == "PASS")
+    // plant a file the log never adopted — what a plain append racing
+    // the initTableLog snapshot leaves behind
+    val src = ArrowDataSource.listIpcFiles(dir).head
+    val orphan = src.getParent.resolve("part-orphan-raced.arrow")
+    Files.copy(src, orphan)
+    val r = fsck(dir)
+    assert(r.exists(f => f._1 == "file-listed" && f._2 == "FAIL" &&
+      f._3.contains("part-orphan-raced")), r.mkString("\n"))
+    // the orphan is invisible to reads (that's the loss being flagged)
+    assert(spark.read.format("arrow").load(dir).count() == 31)
+  }
 }

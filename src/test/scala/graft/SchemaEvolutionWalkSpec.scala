@@ -284,4 +284,68 @@ class SchemaEvolutionWalkSpec extends AnyFunSuite {
     assert(tagSnaps.nonEmpty,
       "walk never tagged a version — widen the op mix")
   }
+
+  test("struct-LEAF evolution interleaves with DML, mergeSchema, " +
+      "rename and restore: every generation reads through the current " +
+      "declared struct") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("evo_leafwalk").toString
+    // generation 0: struct<tag, amt>
+    (1L to 20L).map(i => (i, (s"t${i % 3}", i * 2L))).toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<tag:string,amt:bigint>"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // leaf 1 via CALL (metadata-only)
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'meta.score', type => 'double')").collect()
+    // generation 1 carries the evolved struct; tag the 2-leaf past
+    spark.sql(s"CALL graft.system.tag(path => '$dir', " +
+      "name => 'pre_flag')").collect()
+    Seq((21L, ("t0", 42L, 0.25))).toDF("id", "meta")
+      .select(col("id"),
+        col("meta").cast("struct<tag:string,amt:bigint,score:double>"))
+      .write.format("arrow").mode("append").save(dir)
+    // leaf 2 via a mergeSchema append (writer-path evolution)
+    Seq((22L, ("t1", 44L, 0.5, "y"))).toDF("id", "meta")
+      .select(col("id"), col("meta")
+        .cast("struct<tag:string,amt:bigint,score:double,flag:string>"))
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("meta").dataType.catalogString ==
+      "struct<tag:string,amt:bigint,score:double,flag:string>")
+    assert(df.count() == 22)
+    // per-generation leaf visibility: gen0 nulls both new leaves,
+    // gen1 nulls only flag, gen2 carries all four
+    assert(df.filter(col("meta.score").isNull).count() == 20)
+    assert(df.filter(col("meta.flag").isNull).count() == 21)
+    assert(df.agg(sum(col("meta.amt"))).head.getLong(0) ==
+      (1L to 20L).map(_ * 2).sum + 42L + 44L)
+    // DML through a leaf predicate over mixed generations
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE meta.amt = 42")
+    assert(spark.read.format("arrow").load(dir).count() == 21)
+    // rename the WHOLE struct column: old files read through the
+    // alias ledger AND the leaf patch together
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'meta', new_name => 'info')").collect()
+    val renamed = spark.read.format("arrow").load(dir)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "info"))
+    assert(renamed.filter(col("info.flag") === "y").select("id")
+      .head.getLong(0) == 22L)
+    // restore to the 2-leaf tag: restored files read through the
+    // CURRENT 4-leaf declaration (new leaves null) under the new name
+    val tagEpoch = ArrowDataSource.tags(java.nio.file.Paths.get(dir)
+      .toAbsolutePath.normalize)("pre_flag")
+    spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+      s"epoch => $tagEpoch)").collect()
+    val restored = spark.read.format("arrow").load(dir)
+    assert(restored.count() == 20)
+    assert(restored.schema("info").dataType.catalogString ==
+      "struct<tag:string,amt:bigint,score:double,flag:string>")
+    assert(restored.filter(col("info.score").isNotNull).count() == 0)
+    assert(restored.agg(sum(col("info.amt"))).head.getLong(0) ==
+      (1L to 20L).map(_ * 2).sum)
+  }
 }

@@ -253,6 +253,75 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("the tws chain detector EVICTS idle users once the watermark " +
+      "passes last-activity + window: state tracks ACTIVE users, " +
+      "results unchanged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Event]
+      def ev(id: Long, t: String, uid: Long, tpe: String) =
+        Event(id, Timestamp.valueOf(t), uid, tpe, 1.0)
+      val got =
+        new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val q = StreamingOps.twsPatternChains(mem.toDS(), 3600L)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", java.nio.file.Files
+          .createTempDirectory("tws_evict_ckpt").toString)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[StreamingOps.ChainMatch],
+              _: Long) =>
+            df.collect().foreach(m => { got.add((m.user_id, m.event_id)); () })
+            ()
+        }.start()
+      try {
+        // batch 1: five users park view(+click) carries
+        mem.addData((1L to 5L).flatMap(u => Seq(
+          ev(u * 10, "2024-01-01 10:00:00", u, "view"),
+          ev(u * 10 + 1, "2024-01-01 10:05:00", u, "click"))): _*)
+        q.processAllAvailable()
+        val peak = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        // batch 2: one far-future event advances the watermark a day
+        // past every carry's last-activity + window
+        mem.addData(ev(1000, "2024-01-02 12:00:00", 99L, "view"))
+        q.processAllAvailable()
+        // batch 3: timers fired against the new watermark — the five
+        // idle carries evict; user 1's late-window purchase emits
+        // nothing (semantics unchanged: it is outside the 1 h window
+        // regardless), and user 99 completes a FRESH chain to prove
+        // the detector still works after eviction ran
+        mem.addData(
+          ev(1001, "2024-01-02 12:10:00", 1L, "purchase"),
+          ev(1002, "2024-01-02 12:20:00", 99L, "click"),
+          ev(1003, "2024-01-02 12:30:00", 99L, "purchase"))
+        q.processAllAvailable()
+        val settled = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(peak >= 5, s"expected ≥5 state rows at peak, got $peak")
+        assert(settled < peak,
+          s"idle users' state never evicted: peak=$peak settled=$settled")
+        // active users at the end: 1 and 99 (each ≤ 1 chain row + 1
+        // timer row in the store)
+        assert(settled <= 4,
+          s"state not bounded by ACTIVE users: settled=$settled")
+        val out = scala.jdk.CollectionConverters
+          .CollectionHasAsScala(got).asScala.toSeq.sorted
+        assert(out == Seq((99L, 1003L)),
+          s"eviction changed results: $out")
+      } finally q.stop()
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful pattern chains equal the batch events_pattern " +
       "formulation across micro-batch boundaries") {
     import spark.implicits._
