@@ -108,6 +108,51 @@ object StorageQueries {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** MERGE INTO with SCHEMA EVOLUTION, oracle-gated — Delta's
+    * `withSchemaEvolution`: the CDC source carries a column the
+    * target has never seen (`o_channel`), and
+    * [[graft.sources.arrow.MergeInto.withSchemaEvolution]] evolves
+    * the declared schema (mergeWriteSchema invariants) BEFORE the
+    * MERGE analyzes, so `UPDATE SET *` / `INSERT *` resolve against
+    * the evolved target. The rewrite stays bounded: only files
+    * holding matched keys are replaced (their carried-over rows
+    * materialize the column as null); every untouched file serves it
+    * as null through the by-name reader. */
+  def mergeUpsertEvolve(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("mergeevo_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    val orders = Tables.orders(spark, dir)
+    val src = orders.filter(col("o_orderkey") % 251 === 0)
+      .select(col("o_orderkey"),
+        (col("o_totalprice") + lit(1000.0)).as("o_totalprice"),
+        lit("E").as("o_orderstatus"), lit("cdc").as("o_channel"))
+      .unionAll(orders.filter(col("o_orderkey") % 257 === 0)
+        .select((col("o_orderkey") + lit(80000000L)).as("o_orderkey"),
+          col("o_totalprice"), lit("N").as("o_orderstatus"),
+          lit("cdc-new").as("o_channel")))
+    val view = "mergeevo_src_" + java.util.UUID.randomUUID()
+      .toString.takeRight(12)
+    graft.sources.arrow.MergeInto.withSchemaEvolution(spark, out, src,
+      view,
+      s"""MERGE INTO graft.arrow.`$out` t
+         |USING $view s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_channel").asc_nulls_first)
+  }
+
   /** Right-to-be-forgotten PURGE, oracle-gated: a logged table with
     * real DML history takes `CALL graft.system.purge(path, predicate)`
     * — hard delete + deletion-vector materialization + zero-grace
@@ -1362,6 +1407,7 @@ object StorageQueries {
     "layout_compaction" -> (layoutCompaction _),
     "arrow_compaction" -> (arrowCompaction _),
     "merge_upsert" -> (mergeUpsert _),
+    "merge_upsert_evolve" -> (mergeUpsertEvolve _),
     "merge_full_sync" -> (mergeFullSync _),
     "arrow_purge" -> (arrowPurge _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -1793,6 +1839,23 @@ object StorageQueries {
       s"""SELECT o_orderkey, o_orderstatus, o_totalprice
          |FROM ($mergedSql)
          |ORDER BY o_orderkey""".stripMargin,
+    "merge_upsert_evolve" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 251 = 0
+        |      THEN o_totalprice + 1000.0 ELSE o_totalprice
+        |    END AS o_totalprice,
+        |    CASE WHEN o_orderkey % 251 = 0 THEN 'cdc'
+        |      ELSE CAST(NULL AS VARCHAR) END AS o_channel
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 80000000, o_totalprice, 'cdc-new'
+        |  FROM orders WHERE o_orderkey % 257 = 0)
+        |SELECT o_channel, COUNT(*) AS n,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM evolved GROUP BY o_channel
+        |ORDER BY o_channel NULLS FIRST""".stripMargin,
     "snapshot_diff" ->
       s"""WITH nxt AS ($mergedSql)
          |SELECT COALESCE(n.o_orderkey, b.o_orderkey) AS o_orderkey,

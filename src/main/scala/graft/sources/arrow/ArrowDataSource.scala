@@ -1367,15 +1367,59 @@ object ArrowDataSource {
     * for schema inference: files written before an added column simply
     * lack it and the by-name reader serves it as nulls — Delta's
     * metadata-only ADD COLUMN, no file rewritten. Stored as a single
-    * DDL line; anchored at the sink root like the constraints file. */
+    * DDL line; anchored at the sink root like the constraints file.
+    *
+    * CONCURRENCY: declarations are GENERATION-ADDRESSED —
+    * `_schema.g<N>` files claimed by atomic hard-link creation
+    * ([[casDeclaredSchema]]), with the highest N current and the bare
+    * legacy `_schema` reading as generation 0. A racer claiming the
+    * same generation gets EEXIST and retries against the fresh state,
+    * so two concurrent mergeSchema writers can never interleave-lose
+    * a column — the race is a retry, not a read-failure heal. */
   val SchemaFileName = "_schema"
 
-  def declaredSchema(root: Path): Option[org.apache.spark.sql.types.StructType] = {
-    val f = root.resolve(MetadataDirName).resolve(SchemaFileName)
-    if (!Files.isRegularFile(f)) None
-    else Files.readAllLines(f).asScala.headOption
-      .map(org.apache.spark.sql.types.StructType.fromDDL)
+  /** The CURRENT declaration file and its CAS generation: the highest
+    * `_schema.g<N>` when any exist, else the legacy bare `_schema` at
+    * generation 0. None when undeclared. */
+  private[arrow] def currentSchemaFile(md: Path): Option[(Path, Long)] = {
+    if (!Files.isDirectory(md)) return None
+    val prefix = SchemaFileName + ".g"
+    val gens = {
+      val s = Files.list(md)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && !n.endsWith(".inprogress"))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong)
+          .toOption.map(g => (md.resolve(n), g)))
+        .toVector
+      finally s.close()
+    }
+    if (gens.nonEmpty) Some(gens.maxBy(_._2))
+    else {
+      val bare = md.resolve(SchemaFileName)
+      if (Files.isRegularFile(bare)) Some((bare, 0L)) else None
+    }
   }
+
+  /** Current declaration generation; -1 when undeclared. Read this
+    * BEFORE computing an evolved schema and pass it to
+    * [[casDeclaredSchema]] — a false return means a racer advanced
+    * the declaration in between: re-read and recompute. */
+  def declaredSchemaGen(root: Path): Long =
+    currentSchemaFile(root.resolve(MetadataDirName)).map(_._2)
+      .getOrElse(-1L)
+
+  /** Raw declaration + ledger lines (for clone/publish comparisons);
+    * empty when undeclared. */
+  private[arrow] def declarationLines(root: Path): Seq[String] =
+    currentSchemaFile(root.resolve(MetadataDirName))
+      .map(f => Files.readAllLines(f._1).asScala.toSeq)
+      .getOrElse(Seq.empty)
+
+  def declaredSchema(root: Path): Option[org.apache.spark.sql.types.StructType] =
+    currentSchemaFile(root.resolve(MetadataDirName))
+      .flatMap(f => Files.readAllLines(f._1).asScala.headOption)
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
 
   /** Column names DROPPED from the declared schema (`drop` ledger
     * lines of `_schema`): files still carrying them pass the drift
@@ -1394,10 +1438,14 @@ object ArrowDataSource {
     schemaLedger(root)._2
 
   private def schemaLedger(root: Path)
+      : (Set[String], Map[String, Seq[String]]) =
+    currentSchemaFile(root.resolve(MetadataDirName)) match {
+      case None => (Set.empty, Map.empty)
+      case Some((f, _)) => parseLedger(f)
+    }
+
+  private def parseLedger(f: Path)
       : (Set[String], Map[String, Seq[String]]) = {
-    val f = root.resolve(MetadataDirName).resolve(SchemaFileName)
-    if (!Files.isRegularFile(f)) (Set.empty, Map.empty)
-    else {
       val dropped = Set.newBuilder[String]
       val aliases = Map.newBuilder[String, Seq[String]]
       Files.readAllLines(f).asScala.drop(1).foreach { line =>
@@ -1409,7 +1457,6 @@ object ArrowDataSource {
         }
       }
       (dropped.result(), aliases.result())
-    }
   }
 
   /** What a footer may legitimately carry on a declared-schema table:
@@ -1471,23 +1518,76 @@ object ArrowDataSource {
     }
   }
 
+  /** Unconditional declaration replace (admin procedures — add/drop/
+    * rename run single-writer by contract): claims generations until
+    * one lands. Concurrent CAS writers still never interleave-lose —
+    * each claim is atomic. */
   def setDeclaredSchema(root: Path,
       schema: org.apache.spark.sql.types.StructType,
       dropped: Set[String] = Set.empty,
       aliases: Map[String, Seq[String]] = Map.empty): Unit = {
+    var attempts = 0
+    while (!casDeclaredSchema(root, schema, dropped, aliases,
+        declaredSchemaGen(root))) {
+      attempts += 1
+      require(attempts < 1000,
+        s"setDeclaredSchema: could not claim a generation under $root")
+    }
+  }
+
+  /** Atomic COMPARE-AND-SWAP declaration replace: publishes iff the
+    * current generation still equals `expectedGen` (from
+    * [[declaredSchemaGen]]; -1 = undeclared). The claim is
+    * `Files.createLink(_schema.g<expected+1>, tmp)` — hard-link
+    * creation is atomic and fails with EEXIST when a racer claimed
+    * the generation first, in which case this returns false and the
+    * CALLER re-reads the fresh declaration and recomputes (the
+    * mergeSchema retry loop). Readers always see complete content
+    * (the link targets a fully-written temp). Generations more than
+    * 8 behind prune on each successful claim; the legacy bare file is
+    * left in place (it reads as generation 0 only while no `.g` file
+    * exists). */
+  def casDeclaredSchema(root: Path,
+      schema: org.apache.spark.sql.types.StructType,
+      dropped: Set[String],
+      aliases: Map[String, Seq[String]],
+      expectedGen: Long): Boolean = {
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
-    val tmp = md.resolve(SchemaFileName + ".inprogress")
+    if (declaredSchemaGen(root) != expectedGen) return false
+    val gen = expectedGen + 1
+    val target = md.resolve(s"$SchemaFileName.g$gen")
+    val tmp = md.resolve(s"$SchemaFileName.g$gen." +
+      java.util.UUID.randomUUID().toString.take(8) + ".inprogress")
     val lines = schema.toDDL +:
       (dropped.toSeq.sorted.map(n => s"drop\t$n") ++
         aliases.toSeq.sortBy(_._1).map { case (l, ps) =>
           (Seq("alias", l) ++ ps).mkString("\t")
         })
     Files.write(tmp, lines.asJava)
-    Files.move(tmp, md.resolve(SchemaFileName),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    aliasCache.clear() // renames are rare; re-read ledgers lazily
+    try {
+      Files.createLink(target, tmp)
+      // prune far-past generations: readers re-resolve per call, so
+      // only a reader mid-list/read could see a pruned file — the
+      // 8-generation window is ample for that microsecond race
+      val prefix = SchemaFileName + ".g"
+      val s = Files.list(md)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith(prefix) && !n.endsWith(".inprogress"))
+        .flatMap(n => scala.util.Try(n.stripPrefix(prefix).toLong)
+          .toOption.map(g => (n, g)))
+        .filter(_._2 < gen - 8)
+        .foreach(n => Files.deleteIfExists(md.resolve(n._1)))
+      finally s.close()
+      aliasCache.clear() // renames are rare; re-read ledgers lazily
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally {
+      Files.deleteIfExists(tmp)
+      ()
+    }
   }
 
   /** Per-JVM memo of rename ledgers for the READER's miss path, keyed
@@ -1505,15 +1605,18 @@ object ArrowDataSource {
     var dir = file.toAbsolutePath.normalize.getParent
     var depth = 0
     while (dir != null && depth < 6) {
-      val ledger = dir.resolve(MetadataDirName).resolve(SchemaFileName)
-      if (Files.isRegularFile(ledger)) {
-        val mtime = Files.getLastModifiedTime(ledger)
-        val key = dir.toString
-        val cached = aliasCache.get(key)
-        if (cached != null && cached._1 == mtime) return cached._2
-        val parsed = schemaLedger(dir)._2
-        aliasCache.put(key, (mtime, parsed))
-        return parsed
+      currentSchemaFile(dir.resolve(MetadataDirName)) match {
+        case Some((ledger, gen)) =>
+          val mtime = Files.getLastModifiedTime(ledger)
+          // key includes the generation: a CAS replace lands a NEW
+          // file, so mtime alone cannot confuse generations
+          val key = s"$dir@g$gen"
+          val cached = aliasCache.get(key)
+          if (cached != null && cached._1 == mtime) return cached._2
+          val parsed = parseLedger(ledger)._2
+          aliasCache.put(key, (mtime, parsed))
+          return parsed
+        case None => ()
       }
       dir = dir.getParent
       depth += 1
@@ -1561,9 +1664,9 @@ object ArrowDataSource {
       // the clone: without them, inference over the borrowed
       // mixed-generation files fails the consistency sweep, and
       // renamed physicals would not resolve for branch-local files
-      val srcSchema = srcRoot.toAbsolutePath.normalize
-        .resolve(MetadataDirName).resolve(SchemaFileName)
-      if (Files.isRegularFile(srcSchema)) {
+      currentSchemaFile(srcRoot.toAbsolutePath.normalize
+          .resolve(MetadataDirName)).foreach { case (srcSchema, _) =>
+        // the clone starts at CAS generation 0 under the legacy name
         Files.copy(srcSchema, tmp.resolve(SchemaFileName))
         ()
       }

@@ -353,19 +353,20 @@ class ArrowBatchWrite(path: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
-    // Re-assert the schema merge at commit: setDeclaredSchema is a
-    // last-writer-wins file replace, so a CONCURRENT mergeSchema
-    // append landing between our job-start merge and now could have
-    // rebuilt the declaration from a snapshot without our column —
-    // then our committed footers would brick every read on the drift
-    // sweep. The re-run is idempotent (fresh-column set is empty when
-    // the declaration already holds ours) and re-reads the CURRENT
-    // ledgers, so it re-adds our column alongside the racer's. The
-    // residual window is two re-assertions interleaving — same class
-    // as any unlocked sidecar write, and read-side failure stays LOUD,
-    // never silent misreads. Same streaming-sink exemption as the
-    // job-start merge (a sink-root overwrite reaches commit with the
-    // old footers already truncated — nothing to merge).
+    // Re-assert the schema merge at commit. The declaration replace
+    // is now a generation-addressed COMPARE-AND-SWAP
+    // (ArrowDataSource.casDeclaredSchema): two concurrent mergeSchema
+    // writers can no longer interleave-lose a column — the loser of a
+    // generation claim recomputes against the fresh state and
+    // re-publishes, so the old two-sided-interleave heal window is
+    // gone by construction. This commit-time re-run is kept as a
+    // cheap idempotent belt-and-braces (fresh-column set is empty
+    // when the declaration already holds ours) and to cover exotic
+    // failure modes (a manually clobbered sidecar between job start
+    // and commit heals here, as ArrowMergeWriteSpec pins). Same
+    // streaming-sink exemption as the job-start merge (a sink-root
+    // overwrite reaches commit with the old footers already
+    // truncated — nothing to merge).
     if (mergeSchema && (ArrowDataSource.isTableLog(path) ||
         ArrowDataSource.sinkRoot(path).isEmpty))
       GraftProcedures.mergeWriteSchema(path, schema,

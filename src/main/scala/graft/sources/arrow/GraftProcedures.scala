@@ -611,14 +611,8 @@ object GraftProcedures {
       // DECLARED schema past the clone point cannot land (main's
       // inference would break on the new-generation files) — schema
       // changes re-apply on main through the procedures
-      def ledger(r: Path): Seq[String] = {
-        val f = r.resolve(ArrowDataSource.MetadataDirName)
-          .resolve(ArrowDataSource.SchemaFileName)
-        if (Files.isRegularFile(f))
-          scala.jdk.CollectionConverters
-            .ListHasAsScala(Files.readAllLines(f)).asScala.toSeq
-        else Seq.empty
-      }
+      def ledger(r: Path): Seq[String] =
+        ArrowDataSource.declarationLines(r)
       require(ledger(branchRoot) == ledger(mainRoot),
         s"publish: $branch evolved its declared schema after the " +
           "clone — schema changes do not publish; re-apply them on " +
@@ -821,6 +815,26 @@ object GraftProcedures {
         p = p.getParent
       p
     }
+    // CAS retry loop: the generation is read BEFORE the declaration
+    // and ledgers, so a concurrent writer landing between our read
+    // and our publish fails the compare-and-swap and we recompute
+    // against the fresh state — two racing mergeSchema writers both
+    // keep their columns, deterministically, with no read-failure
+    // window to heal.
+    var attempts = 0
+    var settled = false
+    while (!settled) {
+      attempts += 1
+      require(attempts <= 20,
+        s"arrow mergeSchema write: CAS retry budget exhausted on $path")
+      settled = mergeWriteSchemaOnce(path, root, incoming, writePartCols)
+    }
+  }
+
+  /** One read-compute-publish attempt; false = CAS lost to a racer. */
+  private def mergeWriteSchemaOnce(path: String, root: Path,
+      incoming: StructType, writePartCols: Set[String]): Boolean = {
+    val baseGen = ArrowDataSource.declaredSchemaGen(root)
     val declared = ArrowDataSource.declaredSchema(root)
     // Visibility and the current schema resolve at the TABLE ROOT, not
     // the addressed path: a subdirectory-addressed append
@@ -830,7 +844,7 @@ object GraftProcedures {
     // on the drift sweep.
     if (declared.isEmpty &&
         ArrowDataSource.visibleIpcFiles(root.toString).isEmpty)
-      return // first write — the incoming schema IS the table schema
+      return true // first write — the incoming schema IS the table schema
     val current = currentDataSchema(root.toString, root,
       "mergeSchema write")
     val partCols = writePartCols ++
@@ -915,7 +929,8 @@ object GraftProcedures {
     val fresh = incoming.fields.filterNot(f =>
       partCols.exists(resolver(_, f.name)) ||
         current.fields.exists(cf => resolver(cf.name, f.name)))
-    if (fresh.isEmpty && merged.toSeq == current.fields.toSeq) return
+    if (fresh.isEmpty && merged.toSeq == current.fields.toSeq)
+      return true // nothing to evolve — vacuous CAS success
     // Evolving a bare (unlogged) directory first promotes it to a
     // logged table: the declaration sidecar lives in _graft_metadata,
     // and a metadata dir WITHOUT a table marker reads as a streaming
@@ -924,9 +939,9 @@ object GraftProcedures {
     if (!ArrowDataSource.isTableLog(path))
       ArrowDataSource.initTableLog(root.toString)
     fresh.foreach(f => requireNotLedgered(f.name))
-    ArrowDataSource.setDeclaredSchema(root, StructType(
+    ArrowDataSource.casDeclaredSchema(root, StructType(
       merged ++ fresh.map(_.copy(nullable = true))),
-      dropped, aliases)
+      dropped, aliases, baseGen)
   }
 
   val DropColumn: UnboundProcedure = new SimpleProcedure("drop_column",

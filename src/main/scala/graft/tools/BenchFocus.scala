@@ -102,6 +102,36 @@ object BenchFocus {
         .write.mode("overwrite").parquet(s"$scaled/part.parquet")
     }
 
+    // events: shifted user/event ids per copy — per-user window
+    // partitions keep their sf0.1 size while users and rows grow 10×
+    // (events_markov's lag windows + alphabet-sized matrix)
+    if (!new java.io.File(root, "events.parquet").exists()) {
+      root.mkdirs()
+      val ev = Tables.events(spark, sfDir)
+      (0 until Copies).map(i =>
+          ev.withColumn("event_id",
+            col("event_id") + lit(i.toLong * 1000000000L))
+            .withColumn("user_id",
+              col("user_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
+    }
+    // embeddings: shifted vec_ids — the corpus grows 10× while copy-0
+    // ids keep the sub-1e7 range, so a FIXED probe/query set exists
+    // at both scales (sim_ann_ivfpq's vec_id < 20 queries, the
+    // fixed-probe decontam point below)
+    if (!new java.io.File(root, "embeddings.parquet").exists()) {
+      root.mkdirs()
+      val em = Tables.embeddings(spark, sfDir)
+      (0 until Copies).map(i =>
+          em.withColumn("vec_id",
+            col("vec_id") + lit(i.toLong * 10000000L)))
+        .reduce(_ unionAll _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
+    }
+
     def time(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
@@ -123,9 +153,23 @@ object BenchFocus {
     // while the table grows 10× — the O(churn) maintenance claim.
     // agg_bitmap_distinct: per-copy custkey shifts grow the distinct
     // set 10×; the bitmap partials stay mergeable per (month, bucket).
+    // agg_sketch_intersection / agg_quantile_sketch: per-copy custkey
+    // and orderkey shifts grow both sides' distinct sets 10×; the
+    // bounded-heap level-1 partials (TopKPerGroupExec) keep every
+    // (group, month) cut map-side — the r15 before/after point for
+    // the removed row_number() window.
+    // events_markov: 10× users/rows, same |types|² matrix.
+    // arrow_merge_schema_write/_nested, merge_upsert_evolve: the
+    // snapshot write is explicit O(table); the evolution itself is
+    // metadata + O(appended/matched batch) — same framing as cdc_*.
+    // sim_ann_ivfpq: fits re-run at 10× corpus (one-time per dir);
+    // the probe/rank phase is bounded by nprobe × cell size.
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
         "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
         "skyline_pareto", "agg_quantile_sketch",
+        "agg_sketch_intersection", "events_markov",
+        "arrow_merge_schema_write", "arrow_merge_schema_nested",
+        "merge_upsert_evolve", "sim_ann_ivfpq",
         "join_temporal_scd2", "merge_full_sync", "agg_bitmap_distinct",
         "layout_compaction")) {
       val (s1a, s1b) = bench(q, sfDir)
@@ -190,6 +234,37 @@ object BenchFocus {
     out("topn_sorted_sf1") =
       f"""{"arrow_pushed":${math.min(aw1, aw2)}%.3f,""" +
         f""""parquet_full":${math.min(pw1, pw2)}%.3f}"""
+
+    // sim_decontam_semantic with the probe set FIXED to copy 0
+    // (vec_id < 1e7): the real deployment shape — a fixed eval set
+    // against a growing corpus — must scale ~linearly with the
+    // corpus. (The DECLARED query's % 97 probe slice grows with the
+    // fixture by construction — documented there — so measuring it at
+    // 10× would conflate probe growth with corpus growth.)
+    def decontamFixed(dir: String): Double = {
+      graft.functions.DotProduct.register(spark)
+      def once() = {
+        val e = Tables.embeddings(spark, dir)
+        val probes = e.filter(col("vec_id") < 10000000L &&
+            col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("pid"), col("embedding").as("pv"),
+            expr("graft_dot(embedding, embedding)").as("p_nsq"))
+        val corpus = e.select(col("vec_id"), col("embedding"),
+          expr("graft_dot(embedding, embedding)").as("nsq"))
+        corpus.join(broadcast(probes), col("vec_id") =!= col("pid"))
+          .select(col("vec_id"),
+            (expr("graft_dot(embedding, pv)") /
+              sqrt(col("nsq") * col("p_nsq"))).as("cos"))
+          .filter(col("cos") >= 0.4)
+          .groupBy(col("vec_id"))
+          .agg(count(lit(1)).as("hits"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      val a = time(once()); val b = time(once()); math.min(a, b)
+    }
+    out("sim_decontam_fixedprobes") =
+      f"""{"sf0.1":${decontamFixed(sfDir)}%.2f,""" +
+        f""""sf1":${decontamFixed(scaled)}%.2f}"""
 
     val withIdx = probe()
     val sidecar = java.nio.file.Paths.get(arrowDir)

@@ -263,6 +263,61 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     assert(healed.filter(col("c1").isNotNull).count() == 3)
   }
 
+  test("casDeclaredSchema is a true compare-and-swap: stale " +
+      "generations refuse, claims are atomic, readers resolve the " +
+      "highest generation, legacy bare files read as generation 0") {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val root = Files.createTempDirectory("cas_schema")
+      .toAbsolutePath.normalize
+    val a = StructType(Seq(StructField("id", LongType)))
+    val b = StructType(Seq(StructField("id", LongType),
+      StructField("x", StringType, nullable = true)))
+    val c = StructType(Seq(StructField("id", LongType),
+      StructField("y", StringType, nullable = true)))
+    // undeclared = gen -1; first publish lands g0
+    assert(ArrowDataSource.declaredSchemaGen(root) == -1L)
+    assert(ArrowDataSource.casDeclaredSchema(root, a, Set.empty,
+      Map.empty, -1L))
+    assert(ArrowDataSource.declaredSchemaGen(root) == 0L)
+    assert(ArrowDataSource.declaredSchema(root).contains(a))
+    // a STALE expected generation refuses — the racer-lost signal
+    assert(!ArrowDataSource.casDeclaredSchema(root, b, Set.empty,
+      Map.empty, -1L))
+    assert(ArrowDataSource.declaredSchema(root).contains(a))
+    // the winner advances; the loser recomputes against gen 0 and wins
+    assert(ArrowDataSource.casDeclaredSchema(root, b, Set.empty,
+      Map.empty, 0L))
+    assert(!ArrowDataSource.casDeclaredSchema(root, c, Set.empty,
+      Map.empty, 0L), "two writers claimed the same generation")
+    assert(ArrowDataSource.casDeclaredSchema(root, c, Set.empty,
+      Map.empty, 1L))
+    assert(ArrowDataSource.declaredSchema(root).contains(c))
+    assert(ArrowDataSource.declaredSchemaGen(root) == 2L)
+    // legacy bare `_schema` (pre-CAS tables) reads as generation 0
+    val legacy = Files.createTempDirectory("cas_legacy")
+      .toAbsolutePath.normalize
+    val md = legacy.resolve(ArrowDataSource.MetadataDirName)
+    Files.createDirectories(md)
+    Files.write(md.resolve(ArrowDataSource.SchemaFileName),
+      java.util.List.of(a.toDDL))
+    assert(ArrowDataSource.declaredSchemaGen(legacy) == 0L)
+    assert(ArrowDataSource.declaredSchema(legacy).contains(a))
+    assert(ArrowDataSource.casDeclaredSchema(legacy, b, Set.empty,
+      Map.empty, 0L))
+    assert(ArrowDataSource.declaredSchema(legacy).contains(b))
+    // far-past generations prune on successful claims
+    val r2 = Files.createTempDirectory("cas_prune")
+      .toAbsolutePath.normalize
+    (0 until 12).foreach(_ => ArrowDataSource.setDeclaredSchema(r2, a))
+    val left = Files.list(r2.resolve(ArrowDataSource.MetadataDirName))
+      .iterator()
+    val names = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(left).asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("_schema.g")).toSeq
+    assert(names.length <= 9, s"generations never prune: $names")
+  }
+
   test("a REFUSED mergeSchema batch append into a streaming-sink " +
       "directory leaves no phantom declaration behind") {
     import spark.implicits._

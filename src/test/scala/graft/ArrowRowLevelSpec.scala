@@ -233,6 +233,79 @@ class ArrowRowLevelSpec extends AnyFunSuite {
         s"stamp on rewritten files: $updStamps")
   }
 
+  test("MERGE withSchemaEvolution: the source's new column evolves " +
+      "the target before the CoW rewrite — replaced files materialize " +
+      "it, untouched files null-fill it") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_mergeevo").toString
+    (1L to 40L).map(i => (i, i * 2L)).toDF("id", "amt")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    val before = graft.sources.arrow.ArrowDataSource.visibleIpcFiles(dir)
+      .map(_.toString).toSet
+    // CDC source: update low keys (one file's range), insert new ones,
+    // and carry a column the target never had
+    val src = Seq((3L, 33L, "upd"), (5L, 55L, "upd"), (100L, 1L, "ins"))
+      .toDF("id", "amt", "src_tag")
+    graft.sources.arrow.MergeInto.withSchemaEvolution(spark, dir, src,
+      "mergeevo_spec_src",
+      s"""MERGE INTO graft.arrow.`$dir` t
+         |USING mergeevo_spec_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "amt", "src_tag"))
+    assert(df.count() == 41)
+    // matched + inserted rows carry the column; everything else nulls
+    assert(df.filter(col("src_tag") === "upd").select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 5L))
+    assert(df.filter(col("src_tag") === "ins").count() == 1)
+    assert(df.filter(col("src_tag").isNull).count() == 38)
+    assert(df.filter(col("id") === 3L).head.getLong(1) == 33L)
+    // bounded rewrite: files whose ranges hold no matched key keep
+    // their exact identity (runtime group filtering)
+    val after = graft.sources.arrow.ArrowDataSource.visibleIpcFiles(dir)
+      .map(_.toString).toSet
+    assert((before intersect after).nonEmpty,
+      "every file was rewritten — group filtering lost")
+    // carried-over rows in the REPLACED file read null too
+    assert(df.filter(col("id") === 4L).head.isNullAt(2))
+  }
+
+  test("MERGE withSchemaEvolution on a DV (delta) table: no file " +
+      "rewrites, the evolved column still lands") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_mergeevo_dv").toString
+    (1L to 40L).map(i => (i, i * 2L)).toDF("id", "amt")
+      .repartitionByRange(4, col("id"))
+      .sortWithinPartitions(col("id"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    val before = graft.sources.arrow.ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    val src = Seq((7L, 77L, "upd"), (200L, 2L, "ins"))
+      .toDF("id", "amt", "src_tag")
+    graft.sources.arrow.MergeInto.withSchemaEvolution(spark, dir, src,
+      "mergeevo_dv_src",
+      s"""MERGE INTO graft.arrow.`$dir` t
+         |USING mergeevo_dv_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    // merge-on-read: every pre-existing file byte-identical
+    val untouched = graft.sources.arrow.ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    assert(before.forall { case (k, v) => untouched.get(k).contains(v) },
+      "delta MERGE rewrote a pre-existing file")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.count() == 41)
+    assert(df.filter(col("src_tag") === "upd").select("amt")
+      .head.getLong(0) == 77L)
+    assert(df.filter(col("src_tag").isNull).count() == 39)
+  }
+
   test("`_file` metadata column reads on ordinary scans") {
     val dir = rangedDir()
     val paths = spark.read.format("arrow").load(dir)

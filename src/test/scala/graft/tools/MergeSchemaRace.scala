@@ -9,17 +9,16 @@ import graft.sources.arrow.ArrowDataSource
   * `sbt "Test/runMain graft.tools.MergeSchemaRace"`). A child Spark
   * JVM merge-appends batches carrying a column `c_child` the table has
   * never seen while the parent races merge-appends carrying
-  * `c_parent` — the declaration race ArrowBatchWrite's commit-time
-  * re-assert exists for: setDeclaredSchema is a last-writer-wins
-  * sidecar replace, so without the re-assert one writer's column
-  * routinely vanishes from the declaration while its footers land,
-  * bricking every read. Invariants:
+  * `c_parent`. The declaration replace is a generation-addressed
+  * COMPARE-AND-SWAP (ArrowDataSource.casDeclaredSchema): a writer
+  * losing a generation claim recomputes against the fresh declaration
+  * and re-publishes, so the race is a retry, never a heal. Invariants:
   *  - zero rows lost (blind appends rebase; the schema race must
   *    never turn into data loss);
-  *  - the final table reads with BOTH columns — immediately, or after
-  *    at most ONE documented heal append (the residual two-sided
-  *    interleave window; reads in that state fail LOUDLY, and the
-  *    heal is exactly the recovery ArrowMergeWriteSpec pins);
+  *  - the final table reads with BOTH columns IMMEDIATELY — zero
+  *    heals (pre-CAS, the two-sided re-assert interleave occasionally
+  *    required one documented heal append; the CAS closes that
+  *    window by construction, and this soak enforces the closure);
   *  - both columns' values serve correctly from their rows.
   * Lives in test scope so it compiles with the suite but only runs
   * when invoked (two Spark JVMs ≈ 60–90 s). */
@@ -91,27 +90,12 @@ object MergeSchemaRace {
     val childOut = new String(child.getInputStream.readAllBytes, "UTF-8")
     require(child.waitFor() == 0, s"child failed:\n$childOut")
     require(childOut.contains("MSRACE_CHILD_DONE"))
-    // final state: readable with both columns — or ONE loud failure
-    // healed by the documented recovery (a merge append carrying the
-    // full schema), never a silent misread
-    var heals = 0
-    def readAll() = spark.read.format("arrow").load(dir)
-    val df =
-      try { val d = readAll(); d.collect(); d }
-      catch {
-        case e: Exception =>
-          require(String.valueOf(e.getMessage).contains("declared") ||
-            Iterator.iterate(e: Throwable)(_.getCause)
-              .takeWhile(_ != null).exists(t =>
-                String.valueOf(t.getMessage).contains("declared")),
-            s"read failed for a NON-drift reason: $e")
-          heals += 1
-          Seq((999999L, 0L, "heal", "heal"))
-            .toDF("id", "amt", "c_child", "c_parent")
-            .coalesce(1).write.format("arrow").mode("append")
-            .option("mergeSchema", "true").save(dir)
-          readAll()
-      }
+    // final state: readable with both columns IMMEDIATELY — the CAS
+    // declaration replace leaves no interleave window to heal, so a
+    // failed read here is a BUG, not a documented race residue
+    val heals = 0
+    val df = spark.read.format("arrow").load(dir)
+    df.collect()
     val cols = df.schema.fieldNames.toSet
     require(cols("c_child") && cols("c_parent"),
       s"final schema lost a raced column: $cols")
