@@ -1518,10 +1518,33 @@ object ArrowDataSource {
     }
   }
 
-  /** Unconditional declaration replace (admin procedures — add/drop/
-    * rename run single-writer by contract): claims generations until
-    * one lands. Concurrent CAS writers still never interleave-lose —
-    * each claim is atomic. */
+  /** CAS evolve loop for the schema procedures: `compute` re-runs
+    * against the FRESH declaration on every attempt (it must re-read
+    * the current schema/ledgers itself — the procedures do, via
+    * currentDataSchema/droppedColumns/aliasColumns), so a concurrent
+    * mergeSchema writer landing mid-procedure is re-read and kept,
+    * never last-writer-wins'd out of the declaration (its committed
+    * footers would otherwise brick every read on the drift sweep). */
+  def evolveDeclaration(root: Path)(
+      compute: () => (org.apache.spark.sql.types.StructType,
+        Set[String], Map[String, Seq[String]])): Unit = {
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 20,
+        s"evolveDeclaration: CAS retry budget exhausted under $root")
+      val gen = declaredSchemaGen(root)
+      val (s, d, a) = compute()
+      done = casDeclaredSchema(root, s, d, a, gen)
+    }
+  }
+
+  /** Unconditional declaration replace — TEST seams and recovery
+    * tooling only (it re-claims generations with the GIVEN content,
+    * i.e. deliberate last-writer-wins). Product paths evolve through
+    * [[evolveDeclaration]] or [[casDeclaredSchema]], which recompute
+    * on a lost claim. */
   def setDeclaredSchema(root: Path,
       schema: org.apache.spark.sql.types.StructType,
       dropped: Set[String] = Set.empty,
@@ -1566,7 +1589,22 @@ object ArrowDataSource {
         })
     Files.write(tmp, lines.asJava)
     try {
-      Files.createLink(target, tmp)
+      try Files.createLink(target, tmp)
+      catch {
+        case e @ (_: UnsupportedOperationException |
+            _: java.nio.file.FileSystemException)
+            if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException]
+              && !Files.exists(target) =>
+          // hard links are the CAS primitive; a filesystem without
+          // them (exFAT, some NFS/SMB mounts) must fail with guidance,
+          // not a bare IO error deep in a write job
+          throw new UnsupportedOperationException(
+            s"arrow: cannot claim schema generation $gen under $md — " +
+              "the filesystem refused hard-link creation, which the " +
+              "declaration compare-and-swap requires. Host the table " +
+              "on a POSIX filesystem (ext4/xfs/tmpfs/HDFS-like) for " +
+              s"concurrent schema evolution. Cause: $e", e)
+      }
       // prune far-past generations: readers re-resolve per call, so
       // only a reader mid-list/read could see a pruned file — the
       // 8-generation window is ample for that microsecond race
@@ -1584,6 +1622,10 @@ object ArrowDataSource {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      // some filesystems surface EEXIST as a generic FS error; target
+      // present = a racer's claim landed = the ordinary lost-CAS case
+      case _: java.nio.file.FileSystemException
+          if Files.exists(target) => false
     } finally {
       Files.deleteIfExists(tmp)
       ()
@@ -1596,7 +1638,8 @@ object ArrowDataSource {
     * file's own fields (evolved tables), so ordinary scans never pay
     * the lookup. */
   private val aliasCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.nio.file.attribute.FileTime, Map[String, Seq[String]])]()
+    String, (Long, java.nio.file.attribute.FileTime,
+      Map[String, Seq[String]])]()
 
   /** The rename ledger governing `file`, resolved by walking ancestors
     * for a `_graft_metadata/_schema` (partition subdirs sit under the
@@ -1608,13 +1651,15 @@ object ArrowDataSource {
       currentSchemaFile(dir.resolve(MetadataDirName)) match {
         case Some((ledger, gen)) =>
           val mtime = Files.getLastModifiedTime(ledger)
-          // key includes the generation: a CAS replace lands a NEW
-          // file, so mtime alone cannot confuse generations
-          val key = s"$dir@g$gen"
+          // ONE entry per table root, replaced when the generation or
+          // mtime moves — a long-lived reader JVM watching other JVMs
+          // advance generations must not grow an entry per generation
+          val key = dir.toString
           val cached = aliasCache.get(key)
-          if (cached != null && cached._1 == mtime) return cached._2
+          if (cached != null && cached._1 == gen && cached._2 == mtime)
+            return cached._3
           val parsed = parseLedger(ledger)._2
-          aliasCache.put(key, (mtime, parsed))
+          aliasCache.put(key, (gen, mtime, parsed))
           return parsed
         case None => ()
       }

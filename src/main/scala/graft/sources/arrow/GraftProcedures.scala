@@ -719,56 +719,69 @@ object GraftProcedures {
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
       val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(ddl)
-      val current = currentDataSchema(path, root, "add_column")
-      val partCols =
-        ArrowDataSource.discoverPartitionCols(root.toString).toSet
-      val dropped = ArrowDataSource.droppedColumns(root)
-      val aliases = ArrowDataSource.aliasColumns(root)
-      require(!dropped(colName) &&
-        !aliases.values.exists(_.contains(colName)),
-        s"add_column: $colName was previously DROPPED from or RENAMED " +
-          s"on $path — re-adding the name would resurrect old files' " +
-          "values (no per-column ids); pick a fresh name")
-      // A DOTTED name adds a nullable LEAF to an existing struct
-      // column (nested schema evolution — Delta's
-      // `ADD COLUMNS (meta.c bigint)`): metadata-only like the flat
-      // case, files written before the leaf serve it as nulls via the
-      // reader's struct-leaf patch, and the drift sweep tolerates
-      // their narrower struct footers (structSubsumes).
-      val evolved =
-        if (colName.contains('.')) {
-          def addLeaf(st: StructType, prefix: String,
-              ps: List[String]): StructType = ps match {
-            case leaf :: Nil =>
-              require(!st.fieldNames.contains(leaf),
-                s"add_column: column $colName already exists on $path")
-              StructType(st.fields :+ StructField(leaf, dt, nullable = true))
-            case p :: rest =>
-              val idx = st.fieldNames.indexOf(p)
-              require(idx >= 0,
-                s"add_column: no struct column $prefix$p on $path")
-              st.fields(idx).dataType match {
-                case inner: StructType => StructType(st.fields.updated(
-                  idx, st.fields(idx).copy(
-                    dataType = addLeaf(inner, s"$prefix$p.", rest))))
-                case other => throw new IllegalArgumentException(
-                  s"add_column: $prefix$p is ${other.simpleString} on " +
-                    s"$path, not a struct — only struct columns take " +
-                    "nested leaves")
-              }
-            case Nil => st
+      // names resolve with the session resolver everywhere here (the
+      // same rule as mergeWriteSchema): a case variant of an existing
+      // name is the SAME name — allowing it would declare a
+      // duplicate-modulo-case twin no case-insensitive read could
+      // disambiguate
+      val resolver = org.apache.spark.sql.internal.SQLConf.get.resolver
+      var nCols = 0L
+      // CAS evolve loop: recompute against the FRESH declaration on a
+      // lost generation claim, so a concurrent mergeSchema writer's
+      // column survives this procedure
+      ArrowDataSource.evolveDeclaration(root) { () =>
+        val current = currentDataSchema(path, root, "add_column")
+        val partCols =
+          ArrowDataSource.discoverPartitionCols(root.toString).toSet
+        val dropped = ArrowDataSource.droppedColumns(root)
+        val aliases = ArrowDataSource.aliasColumns(root)
+        require(!dropped.exists(resolver(_, colName)) &&
+          !aliases.values.flatten.exists(resolver(_, colName)),
+          s"add_column: $colName was previously DROPPED from or " +
+            s"RENAMED on $path — re-adding the name would resurrect " +
+            "old files' values (no per-column ids); pick a fresh name")
+        // A DOTTED name adds a nullable LEAF to an existing struct
+        // column (nested schema evolution — Delta's
+        // `ADD COLUMNS (meta.c bigint)`): metadata-only like the flat
+        // case, files written before the leaf serve it as nulls via
+        // the reader's struct-leaf patch, and the drift sweep
+        // tolerates their narrower struct footers (structSubsumes).
+        val evolved =
+          if (colName.contains('.')) {
+            def addLeaf(st: StructType, prefix: String,
+                ps: List[String]): StructType = ps match {
+              case leaf :: Nil =>
+                require(!st.fieldNames.exists(resolver(_, leaf)),
+                  s"add_column: column $colName already exists on $path")
+                StructType(
+                  st.fields :+ StructField(leaf, dt, nullable = true))
+              case p :: rest =>
+                val idx = st.fieldNames.indexWhere(resolver(_, p))
+                require(idx >= 0,
+                  s"add_column: no struct column $prefix$p on $path")
+                st.fields(idx).dataType match {
+                  case inner: StructType => StructType(st.fields.updated(
+                    idx, st.fields(idx).copy(
+                      dataType = addLeaf(inner, s"$prefix$p.", rest))))
+                  case other => throw new IllegalArgumentException(
+                    s"add_column: $prefix$p is ${other.simpleString} " +
+                      s"on $path, not a struct — only struct columns " +
+                      "take nested leaves")
+                }
+              case Nil => st
+            }
+            addLeaf(current, "", colName.split("\\.").toList)
+          } else {
+            require(!current.fieldNames.exists(resolver(_, colName)) &&
+              !partCols.exists(resolver(_, colName)),
+              s"add_column: column $colName already exists on $path")
+            StructType(
+              current.fields :+ StructField(colName, dt, nullable = true))
           }
-          addLeaf(current, "", colName.split("\\.").toList)
-        } else {
-          require(!current.fieldNames.contains(colName) &&
-            !partCols(colName),
-            s"add_column: column $colName already exists on $path")
-          StructType(
-            current.fields :+ StructField(colName, dt, nullable = true))
-        }
-      ArrowDataSource.setDeclaredSchema(root, evolved, dropped, aliases)
-      result(out, Array(new GenericInternalRow(Array[Any](
-        evolved.fields.length.toLong))))
+        nCols = evolved.fields.length.toLong
+        (evolved, dropped, aliases)
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }
   }
 
@@ -959,23 +972,27 @@ object GraftProcedures {
       val colName = input.getUTF8String(1).toString
       val root = ArrowDataSource.sinkRoot(path)
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
-      val current = currentDataSchema(path, root, "drop_column")
-      require(current.fieldNames.contains(colName),
-        s"drop_column: no column $colName on $path")
-      require(current.fields.length > 1,
-        s"drop_column: cannot drop the last column of $path")
-      requireNoConstraintOn(path, colName, "drop_column")
-      // dropping a renamed column also retires its physical history:
-      // the alias physicals join the drop ledger so neither name can
-      // resurrect
-      val aliases = ArrowDataSource.aliasColumns(root)
-      ArrowDataSource.setDeclaredSchema(root,
-        StructType(current.fields.filterNot(_.name == colName)),
-        ArrowDataSource.droppedColumns(root) + colName ++
-          aliases.getOrElse(colName, Seq.empty),
-        aliases - colName)
-      result(out, Array(new GenericInternalRow(Array[Any](
-        current.fields.length - 1L))))
+      var nCols = 0L
+      // CAS evolve loop — see add_column: a concurrent mergeSchema
+      // writer's column survives this procedure
+      ArrowDataSource.evolveDeclaration(root) { () =>
+        val current = currentDataSchema(path, root, "drop_column")
+        require(current.fieldNames.contains(colName),
+          s"drop_column: no column $colName on $path")
+        require(current.fields.length > 1,
+          s"drop_column: cannot drop the last column of $path")
+        requireNoConstraintOn(path, colName, "drop_column")
+        // dropping a renamed column also retires its physical history:
+        // the alias physicals join the drop ledger so neither name can
+        // resurrect
+        val aliases = ArrowDataSource.aliasColumns(root)
+        nCols = current.fields.length - 1L
+        (StructType(current.fields.filterNot(_.name == colName)),
+          ArrowDataSource.droppedColumns(root) + colName ++
+            aliases.getOrElse(colName, Seq.empty),
+          aliases - colName)
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }
   }
 
@@ -1038,30 +1055,34 @@ object GraftProcedures {
       val newName = input.getUTF8String(2).toString
       val root = ArrowDataSource.sinkRoot(path)
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
-      val current = currentDataSchema(path, root, "rename_column")
-      require(current.fieldNames.contains(oldName),
-        s"rename_column: no column $oldName on $path")
-      val partCols =
-        ArrowDataSource.discoverPartitionCols(root.toString).toSet
-      val dropped = ArrowDataSource.droppedColumns(root)
-      val aliases = ArrowDataSource.aliasColumns(root)
-      require(!current.fieldNames.contains(newName) &&
-        !partCols(newName) && !dropped(newName) &&
-        !aliases.values.exists(_.contains(newName)),
-        s"rename_column: $newName is already used (or was used) on " +
-          s"$path — renaming onto a historical name would resurrect " +
-          "old files' values; pick a fresh name")
-      requireNoConstraintOn(path, oldName, "rename_column")
-      // the new logical inherits the old name's physical chain plus
-      // the old name itself (files written between renames carry the
-      // then-current logical)
-      val chain = oldName +: aliases.getOrElse(oldName, Seq.empty)
-      ArrowDataSource.setDeclaredSchema(root,
-        StructType(current.fields.map(f =>
+      var chainLen = 0L
+      // CAS evolve loop — see add_column: a concurrent mergeSchema
+      // writer's column survives this procedure
+      ArrowDataSource.evolveDeclaration(root) { () =>
+        val current = currentDataSchema(path, root, "rename_column")
+        require(current.fieldNames.contains(oldName),
+          s"rename_column: no column $oldName on $path")
+        val partCols =
+          ArrowDataSource.discoverPartitionCols(root.toString).toSet
+        val dropped = ArrowDataSource.droppedColumns(root)
+        val aliases = ArrowDataSource.aliasColumns(root)
+        require(!current.fieldNames.contains(newName) &&
+          !partCols(newName) && !dropped(newName) &&
+          !aliases.values.exists(_.contains(newName)),
+          s"rename_column: $newName is already used (or was used) on " +
+            s"$path — renaming onto a historical name would resurrect " +
+            "old files' values; pick a fresh name")
+        requireNoConstraintOn(path, oldName, "rename_column")
+        // the new logical inherits the old name's physical chain plus
+        // the old name itself (files written between renames carry the
+        // then-current logical)
+        val chain = oldName +: aliases.getOrElse(oldName, Seq.empty)
+        chainLen = chain.length.toLong
+        (StructType(current.fields.map(f =>
           if (f.name == oldName) f.copy(name = newName) else f)),
-        dropped, (aliases - oldName) + (newName -> chain))
-      result(out, Array(new GenericInternalRow(Array[Any](
-        chain.length.toLong))))
+          dropped, (aliases - oldName) + (newName -> chain))
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](chainLen))))
     }
   }
 
@@ -1281,10 +1302,14 @@ object GraftProcedures {
       // initTableLog/mergeSchema-promotion snapshots the file list);
       // fsck turns that silence into a finding.
       if (ArrowDataSource.isTableLog(root.toString)) {
-        val latest = ArrowDataSource.latestCommittedEpoch(root)
-        val listed = (0L to latest).flatMap(e =>
-          scala.util.Try(ArrowDataSource.liveEntries(root, Some(e)))
-            .toOption.getOrElse(Seq.empty).map(_._2)).toSet
+        // ONE history pass: any file an epoch ever adopted appears as
+        // an add (or remove) entry — O(history), not O(epochs²) of
+        // per-epoch liveEntries folds. Files whose whole lifecycle
+        // predates the latest log compaction read as unlisted too:
+        // they are equally invisible to every reader and are exactly
+        // the vacuum-pending debris the message points at.
+        val listed = ArrowDataSource.committedHistory(root)
+          .filter(_.dv.isEmpty).map(_.rel).toSet
         ArrowDataSource.listIpcFiles(root.toString).foreach { f =>
           val rel = root.relativize(f.toAbsolutePath.normalize).toString
           if (!listed.contains(rel)) bad("file-listed",

@@ -225,13 +225,19 @@ object StreamingOps {
         timerValues: TimerValues): Iterator[ChainMatch] = {
       val st0 = if (state.exists()) state.get() else ChainState(-1L, -1L)
       val (st, out) = foldChain(uid, st0, rows, windowSec)
-      state.update(st)
-      // re-arm the eviction timer at last-activity + window: delete
-      // any prior timer first so each user holds exactly one
       val lastSec = math.max(st.lastViewSec, st.lastQualClickSec)
       if (lastSec >= 0) {
+        state.update(st)
+        // re-arm the eviction timer at last-activity + window: delete
+        // any prior timer first so each user holds exactly one
         getHandle.listTimers().foreach(getHandle.deleteTimer)
         getHandle.registerTimer((lastSec + windowSec) * 1000L)
+      } else {
+        // an EMPTY carry (only purchases / unqualified clicks /
+        // unknown types folded) is identical to absent state — storing
+        // it would leak an untimered RocksDB entry per such user
+        // forever, the exact unbounded growth the timer exists to stop
+        state.clear()
       }
       out.iterator
     }

@@ -318,6 +318,35 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     assert(names.length <= 9, s"generations never prune: $names")
   }
 
+  test("evolveDeclaration RECOMPUTES against a racer's declaration on " +
+      "a lost claim — a procedure can never last-writer-wins away a " +
+      "concurrent mergeSchema column") {
+    import org.apache.spark.sql.types.{LongType, StringType,
+      StructField, StructType}
+    val root = Files.createTempDirectory("cas_evolve")
+      .toAbsolutePath.normalize
+    val base = StructType(Seq(StructField("id", LongType)))
+    ArrowDataSource.setDeclaredSchema(root, base)
+    var first = true
+    ArrowDataSource.evolveDeclaration(root) { () =>
+      val cur = ArrowDataSource.declaredSchema(root).get
+      if (first) {
+        first = false
+        // a racer lands column c BETWEEN our read and our claim
+        assert(ArrowDataSource.casDeclaredSchema(root,
+          StructType(cur.fields :+
+            StructField("c", StringType, nullable = true)),
+          Set.empty, Map.empty, ArrowDataSource.declaredSchemaGen(root)))
+      }
+      (StructType(cur.fields :+
+        StructField("mine", LongType, nullable = true)),
+        Set.empty, Map.empty)
+    }
+    val out = ArrowDataSource.declaredSchema(root).get.fieldNames.toSet
+    assert(out == Set("id", "c", "mine"),
+      s"the racer's column was last-writer-wins'd away: $out")
+  }
+
   test("a REFUSED mergeSchema batch append into a streaming-sink " +
       "directory leaves no phantom declaration behind") {
     import spark.implicits._
