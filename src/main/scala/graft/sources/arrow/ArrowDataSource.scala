@@ -105,8 +105,8 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
           val got = idxSchema(f)
             .getOrElse(ArrowDataSource.readFooterSchema(f))
           got.fields.find(g =>
-              !ArrowDataSource.footerFieldTolerated(declared, g) &&
-              !dropped(g.name)).foreach(
+              !ArrowDataSource.footerFieldTolerated(declared, dropped, g)
+              && !dropped(g.name)).foreach(
             g => bad.compareAndSet(null,
               s"arrow: $f carries ${g.name}:${g.dataType.simpleString} " +
                 s"which the declared schema of $root does not — " +
@@ -1491,29 +1491,41 @@ object ArrowDataSource {
     * exact (name, type) membership, or — nested schema evolution — a
     * same-name STRUCT whose leaves are a recursive subset of the
     * declared struct's (files written before a leaf joined simply
-    * lack it; the reader null-fills absent leaves). Arrays and maps
-    * do not evolve element-wise (mergeWriteSchema refuses those
-    * deltas), so only struct types recurse. */
+    * lack it; the reader null-fills absent leaves), where a footer
+    * leaf ABSENT from the declaration is tolerated iff its dotted
+    * path sits in the drop ledger (leaf-level DROP COLUMN: old files
+    * keep the bytes, readers stop seeing them). Arrays and maps do
+    * not evolve element-wise (mergeWriteSchema refuses those deltas),
+    * so only struct types recurse. */
   def footerFieldTolerated(
       tolerated: Set[(String, org.apache.spark.sql.types.DataType)],
+      dropped: Set[String],
       g: org.apache.spark.sql.types.StructField): Boolean =
     tolerated.exists { case (n, t) =>
-      n == g.name && structSubsumes(t, g.dataType)
+      n == g.name && structSubsumes(t, g.dataType, dropped, g.name)
     }
 
   /** `declared` can serve every value a `footer`-typed file holds:
     * equal types, or struct-wise — every footer leaf exists in the
-    * declared struct under the same name with a subsuming type.
+    * declared struct under the same name with a subsuming type, OR is
+    * ledgered as dropped at its dotted path (never served).
     * Nullability inside structs is ignored (a non-nullable-written
     * leaf reads safely as nullable). */
   def structSubsumes(declared: org.apache.spark.sql.types.DataType,
-      footer: org.apache.spark.sql.types.DataType): Boolean = {
+      footer: org.apache.spark.sql.types.DataType,
+      dropped: Set[String] = Set.empty,
+      path: String = ""): Boolean = {
     import org.apache.spark.sql.types.StructType
     (declared, footer) match {
       case (d, f) if d == f => true
       case (d: StructType, f: StructType) =>
-        f.fields.forall(ff => d.fields.find(_.name == ff.name)
-          .exists(df => structSubsumes(df.dataType, ff.dataType)))
+        f.fields.forall { ff =>
+          d.fields.find(_.name == ff.name) match {
+            case Some(df) => structSubsumes(df.dataType, ff.dataType,
+              dropped, s"$path.${ff.name}")
+            case None => dropped.contains(s"$path.${ff.name}")
+          }
+        }
       case _ => false
     }
   }

@@ -977,20 +977,63 @@ object GraftProcedures {
       // writer's column survives this procedure
       ArrowDataSource.evolveDeclaration(root) { () =>
         val current = currentDataSchema(path, root, "drop_column")
-        require(current.fieldNames.contains(colName),
-          s"drop_column: no column $colName on $path")
-        require(current.fields.length > 1,
-          s"drop_column: cannot drop the last column of $path")
-        requireNoConstraintOn(path, colName, "drop_column")
-        // dropping a renamed column also retires its physical history:
-        // the alias physicals join the drop ledger so neither name can
-        // resurrect
         val aliases = ArrowDataSource.aliasColumns(root)
-        nCols = current.fields.length - 1L
-        (StructType(current.fields.filterNot(_.name == colName)),
-          ArrowDataSource.droppedColumns(root) + colName ++
-            aliases.getOrElse(colName, Seq.empty),
-          aliases - colName)
+        val dropped = ArrowDataSource.droppedColumns(root)
+        if (colName.contains('.')) {
+          // A DOTTED name drops a struct LEAF (the complement of the
+          // dotted add_column): metadata-only — old files keep the
+          // leaf's bytes, the drift sweep tolerates them through the
+          // dotted drop ledger (structSubsumes), readers stop seeing
+          // the leaf, and add_column/mergeSchema refuse to resurrect
+          // the dotted name. Conservative with constraints: any CHECK
+          // referencing the parent column blocks the leaf drop.
+          val parts = colName.split("\\.").toList
+          requireNoConstraintOn(path, parts.head, "drop_column")
+          def dropLeaf(st: StructType, prefix: String,
+              ps: List[String]): StructType = ps match {
+            case leaf :: Nil =>
+              require(st.fieldNames.contains(leaf),
+                s"drop_column: no struct leaf $colName on $path")
+              require(st.fields.length > 1,
+                s"drop_column: cannot drop the last leaf of " +
+                  s"${prefix.dropRight(1)} — drop the column itself")
+              StructType(st.fields.filterNot(_.name == leaf))
+            case p :: rest =>
+              val idx = st.fieldNames.indexOf(p)
+              require(idx >= 0,
+                s"drop_column: no struct column $prefix$p on $path")
+              st.fields(idx).dataType match {
+                case inner: StructType => StructType(st.fields.updated(
+                  idx, st.fields(idx).copy(
+                    dataType = dropLeaf(inner, s"$prefix$p.", rest))))
+                case other => throw new IllegalArgumentException(
+                  s"drop_column: $prefix$p is ${other.simpleString} " +
+                    s"on $path, not a struct")
+              }
+            case Nil => st
+          }
+          val evolved = dropLeaf(current, "", parts)
+          nCols = evolved.fields.length.toLong
+          // a RENAMED parent's pre-rename files carry the leaf under
+          // the physical name — ledger those dotted paths too, so the
+          // drift sweep keeps tolerating them
+          val physPaths = aliases.getOrElse(parts.head, Seq.empty)
+            .map(phys => (phys +: parts.tail).mkString("."))
+          (evolved, dropped + colName ++ physPaths, aliases)
+        } else {
+          require(current.fieldNames.contains(colName),
+            s"drop_column: no column $colName on $path")
+          require(current.fields.length > 1,
+            s"drop_column: cannot drop the last column of $path")
+          requireNoConstraintOn(path, colName, "drop_column")
+          // dropping a renamed column also retires its physical
+          // history: the alias physicals join the drop ledger so
+          // neither name can resurrect
+          nCols = current.fields.length - 1L
+          (StructType(current.fields.filterNot(_.name == colName)),
+            dropped + colName ++ aliases.getOrElse(colName, Seq.empty),
+            aliases - colName)
+        }
       }
       result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }
@@ -1260,8 +1303,8 @@ object GraftProcedures {
             ArrowDataSource.toleratedFooterFields(root, ds)
           schemas.foreach { case (f, s) =>
             s.fields.filterNot(g =>
-              ArrowDataSource.footerFieldTolerated(declared, g) ||
-              dropped(g.name)).foreach(g =>
+              ArrowDataSource.footerFieldTolerated(declared, dropped, g)
+              || dropped(g.name)).foreach(g =>
               bad("schema-vs-declared", s"$f carries ${g.name}:" +
                 s"${g.dataType.simpleString}"))
           }

@@ -348,6 +348,79 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     }, "not a struct")
   }
 
+  test("drop_column with a DOTTED name drops a struct LEAF " +
+      "metadata-only: old files tolerated, resurrection refused, " +
+      "rename composes") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("dropleaf").toString
+    (1L to 15L).map(i => (i, (s"t$i", i * 2L, i * 0.5)))
+      .toDF("id", "meta")
+      .select(col("id"),
+        col("meta").cast("struct<tag:string,amt:bigint,score:double>"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val filesBefore = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    val n = spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+      "name => 'meta.score')").collect().head.getLong(0)
+    assert(n == 2L) // top-level column count unchanged (id, meta)
+    assert(ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap ==
+      filesBefore, "leaf drop must not touch a data file")
+    // old files (still carrying score bytes) read through the
+    // narrowed declaration; the drift sweep tolerates them
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("meta").dataType.catalogString ==
+      "struct<tag:string,amt:bigint>")
+    assert(df.agg(sum(col("meta.amt"))).head.getLong(0) ==
+      (1L to 15L).map(_ * 2).sum)
+    // fsck agrees with the reader on what counts as drift
+    val fsck = spark.sql(s"CALL graft.system.fsck(path => '$dir')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fsck.last == ("ok", "PASS"), fsck.mkString("\n"))
+    // resurrection refuses on BOTH evolution paths
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        "name => 'meta.score', type => 'double')").collect()
+    }, "DROPPED")
+    assertRefused(intercept[Exception] {
+      Seq((99L, ("x", 1L, 9.9))).toDF("id", "meta")
+        .select(col("id"),
+          col("meta").cast("struct<tag:string,amt:bigint,score:double>"))
+        .write.format("arrow").mode("append")
+        .option("mergeSchema", "true").save(dir)
+    }, "meta.score")
+    // new writes carry the narrowed struct; reads stay whole
+    Seq((16L, ("t16", 32L))).toDF("id", "meta")
+      .select(col("id"), col("meta").cast("struct<tag:string,amt:bigint>"))
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir).count() == 16)
+    // guards: last leaf, unknown leaf, non-struct parent
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+        "name => 'meta.nosuch')").collect()
+    }, "no struct leaf")
+    assertRefused(intercept[Exception] {
+      spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+        "name => 'id.leaf')").collect()
+    }, "not a struct")
+    // rename composes: pre-rename files carry the next dropped leaf
+    // under the PHYSICAL parent name — the ledger covers both paths
+    spark.sql(s"CALL graft.system.rename_column(path => '$dir', " +
+      "old_name => 'meta', new_name => 'info')").collect()
+    spark.sql(s"CALL graft.system.drop_column(path => '$dir', " +
+      "name => 'info.tag')").collect()
+    val renamed = spark.read.format("arrow").load(dir)
+    assert(renamed.schema("info").dataType.catalogString ==
+      "struct<amt:bigint>")
+    assert(renamed.agg(sum(col("info.amt"))).head.getLong(0) ==
+      (1L to 16L).map(_ * 2).sum)
+    val fsck2 = spark.sql(s"CALL graft.system.fsck(path => '$dir')")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(fsck2.last == ("ok", "PASS"), fsck2.mkString("\n"))
+  }
+
   test("writer drift against the declared schema fails loudly") {
     import spark.implicits._
     val dir = Files.createTempDirectory("addcol_drift").toString
