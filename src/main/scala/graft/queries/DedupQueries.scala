@@ -540,6 +540,48 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact SUBSTRING dedup at character grain (Lee et al.
+    * "Deduplicating Training Data" — the suffix-array result,
+    * re-expressed as the distributed two-phase plan a 100 TB corpus
+    * actually runs): every L=30-codepoint window at stride 7 emits an
+    * 8-byte ROLLING hash through the native
+    * [[graft.functions.WindowHashGenExpr]] generator (O(chars) per
+    * document, no per-window substring materialization), hashes with
+    * ≥2 distinct documents become candidates, and ONLY candidate
+    * positions re-extract their actual substring for the byte-exact
+    * confirm — so the big shuffle is keyed by longs, collisions cost
+    * a substring check rather than correctness, and the all-window
+    * byte shuffle that a direct group-by-substring would pay never
+    * happens. Output: per document, total windows and how many are
+    * byte-exact shared with some other document. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val L = 30
+    val S = 7
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+    val wins = graft.functions.WindowHashGenExpr(docs, col("text"), L, S)
+      .select(col("doc_id"), col("pos"), col("h"))
+    val hot = wins.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") >= 2).select(col("h"))
+    val cand = wins.join(hot, "h").select(col("doc_id"), col("pos"))
+    val confirmed = cand.join(docs, "doc_id")
+      .select(col("doc_id"), expr(s"substring(text, pos, $L)").as("w"))
+    val spans = confirmed.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("docs"))
+      .filter(col("docs") >= 2).select(col("w"))
+    val dup = confirmed.join(spans, "w")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    docs.select(col("doc_id"),
+        (floor((length(col("text")) - L) / S) + 1).cast("long")
+          .as("n_windows"))
+      .filter(col("n_windows") > 0)
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_jaccard" -> (jaccardDedup _),
@@ -548,7 +590,8 @@ object DedupQueries {
     "dedup_minhash" -> (minhashDedup _),
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashDedup _),
-    "dedup_passage" -> (passageDedup _))
+    "dedup_passage" -> (passageDedup _),
+    "dedup_substring" -> (substringDedup _))
 
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -632,5 +675,20 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN c.d >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_windows
         |FROM w JOIN c USING (passage)
-        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "dedup_substring" ->
+      """WITH win AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(len(text) - 29, 0) + 1, 7)) AS i
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 30) AS w
+        |  FROM win),
+        |spans AS (
+        |  SELECT w, COUNT(DISTINCT doc_id) AS docs FROM wins GROUP BY w)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows
+        |FROM wins JOIN spans USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -896,6 +896,78 @@ object StorageQueries {
       .orderBy(col("prio").asc_nulls_first)
   }
 
+  /** INITIAL DEFAULTS, oracle-gated (Iceberg's initial-default):
+    * `CALL add_column(..., default => 'legacy')` gives the whole
+    * pre-declaration history a VALUE — not NULL — without touching a
+    * file (the reader serves the declared literal wherever a footer
+    * lacks the column); post-declaration inserts carry their own
+    * values, and a CoW UPDATE predicated on the DEFAULT picks up
+    * exactly the pre-declaration rows. The 100 TB shape: declaring
+    * "everything before today is channel='legacy'" on a petabyte
+    * table is one metadata write, not a backfill job. */
+  def arrowDefaultColumn(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("defcol_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    spark.sql(s"CALL graft.system.add_column(path => '$out', " +
+      "name => 'channel', type => 'string', default => \"'legacy'\")")
+      .collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$out` " +
+      "SELECT o_orderkey + 40000000, o_totalprice, 'D', 'api' " +
+      s"FROM graft.arrow.`$out` WHERE o_orderkey % 401 = 0")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE channel = 'legacy' AND o_orderkey < 200")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("channel"))
+  }
+
+  /** Metadata-only TYPE WIDENING, oracle-gated (Delta's type
+    * widening): the first generation lands the key as INT, `CALL
+    * graft.system.widen_column` widens it to BIGINT with zero file
+    * rewrites (old files upcast per access through
+    * [[graft.sources.arrow.UpcastVector]]), a post-widen insert
+    * carries keys past Int.MaxValue, and a CoW UPDATE predicated on
+    * the widened column reads narrow bytes through the upcast. The
+    * 100 TB shape: out-growing an int key on a petabyte table is one
+    * metadata write, not a table rewrite; zone maps and blooms keep
+    * firing over the narrow generations (integral stats are exact
+    * longs, integral bloom hashing is width-agnostic). */
+  def arrowTypeWiden(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val out = graft.Scratch.dir("widen_q", dir)
+    graft.Scratch.reset(out)
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+        col("o_totalprice"), col("o_orderstatus"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").mode("overwrite").save(out)
+    graft.sources.arrow.ArrowDataSource.initTableLog(out)
+    spark.sql(s"CALL graft.system.widen_column(path => '$out', " +
+      "name => 'o_orderkey', type => 'bigint')").collect()
+    spark.sql(s"INSERT INTO graft.arrow.`$out` " +
+      "SELECT o_orderkey + 3000000000, o_totalprice, 'W' " +
+      s"FROM graft.arrow.`$out` WHERE o_orderkey % 401 = 0")
+    spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
+      "WHERE o_orderkey < 300")
+    spark.read.format("arrow").load(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        sum(col("o_orderkey")).as("sum_key"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Metadata-only RENAME COLUMN, oracle-gated: rename the measure on
     * a logged table (`CALL graft.system.rename_column`) — pre-rename
     * files serve their bytes under the new name via the reader's
@@ -1390,6 +1462,8 @@ object StorageQueries {
     "arrow_add_column" -> (arrowAddColumn _),
     "arrow_merge_schema_write" -> (arrowMergeSchemaWrite _),
     "arrow_merge_schema_nested" -> (arrowMergeSchemaNested _),
+    "arrow_type_widen" -> (arrowTypeWiden _),
+    "arrow_default_column" -> (arrowDefaultColumn _),
     "arrow_rename_column" -> (arrowRenameColumn _),
     "mv_rewrite_agg" -> (mvRewriteAgg _),
     "mv_rewrite_rollup" -> (mvRewriteRollup _),
@@ -1694,6 +1768,36 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM evolved GROUP BY o_flag
         |ORDER BY o_flag NULLS FIRST""".stripMargin,
+    "arrow_default_column" ->
+      """WITH evolved AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey < 200 THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    'legacy' AS channel
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 40000000, o_totalprice, 'api'
+        |  FROM orders WHERE o_orderkey % 401 = 0)
+        |SELECT channel, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(k) AS BIGINT) AS sum_key
+        |FROM evolved GROUP BY channel
+        |ORDER BY channel""".stripMargin,
+    "arrow_type_widen" ->
+      """WITH widened AS (
+        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
+        |    CASE WHEN o_orderkey < 300 THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_orderstatus AS s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT CAST(o_orderkey AS BIGINT) + 3000000000, o_totalprice, 'W'
+        |  FROM orders WHERE o_orderkey % 401 = 0)
+        |SELECT s AS o_orderstatus, COUNT(*) AS n,
+        | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(k) AS BIGINT) AS sum_key
+        |FROM widened GROUP BY s
+        |ORDER BY o_orderstatus""".stripMargin,
     "arrow_wap_publish" ->
       """WITH post AS (
         |  SELECT o_orderkey,

@@ -147,6 +147,10 @@ class ArrowDataSource extends TableProvider with DataSourceRegister {
           : org.apache.spark.sql.types.DataType =
         (a, b) match {
           case (x, y) if x == y => x
+          // mixed-width generations (type widening): the union reads
+          // at the WIDER type; narrower files upcast in the reader
+          case (x, y) if ArrowSchemas.widens(x, y) => y
+          case (x, y) if ArrowSchemas.widens(y, x) => x
           case (x: StructType, y: StructType) =>
             val extra = y.fields.filterNot(yf =>
               x.fieldNames.contains(yf.name))
@@ -1437,26 +1441,57 @@ object ArrowDataSource {
   def aliasColumns(root: Path): Map[String, Seq[String]] =
     schemaLedger(root)._2
 
+  /** INITIAL DEFAULTS (Iceberg's initial-default): column name → SQL
+    * literal text served in place of NULL for files whose footer LACKS
+    * the column (presence in the footer decides — a post-declaration
+    * file that stores an explicit NULL serves NULL). Declared by
+    * `add_column(..., default => ...)`. */
+  def defaultColumns(root: Path): Map[String, String] =
+    schemaLedger(root)._3
+
+  /** Parse, fold and ANSI-cast a default literal to the column type's
+    * INTERNAL value (UTF8String / Long / Int / ...). Loud on
+    * unparsable, non-foldable or uncastable input — add_column runs
+    * this at declaration time so a reader can never hit a broken
+    * default. */
+  def evalDefault(lit: String,
+      dt: org.apache.spark.sql.types.DataType): Any = {
+    val expr = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(lit)
+    require(expr.foldable,
+      s"arrow: default $lit is not a foldable literal")
+    org.apache.spark.sql.catalyst.expressions.Cast(expr, dt,
+      Some("UTC"), org.apache.spark.sql.catalyst.expressions
+        .EvalMode.ANSI)
+      .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+  }
+
   private def schemaLedger(root: Path)
-      : (Set[String], Map[String, Seq[String]]) =
+      : (Set[String], Map[String, Seq[String]], Map[String, String]) =
     currentSchemaFile(root.resolve(MetadataDirName)) match {
-      case None => (Set.empty, Map.empty)
+      case None => (Set.empty, Map.empty, Map.empty)
       case Some((f, _)) => parseLedger(f)
     }
 
   private def parseLedger(f: Path)
-      : (Set[String], Map[String, Seq[String]]) = {
+      : (Set[String], Map[String, Seq[String]], Map[String, String]) = {
       val dropped = Set.newBuilder[String]
       val aliases = Map.newBuilder[String, Seq[String]]
+      val defaults = Map.newBuilder[String, String]
       Files.readAllLines(f).asScala.drop(1).foreach { line =>
         line.split("\t").toList match {
           case "drop" :: name :: Nil => dropped += name; ()
           case "alias" :: logical :: physicals if physicals.nonEmpty =>
             aliases += (logical -> physicals); ()
+          // initial defaults: the literal is the line's remainder (a
+          // string literal may itself contain a tab; add_column
+          // refuses newlines, the only structural byte here)
+          case "default" :: name :: rest if rest.nonEmpty =>
+            defaults += (name -> rest.mkString("\t")); ()
           case _ => ()
         }
       }
-      (dropped.result(), aliases.result())
+      (dropped.result(), aliases.result(), defaults.result())
   }
 
   /** What a footer may legitimately carry on a declared-schema table:
@@ -1518,6 +1553,10 @@ object ArrowDataSource {
     import org.apache.spark.sql.types.StructType
     (declared, footer) match {
       case (d, f) if d == f => true
+      // type widening (metadata-only): a narrower-written file serves
+      // under the wider declaration via the reader's UpcastVector —
+      // at top level and at struct leaves alike
+      case (d, f) if ArrowSchemas.widens(f, d) => true
       case (d: StructType, f: StructType) =>
         f.fields.forall { ff =>
           d.fields.find(_.name == ff.name) match {
@@ -1539,7 +1578,8 @@ object ArrowDataSource {
     * footers would otherwise brick every read on the drift sweep). */
   def evolveDeclaration(root: Path)(
       compute: () => (org.apache.spark.sql.types.StructType,
-        Set[String], Map[String, Seq[String]])): Unit = {
+        Set[String], Map[String, Seq[String]], Map[String, String]))
+      : Unit = {
     var attempts = 0
     var done = false
     while (!done) {
@@ -1547,8 +1587,8 @@ object ArrowDataSource {
       require(attempts <= 20,
         s"evolveDeclaration: CAS retry budget exhausted under $root")
       val gen = declaredSchemaGen(root)
-      val (s, d, a) = compute()
-      done = casDeclaredSchema(root, s, d, a, gen)
+      val (s, d, a, dv) = compute()
+      done = casDeclaredSchema(root, s, d, a, gen, dv)
     }
   }
 
@@ -1586,7 +1626,11 @@ object ArrowDataSource {
       schema: org.apache.spark.sql.types.StructType,
       dropped: Set[String],
       aliases: Map[String, Seq[String]],
-      expectedGen: Long): Boolean = {
+      expectedGen: Long,
+      // product paths that EVOLVE a declaration must read and pass
+      // the current defaults through (the procedures do) — the empty
+      // default is for fresh-state constructions (tests, first write)
+      defaults: Map[String, String] = Map.empty): Boolean = {
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
     if (declaredSchemaGen(root) != expectedGen) return false
@@ -1598,6 +1642,9 @@ object ArrowDataSource {
       (dropped.toSeq.sorted.map(n => s"drop\t$n") ++
         aliases.toSeq.sortBy(_._1).map { case (l, ps) =>
           (Seq("alias", l) ++ ps).mkString("\t")
+        } ++
+        defaults.toSeq.sortBy(_._1).map { case (n, lit) =>
+          s"default\t$n\t$lit"
         })
     Files.write(tmp, lines.asJava)
     try {
@@ -1651,12 +1698,21 @@ object ArrowDataSource {
     * the lookup. */
   private val aliasCache = new java.util.concurrent.ConcurrentHashMap[
     String, (Long, java.nio.file.attribute.FileTime,
-      Map[String, Seq[String]])]()
+      (Map[String, Seq[String]], Map[String, String]))]()
 
   /** The rename ledger governing `file`, resolved by walking ancestors
     * for a `_graft_metadata/_schema` (partition subdirs sit under the
     * table root). Empty for never-evolved tables. */
-  def aliasColumnsForFile(file: Path): Map[String, Seq[String]] = {
+  def aliasColumnsForFile(file: Path): Map[String, Seq[String]] =
+    ledgersForFile(file)._1
+
+  /** Initial defaults resolved from a FILE's table root (the reader's
+    * lookup path) — same memoized climb as [[aliasColumnsForFile]]. */
+  def defaultColumnsForFile(file: Path): Map[String, String] =
+    ledgersForFile(file)._2
+
+  private def ledgersForFile(file: Path)
+      : (Map[String, Seq[String]], Map[String, String]) = {
     var dir = file.toAbsolutePath.normalize.getParent
     var depth = 0
     while (dir != null && depth < 6) {
@@ -1670,7 +1726,8 @@ object ArrowDataSource {
           val cached = aliasCache.get(key)
           if (cached != null && cached._1 == gen && cached._2 == mtime)
             return cached._3
-          val parsed = parseLedger(ledger)._2
+          val parsed3 = parseLedger(ledger)
+          val parsed = (parsed3._2, parsed3._3)
           aliasCache.put(key, (gen, mtime, parsed))
           return parsed
         case None => ()
@@ -1678,7 +1735,7 @@ object ArrowDataSource {
       dir = dir.getParent
       depth += 1
     }
-    Map.empty
+    (Map.empty, Map.empty)
   }
 
   /** `_clone_src` metadata: where (and at which epoch) this table was

@@ -1372,6 +1372,41 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       }
     }
   }
+  // initial defaults (Iceberg's): requested columns this file PREDATES
+  // (absent from its footer) serve their declared default instead of
+  // null — resolved once per split from the table ledger, literals
+  // evaluated to internal values here so per-batch serving is a
+  // constant-vector fill
+  private lazy val columnDefaults: Map[String, Any] = {
+    val raw = ArrowDataSource
+      .defaultColumnsForFile(Paths.get(partition.file))
+    if (raw.isEmpty) Map.empty
+    else schema.fields.iterator.flatMap(f => raw.get(f.name)
+      .map(lit => f.name -> ArrowDataSource.evalDefault(lit, f.dataType)))
+      .toMap
+  }
+
+  private def fillConstant(
+      cv: org.apache.spark.sql.execution.vectorized.ConstantColumnVector,
+      dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType =>
+        cv.setLong(v.asInstanceOf[java.lang.Long])
+      case IntegerType | DateType =>
+        cv.setInt(v.asInstanceOf[java.lang.Integer])
+      case ShortType => cv.setShort(v.asInstanceOf[java.lang.Short])
+      case ByteType => cv.setByte(v.asInstanceOf[java.lang.Byte])
+      case BooleanType => cv.setBoolean(v.asInstanceOf[java.lang.Boolean])
+      case DoubleType => cv.setDouble(v.asInstanceOf[java.lang.Double])
+      case FloatType => cv.setFloat(v.asInstanceOf[java.lang.Float])
+      case StringType => cv.setUtf8String(
+        v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      case other => throw new UnsupportedOperationException(
+        s"arrow: initial default of ${other.simpleString}")
+    }
+  }
+
   private val blocks = reader.getRecordBlocks
   private var cursor = 0
   // merge-on-read deletion vector: per-ORIGINAL-batch bitmaps of
@@ -1458,11 +1493,15 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
           // SelectedVector wrapper below remaps it like any column, so
           // a masked file's surviving rows keep their ORIGINAL ids)
           new PositionVector(currentBlockIdx): ColumnVector
-        case (Left(-1), fi) => // column absent from this file: all null
+        case (Left(-1), fi) => // column absent from this file: its
+          // declared initial default when one exists, else all null
+          val f = schema.fields(fi)
           val cv = new org.apache.spark.sql.execution.vectorized
-            .ConstantColumnVector(root.getRowCount,
-              schema.fields(fi).dataType)
-          cv.setNull()
+            .ConstantColumnVector(root.getRowCount, f.dataType)
+          columnDefaults.get(f.name) match {
+            case Some(v) if v != null => fillConstant(cv, f.dataType, v)
+            case _ => cv.setNull()
+          }
           cv: ColumnVector
         case (Left(i), fi) =>
           val v = root.getVector(i)
@@ -1496,7 +1535,14 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
                   case _ => new ArrowColumnVector(v): ColumnVector
                 }
                 new NonClosingVector(patched): ColumnVector
-              case _ => new ArrowColumnVector(v): ColumnVector
+              case _ =>
+                val cv = new ArrowColumnVector(v)
+                val decl = schema.fields(fi).dataType
+                // type widening: a file written before a widen_column
+                // (or widening mergeSchema write) carries the narrow
+                // physical type — upcast per access, zero-copy
+                if (cv.dataType() == decl) cv: ColumnVector
+                else new UpcastVector(cv, decl): ColumnVector
             }
           }
       }
@@ -1615,7 +1661,9 @@ private[arrow] object StructLeafPatch {
       declared.fields.zip(file.fields).exists { case (d, f) =>
         d.name != f.name || ((d.dataType, f.dataType) match {
           case (ds: StructType, fs: StructType) => needed(ds, fs)
-          case _ => false // leaf types already passed the drift sweep
+          // a WIDENED leaf (widen_column on a dotted path): the file's
+          // narrow leaf must upcast under the declared width
+          case (dl, fl) => dl != fl
         })
       }
 }
@@ -1633,6 +1681,8 @@ private[arrow] final class StructLeafPatchVector(under: ColumnVector,
       case i => (df.dataType, file.fields(i).dataType) match {
         case (ds: StructType, fs: StructType) =>
           StructLeafPatch(under.getChild(i), ds, fs, rows)
+        // widened leaf: this file's narrow bytes upcast per access
+        case (dl, fl) if dl != fl => new UpcastVector(under.getChild(i), dl)
         case _ => under.getChild(i)
       }
     }
@@ -1662,6 +1712,53 @@ private[arrow] final class StructLeafPatchVector(under: ColumnVector,
   override def getUTF8String(i: Int)
       : org.apache.spark.unsafe.types.UTF8String = unsupported
   override def getBinary(i: Int): Array[Byte] = unsupported
+}
+
+/** Type widening, read side: view a file's NARROWER primitive vector
+  * under the DECLARED wider type ([[ArrowSchemas.widens]]) — the
+  * getter of the declared width reads the file's physical width and
+  * upcasts per access, zero-copy. Wraps flat columns and struct
+  * leaves (via [[StructLeafPatch]]); `close` delegates, matching the
+  * wrapped vector's ownership. */
+private[arrow] final class UpcastVector(under: ColumnVector,
+    declared: org.apache.spark.sql.types.DataType)
+    extends ColumnVector(declared) {
+  import org.apache.spark.sql.types._
+  private val from = under.dataType()
+  private def narrow(i: Int): Long = from match {
+    case ByteType => under.getByte(i).toLong
+    case ShortType => under.getShort(i).toLong
+    case IntegerType => under.getInt(i).toLong
+    case LongType => under.getLong(i)
+    case other => throw new UnsupportedOperationException(
+      s"upcast from ${other.simpleString}")
+  }
+  override def hasNull: Boolean = under.hasNull
+  override def numNulls: Int = under.numNulls
+  override def isNullAt(i: Int): Boolean = under.isNullAt(i)
+  override def getShort(i: Int): Short = narrow(i).toShort
+  override def getInt(i: Int): Int = narrow(i).toInt
+  override def getLong(i: Int): Long = narrow(i)
+  override def getDouble(i: Int): Double = from match {
+    case FloatType => under.getFloat(i).toDouble
+    case _ => under.getDouble(i)
+  }
+  override def close(): Unit = under.close()
+  private def unsupported = throw new UnsupportedOperationException(
+    s"widened arrow column is ${declared.simpleString}-typed")
+  override def getBoolean(i: Int): Boolean = unsupported
+  override def getByte(i: Int): Byte = unsupported
+  override def getFloat(i: Int): Float = unsupported
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = unsupported
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = unsupported
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = unsupported
+  override def getUTF8String(i: Int)
+      : org.apache.spark.unsafe.types.UTF8String = unsupported
+  override def getBinary(i: Int): Array[Byte] = unsupported
+  override def getChild(ordinal: Int): ColumnVector = unsupported
 }
 
 private[arrow] final class SelectedVector(under: ColumnVector,

@@ -17,6 +17,24 @@ import org.apache.spark.sql.types._
   */
 object ArrowSchemas {
 
+  /** Lossless primitive widenings the engine serves metadata-only
+    * (Delta's type widening): a file written at `from` reads exactly
+    * under a declaration at `to` — every `from` value maps to the
+    * same numeric value in `to` with no rounding or truncation, so
+    * zone-map stats (recorded as exact longs / doubles), bloom
+    * filters (integrals hash via `longValue()`, width-agnostic) and
+    * sort stamps all stay valid. Deliberately NOT included: int →
+    * float/double (loses exactness past 2^24/2^53), long → double,
+    * decimal re-scaling, date → timestamp (changes the value's
+    * meaning, not just its width). */
+  def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+    case (ByteType, ShortType | IntegerType | LongType) => true
+    case (ShortType, IntegerType | LongType) => true
+    case (IntegerType, LongType) => true
+    case (FloatType, DoubleType) => true
+    case _ => false
+  }
+
   def toArrowType(dt: DataType): ArrowType = dt match {
     case BooleanType => ArrowType.Bool.INSTANCE
     case ByteType => new ArrowType.Int(8, true)

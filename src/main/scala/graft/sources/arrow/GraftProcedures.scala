@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
@@ -704,21 +704,55 @@ object GraftProcedures {
       "column and the by-name reader serves it as nulls; new writes " +
       "carry it; aggregate pushdown over it refuses conservatively " +
       "until footers hold its stats. Type is a DDL string " +
-      "(e.g. 'bigint', 'string', 'array<double>')") {
+      "(e.g. 'bigint', 'string', 'array<double>'). An optional " +
+      "DEFAULT (a SQL literal, e.g. \"'legacy'\" or '0') is the " +
+      "INITIAL default — Iceberg's: files whose footer lacks the " +
+      "column serve the default instead of NULL, so a backfill-free " +
+      "evolution can still declare a value for history; files that " +
+      "STORE the column (even as NULL) serve their bytes") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("name", StringType).build(),
-      ProcedureParameter.in("type", StringType).build())
+      ProcedureParameter.in("type", StringType).build(),
+      ProcedureParameter.in("default", StringType)
+        .defaultValue("NULL").build())
     private val out = StructType(Seq(
       StructField("n_columns", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
       val colName = input.getUTF8String(1).toString
       val ddl = input.getUTF8String(2).toString
+      val defaultLit: Option[String] =
+        if (input.isNullAt(3)) None
+        else Some(input.getUTF8String(3).toString)
       val root = ArrowDataSource.sinkRoot(path)
         .getOrElse(Paths.get(path).toAbsolutePath.normalize)
       val dt = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
         .parseDataType(ddl)
+      defaultLit.foreach { lit =>
+        require(!colName.contains('.'),
+          s"add_column: a struct LEAF cannot carry an initial " +
+            s"default ($colName) — only flat columns")
+        require(!lit.exists(c => c == '\n' || c == '\r'),
+          "add_column: a default literal cannot contain line breaks")
+        val servable = dt match {
+          case LongType | TimestampType | TimestampNTZType |
+               IntegerType | DateType | ShortType | ByteType |
+               BooleanType | DoubleType | FloatType | StringType => true
+          case _ => false
+        }
+        require(servable,
+          "add_column: initial defaults support primitive types only " +
+            "(integrals, float/double, boolean, string, date, " +
+            s"timestamp) — not ${dt.simpleString}")
+        // the literal must parse, fold, and cast to the column's type
+        // NOW — a reader hitting a broken default years later is the
+        // wrong place to find out
+        val v = ArrowDataSource.evalDefault(lit, dt)
+        require(v != null || lit.trim.equalsIgnoreCase("null"),
+          s"add_column: default $lit evaluates to NULL for " +
+            s"${dt.simpleString} — omit the default instead")
+      }
       // names resolve with the session resolver everywhere here (the
       // same rule as mergeWriteSchema): a case variant of an existing
       // name is the SAME name — allowing it would declare a
@@ -779,7 +813,10 @@ object GraftProcedures {
               current.fields :+ StructField(colName, dt, nullable = true))
           }
         nCols = evolved.fields.length.toLong
-        (evolved, dropped, aliases)
+        val defaults = ArrowDataSource.defaultColumns(root) ++
+          defaultLit.filterNot(_.trim.equalsIgnoreCase("null"))
+            .map(colName -> _)
+        (evolved, dropped, aliases, defaults)
       }
       result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }
@@ -902,6 +939,12 @@ object GraftProcedures {
         s"arrow mergeSchema write: $name was previously DROPPED " +
           s"from or RENAMED on $path — auto-evolving would resurrect " +
           "old files' values; pick a fresh name")
+    // An incoming column NARROWER than its declared/current type is
+    // served by the existing width with no evolution — but on an
+    // UNDECLARED directory the mixed-width footers need a declaration
+    // for plain (non-mergeSchema) reads to resolve, so the vacuous
+    // exit below is gated on one existing.
+    var narrowerIncoming = false
     // Same-name columns must carry the same type — except STRUCTS,
     // which merge FIELD-WISE (nested schema evolution, Delta's struct
     // merge): same-name leaves must agree recursively, new leaves land
@@ -912,6 +955,15 @@ object GraftProcedures {
     def mergeType(colPath: String, cur: DataType,
         inc: DataType): DataType = (cur, inc) match {
       case (c, i) if c == i => c
+      // type widening (Delta's): an incoming WIDER frame widens the
+      // declaration metadata-only (old narrow files upcast in the
+      // reader); an incoming NARROWER frame is already served by the
+      // wider declaration, so the write proceeds with no evolution —
+      // its footers land narrow and the drift sweep tolerates them
+      // (ArrowDataSource.structSubsumes)
+      case (c, i) if ArrowSchemas.widens(c, i) => i
+      case (c, i) if ArrowSchemas.widens(i, c) =>
+        narrowerIncoming = true; c
       case (c: StructType, i: StructType) =>
         val kept = c.fields.map { cf =>
           i.fields.find(f => resolver(f.name, cf.name)) match {
@@ -942,7 +994,8 @@ object GraftProcedures {
     val fresh = incoming.fields.filterNot(f =>
       partCols.exists(resolver(_, f.name)) ||
         current.fields.exists(cf => resolver(cf.name, f.name)))
-    if (fresh.isEmpty && merged.toSeq == current.fields.toSeq)
+    if (fresh.isEmpty && merged.toSeq == current.fields.toSeq &&
+        (declared.nonEmpty || !narrowerIncoming))
       return true // nothing to evolve — vacuous CAS success
     // Evolving a bare (unlogged) directory first promotes it to a
     // logged table: the declaration sidecar lives in _graft_metadata,
@@ -952,9 +1005,12 @@ object GraftProcedures {
     if (!ArrowDataSource.isTableLog(path))
       ArrowDataSource.initTableLog(root.toString)
     fresh.foreach(f => requireNotLedgered(f.name))
+    // existing initial defaults ride through unchanged (fresh merge
+    // columns never carry one — only CALL add_column declares them)
     ArrowDataSource.casDeclaredSchema(root, StructType(
       merged ++ fresh.map(_.copy(nullable = true))),
-      dropped, aliases, baseGen)
+      dropped, aliases, baseGen,
+      ArrowDataSource.defaultColumns(root))
   }
 
   val DropColumn: UnboundProcedure = new SimpleProcedure("drop_column",
@@ -1019,7 +1075,8 @@ object GraftProcedures {
           // drift sweep keeps tolerating them
           val physPaths = aliases.getOrElse(parts.head, Seq.empty)
             .map(phys => (phys +: parts.tail).mkString("."))
-          (evolved, dropped + colName ++ physPaths, aliases)
+          (evolved, dropped + colName ++ physPaths, aliases,
+            ArrowDataSource.defaultColumns(root))
         } else {
           require(current.fieldNames.contains(colName),
             s"drop_column: no column $colName on $path")
@@ -1030,10 +1087,103 @@ object GraftProcedures {
           // history: the alias physicals join the drop ledger so
           // neither name can resurrect
           nCols = current.fields.length - 1L
+          // the column's initial default dies with it (the dropped
+          // name can never resurrect, so neither can the default)
           (StructType(current.fields.filterNot(_.name == colName)),
             dropped + colName ++ aliases.getOrElse(colName, Seq.empty),
-            aliases - colName)
+            aliases - colName,
+            ArrowDataSource.defaultColumns(root) - colName)
         }
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](nCols))))
+    }
+  }
+
+  val WidenColumn: UnboundProcedure = new SimpleProcedure("widen_column",
+    "metadata-only TYPE WIDENING (Delta's type widening): widen a " +
+      "column (or dotted struct leaf) to a larger lossless type — " +
+      "tinyint/smallint/int -> bigint, float -> double — without " +
+      "rewriting a file. Old files keep their narrow bytes and the " +
+      "reader upcasts per file; zone maps, bloom filters and sort " +
+      "stamps stay valid (integral stats are exact longs, integral " +
+      "bloom hashing is width-agnostic). Narrowing and lossy casts " +
+      "refuse") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("type", StringType).build())
+    private val out = StructType(Seq(
+      StructField("n_columns", LongType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val colName = input.getUTF8String(1).toString
+      val ddl = input.getUTF8String(2).toString
+      val root = ArrowDataSource.sinkRoot(path)
+        .getOrElse(Paths.get(path).toAbsolutePath.normalize)
+      val target = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+        .parseDataType(ddl)
+      def widen(cur: DataType, at: String): DataType = {
+        require(cur != target,
+          s"widen_column: $at is already ${target.simpleString} on $path")
+        require(ArrowSchemas.widens(cur, target),
+          s"widen_column: ${cur.simpleString} does not widen to " +
+            s"${target.simpleString} on $at — only lossless primitive " +
+            "widenings (tinyint/smallint/int -> bigint, float -> " +
+            "double) are metadata-only")
+        target
+      }
+      var nCols = 0L
+      ArrowDataSource.evolveDeclaration(root) { () =>
+        val current = currentDataSchema(path, root, "widen_column")
+        val partCols =
+          ArrowDataSource.discoverPartitionCols(root.toString).toSet
+        val dropped = ArrowDataSource.droppedColumns(root)
+        val aliases = ArrowDataSource.aliasColumns(root)
+        val evolved =
+          if (colName.contains('.')) {
+            def widenLeaf(st: StructType, prefix: String,
+                ps: List[String]): StructType = ps match {
+              case leaf :: Nil =>
+                val idx = st.fieldNames.indexOf(leaf)
+                require(idx >= 0,
+                  s"widen_column: no struct leaf $colName on $path")
+                StructType(st.fields.updated(idx, st.fields(idx).copy(
+                  dataType = widen(st.fields(idx).dataType, colName))))
+              case p :: rest =>
+                val idx = st.fieldNames.indexOf(p)
+                require(idx >= 0,
+                  s"widen_column: no struct column $prefix$p on $path")
+                st.fields(idx).dataType match {
+                  case inner: StructType => StructType(st.fields.updated(
+                    idx, st.fields(idx).copy(
+                      dataType = widenLeaf(inner, s"$prefix$p.", rest))))
+                  case other => throw new IllegalArgumentException(
+                    s"widen_column: $prefix$p is ${other.simpleString} " +
+                      s"on $path, not a struct")
+                }
+              case Nil => st
+            }
+            widenLeaf(current, "", colName.split("\\.").toList)
+          } else {
+            // partition columns do not widen: their values parse from
+            // DIRECTORY STRINGS at the declared type, and the layout's
+            // recorded partition types are a separate ledger the
+            // reader trusts — keep the refusal aligned with
+            // mergeWriteSchema's "partition types do not merge"
+            require(!partCols.contains(colName),
+              s"widen_column: $colName is a partition column of " +
+                s"$path — partition types do not widen")
+            val idx = current.fieldNames.indexOf(colName)
+            require(idx >= 0,
+              s"widen_column: no column $colName on $path")
+            StructType(current.fields.updated(idx, current.fields(idx)
+              .copy(dataType = widen(current.fields(idx).dataType,
+                colName))))
+          }
+        nCols = evolved.fields.length.toLong
+        // an initial default's literal text re-casts at the wider type
+        // (widening is lossless, so the value is unchanged)
+        (evolved, dropped, aliases, ArrowDataSource.defaultColumns(root))
       }
       result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }
@@ -1121,9 +1271,15 @@ object GraftProcedures {
         // then-current logical)
         val chain = oldName +: aliases.getOrElse(oldName, Seq.empty)
         chainLen = chain.length.toLong
+        // an initial default follows its column through the rename
+        val defaults = ArrowDataSource.defaultColumns(root)
+        val rekeyed = defaults.get(oldName) match {
+          case Some(lit) => (defaults - oldName) + (newName -> lit)
+          case None => defaults
+        }
         (StructType(current.fields.map(f =>
           if (f.name == oldName) f.copy(name = newName) else f)),
-          dropped, (aliases - oldName) + (newName -> chain))
+          dropped, (aliases - oldName) + (newName -> chain), rekeyed)
       }
       result(out, Array(new GenericInternalRow(Array[Any](chainLen))))
     }
@@ -1659,6 +1815,7 @@ object GraftProcedures {
     "add_column" -> AddColumn,
     "drop_column" -> DropColumn,
     "rename_column" -> RenameColumn,
+    "widen_column" -> WidenColumn,
     "set_dv" -> SetDv,
     "analyze" -> Analyze,
     "fsck" -> Fsck,

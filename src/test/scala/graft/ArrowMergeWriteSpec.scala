@@ -340,7 +340,7 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
       }
       (StructType(cur.fields :+
         StructField("mine", LongType, nullable = true)),
-        Set.empty, Map.empty)
+        Set.empty, Map.empty, Map.empty)
     }
     val out = ArrowDataSource.declaredSchema(root).get.fieldNames.toSet
     assert(out == Set("id", "c", "mine"),

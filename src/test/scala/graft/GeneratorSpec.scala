@@ -62,4 +62,45 @@ class GeneratorSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains(">= 1"))
   }
+
+  test("property: WindowHashGenExpr rolling hashes agree with the " +
+      "from-scratch polynomial on random strings (incl. multi-byte), " +
+      "positions stride-aligned and substring-consistent") {
+    import spark.implicits._
+    import graft.functions.WindowHashGenExpr
+    val rnd = new scala.util.Random(90210L)
+    val alphabet = "abcdef αβγ日本語" // exercises codepoint (not byte) grain
+    val texts = (1L to 30L).map { id =>
+      val n = rnd.nextInt(120)
+      (id, (0 until n).map(_ =>
+        alphabet.charAt(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val df = texts.toDF("doc_id", "text")
+    val (len, stride) = (9, 4)
+    val got = WindowHashGenExpr(df, col("text"), len, stride)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    val B = 1000003L
+    texts.foreach { case (id, s) =>
+      val cps = s.codePoints().toArray
+      val expect = (0 to cps.length - len by stride).map { i =>
+        var h = 0L
+        (i until i + len).foreach(j => h = h * B + cps(j))
+        (i + 1, h)
+      }.toSet
+      assert(got.getOrElse(id, Set.empty) == expect, s"doc $id")
+    }
+    // substring-consistency: equal windows hash equal (the candidate
+    // invariant the dedup confirm phase relies on)
+    val byHash = got.toSeq.flatMap { case (id, ws) =>
+      ws.map { case (pos, h) =>
+        val cps = texts(id.toInt - 1)._2.codePoints().toArray
+        (h, new String(cps, pos - 1, len))
+      }
+    }
+    val grouped = byHash.groupBy(_._2).values
+    grouped.foreach(g => assert(g.map(_._1).distinct.length == 1,
+      "equal substrings must hash equal"))
+  }
 }
