@@ -112,11 +112,113 @@ object Multimodal {
         col("offset").as("byte_offset"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** 64-bit BLOCK SIMHASH of the binary payload — the image/media
+    * near-dup signature pipeline: the payload splits into fixed
+    * 16-byte blocks (alignment is inherent to the modality — a
+    * fixed-grid image's blocks never shift), each block hashes to 64
+    * bits via md5, and each signature bit is the majority vote of its
+    * block-hash bits. Computed partition-local in the typed
+    * mapPartitions path (one MessageDigest per partition, no driver
+    * state); payloads of zero bytes drop (no blocks → no vote). */
+  def phashSignatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, bytes) =>
+          if (bytes.isEmpty) Iterator.empty
+          else {
+            val votes = new Array[Int](64)
+            bytes.grouped(16).foreach { chunk =>
+              md.reset()
+              val d = md.digest(chunk)
+              // first 8 digest bytes == the md5 hex prefix the text
+              // simhash family keys on (TextFunctions.hash64)
+              var h = 0L
+              var i = 0
+              while (i < 8) { h = (h << 8) | (d(i) & 0xFFL); i += 1 }
+              var j = 0
+              while (j < 64) {
+                votes(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+                j += 1
+              }
+            }
+            var sig = 0L
+            var j = 0
+            while (j < 64) { if (votes(j) >= 0) sig |= 1L << j; j += 1 }
+            Iterator.single((id, sig))
+          }
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Declared query: perceptual near-dup pairs over the binary media
+    * column — block-simhash signatures, 4×16-bit band buckets (any
+    * pair within hamming ≤ 3 shares a band by pigeonhole, so banding
+    * is a lossless candidate cut: candidates are bucket collisions,
+    * never all pairs), exact hamming confirm. The image-dedup shape
+    * with the codec stubbed; DuckDB recomputes the signatures from
+    * the same md5-block votes and ranks ALL pairs (fixture scale). */
+  def mediaPhashDedupQ(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = phashSignatures(mediaTable(spark, dir))
+    val bands = sigs.select(col("media_id"), col("phash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("phash"), b * 16)
+              .bitwiseAND(0xFFFFL).as("bv"))): _*)).as("bs"))
+      .select(col("media_id"), col("phash"),
+        col("bs.band").as("band"), col("bs.bv").as("bv"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("m1"), col("y.media_id").as("m2"),
+        bit_count(col("x.phash").bitwiseXOR(col("y.phash")))
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(col("m1"), col("m2"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     "media_features" -> (mediaFeaturesQ _),
-    "media_frames" -> (mediaFramesQ _))
+    "media_frames" -> (mediaFramesQ _),
+    "media_phash_dedup" -> (mediaPhashDedupQ _))
+
+  /** DuckDB mirror of [[phashSignatures]] + all-pairs hamming (the
+    * banding is a lossless Spark-side candidate cut, so the oracle
+    * skips it): same 16-char blocks, same md5-hex-prefix 64-bit hash,
+    * same majority vote with the v >= 0 tie rule. ASCII payloads make
+    * char blocks == byte blocks, the documented media-fixture stance. */
+  private def phashOracleSql: String = {
+    val voteCols = (0 until 64).map(i =>
+      s"sum(CASE WHEN ((h >> $i) & 1::UBIGINT) = 1::UBIGINT " +
+        s"THEN 1 ELSE -1 END) AS v$i").mkString(",\n    ")
+    val sigSum = (0 until 64).map { i =>
+      val pow = java.lang.Long.toUnsignedString(1L << i)
+      s"CASE WHEN v$i >= 0 THEN $pow::UBIGINT ELSE 0::UBIGINT END"
+    }.mkString(" + ")
+    s"""WITH pos AS (SELECT doc_id, text,
+       |    unnest(range(1, len(text) + 1, 16)) AS i
+       |  FROM documents WHERE len(text) >= 1),
+       |occ AS (SELECT doc_id,
+       |    substr(text, CAST(i AS INTEGER), 16) AS chunk FROM pos),
+       |hv AS (SELECT doc_id,
+       |    ('0x' || substr(md5(chunk),1,16))::UBIGINT AS h FROM occ),
+       |votes AS (SELECT doc_id,
+       |    $voteCols
+       |  FROM hv GROUP BY doc_id),
+       |sigs AS (SELECT doc_id, ($sigSum) AS sig FROM votes)
+       |SELECT x.doc_id AS m1, y.doc_id AS m2,
+       |  bit_count(xor(x.sig, y.sig))::INTEGER AS hamming
+       |FROM sigs x JOIN sigs y ON x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.sig, y.sig)) <= 3
+       |ORDER BY m1, m2""".stripMargin
+  }
 
   val sql: Map[String, String] = Map(
+    "media_phash_dedup" -> phashOracleSql,
     "media_features" ->
       """SELECT doc_id AS media_id, CAST(unicode(c) // 16 AS INT) AS bin,
         | COUNT(*) AS cnt

@@ -543,20 +543,23 @@ object DedupQueries {
   /** Exact SUBSTRING dedup at character grain (Lee et al.
     * "Deduplicating Training Data" — the suffix-array result,
     * re-expressed as the distributed two-phase plan a 100 TB corpus
-    * actually runs): every L=30-codepoint window at stride 7 emits an
-    * 8-byte ROLLING hash through the native
-    * [[graft.functions.WindowHashGenExpr]] generator (O(chars) per
-    * document, no per-window substring materialization), hashes with
+    * actually runs): EVERY L=30-codepoint window (stride 1 — a
+    * strided emit on both sides would miss runs whose offsets differ
+    * mod the stride; exactness is the whole point) emits an 8-byte
+    * ROLLING hash through the native
+    * [[graft.functions.WindowHashGenExpr]] generator (O(1) per
+    * character, no per-window substring materialization), hashes with
     * ≥2 distinct documents become candidates, and ONLY candidate
     * positions re-extract their actual substring for the byte-exact
-    * confirm — so the big shuffle is keyed by longs, collisions cost
-    * a substring check rather than correctness, and the all-window
-    * byte shuffle that a direct group-by-substring would pay never
-    * happens. Output: per document, total windows and how many are
-    * byte-exact shared with some other document. */
+    * confirm — so the big shuffle is keyed by longs (what makes
+    * stride 1 affordable), collisions cost a substring check rather
+    * than correctness, and the all-window byte shuffle a direct
+    * group-by-substring would pay never happens. Detects EVERY
+    * cross-document shared run of ≥ 30 codepoints. Output: per
+    * document, total windows and how many are byte-exact shared. */
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val L = 30
-    val S = 7
+    val S = 1
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
     val wins = graft.functions.WindowHashGenExpr(docs, col("text"), L, S)
@@ -679,7 +682,7 @@ object DedupQueries {
     "dedup_substring" ->
       """WITH win AS (
         |  SELECT doc_id, text,
-        |    unnest(range(1, greatest(len(text) - 29, 0) + 1, 7)) AS i
+        |    unnest(range(1, greatest(len(text) - 29, 0) + 1, 1)) AS i
         |  FROM documents),
         |wins AS (
         |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 30) AS w

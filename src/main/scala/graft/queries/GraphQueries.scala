@@ -37,8 +37,10 @@ object GraphQueries {
   /** The weighted symmetrized edge set: (src, dst, w = 1/outdeg(src)).
     * Customer nodes are offset by 10^12 to disjoin the key
     * spaces. */
-  private def weightedEdges(spark: SparkSession, dir: String)
-      : DataFrame = {
+  /** The undirected customer↔supplier co-purchase edge set (both
+    * directions, distinct), shared by pagerank's weighting and the
+    * bounded-SSSP frontier walk. */
+  private def rawEdges(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
       .select(col("o_orderkey"),
         (col("o_custkey") + lit(1000000000000L)).as("c"))
@@ -46,11 +48,67 @@ object GraphQueries {
       .select(col("l_orderkey"), col("l_suppkey").cast("long").as("s"))
     val e0 = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("c"), col("s")).distinct()
-    val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+    e0.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  private def weightedEdges(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val edges = rawEdges(spark, dir)
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
     edges.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+  }
+
+  /** Bounded-hop single-source shortest path (unit weights = BFS
+    * levels) from supplier node 1, 3 supersteps unrolled: each round
+    * expands only the NEWLY-discovered frontier (one equi-join on the
+    * edge key) and anti-joins the known set — the Pregel/GraphX
+    * message round as a declared plan, with work per round
+    * O(frontier × avg-degree), never O(V × E). Unit weights make
+    * round r's discoveries exactly distance r, so no min-relaxation
+    * re-visit is needed (the Bellman-Ford general case would keep the
+    * min-agg). Output: nodes per BFS level — the reachability profile
+    * a lineage/contamination walk over a 100 TB bipartite graph
+    * computes. */
+  def ssspBounded(spark: SparkSession, dir: String): DataFrame = {
+    // the distance table is a GRAPH FIXTURE memoized per (session,
+    // dir) like pagerank's weighted edges: each BFS level is persisted
+    // and FORCED before the next expands (Pregel's per-superstep
+    // materialization — without it every level's lineage recomputes
+    // the whole prefix and the anti-joins re-derive each frontier
+    // several times); intermediates release once the distance table
+    // is pinned. The per-level rollup below still computes on every
+    // invocation.
+    val dist = cacheLock.synchronized {
+      ssspCache.getOrElseUpdate((spark, dir), {
+        val edges = rawEdges(spark, dir).persist()
+        val source = spark.range(1, 2)
+          .select(col("id").as("node"), lit(0).as("dist"))
+        var dist = source
+        var frontier = source
+        val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        for (r <- 1 to 3) {
+          val next = frontier.join(edges, col("node") === col("src"))
+            .select(col("dst").as("node")).distinct()
+            .join(dist.select(col("node")), Seq("node"), "left_anti")
+            .select(col("node"), lit(r).as("dist"))
+            .persist()
+          next.count() // superstep barrier: materialize the frontier
+          levels += next
+          dist = dist.unionAll(next)
+          frontier = next
+        }
+        val pinned = dist.persist()
+        pinned.count()
+        levels.foreach(_.unpersist())
+        edges.unpersist()
+        pinned
+      })
+    }
+    dist.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("sum_nodes"))
+      .orderBy(col("dist"))
   }
 
   /** The fixed 3-iteration rank loop over a weighted edge frame. `n`
@@ -112,6 +170,8 @@ object GraphQueries {
   private val cacheLock = new Object
   private val prEdgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, Double)]
+  private val ssspCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
 
   /** PageRank over a PERSISTED BUCKETED edge index — the graph twin
     * of `sim_ann_ivf_indexed`: the weighted edge set is written once
@@ -253,7 +313,8 @@ object GraphQueries {
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (pageRank _),
     "graph_pagerank_indexed" -> (pageRankIndexed _),
-    "graph_triangles" -> (triangles _))
+    "graph_triangles" -> (triangles _),
+    "graph_sssp_bounded" -> (ssspBounded _))
 
   /** One unrolled rank iteration as a DuckDB CTE body. */
   private def iterSql(prev: String, out: String): String =
@@ -286,6 +347,33 @@ object GraphQueries {
          |ORDER BY node""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "graph_sssp_bounded" ->
+      """WITH e0 AS (
+        |  SELECT DISTINCT o_custkey + 1000000000000 AS c,
+        |    CAST(l_suppkey AS BIGINT) AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM e0
+        |  UNION ALL SELECT s, c FROM e0),
+        |d0 AS (SELECT CAST(1 AS BIGINT) AS node, 0 AS dist),
+        |d1 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM d0 d JOIN edges e ON e.src = d.node
+        |) GROUP BY node),
+        |d2 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM d1 d JOIN edges e ON e.src = d.node
+        |) GROUP BY node),
+        |d3 AS (SELECT node, MIN(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT e.dst, d.dist + 1 FROM d2 d JOIN edges e ON e.src = d.node
+        |) GROUP BY node)
+        |SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes,
+        |  CAST(SUM(node) AS BIGINT) AS sum_nodes
+        |FROM d3 GROUP BY dist ORDER BY dist""".stripMargin,
     "graph_pagerank" -> PageRankSql,
     "graph_pagerank_indexed" -> PageRankSql,
     "graph_triangles" ->

@@ -170,6 +170,39 @@ object JoinQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** NEAREST-direction as-of join (pandas merge_asof
+    * direction='nearest'): each purchase picks the user's temporally
+    * CLOSEST click, looking both backward and forward — still the
+    * single-shuffle union-tag plan, never a pairwise join: one
+    * backward running-max and one forward running-min over the same
+    * per-user frame, then an integer epoch-distance pick (ties prefer
+    * the backward click, same-timestamp clicks count as backward at
+    * distance 0). At 100 TB this is ONE hash exchange on user_id;
+    * the per-user window is bounded by that user's events. */
+  def asofNearestJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val wb = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("tag").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("tag").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_ts", max(when(col("tag") === 0, col("ts"))).over(wb))
+      .withColumn("next_ts", min(when(col("tag") === 0, col("ts"))).over(wf))
+      .filter(col("tag") === 1)
+      .select(col("event_id").as("purchase_id"),
+        when(col("next_ts").isNull, col("prev_ts"))
+          .when(col("prev_ts").isNull, col("next_ts"))
+          .when(unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))
+            <= unix_timestamp(col("next_ts")) - unix_timestamp(col("ts")),
+            col("prev_ts"))
+          .otherwise(col("next_ts")).as("nearest_click_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Null-safe equi join (`<=>`): NULL keys match each other instead of
     * vanishing — Spark still plans a HASH join on the null-safe key (no
     * nested-loop fallback), which is what makes `<=>` usable at scale
@@ -413,7 +446,8 @@ object JoinQueries {
     "join_theta" -> (thetaJoin _),
     "join_cross" -> (crossJoinQ _),
     "join_interval" -> (intervalJoin _),
-    "join_asof" -> (asofJoin _))
+    "join_asof" -> (asofJoin _),
+    "join_asof_nearest" -> (asofNearestJoin _))
 
   val sql: Map[String, String] = Map(
     // the salted rewrite is lossless, so the oracle is the PLAIN join
@@ -547,5 +581,19 @@ object JoinQueries {
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         | ON c.user_id = p.user_id AND c.ts <= p.ts
-        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin)
+        |GROUP BY p.event_id ORDER BY purchase_id""".stripMargin,
+    "join_asof_nearest" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+        |best AS (
+        |  SELECT p.event_id AS purchase_id, c.ts AS cts,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY ABS(date_diff('second', c.ts, p.ts)),
+        |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END, c.ts) AS rn
+        |  FROM p LEFT JOIN c ON c.user_id = p.user_id)
+        |SELECT purchase_id, CAST(cts AS TIMESTAMP) AS nearest_click_ts
+        |FROM best WHERE rn = 1 ORDER BY purchase_id""".stripMargin)
 }

@@ -430,8 +430,34 @@ object PipelineQueries {
       .orderBy(col("lang"))
   }
 
+  /** Deterministic weighted PRIORITY SAMPLING (Duffield–Lund–Thorup
+    * priority sampling): each document draws priority
+    * q = w · C div (h + 1), where w = n_chars (the size weight), h
+    * the engine-independent multiplicative hash (the uniform draw)
+    * and C = 1e9 — integer-exact, so the same corpus selects the same
+    * sample in any engine, with inclusion probability ∝ weight. The
+    * per-language top-k=20 runs on the custom bounded-heap
+    * `TopKPerGroupExec` (map-side K-bounded heaps per group, merged
+    * on reduce) — NOT a row_number window, whose per-language
+    * partition would funnel a language's entire corpus through one
+    * task's sort at 100 TB. Ties break on doc_id for total
+    * determinism. */
+  def samplePriority(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        expr("n_chars * 1000000000 DIV " +
+          "(doc_id * 2654435761 % 4294967296 % 1000000 + 1)").as("q"))
+    graft.operators.TopKPerGroup(docs, Seq(col("lang")),
+        struct((col("q") * -1L).as("neg_q"), col("doc_id")),
+        descending = false, k = 20)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("q"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_cluster" -> (dedupCluster _),
+    "sample_priority" -> (samplePriority _),
     "sample_split_safe" -> (splitLeakageSafe _),
     "text_decontam" -> (textDecontam _),
     "text_decontam_bloom" -> (textDecontamBloom _),
@@ -479,6 +505,19 @@ object PipelineQueries {
       |  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
 
   val sql: Map[String, String] = Map(
+    "sample_priority" ->
+      """WITH pri AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    n_chars * 1000000000
+        |      // (doc_id * 2654435761 % 4294967296 % 1000000 + 1) AS q
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY q DESC, doc_id ASC) AS INT) AS rn,
+        |    doc_id, n_chars, CAST(q AS BIGINT) AS q
+        |  FROM pri)
+        |SELECT lang, rn, doc_id, n_chars, q FROM ranked
+        |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin,
     "dedup_cluster" ->
       s"""WITH RECURSIVE $ClusterCtes
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_rep

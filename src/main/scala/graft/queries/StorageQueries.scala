@@ -947,24 +947,28 @@ object StorageQueries {
       classOf[graft.sources.arrow.GraftCatalog].getName)
     val out = graft.Scratch.dir("widen_q", dir)
     graft.Scratch.reset(out)
+    // the narrow generation's key folds into int range REGARDLESS of
+    // the fixture's key magnitude (the 10× scaled bench shifts
+    // orderkeys past 2^31 — a bare cast would overflow there, which
+    // is the very situation widening exists for)
     Tables.orders(spark, dir)
-      .select(col("o_orderkey").cast("int").as("o_orderkey"),
+      .select((col("o_orderkey") % 100000000L).cast("int").as("okey"),
         col("o_totalprice"), col("o_orderstatus"))
-      .repartitionByRange(4, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
+      .repartitionByRange(4, col("okey"))
+      .sortWithinPartitions(col("okey"))
       .write.format("arrow").mode("overwrite").save(out)
     graft.sources.arrow.ArrowDataSource.initTableLog(out)
     spark.sql(s"CALL graft.system.widen_column(path => '$out', " +
-      "name => 'o_orderkey', type => 'bigint')").collect()
+      "name => 'okey', type => 'bigint')").collect()
     spark.sql(s"INSERT INTO graft.arrow.`$out` " +
-      "SELECT o_orderkey + 3000000000, o_totalprice, 'W' " +
-      s"FROM graft.arrow.`$out` WHERE o_orderkey % 401 = 0")
+      "SELECT okey + 3000000000, o_totalprice, 'W' " +
+      s"FROM graft.arrow.`$out` WHERE okey % 401 = 0")
     spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
-      "WHERE o_orderkey < 300")
+      "WHERE okey < 300")
     spark.read.format("arrow").load(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
-        sum(col("o_orderkey")).as("sum_key"))
+        sum(col("okey")).as("sum_key"))
       .orderBy(col("o_orderstatus"))
   }
 
@@ -1784,15 +1788,18 @@ object StorageQueries {
         |FROM evolved GROUP BY channel
         |ORDER BY channel""".stripMargin,
     "arrow_type_widen" ->
-      """WITH widened AS (
-        |  SELECT CAST(o_orderkey AS BIGINT) AS k,
-        |    CASE WHEN o_orderkey < 300 THEN 0.0
-        |      ELSE o_totalprice END AS p,
+      """WITH base AS (
+        |  SELECT CAST(o_orderkey % 100000000 AS BIGINT) AS k,
+        |    o_totalprice, o_orderstatus
+        |  FROM orders),
+        |widened AS (
+        |  SELECT k,
+        |    CASE WHEN k < 300 THEN 0.0 ELSE o_totalprice END AS p,
         |    o_orderstatus AS s
-        |  FROM orders
+        |  FROM base
         |  UNION ALL
-        |  SELECT CAST(o_orderkey AS BIGINT) + 3000000000, o_totalprice, 'W'
-        |  FROM orders WHERE o_orderkey % 401 = 0)
+        |  SELECT k + 3000000000, o_totalprice, 'W'
+        |  FROM base WHERE k % 401 = 0)
         |SELECT s AS o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         | CAST(SUM(k) AS BIGINT) AS sum_key

@@ -42,6 +42,18 @@ object StreamQueries {
         col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** DYNAMIC-gap session windows (per-event timeout: purchase 60 min,
+    * click 15, else 30 — the engagement-dependent sessionization
+    * shape), declared through the EXACT transform StreamingSpec runs
+    * on micro-batches. Oracle: running-MAX gaps-and-islands — a new
+    * session starts when ts reaches the max (ts+gap) of every prior
+    * event, which is session_window's merge-on-overlap rule (the
+    * previous event's gap alone is NOT enough once gaps vary). */
+  def sessionsDynamic(spark: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingOps.sessionCountsDynamic(
+        Tables.events(spark, dir), withWatermark = false)
+      .orderBy(col("user_id"), col("session_start"))
+
   /** Stream-stream interval join (purchases × same-user clicks in the
     * preceding hour), declared through the EXACT transform the
     * streaming path runs ([[graft.streaming.StreamingOps.clickPurchaseJoin]]
@@ -117,6 +129,7 @@ object StreamQueries {
     "stream_dedup" -> (streamDedup _),
     "stream_sliding" -> (sliding _),
     "stream_sessions" -> (sessions _),
+    "stream_sessions_dynamic" -> (sessionsDynamic _),
     "stream_join" -> (streamJoin _),
     "stream_join_outer" -> (streamJoinOuter _),
     "stream_join_full" -> (streamJoinFull _),
@@ -156,6 +169,32 @@ object StreamQueries {
         |SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start, user_id,
         | COUNT(*) AS n,
         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_sessions_dynamic" ->
+      """WITH g AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE event_type WHEN 'purchase' THEN 60
+        |   WHEN 'click' THEN 15 ELSE 30 END AS gap_min
+        | FROM events),
+        |marked AS (
+        | SELECT user_id, event_id, ts,
+        |  MAX(ts + gap_min * INTERVAL 1 MINUTE) OVER
+        |   (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        | FROM g),
+        |flagged AS (
+        | SELECT user_id, event_id, ts,
+        |  CASE WHEN prev_end IS NULL OR ts >= prev_end
+        |   THEN 1 ELSE 0 END AS new_s
+        | FROM marked),
+        |numbered AS (
+        | SELECT user_id, ts,
+        |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM flagged)
+        |SELECT CAST(MIN(ts) AS TIMESTAMP) AS session_start, user_id,
+        | COUNT(*) AS n
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
     "stream_join" ->

@@ -1725,6 +1725,14 @@ private[arrow] final class UpcastVector(under: ColumnVector,
     extends ColumnVector(declared) {
   import org.apache.spark.sql.types._
   private val from = under.dataType()
+  // LOUD on the reverse direction: a read planned BEFORE a
+  // widen_column can meet a file already written at the wider type —
+  // serving it through the narrow getters would silently truncate
+  // values past the narrow range, which is corruption, not evolution
+  require(ArrowSchemas.widens(from, declared),
+    s"arrow: file column is ${from.simpleString} but the read schema " +
+      s"requests ${declared.simpleString} — the table widened after " +
+      "this read planned; re-plan the read against the current schema")
   private def narrow(i: Int): Long = from match {
     case ByteType => under.getByte(i).toLong
     case ShortType => under.getShort(i).toLong

@@ -48,6 +48,26 @@ object StreamingOps {
       .select(col("w.start").as("session_start"), col("user_id"), col("n"))
   }
 
+  /** Session windows with a DYNAMIC per-event gap (Spark 3.2+
+    * `session_window(ts, gapExpr)`): a purchase holds its session open
+    * for 60 minutes, a click for 15, anything else 30 — the
+    * engagement-dependent timeout real clickstream sessionization
+    * uses. Windows are [ts, ts+gap) per event, merged on overlap, so
+    * the running-MAX end governs (not the previous event's gap alone
+    * — the batch oracle mirrors this with a running-max
+    * gaps-and-islands). */
+  def sessionCountsDynamic(events: DataFrame, withWatermark: Boolean)
+      : DataFrame = {
+    val src = if (withWatermark) events.withWatermark("ts", "10 minutes")
+    else events
+    val gap = when(col("event_type") === "purchase", lit("60 minutes"))
+      .when(col("event_type") === "click", lit("15 minutes"))
+      .otherwise(lit("30 minutes"))
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("session_start"), col("user_id"), col("n"))
+  }
+
   /** Stateful dedup by event_id within the watermark horizon. The
     * within-watermark variant exists only for streams (state eviction
     * is its whole point); on a batch input the same contract is plain

@@ -164,6 +164,18 @@ object BenchFocus {
     // metadata + O(appended/matched batch) — same framing as cdc_*.
     // sim_ann_ivfpq: fits re-run at 10× corpus (one-time per dir);
     // the probe/rank phase is bounded by nprobe × cell size.
+    // arrow_type_widen / arrow_default_column: the snapshot write is
+    // explicit O(table); the widen/default declaration is one
+    // metadata CAS and the reader's per-file upcast/constant-fill is
+    // O(1) per batch — same framing as the schema-merge points.
+    // dedup_substring: the replicated copies make nearly EVERY window
+    // a true cross-copy duplicate (worst case for the confirm phase),
+    // yet cost stays O(total windows) end to end — hash phase keyed
+    // by longs, confirm re-extracts each instance once, no pairwise
+    // blowup.
+    // sample_priority: 10× corpus, same k per language — the
+    // bounded-heap partials keep every group cut map-side, so the
+    // point should track the SCAN, not a per-language sort.
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
         "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
         "skyline_pareto", "agg_quantile_sketch",
@@ -171,7 +183,8 @@ object BenchFocus {
         "arrow_merge_schema_write", "arrow_merge_schema_nested",
         "merge_upsert_evolve", "sim_ann_ivfpq",
         "join_temporal_scd2", "merge_full_sync", "agg_bitmap_distinct",
-        "layout_compaction")) {
+        "layout_compaction", "arrow_type_widen", "arrow_default_column",
+        "dedup_substring", "sample_priority")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

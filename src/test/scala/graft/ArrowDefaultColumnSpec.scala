@@ -124,6 +124,51 @@ class ArrowDefaultColumnSpec extends AnyFunSuite {
       .head.getString(0) == "drifted")
   }
 
+  test("the change feed serves defaults too: a pre-declaration file's " +
+      "rows surface with the default, not null, in CDF reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("defcdf").toString
+    (1L to 8L).map(i => (i, i)).toDF("id", "v")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'tag', type => 'string', default => \"'old'\")").collect()
+    // a delete touches pre-declaration rows; the CDF delete diff must
+    // carry the DEFAULT (the same reader serves the removed rows)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 2")
+    val changes = spark.read.format("arrow")
+      .option("readChangeFeed", "true").option("startingEpoch", 0L)
+      .load(dir)
+    val deleted = changes.filter(col("_change_type") === "delete")
+    assert(deleted.count() == 2)
+    assert(deleted.filter(col("tag") === "old").count() == 2,
+      "CDF delete rows must serve the declared default")
+  }
+
+  test("every servable default type round-trips: boolean, double, " +
+      "date, timestamp") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("deftypes").toString
+    (1L to 4L).map(i => (i, i)).toDF("id", "v")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    def add(name: String, tpe: String, dflt: String) =
+      spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+        s"name => '$name', type => '$tpe', default => $dflt)").collect()
+    // the param value is SQL-expression TEXT (what evalDefault parses)
+    add("flag", "boolean", "'true'")
+    add("score", "double", "'0.25'")
+    add("d", "date", "\"'2024-03-01'\"")
+    add("t", "timestamp", "\"'2024-03-01 12:30:00'\"")
+    val r = spark.read.format("arrow").load(dir)
+      .select(col("flag"), col("score"), col("d"), col("t")).head
+    assert(r.getBoolean(0))
+    assert(r.getDouble(1) == 0.25)
+    assert(r.getDate(2).toString == "2024-03-01")
+    assert(r.getTimestamp(3).toInstant ==
+      java.time.Instant.parse("2024-03-01T12:30:00Z"))
+  }
+
   test("refusals: struct leaves, non-literals, unsupported types, " +
       "uncastable literals, line breaks") {
     import spark.implicits._

@@ -138,6 +138,47 @@ class ArrowTypeWideningSpec extends AnyFunSuite {
       .select(col("id")).head.getInt(0) == 9)
   }
 
+  test("widening composes with merge-on-read deletion vectors: a DV " +
+      "DELETE masks rows of a narrow file whose survivors upcast") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("widendv").toString
+    (1 to 20).map(i => (i, i * 3)).toDF("id", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    spark.sql(s"CALL graft.system.widen_column(path => '$dir', " +
+      "name => 'amt', type => 'bigint')").collect()
+    val before = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    // MoR DELETE predicated through the upcast read; no file rewrites
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE amt <= 9")
+    val after = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    assert(before.forall { case (k, v) => after.get(k).contains(v) },
+      "a DV delete on a widened table must not rewrite files")
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.count() == 17)
+    assert(df.schema("amt").dataType == LongType)
+    assert(df.agg(sum(col("amt"))).head.getLong(0) ==
+      (4 to 20).map(_ * 3L).sum)
+  }
+
+  test("a STALE narrow read over files already written wide refuses " +
+      "loudly instead of silently truncating") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("widenstale").toString
+    Seq((1, 3_000_000_000L)).toDF("id", "amt")
+      .write.format("arrow").mode("overwrite").save(dir)
+    // a reader that planned before the widen carries the old INT view
+    val stale = new StructType()
+      .add("id", IntegerType).add("amt", IntegerType)
+    val e = intercept[Exception] {
+      spark.read.format("arrow").schema(stale).load(dir).collect()
+    }
+    assertRefused(e, "re-plan the read")
+  }
+
   test("narrowing, lossy casts, partition columns and unknown " +
       "columns refuse") {
     import spark.implicits._

@@ -149,4 +149,37 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(kWin.nonEmpty && kWin.forall(l => !l.contains("m#")),
       s"a Window still partitions by month:\n${kWin.mkString("\n")}")
   }
+
+  test("priority sampling plans the bounded-heap top-k, never a " +
+      "per-language window sort") {
+    val p = plan("sample_priority")
+    assert(p.contains("TopKPerGroupPartial"),
+      s"sample_priority lost the bounded-heap partial:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"sample_priority regressed to a window:\n${p.take(2000)}")
+  }
+
+  test("the nearest as-of join is the single-shuffle union-tag plan, " +
+      "never a pairwise time join") {
+    val p = plan("join_asof_nearest")
+    assert(!p.contains("Join"),
+      s"nearest as-of degraded to a pairwise join:\n${p.take(1500)}")
+    // two window passes (backward + forward) over ONE user_id
+    // partitioning; the only exchanges are that hash partitioning and
+    // the presentation sort
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(p.contains("Window"), p.take(800))
+    assert(exchanges <= 3,
+      s"nearest as-of grew extra shuffles ($exchanges):\n${p.take(1500)}")
+  }
+
+  test("substring dedup's wide shuffles key on the 8-byte hash; the " +
+      "confirm phase touches only candidate instances") {
+    val p = plan("dedup_substring")
+    assert(p.contains("graft_window_hashes") || p.contains("Generate"),
+      s"substring dedup lost the native window generator:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup grew a pairwise term:\n${p.take(1500)}")
+  }
 }

@@ -96,6 +96,28 @@ class StreamingSpec extends AnyFunSuite {
       "streamed sessions must be a subset of batch sessions")
   }
 
+  test("DYNAMIC-gap session windows (per-event timeout) emit " +
+      "finalized sessions matching the batch computation") {
+    val agg = StreamingOps.sessionCountsDynamic(eventsStream,
+      withWatermark = true)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("dyn_sessions_out")
+      .trigger(Trigger.AvailableNow()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("dyn_sessions_out")
+    val batch = StreamingOps.sessionCountsDynamic(eventsBatch,
+      withWatermark = false)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "streamed dynamic sessions must be a subset of batch sessions")
+    // the dynamic gap must actually CHANGE the segmentation somewhere
+    // vs the static 30-minute rule, else the case proves nothing
+    val static30 = StreamingOps.sessionCounts(eventsBatch,
+      withWatermark = false)
+    assert(batch.exceptAll(static30).count() > 0,
+      "dynamic gaps segmented identically to the static rule")
+  }
+
   test("dropDuplicatesWithinWatermark dedups a re-delivered stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
