@@ -177,7 +177,10 @@ object JoinQueries {
     * backward running-max and one forward running-min over the same
     * per-user frame, then an integer epoch-distance pick (ties prefer
     * the backward click, same-timestamp clicks count as backward at
-    * distance 0). At 100 TB this is ONE hash exchange on user_id;
+    * distance 0; WITHIN a direction, equal floor-second distances
+    * resolve to the LATEST backward / EARLIEST forward click — what
+    * the running max/min compute, and what the oracle's direction-
+    * signed epoch tie-break mirrors). At 100 TB this is ONE hash exchange on user_id;
     * the per-user window is bounded by that user's events. */
   def asofNearestJoin(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(spark, dir)
@@ -592,7 +595,9 @@ object JoinQueries {
         |  SELECT p.event_id AS purchase_id, c.ts AS cts,
         |    ROW_NUMBER() OVER (PARTITION BY p.event_id
         |      ORDER BY ABS(date_diff('second', c.ts, p.ts)),
-        |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END, c.ts) AS rn
+        |        CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END,
+        |        CASE WHEN c.ts <= p.ts THEN -epoch_us(c.ts)
+        |          ELSE epoch_us(c.ts) END) AS rn
         |  FROM p LEFT JOIN c ON c.user_id = p.user_id)
         |SELECT purchase_id, CAST(cts AS TIMESTAMP) AS nearest_click_ts
         |FROM best WHERE rn = 1 ORDER BY purchase_id""".stripMargin)

@@ -1390,6 +1390,12 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       cv: org.apache.spark.sql.execution.vectorized.ConstantColumnVector,
       dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
     import org.apache.spark.sql.types._
+    // dispatch arms mirror ArrowSchemas.defaultServable — the single
+    // whitelist add_column enforces at declaration time
+    assert(ArrowSchemas.defaultServable(dt),
+      s"arrow: default of unservable type ${dt.simpleString} reached " +
+        "the reader — add_column's declaration gate drifted from " +
+        "ArrowSchemas.defaultServable")
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
         cv.setLong(v.asInstanceOf[java.lang.Long])

@@ -35,6 +35,19 @@ object ArrowSchemas {
     case _ => false
   }
 
+  /** The types an INITIAL DEFAULT can declare and the reader can serve
+    * as a constant vector — ONE list, shared by add_column's
+    * declaration-time check and the reader's fill dispatch
+    * (ArrowScan.fillConstant), so the two can never drift: a type
+    * admitted here has a fill arm, and a fill arm exists only for
+    * types admitted here. */
+  def defaultServable(dt: DataType): Boolean = dt match {
+    case LongType | TimestampType | TimestampNTZType | IntegerType |
+         DateType | ShortType | ByteType | BooleanType |
+         DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
   def toArrowType(dt: DataType): ArrowType = dt match {
     case BooleanType => ArrowType.Bool.INSTANCE
     case ByteType => new ArrowType.Int(8, true)

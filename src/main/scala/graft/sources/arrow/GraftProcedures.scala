@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{BooleanType, ByteType, DataType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructField, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DataType, LongType, StringType, StructField, StructType, TimestampType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Maintenance surface as SQL procedures (`CALL graft.system.<proc>`)
@@ -735,13 +735,7 @@ object GraftProcedures {
             s"default ($colName) — only flat columns")
         require(!lit.exists(c => c == '\n' || c == '\r'),
           "add_column: a default literal cannot contain line breaks")
-        val servable = dt match {
-          case LongType | TimestampType | TimestampNTZType |
-               IntegerType | DateType | ShortType | ByteType |
-               BooleanType | DoubleType | FloatType | StringType => true
-          case _ => false
-        }
-        require(servable,
+        require(ArrowSchemas.defaultServable(dt),
           "add_column: initial defaults support primitive types only " +
             "(integrals, float/double, boolean, string, date, " +
             s"timestamp) — not ${dt.simpleString}")
@@ -1181,9 +1175,32 @@ object GraftProcedures {
                 colName))))
           }
         nCols = evolved.fields.length.toLong
-        // an initial default's literal text re-casts at the wider type
-        // (widening is lossless, so the value is unchanged)
-        (evolved, dropped, aliases, ArrowDataSource.defaultColumns(root))
+        // An initial default must serve the SAME value after the widen
+        // as before it. Re-casting the original TEXT at the wider type
+        // is NOT value-preserving for float -> double ('0.1' evaluates
+        // to 0.1f ≈ 0.10000000149 as a float but exactly 0.1 as a
+        // double), so re-literalize: evaluate at the NARROW type, widen
+        // that value, store its exact decimal rendering (shortest
+        // round-trip for doubles, plain digits for integrals).
+        val defaults = ArrowDataSource.defaultColumns(root)
+        val rekeyed =
+          if (colName.contains('.')) defaults // leaves carry no default
+          else defaults.get(colName) match {
+            case None => defaults
+            case Some(lit) =>
+              val cur = current.fields(
+                current.fieldIndex(colName)).dataType
+              val narrow = ArrowDataSource.evalDefault(lit, cur)
+              val widenedText = narrow match {
+                case f: java.lang.Float =>
+                  java.lang.Double.toString(f.doubleValue())
+                case n: java.lang.Number => n.toString
+                case other => throw new IllegalStateException(
+                  s"widen_column: unexpected default value $other")
+              }
+              defaults + (colName -> widenedText)
+          }
+        (evolved, dropped, aliases, rekeyed)
       }
       result(out, Array(new GenericInternalRow(Array[Any](nCols))))
     }

@@ -18,11 +18,7 @@ class ArrowAddColumnSpec extends AnyFunSuite {
     s
   }
 
-  private def errChain(t: Throwable): Seq[Throwable] =
-    Option(t).toSeq.flatMap(x => x +: errChain(x.getCause))
-  private def assertRefused(e: Throwable, needle: String): Unit =
-    assert(errChain(e).exists(t => Option(t.getMessage)
-      .exists(_.contains(needle))), s"expected '$needle' in: $e")
+  import TestErrors.assertRefused
 
   test("add_column evolves reads, writes, and DML without a rewrite") {
     import spark.implicits._

@@ -23,11 +23,7 @@ class ArrowDefaultColumnSpec extends AnyFunSuite {
     s
   }
 
-  private def errChain(t: Throwable): Seq[Throwable] =
-    Option(t).toSeq.flatMap(x => x +: errChain(x.getCause))
-  private def assertRefused(e: Throwable, needle: String): Unit =
-    assert(errChain(e).exists(t => Option(t.getMessage)
-      .exists(_.contains(needle))), s"expected '$needle' in: $e")
+  import TestErrors.assertRefused
 
   test("files predating the column serve the default; files that " +
       "store the column serve their bytes (including explicit NULL)") {
@@ -143,6 +139,31 @@ class ArrowDefaultColumnSpec extends AnyFunSuite {
     assert(deleted.count() == 2)
     assert(deleted.filter(col("tag") === "old").count() == 2,
       "CDF delete rows must serve the declared default")
+  }
+
+  test("widening a FLOAT column re-literalizes its default: history " +
+      "keeps serving the float's exact value, not a re-read of the " +
+      "original text at double precision") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("defwidenfloat").toString
+    (1L to 5L).map(i => (i, i)).toDF("id", "v")
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'score', type => 'float', default => '0.1')").collect()
+    val asFloat = spark.read.format("arrow").load(dir)
+      .select(col("score")).head.getFloat(0)
+    assert(asFloat == 0.1f)
+    spark.sql(s"CALL graft.system.widen_column(path => '$dir', " +
+      "name => 'score', type => 'double')").collect()
+    val served = spark.read.format("arrow").load(dir)
+      .select(col("score")).head.getDouble(0)
+    // 0.1f as a double is 0.100000001490116...; re-reading the TEXT
+    // '0.1' at double would flip history to 0.1d — a silent value
+    // change across a "lossless" metadata op
+    assert(served == 0.1f.toDouble,
+      s"default drifted: served $served, want ${0.1f.toDouble}")
+    assert(served != 0.1d)
   }
 
   test("every servable default type round-trips: boolean, double, " +

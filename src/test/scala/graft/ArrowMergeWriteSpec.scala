@@ -21,11 +21,7 @@ class ArrowMergeWriteSpec extends AnyFunSuite {
     s
   }
 
-  private def errChain(t: Throwable): Seq[Throwable] =
-    Option(t).toSeq.flatMap(x => x +: errChain(x.getCause))
-  private def assertRefused(e: Throwable, needle: String): Unit =
-    assert(errChain(e).exists(t => Option(t.getMessage)
-      .exists(_.contains(needle))), s"expected '$needle' in: $e")
+  import TestErrors.assertRefused
 
   test("a drifted append with mergeSchema auto-evolves the declared " +
       "schema: old files serve nulls, new rows carry values, nothing " +

@@ -24,11 +24,7 @@ class ArrowTypeWideningSpec extends AnyFunSuite {
     s
   }
 
-  private def errChain(t: Throwable): Seq[Throwable] =
-    Option(t).toSeq.flatMap(x => x +: errChain(x.getCause))
-  private def assertRefused(e: Throwable, needle: String): Unit =
-    assert(errChain(e).exists(t => Option(t.getMessage)
-      .exists(_.contains(needle))), s"expected '$needle' in: $e")
+  import TestErrors.assertRefused
 
   test("widen_column int -> bigint: old files upcast in place, new " +
       "writes land wide, values past Int.MaxValue round-trip") {
