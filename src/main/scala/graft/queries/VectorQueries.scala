@@ -947,10 +947,14 @@ object VectorQueries {
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     def simOf(x: Long, y: Long): Double =
       if (x < y) sims((x, y)) else sims((y, x))
+    // degrade like the rest of the sim family: fewer than k candidates
+    // selects what exists (an empty corpus selects nothing)
+    val k = math.min(4, topCand.length)
     val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var remaining = topCand.sortBy { case (id, rel) => (-rel, id) }.toBuffer
-    selected += remaining.remove(0) // step 1: pure relevance
-    while (selected.length < 4) {
+    if (remaining.nonEmpty)
+      selected += remaining.remove(0) // step 1: pure relevance
+    while (selected.length < k) {
       val best = remaining.map { case (id, rel) =>
         val maxSim = selected.map(s => simOf(id, s._1)).max
         (id, rel, 0.5 * rel - 0.5 * maxSim)

@@ -1391,11 +1391,8 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       dt: org.apache.spark.sql.types.DataType, v: Any): Unit = {
     import org.apache.spark.sql.types._
     // dispatch arms mirror ArrowSchemas.defaultServable — the single
-    // whitelist add_column enforces at declaration time
-    assert(ArrowSchemas.defaultServable(dt),
-      s"arrow: default of unservable type ${dt.simpleString} reached " +
-        "the reader — add_column's declaration gate drifted from " +
-        "ArrowSchemas.defaultServable")
+    // whitelist add_column enforces at declaration time; the default
+    // arm below is the (loud) drift check
     dt match {
       case LongType | TimestampType | TimestampNTZType =>
         cv.setLong(v.asInstanceOf[java.lang.Long])
@@ -1409,7 +1406,9 @@ private[arrow] abstract class ArrowReaderBase(partition: ArrowFilePartition,
       case StringType => cv.setUtf8String(
         v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
       case other => throw new UnsupportedOperationException(
-        s"arrow: initial default of ${other.simpleString}")
+        s"arrow: initial default of ${other.simpleString} reached the " +
+          "reader — add_column's gate drifted from " +
+          "ArrowSchemas.defaultServable")
     }
   }
 

@@ -746,6 +746,17 @@ object GraftProcedures {
         require(v != null || lit.trim.equalsIgnoreCase("null"),
           s"add_column: default $lit evaluates to NULL for " +
             s"${dt.simpleString} — omit the default instead")
+        // non-finite floats refuse up front: their decimal renderings
+        // ("NaN"/"Infinity") do not re-parse as SQL literals, so a
+        // later widen_column re-literalization would poison the ledger
+        val finite = v match {
+          case f: java.lang.Float => java.lang.Float.isFinite(f)
+          case d: java.lang.Double => java.lang.Double.isFinite(d)
+          case _ => true
+        }
+        require(finite,
+          s"add_column: default $lit is not a finite number — " +
+            "NaN/Infinity defaults are not supported")
       }
       // names resolve with the session resolver everywhere here (the
       // same rule as mergeWriteSchema): a case variant of an existing

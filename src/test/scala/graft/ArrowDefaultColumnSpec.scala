@@ -206,6 +206,12 @@ class ArrowDefaultColumnSpec extends AnyFunSuite {
       call("tags", "array<string>", "'x'")), "primitive types only")
     assertRefused(intercept[Exception](
       call("n", "bigint", "'not-a-number'")), "")
+    // NaN/Infinity refuse: their decimal renderings would not
+    // re-parse after a widen_column re-literalization
+    assertRefused(intercept[Exception](
+      call("nanc", "float", "\"CAST('NaN' AS FLOAT)\"")), "finite")
+    assertRefused(intercept[Exception](
+      call("infc", "double", "\"CAST('Infinity' AS DOUBLE)\"")), "finite")
     assertRefused(intercept[Exception](
       call("m", "bigint", "'1\n2'")), "")
     // none of the refusals half-declared anything

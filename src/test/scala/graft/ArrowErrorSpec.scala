@@ -15,9 +15,7 @@ class ArrowErrorSpec extends AnyFunSuite {
         .write.format("arrow").option("codec", "snappy")
         .mode("overwrite").save(dir)
     }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    import TestErrors.messages
     assert(messages(e).exists(_.contains("lz4 or zstd")),
       s"got: ${messages(e)}")
     // failed tasks must not leave partial files behind
@@ -26,9 +24,7 @@ class ArrowErrorSpec extends AnyFunSuite {
 
   test("bucketBy option errors fail fast with naming messages") {
     val region = Tables.load(spark, TestSession.Sf, "region")
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    import TestErrors.messages
     def dir() = java.nio.file.Files.createTempDirectory("arrow_bkt_err")
       .toString
     // bucketBy without numBuckets
@@ -75,9 +71,7 @@ class ArrowErrorSpec extends AnyFunSuite {
     // a second writer drifted the schema (names and types differ)
     Tables.load(spark, TestSession.Sf, "nation")
       .write.format("arrow").mode("append").save(dir)
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x =>
-        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    import TestErrors.messages
     val e = intercept[Exception] {
       spark.read.format("arrow").load(dir).count()
     }

@@ -390,14 +390,22 @@ class DedupSimSpec extends AnyFunSuite {
     val mmr = VectorQueries.mmrRerank(spark, TestSession.Sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
     assert(mmr.length == 4 && mmr.map(_._1).toSeq == Seq(1, 2, 3, 4))
-    // rebuild the pure top-8 relevance ranking from the declared
-    // sim_topk machinery's inputs (qid = 0)
-    val top8 = SparkEntry.queries("sim_topk")(spark, TestSession.Sf)
-      .filter(col("qid") === 0).orderBy(col("rn"))
-      .collect().map(_.getLong(1)).toSeq
-    // sim_topk keeps 5; every MMR pick beyond those must still carry a
-    // relevance consistent with candidate membership (rel > 0)
-    assert(mmr.map(_._2).toSet.intersect(top8.toSet).nonEmpty)
+    // rebuild the pure top-8 relevance ranking with the same scoring
+    // the query uses (round-6 cosine to vec 0, ties on id)
+    graft.functions.DotProduct.register(spark)
+    val e = Tables.embeddings(spark, TestSession.Sf)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val top8 = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(expr("graft_dot(qv, embedding)") /
+          sqrt(expr("graft_dot(embedding, embedding)") *
+            expr("graft_dot(qv, qv)")), 6).as("rel"))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(8)
+      .collect().map(_.getLong(0)).toSeq
+    // EVERY pick is a true top-8 candidate
+    assert(mmr.map(_._2).toSet.subsetOf(top8.toSet),
+      s"MMR picked outside the candidate set: ${mmr.toSeq} vs $top8")
     // rank 1 IS the relevance argmax
     assert(mmr.head._2 == top8.head, "MMR must seed with the top hit")
     // and the tail deviates from pure relevance order somewhere —

@@ -113,10 +113,7 @@ class GraftProcedureSpec extends AnyFunSuite {
       spark.sql(s"CALL graft.system.compact(path => '$flat', " +
         "partition => 'p=1')").collect()
     }
-    assert(Iterator.iterate(err: Throwable)(_.getCause)
-      .takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("no col=value"))),
-      s"unexpected: $err")
+    TestErrors.assertRefused(err, "no col=value")
   }
 
   test("CALL compact PRESERVES a uniform sort stamp — the zero-sort " +
@@ -232,9 +229,7 @@ class GraftProcedureSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql(s"CALL graft.system.history(path => '$flat')").collect()
     }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
-    assert(messages.contains("commit log"))
+    TestErrors.assertRefused(e, "commit log")
   }
 
   test("CALL analyze persists NDVs and the scan serves distinctCount " +
@@ -305,8 +300,7 @@ class GraftProcedureSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.no_such_proc()")
     }
-    val messages = Iterator.iterate(e: Throwable)(_.getCause)
-      .takeWhile(_ != null).map(_.getMessage).mkString("; ")
+    val messages = TestErrors.messages(e).mkString("; ")
     assert(messages.contains("vacuum") && messages.contains("compact"),
       s"error chain must list procedures, got: $messages")
   }

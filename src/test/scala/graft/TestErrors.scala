@@ -12,4 +12,8 @@ object TestErrors {
   def assertRefused(e: Throwable, needle: String): Unit =
     assert(errChain(e).exists(t => Option(t.getMessage)
       .exists(_.contains(needle))), s"expected '$needle' in: $e")
+
+  /** Every non-null message down the cause chain. */
+  def messages(t: Throwable): Seq[String] =
+    errChain(t).flatMap(x => Option(x.getMessage))
 }
