@@ -560,26 +560,66 @@ object DedupQueries {
   def substringDedup(spark: SparkSession, dir: String): DataFrame = {
     val L = 30
     val S = 1
+    // the explicit isnotnull matches what the candidate join would
+    // infer on ITS copy of the subtree anyway (InferFiltersFromConstraints);
+    // stating it once at the source keeps all three generation subtrees
+    // canonically equal so the exchange below stays reusable
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    // ONE explicit hash exchange on `h` that every downstream consumer
+    // (hot-hash aggregate, candidate join, per-doc window totals) reads
+    // back: the three subtrees share the identical Exchange child, so
+    // ReuseExchange/AQE-stage-reuse runs the expensive generation pass
+    // (scan + WindowHashGenExpr roll over every character) exactly ONCE
+    // and the consumers re-read its shuffle files. Without the pinned
+    // repartition the aggregate's partial phase lives below its own
+    // exchange, the subtrees stop being equal, and the generator +
+    // corpus scan silently execute once per consumer — at 100 TB that
+    // duplicated generation was the single largest wasted compute in
+    // the library (round-15 verdict).
     val wins = graft.functions.WindowHashGenExpr(docs, col("text"), L, S)
       .select(col("doc_id"), col("pos"), col("h"))
+      .repartition(col("h"))
+    // "≥ 2 distinct docs" as min(doc) < max(doc): same predicate, but a
+    // plain min/max aggregate instead of a two-level distinct expand.
+    // The p0 conjunct is semantically void (pos ≥ 1 by construction);
+    // it exists ONLY so `pos` stays in this consumer's required column
+    // set — Catalyst pushes a per-consumer Project UNDER the shared
+    // exchange, and if one consumer prunes `pos` the exchange subtrees
+    // stop being canonically equal and reuse (hence single generation)
+    // is lost. PlanShapeSpec pins gens==1 so a pruning change fails
+    // loudly instead of silently doubling the 100 TB generation pass.
     val hot = wins.groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("d"))
-      .filter(col("d") >= 2).select(col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+        min(col("pos")).as("p0"))
+      .filter(col("d0") < col("d1") && col("p0") >= 1)
+      .select(col("h"))
     val cand = wins.join(hot, "h").select(col("doc_id"), col("pos"))
+    // same single-exchange trick for the confirm phase: `confirmed` is
+    // consumed by both the span aggregate and the span join; pinning
+    // one exchange on `w` makes the candidate×docs join (the second and
+    // last corpus scan) execute once instead of twice
     val confirmed = cand.join(docs, "doc_id")
       .select(col("doc_id"), expr(s"substring(text, pos, $L)").as("w"))
+      .repartition(col("w"))
     val spans = confirmed.groupBy(col("w"))
-      .agg(countDistinct(col("doc_id")).as("docs"))
-      .filter(col("docs") >= 2).select(col("w"))
+      .agg(min(col("doc_id")).as("c0"), max(col("doc_id")).as("c1"))
+      .filter(col("c0") < col("c1")).select(col("w"))
     val dup = confirmed.join(spans, "w")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
-    docs.select(col("doc_id"),
-        (floor((length(col("text")) - L) / S) + 1).cast("long")
-          .as("n_windows"))
-      .filter(col("n_windows") > 0)
-      .join(dup, Seq("doc_id"), "left")
+    // per-doc totals come from the reused window shuffle, not a third
+    // corpus scan: windows emit at 1-based positions 1, S+1, …, maxpos,
+    // so the per-doc window count IS floor((maxpos-1)/S)+1, and sub-L
+    // docs (zero rows) drop out exactly like the old n_windows>0
+    // filter. Derived from max(pos) rather than count(1) because a
+    // count never references `pos` (NullPropagation folds count(pos) to
+    // count(1)) and this consumer would prune it from under the shared
+    // exchange, breaking reuse — see the note on `hot`
+    val totals = wins.groupBy(col("doc_id"))
+      .agg((floor((max(col("pos")) - 1) / lit(S)) + 1).cast("long")
+        .as("n_windows"))
+    totals.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
       .orderBy(col("doc_id"))

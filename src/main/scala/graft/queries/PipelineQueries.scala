@@ -104,7 +104,7 @@ object PipelineQueries {
       .select(col("doc_id"),
         coalesce(col("cluster_rep"), col("doc_id")).as("rep"))
       .withColumn("split",
-        when(col("rep") * 2654435761L % 4294967296L % 10 < 8,
+        when(col("rep") % 2147483648L * 2654435761L % 4294967296L % 10 < 8,
           lit("train")).otherwise(lit("eval")))
       .select(col("doc_id"), col("rep"), col("split"))
       .orderBy(col("doc_id"))
@@ -347,7 +347,7 @@ object PipelineQueries {
           .as("rate_ppm"))
     docs
       .withColumn("h",
-        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+        expr("doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000"))
       .join(broadcast(rates), "lang")
       .withColumn("n_copies",
         expr("rate_ppm DIV 1000000") +
@@ -362,12 +362,17 @@ object PipelineQueries {
 
   /** The shared mixture tail: ppm-rate membership by the
     * multiplicative hash, rolled up per language — [[mixWeighted]]
-    * and [[mixTemperature]] differ only in how `rates` is derived. */
+    * and [[mixTemperature]] differ only in how `rates` is derived.
+    * The hash folds the id mod 2³¹ BEFORE the Knuth multiply
+    * (2³¹ · 2654435761 < Long.MAX — AggQueries' documented idiom):
+    * for ids ≥ ~3.5e9 the bare id·A product wraps silently in Spark's
+    * non-ANSI multiply while DuckDB raises out-of-range, so the
+    * unfolded form diverges from the oracle on any 64-bit id domain. */
   private def sampleByRatePpm(docs: DataFrame, rates: DataFrame)
       : DataFrame =
     docs
       .withColumn("h",
-        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+        expr("doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000"))
       .join(broadcast(rates), "lang")
       .filter(col("h") < col("rate_ppm"))
       .groupBy(col("lang"), col("rate_ppm"))
@@ -419,7 +424,7 @@ object PipelineQueries {
         .as("rate_ppm"))
     curated
       .withColumn("h",
-        expr("doc_id * 2654435761 % 4294967296 % 1000000"))
+        expr("doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000"))
       .join(broadcast(rates), "lang")
       .withColumn("sampled", (col("h") < col("rate_ppm")).cast("long"))
       .groupBy(col("lang"), col("rate_ppm"))
@@ -446,7 +451,8 @@ object PipelineQueries {
     val docs = Tables.documents(spark, dir)
       .select(col("lang"), col("doc_id"), col("n_chars"),
         expr("n_chars * 1000000000 DIV " +
-          "(doc_id * 2654435761 % 4294967296 % 1000000 + 1)").as("q"))
+          "(doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000 + 1)")
+          .as("q"))
     graft.operators.TopKPerGroup(docs, Seq(col("lang")),
         struct((col("q") * -1L).as("neg_q"), col("doc_id")),
         descending = false, k = 20)
@@ -509,7 +515,7 @@ object PipelineQueries {
       """WITH pri AS (
         |  SELECT lang, doc_id, n_chars,
         |    n_chars * 1000000000
-        |      // (doc_id * 2654435761 % 4294967296 % 1000000 + 1) AS q
+        |      // (doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000 + 1) AS q
         |  FROM documents),
         |ranked AS (
         |  SELECT lang, CAST(ROW_NUMBER() OVER (PARTITION BY lang
@@ -529,7 +535,7 @@ object PipelineQueries {
          |r AS (SELECT d.doc_id, COALESCE(c.cluster_rep, d.doc_id) AS rep
          |  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id)
          |SELECT doc_id, rep,
-         | CASE WHEN rep * 2654435761 % 4294967296 % 10 < 8
+         | CASE WHEN rep % 2147483648 * 2654435761 % 4294967296 % 10 < 8
          |  THEN 'train' ELSE 'eval' END AS split
          |FROM r ORDER BY doc_id""".stripMargin,
     "text_decontam" -> DecontamSql,
@@ -571,7 +577,7 @@ object PipelineQueries {
         |  LEAST(4000000, q_max * 1000000 // t_chars) AS rate_ppm
         | FROM avail, q),
         |d AS (SELECT doc_id, lang, n_chars,
-        |  doc_id * 2654435761 % 4294967296 % 1000000 AS h
+        |  doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000 AS h
         | FROM documents),
         |c AS (SELECT d.lang, r.rate_ppm,
         |  (r.rate_ppm // 1000000) +
@@ -594,7 +600,7 @@ object PipelineQueries {
         |SELECT d.lang, r.rate_ppm, COUNT(*) AS n_docs,
         | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         |FROM documents d JOIN rates r ON d.lang = r.lang
-        |WHERE d.doc_id * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
+        |WHERE d.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
         |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin,
     "mix_weighted" ->
       """WITH wts(lang, w_mille) AS (VALUES
@@ -610,7 +616,7 @@ object PipelineQueries {
         |SELECT d.lang, r.rate_ppm, COUNT(*) AS n_docs,
         | CAST(SUM(d.n_chars) AS BIGINT) AS chars_kept
         |FROM documents d JOIN rates r ON d.lang = r.lang
-        |WHERE d.doc_id * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
+        |WHERE d.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000 < r.rate_ppm
         |GROUP BY d.lang, r.rate_ppm ORDER BY d.lang""".stripMargin,
     "pipeline_corpus_curation" ->
       """WITH m AS (SELECT doc_id, lang, text, n_chars,
@@ -637,9 +643,9 @@ object PipelineQueries {
         |     // (m2.w_mille * a.t_chars)) AS BIGINT) AS rate_ppm
         |  FROM avail a CROSS JOIN avail m2 GROUP BY a.lang)
         |SELECT c.lang, r.rate_ppm, COUNT(*) AS n_curated,
-        | CAST(SUM(CASE WHEN c.doc_id * 2654435761 % 4294967296 % 1000000
+        | CAST(SUM(CASE WHEN c.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000
         |   < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
-        | CAST(SUM(CASE WHEN c.doc_id * 2654435761 % 4294967296 % 1000000
+        | CAST(SUM(CASE WHEN c.doc_id % 2147483648 * 2654435761 % 4294967296 % 1000000
         |   < r.rate_ppm THEN c.n_words ELSE 0 END) AS BIGINT)
         |   AS words_sampled
         |FROM curated c JOIN rates r ON c.lang = r.lang

@@ -40,6 +40,38 @@ class MixInterpSpec extends AnyFunSuite {
     }
   }
 
+  test("the multiplicative hash survives doc ids beyond 2^32 " +
+      "(BenchFocus-scale id domains: fold-first, no silent wrap)") {
+    // the unfolded id·2654435761 form wraps Spark's non-ANSI multiply
+    // for ids ≥ ~3.5e9 while DuckDB raises out-of-range — the folded
+    // idiom (id % 2³¹ first) must agree with exact BigInt arithmetic
+    // on a synthetic corpus whose ids start at 2³³
+    val dir = Scratch.dir("hash64_docs", "hash64")
+    val base = 8589934592L // 2^33
+    val rows = (0 until 60).map { i =>
+      (base + i.toLong * 1000000007L, s"synthetic doc $i",
+        if (i % 2 == 0) "en" else "de", "srcX", 100L + i)
+    }
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def h(id: Long): Long =
+      ((BigInt(id) mod BigInt(2147483648L)) * BigInt(2654435761L) mod
+        BigInt(4294967296L) mod BigInt(1000000L)).toLong
+    val expected = rows.groupBy(_._3).flatMap { case (lang, rs) =>
+      rs.map(r => (r._1, r._5, r._5 * 1000000000L / (h(r._1) + 1L)))
+        .sortBy(t => (-t._3, t._1)).take(20).zipWithIndex
+        .map { case ((id, nc, q), i) => (lang, i + 1, id, nc, q) }
+    }.toSet
+    val out = PipelineQueries.samplePriority(spark, dir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(out == expected,
+      s"folded-hash priority sample diverged from exact arithmetic:\n" +
+        s"only-spark=${(out -- expected).take(5)}\n" +
+        s"only-exact=${(expected -- out).take(5)}")
+  }
+
   test("ts_interpolate passes observed hours through and bounds gap hours by their neighbors") {
     val out = TimeseriesQueries.tsInterpolate(spark, TestSession.Sf)
     val gap = TimeseriesQueries.tsGapfill(spark, TestSession.Sf)
