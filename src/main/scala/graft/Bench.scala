@@ -8,9 +8,11 @@ package graft
   * Queries execute into the noop sink — unlike count(), noop cannot be
   * optimized into a metadata-only or aggregate-pruned plan, so the
   * timing covers the full pipeline including result materialization.
-  * A full untimed warm-up pass runs first so one-off JVM costs
-  * (codegen compilation, JIT) are not attributed to the queries; the
-  * timed pass reports steady state.
+  * Each query runs warm-up → two timed runs (min reported), grouped by
+  * query family with fixture-memo + cache eviction at family
+  * boundaries, so one-off JVM costs are not attributed to the queries
+  * AND accumulated fixture caches cannot pressure later families'
+  * timings (BENCH_MEM.json records the boundary storage/GC readings).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -23,35 +25,70 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // Warm-up pass: run every query once untimed, JMH-style. The first
-    // execution of each query is dominated by one-off JVM work (Janino
-    // whole-stage-codegen compilation, JIT warm-up, parquet footer
-    // caches) that on a long-lived cluster amortizes to zero; the timed
-    // pass below measures the steady-state cost of the actual data
-    // pipeline, which is what scales with the data.
+    // Per-query warm-up + min-of-2 timed runs, grouped by query FAMILY
+    // (the name prefix before the first '_'), with every session-scoped
+    // fixture memo AND the session cache evicted at family boundaries.
+    //
+    // Why not the old global warm pass + two global timed passes: by
+    // the timed passes ~17 fixture memos (shingle index, band tables,
+    // IVF/PQ fits, graph edge sets, LM tables) plus per-query implicit
+    // plan-keyed persists all coexisted in the one local[32] heap, and
+    // the collective storage/GC pressure inflated the official total
+    // ~1.7× over standalone per-query minima (round-15 verdict #1) —
+    // the artifact measured cache pressure, not plans. Family grouping
+    // keeps at most ~one family's fixtures resident; the warm-up runs
+    // IMMEDIATELY before a query's timed runs, so each query still
+    // times with its fixtures hot (same steady-state semantics: one-off
+    // JVM work — codegen compilation, JIT, footer caches, fixture
+    // builds — amortizes to zero on a long-lived cluster).
+    //
+    // Min-of-2 is kept: single-run numbers on a shared container swing
+    // 2–4× under co-tenant CPU bursts. A query that throws during a
+    // timed run contributes ~0 s, which would make a crash look like a
+    // speedup — so failures are counted and surfaced in the JSON line.
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach(n => try run(n) catch { case _: Throwable => () })
-
-    // Two full timed passes, per-query MIN reported: single-pass
-    // numbers on a shared container are dominated by co-tenant CPU
-    // bursts (observed 2–4× swings on identical plans, and ±15%
-    // run-to-run drift on the 120-query total with selective
-    // re-timing). Min-of-2 across every query costs one extra timed
-    // pass (~90 s) and pins the total to the machine's quiet-state
-    // throughput, which is the number that tracks plan changes.
-    // A query that throws during a timed pass contributes ~0 s, which
-    // would make a crash look like a speedup — so failures are counted
-    // and surfaced in the JSON line instead of being swallowed.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def time(name: String): Double = {
       val t0 = System.nanoTime()
       try run(name) catch { case _: Throwable => failed += name }
       (System.nanoTime() - t0) / 1e9
     }
-    val p1 = names.map(n => n -> time(n)).toMap
-    val results = names.map(n => n -> math.min(p1(n), time(n)))
+    def familyOf(n: String): String = n.takeWhile(_ != '_')
+    // storage/GC instrumentation at family boundaries → BENCH_MEM.json:
+    // the evidence trail that residency stays bounded (and, if a future
+    // fixture regresses that, WHERE the pressure came from)
+    val gcBeans = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var s = 0L; gcBeans.forEach(b => s += b.getCollectionTime); s
+    }
+    def storageMB: Long =
+      spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum >> 20
+    def heapMB: Long = {
+      val r = Runtime.getRuntime; (r.totalMemory - r.freeMemory) >> 20
+    }
+    val memLog = scala.collection.mutable.ArrayBuffer.empty[String]
+    var fam: String = null
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    for (n <- names) {
+      val f = familyOf(n)
+      if (f != fam) {
+        if (fam != null) FixtureCaches.evictAll(spark)
+        memLog += s"""{"family":"$f","storage_mb_at_entry":$storageMB,""" +
+          s""""heap_mb":$heapMB,"gc_ms":$gcMs}"""
+        fam = f
+      }
+      try run(n) catch { case _: Throwable => () } // warm-up, untimed
+      results += (n -> math.min(time(n), time(n)))
+    }
+    FixtureCaches.evictAll(spark)
+    memLog += s"""{"family":"_end","storage_mb_at_entry":$storageMB,""" +
+      s""""heap_mb":$heapMB,"gc_ms":$gcMs}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_MEM.json"),
+      memLog.mkString("[", ",\n ", "]\n"))
     val sfName = new java.io.File(sfDir).getName
-    val out = Bench.formatLine(results, sfName, failed.size)
+    val out = Bench.formatLine(results.toSeq, sfName, failed.size)
 
     // Full per-query sidecar: the stdout line is tail-compacted for
     // the harness (fast queries collapse into "_others" past ~50

@@ -625,6 +625,97 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental EXACT substring dedup — the per-ingest form a 100 TB
+    * pipeline actually runs (the [[incrementalDedup]] pattern applied
+    * to the window-hash table): the EXISTING corpus's stride-1 window
+    * hashes `(h, doc_id, pos)` are PERSISTED as an Arrow layout (built
+    * once; in production maintained by appending each batch's own
+    * windows), and a new ingest batch — the last ~10% of doc ids —
+    * generates windows for ITS OWN text only. Candidates are
+    * (batch × index) via the hash equi-join plus (batch × batch) via
+    * the shared-hash cut; old×old windows are never re-examined, so
+    * per-ingest generation cost is O(batch chars + collisions), not
+    * O(corpus). Verification stays byte-exact: candidate positions on
+    * BOTH sides re-extract their substring (old docs' text is fetched
+    * only for index-matched docs) and a window counts as duplicated
+    * iff its substring spans ≥ 2 distinct documents of the FULL
+    * corpus — so the output is exactly [[substringDedup]]'s rows
+    * restricted to batch documents (DedupSimSpec pins the equality,
+    * the oracle restates the full pipeline with the same integer
+    * batch cut). At 100 TB the index would be bucketed by `h` so the
+    * probe is a storage-partitioned join; the layout and join shape
+    * here are otherwise the real ones. */
+  def substringDedupIncremental(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val L = 30
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id").isNotNull)
+    val maxId = Tables.documents(spark, dir)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cut = maxId * 9L / 10L
+    // persisted window-hash index over the existing corpus — built
+    // once per process (read-only fixture), read back like any table
+    // the pipeline maintains
+    val indexDir = graft.Scratch.dir("substr_index", dir)
+    graft.Fixtures.once(indexDir) {
+      graft.functions.WindowHashGenExpr(
+          docs.filter(col("doc_id") < cut), col("text"), L, 1)
+        .select(col("h"), col("doc_id"), col("pos"))
+        .write.format("arrow").mode("overwrite").save(indexDir)
+    }
+    val index = spark.read.format("arrow").load(indexDir)
+    // ONE pinned exchange on `h` for the batch generation, reused by
+    // every consumer — the same single-generation trick (and the same
+    // keep-pos-everywhere pruning constraint) as [[substringDedup]]
+    val batchWins = graft.functions.WindowHashGenExpr(
+        docs.filter(col("doc_id") >= cut), col("text"), L, 1)
+      .select(col("doc_id"), col("pos"), col("h"))
+      .repartition(col("h"))
+    val hAgg = batchWins.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("d0"), max(col("doc_id")).as("d1"),
+        min(col("pos")).as("p0"))
+    // batch×batch: hashes shared by ≥2 distinct batch docs (the p0
+    // conjunct is void — it keeps `pos` under the shared exchange)
+    val hotBatch = hAgg.filter(col("d0") < col("d1") && col("p0") >= 1)
+      .select(col("h"))
+    // batch×index: index entries whose hash occurs in the batch at all
+    val matchedOld = index.join(hAgg.select(col("h")), "h")
+      .select(col("h"), col("doc_id"), col("pos"))
+    val candH = hotBatch
+      .unionByName(matchedOld.select(col("h"))).distinct()
+    val cand = batchWins.join(candH, "h")
+      .select(col("doc_id"), col("pos"))
+    val confirmBatch = cand.join(docs, "doc_id")
+      .select(col("doc_id"), expr(s"substring(text, pos, $L)").as("w"),
+        lit(true).as("is_new"))
+    val confirmOld = matchedOld.select(col("doc_id"), col("pos"))
+      .join(docs, "doc_id")
+      .select(col("doc_id"), expr(s"substring(text, pos, $L)").as("w"),
+        lit(false).as("is_new"))
+    val confirmed = confirmBatch.unionByName(confirmOld)
+      .repartition(col("w"))
+    val spans = confirmed.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("c0"), max(col("doc_id")).as("c1"))
+      .filter(col("c0") < col("c1")).select(col("w"))
+    val dup = confirmed.filter(col("is_new")).join(spans, "w")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    val totals = batchWins.groupBy(col("doc_id"))
+      .agg((floor((max(col("pos")) - 1) / lit(1)) + 1).cast("long")
+        .as("n_windows"))
+    totals.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .orderBy(col("doc_id"))
+  }
+
+  // Bench evicts fixture memos at query-family boundaries; cached
+  // relations are dropped by the same evictAll stroke (FixtureCaches)
+  graft.FixtureCaches.register { () =>
+    Seq(shCache, jacCache, dfcutCache, bandCache, newBandCache,
+      simBandCache).foreach(_.clear())
+  }
+
   val defs: Map[String, Q] = Map(
     "dedup_exact" -> (exactDedup _),
     "dedup_jaccard" -> (jaccardDedup _),
@@ -634,7 +725,8 @@ object DedupQueries {
     "dedup_incremental" -> (incrementalDedup _),
     "dedup_simhash" -> (simhashDedup _),
     "dedup_passage" -> (passageDedup _),
-    "dedup_substring" -> (substringDedup _))
+    "dedup_substring" -> (substringDedup _),
+    "dedup_substring_incremental" -> (substringDedupIncremental _))
 
   val sql: Map[String, String] = Map(
     "dedup_exact" ->
@@ -733,5 +825,25 @@ object DedupQueries {
         |  CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_windows
         |FROM wins JOIN spans USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the incremental pipeline's output IS the full pipeline's rows
+    // restricted to the ingest batch (old×old pairs never re-examined
+    // ⇔ never reported); the oracle restates exactly that, with the
+    // batch cut in the same integer arithmetic as dedup_incremental's
+    "dedup_substring_incremental" ->
+      """WITH win AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, greatest(len(text) - 29, 0) + 1, 1)) AS i
+        |  FROM documents),
+        |wins AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 30) AS w
+        |  FROM win),
+        |spans AS (
+        |  SELECT w, COUNT(DISTINCT doc_id) AS docs FROM wins GROUP BY w)
+        |SELECT doc_id, COUNT(*) AS n_windows,
+        |  CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_windows
+        |FROM wins JOIN spans USING (w)
+        |WHERE doc_id >= (SELECT (MAX(doc_id) * 9) // 10 FROM documents)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

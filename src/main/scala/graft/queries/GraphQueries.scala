@@ -310,6 +310,15 @@ object GraphQueries {
       .orderBy(col("node"))
   }
 
+  // Bench evicts fixture memos at query-family boundaries; under
+  // cacheLock so a clear cannot interleave with a racing builder
+  graft.FixtureCaches.register { () =>
+    cacheLock.synchronized {
+      nodeCount.clear(); prEdgeCache.clear(); ssspCache.clear()
+      triEdgeCache.clear()
+    }
+  }
+
   val defs: Map[String, Q] = Map(
     "graph_pagerank" -> (pageRank _),
     "graph_pagerank_indexed" -> (pageRankIndexed _),

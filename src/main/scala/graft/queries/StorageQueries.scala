@@ -953,21 +953,32 @@ object StorageQueries {
     // is the very situation widening exists for)
     Tables.orders(spark, dir)
       .select((col("o_orderkey") % 100000000L).cast("int").as("okey"),
-        col("o_totalprice"), col("o_orderstatus"))
+        col("o_totalprice"), col("o_orderstatus"),
+        expr("CAST(o_totalprice AS DECIMAL(12,2))").as("price_d"))
       .repartitionByRange(4, col("okey"))
       .sortWithinPartitions(col("okey"))
       .write.format("arrow").mode("overwrite").save(out)
     graft.sources.arrow.ArrowDataSource.initTableLog(out)
     spark.sql(s"CALL graft.system.widen_column(path => '$out', " +
       "name => 'okey', type => 'bigint')").collect()
+    // the decimal money-column case: same scale, grown precision —
+    // decimal(12,2) caps at ~1e10, the post-widen insert lands values
+    // past 1e11, readable only because the declaration widened
+    spark.sql(s"CALL graft.system.widen_column(path => '$out', " +
+      "name => 'price_d', type => 'decimal(20,2)')").collect()
     spark.sql(s"INSERT INTO graft.arrow.`$out` " +
-      "SELECT okey + 3000000000, o_totalprice, 'W' " +
+      "SELECT okey + 3000000000, o_totalprice, 'W', " +
+      "CAST(price_d + 100000000000.00 AS DECIMAL(20,2)) " +
       s"FROM graft.arrow.`$out` WHERE okey % 401 = 0")
     spark.sql(s"UPDATE graft.arrow.`$out` SET o_totalprice = 0.0 " +
       "WHERE okey < 300")
     spark.read.format("arrow").load(out)
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+        // decimal-exact sum, DOUBLE at the output boundary (the repo's
+        // dsum idiom — wide decimals canonicalize differently across
+        // engines' client layers while the double is bit-identical)
+        sum(col("price_d")).cast("double").as("sum_price_d"),
         sum(col("okey")).as("sum_key"))
       .orderBy(col("o_orderstatus"))
   }
@@ -1321,7 +1332,9 @@ object StorageQueries {
       .option("startingEpoch", (pre + 1L).toString)
       .load(out)
       .groupBy(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-      .agg(sum(when(tc === "insert", 1L).otherwise(-1L)).as("net"))
+      .agg(sum(when(tc.isin("insert",
+        graft.sources.arrow.ArrowChanges.UpdatePostimage), 1L)
+        .otherwise(-1L)).as("net"))
       .filter(col("net") =!= 0)
       .select(
         when(col("net") > 0, "insert").otherwise("delete").as("change_type"),
@@ -1790,18 +1803,22 @@ object StorageQueries {
     "arrow_type_widen" ->
       """WITH base AS (
         |  SELECT CAST(o_orderkey % 100000000 AS BIGINT) AS k,
-        |    o_totalprice, o_orderstatus
+        |    o_totalprice, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(12,2)) AS pd
         |  FROM orders),
         |widened AS (
         |  SELECT k,
         |    CASE WHEN k < 300 THEN 0.0 ELSE o_totalprice END AS p,
-        |    o_orderstatus AS s
+        |    o_orderstatus AS s,
+        |    CAST(pd AS DECIMAL(20,2)) AS pd
         |  FROM base
         |  UNION ALL
-        |  SELECT k + 3000000000, o_totalprice, 'W'
+        |  SELECT k + 3000000000, o_totalprice, 'W',
+        |    CAST(pd + 100000000000.00 AS DECIMAL(20,2))
         |  FROM base WHERE k % 401 = 0)
         |SELECT s AS o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        | CAST(SUM(pd) AS DOUBLE) AS sum_price_d,
         | CAST(SUM(k) AS BIGINT) AS sum_key
         |FROM widened GROUP BY s
         |ORDER BY o_orderstatus""".stripMargin,

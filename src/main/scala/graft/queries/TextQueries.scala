@@ -329,6 +329,10 @@ object TextQueries {
   @volatile private var fittedLpPairs
       : Option[Seq[(Long, Long, Long)]] = None
 
+  // Bench evicts fixture memos at query-family boundaries (the
+  // @volatile fitted copy survives for oracle restatement)
+  graft.FixtureCaches.register(() => lpCache.clear())
+
   val defs: Map[String, Q] = Map(
     "text_ngram_lm" -> (textNgramLm _),
     "text_perplexity" -> (textPerplexity _),

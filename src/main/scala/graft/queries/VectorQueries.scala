@@ -817,6 +817,12 @@ object VectorQueries {
       .orderBy(col("label"))
   }
 
+  // Bench evicts fixture memos at query-family boundaries (the
+  // @volatile fitted copies survive for oracle restatement)
+  graft.FixtureCaches.register { () =>
+    corpusCount.clear(); pqCache.clear(); ivfCache.clear()
+  }
+
   val defs: Map[String, Q] = Map(
     "sim_topk" -> (topK _),
     "sim_mmr_rerank" -> (mmrRerank _),

@@ -33,6 +33,30 @@ object ArrowChanges {
   val ChangeTypeCol = "_change_type"
   val CommitEpochCol = "_commit_epoch"
 
+  /** Manifest `#op` kind a row-level UPDATE stamps on its epoch. */
+  val OpUpdate = "update"
+
+  /** Streaming-feed tags for UPDATE-stamped epochs (Delta CDF's
+    * update_preimage/update_postimage): removed/masked rows are the
+    * updated rows' OLD values, added rows their NEW values, so an
+    * external consumer can tell an UPDATE from an unrelated
+    * delete+insert pair. Granularity follows the feed's documented
+    * file-grain contract: on the merge-on-read (deletion-vector) path
+    * the tagging is ROW-exact; on a copy-on-write rewrite the carried
+    * (untouched) rows of a rewritten file surface as equal-valued
+    * preimage/postimage pairs that cancel under replay, exactly like
+    * the insert/delete carry-over pairs before them. Consumers that
+    * net (ChangeReplication, IncrementalView, Scd2Maintain) treat
+    * postimage as insert-equivalent and preimage as
+    * delete-equivalent. */
+  val UpdatePreimage = "update_preimage"
+  val UpdatePostimage = "update_postimage"
+
+  /** insert/delete (or the update-tagged equivalents) for the epoch. */
+  private[arrow] def tagsFor(isUpdate: Boolean): (String, String) =
+    if (isUpdate) (UpdatePostimage, UpdatePreimage)
+    else ("insert", "delete")
+
   /** Rows changed in epoch window `(from, to]` of the logged table at
     * `path`, tagged insert/delete in [[ChangeTypeCol]]. `from == to`
     * yields an empty frame with the right schema. */
@@ -105,6 +129,10 @@ object ArrowChanges {
       : Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val prefix = Paths.get(path).toAbsolutePath.normalize
     val neutral = ArrowDataSource.neutralEpochs(root)
+    // UPDATE-stamped epochs tag pre/postimages instead of plain
+    // delete/insert (see the tag constants' contract note)
+    val updates = ArrowDataSource.opKinds(root)
+      .filter(_._2 == OpUpdate).keySet
     // DV state per window epoch, resolved lazily once per epoch: a
     // remove/add split must apply the vector LIVE at its boundary, or
     // the feed re-delivers rows an earlier dv epoch already deleted
@@ -142,6 +170,7 @@ object ArrowChanges {
     pruned
       .sortBy(en => (en.epoch, en.remove, en.rel))
       .flatMap { en =>
+        val (insTag, delTag) = tagsFor(updates(en.epoch))
         val f = root.resolve(en.rel).normalize
         val partVals: Array[String] =
           if (partSchema.isEmpty) Array.empty
@@ -154,14 +183,14 @@ object ArrowChanges {
             // removed file: deliver the rows VISIBLE just before the
             // removal — its vector at epoch-1 still masks
             Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
-              partVals, -1, "delete", en.epoch,
+              partVals, -1, delTag, en.epoch,
               dvFile = dvOf(en.epoch - 1, en.rel).orNull)
               : org.apache.spark.sql.connector.read.InputPartition)
           case None =>
             // added file: deliver the rows visible AT this epoch (a
             // restore may re-add a file together with its vector)
             Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
-              partVals, -1, "insert", en.epoch,
+              partVals, -1, insTag, en.epoch,
               dvFile = dvOf(en.epoch, en.rel).orNull)
               : org.apache.spark.sql.connector.read.InputPartition)
           case Some((dvRel, _)) =>
@@ -172,7 +201,7 @@ object ArrowChanges {
             // carry-over pairs to cancel
             val dvAbs = diffSidecar(root, en.epoch, en.rel, dvRel)
             Some(ArrowFilePartition(f.toString, (0 until nBlocks).toArray,
-              partVals, -1, "delete", en.epoch,
+              partVals, -1, delTag, en.epoch,
               dvFile = dvAbs, dvInvert = true)
               : org.apache.spark.sql.connector.read.InputPartition)
         }

@@ -927,6 +927,38 @@ object ArrowDataSource {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Operation-kind stamps (Delta's commitInfo operation, reduced to
+    * what the change feed needs): a row-level UPDATE commits an
+    * `#op<TAB>update` header INSIDE its epoch manifest — atomic with
+    * the visibility flip, like `#txn` — so the change feed can tag the
+    * epoch's churn `update_preimage`/`update_postimage` instead of
+    * bare delete/insert, letting an external consumer distinguish an
+    * UPDATE from an unrelated delete+insert pair. Manifest form
+    * `#op<TAB>kind`; compact form `#op<TAB>epoch<TAB>kind`. */
+  def opKinds(root: Path): Map[Long, String] = retryVanishedLogRead {
+    val md = root.resolve(MetadataDirName)
+    if (!Files.isDirectory(md)) return Map.empty
+    val names = listDir(md).map(_.getFileName.toString)
+    val folded = names.filter(_.endsWith(".compact")).map(epochOf)
+      .sorted.lastOption.toSeq.flatMap { e =>
+        Files.readAllLines(md.resolve(s"$e.compact")).asScala
+          .filter(_.startsWith("#op\t"))
+          .flatMap(_.split('\t') match {
+            case Array(_, ep, kind) => Some((ep.toLong, kind))
+            case _ => None
+          })
+      }
+    val tail = names.filter(_.endsWith(".manifest")).flatMap { n =>
+      scala.util.Try(Files.readAllLines(md.resolve(n)).asScala
+        .filter(_.startsWith("#op\t"))
+        .flatMap(_.split('\t') match {
+          case Array(_, kind) => Some((epochOf(n), kind))
+          case _ => None
+        })).getOrElse(Seq.empty)
+    }
+    (folded ++ tail).toMap
+  }
+
   /** `timestampAsOf` option value → epoch millis: a bare long, an
     * ISO-8601 instant (`2026-08-13T20:00:00Z`), or a session-style
     * UTC datetime (`2026-08-13 20:00:00`, date-only allowed). UTC is
@@ -1189,9 +1221,14 @@ object ArrowDataSource {
       .groupBy(_._2).values.map(_.minBy(_._1)).toSeq
       .sortBy(c => (c._1, c._2))
       .map { case (e, k, sz) => s"#copy\t$e\t$k\t$sz" }
+    // operation kinds survive the fold like neutral markers: the
+    // change feed's pre/postimage tagging must keep answering for any
+    // epoch still above the vacuum horizon
+    val ops = opKinds(root).filter(_._1 <= epochId)
+      .toSeq.sorted.map { case (e, k) => s"#op\t$e\t$k" }
     val ctmp = md.resolve(s"$epochId.compact.inprogress")
     Files.write(ctmp,
-      (stamps ++ neutrals ++ txns ++ copies ++
+      (stamps ++ neutrals ++ txns ++ copies ++ ops ++
         entries.map(compactLine)).asJava)
     try Files.move(ctmp, md.resolve(s"$epochId.compact"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -1236,7 +1273,8 @@ object ArrowDataSource {
       adds: Seq[String], removes: Seq[String],
       compactInterval: Int = DefaultCompactInterval,
       neutral: Boolean = false,
-      dvs: Seq[(String, String, Long)] = Seq.empty): Long = {
+      dvs: Seq[(String, String, Long)] = Seq.empty,
+      opKind: Option[String] = None): Long = {
     val root = Paths.get(dir).toAbsolutePath.normalize
     val md = root.resolve(MetadataDirName)
     Files.createDirectories(md)
@@ -1262,7 +1300,11 @@ object ArrowDataSource {
     val txnHeader = Option(pendingTxns.get(root.toString)).toSeq
       .map { case (a, v) => s"#txn\t$a\t$v" } ++
       Option(pendingCopies.get(root.toString)).toSeq.flatten
-        .map { case (k, sz) => s"#copy\t$k\t$sz" }
+        .map { case (k, sz) => s"#copy\t$k\t$sz" } ++
+      opKind.toSeq.map { k =>
+        require(!k.exists("\t\n".contains(_)), s"bad op kind '$k'")
+        s"#op\t$k"
+      }
     // line order IS fold order within the epoch: removes, adds, then
     // dv events (so a replace-and-remask in one epoch lands masked)
     val lines = txnHeader ++

@@ -148,8 +148,18 @@ class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
     }
     // a no-op DML (condition matched nothing) must not burn an epoch
     if (adds.isEmpty && removes.isEmpty && dvs.isEmpty) return
+    // UPDATE epochs stamp their kind (see the CoW commit's note): on
+    // the delta path the tagging is ROW-exact — the dv-diff split
+    // delivers exactly the masked rows (preimages) and the appended
+    // files hold exactly the rewritten rows (postimages)
+    val kind =
+      if (op.command() ==
+          org.apache.spark.sql.connector.write.RowLevelOperation
+            .Command.UPDATE)
+        Some(ArrowChanges.OpUpdate)
+      else None
     val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
-      adds, removes.toSeq, dvs = dvs.toSeq)
+      adds, removes.toSeq, dvs = dvs.toSeq, opKind = kind)
     val pairs = adds.zip(msgs.flatMap(_.insertFooters))
     if (pairs.nonEmpty)
       FooterIndexFile.appendEpochFragment(path, epoch,

@@ -307,8 +307,18 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
     // invisible orphans for vacuum to reclaim.
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
+    // UPDATE epochs stamp their kind into the manifest so the change
+    // feed tags their churn update_preimage/update_postimage. MERGE
+    // stays untagged: one merge epoch mixes matched updates with
+    // not-matched inserts (and possibly deletes), which file-grain
+    // churn cannot split — Delta separates them by writing explicit
+    // change files at DML time, a heavier contract than the log diff.
+    val kind =
+      if (op.command() == RowLevelOperation.Command.UPDATE)
+        Some(ArrowChanges.OpUpdate)
+      else None
     val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
-      adds, op.scannedFiles)
+      adds, op.scannedFiles, opKind = kind)
     // CoW replacement files are brand new names: record their stats as
     // the epoch's sidecar fragment (folded by log compaction) so
     // DML-heavy tables keep one-metadata-read planning without a full

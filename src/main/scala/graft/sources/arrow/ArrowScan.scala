@@ -1756,6 +1756,15 @@ private[arrow] final class UpcastVector(under: ColumnVector,
     case FloatType => under.getFloat(i).toDouble
     case _ => under.getDouble(i)
   }
+  // decimal precision widening (same scale — widens() enforces it):
+  // the narrow file's digits are the declared value verbatim, so the
+  // underlying accessor serves them under the requested precision —
+  // Decimal.apply re-labels, no digit moves
+  override def getDecimal(i: Int, precision: Int, scale: Int)
+      : org.apache.spark.sql.types.Decimal = from match {
+    case _: DecimalType => under.getDecimal(i, precision, scale)
+    case _ => unsupported
+  }
   override def close(): Unit = under.close()
   private def unsupported = throw new UnsupportedOperationException(
     s"widened arrow column is ${declared.simpleString}-typed")
@@ -1766,8 +1775,6 @@ private[arrow] final class UpcastVector(under: ColumnVector,
       : org.apache.spark.sql.vectorized.ColumnarArray = unsupported
   override def getMap(i: Int)
       : org.apache.spark.sql.vectorized.ColumnarMap = unsupported
-  override def getDecimal(i: Int, precision: Int, scale: Int)
-      : org.apache.spark.sql.types.Decimal = unsupported
   override def getUTF8String(i: Int)
       : org.apache.spark.unsafe.types.UTF8String = unsupported
   override def getBinary(i: Int): Array[Byte] = unsupported

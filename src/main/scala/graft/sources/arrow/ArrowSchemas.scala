@@ -23,15 +23,22 @@ object ArrowSchemas {
     * same numeric value in `to` with no rounding or truncation, so
     * zone-map stats (recorded as exact longs / doubles), bloom
     * filters (integrals hash via `longValue()`, width-agnostic) and
-    * sort stamps all stay valid. Deliberately NOT included: int →
-    * float/double (loses exactness past 2^24/2^53), long → double,
-    * decimal re-scaling, date → timestamp (changes the value's
-    * meaning, not just its width). */
+    * sort stamps all stay valid. Decimal PRECISION growth at the SAME
+    * scale — decimal(p,s) → decimal(p+k,s), Delta's money-column case
+    * — is lossless too: the digits are unchanged, only the headroom
+    * grows, so the narrow file's values read identically under the
+    * wider declaration. Deliberately NOT included: int → float/double
+    * (loses exactness past 2^24/2^53), long → double, decimal
+    * RE-SCALING (a scale change moves digits — a rewrite, not a
+    * relabeling), date → timestamp (changes the value's meaning, not
+    * just its width). */
   def widens(from: DataType, to: DataType): Boolean = (from, to) match {
     case (ByteType, ShortType | IntegerType | LongType) => true
     case (ShortType, IntegerType | LongType) => true
     case (IntegerType, LongType) => true
     case (FloatType, DoubleType) => true
+    case (f: DecimalType, t: DecimalType) =>
+      t.scale == f.scale && t.precision > f.precision
     case _ => false
   }
 

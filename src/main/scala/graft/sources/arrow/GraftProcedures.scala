@@ -433,10 +433,21 @@ object GraftProcedures {
       "remove the current ones, move no data bytes. History is kept — " +
       "the pre-restore state stays addressable via VERSION AS OF and " +
       "a restore can itself be restored away — Delta's RESTORE. " +
-      "Epochs behind the vacuum horizon (files reclaimed) refuse") {
+      "Epochs behind the vacuum horizon (files reclaimed) refuse. " +
+      "Address the version either by epoch or by timestamp " +
+      "(timestamp => '2026-08-13 20:00:00' resolves through the " +
+      "same commit-stamp index as TIMESTAMP AS OF reads: the " +
+      "greatest epoch committed at or before the instant)") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
-      ProcedureParameter.in("epoch", LongType).build())
+      ProcedureParameter.in("epoch", LongType)
+        .defaultValue("-1")
+        .comment("target version; -1 when addressing by timestamp")
+        .build(),
+      ProcedureParameter.in("timestamp", StringType)
+        .defaultValue("''")
+        .comment("target instant (ISO-8601 / UTC datetime / epoch " +
+          "millis); empty when addressing by epoch").build())
     private val out = StructType(Seq(
       StructField("restored_to", LongType, nullable = false),
       StructField("committed_epoch", LongType, nullable = false),
@@ -444,7 +455,9 @@ object GraftProcedures {
       StructField("files_removed", LongType, nullable = false)))
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val path = input.getUTF8String(0).toString
-      val target = input.getLong(1)
+      val epochArg = input.getLong(1)
+      val tsArg = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty)
       require(ArrowDataSource.isTableLog(path),
         s"restore: $path is not a logged table — streaming-sink " +
           "epochs are numbered by the query checkpoint and rolling " +
@@ -452,6 +465,18 @@ object GraftProcedures {
           "commit logs restore")
       val root = java.nio.file.Paths.get(path).toAbsolutePath.normalize
       val latest = ArrowDataSource.latestCommittedEpoch(root)
+      require(tsArg.isEmpty || epochArg == -1L,
+        "restore: specify either epoch or timestamp, not both")
+      require(tsArg.nonEmpty || epochArg != -1L,
+        "restore: specify a target epoch or timestamp")
+      // timestamp resolution rides the exact same `#ts` stamp index as
+      // TIMESTAMP AS OF reads; epochForTimestamp refuses pre-first-
+      // commit instants, the horizon check below refuses reclaimed ones
+      val target = tsArg match {
+        case Some(t) => ArrowDataSource.epochForTimestamp(root,
+          ArrowDataSource.parseTravelTimestamp(t))
+        case None => epochArg
+      }
       require(target >= 0 && target <= latest,
         s"restore: epoch $target out of range — $path has committed " +
           s"epochs 0..$latest")
@@ -1107,7 +1132,8 @@ object GraftProcedures {
   val WidenColumn: UnboundProcedure = new SimpleProcedure("widen_column",
     "metadata-only TYPE WIDENING (Delta's type widening): widen a " +
       "column (or dotted struct leaf) to a larger lossless type — " +
-      "tinyint/smallint/int -> bigint, float -> double — without " +
+      "tinyint/smallint/int -> bigint, float -> double, " +
+      "decimal(p,s) -> decimal(p+k,s) (same scale) — without " +
       "rewriting a file. Old files keep their narrow bytes and the " +
       "reader upcasts per file; zone maps, bloom filters and sort " +
       "stamps stay valid (integral stats are exact longs, integral " +
@@ -1132,9 +1158,10 @@ object GraftProcedures {
           s"widen_column: $at is already ${target.simpleString} on $path")
         require(ArrowSchemas.widens(cur, target),
           s"widen_column: ${cur.simpleString} does not widen to " +
-            s"${target.simpleString} on $at — only lossless primitive " +
+            s"${target.simpleString} on $at — only lossless " +
             "widenings (tinyint/smallint/int -> bigint, float -> " +
-            "double) are metadata-only")
+            "double, decimal(p,s) -> decimal(p+k,s) at the same " +
+            "scale) are metadata-only")
         target
       }
       var nCols = 0L

@@ -119,8 +119,12 @@ object ChangeReplication {
     val net = batch
       .groupBy(ec +: dataCols.map(col): _*)
       .agg(
-        sum(when(tc === "insert", 1L).otherwise(0L)).as("__ins"),
-        sum(when(tc === "delete", 1L).otherwise(0L)).as("__del"))
+        // update_postimage/update_preimage are an UPDATE epoch's
+        // new/old values — insert/delete-equivalent under netting
+        sum(when(tc.isin("insert", ArrowChanges.UpdatePostimage), 1L)
+          .otherwise(0L)).as("__ins"),
+        sum(when(tc.isin("delete", ArrowChanges.UpdatePreimage), 1L)
+          .otherwise(0L)).as("__del"))
       .withColumn("__op",
         when(col("__ins") > col("__del"), lit("upsert"))
           .when(col("__del") > col("__ins"), lit("delete")))

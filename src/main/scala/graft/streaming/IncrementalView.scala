@@ -133,7 +133,8 @@ object IncrementalView {
     val root = java.nio.file.Paths.get(viewDir).toAbsolutePath.normalize
     if (ArrowDataSource.lastTxnVersion(root, appId).exists(_ >= version))
       return false // replayed micro-batch: already folded in
-    val sign = when(col(ArrowChanges.ChangeTypeCol) === "insert", 1L)
+    val sign = when(col(ArrowChanges.ChangeTypeCol)
+        .isin("insert", ArrowChanges.UpdatePostimage), 1L)
       .otherwise(-1L)
     val deltaNames = "__dn" +: sums.map { case (_, a) => s"__d_$a" }
     // coalesce: a batch whose change rows all carry a NULL measure for

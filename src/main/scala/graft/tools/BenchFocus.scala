@@ -176,6 +176,21 @@ object BenchFocus {
     // sample_priority: 10× corpus, same k per language — the
     // bounded-heap partials keep every group cut map-side, so the
     // point should track the SCAN, not a per-language sort.
+    // media_phash_dedup: 10× media rows; banding keeps candidates
+    // bucketed, never all-pairs, so the point tracks the scan+digest.
+    // join_asof_nearest: 10× events over 10× users — per-user window
+    // partitions keep their size; ONE user_id exchange either way.
+    // graph_sssp_bounded: 10× edges, same 3 bounded hops — frontier
+    // joins with anti-join known-set should track edges ~linearly.
+    // sim_mmr_rerank: candidates bounded by k (not corpus), so the
+    // point should track the coarse retrieval scan only.
+    // stream_sessions_dynamic: 10× events through the same
+    // session-window transform; state is per-user, bounded.
+    // dedup_substring_incremental: the batch is the last ~10% of ids
+    // (one full copy at 10×) and the replicated copies make ~every
+    // batch window a true cross-copy duplicate — the confirm phase's
+    // worst case — while the index side is READ, never regenerated:
+    // the point should beat the full dedup_substring at equal scale.
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
         "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
         "skyline_pareto", "agg_quantile_sketch",
@@ -184,7 +199,10 @@ object BenchFocus {
         "merge_upsert_evolve", "sim_ann_ivfpq",
         "join_temporal_scd2", "merge_full_sync", "agg_bitmap_distinct",
         "layout_compaction", "arrow_type_widen", "arrow_default_column",
-        "dedup_substring", "sample_priority")) {
+        "dedup_substring", "sample_priority",
+        "media_phash_dedup", "join_asof_nearest", "graph_sssp_bounded",
+        "sim_mmr_rerank", "stream_sessions_dynamic",
+        "dedup_substring_incremental")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

@@ -228,6 +228,89 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
       "neutral-only between() scanned data batches")
   }
 
+  test("a CoW UPDATE epoch tags its churn update_preimage/" +
+      "update_postimage; DELETE epochs stay plain; replay converges " +
+      "with the tags mapped to their insert/delete equivalents") {
+    val dir = tableWithHistory() // epochs 0..2 (snapshot + 2 deletes)
+    // epoch 3: CoW UPDATE — the `#op update` stamp must retag it
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'upd' " +
+      "WHERE id >= 40 AND id <= 50")
+    val feed = drainFeed(dir, "cdf_upd", startingEpoch = Some(0L))
+    val up = feed.filter(col(ArrowChanges.CommitEpochCol) === 3L)
+    val tags = up.select(col(ArrowChanges.ChangeTypeCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(tags == Set(ArrowChanges.UpdatePreimage,
+      ArrowChanges.UpdatePostimage),
+      s"update epoch carries wrong tags: $tags")
+    // DELETE epochs keep the plain tag — only UPDATE retags
+    assert(feed.filter(col(ArrowChanges.CommitEpochCol) === 1L)
+      .select(col(ArrowChanges.ChangeTypeCol)).distinct()
+      .collect().map(_.getString(0)).toSet == Set("insert", "delete"))
+    // the epoch NETS to the row-exact diff: postimage minus preimage
+    // = updated new values; preimage minus postimage = old values
+    val post = up.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePostimage).select(col("id"), col("tag"))
+    val pre = up.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePreimage).select(col("id"), col("tag"))
+    val newRows = post.exceptAll(pre)
+    assert(newRows.count() == 11 &&
+      newRows.filter(col("tag") === "upd").count() == 11)
+    val oldRows = pre.exceptAll(post)
+    assert(oldRows.count() == 11 &&
+      oldRows.filter(col("tag") === "upd").count() == 0)
+    // replay: postimage ≡ insert, preimage ≡ delete reconstructs now
+    val ins = feed.filter(col(ArrowChanges.ChangeTypeCol)
+      .isin("insert", ArrowChanges.UpdatePostimage))
+      .select(col("id"), col("tag"))
+    val del = feed.filter(col(ArrowChanges.ChangeTypeCol)
+      .isin("delete", ArrowChanges.UpdatePreimage))
+      .select(col("id"), col("tag"))
+    val now = spark.read.format("arrow").load(dir)
+      .select(col("id"), col("tag"))
+    assert(bagEqual(ins.exceptAll(del), now),
+      "replay with update tags diverged from the table")
+    // the stamp survives log compaction (folded `#op` headers)
+    graft.sources.arrow.ArrowDataSource.compactLog(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize, 3L)
+    val after = drainFeed(dir, "cdf_upd_folded", startingEpoch = Some(0L))
+    assert(after.filter(col(ArrowChanges.CommitEpochCol) === 3L)
+      .select(col(ArrowChanges.ChangeTypeCol)).distinct()
+      .collect().map(_.getString(0)).toSet ==
+      Set(ArrowChanges.UpdatePreimage, ArrowChanges.UpdatePostimage),
+      "update stamp lost in log compaction")
+  }
+
+  test("a deletion-vector UPDATE epoch tags ROW-exact pre/postimages " +
+      "(the dv-diff split carries exactly the old rows)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_cdf_dvu").toString
+    (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'dvu' " +
+      "WHERE id % 10 = 0") // epoch 1, delta path: dv mask + append
+    val feed = drainFeed(dir, "cdf_dvu", startingEpoch = Some(1L))
+    // row-exact: preimages are EXACTLY the 6 old rows, postimages
+    // EXACTLY the 6 new ones — no carried-over pairs at all
+    val pre = feed.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePreimage)
+    val post = feed.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePostimage)
+    assert(pre.count() == 6 && post.count() == 6,
+      s"dv update not row-exact: pre=${pre.count()} post=${post.count()}")
+    assert(pre.select(col("id")).as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L, 30L, 40L, 50L, 60L))
+    assert(pre.filter(col("tag") === "dvu").count() == 0)
+    assert(post.filter(col("tag") === "dvu").count() == 6)
+    // a dv DELETE on the same table stays plain-tagged
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id = 7")
+    val feed2 = drainFeed(dir, "cdf_dvu2", startingEpoch = Some(2L))
+    assert(feed2.select(col(ArrowChanges.ChangeTypeCol)).distinct()
+      .collect().map(_.getString(0)).toSet == Set("delete"))
+  }
+
   test("a start below the vacuum horizon fails fast") {
     val dir = tableWithHistory()
     ArrowOptimize.vacuum(dir, graceMs = 0L)

@@ -244,6 +244,45 @@ class ArrowTableLogSpec extends AnyFunSuite {
     assert(String.valueOf(e.getMessage).contains("out of range"))
   }
 
+  test("restore by TIMESTAMP resolves through the commit-stamp index " +
+      "(greatest epoch at or before the instant) and refuses " +
+      "ambiguous or pre-horizon targets") {
+    val dir = freshTable(100)
+    spark.sql(s"DELETE FROM graft.arrow.`$dir` WHERE id <= 40") // ep 1
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET tag = 'x' " +
+      "WHERE id > 90") // ep 2
+    val root = java.nio.file.Paths.get(dir).toAbsolutePath.normalize
+    val stamps = graft.sources.arrow.ArrowDataSource.epochTimestamps(root)
+    // an instant BETWEEN epoch 1's and epoch 2's stamps resolves to 1
+    // (stamps are strictly monotone by the in-commit adjustment)
+    val between = stamps(1L).toString
+    val res = spark.sql(s"CALL graft.system.restore(" +
+      s"path => '$dir', timestamp => '$between')").collect()(0)
+    assert(res.getLong(0) == 1L, s"expected epoch 1, got $res")
+    assert(spark.read.format("arrow").load(dir).count() == 60)
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("tag") === "x").count() == 0,
+      "timestamp restore must roll back the epoch-2 UPDATE")
+    // both addressings at once refuse
+    val both = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+        s"epoch => 1, timestamp => '$between')").collect()
+    }
+    assert(String.valueOf(both.getMessage).contains("not both"))
+    // neither refuses
+    val neither = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$dir')").collect()
+    }
+    assert(String.valueOf(neither.getMessage)
+      .contains("target epoch or timestamp"))
+    // an instant before the first known commit refuses loudly
+    val early = intercept[Exception] {
+      spark.sql(s"CALL graft.system.restore(path => '$dir', " +
+        "timestamp => '12345')").collect()
+    }
+    assert(String.valueOf(early.getMessage).contains("predates"))
+  }
+
   test("restore refuses an epoch behind the vacuum horizon (its " +
       "files were reclaimed) and refuses non-logged directories") {
     val dir = freshTable(60)

@@ -243,4 +243,91 @@ class ArrowTypeWideningSpec extends AnyFunSuite {
     assert(compacted.agg(sum(col("amt"))).head.getLong(0) ==
       (4 to 40).map(_ * 5L).sum + 3 * 7000000000L)
   }
+
+  test("widen_column decimal(10,2) -> decimal(20,2): same scale, " +
+      "grown precision — old files upcast in place, values past the " +
+      "narrow capacity round-trip") {
+    val dir = Files.createTempDirectory("widen_dec").toString
+    spark.range(1, 31)
+      .select(col("id").cast("int").as("id"),
+        expr("CAST(id AS DECIMAL(10,2)) + 0.25").cast(DecimalType(10, 2))
+          .as("amt"))
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    val before = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+
+    spark.sql(s"CALL graft.system.widen_column(path => '$dir', " +
+      "name => 'amt', type => 'decimal(20,2)')").collect()
+
+    val after = ArrowDataSource.listIpcFiles(dir)
+      .map(f => f.toString -> Files.getLastModifiedTime(f)).toMap
+    assert(before.forall { case (k, v) => after.get(k).contains(v) },
+      "decimal widen_column must not rewrite a file")
+
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("amt").dataType == DecimalType(20, 2))
+    // digits unchanged through the upcast: exact decimal sum
+    assert(df.agg(sum(col("amt"))).head.getDecimal(0) ==
+      new java.math.BigDecimal("472.50"))
+
+    // a post-widen append carries a value decimal(10,2) cannot hold
+    val big = new java.math.BigDecimal("99999999999999.25")
+    spark.range(31, 32)
+      .select(col("id").cast("int").as("id"),
+        lit(big).cast(DecimalType(20, 2)).as("amt"))
+      .write.format("arrow").mode("append").save(dir)
+    val all = spark.read.format("arrow").load(dir)
+    assert(all.count() == 31)
+    assert(all.filter(col("amt") === lit(big)).select(col("id"))
+      .head.getInt(0) == 31)
+    // CoW UPDATE reads narrow decimal bytes through the upcast and
+    // materializes replacement rows at the declared wide type
+    spark.sql(s"UPDATE graft.arrow.`$dir` SET amt = 0.00 " +
+      "WHERE id <= 3")
+    val upd = spark.read.format("arrow").load(dir)
+    val expected = (4 to 30).map(i => BigDecimal(i) + BigDecimal("0.25"))
+      .sum + BigDecimal(big)
+    assert(BigDecimal(upd.agg(sum(col("amt"))).head.getDecimal(0))
+      == expected)
+  }
+
+  test("decimal widening refuses re-scaling and narrowing") {
+    val dir = Files.createTempDirectory("widen_dec_refuse").toString
+    spark.range(1, 11)
+      .select(col("id").cast("int").as("id"),
+        expr("CAST(id AS DECIMAL(10,2))").as("amt"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    def call(tpe: String) =
+      spark.sql(s"CALL graft.system.widen_column(path => '$dir', " +
+        s"name => 'amt', type => '$tpe')").collect()
+    // scale change moves digits — a rewrite, never metadata-only
+    assertRefused(intercept[Exception](call("decimal(20,4)")),
+      "does not widen")
+    // narrowing loses digits
+    assertRefused(intercept[Exception](call("decimal(8,2)")),
+      "does not widen")
+  }
+
+  test("a mergeSchema append carrying a WIDER decimal frame widens " +
+      "the declaration; mixed generations read at the union type") {
+    val dir = Files.createTempDirectory("widen_dec_merge").toString
+    spark.range(1, 11)
+      .select(col("id").cast("int").as("id"),
+        expr("CAST(id AS DECIMAL(10,2))").as("amt"))
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    spark.range(11, 13)
+      .select(col("id").cast("int").as("id"),
+        expr("CAST(20000000000.50 AS DECIMAL(20,2))").as("amt"))
+      .write.format("arrow").mode("append")
+      .option("mergeSchema", "true").save(dir)
+    val df = spark.read.format("arrow").load(dir)
+    assert(df.schema("amt").dataType == DecimalType(20, 2))
+    assert(df.count() == 12)
+    assert(BigDecimal(df.agg(sum(col("amt"))).head.getDecimal(0)) ==
+      (1 to 10).map(BigDecimal(_)).sum + BigDecimal("40000000001.00"))
+  }
 }

@@ -229,6 +229,20 @@ class DedupSimSpec extends AnyFunSuite {
     assert(multi.size >= single.size)
   }
 
+  test("incremental substring dedup equals the full pipeline " +
+      "restricted to the ingest batch") {
+    val full = DedupQueries.substringDedup(spark, TestSession.Sf)
+    val inc = DedupQueries.substringDedupIncremental(spark, TestSession.Sf)
+    val maxId = Tables.documents(spark, TestSession.Sf)
+      .agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val cut = maxId * 9L / 10L
+    val expected = full.filter(col("doc_id") >= cut)
+    assert(inc.exceptAll(expected).isEmpty &&
+      expected.exceptAll(inc).isEmpty,
+      "incremental substring dedup diverges from the batch pipeline")
+    assert(inc.count() > 0, "ingest batch unexpectedly empty")
+  }
+
   test("df-bounded dedup: fan-out capped, output contained, no-op at max df") {
     import org.apache.spark.sql.functions.{col, count, lit}
     val sf = TestSession.Sf
