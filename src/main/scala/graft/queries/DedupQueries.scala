@@ -642,12 +642,19 @@ object DedupQueries {
     * corpus — so the output is exactly [[substringDedup]]'s rows
     * restricted to batch documents (DedupSimSpec pins the equality,
     * the oracle restates the full pipeline with the same integer
-    * batch cut). At 100 TB the index would be bucketed by `h` so the
-    * probe is a storage-partitioned join; the layout and join shape
-    * here are otherwise the real ones. */
+    * batch cut). The index is a `bucket(16, h)` Arrow layout (the
+    * graph-index pattern of `graph_pagerank_indexed`): the probe is a
+    * storage-partitioned join, so the (petabyte) index side is never
+    * exchanged — only the batch's distinct hashes shuffle, hashed by
+    * the layout's own V2 bucket function. */
   def substringDedupIncremental(spark: SparkSession, dir: String)
       : DataFrame = {
     val L = 30
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled",
+      "true")
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
       .filter(col("doc_id").isNotNull)
@@ -662,9 +669,10 @@ object DedupQueries {
       graft.functions.WindowHashGenExpr(
           docs.filter(col("doc_id") < cut), col("text"), L, 1)
         .select(col("h"), col("doc_id"), col("pos"))
-        .write.format("arrow").mode("overwrite").save(indexDir)
+        .write.format("arrow").option("bucketBy", "h")
+        .option("numBuckets", "16").mode("overwrite").save(indexDir)
     }
-    val index = spark.read.format("arrow").load(indexDir)
+    val index = spark.table(s"graft.arrow.`$indexDir`")
     // ONE pinned exchange on `h` for the batch generation, reused by
     // every consumer — the same single-generation trick (and the same
     // keep-pos-everywhere pruning constraint) as [[substringDedup]]

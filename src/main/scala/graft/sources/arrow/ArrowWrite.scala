@@ -765,6 +765,9 @@ class ArrowDataWriter(path: String, schema: StructType,
     new Array[org.apache.spark.unsafe.types.UTF8String](zmCols.length)
   private val zmStrMax =
     new Array[org.apache.spark.unsafe.types.UTF8String](zmCols.length)
+  // decimal extrema as exact java BigDecimals (scale fixed per column)
+  private val zmDecMin = new Array[java.math.BigDecimal](zmCols.length)
+  private val zmDecMax = new Array[java.math.BigDecimal](zmCols.length)
   private val zmSeen = Array.fill(zmCols.length)(false)
   private val zmPoisoned = Array.fill(zmCols.length)(false)
   private val zmBatches =
@@ -792,6 +795,16 @@ class ArrowDataWriter(path: String, schema: StructType,
             zmStrMin(j) = v.clone()
           if (zmStrMax(j) == null || v.compareTo(zmStrMax(j)) > 0)
             zmStrMax(j) = v.clone()
+          zmSeen(j) = true
+        } else if (zmKind(j) == ZoneMaps.KindDecimal) {
+          val dt = fields(col).dataType
+            .asInstanceOf[org.apache.spark.sql.types.DecimalType]
+          val v = row.getDecimal(ord, dt.precision, dt.scale)
+            .toJavaBigDecimal
+          if (zmDecMin(j) == null || v.compareTo(zmDecMin(j)) < 0)
+            zmDecMin(j) = v
+          if (zmDecMax(j) == null || v.compareTo(zmDecMax(j)) > 0)
+            zmDecMax(j) = v
           zmSeen(j) = true
         } else {
           val v = fields(col).dataType match {
@@ -931,7 +944,11 @@ class ArrowDataWriter(path: String, schema: StructType,
             zmStrMax(j).numBytes > ZoneMaps.MaxStringStat) None
         else Some((ZoneMaps.escapeStat(zmStrMin(j).toString),
           ZoneMaps.escapeStat(zmStrMax(j).toString)))
-      } else
+      } else if (zmKind(j) == ZoneMaps.KindDecimal)
+        // toPlainString: no exponent form, so the read side's
+        // BigDecimal(stat) comparison is exact at any magnitude
+        Some((zmDecMin(j).toPlainString, zmDecMax(j).toPlainString))
+      else
         Some((zmDblMin(j).toString, zmDblMax(j).toString))
     }
     java.util.Arrays.fill(zmLongMin, Long.MaxValue)
@@ -942,6 +959,10 @@ class ArrowDataWriter(path: String, schema: StructType,
       zmStrMin.asInstanceOf[Array[Object]], null)
     java.util.Arrays.fill(
       zmStrMax.asInstanceOf[Array[Object]], null)
+    java.util.Arrays.fill(
+      zmDecMin.asInstanceOf[Array[Object]], null)
+    java.util.Arrays.fill(
+      zmDecMax.asInstanceOf[Array[Object]], null)
     java.util.Arrays.fill(zmSeen, false)
     java.util.Arrays.fill(zmPoisoned, false)
   }

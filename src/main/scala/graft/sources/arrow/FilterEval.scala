@@ -101,6 +101,10 @@ object FilterEval {
   /** External literal (java.sql.Timestamp, String, boxed numerics) →
     * internal representation matching [[extract]]. */
   private def normalize(dt: DataType, v: Any): Any = (dt, v) match {
+    case (_: DecimalType, n: java.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(n)
+    case (_: DecimalType, n: scala.math.BigDecimal) =>
+      org.apache.spark.sql.types.Decimal(n)
     case (TimestampType, t: java.sql.Timestamp) =>
       org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t)
     case (TimestampType, t: java.time.Instant) =>
@@ -125,6 +129,10 @@ object FilterEval {
     case DoubleType => row.getDouble(i)
     case BooleanType => row.getBoolean(i)
     case StringType => row.getUTF8String(i)
+    // comparable() claims every NumericType, which includes decimals —
+    // without this arm a pushed decimal predicate would compile fine
+    // and crash the scan at the first evaluated row
+    case d: DecimalType => row.getDecimal(i, d.precision, d.scale)
     case other => throw new IllegalStateException(s"uncomparable $other")
   }
 
@@ -138,6 +146,8 @@ object FilterEval {
     case (x: Double, y: Number) => java.lang.Double.compare(x, y.doubleValue)
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case (x: UTF8String, y: UTF8String) => x.compareTo(y)
+    case (x: org.apache.spark.sql.types.Decimal,
+        y: org.apache.spark.sql.types.Decimal) => x.compare(y)
     case (x, y) => throw new IllegalStateException(s"cannot compare $x / $y")
   }
 }

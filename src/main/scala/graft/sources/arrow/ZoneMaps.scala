@@ -42,12 +42,17 @@ object ZoneMaps {
   final val KindLong = 1 // integral + temporal (micros / days)
   final val KindDouble = 2
   final val KindString = 3 // UTF-8 byte order (Spark's string order)
+  // exact decimal strings (toPlainString); SAME-SCALE precision
+  // widening re-labels the value, so recorded stats stay valid under
+  // widen_column — the property the widens() allowlist relies on
+  final val KindDecimal = 4
 
   def kindOf(dt: DataType): Int = dt match {
     case ByteType | ShortType | IntegerType | LongType |
          TimestampType | TimestampNTZType | DateType => KindLong
     case FloatType | DoubleType => KindDouble
     case org.apache.spark.sql.types.StringType => KindString
+    case _: DecimalType => KindDecimal
     case _ => KindNone
   }
 
@@ -310,6 +315,8 @@ object ZoneMaps {
       case (_, n: java.lang.Double)
         if !java.lang.Double.isNaN(n) && !java.lang.Double.isInfinite(n) =>
         Some(BigDecimal(n.doubleValue))
+      case (_, n: java.math.BigDecimal) => Some(BigDecimal(n))
+      case (_, n: scala.math.BigDecimal) => Some(n)
       case _ => None
     }
   }

@@ -188,9 +188,14 @@ object BenchFocus {
     // session-window transform; state is per-user, bounded.
     // dedup_substring_incremental: the batch is the last ~10% of ids
     // (one full copy at 10×) and the replicated copies make ~every
-    // batch window a true cross-copy duplicate — the confirm phase's
-    // worst case — while the index side is READ, never regenerated:
-    // the point should beat the full dedup_substring at equal scale.
+    // batch window collide with the index — the DEGENERATE case where
+    // batch×index covers the whole index, so the confirm volume (and
+    // the index-scan overhead) matches the full pipeline's rather than
+    // undercutting it. The claim this point supports is the GENERATION
+    // saving (windows derive from batch text only; the index is read,
+    // never regenerated) and O(batch + collisions) cost — which at
+    // realistic collision rates is the whole win, and at ~100%
+    // collisions honestly degenerates to full-confirm cost.
     for (q <- Seq("cdc_replicate", "cdc_incremental_agg", "cdc_scd2",
         "arrow_wap_publish", "dedup_minhash", "graph_pagerank",
         "skyline_pareto", "agg_quantile_sketch",

@@ -66,6 +66,45 @@ class ZoneMapSpec extends AnyFunSuite {
         .filter(col("o_totalprice") < 1000.0).count())
   }
 
+  test("decimal zone maps prune range/equality predicates and stay " +
+      "exact — including through same-scale precision widening") {
+    import graft.sources.arrow.ArrowDataSource
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val d = java.nio.file.Files.createTempDirectory("zonemap_dec").toString
+    // money column clustered with the key: decimal stats should prune
+    Tables.orders(spark, TestSession.Sf)
+      .select(col("o_orderkey"),
+        expr("CAST(o_orderkey AS DECIMAL(12,2))").as("amt"))
+      .repartition(1)
+      .sortWithinPartitions(col("o_orderkey"))
+      .write.format("arrow").option("batchRows", 250)
+      .mode("overwrite").save(d)
+    def rd = spark.read.format("arrow")
+      .option("maxSplitBytes", 1).load(d)
+    val total = rd.rdd.getNumPartitions
+    assert(total >= 4, s"expected multiple batch-splits, got $total")
+    val few = rd.filter(col("amt") <= expr("CAST(100 AS DECIMAL(12,2))"))
+    assert(few.rdd.getNumPartitions < total,
+      s"decimal zone maps pruned nothing: " +
+        s"${few.rdd.getNumPartitions} of $total")
+    val expected = Tables.orders(spark, TestSession.Sf)
+      .select(expr("CAST(o_orderkey AS DECIMAL(12,2))").as("amt"))
+      .filter(col("amt") <= 100).count()
+    assert(few.count() == expected, "decimal pruning dropped rows")
+    // widening the declaration keeps the recorded stats valid: the
+    // same predicate at decimal(20,6) still prunes and stays exact
+    ArrowDataSource.initTableLog(d)
+    spark.sql(s"CALL graft.system.widen_column(path => '$d', " +
+      "name => 'amt', type => 'decimal(20,2)')").collect()
+    val widened = spark.read.format("arrow")
+      .option("maxSplitBytes", 1).load(d)
+      .filter(col("amt") <= expr("CAST(100 AS DECIMAL(20,2))"))
+    assert(widened.rdd.getNumPartitions < total,
+      "widened decimal read lost zone-map pruning")
+    assert(widened.count() == expected)
+  }
+
   test("string zone maps prune equality, range, IN, and prefix " +
       "predicates in UTF-8 byte order — and stay exact") {
     // clerk-sorted layout: string-clustered batches
