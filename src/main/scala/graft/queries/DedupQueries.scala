@@ -687,8 +687,17 @@ object DedupQueries {
     // conjunct is void — it keeps `pos` under the shared exchange)
     val hotBatch = hAgg.filter(col("d0") < col("d1") && col("p0") >= 1)
       .select(col("h"))
-    // batch×index: index entries whose hash occurs in the batch at all
-    val matchedOld = index.join(hAgg.select(col("h")), "h")
+    // batch×index: index entries whose hash occurs in the batch at
+    // all. The always-true conjuncts reference d0/d1/p0 so THIS copy
+    // of the aggregate requires the same column set as hotBatch's —
+    // otherwise ColumnPruning rewrites the probe's aggregate to
+    // group-only and pushes a narrower Project under the shared
+    // Exchange(h), breaking reuse and re-running the batch generation
+    // (PlanShapeSpec pins gens==1 on this query too)
+    val allBatchH = hAgg
+      .filter(col("d0") <= col("d1") && col("p0") >= 1)
+      .select(col("h"))
+    val matchedOld = index.join(allBatchH, "h")
       .select(col("h"), col("doc_id"), col("pos"))
     val candH = hotBatch
       .unionByName(matchedOld.select(col("h"))).distinct()
@@ -708,9 +717,11 @@ object DedupQueries {
       .filter(col("c0") < col("c1")).select(col("w"))
     val dup = confirmed.filter(col("is_new")).join(spans, "w")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_windows"))
+    // stride is 1 on both sides, so max(pos) IS the per-doc window
+    // count (windows emit at positions 1..maxpos); referencing pos
+    // also keeps the shared-exchange column set intact (see above)
     val totals = batchWins.groupBy(col("doc_id"))
-      .agg((floor((max(col("pos")) - 1) / lit(1)) + 1).cast("long")
-        .as("n_windows"))
+      .agg(max(col("pos")).cast("long").as("n_windows"))
     totals.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_windows"),
         coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))

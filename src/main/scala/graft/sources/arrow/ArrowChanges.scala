@@ -130,7 +130,10 @@ object ArrowChanges {
     val prefix = Paths.get(path).toAbsolutePath.normalize
     val neutral = ArrowDataSource.neutralEpochs(root)
     // UPDATE-stamped epochs tag pre/postimages instead of plain
-    // delete/insert (see the tag constants' contract note)
+    // delete/insert (see the tag constants' contract note). One more
+    // O(metadata) pass per planning call, same cost class as the
+    // neutralEpochs read above — both fold into the compact snapshot,
+    // so the tail stays short on any compacted log
     val updates = ArrowDataSource.opKinds(root)
       .filter(_._2 == OpUpdate).keySet
     // DV state per window epoch, resolved lazily once per epoch: a

@@ -948,13 +948,17 @@ object ArrowDataSource {
             case _ => None
           })
       }
+    // NO Try-swallow here (unlike the #txn/#copy tails): a manifest a
+    // concurrent compaction reclaims mid-read must RETRY through
+    // retryVanishedLogRead — swallowing it would transiently serve an
+    // UPDATE epoch's churn as plain insert/delete to a raw-tag consumer
     val tail = names.filter(_.endsWith(".manifest")).flatMap { n =>
-      scala.util.Try(Files.readAllLines(md.resolve(n)).asScala
+      Files.readAllLines(md.resolve(n)).asScala
         .filter(_.startsWith("#op\t"))
         .flatMap(_.split('\t') match {
           case Array(_, kind) => Some((epochOf(n), kind))
           case _ => None
-        })).getOrElse(Seq.empty)
+        })
     }
     (folded ++ tail).toMap
   }

@@ -935,12 +935,19 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     def key(s: String): AnyRef = kind match {
       case ZoneMaps.KindLong => java.lang.Long.valueOf(s.toLong)
       case ZoneMaps.KindDouble => java.lang.Double.valueOf(s.toDouble)
+      // decimal stats MUST compare numerically, never as bytes:
+      // toPlainString byte order inverts across digit-count boundaries
+      // ("1000.00" < "900.00" bytewise), which would prune the batches
+      // holding the true top rows
+      case ZoneMaps.KindDecimal => new java.math.BigDecimal(s)
       case _ => ZoneMaps.unescapeStat(s)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8)
     }
     def cmp(a: AnyRef, b: AnyRef): Int = (a, b) match {
       case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
       case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+      case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+        x.compareTo(y)
       case (x: Array[Byte], y: Array[Byte]) => ZoneMaps.byteCmp(x, y)
       case _ => 0
     }

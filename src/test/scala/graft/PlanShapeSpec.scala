@@ -183,33 +183,35 @@ class PlanShapeSpec extends AnyFunSuite {
       s"substring dedup grew a pairwise term:\n${p.take(1500)}")
   }
 
-  test("substring dedup runs the window generation ONCE and scans the " +
-      "corpus at most twice (exchange reuse, counted on the final plan)") {
-    // the round-15 `weak` grade: wins fed two subtrees, so the rolling-
-    // hash Generate executed twice and documents scanned 3×. The fix
-    // pins one Exchange(h) both consumers reuse; this counts PHYSICAL
-    // executions on the post-run adaptive plan (reused stages surface
-    // as ReusedExchange leaves, which the walk deliberately stops at).
+  // counts PHYSICAL executions on the post-run adaptive plan (reused
+  // stages surface as ReusedExchange leaves, which the walk stops at)
+  private def physicalCount(df: org.apache.spark.sql.DataFrame)(
+      pred: org.apache.spark.sql.execution.SparkPlan => Boolean): Int = {
     import org.apache.spark.sql.execution.SparkPlan
-    val df = SparkEntry.queries("dedup_substring")(spark, TestSession.Sf)
-    df.collect()
     def unwrap(p: SparkPlan): SparkPlan = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         a.executedPlan
       case other => other
     }
-    def count(pred: SparkPlan => Boolean): Int = {
-      def walk(p: SparkPlan): Int =
-        p.collect {
-          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-            walk(unwrap(q.plan))
-          case n if pred(n) => 1
-        }.sum
-      walk(unwrap(df.queryExecution.executedPlan))
-    }
-    val gens = count(_.isInstanceOf[
+    def walk(p: SparkPlan): Int =
+      p.collect {
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          walk(unwrap(q.plan))
+        case n if pred(n) => 1
+      }.sum
+    walk(unwrap(df.queryExecution.executedPlan))
+  }
+
+  test("substring dedup runs the window generation ONCE and scans the " +
+      "corpus at most twice (exchange reuse, counted on the final plan)") {
+    // the round-15 `weak` grade: wins fed two subtrees, so the rolling-
+    // hash Generate executed twice and documents scanned 3×. The fix
+    // pins one Exchange(h) both consumers reuse.
+    val df = SparkEntry.queries("dedup_substring")(spark, TestSession.Sf)
+    df.collect()
+    val gens = physicalCount(df)(_.isInstanceOf[
       org.apache.spark.sql.execution.GenerateExec])
-    val scans = count {
+    val scans = physicalCount(df) {
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.tableIdentifier.toString.contains("documents") ||
           f.metadata.get("Location").exists(_.contains("documents"))
@@ -218,5 +220,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(gens == 1,
       s"window generation executed $gens times — exchange reuse lost")
     assert(scans <= 2, s"documents scanned $scans times (budget 2)")
+  }
+
+  test("incremental substring dedup also generates its batch windows " +
+      "ONCE — every consumer of the pinned exchange, including the " +
+      "index probe, keeps the same column set") {
+    val df = SparkEntry.queries("dedup_substring_incremental")(
+      spark, TestSession.Sf)
+    df.collect()
+    // the only Generate in the MAIN query is the batch generation (the
+    // index was materialized by Fixtures.once before this plan ran)
+    val gens = physicalCount(df)(_.isInstanceOf[
+      org.apache.spark.sql.execution.GenerateExec])
+    assert(gens == 1,
+      s"batch window generation executed $gens times — the probe " +
+        "branch's pruning broke exchange reuse")
   }
 }

@@ -19,6 +19,43 @@ class TopNPushdownSpec extends AnyFunSuite {
     ArrowDataSource.recordBatchesLoaded.get() - before
   }
 
+  test("decimal top-n compares stats numerically, never as bytes — " +
+      "digit-count boundaries and negatives stay exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("topn_dec").toString
+    // values cross the 3→4-digit boundary ("1000.00" < "900.00"
+    // bytewise) and include negatives: the two classes a byte compare
+    // of toPlainString stats mis-orders
+    (1L to 4000L).map(i => (i, BigDecimal(i) - BigDecimal("2000.50")))
+      .toDF("k", "amt")
+      .select(col("k"), col("amt").cast("decimal(12,2)").as("amt"))
+      .repartition(1).sortWithinPartitions("amt")
+      .write.format("arrow").option("batchRows", 250)
+      .mode("overwrite").save(dir)
+    def rd = spark.read.format("arrow").load(dir)
+    val full = batchesFor(rd.write.format("noop").mode("overwrite").save())
+    assert(full >= 16)
+    val asc = rd.orderBy(col("amt")).limit(5)
+    var got: Array[java.math.BigDecimal] = null
+    val ascBatches = batchesFor {
+      got = asc.collect().map(_.getDecimal(1))
+    }
+    assert(got.map(BigDecimal(_)).toSeq ==
+      (1L to 5L).map(i => BigDecimal(i) - BigDecimal("2000.50")),
+      s"decimal asc top-n returned ${got.toSeq}")
+    assert(ascBatches < full / 4,
+      s"decimal top-n pruned nothing ($ascBatches of $full)")
+    val desc = rd.orderBy(col("amt").desc).limit(5)
+    var gotD: Array[java.math.BigDecimal] = null
+    val descBatches = batchesFor {
+      gotD = desc.collect().map(_.getDecimal(1))
+    }
+    assert(gotD.map(BigDecimal(_)).toSeq ==
+      (3996L to 4000L).reverse.map(i => BigDecimal(i) - BigDecimal("2000.50")),
+      s"decimal desc top-n returned ${gotD.toSeq}")
+    assert(descBatches < full / 4)
+  }
+
   test("top-n over a sorted layout reads a sliver of the batches, " +
       "exactly — asc, desc, and string ordering") {
     import spark.implicits._
