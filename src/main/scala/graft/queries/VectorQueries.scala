@@ -823,7 +823,56 @@ object VectorQueries {
     corpusCount.clear(); pqCache.clear(); ivfCache.clear()
   }
 
+  /** CLUSTER-BALANCED sampling — the diversity-balancing curation
+    * step (the SemDeDup-family follow-up): assign every embedding to
+    * its fitted IVF cell, then downsample each cell toward the
+    * SCARCEST cell's mass, so over-represented semantic clusters
+    * (boilerplate, templated pages) stop dominating the training mix.
+    * Rates are integer ppm — rate(cell) = m·10⁶ DIV n(cell) with m
+    * the minimum cell count, so the binding (scarcest) cell keeps
+    * everything by construction — and membership is the corpus-wide
+    * folded multiplicative hash (same family as the mixture
+    * samplers), so the selected set is reproducible and
+    * engine-independent. Scale: the assignment is the one IVF pass
+    * every sim_ann_ivf* pipeline shares (at 100 TB amortized through
+    * the persisted cell-partitioned index), the rate table is
+    * |cells| rows broadcast back, and the kept set never shuffles —
+    * one hash agg per cell ends the plan. Deterministic end to end:
+    * the oracle restates the fitted centroids as literals and
+    * re-derives assignment, rates, and membership in SQL. */
+  def sampleClusterBalanced(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import spark.implicits._
+    val cents = ivfFit(spark, dir)
+    val cdf = broadcast(cents.toDF("cell", "centroid"))
+    val e = withNorm(spark, dir)
+    val cellScores = e.crossJoin(cdf)
+      .select(col("vec_id"), col("cell"),
+        (expr("graft_dot(centroid, centroid)")
+          - lit(2.0) * expr("graft_dot(embedding, centroid)"))
+          .as("score"))
+    val assigned = cellScores
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("score"), col("cell"))).getField("cell")
+        .as("cell"))
+    val counts = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_total"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_total")).as("m"))))
+      .select(col("cell"), col("n_total"),
+        expr("m * 1000000 DIV n_total").as("rate_ppm"))
+    assigned
+      .withColumn("h",
+        expr("vec_id % 2147483648 * 2654435761 % 4294967296 % 1000000"))
+      .join(broadcast(rates), "cell")
+      .groupBy(col("cell"), col("n_total"), col("rate_ppm"))
+      .agg(sum(when(col("h") < col("rate_ppm"), 1L).otherwise(0L))
+        .as("n_kept"))
+      .orderBy(col("cell"))
+  }
+
   val defs: Map[String, Q] = Map(
+    "sample_cluster_balanced" -> (sampleClusterBalanced _),
     "sim_topk" -> (topK _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_decontam_semantic" -> (semanticDecontam _),
@@ -1208,10 +1257,46 @@ object VectorQueries {
          |SELECT qid, tid, cos_hat, rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin
 
+  /** Oracle for [[sampleClusterBalanced]]: the IVF assignment CTEs
+    * verbatim, then per-cell counts, the integer min-mass rate, and
+    * the folded-hash membership — all integer-exact. */
+  private def clusterBalancedSql: Option[String] =
+    fittedCentroids.map { cents =>
+      s"""WITH c(cell, cv) AS (VALUES
+         |  ${centroidSqlValues(cents)}),
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |scores AS (
+         | SELECT e.vec_id, c.cell,
+         |  SUM(c.cv[i]*c.cv[i]
+         |      - 2.0*CAST(e.embedding[i] AS DOUBLE)*c.cv[i]) AS score
+         | FROM e, c, UNNEST(range(1, len(e.embedding) + 1)) AS r(i)
+         | GROUP BY e.vec_id, c.cell),
+         |assigned AS (
+         | SELECT vec_id, cell FROM (
+         |  SELECT vec_id, cell,
+         |   ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY score, cell) AS rnc
+         |  FROM scores) WHERE rnc = 1),
+         |counts AS (SELECT cell, COUNT(*) AS n_total
+         |  FROM assigned GROUP BY cell),
+         |mm AS (SELECT MIN(n_total) AS m FROM counts),
+         |rates AS (SELECT cell, n_total,
+         |  m * 1000000 // n_total AS rate_ppm FROM counts, mm)
+         |SELECT a.cell, r.n_total, CAST(r.rate_ppm AS BIGINT) AS rate_ppm,
+         | CAST(SUM(CASE WHEN
+         |   a.vec_id % 2147483648 * 2654435761 % 4294967296 % 1000000
+         |   < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM assigned a JOIN rates r USING (cell)
+         |GROUP BY a.cell, r.n_total, r.rate_ppm
+         |ORDER BY a.cell""".stripMargin
+    }
+
   /** A def, not a val: the IVF entries join the map only after the fit
     * has run (SparkEntry.oracleSql is assembled at dump time). */
   def sql: Map[String, String] =
     baseSql ++
+      clusterBalancedSql.map(s => Map("sample_cluster_balanced" -> s))
+        .getOrElse(Map.empty) ++
       pqSql.map(s => Map("sim_pq_adc" -> s)).getOrElse(Map.empty) ++
       ivfPqSql(3).map(s => Map("sim_ann_ivfpq" -> s)).getOrElse(Map.empty) ++
       semanticDedupSql.map(s => Map("dedup_semantic" -> s))

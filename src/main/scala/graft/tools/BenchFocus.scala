@@ -207,7 +207,11 @@ object BenchFocus {
         "dedup_substring", "sample_priority",
         "media_phash_dedup", "join_asof_nearest", "graph_sssp_bounded",
         "sim_mmr_rerank", "stream_sessions_dynamic",
-        "dedup_substring_incremental")) {
+        "dedup_substring_incremental",
+        // sample_cluster_balanced: 10× corpus through the same IVF
+        // assignment pass; the rate table stays |cells| rows and the
+        // kept set never shuffles — should track the assignment scan
+        "sample_cluster_balanced")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

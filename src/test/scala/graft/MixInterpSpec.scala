@@ -40,6 +40,34 @@ class MixInterpSpec extends AnyFunSuite {
     }
   }
 
+  test("cluster-balanced sampling keeps the scarcest cell whole, " +
+      "rates are valid ppm, and no cell keeps grossly more than the " +
+      "target mass") {
+    val out = queries.VectorQueries
+      .sampleClusterBalanced(spark, TestSession.Sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // the binding (scarcest) cell carries rate exactly 1e6 and keeps
+    // everything — the construction's invariant, like mix_weighted's
+    val whole = out.filter(_._3 == 1000000L)
+    assert(whole.nonEmpty, s"no binding cell at rate 1e6 in ${out.toSeq}")
+    whole.foreach { case (cell, n, _, kept) =>
+      assert(kept == n, s"binding cell $cell dropped rows: $kept of $n")
+    }
+    out.foreach { case (_, n, rate, kept) =>
+      assert(rate > 0 && rate <= 1000000L)
+      assert(kept <= n)
+    }
+    // balance: every cell's kept mass lands near the scarcest cell's
+    // (deterministic-hash thinning is Bernoulli-like, so the bound is
+    // loose — the property is no cell retains a multiple of the target)
+    val m = out.map(_._2).min
+    out.foreach { case (cell, _, _, kept) =>
+      assert(kept <= 2 * m + 8,
+        s"cell $cell kept $kept vs target mass $m — not balanced")
+    }
+  }
+
   test("the multiplicative hash survives doc ids beyond 2^32 " +
       "(BenchFocus-scale id domains: fold-first, no silent wrap)") {
     // the unfolded id·2654435761 form wraps Spark's non-ANSI multiply
