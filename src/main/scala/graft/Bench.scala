@@ -12,7 +12,15 @@ package graft
   * query family with fixture-memo + cache eviction at family
   * boundaries, so one-off JVM costs are not attributed to the queries
   * AND accumulated fixture caches cannot pressure later families'
-  * timings (BENCH_MEM.json records the boundary storage/GC readings).
+  * timings. When a min looks poisoned by co-tenant contention (the two
+  * passes disagree >1.5×, or the min exceeds 5× the last committed
+  * steady-state value for the same query), up to 2 extra timed passes
+  * re-estimate it under a global budget — steady-state estimation per
+  * BASELINE.md's metric definition, robust to contention windows that
+  * outlast min-of-2 (round-16 gate breach). BENCH_MEM.json records
+  * per-family storage, pre/post-forced-GC heap, cumulative GC, and
+  * machine weather (loadavg, iowait/steal shares), so a contended run
+  * is provably contended.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,9 +62,72 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def familyOf(n: String): String = n.takeWhile(_ != '_')
-    // storage/GC instrumentation at family boundaries → BENCH_MEM.json:
-    // the evidence trail that residency stays bounded (and, if a future
-    // fixture regresses that, WHERE the pressure came from)
+
+    // Per-query reference timings from the last committed full run
+    // (BENCH_FULL.json at the repo root — the driver runs from a clean
+    // checkout, so this is the previous round's honest steady-state
+    // number). Used ONLY as a contention tripwire below, never as a
+    // reported value.
+    val refTimes: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("BENCH_FULL.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val s = java.nio.file.Files.readString(p)
+        val i = s.indexOf("\"queries\":")
+        if (i < 0) Map.empty
+        else """"([A-Za-z0-9_]+)":([0-9][0-9.]*)""".r
+          .findAllMatchIn(s.substring(i))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case _: Throwable => Map.empty }
+
+    // Contention-robust timing (round-16 verdict task #1a). The metric
+    // is defined as steady-state post-warm-up wall time (BASELINE.md);
+    // on a shared container a co-tenant CPU/memory burst can poison
+    // BOTH timed passes of a query — min-of-2 cannot dodge a
+    // minutes-long contention window (round 16: graph_sssp_bounded
+    // read 52.3 s in the official artifact vs 0.49 s plan-true). Two
+    // independent tripwires mark a min as untrusted:
+    //   (1) unconfirmed: no second run lands within 1.5× of the min
+    //       (the two passes disagree >1.5×, i.e. at least one was
+    //       disturbed) — only above a 0.3 s floor, where scheduler
+    //       jitter alone can no longer explain the spread;
+    //   (2) over-reference: the min exceeds 5× the same query's last
+    //       committed steady-state value (floored at 0.15 s) — plans
+    //       don't regress 5× without a code change, machines do.
+    // Either tripwire buys up to 2 extra timed passes (min over all),
+    // under a GLOBAL budget (120 extra passes / 300 s) so a uniformly
+    // slow environment degrades to the old min-of-2 behavior instead
+    // of tripling the run.
+    var extraPasses = 0
+    var extraSecs = 0.0
+    var retriedQueries = 0
+    def timedMin(n: String): Double = {
+      var ts = List(time(n), time(n))
+      def mn = ts.min
+      def unconfirmed = ts.count(_ <= mn * 1.5) < 2 && mn > 0.3
+      def overRef = refTimes.get(n).exists(r => mn > 5.0 * math.max(r, 0.15))
+      var r = 0
+      while (r < 2 && extraPasses < 120 && extraSecs < 300.0 &&
+             (unconfirmed || overRef)) {
+        val t = time(n); ts ::= t; extraSecs += t; extraPasses += 1; r += 1
+      }
+      if (r > 0) retriedQueries += 1
+      mn
+    }
+
+    // Instrumentation at family boundaries → BENCH_MEM.json: the
+    // evidence trail that (a) residency stays bounded and (b) a slow
+    // run was provably contended rather than arguably contended
+    // (round-16 verdict task #1b). heap is read BEFORE and AFTER a
+    // forced System.gc(): the pre value alone cannot distinguish
+    // retention from uncollected garbage (r16 verdict #4); the post
+    // value can — multi-GB post-GC heap with storage 0 means real
+    // non-cache retention. The forced GC also drains the
+    // ContextCleaner's weak-ref queue (broadcast/shuffle blocks from
+    // the previous family), so each family starts from a small heap
+    // instead of amplifying co-tenant pressure into 20-30 s mixed
+    // collections mid-query.
     val gcBeans = java.lang.management.ManagementFactory
       .getGarbageCollectorMXBeans
     def gcMs: Long = {
@@ -67,6 +138,36 @@ object Bench {
     def heapMB: Long = {
       val r = Runtime.getRuntime; (r.totalMemory - r.freeMemory) >> 20
     }
+    def loadavg: String = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).trim
+        .split(" ").take(3).mkString(",")
+    } catch { case _: Throwable => "" }
+    // /proc/stat aggregate cpu line: user nice system idle iowait irq
+    // softirq steal ... — iowait/steal shares of the delta since the
+    // previous boundary are the canonical "weather" signals (steal =
+    // hypervisor took our cycles, iowait = disk contention).
+    def cpuJiffies: (Long, Long, Long) = try {
+      val line = java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/stat")).get(0)
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 4) f(4) else 0L, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L, 0L) }
+    var (jTot, jIo, jSteal) = cpuJiffies
+    def memEntry(f: String): String = {
+      val pre = heapMB
+      System.gc()
+      val post = heapMB
+      val (t, io, st) = cpuJiffies
+      val dt = math.max(t - jTot, 1L)
+      val ioPct = (io - jIo) * 100.0 / dt
+      val stPct = (st - jSteal) * 100.0 / dt
+      jTot = t; jIo = io; jSteal = st
+      f"""{"family":"$f","storage_mb_at_entry":$storageMB,""" +
+        f""""heap_mb_pre":$pre,"heap_mb_post_gc":$post,"gc_ms":$gcMs,""" +
+        f""""loadavg":"$loadavg","iowait_pct":$ioPct%.1f,""" +
+        f""""steal_pct":$stPct%.1f}"""
+    }
     val memLog = scala.collection.mutable.ArrayBuffer.empty[String]
     var fam: String = null
     val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -74,21 +175,20 @@ object Bench {
       val f = familyOf(n)
       if (f != fam) {
         if (fam != null) FixtureCaches.evictAll(spark)
-        memLog += s"""{"family":"$f","storage_mb_at_entry":$storageMB,""" +
-          s""""heap_mb":$heapMB,"gc_ms":$gcMs}"""
+        memLog += memEntry(f)
         fam = f
       }
       try run(n) catch { case _: Throwable => () } // warm-up, untimed
-      results += (n -> math.min(time(n), time(n)))
+      results += (n -> timedMin(n))
     }
     FixtureCaches.evictAll(spark)
-    memLog += s"""{"family":"_end","storage_mb_at_entry":$storageMB,""" +
-      s""""heap_mb":$heapMB,"gc_ms":$gcMs}"""
+    memLog += memEntry("_end")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_MEM.json"),
       memLog.mkString("[", ",\n ", "]\n"))
     val sfName = new java.io.File(sfDir).getName
-    val out = Bench.formatLine(results.toSeq, sfName, failed.size)
+    val out = Bench.formatLine(results.toSeq, sfName, failed.size,
+      retriedQueries)
 
     // Full per-query sidecar: the stdout line is tail-compacted for
     // the harness (fast queries collapse into "_others" past ~50
@@ -101,7 +201,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullLine =
       s"""{"metric":"total","value":${BigDecimal(results.map(_._2).sum)
-        .setScale(2, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","failures":${failed.size},"queries":$full,"sf":"$sfName"}"""
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP)},"unit":"sec","failures":${failed.size},"retried":$retriedQueries,"queries":$full,"sf":"$sfName"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_FULL.json"), fullLine + "\n")
 
@@ -122,7 +222,7 @@ object Bench {
   // (three rounds shipped with an unparseable line before this
   // contract had a test).
   def formatLine(results: Seq[(String, Double)], sfName: String,
-      failures: Int = 0): String = {
+      failures: Int = 0, retried: Int = 0): String = {
     def fmt(v: Double, dp: Int): String = BigDecimal(v)
       .setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
@@ -136,7 +236,7 @@ object Bench {
         }
       val qs = shown.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failures":$failures,"queries":$qs,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${fmt(total, 2)},"unit":"sec","failures":$failures,"retried":$retried,"queries":$qs,"sf":"$sfName"}"""
     }
     Seq(line(2, Int.MaxValue), line(1, Int.MaxValue), line(1, 50))
       .find(_.length <= 1800).getOrElse(line(1, 30))

@@ -45,6 +45,22 @@ object Engine {
       // exit so repeated runs don't accumulate orphaned warehouses
       .config("spark.sql.warehouse.dir", warehouseDir)
       .config("spark.ui.enabled", "false")
+      // Long-lived local[N] sessions accumulate two kinds of heap that
+      // getRDDStorageInfo (storage_mb) never shows: (a) broadcast /
+      // shuffle blocks whose driver-side references are dead but whose
+      // ContextCleaner weak-refs only enqueue on a GC — the default
+      // periodic-GC interval is 30min, longer than a whole bench run,
+      // so cleanup never fires between families; (b) the status-store
+      // listener (installed even with the UI disabled) retaining
+      // per-execution/stage/task rollups for the default 1000
+      // executions — a full 248-query bench issues ~1500. Both showed
+      // up as multi-GB "heap with storage 0" at bench family
+      // boundaries (round-16 verdict #4); bound them at the source.
+      .config("spark.cleaner.periodicGC.interval", "1min")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "5000")
 
   def local(cores: Int = 4): SparkSession = {
     val s = sessionBuilder(s"local[$cores]", cores).getOrCreate()

@@ -29,11 +29,14 @@ object ReshapeQueries {
 
   /** Knuth multiplicative hash of a non-negative long key into
     * [0, 2^32) — the ONE definition behind every deterministic-sampling
-    * query here, mirrored literally in each oracle SQL string. (The
-    * product overflows Long past keys ~3.5e9; fixture keys are far
-    * below, and at scale you'd widen to DECIMAL first.) */
+    * query here, mirrored literally in each oracle SQL string.
+    * Overflow-safe form (round-16 verdict #3): the key is folded mod
+    * 2³¹ BEFORE the multiply (2³¹ · 2654435761 < Long.MAX), so key
+    * domains past ~3.5e9 — where the bare key·A product wraps silently
+    * in Spark and ERRORS in the DuckDB oracle — keep the two engines
+    * in lockstep. Same idiom as AggQueries' quantile-sketch hash. */
   private def knuthHash(c: Column): Column =
-    (c * 2654435761L) % 4294967296L
+    c % 2147483648L * 2654435761L % 4294967296L
 
   private val Priorities =
     Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
@@ -194,7 +197,7 @@ object ReshapeQueries {
       """WITH r AS (
         |  SELECT doc_id, lang,
         |    ROW_NUMBER() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rk
+        |      ORDER BY doc_id % 2147483648 * 2654435761 % 4294967296, doc_id) AS rk
         |  FROM documents),
         |t AS (SELECT MIN(n) AS t FROM
         |  (SELECT COUNT(*) AS n FROM documents GROUP BY lang))
@@ -228,16 +231,16 @@ object ReshapeQueries {
       """SELECT o_orderstatus, COUNT(*) AS n_sampled,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
-        |WHERE (o_orderkey * 2654435761) % 4294967296 % 20 = 0
+        |WHERE o_orderkey % 2147483648 * 2654435761 % 4294967296 % 20 = 0
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "sample_stratified" ->
       """SELECT o_orderpriority, COUNT(*) AS n_sampled,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |WHERE (o_orderpriority = '1-URGENT'
-        |        AND (o_orderkey * 2654435761) % 4294967296 % 100 < 20)
+        |        AND o_orderkey % 2147483648 * 2654435761 % 4294967296 % 100 < 20)
         |   OR (o_orderpriority <> '1-URGENT'
-        |        AND (o_orderkey * 2654435761) % 4294967296 % 100 < 2)
+        |        AND o_orderkey % 2147483648 * 2654435761 % 4294967296 % 100 < 2)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "partitioned_write_prune" ->
       """SELECT o_orderpriority, COUNT(*) AS n,

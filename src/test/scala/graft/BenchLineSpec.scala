@@ -50,4 +50,10 @@ class BenchLineSpec extends AnyFunSuite {
     val node = mapper.readTree(Bench.formatLine(results, "sf0.1", 2))
     assert(node.get("failures").asInt == 2)
   }
+
+  test("contention-retry count survives into the line") {
+    val results = (1 to 5).map(i => s"q$i" -> 0.25)
+    val node = mapper.readTree(Bench.formatLine(results, "sf0.1", 0, 3))
+    assert(node.get("retried").asInt == 3)
+  }
 }

@@ -39,6 +39,51 @@ class ReshapePipelineSpec extends AnyFunSuite {
       s"sampled $sampled of $total")
   }
 
+  test("sample_hash / sample_stratified survive order keys beyond 2^32 " +
+      "(fold-first multiplicative hash, no silent wrap)") {
+    // the unfolded key·2654435761 form wraps Spark's non-ANSI multiply
+    // for keys ≥ ~3.5e9 while DuckDB raises out-of-range — the folded
+    // idiom (key % 2³¹ first) must agree with exact BigInt arithmetic
+    // on a synthetic orders table whose keys start at 2³³ (the same
+    // id regime BenchFocus's 10× fixtures produce via i·1e9 shifts)
+    val dir = Scratch.dir("hash64_orders", "hash64o")
+    val base = 8589934592L // 2^33
+    val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM")
+    val rows = (0 until 400).map { i =>
+      (base + i.toLong * 1000000007L,
+        if (i % 3 == 0) "O" else "F", prios(i % 3),
+        100.0 + (i % 50), java.sql.Date.valueOf("2024-01-01"))
+    }
+    spark.createDataFrame(rows)
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority",
+        "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    def h(k: Long): Long =
+      ((BigInt(k) mod BigInt(2147483648L)) * BigInt(2654435761L) mod
+        BigInt(4294967296L)).toLong
+    val expHash = rows.filter(r => h(r._1) % 20 == 0)
+      .groupBy(_._2).view
+      .mapValues(rs => (rs.size.toLong,
+        rs.map(r => BigDecimal(r._4).setScale(2)).sum.toDouble)).toMap
+    val gotHash = queries.ReshapeQueries.sampleHash(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotHash == expHash,
+      s"folded sample_hash diverged from exact arithmetic:\n" +
+        s"spark=$gotHash\nexact=$expHash")
+    val expStrat = rows.filter { r =>
+      val hh = h(r._1) % 100
+      if (r._3 == "1-URGENT") hh < 20 else hh < 2
+    }.groupBy(_._3).view
+      .mapValues(rs => (rs.size.toLong,
+        rs.map(r => BigDecimal(r._4).setScale(2)).sum.toDouble)).toMap
+    val gotStrat = queries.ReshapeQueries.sampleStratified(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(gotStrat == expStrat,
+      s"folded sample_stratified diverged from exact arithmetic:\n" +
+        s"spark=$gotStrat\nexact=$expStrat")
+  }
+
   test("partitioned write prunes on the partition column") {
     val df = queries.ReshapeQueries.partitionedWritePrune(spark, TestSession.Sf)
     df.collect() // runs the write
