@@ -678,6 +678,98 @@ object StorageQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Incremental JOIN-view maintenance with a MUTABLE dimension,
+    * oracle-gated: the per-segment rollup of `fact ⋈ dim` is kept in
+    * sync while BOTH tables churn, via the delta-join identity
+    * Δ(F⋈D) = ΔF⋈D_old ∪ F_old⋈ΔD ∪ ΔF⋈ΔD over the two change feeds
+    * ([[graft.streaming.IncrementalView.refreshJoined]]) — dim UPDATEs
+    * move fact rows across groups, dim DELETEs retract them, all
+    * without re-running the join on unchanged data. Three refreshes
+    * exercise the cursor: initial full build, a fact-only window, and
+    * a mixed window where all three delta terms contribute. DuckDB
+    * recomputes the final joined rollup from scratch; a hash match
+    * proves the algebra. The 100 TB shape: a day's dim churn
+    * re-enriches only the fact rows whose keys changed (pushed IN
+    * filter), never the fact table. */
+  /** Shared churned fact+dim pair for the mutable-dim IVM query: ALL
+    * DML lands inside the once-block (the cdcSource pattern), so the
+    * pair is immutable afterwards and the query replays its refresh
+    * windows against PINNED epochs — per-invocation cost is the view
+    * maintenance under test, not two table writes + seven DML jobs.
+    * Fact epochs: 0 snapshot, 1 DELETE, 2 INSERT, 3 UPDATE.
+    * Dim epochs: 0 snapshot, 1 UPDATE (segment move), 2 DELETE,
+    * 3 INSERT (keys no fact references). */
+  private def ivmmSource(spark: SparkSession, dir: String)
+      : (String, String) = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.arrow.GraftCatalog].getName)
+    val fact = graft.Scratch.dir("ivmm_fact", dir)
+    val dimd = graft.Scratch.dir("ivmm_dim", dir)
+    graft.Fixtures.once(fact) {
+      graft.Scratch.reset(fact, dimd)
+      Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus"), col("o_custkey"))
+        .repartitionByRange(4, col("o_orderkey"))
+        .sortWithinPartitions(col("o_orderkey"))
+        .write.format("arrow").mode("overwrite").save(fact)
+      graft.sources.arrow.ArrowDataSource.initTableLog(fact)
+      Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .repartitionByRange(2, col("c_custkey"))
+        .sortWithinPartitions(col("c_custkey"))
+        .write.format("arrow").mode("overwrite").save(dimd)
+      graft.sources.arrow.ArrowDataSource.initTableLog(dimd)
+      spark.sql(s"DELETE FROM graft.arrow.`$fact` WHERE o_orderkey < 300")
+      spark.sql(s"INSERT INTO graft.arrow.`$fact` " +
+        s"SELECT o_orderkey + 40000000, o_totalprice, 'J', o_custkey " +
+        s"FROM graft.arrow.`$fact` WHERE o_orderkey % 401 = 0")
+      spark.sql(s"UPDATE graft.arrow.`$fact` SET o_totalprice = 0.0 " +
+        "WHERE o_orderkey >= 500 AND o_orderkey < 800 " +
+        "AND o_orderstatus = 'O'")
+      spark.sql(s"UPDATE graft.arrow.`$dimd` SET c_mktsegment = 'MOVED' " +
+        "WHERE c_custkey % 7 = 0")
+      spark.sql(s"DELETE FROM graft.arrow.`$dimd` WHERE c_custkey % 97 = 0")
+      spark.sql(s"INSERT INTO graft.arrow.`$dimd` " +
+        s"SELECT c_custkey + 90000000, 'NEWSEG' " +
+        s"FROM graft.arrow.`$dimd` WHERE c_custkey % 113 = 0")
+      ()
+    }
+    (fact, dimd)
+  }
+
+  def cdcIncrementalJoinMutable(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val (fact, dimd) = ivmmSource(spark, dir)
+    val view = graft.Scratch.dir("ivmm_view", dir)
+    graft.Scratch.reset(view) // view state rebuilds per invocation
+    def refresh(factUpTo: Option[Long], dimUpTo: Option[Long]): Unit = {
+      graft.streaming.IncrementalView.refreshJoined(spark, fact, dimd,
+        view, factKey = "o_custkey", dimKey = "c_custkey",
+        dimCols = Seq("c_mktsegment"), groupCols = Seq("c_mktsegment"),
+        sums = Seq(
+          ("CAST(ROUND(o_totalprice * 100) AS BIGINT)", "sum_cents"),
+          ("o_orderkey", "sum_key")),
+        appId = "graft_ivm_join_mutable",
+        factUpTo = factUpTo, dimUpTo = dimUpTo)
+      ()
+    }
+    // window 1: initial full build of the (fact, dim) SNAPSHOT pair
+    refresh(Some(0L), Some(0L))
+    // window 2: BOTH sides churn — every delta term contributes:
+    // ΔF⋈D_old (fact delete/insert/update against snapshot segments),
+    // F_old⋈ΔD (dim rows move segments / disappear / appear), and
+    // ΔF⋈ΔD (fact churn whose dim key moves in the SAME window).
+    // Fact-only and dim-only windows are pinned granularly in
+    // IncrementalViewSpec's mutable-dim case.
+    refresh(None, None)
+    graft.streaming.IncrementalView.read(spark, view)
+      .select(col("c_mktsegment"), col("n"),
+        (col("sum_cents").cast("double") / 100.0).as("sum_price"),
+        col("sum_key"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Write-audit-publish, oracle-gated: stage DML on a zero-copy clone
     * branch (`CALL graft.system.clone`), audit there, then land the
     * branch state as ONE atomic epoch on main
@@ -1473,6 +1565,7 @@ object StorageQueries {
     "cdc_replicate" -> (cdcReplicate _),
     "cdc_incremental_agg" -> (cdcIncrementalAgg _),
     "cdc_incremental_join_agg" -> (cdcIncrementalJoinAgg _),
+    "cdc_incremental_join_mutable" -> (cdcIncrementalJoinMutable _),
     "join_temporal_scd2" -> (joinTemporalScd2 _),
     "cdc_scd2" -> (cdcScd2 _),
     "arrow_wap_publish" -> (arrowWapPublish _),
@@ -1722,6 +1815,33 @@ object StorageQueries {
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
         |FROM final JOIN customer c ON final.o_custkey = c.c_custkey
         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin,
+    "cdc_incremental_join_mutable" ->
+      """WITH fact_final AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey >= 500 AND o_orderkey < 800
+        |      AND o_orderstatus = 'O' THEN 0.0
+        |      ELSE o_totalprice END AS p,
+        |    o_custkey
+        |  FROM orders WHERE o_orderkey >= 300
+        |  UNION ALL
+        |  -- inserted keys sit far above the later update's key range,
+        |  -- so they keep their source prices
+        |  SELECT o_orderkey + 40000000, o_totalprice, o_custkey
+        |  FROM orders WHERE o_orderkey >= 300 AND o_orderkey % 401 = 0),
+        |dim_final AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED'
+        |      ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer WHERE c_custkey % 97 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 90000000, 'NEWSEG'
+        |  FROM customer WHERE c_custkey % 97 <> 0 AND c_custkey % 113 = 0)
+        |SELECT d.c_mktsegment, COUNT(*) AS n,
+        | CAST(SUM(CAST(ROUND(p * 100) AS BIGINT)) AS DOUBLE) / 100
+        |   AS sum_price,
+        | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM fact_final f JOIN dim_final d ON f.o_custkey = d.c_custkey
+        |GROUP BY d.c_mktsegment ORDER BY d.c_mktsegment""".stripMargin,
     "mv_rewrite_rollup" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
         | CAST(SUM(o_orderkey) AS BIGINT) AS sum_key

@@ -37,7 +37,17 @@ class ArrowDeltaOperation(path: String, tableSchema: StructType,
     Expressions.column(ArrowDataSource.FileMetaCol),
     Expressions.column(ArrowDataSource.PosMetaCol))
 
-  override def representUpdateAsDeleteAndInsert(): Boolean = true
+  // Updates arrive through DeltaWriter.update (NOT pre-split into
+  // delete+insert): the writer routes updated rows' masks and
+  // replacement files through SEPARATE bookkeeping from the plain
+  // delete/insert arms, so a MERGE commit can tell row-exactly whether
+  // its churn is purely matched-arm updates — the case the change feed
+  // may stamp `#op update` on (update_preimage/postimage tagging),
+  // closing the CoW path's documented MERGE exception where it is
+  // closable. A merge that also inserts or deletes stays untagged: its
+  // appended files mix postimages with brand-new rows and one
+  // epoch-grain header cannot split them.
+  override def representUpdateAsDeleteAndInsert(): Boolean = false
 
   override def newWriteBuilder(info: LogicalWriteInfo)
       : DeltaWriteBuilder = {
@@ -69,11 +79,17 @@ class ArrowDeltaOperation(path: String, tableSchema: StructType,
 }
 
 /** Task payload: per-file, per-record-batch deleted-ordinal bitmaps
-  * plus the files (and footer stats) the task's inserts landed. */
+  * plus the files (and footer stats) the task's inserts landed.
+  * UPDATE churn (masks of updated rows, files of their rewritten
+  * values) travels separately from the plain delete/insert arms so the
+  * commit can decide `#op update` eligibility row-exactly. */
 case class ArrowDeltaCommitMessage(
     deletes: Map[String, Map[Int, Array[Byte]]],
     insertFiles: Seq[String],
-    insertFooters: Seq[String]) extends WriterCommitMessage
+    insertFooters: Seq[String],
+    updateDeletes: Map[String, Map[Int, Array[Byte]]] = Map.empty,
+    updateFiles: Seq[String] = Seq.empty,
+    updateFooters: Seq[String] = Seq.empty) extends WriterCommitMessage
 
 class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
     writeSchema: StructType, partSchema: StructType,
@@ -97,21 +113,26 @@ class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val root = Paths.get(path).toAbsolutePath.normalize
     val msgs = messages.collect { case m: ArrowDeltaCommitMessage => m }
-    val adds = msgs.flatMap(_.insertFiles).toSeq
-    // union the tasks' per-file bitmaps
+    val adds =
+      msgs.flatMap(m => m.insertFiles ++ m.updateFiles).toSeq
+    // union the tasks' per-file bitmaps — plain-delete and update
+    // masks build ONE deletion vector per file (a row is masked either
+    // way); their separation only informs the `#op` stamp below
     val merged = scala.collection.mutable.Map
       .empty[String, scala.collection.mutable.Map[Int, java.util.BitSet]]
-    msgs.foreach(_.deletes.foreach { case (file, byBatch) =>
-      val acc = merged.getOrElseUpdate(file,
-        scala.collection.mutable.Map.empty)
-      byBatch.foreach { case (b, bytes) =>
-        val bs = java.util.BitSet.valueOf(bytes)
-        acc.get(b) match {
-          case Some(cur) => cur.or(bs)
-          case None => acc(b) = bs
+    def fold(byFile: Map[String, Map[Int, Array[Byte]]]): Unit =
+      byFile.foreach { case (file, byBatch) =>
+        val acc = merged.getOrElseUpdate(file,
+          scala.collection.mutable.Map.empty)
+        byBatch.foreach { case (b, bytes) =>
+          val bs = java.util.BitSet.valueOf(bytes)
+          acc.get(b) match {
+            case Some(cur) => cur.or(bs)
+            case None => acc(b) = bs
+          }
         }
       }
-    })
+    msgs.foreach(m => { fold(m.deletes); fold(m.updateDeletes) })
     val existingDvs = ArrowDataSource.liveDvs(root, None)
     val removes = scala.collection.mutable.ArrayBuffer.empty[String]
     val dvs = scala.collection.mutable
@@ -151,16 +172,23 @@ class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
     // UPDATE epochs stamp their kind (see the CoW commit's note): on
     // the delta path the tagging is ROW-exact — the dv-diff split
     // delivers exactly the masked rows (preimages) and the appended
-    // files hold exactly the rewritten rows (postimages)
+    // files hold exactly the rewritten rows (postimages). A MERGE
+    // qualifies exactly when its churn is PURE matched-arm update
+    // (no plain delete masks, no not-matched insert files): then
+    // masked rows ≡ preimages and appended files ≡ postimages, the
+    // same row-exact invariant the UPDATE command has by construction.
+    val hasUpdateChurn = msgs.exists(m =>
+      m.updateDeletes.nonEmpty || m.updateFiles.nonEmpty)
+    val hasPlainChurn = msgs.exists(m =>
+      m.deletes.nonEmpty || m.insertFiles.nonEmpty)
     val kind =
-      if (op.command() ==
-          org.apache.spark.sql.connector.write.RowLevelOperation
-            .Command.UPDATE)
-        Some(ArrowChanges.OpUpdate)
+      if (hasUpdateChurn && !hasPlainChurn) Some(ArrowChanges.OpUpdate)
       else None
     val epoch = ArrowDataSource.commitTableEpoch(path, op.baseEpoch,
       adds, removes.toSeq, dvs = dvs.toSeq, opKind = kind)
-    val pairs = adds.zip(msgs.flatMap(_.insertFooters))
+    val pairs = msgs.flatMap(m =>
+      m.insertFiles.zip(m.insertFooters) ++
+        m.updateFiles.zip(m.updateFooters)).toSeq
     if (pairs.nonEmpty)
       FooterIndexFile.appendEpochFragment(path, epoch,
         ArrowDataSource.readFooterSchema(Paths.get(pairs.head._1)),
@@ -202,8 +230,14 @@ class ArrowDeltaWriter(path: String, writeSchema: StructType,
 
   private val deletes = scala.collection.mutable
     .Map.empty[String, scala.collection.mutable.Map[Int, java.util.BitSet]]
+  // matched-arm UPDATE churn, kept apart from the plain arms (files
+  // are UUID-named, so two live writers in one task cannot collide)
+  private val updateDeletes = scala.collection.mutable
+    .Map.empty[String, scala.collection.mutable.Map[Int, java.util.BitSet]]
 
   private var inserter: org.apache.spark.sql.connector.write
+    .DataWriter[InternalRow] = _
+  private var updInserter: org.apache.spark.sql.connector.write
     .DataWriter[InternalRow] = _
   private lazy val proj = org.apache.spark.sql.catalyst.expressions
     .UnsafeProjection.create(dataIdx.map(i =>
@@ -211,55 +245,81 @@ class ArrowDeltaWriter(path: String, writeSchema: StructType,
         writeSchema.fields(i).dataType,
         writeSchema.fields(i).nullable)).toSeq)
 
+  private def newRowWriter()
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    TableConstraints.enforcing(
+      if (partitionCols.isEmpty)
+        new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
+          taskId, null, Map.empty, bloomCols)
+      else
+        new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
+          partitionId, taskId, partitionCols, 64, bloomCols),
+      checks)
+
   private def insertWriter()
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
-    if (inserter == null)
-      inserter = TableConstraints.enforcing(
-        if (partitionCols.isEmpty)
-          new ArrowDataWriter(path, rowSchema, codec, 8192, partitionId,
-            taskId, null, Map.empty, bloomCols)
-        else
-          new ArrowPartitionedWriter(path, rowSchema, codec, 8192,
-            partitionId, taskId, partitionCols, 64, bloomCols),
-        checks)
+    if (inserter == null) inserter = newRowWriter()
     inserter
   }
 
+  private def updateWriter()
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    if (updInserter == null) updInserter = newRowWriter()
+    updInserter
+  }
+
   // rowId layout follows ArrowDeltaOperation.rowId: (_file, _pos)
-  override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+  private def mask(acc: scala.collection.mutable.Map[String,
+      scala.collection.mutable.Map[Int, java.util.BitSet]],
+      id: InternalRow): Unit = {
     val file = id.getUTF8String(0).toString
     val pos = id.getLong(1)
     val batch = (pos >>> 32).toInt
     val off = (pos & 0xFFFFFFFFL).toInt
-    deletes.getOrElseUpdate(file,
+    acc.getOrElseUpdate(file,
       scala.collection.mutable.Map.empty)
       .getOrElseUpdate(batch, new java.util.BitSet()).set(off)
   }
 
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    mask(deletes, id)
+
+  /** Matched-arm update: the old row's ordinal masks like a delete,
+    * the new values append like an insert — but through the UPDATE
+    * bookkeeping, so the commit can stamp `#op update` when the whole
+    * epoch is update churn (row-exact CDF images). */
   override def update(metadata: InternalRow, id: InternalRow,
-      row: InternalRow): Unit =
-    throw new IllegalStateException(
-      "arrow delta writer represents updates as delete+insert")
+      row: InternalRow): Unit = {
+    mask(updateDeletes, id)
+    updateWriter().write(proj(row))
+  }
 
   override def insert(row: InternalRow): Unit =
     insertWriter().write(proj(row))
 
-  override def commit(): WriterCommitMessage = {
-    val ins = Option(inserter).map(_.commit())
-    val (files, footers) = ins match {
+  private def drain(w: org.apache.spark.sql.connector.write
+      .DataWriter[InternalRow]): (Seq[String], Seq[String]) =
+    Option(w).map(_.commit()) match {
       case Some(m: ArrowCommitMessage) => (m.files, m.footers)
       case Some(other) => throw new IllegalStateException(
         s"unexpected insert commit $other")
       case None => (Seq.empty[String], Seq.empty[String])
     }
-    ArrowDeltaCommitMessage(
-      deletes.view.mapValues(_.view.mapValues(_.toByteArray).toMap)
-        .toMap,
-      files, footers)
+
+  override def commit(): WriterCommitMessage = {
+    val (files, footers) = drain(inserter)
+    val (uFiles, uFooters) = drain(updInserter)
+    def bytes(m: scala.collection.mutable.Map[String,
+        scala.collection.mutable.Map[Int, java.util.BitSet]])
+        : Map[String, Map[Int, Array[Byte]]] =
+      m.view.mapValues(_.view.mapValues(_.toByteArray).toMap).toMap
+    ArrowDeltaCommitMessage(bytes(deletes), files, footers,
+      bytes(updateDeletes), uFiles, uFooters)
   }
 
   override def abort(): Unit = {
     Option(inserter).foreach(_.abort())
+    Option(updInserter).foreach(_.abort())
   }
 
   override def close(): Unit = ()

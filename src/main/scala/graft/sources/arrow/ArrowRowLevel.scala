@@ -308,11 +308,13 @@ class ArrowCoWWrite(op: ArrowRowLevelOperation, path: String,
     val msgs = messages.collect { case m: ArrowCommitMessage => m }.toSeq
     val adds = msgs.flatMap(_.files)
     // UPDATE epochs stamp their kind into the manifest so the change
-    // feed tags their churn update_preimage/update_postimage. MERGE
-    // stays untagged: one merge epoch mixes matched updates with
+    // feed tags their churn update_preimage/update_postimage. CoW
+    // MERGE stays untagged: one merge epoch mixes matched updates with
     // not-matched inserts (and possibly deletes), which file-grain
     // churn cannot split — Delta separates them by writing explicit
     // change files at DML time, a heavier contract than the log diff.
+    // (On the delta/DV path an update-only MERGE IS row-exact and
+    // stamps — ArrowDeltaBatchWrite.commit.)
     val kind =
       if (op.command() == RowLevelOperation.Command.UPDATE)
         Some(ArrowChanges.OpUpdate)

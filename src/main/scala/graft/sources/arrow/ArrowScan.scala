@@ -741,6 +741,28 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     val ndvs: Map[String, Long] = ColumnStatsFile.load(
       java.nio.file.Paths.get(path).toAbsolutePath.normalize)
       .map(_._2).getOrElse(Map.empty)
+    // ANALYZE-persisted equi-height histograms: the CBO's selectivity
+    // input for SKEWED predicates (FilterEstimation reads them when
+    // spark.sql.cbo.enabled; a flat NDV assumes uniformity and
+    // misestimates a hot key by orders of magnitude)
+    val hists: Map[String, ColumnStatsFile.Hist] =
+      ColumnStatsFile.loadHistograms(
+        java.nio.file.Paths.get(path).toAbsolutePath.normalize)
+    def v2Hist(h: ColumnStatsFile.Hist)
+        : org.apache.spark.sql.connector.read.colstats.Histogram =
+      new org.apache.spark.sql.connector.read.colstats.Histogram {
+        override def height(): Double = h.height
+        override def bins(): Array[
+          org.apache.spark.sql.connector.read.colstats.HistogramBin] =
+          h.bins.map { case (l, u, n) =>
+            new org.apache.spark.sql.connector.read.colstats
+              .HistogramBin {
+              override def lo(): Double = l
+              override def hi(): Double = u
+              override def ndv(): Long = n
+            }
+          }.toArray
+      }
     val colStats = new java.util.HashMap[
       org.apache.spark.sql.connector.expressions.NamedReference,
       ColumnStatistics]()
@@ -750,7 +772,9 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
       val mnv = mins.get(c.name).flatMap(internal(_, c.dataType))
       val mxv = maxs.get(c.name).flatMap(internal(_, c.dataType))
       val dc = ndvs.get(c.name)
-      if (nc.isDefined || mnv.isDefined || mxv.isDefined || dc.isDefined) {
+      val hg = hists.get(c.name)
+      if (nc.isDefined || mnv.isDefined || mxv.isDefined ||
+        dc.isDefined || hg.isDefined) {
         colStats.put(
           org.apache.spark.sql.connector.expressions.Expressions
             .column(c.name),
@@ -766,6 +790,10 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
                 .getOrElse(java.util.Optional.empty())
             override def max(): java.util.Optional[Object] =
               mxv.map(v => java.util.Optional.of(v.asInstanceOf[Object]))
+                .getOrElse(java.util.Optional.empty())
+            override def histogram(): java.util.Optional[
+              org.apache.spark.sql.connector.read.colstats.Histogram] =
+              hg.map(h => java.util.Optional.of(v2Hist(h)))
                 .getOrElse(java.util.Optional.empty())
           })
       }

@@ -16,18 +16,31 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   *
   * Estimates, never correctness: stale NDVs (the table grew since
   * ANALYZE) still inform the optimizer; re-run analyze to refresh.
-  * Format: `rows<TAB>n` header then `col<TAB>ndv` lines, atomically
-  * replaced. */
+  * Format: `rows<TAB>n` header then `col<TAB>ndv` lines, then optional
+  * `h<TAB>col<TAB>height<TAB>lo:hi:ndv;…` EQUI-HEIGHT HISTOGRAM lines
+  * (`analyze(histogram => true)`) — the selectivity input for skewed
+  * predicates, where a flat NDV assumes uniformity and misestimates a
+  * hot key by orders of magnitude. Atomically replaced. */
 object ColumnStatsFile {
   val FileName = "_graft_column_stats"
 
+  /** One equi-height histogram: ~rows/bins rows per bin, each bin
+    * `(lo, hi, ndv)` in the column's double-coerced domain (Catalyst's
+    * `HistogramBin` shape). */
+  final case class Hist(height: Double, bins: Seq[(Double, Double, Long)])
+
   private def file(root: Path): Path = root.resolve(FileName)
 
-  def write(root: Path, rows: Long, ndv: Seq[(String, Long)]): Unit = {
-    val body = (s"rows\t$rows" +:
-      ndv.map { case (c, n) =>
-        s"${java.util.Base64.getEncoder.encodeToString(
-          c.getBytes(StandardCharsets.UTF_8))}\t$n"
+  def write(root: Path, rows: Long, ndv: Seq[(String, Long)],
+      hists: Seq[(String, Hist)] = Seq.empty): Unit = {
+    def b64(c: String): String = java.util.Base64.getEncoder
+      .encodeToString(c.getBytes(StandardCharsets.UTF_8))
+    val body = ((s"rows\t$rows" +:
+      ndv.map { case (c, n) => s"${b64(c)}\t$n" }) ++
+      hists.map { case (c, h) =>
+        val bins = h.bins.map { case (lo, hi, n) => s"$lo:$hi:$n" }
+          .mkString(";")
+        s"h\t${b64(c)}\t${h.height}\t$bins"
       }).mkString("\n")
     // uuid-suffixed temp: two concurrent ANALYZE calls must not race
     // on one staging name (last move wins either way — both are valid)
@@ -57,4 +70,34 @@ object ColumnStatsFile {
         Some((rows, ndv))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** col → equi-height histogram, empty when never computed. NDV lines
+    * and histogram lines parse independently, so a stats file from
+    * before histograms existed (or one whose histogram line is
+    * malformed) still serves its NDVs. */
+  def loadHistograms(root: Path): Map[String, Hist] =
+    try {
+      if (!Files.exists(file(root))) Map.empty
+      else {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(file(root)).asScala.toSeq.flatMap { l =>
+          l.split('\t') match {
+            case Array("h", c64, height, bins) =>
+              try {
+                val col = new String(
+                  java.util.Base64.getDecoder.decode(c64),
+                  StandardCharsets.UTF_8)
+                val bs = bins.split(';').toSeq.filter(_.nonEmpty)
+                  .map { b =>
+                    val p = b.split(':')
+                    (p(0).toDouble, p(1).toDouble, p(2).toLong)
+                  }
+                if (bs.isEmpty) None
+                else Some(col -> Hist(height.toDouble, bs))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            case _ => None
+          }
+        }.toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
 }

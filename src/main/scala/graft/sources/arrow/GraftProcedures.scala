@@ -142,7 +142,11 @@ object GraftProcedures {
   val Compact: UnboundProcedure = new SimpleProcedure("compact",
     "fold splinter files into target_rows-sized ones (OPTIMIZE): " +
       "sizing reads footer stats only, the rewrite is one distributed " +
-      "job, and the old files are unlinked after the new ones land") {
+      "job, and the old files are unlinked after the new ones land. " +
+      "target_bytes > 0 sizes by on-disk block BYTES instead " +
+      "(Delta OPTIMIZE's contract — wide/compressed rows make row " +
+      "counts a poor proxy for scan-unit size), bin-packed from the " +
+      "footer sidecar's per-file block sizes") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("target_rows", LongType)
@@ -152,7 +156,11 @@ object GraftProcedures {
         .comment("optional col=value[/col2=value2] subtree: compact " +
           "ONLY that partition's files (Delta's OPTIMIZE WHERE) — at " +
           "100 TB the hot ingest partition compacts without touching " +
-          "the other petabytes").build())
+          "the other petabytes").build(),
+      ProcedureParameter.in("target_bytes", LongType)
+        .defaultValue("0")
+        .comment("when > 0, size output files by BYTES (takes " +
+          "precedence over target_rows)").build())
     private val out = StructType(Seq(
       StructField("files_before", LongType, nullable = false),
       StructField("files_after", LongType, nullable = false),
@@ -195,14 +203,24 @@ object GraftProcedures {
             .load(path)
       }
       val n = df.count() // footer-stat pushdown: metadata-only
-      val nFiles = math.max(1L, (n + target - 1) / target).toInt
+      val memo = new FooterIndex(path)
+      val targetBytes = input.getLong(3)
+      // bytes-targeted sizing: the sidecar's per-file block sizes are
+      // already in hand (one metadata read), so the byte budget costs
+      // nothing extra; output count = ceil(selected bytes / target) —
+      // the rewrite repartitions evenly, approximating the bin packing
+      // at file grain
+      val nFiles =
+        if (targetBytes > 0) {
+          val bytes = before.map(f => memo.info(f).sizes.sum).sum
+          math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+        } else math.max(1L, (n + target - 1) / target).toInt
       // SORT-PRESERVING compaction: when every input file carries the
       // same verified sort stamp (and the layout is neither bucketed
       // nor partitioned), the rewrite range-partitions + re-sorts on
       // that column and writes with sortBy — the folded files come out
       // stamped again, so the zero-sort join property survives
       // OPTIMIZE instead of silently degrading to plain files
-      val memo = new FooterIndex(path)
       val sortCol: Option[String] =
         if (partCols.nonEmpty || selector.nonEmpty) None
         else {
@@ -1416,11 +1434,19 @@ object GraftProcedures {
     "ANALYZE: one approx-distinct pass computes per-column NDV and " +
       "persists it; scans then serve distinctCount to the CBO (join " +
       "cardinality / aggregate output estimates). cols '' = every " +
-      "atomic column") {
+      "atomic column. histogram => true additionally computes " +
+      "EQUI-HEIGHT histograms for the numeric/temporal columns " +
+      "(approx-percentile endpoints + per-bin approx NDV), the " +
+      "selectivity input for skewed predicates where a flat NDV " +
+      "assumes uniformity") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("path", StringType).build(),
       ProcedureParameter.in("cols", StringType)
-        .defaultValue("''").build())
+        .defaultValue("''").build(),
+      ProcedureParameter.in("histogram", BooleanType)
+        .defaultValue("false").build(),
+      ProcedureParameter.in("buckets", LongType)
+        .defaultValue("64").build())
     private val out = StructType(Seq(
       StructField("column", StringType, nullable = false),
       StructField("ndv", LongType, nullable = false)))
@@ -1452,13 +1478,70 @@ object GraftProcedures {
       val ndv = wanted.zipWithIndex.map { case (c, i) =>
         c -> row.getLong(i + 1)
       }
+      val hists =
+        if (!input.getBoolean(2)) Seq.empty
+        else {
+          val buckets = math.max(2, math.min(254, input.getLong(3))).toInt
+          histogramCols(df.schema, wanted).flatMap(c =>
+            equiHeightHistogram(df, c, buckets, rows).map(c -> _))
+        }
       ColumnStatsFile.write(
         java.nio.file.Paths.get(path).toAbsolutePath.normalize,
-        rows, ndv)
+        rows, ndv, hists)
       result(out, ndv.map { case (c, n) =>
         new GenericInternalRow(Array[Any](utf8(c), n)): InternalRow
       }.toArray)
     }
+  }
+
+  /** Columns whose domain coerces losslessly to the CBO's double
+    * histogram space (Catalyst's `HistogramBin` is doubles; strings/
+    * binaries have no histogram form there, and temporal types would
+    * need the estimator's own epoch-unit mapping — NDV still serves
+    * them). */
+  private def histogramCols(schema: StructType,
+      wanted: Seq[String]): Seq[String] =
+    wanted.filter { c =>
+      schema.fields.find(_.name == c).map(_.dataType).exists {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case _ => false
+      }
+    }
+
+  /** Equi-height histogram of one column, Spark-ANALYZE style: bin
+    * ENDPOINTS from one approx-percentile pass (so each bin holds
+    * ~rows/buckets rows however skewed the distribution — a hot value
+    * widens no bin, it occupies its own), then ONE grouped
+    * approx-distinct pass for the per-bin NDVs. Values equal to an
+    * endpoint land in the lower bin (the `(lo, hi]` convention
+    * Catalyst's FilterEstimation assumes). Cost: 2 jobs per column,
+    * each a single scan — run it on the columns skewed predicates
+    * actually filter, not the whole table. */
+  private def equiHeightHistogram(df: org.apache.spark.sql.DataFrame,
+      c: String, buckets: Int, rows: Long)
+      : Option[ColumnStatsFile.Hist] = {
+    import org.apache.spark.sql.functions.{approx_count_distinct, col, expr, least, lit}
+    if (rows == 0) return None
+    val qs = (0 to buckets).map(_.toDouble / buckets)
+    val eps = df.select(org.apache.spark.sql.functions
+        .percentile_approx(col(c).cast("double"),
+          lit(qs.toArray), lit(10000)).as("p"))
+      .collect()(0).getSeq[Double](0)
+    if (eps == null || eps.length != buckets + 1) return None
+    // inner endpoints as a literal array: bin(v) = #{e_inner : e < v},
+    // capped — a 63-element codegen'd filter per row, no UDF
+    val inner = eps.slice(1, buckets).map(_.toString).mkString(",")
+    val binExpr =
+      if (inner.isEmpty) lit(0)
+      else least(lit(buckets - 1), expr(
+        s"size(filter(array($inner), e -> CAST(`$c` AS DOUBLE) > e))"))
+    val perBin = df.filter(col(c).isNotNull)
+      .groupBy(binExpr.as("__bin"))
+      .agg(approx_count_distinct(col(c)).as("__ndv"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bins = (0 until buckets).map(i =>
+      (eps(i), eps(i + 1), math.max(1L, perBin.getOrElse(i, 0L))))
+    Some(ColumnStatsFile.Hist(rows.toDouble / buckets, bins))
   }
 
   val Fsck: UnboundProcedure = new SimpleProcedure("fsck",
@@ -1733,6 +1816,48 @@ object GraftProcedures {
     }
   }
 
+  val SetNotNull: UnboundProcedure = new SimpleProcedure(
+    "set_not_null",
+    "declare a column NOT NULL on a logged table: existing rows are " +
+      "validated first (a metadata pass over footer null counts when " +
+      "stats cover every live file, one pushed-IsNull scan otherwise) " +
+      "and every future writer path enforces it per row — a write " +
+      "omitting the column fails at constraint-bind time") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("col", StringType).build())
+    private val out = StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("expr", StringType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val path = input.getUTF8String(0).toString
+      val colName = input.getUTF8String(1).toString
+      ArrowDataSource.initTableLog(path)
+      TableConstraints.setNotNull(SparkSession.active, path, colName)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(TableConstraints.notNullName(colName)),
+        utf8(s"`$colName` IS NOT NULL")))))
+    }
+  }
+
+  val DropNotNull: UnboundProcedure = new SimpleProcedure(
+    "drop_not_null",
+    "remove a column's NOT NULL declaration; future writes stop " +
+      "checking it") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("path", StringType).build(),
+      ProcedureParameter.in("col", StringType).build())
+    private val out = StructType(Seq(
+      StructField("dropped", BooleanType, nullable = false)))
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val dropped = TableConstraints.dropNotNull(
+        input.getUTF8String(0).toString,
+        input.getUTF8String(1).toString)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        java.lang.Boolean.valueOf(dropped)))))
+    }
+  }
+
   val ShowConstraints: UnboundProcedure = new SimpleProcedure(
     "show_constraints",
     "list a table's CHECK constraints (name, boolean SQL expression)") {
@@ -1879,5 +2004,7 @@ object GraftProcedures {
     "set_auto_compact" -> SetAutoCompact,
     "add_constraint" -> AddConstraint,
     "drop_constraint" -> DropConstraint,
+    "set_not_null" -> SetNotNull,
+    "drop_not_null" -> DropNotNull,
     "show_constraints" -> ShowConstraints)
 }

@@ -137,6 +137,61 @@ object TableConstraints {
     else { writeAll(dir, kept); true }
   }
 
+  /** Reserved constraint name a NOT NULL declaration on `col` uses. */
+  def notNullName(col: String): String = s"notnull_$col"
+
+  /** Declare `col` NOT NULL (Delta's other constraint class): stored
+    * beside the CHECK constraints as `` `col` IS NOT NULL `` — which
+    * evaluates FALSE (never NULL) for a null value, so the existing
+    * per-row writer gate enforces it EXACTLY on every path (batch
+    * append, streaming sink epoch, CoW replacement, delta inserts),
+    * and a write whose schema omits the column fails at bind time
+    * (the row could not be checked; schema-merge appends cannot
+    * sneak nulls in). Existing rows are validated at definition:
+    * a METADATA pass over the footer sidecar's per-batch null counts
+    * (zero across every live file proves the table clean without
+    * reading data); files without coverage — or with nonzero counts
+    * that deletion vectors might already mask — fall back to ONE
+    * pushed-IsNull scan, the ground truth that also respects read-time
+    * column defaults. A column added by `add_column` WITHOUT a default
+    * reads NULL in pre-add files and is refused here by that scan. */
+  def setNotNull(spark: SparkSession, dir: String, col: String): Unit = {
+    require(ArrowDataSource.isTableLog(dir),
+      s"set_not_null: $dir is not a logged table")
+    val df = spark.read.format("arrow").load(dir)
+    require(df.schema.fieldNames.contains(col),
+      s"set_not_null: no column `$col` in ${df.schema.simpleString}")
+    val name = notNullName(col)
+    require(!list(dir).exists(_._1 == name),
+      s"set_not_null: `$col` is already declared NOT NULL on $dir")
+    val statsClean = try {
+      val memo = new FooterIndex(dir)
+      memo.files.nonEmpty && memo.files.map(memo.info).forall(i =>
+        i.rowStats.exists(rs => rs.cols.contains(col) &&
+          rs.batches.indices.forall(b =>
+            rs.nullCount(b, col).contains(0L))))
+    } catch { case _: Exception => false }
+    if (!statsClean) {
+      import org.apache.spark.sql.functions.{col => c}
+      // the scan must read under an ALL-NULLABLE schema: a table whose
+      // declared field is non-nullable can still hold null bytes
+      // (appends do not enforce declared nullability), and over a
+      // non-nullable attribute the optimizer constant-folds IsNull to
+      // FALSE — the validation would silently pass a dirty table
+      val nullable = org.apache.spark.sql.types.StructType(
+        df.schema.fields.map(_.copy(nullable = true)))
+      val honest = spark.read.format("arrow").schema(nullable).load(dir)
+      require(honest.filter(c(col).isNull).limit(1).count() == 0L,
+        s"set_not_null: existing rows of $dir hold NULL `$col` — " +
+          "clean the data (or backfill a default) first")
+    }
+    writeAll(dir, list(dir) :+ ((name, s"`$col` IS NOT NULL")))
+  }
+
+  /** Drop a NOT NULL declaration; future writes stop checking it. */
+  def dropNotNull(dir: String, col: String): Boolean =
+    drop(dir, notNullName(col))
+
   /** The table's constraints bound against `writeSchema`, for writer
     * enforcement. A constraint referencing a column the write does not
     * carry fails the write up front (the row could not be checked). */

@@ -129,29 +129,51 @@ object IncrementalView {
   def applyDelta(batch: DataFrame, viewDir: String,
       groupCols: Seq[String], sums: Seq[(String, String)],
       appId: String, version: Long): Boolean = {
-    val spark = batch.sparkSession
     val root = java.nio.file.Paths.get(viewDir).toAbsolutePath.normalize
     if (ArrowDataSource.lastTxnVersion(root, appId).exists(_ >= version))
       return false // replayed micro-batch: already folded in
-    val sign = when(col(ArrowChanges.ChangeTypeCol)
-        .isin("insert", ArrowChanges.UpdatePostimage), 1L)
-      .otherwise(-1L)
+    val delta = netDelta(signChanges(batch, "__sign"), groupCols, sums)
+    mergeDelta(delta, viewDir, groupCols, sums, appId, version)
+    true
+  }
+
+  /** ±1 sign for a change-feed row: inserts / update-postimages add,
+    * deletes / update-preimages retract. Tag columns are consumed. */
+  private def signChanges(changes: DataFrame, as: String): DataFrame =
+    changes
+      .withColumn(as, when(col(ArrowChanges.ChangeTypeCol)
+          .isin("insert", ArrowChanges.UpdatePostimage), 1L)
+        .otherwise(-1L))
+      .drop(ArrowChanges.ChangeTypeCol, ArrowChanges.CommitEpochCol)
+
+  /** Net signed rows (a `__sign` column of ±1 products) to per-group
+    * deltas: one hash aggregation, groups netting to all-zero dropped. */
+  private def netDelta(signedRows: DataFrame, groupCols: Seq[String],
+      sums: Seq[(String, String)]): DataFrame = {
     val deltaNames = "__dn" +: sums.map { case (_, a) => s"__d_$a" }
     // coalesce: a batch whose change rows all carry a NULL measure for
     // a group sums to NULL, and `t.sum + NULL` would silently null the
     // accumulated state — NULL measures contribute 0, matching SUM's
     // ignore-NULLs semantics for any group that has at least one
     // non-null value (the view's documented contract: integral units)
-    val deltaAggs = sum(sign).as("__dn") +: sums.map {
+    val deltaAggs = sum(col("__sign")).as("__dn") +: sums.map {
       case (e, a) =>
-        coalesce(sum(sign * expr(e).cast(LongType)), lit(0L))
+        coalesce(sum(col("__sign") * expr(e).cast(LongType)), lit(0L))
           .as(s"__d_$a")
     }
     val zero = deltaNames.map(col(_) === 0L).reduce(_ && _)
-    val delta = batch
+    signedRows
       .groupBy(groupCols.map(col): _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .filter(!zero) // groups the batch leaves untouched: no-op rows out
+  }
+
+  /** Fold one netted per-group delta frame into the view with ONE
+    * keyed MERGE, committed under the `(appId, version)` txn stamp. */
+  private def mergeDelta(delta: DataFrame, viewDir: String,
+      groupCols: Seq[String], sums: Seq[(String, String)],
+      appId: String, version: Long): Unit = {
+    val spark = delta.sparkSession
     val view = s"graft_ivm_${applySeq.incrementAndGet()}_" +
       java.util.UUID.randomUUID().toString.takeRight(12)
     delta.createOrReplaceTempView(view)
@@ -181,10 +203,142 @@ object IncrementalView {
       ArrowDataSource.withPendingTxn(viewDir, appId, version) {
         spark.sql(merge)
       }
-      true
+      ()
     } finally {
       spark.catalog.dropTempView(view)
       ()
     }
+  }
+
+  /** Two source epochs in one txn-stamp long: `(fact << 31) | dim`.
+    * Both cursors are per-table commit COUNTS, monotonically
+    * non-decreasing, so the packed value is monotone and the existing
+    * `lastTxnVersion >= version` replay gate stays exact. Bounds (fact
+    * < 2^32, dim < 2^31 epochs) are checked — a view would need two
+    * billion dim commits to outgrow them. */
+  private val DimEpochBits = 31
+  private def packEpochs(fact: Long, dim: Long): Long = {
+    require(fact >= 0 && fact < (1L << 32) && dim >= 0 &&
+      dim < (1L << DimEpochBits),
+      s"ivm: epoch cursor out of packing range (fact=$fact dim=$dim)")
+    (fact << DimEpochBits) | dim
+  }
+  private def unpackEpochs(v: Long): (Long, Long) =
+    (v >>> DimEpochBits, v & ((1L << DimEpochBits) - 1L))
+
+  /** How many churned dim keys may be folded to the driver and pushed
+    * into the old-fact scan as an IN filter (zone-map / Bloom prunable
+    * at the Arrow source). Above the bound the term falls back to the
+    * distributed join — still O(fact ⋉ ΔD) after the join, but the
+    * scan reads the fact table. Dim churn per refresh is normally tiny
+    * (the whole premise of IVM), so the pushdown arm is the hot path. */
+  private val MaxPushedDimKeys = 10000
+
+  /** Incrementally refresh a JOIN view over a MUTABLE dimension —
+    * `viewDir` = `SELECT groupCols, COUNT(*) AS n, SUM(expr) AS alias…
+    * FROM fact F JOIN dim D ON F.factKey = D.dimKey GROUP BY
+    * groupCols` where BOTH tables are logged Arrow tables that churn.
+    * Lifts [[maintain]]'s immutable-dim restriction via the standard
+    * delta-join (bilinear) identity over signed multisets:
+    *
+    *   Δ(F ⋈ D) = ΔF ⋈ D_old  ∪  F_old ⋈ ΔD  ∪  ΔF ⋈ ΔD
+    *
+    * with ΔF/ΔD the change feeds of the epoch windows since the last
+    * refresh (updates = signed preimage/postimage pairs) and
+    * F_old/D_old the `VERSION AS OF` snapshots at the last refresh's
+    * cursors. The three terms union, net through ONE hash aggregation,
+    * and fold into the view via the same single exactly-once MERGE as
+    * the fact-only path — the refresh cursor is the packed
+    * (factEpoch, dimEpoch) pair in the view's txn stamp, so a crashed
+    * or replayed refresh is skipped exactly.
+    *
+    * Scale: ΔF⋈D_old and ΔF⋈ΔD are O(fact churn); F_old⋈ΔD is
+    * O(fact rows referencing churned dim keys) — when the churned key
+    * set is small (the normal case) it is collected and pushed into
+    * the fact scan as an IN filter (zone-map/Bloom-prunable), so a
+    * day's dim churn against a petabyte fact table re-enriches only
+    * the matching fact slice, never the table. `dimKey` must be unique
+    * within the dim at every epoch (the usual PK contract; fact rows
+    * without a match drop from the view, inner-join semantics).
+    *
+    * The first refresh of an empty view is the full build
+    * `F_asof ⋈ D_asof` (there is no cheaper correct start), stamped
+    * with the epochs it read. Returns false when the cursor is already
+    * at (or past) the sources' current epochs — nothing to do.
+    * `factUpTo`/`dimUpTo` pin the refresh target to specific committed
+    * epochs (default: each source's latest) — a reproducible refresh
+    * to a known snapshot pair, and the window control replayed
+    * histories need. */
+  def refreshJoined(spark: SparkSession, factDir: String, dimDir: String,
+      viewDir: String, factKey: String, dimKey: String,
+      dimCols: Seq[String], groupCols: Seq[String],
+      sums: Seq[(String, String)], appId: String,
+      factUpTo: Option[Long] = None,
+      dimUpTo: Option[Long] = None): Boolean = {
+    require(groupCols.nonEmpty, "incremental join view needs group columns")
+    if (spark.conf.getOption("spark.sql.catalog.graft").isEmpty)
+      spark.conf.set("spark.sql.catalog.graft",
+        classOf[GraftCatalog].getName)
+    val fRoot = java.nio.file.Paths.get(factDir).toAbsolutePath.normalize
+    val dRoot = java.nio.file.Paths.get(dimDir).toAbsolutePath.normalize
+    val vRoot = java.nio.file.Paths.get(viewDir).toAbsolutePath.normalize
+    val fLatest = ArrowDataSource.latestCommittedEpoch(fRoot)
+    val dLatest = ArrowDataSource.latestCommittedEpoch(dRoot)
+    val f1 = factUpTo.getOrElse(fLatest)
+    val d1 = dimUpTo.getOrElse(dLatest)
+    require(f1 >= 0 && f1 <= fLatest && d1 >= 0 && d1 <= dLatest,
+      s"refreshJoined: target epochs ($f1, $d1) out of committed " +
+        s"range (fact 0..$fLatest, dim 0..$dLatest)")
+    def asOf(dir: String, e: Long): DataFrame =
+      spark.read.format("arrow").option("epochAsOf", e.toString).load(dir)
+    // the dim key travels under a reserved name so `factKey == dimKey`
+    // (star schemas routinely share the column name) never makes the
+    // join condition ambiguous; dimCols must not collide with fact
+    // columns (they land in the joined row as-is)
+    val dimProj: DataFrame => DataFrame =
+      df => df.select(col(dimKey).as("__dimk") +: dimCols.map(col): _*)
+    val enrichNow: DataFrame => DataFrame = f =>
+      f.join(dimProj(asOf(dimDir, d1)), col(factKey) === col("__dimk"))
+        .drop("__dimk")
+    ensureView(spark, factDir, viewDir, groupCols, sums, enrichNow)
+    val version = packEpochs(f1, d1)
+    val prev = ArrowDataSource.lastTxnVersion(vRoot, appId)
+    if (prev.exists(_ >= version)) return false
+    val delta = prev match {
+      case None =>
+        // empty view: full initial build as of (f1, d1), all +1
+        netDelta(enrichNow(asOf(factDir, f1)).withColumn("__sign", lit(1L)),
+          groupCols, sums)
+      case Some(v) =>
+        val (f0, d0) = unpackEpochs(v)
+        val dF = signChanges(
+          ArrowChanges.between(spark, factDir, f0, f1), "__fsign")
+        val dD = signChanges(
+          ArrowChanges.between(spark, dimDir, d0, d1), "__dsign")
+          .select((col(dimKey).as("__dimk") +: dimCols.map(col)) :+
+            col("__dsign"): _*)
+        val dOld = dimProj(asOf(dimDir, d0)).withColumn("__dsign", lit(1L))
+        // F_old ⋈ ΔD touches only fact rows whose key is in ΔD's key
+        // set — push that set into the scan when it folds to driver
+        // size (the netted signed feed repeats a key at most a few
+        // times, so distinct-then-limit bounds the collect)
+        val dKeys = dD.select(col("__dimk")).distinct()
+          .limit(MaxPushedDimKeys + 1).collect().map(_.get(0))
+        val fOldAll = asOf(factDir, f0).withColumn("__fsign", lit(1L))
+        val fOld =
+          if (dKeys.length <= MaxPushedDimKeys)
+            fOldAll.filter(col(factKey).isInCollection(dKeys.toSeq))
+          else fOldAll
+        def term(f: DataFrame, d: DataFrame): DataFrame =
+          f.join(d, col(factKey) === col("__dimk"))
+            .withColumn("__sign", col("__fsign") * col("__dsign"))
+            .drop("__dimk", "__fsign", "__dsign")
+        val contributions = term(dF, dOld)
+          .unionByName(term(fOld, dD))
+          .unionByName(term(dF, dD))
+        netDelta(contributions, groupCols, sums)
+    }
+    mergeDelta(delta, viewDir, groupCols, sums, appId, version)
+    true
   }
 }

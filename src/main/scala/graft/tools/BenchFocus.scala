@@ -117,6 +117,22 @@ object BenchFocus {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/events.parquet")
     }
+    // customer: shifted custkeys matching the orders shift, so the
+    // mutable-dim join view's fact→dim references stay valid while
+    // BOTH sides grow 10× (modular churn predicates then touch every
+    // copy — dim churn grows with the dim, the O(churn) claim's
+    // denominator)
+    if (!new java.io.File(root, "customer.parquet").exists()) {
+      root.mkdirs()
+      val cu = Tables.customer(spark, sfDir)
+      (0 until Copies).map(i =>
+          cu.withColumn("c_custkey",
+            col("c_custkey") + lit(i.toLong * 200000L)))
+        .reduce(_ unionAll _)
+        .repartition(8)
+        .write.mode("overwrite").parquet(s"$scaled/customer.parquet")
+    }
+
     // embeddings: shifted vec_ids — the corpus grows 10× while copy-0
     // ids keep the sub-1e7 range, so a FIXED probe/query set exists
     // at both scales (sim_ann_ivfpq's vec_id < 20 queries, the
@@ -208,6 +224,16 @@ object BenchFocus {
         "media_phash_dedup", "join_asof_nearest", "graph_sssp_bounded",
         "sim_mmr_rerank", "stream_sessions_dynamic",
         "dedup_substring_incremental",
+        // cdc_incremental_join_mutable: both snapshot writes and the
+        // initial view build are explicit O(table); the two delta
+        // refreshes are O(churn) — fact churn (fixed <300 range on
+        // copy 0 + modular %401 inserts) and dim churn (modular %7
+        // update / %97 delete across every copy) both scale with
+        // their tables. The 10× point also flips the F_old⋈ΔD arm:
+        // at sf0.1 the ~2.4k churned dim keys fold into the pushed IN
+        // filter, at 10× the ~24k keys exceed the bound and the term
+        // honestly falls back to the distributed join
+        "cdc_incremental_join_mutable",
         // sample_cluster_balanced: 10× corpus through the same IVF
         // assignment pass; the rate table stays |cells| rows and the
         // kept set never shuffles — should track the assignment scan

@@ -311,6 +311,57 @@ class ArrowChangeFeedSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSet == Set("delete"))
   }
 
+  test("an update-only MERGE on a deletion-vector table tags ROW-exact " +
+      "pre/postimages; a mixed MERGE stays plain-tagged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("arrow_cdf_mdv").toString
+    (1 to 60).map(i => (i.toLong, s"v$i")).toDF("id", "tag")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    graft.sources.arrow.ArrowDataSource.initTableLog(dir)
+    spark.sql(s"CALL graft.system.set_dv(path => '$dir')").collect()
+    (1 to 8).map(i => (i * 5L, s"m$i")).toDF("id", "tag")
+      .createOrReplaceTempView("mdv_src")
+    // epoch 1: matched-arm-only MERGE — the delta writer's update
+    // bookkeeping is the ONLY churn, so the epoch stamps `#op update`
+    spark.sql(s"""MERGE INTO graft.arrow.`$dir` t USING mdv_src s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.tag""")
+    val feed = drainFeed(dir, "cdf_mdv", startingEpoch = Some(1L))
+    val pre = feed.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePreimage)
+    val post = feed.filter(col(ArrowChanges.ChangeTypeCol) ===
+      ArrowChanges.UpdatePostimage)
+    assert(pre.count() == 8 && post.count() == 8,
+      s"dv merge-update not row-exact: pre=${pre.count()} " +
+        s"post=${post.count()}")
+    assert(pre.select(col("id")).as[Long].collect().sorted.toSeq ==
+      (1 to 8).map(_ * 5L))
+    assert(pre.filter(col("tag").startsWith("m")).count() == 0)
+    assert(post.filter(col("tag").startsWith("m")).count() == 8)
+    // the merged values actually landed
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("tag").startsWith("m")).count() == 8)
+    // epoch 2: MIXED merge (matched update + not-matched insert) — the
+    // appended files mix postimages with new rows; one epoch header
+    // cannot split them, so the epoch stays honestly untagged
+    (Seq((10L, "mix"), (1000L, "new")))
+      .toDF("id", "tag").createOrReplaceTempView("mdv_src2")
+    spark.sql(s"""MERGE INTO graft.arrow.`$dir` t USING mdv_src2 s
+      ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.tag = s.tag
+      WHEN NOT MATCHED THEN INSERT (id, tag) VALUES (s.id, s.tag)""")
+    val feed2 = drainFeed(dir, "cdf_mdv2", startingEpoch = Some(2L))
+    assert(feed2.select(col(ArrowChanges.ChangeTypeCol)).distinct()
+      .collect().map(_.getString(0)).toSet == Set("insert", "delete"),
+      "a mixed merge epoch must not claim update images")
+    // and the mixed epoch's net content is still exact
+    assert(feed2.filter(col(ArrowChanges.ChangeTypeCol) === "insert")
+      .count() == 2 &&
+      feed2.filter(col(ArrowChanges.ChangeTypeCol) === "delete")
+        .count() == 1)
+  }
+
   test("a start below the vacuum horizon fails fast") {
     val dir = tableWithHistory()
     ArrowOptimize.vacuum(dir, graceMs = 0L)

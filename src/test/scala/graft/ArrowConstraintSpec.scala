@@ -113,6 +113,90 @@ class ArrowConstraintSpec extends AnyFunSuite {
       s"path => '$dir')").count() == 0)
   }
 
+  test("set_not_null validates existing rows, then every writer path " +
+      "rejects NULLs pre-commit; drop_not_null disarms") {
+    import spark.implicits._
+    // NULLABLE measure column (unlike the shared fixture): declared
+    // nullability must come from the constraint, not the schema —
+    // Spark's own AssertNotNull on a non-nullable field would mask
+    // whether OUR gate fires
+    val dir = Files.createTempDirectory("con_notnull").toString
+    (1 to 50).map(i => (i.toLong, Option(i * 10L)))
+      .toDF("id", "amount")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // a clean column declares (metadata pass over footer null counts)
+    spark.sql(s"CALL graft.system.set_not_null(path => '$dir', " +
+      "col => 'amount')").collect()
+    assert(TableConstraints.list(dir)
+      .exists(_._1 == TableConstraints.notNullName("amount")))
+    // a NULL row aborts ATOMICALLY before its epoch commits — unlike a
+    // CHECK, where NULL passes (three-valued semantics)
+    val root = Paths.get(dir).toAbsolutePath.normalize
+    val epochBefore = ArrowDataSource.latestCommittedEpoch(root)
+    intercept[Exception] {
+      Seq((100L, Some(5L)), (101L, None: Option[Long]))
+        .toDF("id", "amount")
+        .write.format("arrow").mode("append").save(dir)
+    }
+    assert(ArrowDataSource.latestCommittedEpoch(root) == epochBefore,
+      "violating epoch must not commit")
+    assert(spark.read.format("arrow").load(dir).count() == 50)
+    // the CoW UPDATE path is gated too
+    intercept[Exception] {
+      spark.sql(s"UPDATE graft.arrow.`$dir` SET amount = NULL " +
+        "WHERE id = 1")
+    }
+    // dropping disarms
+    spark.sql(s"CALL graft.system.drop_not_null(path => '$dir', " +
+      "col => 'amount')").collect()
+    Seq((102L, None: Option[Long])).toDF("id", "amount")
+      .write.format("arrow").mode("append").save(dir)
+    assert(spark.read.format("arrow").load(dir)
+      .filter(col("amount").isNull).count() == 1)
+  }
+
+  test("set_not_null refuses a column holding NULLs, a column evolution " +
+      "added WITHOUT a default, and honors one added WITH a default") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("con_notnull_evo").toString
+    (1 to 50).map(i => (i.toLong, Option(i * 10L)))
+      .toDF("id", "amount")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dir)
+    ArrowDataSource.initTableLog(dir)
+    // seed a NULL into a nullable column
+    Seq((100L, None: Option[Long])).toDF("id", "amount")
+      .write.format("arrow").mode("append").save(dir)
+    val e1 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.set_not_null(path => '$dir', " +
+        "col => 'amount')").collect()
+    }
+    assert(e1.getMessage.contains("NULL"),
+      s"wrong refusal: ${e1.getMessage}")
+    // a column added without a default reads NULL in pre-add files:
+    // declaring it NOT NULL must refuse (the evolution interplay)
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'tag', type => 'string')").collect()
+    intercept[Exception] {
+      spark.sql(s"CALL graft.system.set_not_null(path => '$dir', " +
+        "col => 'tag')").collect()
+    }
+    // with an INITIAL default, pre-add rows read the default — clean
+    spark.sql(s"CALL graft.system.add_column(path => '$dir', " +
+      "name => 'src', type => 'string', default => \"'legacy'\")")
+      .collect()
+    spark.sql(s"CALL graft.system.set_not_null(path => '$dir', " +
+      "col => 'src')").collect()
+    // and a write omitting a NOT NULL column fails at bind time
+    // (schema-merge appends cannot sneak nulls in)
+    intercept[Exception] {
+      Seq((200L, 5L)).toDF("id", "amount")
+        .write.format("arrow").mode("append").save(dir)
+    }
+  }
+
   test("malformed, non-boolean, unknown-column, and duplicate " +
       "constraints refuse at definition time") {
     val dir = fixture("con_bad")

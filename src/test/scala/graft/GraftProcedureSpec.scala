@@ -142,6 +142,79 @@ class GraftProcedureSpec extends AnyFunSuite {
       (1L to 6000L).sum)
   }
 
+  test("CALL compact with target_bytes sizes output by on-disk block " +
+      "bytes and preserves the sort stamp") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("proc_bytes_compact").toString
+    (1 to 6000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartitionByRange(6, col("k")).sortWithinPartitions(col("k"))
+      .write.format("arrow").option("sortBy", "k")
+      .mode("overwrite").save(dir)
+    val before = ArrowDataSource.visibleIpcFiles(dir)
+    assert(before.length == 6)
+    // a byte budget larger than the table folds to ONE file
+    // (target_bytes takes precedence over the rows default)
+    spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      s"target_bytes => ${1L << 40})").collect()
+    assert(ArrowDataSource.visibleIpcFiles(dir).length == 1,
+      "huge byte budget must fold to one file")
+    // a small byte budget splits the rewrite into multiple files, each
+    // sized by the budget — and the sort stamp survives either way
+    val total = ArrowDataSource.visibleIpcFiles(dir)
+      .map(f => ArrowDataSource.footerInfo(f).sizes.sum).sum
+    val res = spark.sql(s"CALL graft.system.compact(path => '$dir', " +
+      s"target_bytes => ${math.max(1L, total / 4)})").collect()(0)
+    val after = ArrowDataSource.visibleIpcFiles(dir)
+    assert(after.length >= 3 && after.length <= 6,
+      s"quarter-byte budget should yield ~4 files, got ${after.length}")
+    assert(res.getLong(1) == after.length.toLong)
+    assert(after.forall(f =>
+      ArrowDataSource.footerInfo(f).sort.contains("k")),
+      "bytes-targeted OPTIMIZE dropped the sort stamp")
+    assert(spark.read.format("arrow").load(dir)
+      .agg(sum(col("k"))).collect()(0).getLong(0) == (1L to 6000L).sum)
+  }
+
+  test("CALL analyze(histogram => true) persists equi-height " +
+      "histograms and the scan serves them to the optimizer") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("proc_analyze_hist").toString
+    // heavy skew: value 1 holds half the rows; a flat NDV assumes
+    // uniformity and cannot tell the hot key from a rare one
+    (1 to 2000).map(i =>
+      (if (i % 2 == 0) 1L else i.toLong, s"v$i"))
+      .toDF("k", "v")
+      .coalesce(2)
+      .write.format("arrow").mode("overwrite").save(dir)
+    spark.sql(s"CALL graft.system.analyze(path => '$dir', " +
+      "cols => 'k', histogram => true, buckets => 8)").collect()
+    val hists = graft.sources.arrow.ColumnStatsFile.loadHistograms(
+      java.nio.file.Paths.get(dir).toAbsolutePath.normalize)
+    val h = hists.getOrElse("k", fail("no histogram persisted for k"))
+    assert(h.bins.length == 8, s"8 bins requested, got ${h.bins.length}")
+    assert(math.abs(h.height - 250.0) < 1e-9,
+      s"equi-height of 2000 rows / 8 bins is 250, got ${h.height}")
+    // equi-height under skew: the hot value's bins are NARROW (the
+    // first half of the mass sits at k=1) and carry tiny NDVs, while
+    // the tail bins are wide with NDV ≈ height
+    assert(h.bins.head._1 <= 1.0 && h.bins.head._3 <= 4,
+      s"hot-key bin should be narrow/low-ndv: ${h.bins.head}")
+    assert(h.bins.last._3 > 100,
+      s"tail bin should hold ~height distinct values: ${h.bins.last}")
+    // the histogram reaches Catalyst's ColumnStat with CBO on
+    val prev = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val byName = spark.read.format("arrow").load(dir)
+        .queryExecution.optimizedPlan.stats.attributeStats
+        .map { case (a, s) => a.name -> s }
+      val cs = byName.getOrElse("k", fail(s"no stats for k: $byName"))
+      assert(cs.histogram.isDefined,
+        s"histogram missing from plan ColumnStat: $cs")
+      assert(cs.histogram.get.bins.length == 8)
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
   test("CALL dictionary_encode rewrites with default args applied") {
     val in = Files.createTempDirectory("proc_dict_in").toString
     val out = Files.createTempDirectory("proc_dict_out").toString

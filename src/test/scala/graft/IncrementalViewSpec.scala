@@ -145,6 +145,86 @@ class IncrementalViewSpec extends AnyFunSuite {
     assert(view().select(col("region")).distinct().count() == 2)
   }
 
+  test("a JOIN view over a MUTABLE dim tracks dim UPDATE/DELETE/INSERT " +
+      "epochs via the delta-join terms and equals the joined recompute") {
+    import spark.implicits._
+    val fact = Files.createTempDirectory("ivmm_fact").toString
+    val dimd = Files.createTempDirectory("ivmm_dim").toString
+    val dst = Files.createTempDirectory("ivmm_dst").toString
+    (1 to 120).map(i => (i.toLong, (i % 10).toLong, (i * 3).toLong))
+      .toDF("id", "k", "amt")
+      .repartition(2)
+      .write.format("arrow").mode("overwrite").save(fact)
+    ArrowDataSource.initTableLog(fact)
+    (0L to 9L).map(k => (k, if (k < 5) "east" else "west"))
+      .toDF("k", "region")
+      .coalesce(1)
+      .write.format("arrow").mode("overwrite").save(dimd)
+    ArrowDataSource.initTableLog(dimd)
+    def joined(): DataFrame =
+      spark.read.format("arrow").load(fact)
+        .join(spark.read.format("arrow").load(dimd)
+          .select(col("k").as("dk"), col("region")),
+          col("k") === col("dk"))
+        .groupBy(col("region"))
+        .agg(count(lit(1)).as("n"), sum(col("amt")).as("sum_amt"))
+    def view(): DataFrame = spark.read.format("arrow").load(dst)
+      .select(col("region"), col("n"), col("sum_amt"))
+    def refresh(): Boolean =
+      IncrementalView.refreshJoined(spark, fact, dimd, dst,
+        factKey = "k", dimKey = "k", dimCols = Seq("region"),
+        groupCols = Seq("region"), sums = Seq(("amt", "sum_amt")),
+        appId = "ivmm_spec")
+
+    assert(refresh(), "initial build must apply")
+    assert(bagEqual(view(), joined()),
+      "mutable-dim join view diverged after the initial build")
+
+    // fact-only window (ΔD empty)
+    spark.sql(s"DELETE FROM graft.arrow.`$fact` WHERE k = 1")
+    spark.sql(s"INSERT INTO graft.arrow.`$fact` VALUES " +
+      "(301, 2, 11), (302, 6, 13)")
+    assert(refresh())
+    assert(bagEqual(view(), joined()),
+      "diverged after a fact-only window")
+
+    // dim-only window (ΔF empty): an UPDATE moves every k=2 fact row
+    // to a NEW group, a DELETE retracts every k=3 fact row from the
+    // view, an INSERT adds a key no fact references (must contribute
+    // nothing)
+    spark.sql(s"UPDATE graft.arrow.`$dimd` SET region = 'north' " +
+      "WHERE k = 2")
+    spark.sql(s"DELETE FROM graft.arrow.`$dimd` WHERE k = 3")
+    spark.sql(s"INSERT INTO graft.arrow.`$dimd` VALUES (100, 'south')")
+    assert(refresh())
+    assert(bagEqual(view(), joined()),
+      "diverged after a dim-only window (update + delete + insert)")
+    assert(view().filter(col("region") === "south").count() == 0,
+      "a dim key with no facts must not materialize a group")
+    assert(view().filter(col("region") === "north").count() == 1,
+      "the moved dim key must materialize its new group")
+
+    // mixed window: BOTH sides churn so every delta term (ΔF⋈D_old,
+    // F_old⋈ΔD, ΔF⋈ΔD) contributes — including a fact row whose dim
+    // key moves groups in the SAME window it is updated in
+    spark.sql(s"UPDATE graft.arrow.`$dimd` SET region = 'west' " +
+      "WHERE k = 4")
+    spark.sql(s"UPDATE graft.arrow.`$fact` SET amt = amt + 1000 " +
+      "WHERE k IN (4, 5)")
+    spark.sql(s"INSERT INTO graft.arrow.`$fact` VALUES (401, 100, 17)")
+    assert(refresh())
+    assert(bagEqual(view(), joined()),
+      "diverged after a mixed fact+dim window")
+    assert(view().filter(col("region") === "south").count() == 1,
+      "the previously empty dim key gained a fact — its group must appear")
+
+    // cursor idempotence: no new epochs on either side → the packed
+    // (factEpoch, dimEpoch) stamp gates the refresh to a no-op
+    assert(!refresh(), "refresh with no new epochs must skip")
+    assert(bagEqual(view(), joined()),
+      "a gated refresh must leave the view untouched")
+  }
+
   test("a source RESTORE flows through the feed as churn the additive " +
       "deltas absorb — the view converges to the restored aggregate") {
     import spark.implicits._
