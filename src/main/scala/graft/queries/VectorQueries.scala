@@ -90,6 +90,46 @@ object VectorQueries {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Hard-negative mining (contrastive-training data prep — the
+    * DPR/ANCE retrieval-training shape): for each query vector, rank
+    * the corpus by cosine, drop its KNOWN POSITIVES by an anti-join
+    * against the labeled-pairs relation (here the deterministic
+    * `vec_id % 41 == qid` slice standing in for a relevance table),
+    * drop the near-duplicate band (cos > 0.98 — the top of a ranking
+    * is where unlabeled TRUE positives hide, the classic
+    * false-negative trap, so the miner skips it), and keep the top-5
+    * hardest negatives per query. Queries broadcast (the corpus never
+    * shuffles for scoring), the positives anti-join broadcasts its
+    * small labeled side, and ranking is a bounded per-query window —
+    * at 100 TB the scoring pass composes with the IVF cell index
+    * exactly like `sim_topk`'s scale path. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(spark, dir)
+    val q = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nsq").as("q_nsq"))
+    val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
+      col("nsq").as("t_nsq"))
+    val positives = Tables.embeddings(spark, dir)
+      .select((col("vec_id") % 41).as("pqid"), col("vec_id").as("ptid"))
+      .filter(col("pqid") < 16)
+    val scored = t.join(broadcast(q), col("tid") =!= col("qid"))
+      .select(col("qid"), col("tid"),
+        round(expr("graft_dot(qv, tv)") /
+          sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    val negs = scored
+      .join(positives,
+        col("qid") === col("pqid") && col("tid") === col("ptid"),
+        "left_anti")
+      .filter(col("cos") <= 0.98)
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("tid").asc)
+    negs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .select(col("qid"), col("tid"), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** All-pairs cosine ≥ 0.4 (embedding near-dup shape). Brute force is
     * the oracle-checkable baseline; the LSH query below is the scale
     * path for the same question.
@@ -874,6 +914,7 @@ object VectorQueries {
   val defs: Map[String, Q] = Map(
     "sample_cluster_balanced" -> (sampleClusterBalanced _),
     "sim_topk" -> (topK _),
+    "sim_hard_negatives" -> (hardNegatives _),
     "sim_mmr_rerank" -> (mmrRerank _),
     "sim_decontam_semantic" -> (semanticDecontam _),
     "sim_ann_filtered" -> (topKFiltered _),
@@ -1530,6 +1571,24 @@ object VectorQueries {
          |ranked AS (SELECT qid, tid, cos,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
          | FROM scored)
+         |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
+         |ORDER BY qid, rn""".stripMargin,
+    "sim_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
+         |pos AS (SELECT vec_id % 41 AS pqid, vec_id AS ptid
+         |  FROM embeddings WHERE vec_id % 41 < 16),
+         |scored AS (
+         | SELECT qid, tid, round($cosExpr, 6) AS cos
+         | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)
+         | WHERE tid <> qid GROUP BY qid, tid),
+         |neg AS (
+         | SELECT s.qid, s.tid, s.cos FROM scored s
+         | ANTI JOIN pos p ON s.qid = p.pqid AND s.tid = p.ptid
+         | WHERE s.cos <= 0.98),
+         |ranked AS (SELECT qid, tid, cos,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, tid ASC) AS INT) AS rn
+         | FROM neg)
          |SELECT qid, tid, cos, rn FROM ranked WHERE rn <= 5
          |ORDER BY qid, rn""".stripMargin,
     "sim_cosine_neardup" ->

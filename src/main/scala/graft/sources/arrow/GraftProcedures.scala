@@ -1482,8 +1482,9 @@ object GraftProcedures {
         if (!input.getBoolean(2)) Seq.empty
         else {
           val buckets = math.max(2, math.min(254, input.getLong(3))).toInt
-          histogramCols(df.schema, wanted).flatMap(c =>
-            equiHeightHistogram(df, c, buckets, rows).map(c -> _))
+          histogramCols(df.schema, wanted).flatMap { case (c, dom) =>
+            equiHeightHistogram(df, c, dom, buckets, rows).map(c -> _)
+          }
         }
       ColumnStatsFile.write(
         java.nio.file.Paths.get(path).toAbsolutePath.normalize,
@@ -1494,18 +1495,28 @@ object GraftProcedures {
     }
   }
 
-  /** Columns whose domain coerces losslessly to the CBO's double
-    * histogram space (Catalyst's `HistogramBin` is doubles; strings/
-    * binaries have no histogram form there, and temporal types would
-    * need the estimator's own epoch-unit mapping — NDV still serves
-    * them). */
+  /** The column's value mapped into the CBO's double histogram space —
+    * which is the INTERNAL-value domain Catalyst's estimator uses
+    * (`EstimationUtils.toDouble` stringifies the internal value):
+    * numerics as themselves, dates as DAYS since epoch, timestamps as
+    * MICROS. Strings/binaries have no histogram form there; NDV still
+    * serves them. None = no histogram for this type. */
+  private def histDomainExpr(dt: org.apache.spark.sql.types.DataType,
+      c: String): Option[String] = dt match {
+    case _: org.apache.spark.sql.types.NumericType =>
+      Some(s"CAST(`$c` AS DOUBLE)")
+    case org.apache.spark.sql.types.DateType =>
+      Some(s"CAST(unix_date(`$c`) AS DOUBLE)")
+    case org.apache.spark.sql.types.TimestampType =>
+      Some(s"CAST(unix_micros(`$c`) AS DOUBLE)")
+    case _ => None
+  }
+
   private def histogramCols(schema: StructType,
-      wanted: Seq[String]): Seq[String] =
-    wanted.filter { c =>
-      schema.fields.find(_.name == c).map(_.dataType).exists {
-        case _: org.apache.spark.sql.types.NumericType => true
-        case _ => false
-      }
+      wanted: Seq[String]): Seq[(String, String)] =
+    wanted.flatMap { c =>
+      schema.fields.find(_.name == c).map(_.dataType)
+        .flatMap(histDomainExpr(_, c)).map(c -> _)
     }
 
   /** Equi-height histogram of one column, Spark-ANALYZE style: bin
@@ -1518,13 +1529,13 @@ object GraftProcedures {
     * each a single scan — run it on the columns skewed predicates
     * actually filter, not the whole table. */
   private def equiHeightHistogram(df: org.apache.spark.sql.DataFrame,
-      c: String, buckets: Int, rows: Long)
+      c: String, domainExpr: String, buckets: Int, rows: Long)
       : Option[ColumnStatsFile.Hist] = {
     import org.apache.spark.sql.functions.{approx_count_distinct, col, expr, least, lit}
     if (rows == 0) return None
     val qs = (0 to buckets).map(_.toDouble / buckets)
     val eps = df.select(org.apache.spark.sql.functions
-        .percentile_approx(col(c).cast("double"),
+        .percentile_approx(expr(domainExpr),
           lit(qs.toArray), lit(10000)).as("p"))
       .collect()(0).getSeq[Double](0)
     if (eps == null || eps.length != buckets + 1) return None
@@ -1534,7 +1545,7 @@ object GraftProcedures {
     val binExpr =
       if (inner.isEmpty) lit(0)
       else least(lit(buckets - 1), expr(
-        s"size(filter(array($inner), e -> CAST(`$c` AS DOUBLE) > e))"))
+        s"size(filter(array($inner), e -> ($domainExpr) > e))"))
     val perBin = df.filter(col(c).isNotNull)
       .groupBy(binExpr.as("__bin"))
       .agg(approx_count_distinct(col(c)).as("__ndv"))

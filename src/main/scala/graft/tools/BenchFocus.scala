@@ -237,7 +237,11 @@ object BenchFocus {
         // sample_cluster_balanced: 10× corpus through the same IVF
         // assignment pass; the rate table stays |cells| rows and the
         // kept set never shuffles — should track the assignment scan
-        "sample_cluster_balanced")) {
+        "sample_cluster_balanced",
+        // sim_hard_negatives: fixed 16-query broadcast over a 10×
+        // corpus — scoring tracks the scan; the positives anti-join
+        // side grows 10× but stays a broadcast (corpus/41 rows)
+        "sim_hard_negatives")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)
       out(q) = f"""{"sf0.1":${math.min(s1a, s1b)}%.2f,""" +

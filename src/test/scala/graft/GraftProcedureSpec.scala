@@ -180,14 +180,18 @@ class GraftProcedureSpec extends AnyFunSuite {
     import spark.implicits._
     val dir = Files.createTempDirectory("proc_analyze_hist").toString
     // heavy skew: value 1 holds half the rows; a flat NDV assumes
-    // uniformity and cannot tell the hot key from a rare one
+    // uniformity and cannot tell the hot key from a rare one. The date
+    // column pins the temporal domain mapping (days since epoch — the
+    // estimator's internal-value space)
     (1 to 2000).map(i =>
-      (if (i % 2 == 0) 1L else i.toLong, s"v$i"))
-      .toDF("k", "v")
+      (if (i % 2 == 0) 1L else i.toLong, s"v$i",
+        java.sql.Date.valueOf(java.time.LocalDate
+          .of(2024, 1, 1).plusDays(i % 100))))
+      .toDF("k", "v", "d")
       .coalesce(2)
       .write.format("arrow").mode("overwrite").save(dir)
     spark.sql(s"CALL graft.system.analyze(path => '$dir', " +
-      "cols => 'k', histogram => true, buckets => 8)").collect()
+      "cols => 'k,d', histogram => true, buckets => 8)").collect()
     val hists = graft.sources.arrow.ColumnStatsFile.loadHistograms(
       java.nio.file.Paths.get(dir).toAbsolutePath.normalize)
     val h = hists.getOrElse("k", fail("no histogram persisted for k"))
@@ -201,6 +205,15 @@ class GraftProcedureSpec extends AnyFunSuite {
       s"hot-key bin should be narrow/low-ndv: ${h.bins.head}")
     assert(h.bins.last._3 > 100,
       s"tail bin should hold ~height distinct values: ${h.bins.last}")
+    // the date histogram lives in the estimator's days-since-epoch
+    // domain: every endpoint sits inside the fixture's date range
+    // [2024-01-01, 2024-01-01 + 99 days]
+    val hd = hists.getOrElse("d", fail("no histogram persisted for d"))
+    val lo = java.time.LocalDate.of(2024, 1, 1).toEpochDay.toDouble
+    val hi = lo + 99.0
+    assert(hd.bins.head._1 >= lo && hd.bins.last._2 <= hi,
+      s"date histogram out of the days domain [$lo,$hi]: " +
+        s"${hd.bins.head} .. ${hd.bins.last}")
     // the histogram reaches Catalyst's ColumnStat with CBO on
     val prev = spark.conf.get("spark.sql.cbo.enabled")
     spark.conf.set("spark.sql.cbo.enabled", "true")
