@@ -94,7 +94,9 @@ object VectorQueries {
     * DPR/ANCE retrieval-training shape): for each query vector, rank
     * the corpus by cosine, drop its KNOWN POSITIVES by an anti-join
     * against the labeled-pairs relation (here the deterministic
-    * `vec_id % 41 == qid` slice standing in for a relevance table),
+    * `vec_id % 211 == qid` slice standing in for a relevance table —
+    * a few labeled documents per query, the realistic density, so the
+    * labeled side stays a broadcast at any corpus scale),
     * drop the near-duplicate band (cos > 0.98 — the top of a ranking
     * is where unlabeled TRUE positives hide, the classic
     * false-negative trap, so the miner skips it), and keep the top-5
@@ -111,14 +113,18 @@ object VectorQueries {
     val t = e.select(col("vec_id").as("tid"), col("embedding").as("tv"),
       col("nsq").as("t_nsq"))
     val positives = Tables.embeddings(spark, dir)
-      .select((col("vec_id") % 41).as("pqid"), col("vec_id").as("ptid"))
+      .select((col("vec_id") % 211).as("pqid"), col("vec_id").as("ptid"))
       .filter(col("pqid") < 16)
     val scored = t.join(broadcast(q), col("tid") =!= col("qid"))
       .select(col("qid"), col("tid"),
         round(expr("graft_dot(qv, tv)") /
           sqrt(col("q_nsq") * col("t_nsq")), 6).as("cos"))
+    // explicit broadcast: the labeled side is 16/211 of the corpus by
+    // construction — pinning the hint keeps the anti-join from ever
+    // degrading to a full shuffle of the scored relation if the size
+    // estimate drifts past the auto threshold at larger corpora
     val negs = scored
-      .join(positives,
+      .join(broadcast(positives),
         col("qid") === col("pqid") && col("tid") === col("ptid"),
         "left_anti")
       .filter(col("cos") <= 0.98)
@@ -1576,8 +1582,8 @@ object VectorQueries {
     "sim_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 16),
          |t AS (SELECT vec_id AS tid, embedding AS tv FROM embeddings),
-         |pos AS (SELECT vec_id % 41 AS pqid, vec_id AS ptid
-         |  FROM embeddings WHERE vec_id % 41 < 16),
+         |pos AS (SELECT vec_id % 211 AS pqid, vec_id AS ptid
+         |  FROM embeddings WHERE vec_id % 211 < 16),
          |scored AS (
          | SELECT qid, tid, round($cosExpr, 6) AS cos
          | FROM q, t, UNNEST(range(1, len(t.tv) + 1)) AS r(i)

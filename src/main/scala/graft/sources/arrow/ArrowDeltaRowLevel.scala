@@ -197,7 +197,11 @@ class ArrowDeltaBatchWrite(op: ArrowRowLevelOperation, path: String,
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case m: ArrowDeltaCommitMessage =>
-      m.insertFiles.foreach(f =>
+      // both appended-file classes: plain-insert files AND the
+      // update-arm's rewritten-row files — neither is referenced by
+      // any manifest yet, and a leaked one would be invisible to
+      // readers and to vacuum forever
+      (m.insertFiles ++ m.updateFiles).foreach(f =>
         java.nio.file.Files.deleteIfExists(Paths.get(f)))
     }
 }

@@ -738,16 +738,17 @@ class ArrowScan(path: String, schema: StructType, filters: Array[Filter],
     // statistic footers cannot fold (per-file NDVs over-count shared
     // values). distinctCount is what the CBO's join-cardinality
     // estimates key on.
-    val ndvs: Map[String, Long] = ColumnStatsFile.load(
+    // ANALYZE-persisted stats, ONE sidecar read: NDVs (the CBO's
+    // join-cardinality input) and equi-height histograms (its
+    // selectivity input for SKEWED predicates — FilterEstimation reads
+    // them under spark.sql.cbo.enabled; a flat NDV assumes uniformity
+    // and misestimates a hot key by orders of magnitude)
+    val analyzed = ColumnStatsFile.loadAll(
       java.nio.file.Paths.get(path).toAbsolutePath.normalize)
-      .map(_._2).getOrElse(Map.empty)
-    // ANALYZE-persisted equi-height histograms: the CBO's selectivity
-    // input for SKEWED predicates (FilterEstimation reads them when
-    // spark.sql.cbo.enabled; a flat NDV assumes uniformity and
-    // misestimates a hot key by orders of magnitude)
+    val ndvs: Map[String, Long] =
+      analyzed.map(_._2).getOrElse(Map.empty)
     val hists: Map[String, ColumnStatsFile.Hist] =
-      ColumnStatsFile.loadHistograms(
-        java.nio.file.Paths.get(path).toAbsolutePath.normalize)
+      analyzed.map(_._3).getOrElse(Map.empty)
     def v2Hist(h: ColumnStatsFile.Hist)
         : org.apache.spark.sql.connector.read.colstats.Histogram =
       new org.apache.spark.sql.connector.read.colstats.Histogram {

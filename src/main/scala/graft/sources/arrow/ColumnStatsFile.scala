@@ -51,8 +51,14 @@ object ColumnStatsFile {
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  /** (rowsAtAnalyze, col → ndv), None when never analyzed. */
-  def load(root: Path): Option[(Long, Map[String, Long])] =
+  /** ONE read + parse serving both statistic classes:
+    * (rowsAtAnalyze, col → ndv, col → histogram); None when never
+    * analyzed. NDV lines and histogram lines parse independently, so a
+    * stats file from before histograms existed (or one whose histogram
+    * line is malformed) still serves its NDVs. Planning calls this
+    * once per scan — the sidecar must not be read twice per plan. */
+  def loadAll(root: Path)
+      : Option[(Long, Map[String, Long], Map[String, Hist])] =
     try {
       if (!Files.exists(file(root))) None
       else {
@@ -61,43 +67,35 @@ object ColumnStatsFile {
         val rows = lines.headOption.collect {
           case l if l.startsWith("rows\t") => l.substring(5).toLong
         }.getOrElse(return None)
+        def unb(c64: String): String = new String(
+          java.util.Base64.getDecoder.decode(c64),
+          StandardCharsets.UTF_8)
         val ndv = lines.drop(1).flatMap(_.split('\t') match {
-          case Array(c64, n) => Some(new String(
-            java.util.Base64.getDecoder.decode(c64),
-            StandardCharsets.UTF_8) -> n.toLong)
+          case Array(c64, n) => Some(unb(c64) -> n.toLong)
           case _ => None
         }).toMap
-        Some((rows, ndv))
+        val hists = lines.drop(1).flatMap(_.split('\t') match {
+          case Array("h", c64, height, bins) =>
+            try {
+              val bs = bins.split(';').toSeq.filter(_.nonEmpty)
+                .map { b =>
+                  val p = b.split(':')
+                  (p(0).toDouble, p(1).toDouble, p(2).toLong)
+                }
+              if (bs.isEmpty) None
+              else Some(unb(c64) -> Hist(height.toDouble, bs))
+            } catch { case scala.util.control.NonFatal(_) => None }
+          case _ => None
+        }).toMap
+        Some((rows, ndv, hists))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** col → equi-height histogram, empty when never computed. NDV lines
-    * and histogram lines parse independently, so a stats file from
-    * before histograms existed (or one whose histogram line is
-    * malformed) still serves its NDVs. */
+  /** (rowsAtAnalyze, col → ndv), None when never analyzed. */
+  def load(root: Path): Option[(Long, Map[String, Long])] =
+    loadAll(root).map { case (r, n, _) => (r, n) }
+
+  /** col → equi-height histogram, empty when never computed. */
   def loadHistograms(root: Path): Map[String, Hist] =
-    try {
-      if (!Files.exists(file(root))) Map.empty
-      else {
-        import scala.jdk.CollectionConverters._
-        Files.readAllLines(file(root)).asScala.toSeq.flatMap { l =>
-          l.split('\t') match {
-            case Array("h", c64, height, bins) =>
-              try {
-                val col = new String(
-                  java.util.Base64.getDecoder.decode(c64),
-                  StandardCharsets.UTF_8)
-                val bs = bins.split(';').toSeq.filter(_.nonEmpty)
-                  .map { b =>
-                    val p = b.split(':')
-                    (p(0).toDouble, p(1).toDouble, p(2).toLong)
-                  }
-                if (bs.isEmpty) None
-                else Some(col -> Hist(height.toDouble, bs))
-              } catch { case scala.util.control.NonFatal(_) => None }
-            case _ => None
-          }
-        }.toMap
-      }
-    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    loadAll(root).map(_._3).getOrElse(Map.empty)
 }

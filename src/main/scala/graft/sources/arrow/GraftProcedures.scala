@@ -1548,11 +1548,19 @@ object GraftProcedures {
         s"size(filter(array($inner), e -> ($domainExpr) > e))"))
     val perBin = df.filter(col(c).isNotNull)
       .groupBy(binExpr.as("__bin"))
-      .agg(approx_count_distinct(col(c)).as("__ndv"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      .agg(approx_count_distinct(col(c)).as("__ndv"),
+        org.apache.spark.sql.functions.count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val ndvByBin = perBin.map(t => t._1 -> t._2).toMap
+    // height from the NON-NULL row count (the rows the bins actually
+    // hold — percentiles and the bin grouping both ignore NULLs; a
+    // total-row height would inflate every selectivity estimate on a
+    // nullable column, Spark's own ANALYZE divides rowCount-nullCount)
+    val nonNull = perBin.map(_._3).sum
+    if (nonNull == 0) return None
     val bins = (0 until buckets).map(i =>
-      (eps(i), eps(i + 1), math.max(1L, perBin.getOrElse(i, 0L))))
-    Some(ColumnStatsFile.Hist(rows.toDouble / buckets, bins))
+      (eps(i), eps(i + 1), math.max(1L, ndvByBin.getOrElse(i, 0L))))
+    Some(ColumnStatsFile.Hist(nonNull.toDouble / buckets, bins))
   }
 
   val Fsck: UnboundProcedure = new SimpleProcedure("fsck",

@@ -240,7 +240,8 @@ object BenchFocus {
         "sample_cluster_balanced",
         // sim_hard_negatives: fixed 16-query broadcast over a 10×
         // corpus — scoring tracks the scan; the positives anti-join
-        // side grows 10× but stays a broadcast (corpus/41 rows)
+        // side (16/211 of the corpus) grows 10× but is explicitly
+        // broadcast, so the scored relation never shuffles
         "sim_hard_negatives")) {
       val (s1a, s1b) = bench(q, sfDir)
       val (s10a, s10b) = bench(q, scaled)

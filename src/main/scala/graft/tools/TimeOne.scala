@@ -8,7 +8,11 @@ package graft.tools
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = graft.Engine.sessionBuilder("local[32]", 32).getOrCreate()
+    // session sized exactly like Bench's — a triage number measured on
+    // a different core count would misattribute the gap to contention
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark =
+      graft.Engine.sessionBuilder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def run(n: String): Unit = graft.SparkEntry.queries(n)(spark, sfDir)
       .write.format("noop").mode("overwrite").save()

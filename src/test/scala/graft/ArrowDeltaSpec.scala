@@ -127,6 +127,28 @@ class ArrowDeltaSpec extends AnyFunSuite {
     assert(spark.read.format("arrow").load(dir).count() == 100)
   }
 
+  test("delta batch abort unlinks BOTH appended-file classes — " +
+      "plain-insert files and the update-arm's rewritten-row files") {
+    import graft.sources.arrow.{ArrowDeltaBatchWrite, ArrowDeltaCommitMessage, ArrowDeltaOperation}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val dir = Files.createTempDirectory("delta_abort").toString
+    val ins = Files.createFile(Paths.get(dir, "orphan_insert.arrow"))
+    val upd = Files.createFile(Paths.get(dir, "orphan_update.arrow"))
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val op = new ArrowDeltaOperation(dir, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE)
+    val write = new ArrowDeltaBatchWrite(op, dir, schema,
+      StructType(Seq.empty), None, Seq.empty)
+    write.abort(Array(ArrowDeltaCommitMessage(
+      Map.empty, Seq(ins.toString), Seq(""),
+      Map.empty, Seq(upd.toString), Seq(""))))
+    assert(!Files.exists(ins),
+      "aborted insert-arm file must be unlinked")
+    assert(!Files.exists(upd),
+      "aborted update-arm file must be unlinked — a leaked one is " +
+        "invisible to readers AND to vacuum forever")
+  }
+
   test("repeated delta ops accumulate correctly and OPTIMIZE purges " +
       "into a clean table with identical content") {
     val dir = fixture("delta_accum")
