@@ -204,6 +204,28 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE first-merge statistics (tokenizer-training data prep): count
+    * every ADJACENT CHARACTER PAIR across the corpus's words and rank
+    * the top-20 — exactly the statistic byte-pair-encoding training
+    * computes to pick its first merge, run distributed instead of on
+    * one machine's corpus sample. Two generators (words, then the
+    * per-word pair positions) stream inside codegen; ONE hash
+    * aggregation ends the plan, its output bounded by the pair
+    * alphabet (≤ |charset|²) however large the corpus — at 100 TB the
+    * job is scan-bound and the merge table it feeds stays kilobytes.
+    * Substring-by-position keeps both engines character-exact. */
+  def bpePairs(spark: SparkSession, dir: String): DataFrame =
+    fanOut(Tables.documents(spark, dir))
+      .select(explode(words(col("text"))).as("w"))
+      .filter(char_length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, char_length(w) - 1), " +
+          "i -> substring(w, i, 2))")).as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair").asc)
+      .limit(20)
+
   /** URL domain extraction/rollup (crawl-curation shape): pull every
     * `scheme://host` from the text, explode, aggregate per domain. */
   def urlDomains(spark: SparkSession, dir: String): DataFrame = {
@@ -344,6 +366,7 @@ object TextQueries {
     "text_tfidf" -> (textTfidf _),
     "text_bm25" -> (textBm25 _),
     "text_pii_scrub" -> (piiScrub _),
+    "text_bpe_pairs" -> (bpePairs _),
     "text_url_domains" -> (urlDomains _))
 
   private val statsSql =
@@ -513,5 +536,13 @@ object TextQueries {
         |  'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM e)
         |SELECT domain, COUNT(*) AS n_urls,
         | COUNT(DISTINCT doc_id) AS n_docs
-        |FROM d GROUP BY domain ORDER BY domain""".stripMargin)
+        |FROM d GROUP BY domain ORDER BY domain""".stripMargin,
+    "text_bpe_pairs" ->
+      """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |w2 AS (SELECT w FROM w WHERE length(w) >= 2),
+        |p AS (SELECT substring(w, i, 2) AS pair
+        |  FROM w2, UNNEST(range(1, length(w))) AS r(i))
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY pair
+        |ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin)
 }
